@@ -1,13 +1,668 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.functions._
+import graft.sources.SinkQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` keys follow SURVEY.md §2's operator inventory verbatim;
+  * every key with a DuckDB-expressible equivalent also appears in
+  * `oracleSql` (same column names/aliases on both sides — the driver
+  * sorts columns by name and hash-compares values). Keys absent from
+  * `oracleSql` get the weaker rows-only check and are covered by
+  * ScalaTest/ScalaCheck specs instead (SURVEY.md §5.2).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1 shape: scan → filter → project → aggregate → sort.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggregates.aggGroupSum(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.A scans / sources / sinks
+    "scan_parquet" -> (Relational.scanParquet _),
+    "scan_projection_pushdown" -> (Relational.scanProjectionPushdown _),
+    "preview" -> (Relational.preview _),
+    "sink_parquet" -> (SinkQueries.sinkParquet _),
+    "sink_partitioned" -> (SinkQueries.sinkPartitioned _),
+    "sink_append" -> (SinkQueries.sinkAppend _),
+    "sink_replace_partition" -> (SinkQueries.sinkReplacePartition _),
+    "source_csv" -> (SinkQueries.sourceCsv _),
+    "source_json" -> (SinkQueries.sourceJson _),
+    "table_meta" -> (SinkQueries.tableMeta _),
+    "list_tables" -> (SinkQueries.listTables _),
+    // §2.B projection / filter
+    "project_arith" -> (Relational.projectArith _),
+    "filter_conj" -> (Relational.filterConj _),
+    "filter_in_between_like" -> (Relational.filterInBetweenLike _),
+    "project_distinct" -> (Relational.projectDistinct _),
+    "filter_subquery_in" -> (Relational.filterSubqueryIn _),
+    // §2.C joins
+    "join_inner_hash" -> (Joins.joinInnerHash _),
+    "join_broadcast" -> (Joins.joinBroadcast _),
+    "join_left_outer" -> (Joins.joinLeftOuter _),
+    "join_right_outer" -> (Joins.joinRightOuter _),
+    "join_full_outer" -> (Joins.joinFullOuter _),
+    "join_semi" -> (Joins.joinSemi _),
+    "join_anti" -> (Joins.joinAnti _),
+    "join_cross" -> (Joins.joinCross _),
+    "join_theta_range" -> (Joins.joinThetaRange _),
+    "join_asof" -> (Joins.joinAsOf _),
+    "join_multiway" -> (Joins.joinMultiway _),
+    // §2.D aggregations
+    "agg_group_sum" -> (Aggregates.aggGroupSum _),
+    "agg_count_distinct" -> (Aggregates.aggCountDistinct _),
+    "agg_approx_distinct" -> (Aggregates.aggApproxDistinct _),
+    "agg_rollup" -> (Aggregates.aggRollup _),
+    "agg_cube" -> (Aggregates.aggCube _),
+    "agg_grouping_sets" -> (Aggregates.aggGroupingSets _),
+    "agg_having" -> (Aggregates.aggHaving _),
+    "agg_percentile" -> (Aggregates.aggPercentile _),
+    "agg_collect" -> (Aggregates.aggCollect _),
+    "agg_sortagg" -> (Aggregates.aggSortAgg _),
+    // §2.E windows
+    "win_rank" -> (Windows.winRank _),
+    "win_lag_lead" -> (Windows.winLagLead _),
+    "win_running" -> (Windows.winRunning _),
+    "win_moving_avg" -> (Windows.winMovingAvg _),
+    "win_first_last" -> (Windows.winFirstLast _),
+    "topk_per_group" -> (Windows.topkPerGroup _),
+    // §2.F sort / limit
+    "sort_multikey" -> (Relational.sortMultikey _),
+    "limit_topk" -> (Relational.limitTopk _),
+    // §2.G set ops
+    "set_union_all" -> (Relational.setUnionAll _),
+    "set_union_distinct" -> (Relational.setUnionDistinct _),
+    "set_intersect" -> (Relational.setIntersect _),
+    "set_intersect_all" -> (Relational.setIntersectAll _),
+    "set_except" -> (Relational.setExcept _),
+    "set_except_all" -> (Relational.setExceptAll _),
+    // §2.H scalar function families
+    "fn_string" -> (ScalarFns.fnString _),
+    "fn_date" -> (ScalarFns.fnDate _),
+    "fn_math" -> (ScalarFns.fnMath _),
+    "fn_cond" -> (ScalarFns.fnCond _),
+    "fn_array" -> (ScalarFns.fnArray _),
+    "fn_json" -> (ScalarFns.fnJson _),
+    "fn_map" -> (ScalarFns.fnMap _),
+    "fn_hash" -> (ScalarFns.fnHash _),
+    "fn_hash_md5" -> (ScalarFns.fnHashMd5 _),
+    // §2.I streaming (batch-equivalent forms; incremental forms in
+    // graft.streaming.Streams, MemoryStream-tested)
+    "stream_tumbling" -> (EventWindows.tumbling _),
+    "stream_sliding" -> (EventWindows.sliding _),
+    "stream_session" -> (EventWindows.sessionize _),
+    "stream_dedup" -> (EventWindows.dedupEvents _),
+    "stream_stateful" -> (EventWindows.statefulRunningTotal _),
+    // §2.J UDF / UDAF / UDTF
+    "udf_scalar" -> (Udfs.udfScalar _),
+    "udtf_generator" -> (Udfs.udtfGenerator _),
+    "udaf_typed" -> ((s: SparkSession, d: String) => Udfs.corpusSignature(s, d)),
+    // §2.K LLM-data-pipeline operators
+    "dedup_exact" -> (TextOps.dedupExact _),
+    "dedup_minhash" -> ((s: SparkSession, d: String) => MinHashDedup.dedupMinhash(s, d)),
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => MinHashDedup.ngramJaccard(s, d)),
+    "dedup_simhash" -> (MinHashDedup.simhash _),
+    "dedup_embedding" -> ((s: SparkSession, d: String) => SimSearch.dedupEmbeddingExact(s, d)),
+    "simsearch_knn" -> ((s: SparkSession, d: String) => SimSearch.knnBruteForce(s, d)),
+    "simsearch_lsh" -> ((s: SparkSession, d: String) => SimSearch.simsearchLsh(s, d)),
+    "text_stats" -> (TextOps.textStats _),
+    "token_count" -> (TextOps.tokenCount _),
+    "text_tfidf" -> (TextOps.textTfIdf _),
+    "quality_filter" -> (TextOps.qualityFilter _),
+    "lang_id" -> (TextOps.langId _),
+    "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "multimodal_stats" -> (Multimodal.multimodalStats _)
+  )
+
+  // DuckDB-dialect equivalents. Shared SQL fragments:
+  private val normT =
+    raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    // --- §2.A ---
+    "scan_parquet" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey ASC",
+    "scan_projection_pushdown" ->
+      """SELECT l_orderkey, l_extendedprice FROM lineitem
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey ASC, l_extendedprice ASC""".stripMargin,
+    "preview" ->
+      "SELECT * FROM orders ORDER BY o_orderkey ASC LIMIT 10",
+    "sink_parquet" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 400000.0 ORDER BY o_orderkey ASC""".stripMargin,
+    "sink_partitioned" ->
+      "SELECT p_partkey, p_brand, p_size FROM part ORDER BY p_partkey ASC",
+    "sink_append" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+        |WHERE o_orderstatus IN ('F','O')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus ASC""".stripMargin,
+    "sink_replace_partition" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+        |ORDER BY o_orderkey ASC""".stripMargin,
+    "source_csv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey ASC",
+    "source_json" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id ASC",
+    // --- §2.B ---
+    "project_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(CAST(l_extendedprice AS DECIMAL(18,4))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,4))), 2)::DOUBLE
+        |         AS revenue
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    "filter_conj" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity < 24.0 AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    "filter_in_between_like" ->
+      """SELECT p_partkey, p_brand, p_type, p_size FROM part
+        |WHERE p_brand IN ('Brand#11','Brand#22','Brand#33')
+        |  AND p_size BETWEEN 5 AND 25 AND p_type LIKE 'PROMO%'
+        |  AND p_name IS NOT NULL
+        |ORDER BY p_partkey ASC""".stripMargin,
+    "project_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus ASC, o_orderpriority ASC""".stripMargin,
+    "filter_subquery_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey ASC""".stripMargin,
+    // --- §2.C ---
+    "join_inner_hash" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 450000.0 ORDER BY o_orderkey ASC""".stripMargin,
+    "join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_partkey, p_brand, l_quantity
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#11' AND l_quantity > 45.0
+        |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0) c
+        |LEFT JOIN (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |           WHERE o_totalprice > 420000.0) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "join_right_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0) c
+        |RIGHT JOIN (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |            WHERE o_totalprice > 420000.0) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY o_orderkey ASC, c_custkey ASC NULLS FIRST""".stripMargin,
+    "join_full_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0) c
+        |FULL JOIN (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |           WHERE o_totalprice > 420000.0) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "join_cross" ->
+      """SELECT n_nationkey, n_name, r_regionkey, r_name
+        |FROM nation CROSS JOIN region
+        |ORDER BY n_nationkey ASC, r_regionkey ASC""".stripMargin,
+    "join_theta_range" ->
+      """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id AS user_id
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id AND e.ts > p.ts
+        | AND e.ts <= p.ts + INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+        |ORDER BY p_id ASC, e_id ASC""".stripMargin,
+    "join_asof" ->
+      """WITH tagged AS (
+        |  SELECT o_custkey AS ukey, o_orderdate AS at_ts,
+        |         NULL::BIGINT AS event_id, o_orderkey AS o_key, 0 AS side
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT user_id, ts::DATE::TIMESTAMP, event_id, NULL::BIGINT, 1
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT event_id, ukey AS user_id,
+        |       last_value(o_key IGNORE NULLS) OVER (
+        |         PARTITION BY ukey ORDER BY at_ts ASC, side ASC, o_key ASC NULLS LAST
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+        |FROM tagged QUALIFY side = 1 ORDER BY event_id ASC""".stripMargin,
+    "join_multiway" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name ASC""".stripMargin,
+    // --- §2.D ---
+    "agg_group_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag ASC, l_linestatus ASC""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |       COUNT(1) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_having" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_suppkey HAVING count(*) > 50
+        |ORDER BY l_suppkey ASC""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
+    "agg_collect" ->
+      """SELECT n_regionkey, list_sort(list(n_name)) AS nations,
+        |       list_sort(list(DISTINCT n_regionkey)) AS keys
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey ASC""".stripMargin,
+    "agg_sortagg" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS order_total,
+        |  max(l_shipdate) AS last_ship, count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 6
+        |ORDER BY l_orderkey ASC""".stripMargin,
+    // --- §2.E ---
+    "win_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn::INT AS rn,
+        |       rnk::INT AS rnk, drnk::INT AS drnk, quartile::INT AS quartile
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |) WHERE rn <= 3 ORDER BY o_custkey ASC, rn ASC""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT user_id, event_id,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC)
+        |ORDER BY user_id ASC, event_id ASC""".stripMargin,
+    "win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+    "win_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS moving_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+    "topk_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn::INT AS rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        |  FROM part
+        |) WHERE rn <= 3 ORDER BY p_brand ASC, rn ASC""".stripMargin,
+    // --- §2.F ---
+    "sort_multikey" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_nationkey DESC NULLS LAST, s_acctbal ASC NULLS FIRST,
+        |         s_suppkey ASC""".stripMargin,
+    "limit_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin,
+    // --- §2.G ---
+    "set_union_all" ->
+      """SELECT o_custkey, o_orderpriority, count(*) AS cnt FROM (
+        |  SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |) GROUP BY o_custkey, o_orderpriority
+        |ORDER BY o_custkey ASC, o_orderpriority ASC""".stripMargin,
+    "set_union_distinct" ->
+      """SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        |UNION
+        |SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey ASC, o_orderpriority ASC""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey ASC, o_orderpriority ASC""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT o_custkey, o_orderpriority, count(*) AS cnt FROM (
+        |  SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |) GROUP BY o_custkey, o_orderpriority
+        |ORDER BY o_custkey ASC, o_orderpriority ASC""".stripMargin,
+    "set_except" ->
+      """SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey ASC, o_orderpriority ASC""".stripMargin,
+    "set_except_all" ->
+      """SELECT o_custkey, o_orderpriority, count(*) AS cnt FROM (
+        |  SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |) GROUP BY o_custkey, o_orderpriority
+        |ORDER BY o_custkey ASC, o_orderpriority ASC""".stripMargin,
+    // --- §2.H ---
+    "fn_string" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) || ':' || c_name AS tagged,
+        |  substring(c_name, 1, 8) AS prefix,
+        |  length(c_name)::INT AS name_len,
+        |  lower(c_mktsegment) AS seg_lower,
+        |  trim('  pad  ') AS trimmed,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS cust_num,
+        |  regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS devowel,
+        |  lpad(c_custkey::VARCHAR, 8, '0') AS padded_key,
+        |  replace(c_mktsegment, 'MACHINERY', 'MACHINES') AS replaced
+        |FROM customer ORDER BY c_custkey ASC""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate)::INT AS yr,
+        |  month(o_orderdate)::INT AS mo,
+        |  day(o_orderdate)::INT AS dom,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  (o_orderdate::DATE + 30) AS due_date,
+        |  date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::INT AS age_days,
+        |  isodow(o_orderdate)::INT AS iso_dow,
+        |  quarter(o_orderdate)::INT AS qtr
+        |FROM orders ORDER BY o_orderkey ASC""".stripMargin,
+    "fn_math" ->
+      """SELECT s_suppkey,
+        |  round(s_acctbal, 1) AS bal_round,
+        |  floor(s_acctbal)::BIGINT AS bal_floor,
+        |  ceil(s_acctbal)::BIGINT AS bal_ceil,
+        |  abs(s_acctbal - 5000.0) AS bal_dev,
+        |  round(pow(s_suppkey::DOUBLE, 2.0), 4) AS key_sq,
+        |  round(sqrt(abs(s_acctbal)), 4) AS bal_sqrt,
+        |  round(ln(abs(s_acctbal) + 1.0), 4) AS bal_ln,
+        |  ((s_suppkey % 7) + 7) % 7 AS key_mod,
+        |  sign(s_acctbal)::DOUBLE AS bal_sign,
+        |  greatest(s_acctbal, 0.0) AS bal_pos,
+        |  least(s_suppkey, 500) AS key_cap
+        |FROM supplier ORDER BY s_suppkey ASC""".stripMargin,
+    "fn_cond" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000.0 THEN 'large'
+        |       WHEN o_totalprice > 100000.0 THEN 'medium'
+        |       ELSE 'small' END AS size_class,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'NOT_P') AS status_np,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
+        |FROM orders ORDER BY o_orderkey ASC""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id,
+        |  len(embedding)::INT AS dim,
+        |  round(embedding[1]::DOUBLE, 4) AS first_val,
+        |  round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 4) AS vec_sum,
+        |  round(coalesce(list_sum(list_transform(
+        |    list_filter(embedding, x -> x > 0), x -> x::DOUBLE)), 0.0), 4) AS pos_sum,
+        |  len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> x::DOUBLE * x::DOUBLE)), 4) AS sq_norm
+        |FROM embeddings ORDER BY vec_id ASC""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k')::INT AS k_val,
+        |  json_extract_string(props, '$.k')::INT AS k_parsed,
+        |  to_json(struct_pack(t := event_type))::VARCHAR AS rejson
+        |FROM events ORDER BY event_id ASC""".stripMargin,
+    "fn_hash_md5" ->
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id ASC",
+    // --- §2.I batch equivalents ---
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""".stripMargin,
+    "stream_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |         - (r.i * INTERVAL '15 minutes') AS win_start,
+        |       event_type, count(*) AS n_events
+        |FROM events, range(0, 4) r(i)
+        |GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""".stripMargin,
+    "stream_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), y AS (
+        |  SELECT *, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM x
+        |)
+        |SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+        |  date_trunc('second', min(ts)) AS session_start,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        |FROM y GROUP BY user_id, session_id
+        |ORDER BY user_id ASC, session_id ASC""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id ASC""".stripMargin,
+    "stream_stateful" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_purchases
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id ASC, event_id ASC""".stripMargin,
+    // --- §2.J ---
+    "udf_scalar" ->
+      raw"""SELECT doc_id, substring(t, 1, 40) AS norm_prefix,
+        |  length(t)::INT AS norm_len
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(lower('  ' || text || '   '), '\s+', ' ', 'g')) AS t
+        |      FROM documents) ORDER BY doc_id ASC""".stripMargin,
+    "udtf_generator" ->
+      """SELECT doc_id, (u.pos)::INT AS pos, u.token AS token
+        |FROM (SELECT doc_id,
+        |        unnest(list_transform(string_split(text, ' '),
+        |          (t, i) -> struct_pack(pos := i - 1, token := t))) AS u
+        |      FROM documents WHERE doc_id < 50)
+        |WHERE length(u.token) > 0
+        |ORDER BY doc_id ASC, pos ASC""".stripMargin,
+    // --- §2.K ---
+    "dedup_exact" ->
+      raw"""WITH h AS (SELECT doc_id, lang, source,
+        |              md5($normT) AS th FROM documents),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY th ORDER BY doc_id ASC) AS rn FROM h)
+        |SELECT doc_id, lang, source FROM r WHERE rn = 1
+        |ORDER BY doc_id ASC""".stripMargin,
+    "text_stats" ->
+      raw"""SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(sum(n_tokens)::DOUBLE / count(*), 4) AS avg_tokens
+        |FROM (SELECT source, lang, n_chars,
+        |        len(string_split($normT, ' '))::INT AS n_tokens
+        |      FROM documents)
+        |GROUP BY source, lang ORDER BY source ASC, lang ASC""".stripMargin,
+    "token_count" ->
+      raw"""SELECT doc_id,
+        |  len(string_split($normT, ' '))::INT AS ws_tokens,
+        |  (len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+        |       t -> length(t) > 0))
+        |   + length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')))::INT
+        |    AS bpeish_tokens,
+        |  length(text)::INT AS n_chars
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "text_tfidf" ->
+      raw"""WITH docs AS (SELECT doc_id, lang, $normT AS t FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(string_split(t, ' ')) AS term FROM docs),
+        |tok2 AS (SELECT * FROM tok WHERE length(term) > 0),
+        |tf AS (SELECT lang, term, count(*) AS tf FROM tok2 GROUP BY lang, term),
+        |df AS (SELECT term, count(*) AS df FROM
+        |        (SELECT DISTINCT doc_id, term FROM tok2) GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT lang, term, tfidf, rn::INT AS rn FROM (
+        |  SELECT tf.lang AS lang, tf.term AS term,
+        |    round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.lang
+        |      ORDER BY round(tf.tf * ln(n.n_docs / df.df), 6) DESC,
+        |               tf.term ASC) AS rn
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |) WHERE rn <= 5 ORDER BY lang ASC, rn ASC""".stripMargin,
+    "quality_filter" ->
+      raw"""WITH s AS (
+        |  SELECT doc_id, lang, n_chars, text, $normT AS t FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    len(string_split(t, ' '))::INT AS n_tokens,
+        |    round(length(replace(t, ' ', ''))::DOUBLE
+        |          / len(string_split(t, ' ')), 4) AS mean_word_len,
+        |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+        |          / length(text), 4) AS alpha_ratio,
+        |    CASE WHEN regexp_matches(text, '\b(the|and|of|to|in)\b')
+        |         THEN 1 ELSE 0 END AS has_glue
+        |  FROM s)
+        |SELECT doc_id, lang, n_tokens, mean_word_len, alpha_ratio, has_glue
+        |FROM m
+        |WHERE lang IN ('en','de','es','fr')
+        |  AND n_tokens BETWEEN 3 AND 10000
+        |  AND n_chars BETWEEN 20 AND 100000
+        |  AND mean_word_len BETWEEN 2.0 AND 12.0
+        |ORDER BY doc_id ASC""".stripMargin,
+    "lang_id" ->
+      raw"""WITH s AS (SELECT doc_id, lang,
+        |        string_split($normT, ' ') AS toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, t -> regexp_matches(t, '^(the|and|of|to|in|is|that|for)$$')))::INT AS sc_en,
+        |  len(list_filter(toks, t -> regexp_matches(t, '^(der|die|das|und|ist|nicht|ein|zu)$$')))::INT AS sc_de,
+        |  len(list_filter(toks, t -> regexp_matches(t, '^(el|la|los|de|que|es|en|por)$$')))::INT AS sc_es,
+        |  len(list_filter(toks, t -> regexp_matches(t, '^(le|la|les|de|est|et|un|que)$$')))::INT AS sc_fr
+        | FROM s)
+        |SELECT doc_id, lang,
+        |  CASE WHEN best_score = 0 THEN 'und'
+        |       WHEN sc_en = best_score THEN 'en'
+        |       WHEN sc_de = best_score THEN 'de'
+        |       WHEN sc_es = best_score THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  best_score
+        |FROM (SELECT *, greatest(sc_en, sc_de, sc_es, sc_fr) AS best_score FROM sc)
+        |ORDER BY doc_id ASC""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      raw"""WITH d AS (SELECT doc_id, source,
+        |        string_split($normT, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, source,
+        |        list_distinct(list_transform(
+        |          range(0, greatest(len(toks) - 2, 0) + 1),
+        |          i -> array_to_string(toks[i+1:i+2], ' '))) AS sh
+        |      FROM d),
+        |p AS (SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
+        |        round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |              / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |      FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT source, a_id, b_id, jaccard FROM p WHERE jaccard >= 0.05
+        |ORDER BY source ASC, a_id ASC, b_id ASC""".stripMargin,
+    "dedup_embedding" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+        |      4) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, cos_sim FROM p WHERE cos_sim >= 0.95
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    "simsearch_knn" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+        |p AS (SELECT q_id, c_id,
+        |  round(
+        |    list_sum(list_transform(range(1, len(q_emb) + 1),
+        |      i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(c_emb, x -> x::DOUBLE * x::DOUBLE)))),
+        |    4) AS cos_sim
+        |  FROM c CROSS JOIN q WHERE q_id <> c_id)
+        |SELECT q_id, c_id, cos_sim, rn::INT AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p
+        |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
+    "multimodal_stats" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |            ELSE 'video/mp4' END AS mime,
+        |  count(*) AS n_assets,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(max(n_chars % 1920) AS INT) AS max_width
+        |FROM documents GROUP BY 1 ORDER BY 1 ASC""".stripMargin
+  )
 }

@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.sources.Tables
+
+/** Scalar-function families (SURVEY.md §2.H) — one representative query
+  * per family, all built-in `org.apache.spark.sql.functions` (codegen'd;
+  * no UDFs in these paths). Semantics are the Presto scalar surface the
+  * reference exposes via SQL passthrough [upstream, unverified —
+  * SURVEY.md §0].
+  */
+object ScalarFns {
+
+  /** `fn_string` — concat/substring/case/trim/length/regexp/lpad/replace. */
+  def fnString(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(
+        col("c_custkey"),
+        concat(upper(col("c_mktsegment")), lit(":"), col("c_name"))
+          .as("tagged"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        length(col("c_name")).as("name_len"),
+        lower(col("c_mktsegment")).as("seg_lower"),
+        trim(lit("  pad  ")).as("trimmed"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("cust_num"),
+        regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("devowel"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
+        replace(col("c_mktsegment"), lit("MACHINERY"), lit("MACHINES"))
+          .as("replaced"))
+      .orderBy(col("c_custkey").asc)
+
+  /** `fn_date` — extraction/truncation/arithmetic on ms-precision
+    * timestamps. dow normalized to ISO (1=Mon..7=Sun) on both engines:
+    * Spark dayofweek is 1=Sun, DuckDB dow is 0=Sun (SURVEY.md §5.3.5).
+    */
+  def fnDate(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        // cast back to timestamp: DuckDB DATE arrives as datetime64 via
+        // pandas, so a Spark date32 here would type-mismatch the compare
+        date_add(col("o_orderdate").cast("date"), 30).cast("timestamp")
+          .as("due_date"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("age_days"),
+        ((dayofweek(col("o_orderdate")) + lit(5)) % lit(7) + lit(1))
+          .as("iso_dow"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .orderBy(col("o_orderkey").asc)
+
+  /** `fn_math` — rounding/exponents/logs/sign-stable modulo. */
+  def fnMath(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir)
+      .select(
+        col("s_suppkey"),
+        round(col("s_acctbal"), 1).as("bal_round"),
+        floor(col("s_acctbal")).as("bal_floor"),
+        ceil(col("s_acctbal")).as("bal_ceil"),
+        abs(col("s_acctbal") - lit(5000.0)).as("bal_dev"),
+        round(pow(col("s_suppkey").cast("double"), 2.0), 4).as("key_sq"),
+        round(sqrt(abs(col("s_acctbal"))), 4).as("bal_sqrt"),
+        round(log(abs(col("s_acctbal")) + lit(1.0)), 4).as("bal_ln"),
+        pmod(col("s_suppkey"), lit(7)).as("key_mod"),
+        signum(col("s_acctbal")).as("bal_sign"),
+        greatest(col("s_acctbal"), lit(0.0)).as("bal_pos"),
+        least(col("s_suppkey"), lit(500L)).as("key_cap"))
+      .orderBy(col("s_suppkey").asc)
+
+  /** `fn_cond` — CASE WHEN / coalesce / nullif. */
+  def fnCond(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000.0, lit("large"))
+          .when(col("o_totalprice") > 100000.0, lit("medium"))
+          .otherwise(lit("small")).as("size_class"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("NOT_P"))
+          .as("status_np"),
+        when(col("o_orderpriority") === "1-URGENT", lit(1))
+          .otherwise(lit(0)).as("is_urgent"))
+      .orderBy(col("o_orderkey").asc)
+
+  /** `fn_array` — array ops + higher-order functions over the embedding
+    * vectors: size/slice/contains/sort + transform/filter/aggregate.
+    * Float math rounded to 4dp for cross-engine comparability.
+    */
+  def fnArray(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+        round(
+          aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 4).as("vec_sum"),
+        round(
+          aggregate(
+            filter(col("embedding"), x => x > lit(0.0f)),
+            lit(0.0d), (acc, x) => acc + x.cast("double")), 4)
+          .as("pos_sum"),
+        size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"),
+        round(
+          aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0d), (acc, x) => acc + x), 4).as("sq_norm"))
+      .orderBy(col("vec_id").asc)
+
+  /** `fn_json` — JSON extraction from `events.props` (verified shape
+    * {"k": <int>} — FIXTURES.md): get_json_object / from_json / to_json.
+    */
+  def fnJson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", IntegerType))))
+          .getField("k").as("k_parsed"),
+        to_json(struct(col("event_type").as("t"))).as("rejson"))
+      .orderBy(col("event_id").asc)
+
+  /** `fn_map` — map construction and access over parsed props. Not
+    * oracle-declared: DuckDB map ordering/literal semantics differ
+    * (SURVEY.md §2.H); unit-tested in FunctionSpec.
+    */
+  def fnMap(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        map(lit("type"), col("event_type"), lit("k"),
+          get_json_object(col("props"), "$.k")).as("m"))
+      .select(
+        col("event_id"),
+        map_keys(col("m")).as("ks"),
+        map_values(col("m")).as("vs"),
+        element_at(col("m"), "type").as("etype"))
+      .orderBy(col("event_id").asc)
+
+  /** `fn_hash` — hashing for dedup keys: md5 is oracle-comparable
+    * (DuckDB md5 matches); xxhash64/crc32/sha2 are engine-specific and
+    * unit-tested for stability instead (SURVEY.md §2.H).
+    */
+  def fnHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("text_md5"),
+        sha2(col("text"), 256).as("text_sha256"),
+        xxhash64(col("text")).as("text_xx64"),
+        crc32(col("text")).as("text_crc"))
+      .orderBy(col("doc_id").asc)
+
+  /** `fn_hash_md5` — the oracle-comparable subset of fn_hash. */
+  def fnHashMd5(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id").asc)
+}

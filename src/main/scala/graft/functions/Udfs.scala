@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** UDF / UDAF / UDTF surface (SURVEY.md §2.J).
+  *
+  * Policy: built-in functions first (codegen'd); UDFs only where the
+  * logic genuinely isn't expressible — and even then deterministic, so
+  * Catalyst may still push/reorder around them.
+  */
+object Udfs {
+
+  /** `udf_scalar` — deterministic text normalizer as a registered scalar
+    * UDF (lowercase + collapse whitespace + strip punctuation edges).
+    * Deliberately NOT marked nondeterministic: Catalyst may collapse /
+    * reorder it.
+    */
+  val normalizeText: String => String = { s =>
+    if (s == null) null
+    else s.toLowerCase.replaceAll("\\s+", " ").trim
+  }
+
+  def udfScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = udf(normalizeText)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        norm(concat(lit("  "), col("text"), lit("   "))).as("norm_text"))
+      .select(col("doc_id"), substring(col("norm_text"), 1, 40).as("norm_prefix"),
+        length(col("norm_text")).as("norm_len"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** `udtf_generator` — table-generating op (1 row → N): tokenize each
+    * document into (doc_id, pos, token) rows via posexplode — Spark's
+    * Generator, no custom UDTF class needed (SURVEY.md §2.J: explode
+    * covers it; a custom Generator Expression only if codegen profiling
+    * demands).
+    */
+  def udtfGenerator(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 50L)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(length(col("token")) > 0)
+      .orderBy(col("doc_id").asc, col("pos").asc)
+
+  /** `udaf_typed` — typed custom aggregate: MinHash-signature merge as an
+    * `Aggregator` (element-wise min of long arrays). This is the
+    * mergeable-sketch pattern: partial signatures combine associatively
+    * and commutatively (property-tested in UdafSpec), so the aggregation
+    * is a partial+final shuffle of fixed-size state — the 100 TB shape.
+    */
+  class MinSigAggregator(val n: Int)
+      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    def zero: Array[Long] = Array.fill(n)(Long.MaxValue)
+    def reduce(buf: Array[Long], row: Seq[Long]): Array[Long] = {
+      var i = 0
+      while (i < n && i < row.length) {
+        if (row(i) < buf(i)) buf(i) = row(i)
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < n) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Per-source corpus MinHash signature: merge per-doc signatures with
+    * the typed Aggregator — estimates cross-source Jaccard overlap from
+    * fixed-size state.
+    */
+  def corpusSignature(spark: SparkSession, sfDir: String, nPerm: Int = 16): DataFrame = {
+    import graft.operators.MinHashDedup
+    val agg = udaf(new MinSigAggregator(nPerm))
+    Tables.documents(spark, sfDir)
+      .withColumn("sh", MinHashDedup.shingles(col("text"), 3))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", MinHashDedup.minhashSignature(col("sh"), nPerm))
+      .groupBy(col("source"))
+      .agg(agg(col("sig")).as("corpus_sig"))
+      .orderBy(col("source").asc)
+  }
+}

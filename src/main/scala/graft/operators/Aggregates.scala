@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Relational.dec
+
+/** Aggregation operators (SURVEY.md §2.D). Presto's aggregate surface as
+  * exposed by novlake's SQL passthrough [upstream, unverified — SURVEY.md
+  * §0], planned by Catalyst as partial (map-side) + final HashAggregate —
+  * i.e. each of these shuffles only the per-group partial states, never
+  * raw rows, which is the property that matters at 100 TB.
+  *
+  * Money columns are cast DECIMAL(18,4) pre-aggregation so sums are exact
+  * and order-independent, then cast back to double for the comparable
+  * output schema (SURVEY.md §5.3.3).
+  */
+object Aggregates {
+
+  /** `agg_group_sum` — TPC-H Q1 shape: the flagship `entry()` query.
+    * Low-cardinality group keys → tiny shuffle regardless of input size.
+    */
+  def aggGroupSum(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+
+  /** `agg_count_distinct` — exact COUNT(DISTINCT) per group (Catalyst
+    * plans Expand + two-phase aggregate; distinct set never sits on one
+    * node).
+    */
+  def aggCountDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority").asc)
+
+  /** `agg_approx_distinct` — HyperLogLog++ distinct estimate. Not
+    * oracle-declared (estimator differs from DuckDB's); property-tested
+    * against the exact count in AggregateSpec. This is the 100 TB path
+    * for distinct counting: fixed-size sketch per group, mergeable.
+    */
+  def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type").asc)
+
+  /** `agg_rollup` — GROUP BY ROLLUP hierarchy with grouping_id. */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** `agg_cube` — GROUP BY CUBE (all key subsets). */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** `agg_grouping_sets` — explicit GROUPING SETS via SQL. */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |       COUNT(1) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** `agg_having` — post-aggregation filter. */
+  def aggHaving(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 50L)
+      .orderBy(col("l_suppkey").asc)
+
+  /** `agg_percentile` — exact continuous percentiles; Spark `percentile`
+    * and DuckDB `quantile_cont` share linear interpolation semantics.
+    * Final round(4) guards residual float jitter (SURVEY.md §5.3.3).
+    */
+  def aggPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      .orderBy(col("l_returnflag").asc)
+
+  /** `agg_collect` — collect_list/collect_set, sorted for determinism
+    * (array order out of a shuffle is arbitrary — SURVEY.md §2.D).
+    */
+  def aggCollect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.nation(spark, sfDir)
+      .groupBy(col("n_regionkey"))
+      .agg(array_sort(collect_list(col("n_name"))).as("nations"),
+        array_sort(collect_set(col("n_regionkey"))).as("keys"))
+      .orderBy(col("n_regionkey").asc)
+
+  /** `agg_sortagg` — aggregation on a high-cardinality key: same API,
+    * but the planner can pick SortAggregate / spill under memory
+    * pressure; at 100 TB this is the "group by near-unique key" shape.
+    */
+  def aggSortAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("order_total"),
+        max(col("l_shipdate")).as("last_ship"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") >= 6L)
+      .orderBy(col("l_orderkey").asc)
+}

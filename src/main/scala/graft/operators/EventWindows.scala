@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Relational.dec
+
+/** Time-window operators over the `events` table — the BATCH forms of the
+  * streaming operators (SURVEY.md §2.I design rule: every streaming op
+  * has a batch-mode equivalent declared to the DuckDB oracle; the
+  * incremental forms live in graft.streaming.Streams and share these
+  * window semantics).
+  *
+  * ts hazard: events.ts is parquet timestamp[ns]; Spark truncates to µs
+  * while DuckDB reads TIMESTAMP_NS — fixture data is µs-resolution
+  * (verified, FIXTURES.md) and all bucket edges here are ≥1 minute, so
+  * bucketing is precision-safe (SURVEY.md §5.3.4).
+  */
+object EventWindows {
+
+  /** `stream_tumbling` — 1-hour tumbling window count/sum per event_type.
+    * Batch form of `Streams.tumblingCounts`.
+    */
+  def tumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("win_start").asc, col("event_type").asc)
+
+  /** `stream_sliding` — 1-hour window sliding every 15 minutes: each
+    * event lands in 4 overlapping windows.
+    */
+  def sliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"))
+      .orderBy(col("win_start").asc, col("event_type").asc)
+
+  /** `stream_session` — 30-minute-gap session windows per user, as the
+    * batch gap-and-island composition: flag gaps > 30min via lag, running
+    * sum of flags = session id, then aggregate per session. This is the
+    * exact semantics of streaming `session_window` (equivalence tested in
+    * StreamingSpec on the same data).
+    *
+    * Scale: one shuffle on user_id; sessions never cross users, so state
+    * is bounded per key.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+          1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_trunc("second", min(col("ts"))).as("session_start"),
+        sum(dec(col("value"))).cast("double").as("session_value"))
+      .orderBy(col("user_id").asc, col("session_id").asc)
+  }
+
+  /** `stream_dedup` — dedup on event_id; batch form of the
+    * watermark-bounded streaming dropDuplicates. Deterministic because
+    * event_id is unique in the fixture (verified); at scale the streaming
+    * form bounds state with the watermark.
+    */
+  def dedupEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id").asc)
+
+  /** `stream_stateful` — running per-user purchase total (batch form of
+    * the transformWithState processor in Streams): cumulative sum over
+    * the user's purchase history.
+    */
+  def statefulRunningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        sum(dec(col("value"))).over(w).cast("double")
+          .as("running_purchases"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+}

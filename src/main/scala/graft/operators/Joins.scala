@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Join operators (SURVEY.md §2.C): equi/outer/semi/anti/cross/theta and
+  * the as-of composition. Reference semantics are the Presto join surface
+  * novlake exposes verbatim through `Lake.query` [upstream, unverified —
+  * SURVEY.md §0].
+  *
+  * Scale notes (100 TB): equi-joins shuffle on their keys (sort-merge) or
+  * broadcast when one side is small — dimension tables here are
+  * explicitly `broadcast()`-hinted so the big fact side never shuffles
+  * for them. The theta join keeps its small side broadcastable by
+  * construction (BroadcastNestedLoopJoin would be quadratic otherwise).
+  * The as-of join is a union + window composition: one shuffle on the
+  * partition key, no driver-side work, skew bounded by per-user event
+  * counts.
+  */
+object Joins {
+
+  /** `join_inner_hash` — inner equi-join orders ⋈ customer. Both sides
+    * large at scale → sort-merge on the key; AQE may switch to broadcast
+    * when the built side turns out small.
+    */
+  def joinInnerHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("o_totalprice"))
+      .filter(col("o_totalprice") > 450000.0)
+      .orderBy(col("o_orderkey").asc)
+
+  /** `join_broadcast` — fact ⋈ small dim with an explicit broadcast hint:
+    * no shuffle of the lineitem side at any scale.
+    */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === "Brand#11" && col("l_quantity") > 45.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+        col("p_brand"), col("l_quantity"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+
+  private def custOrderCounts(spark: SparkSession, sfDir: String,
+      joinType: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 420000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val topCust = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"), col("c_name"))
+    topCust.join(bigOrders, col("c_custkey") === col("o_custkey"), joinType)
+  }
+
+  /** `join_left_outer` — preserved-left join; null-extended right side. */
+  def joinLeftOuter(spark: SparkSession, sfDir: String): DataFrame =
+    custOrderCounts(spark, sfDir, "left")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  /** `join_right_outer` — preserved-right join. */
+  def joinRightOuter(spark: SparkSession, sfDir: String): DataFrame =
+    custOrderCounts(spark, sfDir, "right")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey").asc, col("c_custkey").asc_nulls_first)
+
+  /** `join_full_outer` — both sides preserved. */
+  def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame =
+    custOrderCounts(spark, sfDir, "full")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first,
+        col("o_orderkey").asc_nulls_first)
+
+  /** `join_semi` — EXISTS as left-semi: customers with ≥1 urgent order.
+    * Only left columns survive; right side is deduplicated by the join.
+    */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy(col("c_custkey").asc)
+
+  /** `join_anti` — NOT EXISTS as left-anti: customers with no orders. */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy(col("c_custkey").asc)
+
+  /** `join_cross` — guarded cross product of the two tiny dims (25×5). */
+  def joinCross(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.nation(spark, sfDir).crossJoin(Tables.region(spark, sfDir))
+      .select(col("n_nationkey"), col("n_name"), col("r_regionkey"),
+        col("r_name"))
+      .orderBy(col("n_nationkey").asc, col("r_regionkey").asc)
+
+  /** `join_theta_range` — non-equi band join: error events within 1 hour
+    * AFTER a purchase by the same user. Equi part (user_id) keeps it a
+    * hash/sort-merge join; the band predicate is applied as a join filter
+    * — so this stays a keyed join, not a nested-loop, at any scale.
+    */
+  def joinThetaRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+    purchases.join(errors,
+        col("p_user") === col("e_user") &&
+        col("e_ts") > col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("e_id"), col("p_user").as("user_id"))
+      .orderBy(col("p_id").asc, col("e_id").asc)
+  }
+
+  /** `join_asof` — as-of join: for each event, the user's latest order
+    * (by o_orderdate, keyed on user_id≡custkey) at or before the event's
+    * date. Spark has no native ASOF JOIN (DuckDB does); composition:
+    * union both streams tagged, one window sort per user, carry the last
+    * non-null order key forward (SURVEY.md §2.C join_asof).
+    *
+    * Scale: single shuffle on user_id; window is a per-partition sort —
+    * identical shape to what a native as-of operator would do.
+    */
+  def joinAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ukey"),
+        to_date(col("ts")).cast("timestamp").as("at_ts"),
+        col("event_id"), lit(null).cast("long").as("o_key"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("ukey"),
+        col("o_orderdate").as("at_ts"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("o_key"))
+    // Orders sort before events at the same timestamp (side=0 < 1) so an
+    // order on the event's own date is visible to it ("at or before").
+    val tagged = ord.withColumn("side", lit(0))
+      .unionByName(ev.withColumn("side", lit(1)))
+    val w = Window.partitionBy("ukey")
+      .orderBy(col("at_ts").asc, col("side").asc, col("o_key").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_orderkey", last(col("o_key"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("ukey").as("user_id"),
+        col("asof_orderkey"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** `join_multiway` — 4-table star join with the two tiny dims broadcast;
+    * exercises Catalyst join reordering. Revenue per nation for one
+    * region over a date slice (TPC-H Q5 shape).
+    */
+  def joinMultiway(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val nat = broadcast(Tables.nation(spark, sfDir))
+    val reg = broadcast(Tables.region(spark, sfDir)
+      .filter(col("r_name") === "ASIA"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(Relational.dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name").asc)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2.K `multimodal_schema`):
+  * image/audio/video as opaque binary columns with typed metadata, plus
+  * the decode / feature-extract / frame-sample operator shells.
+  *
+  * The media codecs are NOT in this container (builder prompt), so the
+  * decode kernels are deterministic fakes clearly marked STUB — but the
+  * Spark-side contract (schema, batching, partitioning, null handling)
+  * is real and round-trip tested in MultimodalSpec. Swapping the stub for
+  * a real codec changes one function body, not the pipeline.
+  *
+  * Scale: binary payloads ride in the row (parquet binary, dictionary
+  * off); per-asset work is row-local (no shuffle); feature extraction
+  * shuffles only the small feature vectors, never the blobs.
+  */
+object Multimodal {
+
+  /** Canonical multimodal asset schema: blob + mime + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("blob", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  /** Build a deterministic multimodal fixture from the documents table:
+    * each doc becomes a fake "image" whose blob is the utf-8 text and
+    * whose dimensions derive from doc stats. Stands in for a real
+    * ingest (S3 binary files → DataFrame) in tests.
+    */
+  def syntheticAssets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id").as("asset_id"),
+        when(col("doc_id") % 3 === 0, lit("image/png"))
+          .when(col("doc_id") % 3 === 1, lit("audio/wav"))
+          .otherwise(lit("video/mp4")).as("mime"),
+        encode(col("text"), "UTF-8").as("blob"),
+        (col("n_chars") % 1920).cast("int").as("width"),
+        (col("n_chars") % 1080).cast("int").as("height"),
+        (col("n_chars") * 10).as("duration_ms"),
+        map(lit("lang"), col("lang"), lit("source"), col("source"))
+          .as("meta"))
+
+  /** STUB decode: a real implementation would decode the image/audio blob
+    * (e.g. via a JNI codec or mapInPandas on a Python-enabled cluster)
+    * into pixel/sample tensors. Here: a deterministic fake "feature"
+    * derived from the blob bytes so downstream plumbing is testable.
+    * The operator shape — binary in, fixed-width float array out, row-
+    * local, codegen-free boundary — is exactly what the real kernel uses.
+    */
+  def decodeFeaturesStub(assets: DataFrame, dim: Int = 8): DataFrame =
+    assets.withColumn("features",
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => pmod(xxhash64(col("blob"), i), lit(1000L)).cast("double")
+          / 1000.0))
+
+  /** Image resize metadata op (STUB kernel): recompute target dims
+    * preserving aspect ratio; blob passthrough marks where the real
+    * resample kernel plugs in.
+    */
+  def resizeTo(assets: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(
+      lit(maxSide) / greatest(col("width"), lit(1)),
+      lit(maxSide) / greatest(col("height"), lit(1)))
+    assets
+      .withColumn("out_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("out_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /** Frame-sample plan for video assets: one row per sampled frame at
+    * `everyMs` — the explode pattern that fans a video row into frame
+    * work items WITHOUT duplicating the blob (frame rows carry only
+    * (asset_id, frame_ts); the decode join-back is blob-local).
+    */
+  def sampleFrames(assets: DataFrame, everyMs: Long): DataFrame =
+    assets
+      .filter(col("mime").startsWith("video/") && col("duration_ms") > 0)
+      .select(col("asset_id"),
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
+          .as("frame_ts_ms"))
+
+  /** `multimodal_stats` — oracle-friendly projection over the synthetic
+    * assets: byte sizes and metadata, no binary in the output.
+    */
+  def multimodalStats(spark: SparkSession, sfDir: String): DataFrame =
+    syntheticAssets(spark, sfDir)
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(length(col("blob"))).as("total_bytes"),
+        max(col("width")).as("max_width"))
+      .orderBy(col("mime").asc)
+}

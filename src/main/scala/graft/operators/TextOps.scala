@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis and deduplication operators for large-scale training-data
+  * pipelines (SURVEY.md §2.K; mandated extension beyond the reference's
+  * own surface — BASELINE.json "LLM-data-pipeline operators").
+  *
+  * All operators are pure relational compositions (explode / groupBy /
+  * window / join): every one shuffles on a real key and none collects to
+  * the driver, so they scale linearly with corpus size. Hash-based ops use
+  * deterministic hashes (sha2/md5/xxhash64 with fixed seed), never
+  * `rand()`.
+  */
+object TextOps {
+
+  /** Deterministic text normalization: lowercase + collapse whitespace +
+    * trim. The canonical form for exact dedup and fingerprints.
+    */
+  def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** `dedup_exact` — exact dedup on normalized text hash; the survivor is
+    * the lowest doc_id per hash group (deterministic). One shuffle on the
+    * 256-bit hash — at 100 TB this is the cheapest dedup pass and always
+    * runs first.
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .withColumn("text_hash", sha2(normText(col("text")), 256))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** `text_stats` — per-(source,lang) corpus statistics: doc count, token
+    * count, char count, average tokens per doc. Token = whitespace-split
+    * word (fixture text is space-separated — FIXTURES.md).
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(split(normText(col("text")), " ")))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4)
+          .as("avg_tokens"))
+      .orderBy(col("source").asc, col("lang").asc)
+
+  /** `token_count` — per-document token counting two ways: whitespace
+    * split and a BPE-ish segmentation count (alphanumeric runs + each
+    * non-space punctuation char as its own token — the standard
+    * pre-tokenizer shape, expressed without lookarounds so the oracle
+    * SQL stays RE2-compatible).
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(split(normText(col("text")), " ")).as("ws_tokens"),
+        (size(filter(split(col("text"), "[^a-zA-Z0-9]+"),
+          t => length(t) > 0)) +
+          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")))
+          .as("bpeish_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id").asc)
+
+  /** `text_tfidf` — top terms per language by tf-idf. Pure relational
+    * (explode → counts → df join → log weight): deterministic, unlike
+    * feature-hashing approaches, and every stage is a keyed shuffle.
+    */
+  def textTfIdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tokens = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = tokens.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tokens.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(col("doc_id")).count()
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(docFreq, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("term"), col("tfidf"), col("rn"))
+      .orderBy(col("lang").asc, col("rn").asc)
+  }
+
+  /** `quality_filter` — document quality gates for training-data curation:
+    * length bounds, language allowlist, mean word length, alpha ratio,
+    * stopword-ish ratio (presence of high-frequency glue words). Returns
+    * scored survivors.
+    */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(normText(col("text")), " ")
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(normText(col("text")), " ", ""))
+          .cast("double") / size(toks), 4))
+      .withColumn("alpha_ratio",
+        round(length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast("double") / length(col("text")), 4))
+      .withColumn("has_glue",
+        when(col("text").rlike("\\b(the|and|of|to|in)\\b"), 1).otherwise(0))
+      .filter(col("lang").isin("en", "de", "es", "fr") &&
+        col("n_tokens").between(3, 10000) &&
+        col("n_chars").between(20, 100000) &&
+        col("mean_word_len").between(2.0, 12.0))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("mean_word_len"), col("alpha_ratio"), col("has_glue"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** `lang_id` — n-gram-heuristic language identification: score each doc
+    * against tiny per-language marker lexicons (function words / character
+    * patterns), pick the argmax. A real pipeline would load fastText-style
+    * profiles; the Spark shape (score columns → greatest → case) is
+    * identical. Scores are integer match counts → deterministic.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    def hits(pat: String) =
+      size(filter(split(normText(col("text")), " "),
+        t => t.rlike(pat)))
+    Tables.documents(spark, sfDir)
+      .withColumn("sc_en", hits("^(the|and|of|to|in|is|that|for)$"))
+      .withColumn("sc_de", hits("^(der|die|das|und|ist|nicht|ein|zu)$"))
+      .withColumn("sc_es", hits("^(el|la|los|de|que|es|en|por)$"))
+      .withColumn("sc_fr", hits("^(le|la|les|de|est|et|un|que)$"))
+      .withColumn("best_score",
+        greatest(col("sc_en"), col("sc_de"), col("sc_es"), col("sc_fr")))
+      .withColumn("pred_lang",
+        when(col("best_score") === 0, lit("und"))
+          .when(col("sc_en") === col("best_score"), lit("en"))
+          .when(col("sc_de") === col("best_score"), lit("de"))
+          .when(col("sc_es") === col("best_score"), lit("es"))
+          .otherwise(lit("fr")))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        col("best_score"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** `doc_fingerprint` — rolling/content-defined fingerprinting: per-doc
+    * polynomial rolling hash over word 3-grams, plus the minimum 3-gram
+    * hash (a 1-permutation MinHash — the dedup_minhash building block).
+    * xxhash64 with fixed seed 42 → deterministic across runs/executors.
+    */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(normText(col("text")), " ")
+    Tables.documents(spark, sfDir)
+      .withColumn("grams",
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .filter(size(col("grams")) > 0)
+      .select(
+        col("doc_id"),
+        xxhash64(col("text")).as("full_hash"),
+        array_min(transform(col("grams"), g => xxhash64(g, lit(42))))
+          .as("min_gram_hash"),
+        size(col("grams")).as("n_grams"))
+      .orderBy(col("doc_id").asc)
+  }
+}

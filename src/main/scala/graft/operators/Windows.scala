@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Relational.dec
+
+/** Window-function operators (SURVEY.md §2.E). Presto window surface via
+  * novlake's SQL passthrough [upstream, unverified — SURVEY.md §0].
+  *
+  * Scale: a window = one shuffle on the partition key + per-partition
+  * sort. Every window here partitions on a real key (never a global
+  * window without PARTITION BY, which would funnel 100 TB through one
+  * task) and orders with a unique tiebreaker so ranks are deterministic.
+  */
+object Windows {
+
+  /** `win_rank` — row_number / rank / dense_rank / ntile over orders per
+    * customer, ranked by price with pk tiebreak.
+    */
+  def winRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey").asc, col("rn").asc)
+  }
+
+  /** `win_lag_lead` — per-user event deltas: seconds since previous
+    * event. ts is compared at µs on both engines via epoch arithmetic
+    * on ms-truncated values (ns hazard — SURVEY.md §5.3.4).
+    */
+  def winLagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
+  /** `win_running` — running sum per customer over order history. */
+  def winRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double")
+          .as("running_total"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
+  /** `win_moving_avg` — 4-row moving average per customer. */
+  def winMovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(-3, 0)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (sum(dec(col("o_totalprice"))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("moving_avg"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
+  /** `win_first_last` — first_value / last_value with an explicit full
+    * frame (last_value over the default frame is a footgun: it only sees
+    * up to the current row).
+    */
+  def winFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    val wFull = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(wFull).as("first_order"),
+        last(col("o_orderkey")).over(wFull).as("last_order"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
+  /** `topk_per_group` — top-3 parts by retail price per brand: window +
+    * filter; one shuffle, no per-group collect.
+    */
+  def topkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    Tables.part(spark, sfDir)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("p_brand").asc, col("rn").asc)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake utilities (SURVEY.md §2.A) — the Spark-native equivalents of the
+  * reference's own code surface: novlake `Lake.save_dataset` /
+  * `save_dataset(partition_cols=...)` / awswrangler write modes
+  * (`overwrite`, `overwrite_partitions`, `append`) and the catalog
+  * helpers `Lake.meta` / `Lake.list_tables` / `Lake.preview`
+  * [upstream, unverified — SURVEY.md §0; novlake/lake.py].
+  *
+  * No Delta/Iceberg jar ships in this environment (BASELINE.md), so
+  * "Delta ops" are emulated parquet-native: dynamic partition overwrite
+  * replaces only the partitions present in the incoming frame — the
+  * exact semantics of awswrangler's `overwrite_partitions`.
+  *
+  * Scale notes: writers inherit the frame's partitioning; no coalesce(1)
+  * here — small-file compaction is the caller's choice via
+  * `repartition(n)`. Partitioned writes use Hive-style key=value dirs so
+  * reads get partition pruning for free.
+  */
+object LakeIO {
+
+  /** `sink_parquet` — overwrite-save a dataset (novlake save_dataset). */
+  def saveDataset(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** `sink_append` — append rows to an existing dataset. */
+  def appendDataset(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** `sink_partitioned` — Hive-style partitioned save. */
+  def savePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  /** `sink_replace_partition` — replace ONLY the partitions present in
+    * `df`, leaving sibling partitions intact (awswrangler
+    * `mode="overwrite_partitions"`; Delta `replaceWhere` equivalent,
+    * parquet-native via dynamic partition overwrite).
+    */
+  def replacePartitions(df: DataFrame, path: String, cols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Register a saved dataset in the session catalog (novlake registers
+    * in Glue; here: a named view over the parquet path).
+    */
+  def registerTable(spark: SparkSession, name: String, path: String): Unit =
+    spark.read.parquet(path).createOrReplaceTempView(name)
+
+  /** `source_csv` — CSV ingest with header + schema inference. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** `source_json` — JSON-lines ingest. */
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** `table_meta` — table metadata as rows (novlake Lake.meta/DESCRIBE). */
+  def tableMeta(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toDF("col_name", "data_type", "nullable")
+  }
+
+  /** `list_tables` — catalog listing (novlake Lake.list_tables). */
+  def listTables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables()
+      .collect().toSeq.map(t => (t.name, t.tableType))
+      .toDF("table_name", "table_type")
+      .orderBy(col("table_name").asc)
+  }
+
+  /** Dataset maintenance: compact a (possibly partitioned) parquet
+    * dataset to `targetFileCount` files per write — the small-files
+    * maintenance job every lake needs at scale.
+    */
+  def compact(spark: SparkSession, path: String, targetFileCount: Int): Unit = {
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    df.repartition(targetFileCount).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap: rewrite target from compacted copy
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}

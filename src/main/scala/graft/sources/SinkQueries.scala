@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink / ingest operators expressed as driver-contract queries
+  * (SURVEY.md §2.A): each writes through LakeIO to a scratch dir, reads
+  * the result back, and returns it totally ordered — so the DuckDB
+  * oracle checks the full write→read round-trip, not just the write call
+  * succeeding. This mirrors how novlake's save_dataset is validated in
+  * practice: the saved table must be immediately queryable with the same
+  * content [upstream, unverified — SURVEY.md §0; novlake/lake.py].
+  *
+  * Scale notes: writers inherit upstream partitioning (no coalesce);
+  * partitioned writes produce Hive-style dirs so reads prune partitions.
+  */
+object SinkQueries {
+
+  private def tmpBase(sfDir: String): String = {
+    val h = Integer.toHexString(sfDir.hashCode)
+    s"${sys.props("java.io.tmpdir")}/graft_sinks_$h"
+  }
+
+  /** `sink_parquet` — overwrite-save + read-back (novlake save_dataset). */
+  def sinkParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/sink_parquet"
+    val df = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    LakeIO.saveDataset(df, out)
+    spark.read.parquet(out)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_orderkey").asc)
+  }
+
+  /** `sink_partitioned` — Hive-style partitioned save + read-back
+    * (partition values round-trip, including '#' URL-escaping).
+    */
+  def sinkPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/sink_partitioned"
+    val df = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_size")
+    LakeIO.savePartitioned(df, out, Seq("p_brand"))
+    spark.read.parquet(out)
+      .select("p_partkey", "p_brand", "p_size")
+      .orderBy(col("p_partkey").asc)
+  }
+
+  /** `sink_append` — overwrite one slice then append a disjoint one;
+    * read-back must contain exactly both.
+    */
+  def sinkAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/sink_append"
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus")
+    LakeIO.saveDataset(ord.filter(col("o_orderstatus") === "F"), out)
+    LakeIO.appendDataset(ord.filter(col("o_orderstatus") === "O"), out)
+    spark.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus").asc)
+  }
+
+  /** `sink_replace_partition` — dynamic partition overwrite: replace ONLY
+    * the 'O' partition with a filtered batch; 'F' must survive intact
+    * (awswrangler overwrite_partitions / Delta replaceWhere semantics,
+    * parquet-native — SURVEY.md §2.A, §7.4).
+    */
+  def sinkReplacePartition(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/sink_replace_partition"
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    LakeIO.savePartitioned(ord, out, Seq("o_orderstatus"))
+    val replacement = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 200000.0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    LakeIO.replacePartitions(replacement, out, Seq("o_orderstatus"))
+    spark.read.parquet(out)
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy(col("o_orderkey").asc)
+  }
+
+  /** `source_csv` — CSV ingest round-trip (header + schema inference). */
+  def sourceCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/source_csv"
+    Tables.nation(spark, sfDir)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    LakeIO.readCsv(spark, out)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy(col("n_nationkey").asc)
+  }
+
+  /** `source_json` — JSON-lines ingest round-trip. */
+  def sourceJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/source_json"
+    Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type")
+      .write.mode("overwrite").json(out)
+    LakeIO.readJson(spark, out)
+      .select("event_id", "user_id", "event_type")
+      .orderBy(col("event_id").asc)
+  }
+
+  /** `table_meta` — schema-as-rows (novlake Lake.meta). Rows-only check:
+    * DuckDB's DESCRIBE text differs.
+    */
+  def tableMeta(spark: SparkSession, sfDir: String): DataFrame =
+    LakeIO.tableMeta(Tables.orders(spark, sfDir))
+      .orderBy(col("col_name").asc)
+
+  /** `list_tables` — catalog listing (novlake Lake.list_tables). */
+  def listTables(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    LakeIO.listTables(spark)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table sources for the lake layout used by the test fixtures.
+  *
+  * Mirrors the reference's read path (novlake `Lake.query` reads
+  * Glue-cataloged S3 parquet via Athena [upstream, unverified — see
+  * SURVEY.md §0]); here a table is simply a parquet directory under the
+  * scale-factor dir, read through Spark's vectorized parquet reader so
+  * filter pushdown and column pruning apply automatically.
+  *
+  * 100 TB notes: `spark.read.parquet` scans are split by
+  * `spark.sql.files.maxPartitionBytes`; nothing here collects to the
+  * driver or assumes single-file inputs.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4's vectorized
+    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw ns
+    * via the legacy conf and truncate to µs — Spark's native timestamp
+    * precision. Truncation is oracle-safe: every declared query over `ts`
+    * compares ≥µs-granularity buckets or derived values (SURVEY.md
+    * §5.3.4; DuckDB keeps ns as TIMESTAMP_NS on its side).
+    */
+  private def eventsRaw(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$d/events.parquet")
+  }
+
+  def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")
+  def supplier(spark: SparkSession, d: String): DataFrame  = table(spark, d, "supplier")
+  def customer(spark: SparkSession, d: String): DataFrame  = table(spark, d, "customer")
+  def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame = {
+    val raw = eventsRaw(spark, d)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  val allTables: Seq[String] = Seq(
+    "region", "nation", "supplier", "customer", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every fixture table as a temp view so `spark.sql` queries
+    * (the engine's Athena-SQL-passthrough equivalent) can reference them
+    * by name. Idempotent.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    allTables.foreach(t => table(spark, sfDir, t).createOrReplaceTempView(t))
+}

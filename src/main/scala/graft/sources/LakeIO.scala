@@ -30,9 +30,14 @@ object LakeIO {
   def appendDataset(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
-  /** `sink_partitioned` — Hive-style partitioned save. */
+  /** `sink_partitioned` — Hive-style partitioned save. Repartition by the
+    * partition columns first: without it every upstream task writes a
+    * file into every partition dir (tasks × partitions small files); with
+    * it each partition value is owned by one task → one file per dir.
+    */
   def savePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+    df.repartition(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
   /** `sink_replace_partition` — replace ONLY the partitions present in
     * `df`, leaving sibling partitions intact (awswrangler

@@ -118,10 +118,20 @@ object Streams {
     * trigger) — the batch fixture replayed as a stream for tests.
     */
   def eventsFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) — same legacy-conf + ns→µs
+    // handling as the batch reader (graft.sources.Tables.events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
+    // the file source requires a directory path; select just the events
+    // file out of the fixture dir with a glob filter
+    val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$sfDir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .option("recursiveFileLookup", "false")
+      .parquet(sfDir)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.operators.{MinHashDedup, SimSearch, TextOps}
+import graft.functions.Udfs
+
+/** Properties for the dedup / similarity operators (SURVEY.md §5.2.4):
+  * planted near-duplicates are found, estimates track exact Jaccard,
+  * sketch merges obey the aggregation laws that make them shuffle-safe.
+  */
+class DedupSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+  private val nearDup = base.replace("tonight", "today")
+  private val unrelated = "completely different words appear here with zero overlap whatsoever in any shingle at all believe me"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated)
+  ).toDF("doc_id", "text")
+
+  test("minhash banding surfaces the planted near-dup pair, not the unrelated one") {
+    val pairs = MinHashDedup.candidatePairs(docs, nPerm = 32, bands = 16)
+      .withColumn("j", MinHashDedup.jaccard(col("a_sh"), col("b_sh")))
+      .select("a_id", "b_id", "j").collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)), s"planted pair missing; got ${ids.mkString(",")}")
+    val j12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    assert(j12 > 0.5)
+    assert(!ids.contains((1L, 3L)) && !ids.contains((2L, 3L)))
+  }
+
+  test("minhash signature agreement estimates exact Jaccard within tolerance") {
+    val sig = docs
+      .withColumn("sh", MinHashDedup.shingles(col("text"), 3))
+      .withColumn("sig", MinHashDedup.minhashSignature(col("sh"), 64))
+      .select("doc_id", "sh", "sig").collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[String](1).toSet, r.getSeq[Long](2))).toMap
+    val (shA, sigA) = sig(1L); val (shB, sigB) = sig(2L)
+    val exact = shA.intersect(shB).size.toDouble / shA.union(shB).size
+    val est = sigA.zip(sigB).count { case (a, b) => a == b }.toDouble / 64
+    assert(math.abs(exact - est) < 0.25, s"exact=$exact est=$est")
+  }
+
+  test("dedup on planted exact duplicates keeps lowest doc_id, is idempotent") {
+    val d = Seq((5L, "Same  Text"), (9L, "same text"), (7L, "other text"))
+      .toDF("doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id").asc)
+    def dedup(in: org.apache.spark.sql.DataFrame) = in
+      .withColumn("h", sha2(TextOps.normText(col("text")), 256))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "text")
+    val once = dedup(d)
+    assert(once.select("doc_id").as[Long].collect().sorted === Array(5L, 7L))
+    assert(dedup(once).count() === once.count()) // idempotent
+  }
+
+  test("simhash: identical docs collide; hamming(a,a) == 0") {
+    val d = Seq((1L, base), (2L, base), (3L, unrelated)).toDF("doc_id", "text")
+    val fp = d
+      .withColumn("sh", MinHashDedup.shingles(col("text"), 2))
+      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
+    // reuse the operator's bit-vote shape via a self-join on doc pairs
+    val sigs = fp.select(col("doc_id"), col("shh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val h = d.as("a").crossJoin(d.as("b"))
+      .select(MinHashDedup.hamming(xxhash64(col("a.text")),
+        xxhash64(col("b.text"))).as("hd"),
+        col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
+      .filter(col("ai") === col("bi"))
+      .select("hd").as[Int].collect()
+    assert(h.forall(_ == 0))
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(2.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val a = d.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = d.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val sims = a.crossJoin(b)
+      .select(col("a_id"), col("b_id"),
+        round(SimSearch.cosine(col("a_emb"), col("b_emb")), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sims((1L, 1L)) === 1.0)
+    assert(sims((1L, 3L)) === 1.0) // scale-invariant
+    assert(sims((1L, 2L)) === 0.0)
+  }
+
+  test("MinSigAggregator merge is commutative, associative, and matches reduce") {
+    val agg = new Udfs.MinSigAggregator(8)
+    val genSig = Gen.listOfN(8, Gen.chooseNum(Long.MinValue + 1, Long.MaxValue))
+    def m(x: Seq[Long], y: Seq[Long]) =
+      agg.merge(x.toArray.clone(), y.toArray.clone()).toSeq
+    val prop = Prop.forAll(genSig, genSig, genSig) { (a, b, c) =>
+      m(a, b) == m(b, a) &&
+        m(m(a, b), c) == m(a, m(b, c)) &&
+        agg.reduce(agg.reduce(agg.zero, a), b).toSeq == m(a, b)
+    }
+    val result = SCTest.check(SCTest.Parameters.default, prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("LSH bucketing: identical vectors share a bucket") {
+    val d = Seq(
+      (1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)),
+      (3L, Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val b = d.withColumn("bucket", SimSearch.lshBucket(col("embedding"), 8))
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) === b(2L))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.ScalarFns
+import graft.operators.{Multimodal, TextOps}
+
+/** Unit coverage for the non-oracle function surface: map ops, hash
+  * stability, multimodal schema round-trip (SURVEY.md §2.H fn_map/fn_hash,
+  * §2.K multimodal_schema).
+  */
+class FunctionSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  import spark.implicits._
+
+  test("fn_map builds and accesses maps from parsed props") {
+    val rows = ScalarFns.fnMap(spark, sf).limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](r.fieldIndex("ks")) === Seq("type", "k"))
+      assert(r.getString(r.fieldIndex("etype")).nonEmpty)
+    }
+  }
+
+  test("hash functions are stable across runs (fixed vectors)") {
+    val df = Seq("abc").toDF("s").select(
+      md5(col("s")).as("m"), sha2(col("s"), 256).as("h"),
+      crc32(col("s")).as("c"), xxhash64(col("s")).as("x"))
+    val r = df.collect().head
+    assert(r.getAs[String]("m") === "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getAs[String]("h") ===
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(r.getAs[Long]("c") === 891568578L)
+    // xxhash64 seed=42 (Spark's fixed default) — engine-stable
+    assert(df.union(df).distinct().count() === 1)
+  }
+
+  test("lang_id predicts the planted language on constructed docs") {
+    val d = Seq(
+      (1L, "the cat and the dog went to the house in the woods"),
+      (2L, "der hund und die katze ist nicht ein zu haus"),
+      (3L, "xyzzy plugh qwerty asdf")
+    ).toDF("doc_id", "text").withColumn("lang", lit("?"))
+    // reuse the operator's scoring shape through a temp view + same code path
+    val hits = (pat: String) => size(filter(
+      split(TextOps.normText(col("text")), " "), t => t.rlike(pat)))
+    val scored = d
+      .withColumn("sc_en", hits("^(the|and|of|to|in|is|that|for)$"))
+      .withColumn("sc_de", hits("^(der|die|das|und|ist|nicht|ein|zu)$"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(r.fieldIndex("sc_en")), r.getInt(r.fieldIndex("sc_de")))).toMap
+    assert(scored(1L)._1 > scored(1L)._2)
+    assert(scored(2L)._2 > scored(2L)._1)
+    assert(scored(3L) === ((0, 0)))
+  }
+
+  test("multimodal asset schema round-trips through parquet with binary intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    val assets = Multimodal.syntheticAssets(spark, sf).limit(20)
+    assets.write.mode("overwrite").parquet(s"$dir/assets")
+    val back = spark.read.parquet(s"$dir/assets")
+    assert(back.schema("blob").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val a = assets.select("asset_id", "blob").as[(Long, Array[Byte])]
+      .collect().toMap
+    val b = back.select("asset_id", "blob").as[(Long, Array[Byte])]
+      .collect().toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(v.sameElements(b(k))) }
+  }
+
+  test("decoded features are deterministic (stubbed decode is pure)") {
+    def run() = Multimodal.decodeFeaturesStub(
+      Multimodal.syntheticAssets(spark, sf))
+      .select(col("asset_id"), col("features"))
+      .orderBy("asset_id").limit(10)
+      .as[(Long, Seq[Double])].collect().toSeq
+    assert(run() === run())
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Aggregates, Joins, Relational}
+
+/** Physical-plan shape assertions (SURVEY.md §4): the optimizations that
+  * make operators viable at 100 TB must actually appear in the plan —
+  * filter pushdown + column pruning into the parquet scan, broadcast
+  * joins for dims, TakeOrderedAndProject for top-k, and partial+final
+  * hash aggregation.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("projection pushdown prunes the parquet read schema to 2 columns") {
+    val p = plan(Relational.scanProjectionPushdown(spark, sf))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"),
+      s"expected pruned ReadSchema, got:\n$p")
+  }
+
+  test("filter is pushed into the parquet scan") {
+    val p = plan(Relational.scanProjectionPushdown(spark, sf))
+    assert(p.contains("PushedFilters: [") && p.contains("LessThan(l_orderkey,100)"),
+      s"expected pushed filter, got:\n$p")
+  }
+
+  test("dim join is a broadcast hash join (no fact-side shuffle)") {
+    val p = plan(Joins.joinBroadcast(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin:\n$p")
+  }
+
+  test("ORDER BY + LIMIT plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.limitTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("group-by emits partial + final hash aggregation") {
+    val p = plan(Aggregates.aggGroupSum(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected 2-phase HashAggregate:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline") {
+    // AQE prints codegen stage markers (`*(n)`) only in the final plan,
+    // so materialize first
+    val df = Relational.filterConj(spark, sf)
+    df.collect() // count() would execute a different (agg) plan
+    val p = plan(df)
+    assert(p.contains("*("), s"expected codegen stage markers:\n$p")
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{LakeIO, Tables}
+import graft.operators.Relational
+
+/** Lake-utility round-trips (SURVEY.md §2.A — the reference's own code
+  * surface): write modes, dynamic partition overwrite, compaction,
+  * schema-drift union. These are the ops the oracle can't check (writes).
+  */
+class SinkSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sinkspec").toString
+
+  test("saveDataset overwrite round-trips exactly") {
+    val out = tmp() + "/t"
+    val df = Tables.nation(spark, sf)
+    LakeIO.saveDataset(df, out)
+    LakeIO.saveDataset(df, out) // overwrite is idempotent
+    assert(spark.read.parquet(out).count() === df.count())
+  }
+
+  test("appendDataset accumulates both slices") {
+    val out = tmp() + "/t"
+    val df = Tables.nation(spark, sf)
+    LakeIO.saveDataset(df, out)
+    LakeIO.appendDataset(df, out)
+    assert(spark.read.parquet(out).count() === 2 * df.count())
+  }
+
+  test("savePartitioned creates Hive-style dirs and prunes partitions") {
+    val out = tmp() + "/t"
+    LakeIO.savePartitioned(
+      Tables.nation(spark, sf), out, Seq("n_regionkey"))
+    assert(new java.io.File(out).list().exists(_.startsWith("n_regionkey=")))
+    val pruned = spark.read.parquet(out).filter(col("n_regionkey") === 0)
+    val scanned = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0)
+    // partition filter, not data filter: pushed to partition pruning
+    assert(!scanned.contains("PushedFilters: [EqualTo(n_regionkey"))
+  }
+
+  test("replacePartitions rewrites only the incoming partitions") {
+    val out = tmp() + "/t"
+    val nat = Tables.nation(spark, sf)
+    LakeIO.savePartitioned(nat, out, Seq("n_regionkey"))
+    // replace region 0 with a single sentinel row; others must survive
+    val repl = nat.filter(col("n_regionkey") === 0).limit(1)
+    LakeIO.replacePartitions(repl, out, Seq("n_regionkey"))
+    val back = spark.read.parquet(out)
+    assert(back.filter(col("n_regionkey") === 0).count() === 1)
+    assert(back.filter(col("n_regionkey") =!= 0).count() ===
+      nat.filter(col("n_regionkey") =!= 0).count())
+  }
+
+  test("compact reduces file count, preserves rows") {
+    val out = tmp() + "/t"
+    val df = Tables.orders(spark, sf).repartition(8)
+    LakeIO.saveDataset(df, out)
+    val before = new java.io.File(out).list().count(_.endsWith(".parquet"))
+    LakeIO.compact(spark, out, 1)
+    val after = new java.io.File(out).list().count(_.endsWith(".parquet"))
+    assert(after < before)
+    assert(spark.read.parquet(out).count() === df.count())
+  }
+
+  test("setUnionByName aligns drifted schemas, null-fills missing cols") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "a_only")
+    val b = Seq((2L, 3.5)).toDF("id", "b_only")
+    val u = Relational.setUnionByName(a, b)
+    assert(u.columns.toSet === Set("id", "a_only", "b_only"))
+    assert(u.count() === 2)
+    assert(u.filter(col("a_only").isNull).count() === 1)
+  }
+
+  test("tableMeta reflects the schema as rows") {
+    val m = LakeIO.tableMeta(Tables.orders(spark, sf))
+    assert(m.filter(col("col_name") === "o_orderkey")
+      .filter(col("data_type") === "bigint").count() === 1)
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.operators.EventWindows
+
+/** Structured Streaming semantics (SURVEY.md §2.I): batch↔stream window
+  * equivalence, watermark late-data drop, stateful dedup, custom keyed
+  * state — the behaviors the DuckDB oracle cannot observe.
+  */
+class StreamingSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runToTable(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumbling window: streaming result equals batch form (file replay)") {
+    val sfd = TestSpark.sf
+    val stream = Streams.tumblingCounts(Streams.eventsFileStream(spark, sfd))
+    val q = stream.writeStream.format("memory").queryName("tumb")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumb")
+      .orderBy("win_start", "event_type").collect().toSeq
+    val batch = EventWindows.tumbling(spark, sfd)
+      .select("win_start", "event_type", "n_events", "sum_value")
+      .collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("watermark drops late data beyond the threshold") {
+    val mem = MemoryStream[Ev]
+    val counts = Streams.tumblingCounts(mem.toDF())
+    val q = counts.writeStream.format("memory").queryName("wmk")
+      .outputMode("append").start()
+    // window 10:00 gets 2 events
+    mem.addData(
+      Ev(1, ts("2025-01-01 10:00:10"), 1, "click", 1.0, "{}"),
+      Ev(2, ts("2025-01-01 10:20:00"), 1, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // advance event time → watermark passes 10:00 window; it finalizes
+    mem.addData(Ev(3, ts("2025-01-01 12:00:00"), 1, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // late arrival inside the already-finalized window → dropped
+    mem.addData(Ev(4, ts("2025-01-01 10:05:00"), 1, "click", 9.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val w10 = spark.table("wmk")
+      .filter(col("win_start") === ts("2025-01-01 10:00:00")).collect()
+    assert(w10.length === 1)
+    assert(w10.head.getAs[Long]("n_events") === 2) // late row NOT counted
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-watermark duplicates") {
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupWithWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    mem.addData(
+      Ev(1, ts("2025-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+      Ev(1, ts("2025-01-01 10:00:05"), 1, "click", 1.0, "{}"), // dup id
+      Ev(2, ts("2025-01-01 10:01:00"), 1, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    mem.addData(Ev(1, ts("2025-01-01 10:02:00"), 1, "click", 1.0, "{}")) // dup again
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").select("event_id").as[Long].collect().sorted
+      === Array(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState keeps a running per-user total across batches") {
+    val mem = MemoryStream[Ev]
+    val q = Streams.runningPurchaseTotals(spark, mem.toDF())
+      .writeStream.format("memory").queryName("stateful")
+      .outputMode("append").start()
+    mem.addData(
+      Ev(1, ts("2025-01-01 10:00:00"), 1, "purchase", 10.0, "{}"),
+      Ev(2, ts("2025-01-01 10:01:00"), 2, "purchase", 5.0, "{}"))
+    q.processAllAvailable()
+    // state must persist into the next micro-batch
+    mem.addData(Ev(3, ts("2025-01-01 10:02:00"), 1, "purchase", 20.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("stateful")
+      .orderBy("event_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows === Seq((1L, 1L, 10.0), (2L, 2L, 5.0), (1L, 3L, 30.0)))
+  }
+
+  test("session windows: streaming session_window matches batch gap-and-island") {
+    val sfd = TestSpark.sf
+    val stream = Streams.sessionCounts(Streams.eventsFileStream(spark, sfd))
+    val q = stream.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
+    val batch = EventWindows.sessionize(spark, sfd)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("checkpointed parquet sink is exactly-once under restart (AvailableNow)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val src = Streams.eventsFileStream(spark, TestSpark.sf)
+      .select("event_id", "user_id", "value")
+    val q1 = Streams.startParquetSink(src, s"$dir/out", s"$dir/ckpt")
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(s"$dir/out").count()
+    // restart with same checkpoint: no new input → no duplicate output
+    val q2 = Streams.startParquetSink(src, s"$dir/out", s"$dir/ckpt")
+    q2.awaitTermination()
+    val n2 = spark.read.parquet(s"$dir/out").count()
+    assert(n1 > 0 && n1 === n2)
+  }
+}

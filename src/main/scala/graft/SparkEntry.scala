@@ -82,6 +82,7 @@ object SparkEntry {
     "set_intersect_all" -> (Relational.setIntersectAll _),
     "set_except" -> (Relational.setExcept _),
     "set_except_all" -> (Relational.setExceptAll _),
+    "set_union_by_name" -> (Relational.setUnionByNameQuery _),
     // §2.H scalar function families
     "fn_string" -> (ScalarFns.fnString _),
     "fn_date" -> (ScalarFns.fnDate _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "udf_scalar" -> (Udfs.udfScalar _),
     "udtf_generator" -> (Udfs.udtfGenerator _),
     "udaf_typed" -> ((s: SparkSession, d: String) => Udfs.corpusSignature(s, d)),
+    "expr_custom" -> (SimSearch.exprCustom _),
     // §2.K LLM-data-pipeline operators
     "dedup_exact" -> (TextOps.dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => MinHashDedup.dedupMinhash(s, d)),
@@ -478,6 +480,20 @@ object SparkEntry {
         |FROM events ORDER BY event_id ASC""".stripMargin,
     "fn_hash_md5" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id ASC",
+    "set_union_by_name" ->
+      """SELECT o_orderkey, o_totalprice, NULL::BIGINT AS o_custkey
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, NULL::DOUBLE AS o_totalprice, o_custkey
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderkey ASC""".stripMargin,
+    "expr_custom" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> x::DOUBLE * x::DOUBLE))), 4) AS l2,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> x::DOUBLE * x::DOUBLE)), 4) AS sq_norm
+        |FROM embeddings ORDER BY vec_id ASC""".stripMargin,
     // --- §2.I batch equivalents ---
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,

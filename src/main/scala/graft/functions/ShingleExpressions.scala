@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word-shingle hashing for the text-dedup hot path: normalize →
+  * tokenize → k-word shingles → 64-bit hashes, in ONE JIT-compiled pass
+  * with no intermediate string arrays. The Column-DSL formulation
+  * (split + transform/sequence + concat_ws + array_distinct + per-element
+  * xxhash64) allocates several arrays per row and evaluates interpreted
+  * lambdas — this kernel replaced it after it dominated the sf0.1 dedup
+  * benchmarks (SURVEY.md §7.5 escalation path).
+  *
+  * Hash identity differs from the DSL form (shingle bytes are hashed
+  * directly); all consumers treat shingle hashes as opaque set elements,
+  * so only determinism matters — fixed seed, no per-run state.
+  */
+object ShingleKernel {
+
+  /** 64-bit FNV-1a over the token bytes of one shingle window; cheap,
+    * stable, and good enough dispersion for set semantics + LSH banding.
+    * A space byte separates tokens (matches "a b c" shingle strings).
+    */
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  def wordShingleHashes(s: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+    // normalize + tokenize: lowercase, split on whitespace runs
+    val str = s.toString.toLowerCase
+    val n = str.length
+    // collect token [start,end) offsets without allocating substrings
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
+      if (i < n) {
+        starts.add(i)
+        while (i < n && !Character.isWhitespace(str.charAt(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val nTok = starts.size()
+    if (nTok == 0) return new GenericArrayData(Array.empty[Long])
+    val nSh = math.max(nTok - k, 0) + 1
+    val out = new Array[Long](nSh)
+    var w = 0
+    while (w < nSh) {
+      var h = FnvOffset
+      var t = w
+      val tEnd = math.min(w + k, nTok)
+      while (t < tEnd) {
+        if (t > w) { h ^= ' '.toLong; h *= FnvPrime }
+        var c = starts.get(t)
+        val e = ends.get(t)
+        while (c < e) { h ^= str.charAt(c).toLong; h *= FnvPrime; c += 1 }
+        t += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    if (!distinct) new GenericArrayData(out)
+    else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var j = 0
+      while (j < nSh) { seen.add(out(j)); j += 1 }
+      val arr = new Array[Long](seen.size())
+      val it = seen.iterator()
+      var m = 0
+      while (it.hasNext) { arr(m) = it.next(); m += 1 }
+      new GenericArrayData(arr)
+    }
+  }
+
+  def shingleHashes(text: Column, k: Int, distinct: Boolean = true): Column =
+    ColumnBridge.column(
+      WordShingleHashes(ColumnBridge.expression(text), k, distinct))
+}
+
+/** array<long> of (optionally distinct) k-word shingle hashes of a
+  * normalized string. Codegen emits a single static kernel call, so the
+  * surrounding pipeline stays in whole-stage codegen.
+  */
+case class WordShingleHashes(child: Expression, k: Int, distinct: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.wordShingleHashes(input.asInstanceOf[UTF8String], k, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleKernel.wordShingleHashes($c, $k, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}

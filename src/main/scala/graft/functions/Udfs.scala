@@ -83,9 +83,9 @@ object Udfs {
     import graft.operators.MinHashDedup
     val agg = udaf(new MinSigAggregator(nPerm))
     Tables.documents(spark, sfDir)
-      .withColumn("sh", MinHashDedup.shingles(col("text"), 3))
+      .withColumn("sh", ShingleKernel.shingleHashes(col("text"), 3))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", MinHashDedup.minhashSignature(col("sh"), nPerm))
+      .withColumn("sig", MinHashDedup.minhashFromHashes(col("sh"), nPerm))
       .groupBy(col("source"))
       .agg(agg(col("sig")).as("corpus_sig"))
       .orderBy(col("source").asc)

@@ -55,7 +55,8 @@ object MinHashDedup {
   def candidatePairs(docs: DataFrame, nPerm: Int, bands: Int): DataFrame = {
     val rowsPerBand = nPerm / bands
     val withSh = docs
-      .withColumn("sh", shingles(col("text"), 3))
+      .withColumn("sh",
+        graft.functions.ShingleKernel.shingleHashes(col("text"), 3))
       .filter(size(col("sh")) > 0)
     // Signature via explode + nPerm codegen'd MIN aggregates: the
     // higher-order-function formulation (minhashFromHashes) evaluates
@@ -64,8 +65,7 @@ object MinHashDedup {
     // in whole-stage codegen and computes each permutation min exactly
     // once. Partial aggregation collapses per-doc map-side, so the
     // shuffle carries one nPerm-column row per doc.
-    val hashes = withSh.select(col("doc_id"),
-      explode(hashShingles(col("sh"))).as("h"))
+    val hashes = withSh.select(col("doc_id"), explode(col("sh")).as("h"))
     val mins = (0 until nPerm).map(p =>
       min(xxhash64(lit(p), col("h"))).as(s"m$p"))
     val sig = hashes.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -138,7 +138,8 @@ object MinHashDedup {
     // Shingles are compared by 64-bit hash, not string — identical
     // Jaccard up to hash collisions (≈n²/2⁶⁴ per pair, negligible).
     val docs = Tables.documents(spark, sfDir)
-      .withColumn("shh", hashShingles(shingles(col("text"), 2)))
+      .withColumn("shh",
+        graft.functions.ShingleKernel.shingleHashes(col("text"), 2))
       .select(col("doc_id"), col("source"), col("shh"))
     val sizes = docs.select(col("doc_id"), col("source"),
       size(col("shh")).as("n_sh"))
@@ -177,10 +178,10 @@ object MinHashDedup {
     // votes map-side (docs are row-local), so the shuffle carries one
     // 64-column row per doc.
     val hashes = Tables.documents(spark, sfDir)
-      .withColumn("sh", shingles(col("text"), 2))
+      .withColumn("sh",
+        graft.functions.ShingleKernel.shingleHashes(col("text"), 2))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+      .select(col("doc_id"), explode(col("sh")).as("h"))
     val votes = (0 until 64).map { b =>
       // +1 vote if bit b of the shingle hash is set, else -1; sum>=0 → 1
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -62,6 +62,45 @@ object Multimodal {
       transform(sequence(lit(0), lit(dim - 1)),
         i => pmod(xxhash64(col("blob"), i), lit(1000L)).cast("double")
           / 1000.0))
+
+  /** Partition-batched decode — the `mapInPandas`/`mapInArrow` operator
+    * shape in Scala: whole partitions stream through a row-local kernel,
+    * so a real codec would amortize model/codec init once per partition
+    * (NOT per row) and never shuffle blobs. The decode kernel itself is a
+    * STUB (media codecs are not in this container): a deterministic
+    * byte-fold standing in for pixel/sample decoding. Swapping in a real
+    * codec touches only `decodeKernel`.
+    */
+  def decodeBatchedStub(assets: DataFrame, dim: Int = 8): DataFrame = {
+    val schema = StructType(assets.schema.fields :+
+      StructField("features", ArrayType(DoubleType), nullable = true))
+    val d = dim
+    assets.mapPartitions { rows =>
+      // per-partition init would go here (codec handles, model weights)
+      rows.map { r =>
+        val blob = r.getAs[Array[Byte]]("blob")
+        Row.fromSeq(r.toSeq :+ decodeKernel(blob, d))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** STUB decode kernel: deterministic rolling byte-fold → dim doubles in
+    * [0,1). Pure function of the blob bytes (round-trip/determinism
+    * asserted in FunctionSpec).
+    */
+  private[operators] def decodeKernel(blob: Array[Byte], dim: Int): Seq[Double] = {
+    if (blob == null) null
+    else {
+      val acc = new Array[Long](dim)
+      var i = 0
+      while (i < blob.length) {
+        val j = i % dim
+        acc(j) = acc(j) * 31 + (blob(i) & 0xff) + 1
+        i += 1
+      }
+      acc.toSeq.map(v => (java.lang.Long.remainderUnsigned(v, 1000L)).toDouble / 1000.0)
+    }
+  }
 
   /** Image resize metadata op (STUB kernel): recompute target dims
     * preserving aspect ratio; blob passthrough marks where the real

@@ -166,4 +166,18 @@ object Relational {
     */
   def setUnionByName(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b, allowMissingColumns = true)
+
+  /** `set_union_by_name` as a driver-contract query: two drifted
+    * projections of orders (each missing a column the other has) aligned
+    * by name with null fill — oracle-expressible as UNION ALL with typed
+    * NULL padding.
+    */
+  def setUnionByNameQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val a = ord.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val b = ord.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_custkey"))
+    setUnionByName(a, b).orderBy(col("o_orderkey").asc)
+  }
 }

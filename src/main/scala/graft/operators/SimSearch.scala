@@ -101,6 +101,17 @@ object SimSearch {
       .orderBy(col("q_id").asc, col("rn").asc)
   }
 
+  /** `expr_custom` — the custom-Catalyst-Expression surface (SURVEY.md
+    * §2.J), exercised directly: per-vector L2 norm and self-dot via the
+    * codegen'd FloatVecNorm/FloatVecDot kernels.
+    */
+  def exprCustom(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        round(l2norm(col("embedding")), 4).as("l2"),
+        round(dot(col("embedding"), col("embedding")), 4).as("sq_norm"))
+      .orderBy(col("vec_id").asc)
+
   /** `dedup_embedding` — embedding-cosine near-duplicate detection:
     * all pairs above a cosine threshold, via the same LSH bucketing so
     * the pair space never goes quadratic at scale (bucket-local joins).

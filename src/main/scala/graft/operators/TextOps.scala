@@ -157,19 +157,15 @@ object TextOps {
     * hash (a 1-permutation MinHash — the dedup_minhash building block).
     * xxhash64 with fixed seed 42 → deterministic across runs/executors.
     */
-  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = split(normText(col("text")), " ")
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .withColumn("grams",
-        transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-      .filter(size(col("grams")) > 0)
+      .withColumn("gh", graft.functions.ShingleKernel
+        .shingleHashes(col("text"), 3, distinct = false))
+      .filter(size(col("gh")) > 0)
       .select(
         col("doc_id"),
         xxhash64(col("text")).as("full_hash"),
-        array_min(transform(col("grams"), g => xxhash64(g, lit(42))))
-          .as("min_gram_hash"),
-        size(col("grams")).as("n_grams"))
+        array_min(col("gh")).as("min_gram_hash"),
+        size(col("gh")).as("n_grams"))
       .orderBy(col("doc_id").asc)
-  }
 }

@@ -70,6 +70,37 @@ class FunctionSpec extends AnyFunSuite {
     a.foreach { case (k, v) => assert(v.sameElements(b(k))) }
   }
 
+  test("mapPartitions batched decode appends features, preserves schema") {
+    val out = Multimodal.decodeBatchedStub(
+      Multimodal.syntheticAssets(spark, sf).limit(10))
+    assert(out.columns.last === "features")
+    val feats = out.select("asset_id", "features")
+      .as[(Long, Seq[Double])].collect()
+    assert(feats.length === 10)
+    feats.foreach { case (_, f) =>
+      assert(f.length === 8 && f.forall(v => v >= 0.0 && v < 1.0))
+    }
+    // pure kernel → identical on rerun
+    val again = Multimodal.decodeBatchedStub(
+      Multimodal.syntheticAssets(spark, sf).limit(10))
+      .select("asset_id", "features").as[(Long, Seq[Double])].collect()
+    assert(feats.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("frame sampling fans video rows into bounded frame work items") {
+    val assets = Multimodal.syntheticAssets(spark, sf)
+    val frames = Multimodal.sampleFrames(assets, everyMs = 500L)
+    val perAsset = frames.groupBy("asset_id").count()
+      .join(assets.select(col("asset_id"), col("duration_ms")), "asset_id")
+    // ceil(duration/500) frames per video
+    val bad = perAsset.filter(
+      col("count") =!= ceil(col("duration_ms").cast("double") / 500.0)).count()
+    assert(bad === 0)
+    // only video/* assets produce frames
+    assert(frames.join(assets.filter(!col("mime").startsWith("video/"))
+      .select("asset_id"), "asset_id").count() === 0)
+  }
+
   test("decoded features are deterministic (stubbed decode is pure)") {
     def run() = Multimodal.decodeFeaturesStub(
       Multimodal.syntheticAssets(spark, sf))

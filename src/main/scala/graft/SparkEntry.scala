@@ -53,6 +53,7 @@ object SparkEntry {
     "join_cross" -> (Joins.joinCross _),
     "join_theta_range" -> (Joins.joinThetaRange _),
     "join_asof" -> (Joins.joinAsOf _),
+    "join_skew_salted" -> (Joins.joinSkewSalted _),
     "join_multiway" -> (Joins.joinMultiway _),
     // §2.D aggregations
     "agg_group_sum" -> (Aggregates.aggGroupSum _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s: SparkSession, d: String) => SimSearch.dedupEmbeddingExact(s, d)),
     "simsearch_knn" -> ((s: SparkSession, d: String) => SimSearch.knnBruteForce(s, d)),
     "simsearch_lsh" -> ((s: SparkSession, d: String) => SimSearch.simsearchLsh(s, d)),
+    "simsearch_ivf" -> ((s: SparkSession, d: String) => SimSearch.simsearchIvf(s, d)),
     "text_stats" -> (TextOps.textStats _),
     "token_count" -> (TextOps.tokenCount _),
     "text_tfidf" -> (TextOps.textTfIdf _),
@@ -250,6 +252,11 @@ object SparkEntry {
         |         PARTITION BY ukey ORDER BY at_ts ASC, side ASC, o_key ASC NULLS LAST
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
         |FROM tagged QUALIFY side = 1 ORDER BY event_id ASC""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_quantity > 45.0
+        |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
     "join_multiway" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

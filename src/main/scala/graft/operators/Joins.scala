@@ -159,6 +159,41 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** Salted equi-join for skewed keys (the pre-AQE skew mitigation, and
+    * still the right tool when one key dominates beyond what AQE's
+    * skew-split handles): the skewed (large) side gets a deterministic
+    * salt in [0, buckets) derived from a row key, the small side is
+    * replicated `buckets` times, and the join key becomes (key, salt) —
+    * splitting each hot key's rows across `buckets` tasks.
+    *
+    * Salt must be deterministic (hash of a row id, never rand()) so
+    * retried tasks produce identical output (SURVEY.md §5.3).
+    */
+  def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
+      saltSource: String, buckets: Int): DataFrame = {
+    val salted = large.withColumn("_salt",
+      pmod(xxhash64(col(saltSource)), lit(buckets.toLong)).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** `join_skew_salted` — the salted join as a driver-contract query:
+    * lineitem (l_suppkey is Zipf-ish) ⋈ supplier with 8 salt buckets.
+    * Result is identical to the plain equi-join (oracle checks that).
+    */
+  def joinSkewSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+    val sup = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    saltedEquiJoin(li, sup, "l_suppkey", "l_orderkey", buckets = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("s_name"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+  }
+
   /** `join_multiway` — 4-table star join with the two tiny dims broadcast;
     * exercises Catalyst join reordering. Revenue per nation for one
     * region over a date slice (TPC-H Q5 shape).

@@ -101,6 +101,57 @@ object SimSearch {
       .orderBy(col("q_id").asc, col("rn").asc)
   }
 
+  /** `simsearch_ivf` — IVF (inverted-file) approximate NN: vectors are
+    * assigned to their nearest centroid cell; queries probe only the
+    * `nProbe` nearest cells. Centroids here are a deterministic stride
+    * sample of the corpus (a real pipeline would k-means offline and
+    * broadcast the codebook — the operator shape is identical).
+    *
+    * 100 TB shape: cell assignment is one broadcast join + per-row argmin
+    * (no shuffle of the corpus); the search joins query-cells to corpus
+    * cells on cell id — a keyed equi-join that prunes (nCells−nProbe)/
+    * nCells of the corpus per query, vs the brute-force cross join.
+    */
+  def simsearchIvf(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 10, centroidStride: Long = 127, nProbe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = broadcast(emb
+      .filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        l2norm(col("embedding")).as("cent_nrm")))
+    def nearestCells(side: DataFrame, idCol: String, embCol: String,
+        nrmCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cell_sim").desc, col("cent_id").asc)
+      side.crossJoin(centroids)
+        .withColumn("cell_sim",
+          dot(col(embCol), col("cent_emb")) /
+            (col(nrmCol) * col("cent_nrm")))
+        .withColumn("cell_rn", row_number().over(w))
+        .filter(col("cell_rn") <= keep)
+        .drop("cent_emb", "cent_nrm", "cell_sim", "cell_rn")
+    }
+    val corpusCells = nearestCells(
+      emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        l2norm(col("embedding")).as("c_nrm")),
+      "c_id", "c_emb", "c_nrm", keep = 1)
+    val queryCells = nearestCells(
+      emb.filter(col("vec_id") < nQueries.toLong)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          l2norm(col("embedding")).as("q_nrm")),
+      "q_id", "q_emb", "q_nrm", keep = nProbe)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    corpusCells.join(broadcast(queryCells), "cent_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos_sim"), col("rn"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
   /** `expr_custom` — the custom-Catalyst-Expression surface (SURVEY.md
     * §2.J), exercised directly: per-vector L2 norm and self-dot via the
     * codegen'd FloatVecNorm/FloatVecDot kernels.

@@ -109,6 +109,53 @@ class DedupSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("IVF search: deterministic, k-bounded, and candidates come from probed cells") {
+    val r1 = graft.operators.SimSearch.simsearchIvf(spark, TestSpark.sf)
+      .collect().toSeq
+    val r2 = graft.operators.SimSearch.simsearchIvf(spark, TestSpark.sf)
+      .collect().toSeq
+    assert(r1 === r2) // deterministic (stride centroids, no rand())
+    assert(r1.nonEmpty)
+    val perQuery = r1.groupBy(_.getLong(0))
+    perQuery.foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getInt(3)) === (1 to rows.length)) // rn dense
+    }
+    // IVF results are a subset of the brute-force candidate space:
+    // every (q,c) it returns must score identically under brute force
+    val brute = graft.operators.SimSearch.knnBruteForce(spark, TestSpark.sf,
+      k = 2000, nQueries = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    r1.foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(1))) === r.getDouble(2))
+    }
+  }
+
+  test("approx_count_distinct tracks exact distinct within rsd bounds") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+    val ord = graft.sources.Tables.orders(spark, TestSpark.sf)
+    val row = ord.agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey"), 0.05).as("approx")).collect().head
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.15, s"exact=$exact approx=$approx")
+  }
+
+  test("salted join equals the plain equi-join") {
+    val salted = graft.operators.Joins.joinSkewSalted(spark, TestSpark.sf)
+      .collect().toSeq
+    val li = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .filter(col("l_quantity") > 45.0)
+    val plain = li.join(graft.sources.Tables.supplier(spark, TestSpark.sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("s_name"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+      .collect().toSeq
+    assert(salted === plain)
+  }
+
   test("LSH bucketing: identical vectors share a bucket") {
     val d = Seq(
       (1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)),

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{LakeIO, Tables}
+
+/** The user-facing facade — the Spark-native equivalent of novlake's
+  * `Lake` class, which is the reference's entire public API surface
+  * (`Lake(user).query/save_dataset/preview/meta/list_tables`
+  * [upstream, unverified — SURVEY.md §0/§3.1]). A novlake user switches
+  * by constructing `Lake(spark, warehouse)` instead of `Lake(user)`:
+  * every call they make today has a same-shape method here, with Athena
+  * replaced by Catalyst and S3+Glue by a parquet warehouse directory +
+  * the session catalog.
+  *
+  * 100 TB: nothing in this class collects (preview/meta return bounded
+  * frames); writes inherit upstream partitioning (LakeIO notes).
+  */
+class Lake(val spark: SparkSession, val warehouse: String) {
+
+  private def pathOf(table: String): String =
+    s"${warehouse.stripSuffix("/")}/${table.replace('.', '/')}"
+
+  /** novlake `Lake.query(sql)` → pandas: arbitrary SQL over registered
+    * tables, here executed by Catalyst over the session catalog. Returns
+    * the (lazy) DataFrame rather than an eager local frame — `.toPandas`
+    * equivalent is the caller's `.collect()` choice.
+    */
+  def query(sql: String): DataFrame = spark.sql(sql)
+
+  /** novlake `Lake.save_dataset(df, name, mode, partition_cols)`:
+    * write parquet into the warehouse + register in the catalog.
+    */
+  def saveDataset(df: DataFrame, name: String,
+      mode: String = "overwrite",
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val path = pathOf(name)
+    (mode, partitionCols) match {
+      case ("append", _) => LakeIO.appendDataset(df, path)
+      case ("overwrite_partitions", cols) if cols.nonEmpty =>
+        LakeIO.replacePartitions(df, path, cols)
+      case (_, Nil) => LakeIO.saveDataset(df, path)
+      case (_, cols) => LakeIO.savePartitioned(df, path, cols)
+    }
+    LakeIO.registerTable(spark, name.replace('.', '_'), path)
+    spark.read.parquet(path)
+  }
+
+  /** novlake `Lake.load(name)` — read a warehouse dataset. */
+  def load(name: String): DataFrame = spark.read.parquet(pathOf(name))
+
+  /** novlake `Lake.preview(table, n)` ≈ SELECT * LIMIT n (deterministic
+    * here: ordered by the first column).
+    */
+  def preview(name: String, n: Int = 10): DataFrame = {
+    val df = load(name)
+    df.orderBy(col(df.columns.head).asc).limit(n)
+  }
+
+  /** novlake `Lake.meta(table)` — schema as rows (Glue DDL stand-in). */
+  def meta(name: String): DataFrame = LakeIO.tableMeta(load(name))
+
+  /** novlake `Lake.list_tables()` — session-catalog listing. */
+  def listTables(): DataFrame = LakeIO.listTables(spark)
+
+  /** Register the driver fixture tables so `query` can address them —
+    * the equivalent of pointing the lake at an existing Glue database.
+    */
+  def attachFixtures(sfDir: String): Lake = {
+    Tables.registerAll(spark, sfDir)
+    this
+  }
+}
+
+object Lake {
+  def apply(spark: SparkSession, warehouse: String): Lake =
+    new Lake(spark, warehouse)
+}

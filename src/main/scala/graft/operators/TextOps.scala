@@ -86,12 +86,15 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
     val docFreq = tokens.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.select(col("doc_id")).count()
+    // corpus size as a 1-row broadcast cross join, not a driver action —
+    // keeps the whole operator one lazy DAG (SURVEY.md §7.6 no-collect)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("lang"), col("term"), col("tfidf"), col("rn"))

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The novlake-shaped user journey end-to-end: attach a database, run
+  * SQL, save a derived dataset (plain / partitioned / append /
+  * replace-partitions), preview, inspect meta, list tables.
+  */
+class LakeSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+
+  private def newLake(): Lake =
+    Lake(spark, Files.createTempDirectory("graft_lake").toString)
+      .attachFixtures(TestSpark.sf)
+
+  test("query: SQL passthrough over attached tables") {
+    val lake = newLake()
+    val top = lake.query(
+      """SELECT o_custkey, count(*) AS n FROM orders
+        |GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 5""".stripMargin)
+    assert(top.count() === 5)
+  }
+
+  test("saveDataset + load + preview + meta + listTables round-trip") {
+    val lake = newLake()
+    val derived = lake.query(
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000")
+    val back = lake.saveDataset(derived, "marts.big_orders")
+    assert(back.count() === derived.count())
+    assert(lake.load("marts.big_orders").count() === derived.count())
+    assert(lake.preview("marts.big_orders", 3).count() === 3)
+    assert(lake.meta("marts.big_orders")
+      .filter(col("col_name") === "o_totalprice").count() === 1)
+    assert(lake.listTables()
+      .filter(col("table_name") === "marts_big_orders").count() === 1)
+    // saved dataset is immediately SQL-addressable (Glue-registration
+    // equivalent)
+    assert(lake.query("SELECT count(*) AS c FROM marts_big_orders")
+      .head().getLong(0) === derived.count())
+  }
+
+  test("save modes: append accumulates, overwrite_partitions replaces only incoming") {
+    val lake = newLake()
+    val f = lake.query("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'")
+    val o = lake.query("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'")
+    lake.saveDataset(f, "t1")
+    lake.saveDataset(o, "t1", mode = "append")
+    assert(lake.load("t1").count() === f.count() + o.count())
+
+    lake.saveDataset(f.union(o), "t2", partitionCols = Seq("o_orderstatus"))
+    val oSmall = o.limit(10)
+    lake.saveDataset(oSmall, "t2", mode = "overwrite_partitions",
+      partitionCols = Seq("o_orderstatus"))
+    val t2 = lake.load("t2")
+    assert(t2.filter(col("o_orderstatus") === "O").count() === 10)
+    assert(t2.filter(col("o_orderstatus") === "F").count() === f.count())
+  }
+}

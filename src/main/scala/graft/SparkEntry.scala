@@ -105,6 +105,7 @@ object SparkEntry {
     "udf_scalar" -> (Udfs.udfScalar _),
     "udtf_generator" -> (Udfs.udtfGenerator _),
     "udaf_typed" -> ((s: SparkSession, d: String) => Udfs.corpusSignature(s, d)),
+    "udaf_imperative" -> ((s: SparkSession, d: String) => Udfs.corpusSignatureImperative(s, d)),
     "expr_custom" -> (SimSearch.exprCustom _),
     // §2.K LLM-data-pipeline operators
     "dedup_exact" -> (TextOps.dedupExact _),

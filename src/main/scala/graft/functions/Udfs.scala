@@ -90,4 +90,20 @@ object Udfs {
       .agg(agg(col("sig")).as("corpus_sig"))
       .orderBy(col("source").asc)
   }
+
+  /** `udaf_imperative` — same per-source signature through the internal
+    * TypedImperativeAggregate path (raw mutable buffer, no encoder
+    * round-trips); result must equal corpusSignature's (DedupSpec).
+    */
+  def corpusSignatureImperative(spark: SparkSession, sfDir: String,
+      nPerm: Int = 16): DataFrame = {
+    import graft.operators.MinHashDedup
+    Tables.documents(spark, sfDir)
+      .withColumn("sh", ShingleKernel.shingleHashes(col("text"), 3))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", MinHashDedup.minhashFromHashes(col("sh"), nPerm))
+      .groupBy(col("source"))
+      .agg(ImperativeAggs.minSig(col("sig"), nPerm).as("corpus_sig"))
+      .orderBy(col("source").asc)
+  }
 }

@@ -19,6 +19,36 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * partitions across executors; watermarks bound state size; sinks
   * checkpoint for exactly-once into the lake.
   */
+/** StatefulProcessor for transformWithState: one Double of state per
+  * user (the running total), batch rows applied in event_id order for
+  * determinism.
+  */
+class RunningTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var total: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    total = getHandle.getValueState[Double]("total",
+      Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    var t = if (total.exists()) total.get() else 0.0
+    val out = rows.toSeq.sortBy(_._2).map { case (_, eid, v) =>
+      t += v
+      (key, eid, t)
+    }
+    total.update(t)
+    out.iterator
+  }
+}
+
 object Streams {
 
   /** `stream_tumbling` — 1h tumbling count/sum per event_type with a
@@ -97,6 +127,29 @@ object Streams {
           state.update(total)
           out.iterator
       }
+      .toDF("user_id", "event_id", "running_purchases")
+  }
+
+  /** `stream_stateful` on the Spark 4 arbitrary-state API
+    * (transformWithState + ValueState, RocksDB-backed): same semantics as
+    * `runningPurchaseTotals`, with typed per-key state the store can
+    * checkpoint/evict independently of the micro-batch. Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider` (jar verified present).
+    */
+  def runningPurchaseTotalsTws(spark: SparkSession,
+      events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as[Long], col("event_id").as[Long],
+        col("value").as[Double])
+      .as[(Long, Long, Double)]
+    purchases
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Append())
       .toDF("user_id", "event_id", "running_purchases")
   }
 

@@ -156,6 +156,17 @@ class DedupSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("imperative (TypedImperativeAggregate) signature equals typed Aggregator's") {
+    val typed = Udfs.corpusSignature(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val imperative = Udfs.corpusSignatureImperative(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(typed.keySet === imperative.keySet)
+    // identical per-doc signatures in, identical element-wise mins out
+    typed.keys.foreach(k => assert(typed(k) === imperative(k)))
+    assert(imperative.values.forall(_.forall(_ != Long.MaxValue)))
+  }
+
   test("LSH bucketing: identical vectors share a bucket") {
     val d = Seq(
       (1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)),

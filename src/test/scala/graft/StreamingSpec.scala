@@ -102,6 +102,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Seq((1L, 1L, 10.0), (2L, 2L, 5.0), (1L, 3L, 30.0)))
   }
 
+  test("transformWithState (RocksDB) matches flatMapGroupsWithState totals") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = Streams.runningPurchaseTotalsTws(spark, mem.toDF())
+        .writeStream.format("memory").queryName("tws")
+        .outputMode("append").start()
+      mem.addData(
+        Ev(1, ts("2025-01-01 10:00:00"), 1, "purchase", 10.0, "{}"),
+        Ev(2, ts("2025-01-01 10:01:00"), 2, "purchase", 5.0, "{}"))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts("2025-01-01 10:02:00"), 1, "purchase", 20.0, "{}"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws").orderBy("event_id")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(rows === Seq((1L, 1L, 10.0), (2L, 2L, 5.0), (1L, 3L, 30.0)))
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session windows: streaming session_window matches batch gap-and-island") {
     val sfd = TestSpark.sf
     val stream = Streams.sessionCounts(Streams.eventsFileStream(spark, sfd))

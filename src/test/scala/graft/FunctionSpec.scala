@@ -101,6 +101,17 @@ class FunctionSpec extends AnyFunSuite {
       .select("asset_id"), "asset_id").count() === 0)
   }
 
+  test("resize preserves aspect ratio and bounds the long side") {
+    val assets = Multimodal.syntheticAssets(spark, sf)
+      .filter(col("width") > 0 && col("height") > 0)
+    val resized = Multimodal.resizeTo(assets, maxSide = 64)
+    val bad = resized.filter(
+      col("out_width") > 64 || col("out_height") > 64 ||
+        (col("out_width") < 64 && col("out_height") < 64 &&
+          col("width") >= 64 && col("height") >= 64)).count()
+    assert(bad === 0)
+  }
+
   test("decoded features are deterministic (stubbed decode is pure)") {
     def run() = Multimodal.decodeFeaturesStub(
       Multimodal.syntheticAssets(spark, sf))

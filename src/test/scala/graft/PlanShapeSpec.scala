@@ -44,6 +44,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected 2-phase HashAggregate:\n$p")
   }
 
+  test("multiway star join broadcasts both tiny dims") {
+    val p = plan(Joins.joinMultiway(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"expected ≥2 broadcast joins (nation, region):\n$p")
+  }
+
+  test("as-of join is a single shuffle + window (no join explosion)") {
+    val p = plan(Joins.joinAsOf(spark, sf))
+    assert(p.contains("Window"), s"expected window operator:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan a product join:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the final plan,
     // so materialize first

@@ -49,6 +49,22 @@ class Lake(val spark: SparkSession, val warehouse: String) {
   /** novlake `Lake.load(name)` — read a warehouse dataset. */
   def load(name: String): DataFrame = spark.read.parquet(pathOf(name))
 
+  /** MERGE/upsert into a warehouse dataset: source rows win on `keys`,
+    * unmatched target rows survive (Delta MERGE emulation — LakeIO).
+    */
+  def upsert(df: DataFrame, name: String, keys: Seq[String]): DataFrame = {
+    LakeIO.upsert(df, pathOf(name), keys)
+    load(name)
+  }
+
+  /** Versioned snapshot save; returns the new version number. */
+  def saveVersioned(df: DataFrame, name: String): Int =
+    LakeIO.saveVersion(df, pathOf(name))
+
+  /** Time-travel read: `version=None` resolves latest. */
+  def loadVersioned(name: String, version: Option[Int] = None): DataFrame =
+    LakeIO.loadVersion(spark, pathOf(name), version)
+
   /** novlake `Lake.preview(table, n)` ≈ SELECT * LIMIT n (deterministic
     * here: ordered by the first column).
     */

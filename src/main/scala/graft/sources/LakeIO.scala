@@ -87,6 +87,53 @@ object LakeIO {
       .orderBy(col("table_name").asc)
   }
 
+  /** MERGE/upsert emulation (Delta `MERGE WHEN MATCHED UPDATE / NOT
+    * MATCHED INSERT`, parquet-native): source rows win on key collision,
+    * unmatched target rows survive. Materializes to a scratch dir first —
+    * overwriting a parquet path while lazily reading it would corrupt the
+    * read — then rewrites the target.
+    *
+    * Scale: one left-anti shuffle on the key + a union; no driver-side
+    * data movement. (A format with transaction support does this without
+    * the full rewrite; that is exactly the part Delta/Iceberg add.)
+    */
+  def upsert(df: DataFrame, path: String, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val target = spark.read.parquet(path)
+    val survivors = target.join(df.select(keys.map(col): _*), keys, "left_anti")
+    val merged = survivors.unionByName(df)
+    val tmp = path.stripSuffix("/") + "__upsert_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Versioned snapshot write ("time travel by directory version" —
+    * SURVEY.md §7.4): each save lands in `path/v=<n>/` and `latest`
+    * resolution is max(n). Readers pin a version for reproducible
+    * training runs; writers never mutate a published snapshot.
+    */
+  def saveVersion(df: DataFrame, path: String): Int = {
+    val next = listVersions(df.sparkSession, path).lastOption.getOrElse(-1) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+    next
+  }
+
+  def listVersions(spark: SparkSession, path: String): Seq[Int] = {
+    val dir = new java.io.File(path)
+    if (!dir.exists()) Seq.empty
+    else dir.list().toSeq
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
+      .sorted
+  }
+
+  def loadVersion(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(listVersions(spark, path).lastOption)
+      .getOrElse(throw new IllegalArgumentException(s"no versions at $path"))
+    spark.read.parquet(s"$path/v=$v")
+  }
+
   /** Dataset maintenance: compact a (possibly partitioned) parquet
     * dataset to `targetFileCount` files per write — the small-files
     * maintenance job every lake needs at scale.

@@ -41,6 +41,35 @@ class LakeSpec extends AnyFunSuite {
       .head().getLong(0) === derived.count())
   }
 
+  test("upsert: source wins on key, unmatched target rows survive") {
+    import spark.implicits._
+    val lake = newLake()
+    lake.saveDataset(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), "t")
+    val after = lake.upsert(Seq((2L, "B"), (4L, "d")).toDF("id", "v"),
+      "t", Seq("id"))
+    val m = after.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+    // idempotent: re-applying the same source changes nothing
+    val again = lake.upsert(Seq((2L, "B"), (4L, "d")).toDF("id", "v"),
+      "t", Seq("id"))
+    assert(again.collect().map(r => r.getLong(0) -> r.getString(1)).toMap === m)
+  }
+
+  test("versioned snapshots: immutable history, latest resolution, time travel") {
+    import spark.implicits._
+    val lake = newLake()
+    assert(lake.saveVersioned(Seq((1L, "x")).toDF("id", "v"), "snap") === 0)
+    assert(lake.saveVersioned(Seq((1L, "y"), (2L, "z")).toDF("id", "v"),
+      "snap") === 1)
+    assert(lake.loadVersioned("snap").count() === 2) // latest = v1
+    assert(lake.loadVersioned("snap", Some(0)).count() === 1) // time travel
+    // published snapshots are immutable: same-version write refuses
+    intercept[Exception] {
+      Seq((9L, "!")).toDF("id", "v").write.parquet(
+        s"${lake.warehouse}/snap/v=0")
+    }
+  }
+
   test("save modes: append accumulates, overwrite_partitions replaces only incoming") {
     val lake = newLake()
     val f = lake.query("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'")

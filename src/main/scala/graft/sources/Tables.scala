@@ -17,9 +17,20 @@ import org.apache.spark.sql.types.LongType
   * driver or assumes single-file inputs.
   */
 object Tables {
+  /** Per-session catalog cache: a DataFrame is an immutable lazy plan,
+    * so reusing it avoids re-reading parquet footers and re-running
+    * analysis for every one of the ~90 contract queries (the fixed
+    * per-query overhead that dominates the bench at small scale — the
+    * role Glue/metastore schema caching plays in the reference).
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, sfDir, name), { _ =>
+      if (name == "events") eventsUncached(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet")
+    })
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4's vectorized
     * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw ns
@@ -40,7 +51,10 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame = {
+  def events(spark: SparkSession, d: String): DataFrame =
+    table(spark, d, "events")
+
+  private def eventsUncached(spark: SparkSession, d: String): DataFrame = {
     val raw = eventsRaw(spark, d)
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -167,6 +167,24 @@ class DedupSpec extends AnyFunSuite {
     assert(imperative.values.forall(_.forall(_ != Long.MaxValue)))
   }
 
+  test("shingle kernel set sizes equal the DSL string-shingle set sizes (oracle-critical)") {
+    // ngramJaccard's values are |A∩B| / (|A|+|B|−|A∩B|) over HASHED
+    // shingle sets; the DuckDB oracle computes them over STRING shingle
+    // sets. Equality of set sizes on real fixture text is exactly the
+    // no-collision/no-tokenization-drift property the oracle match
+    // rests on — assert it doc-by-doc at both k values.
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    Seq(2, 3).foreach { k =>
+      val bad = docs.select(
+        size(graft.functions.ShingleKernel.shingleHashes(col("text"), k))
+          .as("kernel_n"),
+        size(graft.operators.MinHashDedup.shingles(col("text"), k))
+          .as("dsl_n"))
+        .filter(col("kernel_n") =!= col("dsl_n")).count()
+      assert(bad === 0, s"k=$k size drift between kernel and DSL shingles")
+    }
+  }
+
   test("LSH bucketing: identical vectors share a bucket") {
     val d = Seq(
       (1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)),

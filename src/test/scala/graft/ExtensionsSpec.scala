@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions: SQL-surface registration of the native kernels and
+  * the lambda→kernel optimizer rewrite.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  GraftExtensions.install(spark)
+
+  test("vec_dot / vec_norm are SQL-callable after install") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |       vec_norm(array(3.0F, 4.0F)) AS n""".stripMargin).head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 5.0)
+  }
+
+  test("word_shingles is SQL-callable and k must be a literal") {
+    val n = spark.sql(
+      "SELECT size(word_shingles('the quick brown fox', 2)) AS n")
+      .head().getInt(0)
+    assert(n === 3)
+    // foldable int expressions are accepted (evaluated at resolution)
+    assert(spark.sql("SELECT size(word_shingles('a b c', 1 + 1)) AS n")
+      .head().getInt(0) === 2)
+    // non-integer k is rejected
+    intercept[Exception] {
+      spark.sql("SELECT word_shingles('x', 'not-an-int')").head()
+    }
+  }
+
+  test("optimizer rewrites the lambda dot-product to FloatVecDot, same result") {
+    // needs a non-local source: over a LocalRelation the optimizer
+    // constant-folds the whole projection before/after our rule runs
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val lambdaForm = emb.select(col("vec_id"),
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, v) => acc + v).as("dot"))
+    val optimized = lambdaForm.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("floatvecdot"),
+      s"rule did not fire:\n$optimized")
+    // identical values to the explicit kernel call
+    val kernel = emb.select(col("vec_id"),
+      graft.functions.VectorExpressions.dotCol(
+        col("embedding"), col("embedding")).as("dot"))
+    assert(lambdaForm.orderBy("vec_id").collect().toSeq ===
+      kernel.orderBy("vec_id").collect().toSeq)
+    // local sanity value
+    val d = Seq((1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("id", "a", "b")
+      .select(aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, v) => acc + v).as("dot"))
+    assert(d.head().getDouble(0) === 32.0)
+    // non-float arrays must be left alone (rule is type-guarded)
+    val dbl = Seq((1L, Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("id", "a", "b")
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v).as("dot"))
+    assert(!dbl.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("floatvecdot"))
+    assert(dbl.head().getDouble(0) === 11.0)
+  }
+
+  test("Lake.query sees the SQL kernels (user-facing path)") {
+    val lake = Lake(spark, java.nio.file.Files
+      .createTempDirectory("graft_ext").toString)
+      .attachFixtures(TestSpark.sf)
+    val r = lake.query(
+      """SELECT vec_id, round(vec_norm(embedding), 4) AS l2
+        |FROM embeddings ORDER BY vec_id LIMIT 3""".stripMargin).collect()
+    assert(r.length === 3 && r.forall(_.getDouble(1) > 0))
+  }
+}

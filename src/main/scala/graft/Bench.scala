@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(spark)
     // untimed warmup: session/codegen/parquet-reader init lands here, not
     // on whichever query happens to run first
     try SparkEntry.queries("agg_group_sum")(spark, sfDir).count()

@@ -18,6 +18,8 @@ import graft.sources.{LakeIO, Tables}
   */
 class Lake(val spark: SparkSession, val warehouse: String) {
 
+  GraftExtensions.install(spark) // SQL kernels + optimizer rule active
+
   private def pathOf(table: String): String =
     s"${warehouse.stripSuffix("/")}/${table.replace('.', '/')}"
 

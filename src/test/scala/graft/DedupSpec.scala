@@ -185,6 +185,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle kernel edge cases: empty, whitespace-only, short, repeated") {
+    val cases = Seq(
+      (1L, ""), (2L, "   \t\n  "), (3L, "word"), (4L, "a b"),
+      (5L, "x x x x"), (6L, "  padded   tokens  here  "))
+    val out = cases.toDF("id", "t")
+      .select(col("id"),
+        size(graft.functions.ShingleKernel.shingleHashes(col("t"), 3))
+          .as("n"),
+        size(graft.functions.ShingleKernel
+          .shingleHashes(col("t"), 3, distinct = false)).as("n_all"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) === ((0, 0)))   // empty → no shingles
+    assert(out(2L) === ((0, 0)))   // whitespace-only → no tokens
+    assert(out(3L) === ((1, 1)))   // fewer tokens than k → 1 partial shingle
+    assert(out(4L) === ((1, 1)))
+    assert(out(5L) === ((1, 2)))   // 2 windows, both "x x x" → 1 distinct
+    assert(out(6L)._1 === 1)       // 3 tokens, k=3 → 1 shingle, padding ignored
+  }
+
   test("LSH bucketing: identical vectors share a bucket") {
     val d = Seq(
       (1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)),

@@ -87,6 +87,22 @@ object LakeIO {
       .orderBy(col("table_name").asc)
   }
 
+  /** Bucketed save (`CLUSTERED BY ... INTO n BUCKETS`): rows are hash-
+    * partitioned into a fixed bucket count on disk, so joins and
+    * aggregations on the bucket key need NO shuffle at read time — the
+    * co-location technique for repeated large-fact joins at 100 TB
+    * (SURVEY.md §2 "bucketing for co-located joins"; asserted
+    * Exchange-free in SinkSpec). Bucketed tables must be saved through
+    * the session catalog (`saveAsTable`), not a bare path.
+    */
+  def saveBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** MERGE/upsert emulation (Delta `MERGE WHEN MATCHED UPDATE / NOT
     * MATCHED INSERT`, parquet-native): source rows win on key collision,
     * unmatched target rows survive. Materializes to a scratch dir first —

@@ -68,6 +68,36 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === df.count())
   }
 
+  test("bucketed tables join without a shuffle on the bucket key") {
+    // disable auto-broadcast: at fixture scale AQE would broadcast the
+    // dim and skip the bucketed path we're asserting (at 100 TB both
+    // sides are too big to broadcast — that's bucketing's regime)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      LakeIO.saveBucketed(Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", "o_custkey", 4)
+      LakeIO.saveBucketed(Tables.customer(spark, sf)
+        .select("c_custkey", "c_name"),
+        "b_customer", "c_custkey", 4)
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+      joined.collect() // materialize so AQE finalizes the plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a co-located join:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$p")
+      // row-count sanity vs the unbucketed join
+      val plain = Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf),
+          col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() === plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("setUnionByName aligns drifted schemas, null-fills missing cols") {
     import spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "a_only")

@@ -110,6 +110,17 @@ object AccelerateVectorLambdas extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** (x) -> x² as Multiply(v, v) or Pow(v, 2), possibly cast-wrapped. */
+  private def isElementSquare(f: Expression): Boolean = f match {
+    case LambdaFunction(m, Seq(x: NamedLambdaVariable), _) =>
+      stripCast(m) match {
+        case Multiply(l, r, _) =>
+          stripCast(l).semanticEquals(x) && stripCast(r).semanticEquals(x)
+        case _ => false
+      }
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(ZipWith(a, b, product), Literal(0.0, DoubleType),
@@ -118,5 +129,11 @@ object AccelerateVectorLambdas extends Rule[LogicalPlan] {
           isElementProduct(product) && isAccumulatingSum(merge) &&
           isIdentity(finish) =>
         FloatVecDot(a, b)
+      // sqrt(aggregate(transform(a, x -> x²), 0.0, +)) → FloatVecNorm(a)
+      case Sqrt(ArrayAggregate(ArrayTransform(a, square),
+          Literal(0.0, DoubleType), merge, finish))
+        if isFloatArray(a) && isElementSquare(square) &&
+          isAccumulatingSum(merge) && isIdentity(finish) =>
+        FloatVecNorm(a)
     }
 }

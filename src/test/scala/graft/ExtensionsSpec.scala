@@ -67,6 +67,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(dbl.head().getDouble(0) === 11.0)
   }
 
+  test("optimizer rewrites the lambda L2-norm to FloatVecNorm, same result") {
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val lambdaForm = emb.select(col("vec_id"),
+      sqrt(aggregate(transform(col("embedding"),
+        x => x.cast("double") * x.cast("double")),
+        lit(0.0d), (acc, v) => acc + v)).as("l2"))
+    val optimized = lambdaForm.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("floatvecnorm"),
+      s"norm rule did not fire:\n$optimized")
+    val kernel = emb.select(col("vec_id"),
+      graft.functions.VectorExpressions.normCol(col("embedding")).as("l2"))
+    assert(lambdaForm.orderBy("vec_id").collect().toSeq ===
+      kernel.orderBy("vec_id").collect().toSeq)
+  }
+
   test("Lake.query sees the SQL kernels (user-facing path)") {
     val lake = Lake(spark, java.nio.file.Files
       .createTempDirectory("graft_ext").toString)

@@ -86,6 +86,7 @@ object SparkEntry {
     "set_union_by_name" -> (Relational.setUnionByNameQuery _),
     // §2.H scalar function families
     "fn_string" -> (ScalarFns.fnString _),
+    "fn_string2" -> (ScalarFns.fnString2 _),
     "fn_date" -> (ScalarFns.fnDate _),
     "fn_math" -> (ScalarFns.fnMath _),
     "fn_cond" -> (ScalarFns.fnCond _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "stream_sliding" -> (EventWindows.sliding _),
     "stream_session" -> (EventWindows.sessionize _),
     "stream_dedup" -> (EventWindows.dedupEvents _),
+    "ts_gapfill" -> (EventWindows.tsGapfill _),
     "stream_stateful" -> (EventWindows.statefulRunningTotal _),
     // §2.J UDF / UDAF / UDTF
     "udf_scalar" -> (Udfs.udfScalar _),
@@ -436,6 +438,14 @@ object SparkEntry {
         |  lpad(c_custkey::VARCHAR, 8, '0') AS padded_key,
         |  replace(c_mktsegment, 'MACHINERY', 'MACHINES') AS replaced
         |FROM customer ORDER BY c_custkey ASC""".stripMargin,
+    "fn_string2" ->
+      """SELECT c_custkey,
+        |  levenshtein(c_mktsegment, 'MACHINERY')::INT AS lev,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+        |  reverse(c_name) AS rev_name,
+        |  ascii(c_mktsegment)::INT AS first_code,
+        |  repeat(substring(c_name, 1, 2), 2) AS rep2
+        |FROM customer ORDER BY c_custkey ASC""".stripMargin,
     "fn_date" ->
       """SELECT o_orderkey,
         |  year(o_orderdate)::INT AS yr,
@@ -535,6 +545,25 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id ASC""".stripMargin,
+    "ts_gapfill" ->
+      """WITH agg AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |          FROM agg GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |         FROM spans)
+        |SELECT g.user_id AS user_id, g.bucket AS bucket,
+        |  coalesce(a.n, 0) AS n_events,
+        |  last_value(a.v IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.bucket ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN agg a
+        |  ON g.user_id = a.user_id AND g.bucket = a.bucket
+        |ORDER BY user_id ASC, bucket ASC""".stripMargin,
     "stream_stateful" ->
       """SELECT user_id, event_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (

@@ -31,6 +31,21 @@ object ScalarFns {
           .as("replaced"))
       .orderBy(col("c_custkey").asc)
 
+  /** `fn_string2` — the edit-distance/translate family (levenshtein is
+    * the classic fuzzy-dedup primitive): levenshtein, translate,
+    * reverse, ascii, repeat.
+    */
+  def fnString2(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(
+        col("c_custkey"),
+        levenshtein(col("c_mktsegment"), lit("MACHINERY")).as("lev"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"),
+        reverse(col("c_name")).as("rev_name"),
+        ascii(col("c_mktsegment")).as("first_code"),
+        repeat(substring(col("c_name"), 1, 2), 2).as("rep2"))
+      .orderBy(col("c_custkey").asc)
+
   /** `fn_date` — extraction/truncation/arithmetic on ms-precision
     * timestamps. dow normalized to ISO (1=Mon..7=Sun) on both engines:
     * Spark dayofweek is 1=Sun, DuckDB dow is 0=Sun (SURVEY.md §5.3.5).

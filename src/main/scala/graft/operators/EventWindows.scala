@@ -71,6 +71,35 @@ object EventWindows {
       .orderBy(col("user_id").asc, col("session_id").asc)
   }
 
+  /** `ts_gapfill` — time-series resampling with gap fill: bucket each
+    * user's events to an hourly grid spanning exactly their active
+    * range, emit empty buckets with count 0, and forward-fill the last
+    * observed hourly value (the standard resample→ffill shape, as one
+    * lazy DAG: agg → per-user span → sequence-explode grid → left join
+    * → last-ignoring-nulls window).
+    *
+    * Scale: grid size is bounded by span/bucket per user; everything
+    * shuffles on user_id; no driver-side time iteration.
+    */
+  def tsGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("v"))
+    val grid = agg.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+          .as("bucket"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy(col("user_id").asc, col("bucket").asc)
+  }
+
   /** `stream_dedup` — dedup on event_id; batch form of the
     * watermark-bounded streaming dropDuplicates. Deterministic because
     * event_id is unique in the fixture (verified); at scale the streaming

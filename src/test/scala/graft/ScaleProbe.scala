@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators._
+
+/** One-off 10× scale experiment (results recorded in SCALE.md): clone
+  * sf0.1 ten times with consistent key remapping into /tmp, then time
+  * headline operators at 1× vs 10× to measure scaling behavior.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/scaled10"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val K = 100000000L
+    def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until 10).map(i => f(df, i)).reduce(_ unionByName _)
+
+    if (!new java.io.File(s"$out/_done").exists()) {
+      copies(Tables.lineitem(spark, base), (d, i) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + i * K))
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      copies(Tables.orders(spark, base), (d, i) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + i * K)
+          .withColumn("o_custkey", col("o_custkey") + i * K))
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      copies(Tables.customer(spark, base), (d, i) =>
+        d.withColumn("c_custkey", col("c_custkey") + i * K))
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      copies(Tables.events(spark, base), (d, i) =>
+        d.withColumn("event_id", col("event_id") + i * K)
+          .withColumn("user_id", col("user_id") + i * K))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      copies(Tables.documents(spark, base), (d, i) =>
+        d.withColumn("doc_id", col("doc_id") + i * K)
+          .withColumn("text", concat(col("text"), lit(s" copytoken$i"))))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      copies(Tables.embeddings(spark, base), (d, i) =>
+        d.withColumn("vec_id", col("vec_id") + i * K))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      Seq("nation", "region", "part", "supplier").foreach { t =>
+        Tables.table(spark, base, t).write.mode("overwrite")
+          .parquet(s"$out/$t.parquet")
+      }
+      new java.io.File(s"$out/_done").createNewFile()
+    }
+
+    val ops = Seq(
+      "agg_group_sum" -> Aggregates.aggGroupSum _,
+      "join_multiway" -> Joins.joinMultiway _,
+      "win_running" -> Windows.winRunning _,
+      "stream_session" -> EventWindows.sessionize _,
+      "ts_gapfill" -> EventWindows.tsGapfill _,
+      "dedup_exact" -> TextOps.dedupExact _,
+      "dedup_minhash" -> ((s: SparkSession, d: String) =>
+        MinHashDedup.dedupMinhash(s, d)),
+      "text_tfidf" -> TextOps.textTfIdf _,
+      "simsearch_knn" -> ((s: SparkSession, d: String) =>
+        SimSearch.knnBruteForce(s, d)))
+    Seq(("1x", base), ("10x", out)).foreach { case (tag, dir) =>
+      ops.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        println(f"SCALEPROBE $tag $name ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      }
+    }
+    spark.stop()
+  }
+}

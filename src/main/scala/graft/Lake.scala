@@ -38,8 +38,17 @@ class Lake(val spark: SparkSession, val warehouse: String) {
       partitionCols: Seq[String] = Nil): DataFrame = {
     val path = pathOf(name)
     (mode, partitionCols) match {
-      case ("append", _) => LakeIO.appendDataset(df, path)
-      case ("overwrite_partitions", cols) if cols.nonEmpty =>
+      case ("append", Nil) => LakeIO.appendDataset(df, path)
+      case ("append", cols) =>
+        // keep the partition layout on append — an un-partitioned append
+        // into a partitioned dataset corrupts partition discovery
+        df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+          .write.mode("append").partitionBy(cols: _*).parquet(path)
+      case ("overwrite_partitions", Nil) =>
+        throw new IllegalArgumentException(
+          "overwrite_partitions requires partitionCols (a full overwrite " +
+            "would silently drop sibling partitions — use mode=overwrite)")
+      case ("overwrite_partitions", cols) =>
         LakeIO.replacePartitions(df, path, cols)
       case (_, Nil) => LakeIO.saveDataset(df, path)
       case (_, cols) => LakeIO.savePartitioned(df, path, cols)
@@ -67,12 +76,13 @@ class Lake(val spark: SparkSession, val warehouse: String) {
   def loadVersioned(name: String, version: Option[Int] = None): DataFrame =
     LakeIO.loadVersion(spark, pathOf(name), version)
 
-  /** novlake `Lake.preview(table, n)` ≈ SELECT * LIMIT n (deterministic
-    * here: ordered by the first column).
+  /** novlake `Lake.preview(table, n)` ≈ SELECT * LIMIT n — deterministic:
+    * totally ordered over ALL columns (the first column alone may have
+    * ties at the limit boundary).
     */
   def preview(name: String, n: Int = 10): DataFrame = {
     val df = load(name)
-    df.orderBy(col(df.columns.head).asc).limit(n)
+    df.orderBy(df.columns.map(c => col(c).asc): _*).limit(n)
   }
 
   /** novlake `Lake.meta(table)` — schema as rows (Glue DDL stand-in). */

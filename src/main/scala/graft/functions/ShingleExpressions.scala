@@ -31,8 +31,10 @@ object ShingleKernel {
   private final val FnvPrime = 0x100000001b3L
 
   def wordShingleHashes(s: UTF8String, k: Int, distinct: Boolean): ArrayData = {
-    // normalize + tokenize: lowercase, split on whitespace runs
-    val str = s.toString.toLowerCase
+    // normalize + tokenize: lowercase (ROOT locale — a tr_TR executor
+    // would otherwise hash "I" differently, breaking cross-machine
+    // determinism), split on whitespace runs
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     val n = str.length
     // collect token [start,end) offsets without allocating substrings
     val starts = new java.util.ArrayList[Int]()

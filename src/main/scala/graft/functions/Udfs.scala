@@ -20,7 +20,7 @@ object Udfs {
     */
   val normalizeText: String => String = { s =>
     if (s == null) null
-    else s.toLowerCase.replaceAll("\\s+", " ").trim
+    else s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
   }
 
   def udfScalar(spark: SparkSession, sfDir: String): DataFrame = {

@@ -15,8 +15,11 @@ import org.apache.spark.sql.types._
   *
   * Arithmetic is kept bit-identical to the lambda form (and to the DuckDB
   * oracle): elements widen float→double, products accumulate left-to-
-  * right — so `round(dot/(‖a‖·‖b‖), 4)` hash-matches either way.
-  * Null elements contribute 0 (fixture vectors are dense).
+  * right — so `round(dot/(‖a‖·‖b‖), 4)` hash-matches either way. Null
+  * elements and length-mismatched inputs yield NULL, exactly like the
+  * `zip_with`/`transform` formulation (zip_with pads with null → null
+  * product → null sum) — required for the optimizer rewrite to be
+  * semantics-preserving.
   */
 object VectorExpressions {
   def dotCol(a: Column, b: Column): Column =
@@ -39,7 +42,7 @@ case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExpressions.checkFloatArray(left.dataType, "left") match {
@@ -51,13 +54,13 @@ case class FloatVecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      }
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
     s
@@ -69,10 +72,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
          |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
          |}
@@ -85,10 +94,13 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** √(sum_i a[i]²) over a float vector, accumulated in double. */
+/** √(sum_i a[i]²) over a float vector, accumulated in double; NULL if
+  * any element is null (matching the transform/aggregate lambda form).
+  */
 case class FloatVecNorm(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExpressions.checkFloatArray(child.dataType, "input")
@@ -99,10 +111,9 @@ case class FloatVecNorm(child: Expression) extends UnaryExpression {
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i)) {
-        val v = x.getFloat(i).toDouble
-        s += v * v
-      }
+      if (x.isNullAt(i)) return null
+      val v = x.getFloat(i).toDouble
+      s += v * v
       i += 1
     }
     math.sqrt(s)
@@ -118,10 +129,12 @@ case class FloatVecNorm(child: Expression) extends UnaryExpression {
          |final int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i)) {
-         |    final double $v = (double) $a.getFloat($i);
-         |    $s += $v * $v;
+         |  if ($a.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |    break;
          |  }
+         |  final double $v = (double) $a.getFloat($i);
+         |  $s += $v * $v;
          |}
          |${ev.value} = java.lang.Math.sqrt($s);
        """.stripMargin

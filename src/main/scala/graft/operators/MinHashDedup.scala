@@ -53,6 +53,9 @@ object MinHashDedup {
     * band hash collide. bands × rowsPerBand = nPerm.
     */
   def candidatePairs(docs: DataFrame, nPerm: Int, bands: Int): DataFrame = {
+    require(nPerm % bands == 0,
+      s"bands ($bands) must divide nPerm ($nPerm) — trailing permutations " +
+        "would be computed but never banded, silently lowering recall")
     val rowsPerBand = nPerm / bands
     val withSh = docs
       .withColumn("sh",

@@ -120,7 +120,25 @@ object LakeIO {
     val merged = survivors.unionByName(df)
     val tmp = path.stripSuffix("/") + "__upsert_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    swapInto(spark, tmp, path)
+  }
+
+  /** Replace `path` with the dataset at `tmp` via filesystem rename —
+    * one write instead of two, the shortest possible unavailability
+    * window without a transactional format (the window is the gap
+    * between delete and rename; a crash there leaves the data intact at
+    * `tmp`), and no stale scratch copy left behind.
+    */
+  private def swapInto(spark: SparkSession, tmp: String, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val fs = dst.getFileSystem(conf)
+    fs.delete(dst, true)
+    if (!fs.rename(src, dst)) {
+      throw new java.io.IOException(
+        s"rename $tmp -> $path failed; data preserved at $tmp")
+    }
   }
 
   /** Versioned snapshot write ("time travel by directory version" —
@@ -135,9 +153,12 @@ object LakeIO {
   }
 
   def listVersions(spark: SparkSession, path: String): Seq[Int] = {
-    val dir = new java.io.File(path)
-    if (!dir.exists()) Seq.empty
-    else dir.list().toSeq
+    // Hadoop FS, not java.io.File — the warehouse may be s3a://, hdfs://
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
       .filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toInt)
       .sorted
@@ -158,7 +179,6 @@ object LakeIO {
     val df = spark.read.parquet(path)
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     df.repartition(targetFileCount).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap: rewrite target from compacted copy
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    swapInto(spark, tmp, path)
   }
 }

@@ -26,11 +26,15 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // bound the cache: a long-lived service iterating many sessions/dirs
+    // must not pin stopped sessions via cache keys
+    if (cache.size > 256) cache.clear()
     cache.computeIfAbsent((spark, sfDir, name), { _ =>
       if (name == "events") eventsUncached(spark, sfDir)
       else spark.read.parquet(s"$sfDir/$name.parquet")
     })
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4's vectorized
     * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw ns
@@ -40,9 +44,25 @@ object Tables {
     * §5.3.4; DuckDB keeps ns as TIMESTAMP_NS on its side).
     */
   private def eventsRaw(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enableNanosAsLong(spark)
     spark.read.parquet(s"$d/events.parquet")
   }
+
+  /** Shared pieces of the ns-timestamp workaround, used by both the
+    * batch reader here and the streaming reader
+    * (graft.streaming.Streams.eventsFileStream) so the handling cannot
+    * drift between them.
+    */
+  def enableNanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** ns-epoch long `ts` → µs-precision timestamp (no-op if already a
+    * timestamp).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
 
   def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")
@@ -54,12 +74,8 @@ object Tables {
   def events(spark: SparkSession, d: String): DataFrame =
     table(spark, d, "events")
 
-  private def eventsUncached(spark: SparkSession, d: String): DataFrame = {
-    val raw = eventsRaw(spark, d)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  private def eventsUncached(spark: SparkSession, d: String): DataFrame =
+    normalizeEventTs(eventsRaw(spark, d))
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 

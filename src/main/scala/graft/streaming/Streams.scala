@@ -171,9 +171,9 @@ object Streams {
     * trigger) — the batch fixture replayed as a stream for tests.
     */
   def eventsFileStream(spark: SparkSession, sfDir: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) — same legacy-conf + ns→µs
-    // handling as the batch reader (graft.sources.Tables.events)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.ts is parquet TIMESTAMP(NANOS) — shared legacy-conf + ns→µs
+    // handling with the batch reader (graft.sources.Tables)
+    graft.sources.Tables.enableNanosAsLong(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the file source requires a directory path; select just the events
     // file out of the fixture dir with a glob filter
@@ -183,8 +183,6 @@ object Streams {
       .option("pathGlobFilter", "events.parquet")
       .option("recursiveFileLookup", "false")
       .parquet(sfDir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.sources.Tables.normalizeEventTs(raw)
   }
 }

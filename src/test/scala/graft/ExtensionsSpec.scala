@@ -82,6 +82,22 @@ class ExtensionsSpec extends AnyFunSuite {
       kernel.orderBy("vec_id").collect().toSeq)
   }
 
+  test("kernels match lambda semantics on nulls and length mismatch (rewrite-safe)") {
+    val rows = spark.sql(
+      """SELECT
+        |  vec_dot(array(1.0F, 2.0F), array(1.0F, 2.0F, 3.0F)) AS len_mismatch,
+        |  vec_dot(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)) AS null_elem,
+        |  vec_norm(array(3.0F, CAST(NULL AS FLOAT))) AS null_norm,
+        |  aggregate(zip_with(array(1.0F, 2.0F), array(1.0F, 2.0F, 3.0F),
+        |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS lambda_mismatch
+        |""".stripMargin).head()
+    assert(rows.isNullAt(0), "length mismatch must be NULL")
+    assert(rows.isNullAt(1), "null element must be NULL")
+    assert(rows.isNullAt(2), "null element in norm must be NULL")
+    assert(rows.isNullAt(3)) // the lambda form agrees
+  }
+
   test("Lake.query sees the SQL kernels (user-facing path)") {
     val lake = Lake(spark, java.nio.file.Files
       .createTempDirectory("graft_ext").toString)

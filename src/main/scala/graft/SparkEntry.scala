@@ -34,6 +34,7 @@ object SparkEntry {
     "sink_replace_partition" -> (SinkQueries.sinkReplacePartition _),
     "source_csv" -> (SinkQueries.sourceCsv _),
     "source_json" -> (SinkQueries.sourceJson _),
+    "source_orc" -> (SinkQueries.sourceOrc _),
     "table_meta" -> (SinkQueries.tableMeta _),
     "list_tables" -> (SinkQueries.listTables _),
     // §2.B projection / filter
@@ -163,6 +164,9 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey ASC",
     "source_json" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id ASC",
+    "source_orc" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_suppkey ASC""".stripMargin,
     // --- §2.B ---
     "project_arith" ->
       """SELECT l_orderkey, l_linenumber,

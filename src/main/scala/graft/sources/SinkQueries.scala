@@ -91,6 +91,19 @@ object SinkQueries {
       .orderBy(col("n_nationkey").asc)
   }
 
+  /** `source_orc` — ORC ingest round-trip (the other columnar lake
+    * format Spark ships natively; `source_avro` is not possible here —
+    * only Avro core libs are present, not the spark-avro connector).
+    */
+  def sourceOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/source_orc"
+    Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .orderBy(col("s_suppkey").asc)
+  }
+
   /** `source_json` — JSON-lines ingest round-trip. */
   def sourceJson(spark: SparkSession, sfDir: String): DataFrame = {
     val out = tmpBase(sfDir) + "/source_json"

@@ -64,6 +64,8 @@ object SparkEntry {
     "agg_cube" -> (Aggregates.aggCube _),
     "agg_grouping_sets" -> (Aggregates.aggGroupingSets _),
     "agg_having" -> (Aggregates.aggHaving _),
+    "agg_pivot" -> (Aggregates.aggPivot _),
+    "agg_unpivot" -> (Aggregates.aggUnpivot _),
     "agg_percentile" -> (Aggregates.aggPercentile _),
     "agg_collect" -> (Aggregates.aggCollect _),
     "agg_sortagg" -> (Aggregates.aggSortAgg _),
@@ -313,6 +315,24 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |       FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_o,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |       FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS sum_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
+    "agg_unpivot" ->
+      """SELECT s_suppkey, 's_acctbal' AS metric, s_acctbal AS value
+        |FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey, 's_nation_d' AS metric,
+        |       s_nationkey::DOUBLE AS value
+        |FROM supplier
+        |ORDER BY s_suppkey ASC, metric ASC""".stripMargin,
     "agg_having" ->
       """SELECT l_suppkey,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,

@@ -91,6 +91,32 @@ object Aggregates {
         |         o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `agg_pivot` — groupBy().pivot() with an explicit value list (fixed
+    * output schema → deterministic; an unbounded pivot would scan for
+    * distinct values first). Oracle form: conditional aggregation.
+    */
+  def aggPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double"))
+      .withColumnsRenamed(Map("F" -> "sum_f", "O" -> "sum_o", "P" -> "sum_p"))
+      .orderBy(col("o_orderpriority").asc)
+
+  /** `agg_unpivot` — melt wide columns back to (key, variable, value)
+    * rows (DataFrame.unpivot / SQL UNPIVOT). Oracle form: UNION ALL.
+    */
+  def aggUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_acctbal"),
+        col("s_nationkey").cast("double").as("s_nation_d"))
+      .unpivot(
+        ids = Array(col("s_suppkey")),
+        values = Array(col("s_acctbal"), col("s_nation_d")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy(col("s_suppkey").asc, col("metric").asc)
+
   /** `agg_having` — post-aggregation filter. */
   def aggHaving(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

@@ -75,6 +75,7 @@ object SparkEntry {
     "win_running" -> (Windows.winRunning _),
     "win_moving_avg" -> (Windows.winMovingAvg _),
     "win_first_last" -> (Windows.winFirstLast _),
+    "win_distribution" -> (Windows.winDistribution _),
     "topk_per_group" -> (Windows.topkPerGroup _),
     // §2.F sort / limit
     "sort_multikey" -> (Relational.sortMultikey _),
@@ -93,6 +94,8 @@ object SparkEntry {
     "fn_date" -> (ScalarFns.fnDate _),
     "fn_math" -> (ScalarFns.fnMath _),
     "fn_cond" -> (ScalarFns.fnCond _),
+    "fn_bitwise" -> (ScalarFns.fnBitwise _),
+    "sample_hash" -> ((s: SparkSession, d: String) => ScalarFns.sampleHash(s, d)),
     "fn_array" -> (ScalarFns.fnArray _),
     "fn_json" -> (ScalarFns.fnJson _),
     "fn_map" -> (ScalarFns.fnMap _),
@@ -397,6 +400,14 @@ object SparkEntry {
         |             ORDER BY o_orderdate ASC, o_orderkey ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+    "win_distribution" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
     "topk_per_group" ->
       """SELECT p_brand, p_partkey, p_retailprice, rn::INT AS rn FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,
@@ -503,6 +514,23 @@ object SparkEntry {
         |  coalesce(nullif(o_orderstatus, 'P'), 'NOT_P') AS status_np,
         |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
         |FROM orders ORDER BY o_orderkey ASC""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT s_suppkey,
+        |  s_suppkey & 255 AS and_mask,
+        |  s_suppkey | 4096 AS or_flag,
+        |  xor(s_suppkey, s_nationkey::BIGINT) AS xor_nation,
+        |  s_suppkey << 3 AS shl3,
+        |  s_suppkey >> 2 AS shr2,
+        |  ~s_suppkey AS inv
+        |FROM supplier ORDER BY s_suppkey ASC""".stripMargin,
+    "sample_hash" ->
+      """SELECT doc_id, lang, source,
+        |  (('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+        |    % 100)::INT AS bucket
+        |FROM documents
+        |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+        |      % 100 < 10
+        |ORDER BY doc_id ASC""".stripMargin,
     "fn_array" ->
       """SELECT vec_id,
         |  len(embedding)::INT AS dim,

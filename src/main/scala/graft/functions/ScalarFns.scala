@@ -87,6 +87,36 @@ object ScalarFns {
         least(col("s_suppkey"), lit(500L)).as("key_cap"))
       .orderBy(col("s_suppkey").asc)
 
+  /** `fn_bitwise` — AND / OR / XOR / shifts / NOT over integer keys
+    * (bit-manipulation family; the simhash/bucket ops build on these).
+    */
+  def fnBitwise(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir)
+      .select(
+        col("s_suppkey"),
+        (col("s_suppkey").bitwiseAND(lit(255L))).as("and_mask"),
+        (col("s_suppkey").bitwiseOR(lit(4096L))).as("or_flag"),
+        (col("s_suppkey").bitwiseXOR(col("s_nationkey"))).as("xor_nation"),
+        shiftleft(col("s_suppkey"), 3).as("shl3"),
+        shiftright(col("s_suppkey"), 2).as("shr2"),
+        bitwise_not(col("s_suppkey")).as("inv"))
+      .orderBy(col("s_suppkey").asc)
+
+  /** `sample_hash` — deterministic cross-engine corpus sampling: keep a
+    * row iff the integer value of its key's md5 prefix falls under the
+    * rate. Unlike `df.sample` (partition-layout-dependent) this is a
+    * pure function of the key — reproducible across engines, runs, and
+    * cluster sizes, which is what training-data subsampling needs.
+    */
+  def sampleHash(spark: SparkSession, sfDir: String, pct: Int = 10): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100).cast("int"))
+      .filter(col("bucket") < pct)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .orderBy(col("doc_id").asc)
+
   /** `fn_cond` — CASE WHEN / coalesce / nullif. */
   def fnCond(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

@@ -85,6 +85,19 @@ object Windows {
       .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
   }
 
+  /** `win_distribution` — percent_rank / cume_dist over orders per
+    * customer (distribution-position window family).
+    */
+  def winDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
   /** `topk_per_group` — top-3 parts by retail price per brand: window +
     * filter; one shuffle, no per-group collect.
     */

@@ -129,6 +129,20 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sliding windows: streaming result equals batch form (file replay)") {
+    val sfd = TestSpark.sf
+    val stream = Streams.slidingCounts(Streams.eventsFileStream(spark, sfd))
+    val q = stream.writeStream.format("memory").queryName("slide")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("slide")
+      .orderBy("win_start", "event_type").collect().toSeq
+    val batch = EventWindows.sliding(spark, sfd)
+      .select("win_start", "event_type", "n_events")
+      .collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("session windows: streaming session_window matches batch gap-and-island") {
     val sfd = TestSpark.sf
     val stream = Streams.sessionCounts(Streams.eventsFileStream(spark, sfd))

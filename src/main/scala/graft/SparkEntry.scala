@@ -64,6 +64,8 @@ object SparkEntry {
     "agg_cube" -> (Aggregates.aggCube _),
     "agg_grouping_sets" -> (Aggregates.aggGroupingSets _),
     "agg_having" -> (Aggregates.aggHaving _),
+    "agg_stats" -> (Aggregates.aggStats _),
+    "agg_histogram" -> (Aggregates.aggHistogram _),
     "agg_pivot" -> (Aggregates.aggPivot _),
     "agg_unpivot" -> (Aggregates.aggUnpivot _),
     "agg_percentile" -> (Aggregates.aggPercentile _),
@@ -318,6 +320,24 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_histogram" ->
+      """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |           FROM orders)
+        |SELECT least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9)::INT
+        |         AS bucket,
+        |  count(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders, b GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        |  round(stddev_samp(l_quantity), 6) AS stddev_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(skewness(l_quantity), 3) AS skew_qty,
+        |  round(kurtosis(l_quantity), 3) AS kurt_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin,
     "agg_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))

@@ -91,6 +91,44 @@ object Aggregates {
         |         o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** `agg_histogram` — equal-width 10-bucket histogram of order totals.
+    * Bounds come from a 1-row broadcast cross join (no driver action);
+    * bucketing is plain IEEE double arithmetic written identically on
+    * both engines, so bucket assignment is bit-stable cross-engine.
+    */
+  def aggHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val bounds = ord.agg(min(col("o_totalprice")).as("lo"),
+      max(col("o_totalprice")).as("hi"))
+    ord.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(floor((col("o_totalprice") - col("lo")) /
+          ((col("hi") - col("lo")) / 10)), lit(9.0)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("bucket").asc)
+  }
+
+  /** `agg_stats` — statistical aggregates: correlation, covariance,
+    * stddev/variance (exact 6dp cross-engine agreement, verified), and
+    * skewness/kurtosis (3dp — higher moments accumulate float drift
+    * between engines in the 6th decimal).
+    */
+  def aggStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("covar_qty_price"),
+        round(stddev_samp(col("l_quantity")), 6).as("stddev_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(skewness(col("l_quantity")), 3).as("skew_qty"),
+        round(kurtosis(col("l_quantity")), 3).as("kurt_qty"))
+      .orderBy(col("l_returnflag").asc)
+
   /** `agg_pivot` — groupBy().pivot() with an explicit value list (fixed
     * output schema → deterministic; an unbounded pivot would scan for
     * distinct values first). Oracle form: conditional aggregation.

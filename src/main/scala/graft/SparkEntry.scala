@@ -97,6 +97,7 @@ object SparkEntry {
     "fn_math" -> (ScalarFns.fnMath _),
     "fn_cond" -> (ScalarFns.fnCond _),
     "fn_bitwise" -> (ScalarFns.fnBitwise _),
+    "fn_regex" -> (ScalarFns.fnRegex _),
     "sample_hash" -> ((s: SparkSession, d: String) => ScalarFns.sampleHash(s, d)),
     "fn_array" -> (ScalarFns.fnArray _),
     "fn_json" -> (ScalarFns.fnJson _),
@@ -534,6 +535,13 @@ object SparkEntry {
         |  coalesce(nullif(o_orderstatus, 'P'), 'NOT_P') AS status_np,
         |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
         |FROM orders ORDER BY o_orderkey ASC""".stripMargin,
+    "fn_regex" ->
+      raw"""SELECT doc_id,
+        |  regexp_extract_all(text, '[a-z]+ing') AS ings,
+        |  len(regexp_extract_all(text, '[a-z]{7,}'))::INT AS n_long_words,
+        |  CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+        |    AS has_the
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
     "fn_bitwise" ->
       """SELECT s_suppkey,
         |  s_suppkey & 255 AS and_mask,

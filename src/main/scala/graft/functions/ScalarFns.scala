@@ -87,6 +87,19 @@ object ScalarFns {
         least(col("s_suppkey"), lit(500L)).as("key_cap"))
       .orderBy(col("s_suppkey").asc)
 
+  /** `fn_regex` — the regexp family beyond extract/replace: extract-all
+    * to array, match counting, boolean match.
+    */
+  def fnRegex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        regexp_extract_all(col("text"), lit("[a-z]+ing"), lit(0)).as("ings"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0)))
+          .as("n_long_words"),
+        when(col("text").rlike("\\bthe\\b"), 1).otherwise(0).as("has_the"))
+      .orderBy(col("doc_id").asc)
+
   /** `fn_bitwise` — AND / OR / XOR / shifts / NOT over integer keys
     * (bit-manipulation family; the simhash/bucket ops build on these).
     */

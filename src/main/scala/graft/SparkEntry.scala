@@ -78,6 +78,7 @@ object SparkEntry {
     "win_moving_avg" -> (Windows.winMovingAvg _),
     "win_first_last" -> (Windows.winFirstLast _),
     "win_distribution" -> (Windows.winDistribution _),
+    "win_range_frame" -> (Windows.winRangeFrame _),
     "topk_per_group" -> (Windows.topkPerGroup _),
     // §2.F sort / limit
     "sort_multikey" -> (Relational.sortMultikey _),
@@ -420,6 +421,15 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate ASC, o_orderkey ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    AS near_total,
+        |  count(*) OVER w AS near_cnt
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC
+        |             RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
     "win_distribution" ->
       """SELECT o_custkey, o_orderkey,

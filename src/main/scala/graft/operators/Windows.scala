@@ -85,6 +85,23 @@ object Windows {
       .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
   }
 
+  /** `win_range_frame` — value-based RANGE frame (vs the row-count
+    * frames above): for each order, the total of the customer's orders
+    * priced within 5000 below it. Range frames are tie-insensitive —
+    * deterministic even when the order column has duplicates.
+    */
+  def winRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").asc)
+      .rangeBetween(-5000L, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double")
+          .as("near_total"),
+        count(lit(1)).over(w).as("near_cnt"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
   /** `win_distribution` — percent_rank / cume_dist over orders per
     * customer (distribution-position window family).
     */

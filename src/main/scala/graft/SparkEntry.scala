@@ -99,6 +99,7 @@ object SparkEntry {
     "fn_cond" -> (ScalarFns.fnCond _),
     "fn_bitwise" -> (ScalarFns.fnBitwise _),
     "fn_regex" -> (ScalarFns.fnRegex _),
+    "fn_interval" -> (ScalarFns.fnInterval _),
     "sample_hash" -> ((s: SparkSession, d: String) => ScalarFns.sampleHash(s, d)),
     "fn_array" -> (ScalarFns.fnArray _),
     "fn_json" -> (ScalarFns.fnJson _),
@@ -545,6 +546,12 @@ object SparkEntry {
         |  coalesce(nullif(o_orderstatus, 'P'), 'NOT_P') AS status_np,
         |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
         |FROM orders ORDER BY o_orderkey ASC""".stripMargin,
+    "fn_interval" ->
+      """SELECT event_id,
+        |  date_trunc('second', ts + INTERVAL 90 MINUTE) AS plus_90m,
+        |  date_trunc('second', ts - INTERVAL 1 DAY) AS minus_1d,
+        |  (epoch(date_trunc('second', ts))::BIGINT // 3600) AS epoch_hours
+        |FROM events ORDER BY event_id ASC""".stripMargin,
     "fn_regex" ->
       raw"""SELECT doc_id,
         |  regexp_extract_all(text, '[a-z]+ing') AS ings,

@@ -69,6 +69,21 @@ object ScalarFns {
         quarter(col("o_orderdate")).as("qtr"))
       .orderBy(col("o_orderkey").asc)
 
+  /** `fn_interval` — timestamp ± interval arithmetic and epoch math over
+    * the events stream (second-truncated on both engines: events.ts is
+    * ns in DuckDB, µs here — SURVEY.md §5.3.4).
+    */
+  def fnInterval(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        date_trunc("second", col("ts") + expr("INTERVAL 90 MINUTES"))
+          .as("plus_90m"),
+        date_trunc("second", col("ts") - expr("INTERVAL 1 DAY"))
+          .as("minus_1d"),
+        (unix_timestamp(col("ts")) / 3600L).cast("long").as("epoch_hours"))
+      .orderBy(col("event_id").asc)
+
   /** `fn_math` — rounding/exponents/logs/sign-stable modulo. */
   def fnMath(spark: SparkSession, sfDir: String): DataFrame =
     Tables.supplier(spark, sfDir)

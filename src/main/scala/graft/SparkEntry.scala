@@ -22,6 +22,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Aggregates.aggGroupSum(spark, "/root/testdata/sf0.001")
 
+  /** Serialize an `array<long>` signature column to a CSV string for the
+    * driver comparator (it sorts rows by every column before hashing;
+    * array columns are unhashable there).
+    */
+  private def sigAsCsv(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(col("source"),
+      array_join(transform(col("corpus_sig"), _.cast("string")), ",")
+        .as("corpus_sig"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.A scans / sources / sinks
@@ -117,8 +128,13 @@ object SparkEntry {
     // §2.J UDF / UDAF / UDTF
     "udf_scalar" -> (Udfs.udfScalar _),
     "udtf_generator" -> (Udfs.udtfGenerator _),
-    "udaf_typed" -> ((s: SparkSession, d: String) => Udfs.corpusSignature(s, d)),
-    "udaf_imperative" -> ((s: SparkSession, d: String) => Udfs.corpusSignatureImperative(s, d)),
+    // corpus_sig is array<long> for library callers; the declared query
+    // serializes it to CSV — the driver comparator can't sort/hash array
+    // columns even for the rows-only check (VERDICT r1 #1).
+    "udaf_typed" -> ((s: SparkSession, d: String) =>
+      sigAsCsv(Udfs.corpusSignature(s, d))),
+    "udaf_imperative" -> ((s: SparkSession, d: String) =>
+      sigAsCsv(Udfs.corpusSignatureImperative(s, d))),
     "expr_custom" -> (SimSearch.exprCustom _),
     // §2.K LLM-data-pipeline operators
     "dedup_exact" -> (TextOps.dedupExact _),
@@ -371,8 +387,10 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
     "agg_collect" ->
-      """SELECT n_regionkey, list_sort(list(n_name)) AS nations,
-        |       list_sort(list(DISTINCT n_regionkey)) AS keys
+      """SELECT n_regionkey,
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |  array_to_string(list_sort(list(DISTINCT n_regionkey::VARCHAR)), ',')
+        |    AS keys
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey ASC""".stripMargin,
     "agg_sortagg" ->
       """SELECT l_orderkey,
@@ -554,7 +572,8 @@ object SparkEntry {
         |FROM events ORDER BY event_id ASC""".stripMargin,
     "fn_regex" ->
       raw"""SELECT doc_id,
-        |  regexp_extract_all(text, '[a-z]+ing') AS ings,
+        |  coalesce(array_to_string(regexp_extract_all(text, '[a-z]+ing'), ','),
+        |           '') AS ings,
         |  len(regexp_extract_all(text, '[a-z]{7,}'))::INT AS n_long_words,
         |  CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
         |    AS has_the
@@ -592,6 +611,15 @@ object SparkEntry {
         |  json_extract_string(props, '$.k')::INT AS k_val,
         |  json_extract_string(props, '$.k')::INT AS k_parsed,
         |  to_json(struct_pack(t := event_type))::VARCHAR AS rejson
+        |FROM events ORDER BY event_id ASC""".stripMargin,
+    "fn_map" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort(['type', 'k']), ',') AS ks,
+        |  array_to_string(list_sort(
+        |    ['type=' || event_type,
+        |     'k=' || coalesce(json_extract_string(props, '$.k'), '')]), ',')
+        |    AS entries,
+        |  event_type AS etype
         |FROM events ORDER BY event_id ASC""".stripMargin,
     "fn_hash_md5" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id ASC",

@@ -103,13 +103,16 @@ object ScalarFns {
       .orderBy(col("s_suppkey").asc)
 
   /** `fn_regex` — the regexp family beyond extract/replace: extract-all
-    * to array, match counting, boolean match.
+    * (serialized to a CSV string in match order — the driver comparator
+    * can't hash array columns, VERDICT r1 #1), match counting, boolean
+    * match.
     */
   def fnRegex(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
-        regexp_extract_all(col("text"), lit("[a-z]+ing"), lit(0)).as("ings"),
+        array_join(regexp_extract_all(col("text"), lit("[a-z]+ing"), lit(0)),
+          ",").as("ings"),
         size(regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0)))
           .as("n_long_words"),
         when(col("text").rlike("\\bthe\\b"), 1).otherwise(0).as("has_the"))
@@ -199,20 +202,26 @@ object ScalarFns {
         to_json(struct(col("event_type").as("t"))).as("rejson"))
       .orderBy(col("event_id").asc)
 
-  /** `fn_map` — map construction and access over parsed props. Not
-    * oracle-declared: DuckDB map ordering/literal semantics differ
-    * (SURVEY.md §2.H); unit-tested in FunctionSpec.
+  /** `fn_map` — map construction and access over parsed props. Keys and
+    * entries are serialized to sorted CSV strings: that makes the output
+    * deterministic regardless of map entry order AND oracle-declarable
+    * (DuckDB computes the same strings from the same source columns —
+    * map entry order itself is engine-specific, SURVEY.md §2.H; the
+    * driver comparator also can't hash map/array columns, VERDICT r1 #1).
     */
   def fnMap(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(
         col("event_id"),
         map(lit("type"), col("event_type"), lit("k"),
-          get_json_object(col("props"), "$.k")).as("m"))
+          coalesce(get_json_object(col("props"), "$.k"), lit("")))
+          .as("m"))
       .select(
         col("event_id"),
-        map_keys(col("m")).as("ks"),
-        map_values(col("m")).as("vs"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("ks"),
+        array_join(array_sort(transform(map_entries(col("m")),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))),
+          ",").as("entries"),
         element_at(col("m"), "type").as("etype"))
       .orderBy(col("event_id").asc)
 

@@ -178,12 +178,17 @@ object Aggregates {
 
   /** `agg_collect` — collect_list/collect_set, sorted for determinism
     * (array order out of a shuffle is arbitrary — SURVEY.md §2.D).
+    * Outputs are serialized to sorted CSV strings: the driver comparator
+    * sorts rows by every column before hashing, and array columns are
+    * unhashable there (CORRECTNESS_r01 ERR — VERDICT r1 #1).
     */
   def aggCollect(spark: SparkSession, sfDir: String): DataFrame =
     Tables.nation(spark, sfDir)
       .groupBy(col("n_regionkey"))
-      .agg(array_sort(collect_list(col("n_name"))).as("nations"),
-        array_sort(collect_set(col("n_regionkey"))).as("keys"))
+      .agg(
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        array_join(array_sort(collect_set(col("n_regionkey").cast("string"))),
+          ",").as("keys"))
       .orderBy(col("n_regionkey").asc)
 
   /** `agg_sortagg` — aggregation on a high-cardinality key: same API,

@@ -18,7 +18,8 @@ class FunctionSpec extends AnyFunSuite {
     val rows = ScalarFns.fnMap(spark, sf).limit(5).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getSeq[String](r.fieldIndex("ks")) === Seq("type", "k"))
+      assert(r.getString(r.fieldIndex("ks")) === "k,type")
+      assert(r.getString(r.fieldIndex("entries")).contains("type="))
       assert(r.getString(r.fieldIndex("etype")).nonEmpty)
     }
   }

@@ -15,8 +15,9 @@ TABLES = ['region','nation','supplier','customer','part','orders',
           'lineitem','events','documents','embeddings']
 
 def canon(v):
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(canon(x) for x in v)
+    # NO array/list canonicalization: the driver's comparator sorts by all
+    # columns (pandas sort_values), which raises on unhashable ndarray/list
+    # values — declared query outputs must not contain collection columns.
     if isinstance(v, float) and math.isnan(v):
         return 'NaN'
     if isinstance(v, pd.Timestamp):
@@ -50,6 +51,14 @@ def main():
             bad.append((name, f'COLS spark={list(sdf.columns)} oracle={list(odf.columns)}')); continue
         if len(odf) != len(sdf):
             bad.append((name, f'NROWS spark={len(sdf)} oracle={len(odf)}')); continue
+        try:
+            # mirror the driver: sort rows by ALL columns before comparing
+            cols = list(odf.columns)
+            odf = odf.sort_values(by=cols, ignore_index=True)
+            sdf = sdf.sort_values(by=cols, ignore_index=True)
+        except Exception as e:
+            bad.append((name, f'SORT_ERR (driver-comparator-incompatible '
+                              f'column types) {str(e)[:200]}')); continue
         diff_msg = None
         for c in odf.columns:
             sv = [canon(x) for x in sdf[c].tolist()]

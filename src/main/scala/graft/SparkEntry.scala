@@ -142,6 +142,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => MinHashDedup.ngramJaccard(s, d)),
     "dedup_simhash" -> (MinHashDedup.simhash _),
     "dedup_embedding" -> ((s: SparkSession, d: String) => SimSearch.dedupEmbeddingExact(s, d)),
+    // production-scale variant: banded-LSH candidates + exact verify; no
+    // oracle (xxhash64-derived hyperplanes aren't DuckDB-expressible) —
+    // agreement with dedup_embedding is spec-asserted in DedupSpec
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => SimSearch.dedupEmbeddingLsh(s, d)),
     "simsearch_knn" -> ((s: SparkSession, d: String) => SimSearch.knnBruteForce(s, d)),
     "simsearch_lsh" -> ((s: SparkSession, d: String) => SimSearch.simsearchLsh(s, d)),
     "simsearch_ivf" -> ((s: SparkSession, d: String) => SimSearch.simsearchIvf(s, d)),
@@ -792,6 +796,9 @@ object SparkEntry {
         |  best_score
         |FROM (SELECT *, greatest(sc_en, sc_de, sc_es, sc_fr) AS best_score FROM sc)
         |ORDER BY doc_id ASC""".stripMargin,
+    // mirrors the Spark df-cap: shingles with per-source document
+    // frequency > 0.3·|source| are dropped from the shingle universe
+    // before pairing (sizes post-filter too)
     "dedup_ngram_jaccard" ->
       raw"""WITH d AS (SELECT doc_id, source,
         |        string_split($normT, ' ') AS toks FROM documents),
@@ -800,10 +807,29 @@ object SparkEntry {
         |          range(0, greatest(len(toks) - 2, 0) + 1),
         |          i -> array_to_string(toks[i+1:i+2], ' '))) AS sh
         |      FROM d),
-        |p AS (SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
-        |        round(len(list_intersect(a.sh, b.sh))::DOUBLE
-        |              / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-        |      FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |src_n AS (SELECT source, count(*) AS src_n FROM d GROUP BY source),
+        |tok AS (SELECT source, doc_id, unnest(sh) AS h FROM s),
+        |keep AS (SELECT t.source, t.h FROM tok t
+        |         JOIN src_n n ON t.source = n.source
+        |         GROUP BY t.source, t.h, n.src_n
+        |         HAVING count(*) <= n.src_n * 0.3),
+        |kept AS (SELECT t.source, t.doc_id, t.h FROM tok t
+        |         JOIN keep k ON t.source = k.source AND t.h = k.h),
+        |sizes AS (SELECT source, doc_id, count(*) AS n_sh
+        |          FROM kept GROUP BY source, doc_id),
+        |inter AS (SELECT a.source AS source, a.doc_id AS a_id,
+        |            b.doc_id AS b_id, count(*) AS n_inter
+        |          FROM kept a JOIN kept b
+        |            ON a.source = b.source AND a.h = b.h
+        |               AND a.doc_id < b.doc_id
+        |          GROUP BY a.source, a.doc_id, b.doc_id),
+        |p AS (SELECT i.source, i.a_id, i.b_id,
+        |        round(i.n_inter::DOUBLE /
+        |          (sa.n_sh::DOUBLE + sb.n_sh::DOUBLE - i.n_inter::DOUBLE),
+        |          4) AS jaccard
+        |      FROM inter i
+        |      JOIN sizes sa ON i.source = sa.source AND i.a_id = sa.doc_id
+        |      JOIN sizes sb ON i.source = sb.source AND i.b_id = sb.doc_id)
         |SELECT source, a_id, b_id, jaccard FROM p WHERE jaccard >= 0.05
         |ORDER BY source ASC, a_id ASC, b_id ASC""".stripMargin,
     "dedup_embedding" ->

@@ -132,24 +132,50 @@ object MinHashDedup {
     * oracle-declared.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.05): DataFrame = {
-    // Inverted-index formulation: |A∩B| comes from a self-join on the
-    // shingle hash + a codegen'd count, never from per-pair array
-    // intersection — pairs sharing zero shingles (jaccard 0, excluded by
-    // any positive threshold) are never materialized. Set sizes join
-    // back on the doc keys; |A∪B| = |A|+|B|−|A∩B|.
-    // Shingles are compared by 64-bit hash, not string — identical
-    // Jaccard up to hash collisions (≈n²/2⁶⁴ per pair, negligible).
-    val docs = Tables.documents(spark, sfDir)
+      threshold: Double = 0.05, maxDfFrac: Double = 0.3): DataFrame =
+    ngramJaccardDocs(Tables.documents(spark, sfDir), threshold, maxDfFrac)
+
+  /** Core of `dedup_ngram_jaccard` over any (doc_id, source, text) frame.
+    *
+    * Inverted-index formulation: |A∩B| comes from a self-join on the
+    * shingle hash + a codegen'd count, never from per-pair array
+    * intersection — pairs sharing zero shingles (jaccard 0, excluded by
+    * any positive threshold) are never materialized. Set sizes join
+    * back on the doc keys; |A∪B| = |A|+|B|−|A∩B|.
+    * Shingles are compared by 64-bit hash, not string — identical
+    * Jaccard up to hash collisions (≈n²/2⁶⁴ per pair, negligible).
+    *
+    * Skew guard (VERDICT r1 #5): a shingle shared by k docs in a source
+    * yields k(k−1)/2 self-join rows, so one stop-word bigram makes the
+    * hot partition quadratic. Shingles with document frequency >
+    * maxDfFrac·|source| are dropped from the shingle universe BEFORE the
+    * self-join (sizes are computed post-filter, so Jaccard stays a true
+    * set similarity over the capped universe — the sklearn max_df
+    * convention). The df aggregation and the kept-filter join both run
+    * on the (source, shingle) key the explode already shuffles on, so
+    * the cap costs one co-partitioned pass, and bounds every posting
+    * list — and therefore every join task — by maxDfFrac·|source|.
+    */
+  def ngramJaccardDocs(documents: DataFrame, threshold: Double = 0.05,
+      maxDfFrac: Double = 0.3): DataFrame = {
+    val docs = documents
       .withColumn("shh",
         graft.functions.ShingleKernel.shingleHashes(col("text"), 2))
       .select(col("doc_id"), col("source"), col("shh"))
-    val sizes = docs.select(col("doc_id"), col("source"),
-      size(col("shh")).as("n_sh"))
+    val srcSizes = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("src_n"))
     val tok = docs.select(col("source"), col("doc_id"),
       explode(col("shh")).as("h"))
-    val inter = tok.select(col("source"), col("h"), col("doc_id").as("a_id"))
-      .join(tok.select(col("source"), col("h"), col("doc_id").as("b_id")),
+    val dfCap = tok.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(srcSizes), "source")
+      .filter(col("df") <= col("src_n") * maxDfFrac)
+      .select(col("source"), col("h"))
+    val kept = tok.join(dfCap, Seq("source", "h"))
+    val sizes = kept.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+    val inter = kept.select(col("source"), col("h"), col("doc_id").as("a_id"))
+      .join(kept.select(col("source"), col("h"), col("doc_id").as("b_id")),
         Seq("source", "h"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("source"), col("a_id"), col("b_id"))

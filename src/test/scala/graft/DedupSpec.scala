@@ -204,6 +204,62 @@ class DedupSpec extends AnyFunSuite {
     assert(out(6L)._1 === 1)       // 3 tokens, k=3 → 1 shingle, padding ignored
   }
 
+  test("dedup_embedding_lsh agrees with the exact operator on planted near-dups") {
+    // deterministic pseudo-random base vectors + planted near-dups
+    // (tiny perturbation → cos ≈ 0.9999, band-miss probability < 1e-3;
+    // hyperplanes are deterministic, so this test can never flake)
+    val rnd = new scala.util.Random(42)
+    val bases = Seq.tabulate(20)(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val dups = Seq(0, 5, 11).map { i =>
+      val (id, v) = bases(i)
+      (100L + id, v.updated(3, v(3) + 0.01f))
+    }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    val exact = SimSearch.dedupEmbeddingExactDocs(emb, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimSearch
+      .dedupEmbeddingLshDocs(emb, threshold = 0.95, nBits = 16, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must plant at least one near-dup pair")
+    Seq(0L, 5L, 11L).foreach(i => assert(exact.contains((i, 100L + i))))
+    assert(lsh === exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+    // and on the real fixture table (subset property holds by construction,
+    // so equality here means full recall at this scale)
+    val exactT = SimSearch.dedupEmbeddingExact(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshT = SimSearch.dedupEmbeddingLsh(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshT === exactT)
+  }
+
+  test("ngram df-cap prunes hot-shingle posting lists (skewed fixture)") {
+    // 30 docs in one source all share the bigram "hot hot"; each also has
+    // unique content. Uncapped, the hot posting list alone makes
+    // C(30,2)=435 join pairs. With maxDfFrac=0.3 (cap=9) the universal
+    // shingle is dropped BEFORE the self-join, so zero pairs are ever
+    // materialized — the k² hot-key blowup is structurally gone.
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, "src", s"hot hot unique$i tail$i word$i")).toDF(
+      "doc_id", "source", "text")
+    val uncapped = MinHashDedup
+      .ngramJaccardDocs(docs, threshold = 0.01, maxDfFrac = 1.0).count()
+    val capped = MinHashDedup
+      .ngramJaccardDocs(docs, threshold = 0.01, maxDfFrac = 0.3).count()
+    assert(uncapped === 435L, s"uncapped should pair every doc: $uncapped")
+    assert(capped === 0L, s"cap should prune the hot shingle: $capped")
+    // capped Jaccard is still a true set similarity over the capped
+    // universe: two docs sharing a NON-hot shingle still pair correctly
+    val docs2 = docs.union(Seq(
+      (50L, "src", "rare pair rare pair alpha"),
+      (51L, "src", "rare pair rare pair beta")).toDF(
+      "doc_id", "source", "text"))
+    val pairs = MinHashDedup
+      .ngramJaccardDocs(docs2, threshold = 0.3, maxDfFrac = 0.3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((50L, 51L)))
+  }
+
   test("LSH bucketing: identical vectors share a bucket") {
     val d = Seq(
       (1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)),

@@ -58,6 +58,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"as-of must not plan a product join:\n$p")
   }
 
+  test("dedup_embedding_lsh never plans a product join (VERDICT r1 #3)") {
+    val p = plan(graft.operators.SimSearch.dedupEmbeddingLsh(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH dedup must stay a keyed bucket join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join:\n$p")
+  }
+
+  test("IVF corpus cell assignment is scan→project: no Exchange, no Join (VERDICT r1 #4)") {
+    import graft.operators.SimSearch
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val assigned = SimSearch.ivfAssignCorpus(emb,
+      SimSearch.ivfCodebook(emb, centroidStride = 127))
+    val p = plan(assigned)
+    assert(!p.contains("Exchange"),
+      s"cell assignment must not shuffle the corpus:\n$p")
+    assert(!p.contains("Join"),
+      s"cell assignment must not join/explode the corpus:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the final plan,
     // so materialize first

@@ -85,14 +85,27 @@ object AccelerateVectorLambdas extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** A lambda-variable reference widened to double: `CAST(v AS DOUBLE)`
+    * (or `v` itself if it's already double). The cast must be INSIDE the
+    * multiply: `(x,y) -> CAST(x*y AS DOUBLE)` multiplies in the float
+    * domain then widens, which differs from the kernel's widen-then-
+    * multiply in low-order bits — stripping an outer cast would make the
+    * rewrite semantics-changing (ADVICE r1).
+    */
+  private def isDoubleOf(e: Expression, v: NamedLambdaVariable): Boolean =
+    e match {
+      case Cast(c, DoubleType, _, _) => stripCast(c).semanticEquals(v)
+      case other => other.dataType == DoubleType && other.semanticEquals(v)
+    }
+
   private def isElementProduct(f: Expression): Boolean = f match {
-    case LambdaFunction(m, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
-      stripCast(m) match {
-        case Multiply(l, r, _) =>
-          (stripCast(l).semanticEquals(x) && stripCast(r).semanticEquals(y)) ||
-            (stripCast(l).semanticEquals(y) && stripCast(r).semanticEquals(x))
-        case _ => false
-      }
+    case LambdaFunction(
+        Multiply(l, r, _),
+        Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
+      // the multiply itself must be at DoubleType with each operand
+      // individually widened from a lambda variable
+      (isDoubleOf(l, x) && isDoubleOf(r, y)) ||
+        (isDoubleOf(l, y) && isDoubleOf(r, x))
     case _ => false
   }
 
@@ -110,14 +123,12 @@ object AccelerateVectorLambdas extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** (x) -> x² as Multiply(v, v) or Pow(v, 2), possibly cast-wrapped. */
+  /** (x) -> CAST(x)² with the widening inside the multiply — same
+    * double-domain requirement as isElementProduct.
+    */
   private def isElementSquare(f: Expression): Boolean = f match {
-    case LambdaFunction(m, Seq(x: NamedLambdaVariable), _) =>
-      stripCast(m) match {
-        case Multiply(l, r, _) =>
-          stripCast(l).semanticEquals(x) && stripCast(r).semanticEquals(x)
-        case _ => false
-      }
+    case LambdaFunction(Multiply(l, r, _), Seq(x: NamedLambdaVariable), _) =>
+      isDoubleOf(l, x) && isDoubleOf(r, x)
     case _ => false
   }
 

@@ -30,6 +30,13 @@ class Lake(val spark: SparkSession, val warehouse: String) {
     */
   def query(sql: String): DataFrame = spark.sql(sql)
 
+  /** novlake's query-to-table workflow (CTAS): run `sql`, persist the
+    * result as `name`, return the saved (re-read) dataset.
+    */
+  def ctas(sql: String, name: String, mode: String = "overwrite",
+      partitionCols: Seq[String] = Nil): DataFrame =
+    saveDataset(query(sql), name, mode, partitionCols)
+
   /** novlake `Lake.save_dataset(df, name, mode, partition_cols)`:
     * write parquet into the warehouse + register in the catalog.
     */
@@ -77,12 +84,20 @@ class Lake(val spark: SparkSession, val warehouse: String) {
     LakeIO.loadVersion(spark, pathOf(name), version)
 
   /** novlake `Lake.preview(table, n)` ≈ SELECT * LIMIT n — deterministic:
-    * totally ordered over ALL columns (the first column alone may have
-    * ties at the limit boundary).
+    * totally ordered over all ORDERABLE columns (the first column alone
+    * may have ties at the limit boundary). Map-typed columns can't be
+    * sort keys (AnalysisException — ADVICE r1), so they're skipped; a
+    * dataset with no orderable column at all falls back to a plain
+    * limit(n).
     */
   def preview(name: String, n: Int = 10): DataFrame = {
     val df = load(name)
-    df.orderBy(df.columns.map(c => col(c).asc): _*).limit(n)
+    val orderable = df.schema.fields
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(f => col(f.name).asc)
+    if (orderable.isEmpty) df.limit(n)
+    else df.orderBy(orderable.toIndexedSeq: _*).limit(n)
   }
 
   /** novlake `Lake.meta(table)` — schema as rows (Glue DDL stand-in). */
@@ -103,4 +118,21 @@ class Lake(val spark: SparkSession, val warehouse: String) {
 object Lake {
   def apply(spark: SparkSession, warehouse: String): Lake =
     new Lake(spark, warehouse)
+
+  /** novlake `Lake(user)` — the per-user convenience constructor: each
+    * user gets a personal warehouse prefix under a shared root, so
+    * `Lake.forUser(spark, "alice").saveDataset(df, "t")` and bob's `"t"`
+    * never collide. The root comes from (in order) the explicit `root`
+    * argument, the GRAFT_WAREHOUSE environment variable, or a tmpdir
+    * fallback — the same env/config-convention layering novlake uses for
+    * its per-user path config [upstream, unverified — SURVEY.md §1.1].
+    */
+  def forUser(spark: SparkSession, user: String,
+      root: Option[String] = None): Lake = {
+    require(user.nonEmpty && user.forall(c => c.isLetterOrDigit || c == '_'),
+      s"user must be alphanumeric/_, got '$user'")
+    val base = root.orElse(sys.env.get("GRAFT_WAREHOUSE"))
+      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_warehouse")
+    new Lake(spark, s"${base.stripSuffix("/")}/user_$user")
+  }
 }

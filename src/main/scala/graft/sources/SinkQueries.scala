@@ -16,9 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object SinkQueries {
 
+  // Per-process unique scratch root (ADVICE r1): a fixed path keyed only
+  // by sfDir let two concurrent processes on the same sfDir (Bench and
+  // Verify) race on the same sink dirs, and Int hashCode collisions
+  // could alias different sfDirs. pid+startTime is unique per JVM;
+  // stable within one, so each query's save→read-back round-trip still
+  // reuses its own dir across calls in a session.
+  private val processTag: String = {
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    s"${rt.getName.takeWhile(_ != '@')}_${rt.getStartTime.toHexString}"
+  }
+
   private def tmpBase(sfDir: String): String = {
     val h = Integer.toHexString(sfDir.hashCode)
-    s"${sys.props("java.io.tmpdir")}/graft_sinks_$h"
+    s"${sys.props("java.io.tmpdir")}/graft_sinks_${processTag}_$h"
   }
 
   /** `sink_parquet` — overwrite-save + read-back (novlake save_dataset). */

@@ -24,4 +24,38 @@ class ContractSpec extends AnyFunSuite {
       assert(df.schema.fields.nonEmpty, s"$name produced empty schema")
     }
   }
+
+  test("no declared query plans a driver-side funnel (SURVEY §7.6)") {
+    // A distributed operator must not pull the dataset through the
+    // driver: no CollectLimit / toLocalIterator shape in any optimized
+    // plan. (Verify's coalesce(1) is the driver-mandated dump format and
+    // lives outside the query definitions.)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, TestSpark.sf)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("CollectLimit"),
+        s"$name funnels through the driver:\n$plan")
+      // `preview`-style bounded limits are fine; whole-table collects are
+      // what the executed plan would show as CollectLimit over all rows —
+      // also reject obvious local relations materialized from collects
+      assert(!plan.contains("toLocalIterator"), s"$name iterates locally")
+    }
+  }
+
+  test("no declared query outputs an array/map column (driver comparator contract)") {
+    // The driver sorts result rows by EVERY column before hashing —
+    // collection-typed outputs are unhashable there and turned 5 queries
+    // into ERRs in round 1. Library APIs may return arrays; DECLARED
+    // query outputs must serialize them.
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, TestSpark.sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType]
+          || f.dataType.isInstanceOf[MapType] => f.name
+      }
+      assert(bad.isEmpty,
+        s"$name outputs collection columns ${bad.mkString(",")} — " +
+          "serialize with array_join/to_json before declaring")
+    }
+  }
 }

@@ -65,6 +65,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!dbl.queryExecution.optimizedPlan.toString.toLowerCase
       .contains("floatvecdot"))
     assert(dbl.head().getDouble(0) === 11.0)
+    // float-domain multiply then widen — (x,y) -> CAST(x*y AS DOUBLE) —
+    // is NOT the kernel's widen-then-multiply arithmetic and must be
+    // left alone (ADVICE r1: low-order bits differ)
+    val emb2 = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val floatDomain = emb2.select(
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => (x * y).cast("double")),
+        lit(0.0d), (acc, v) => acc + v).as("dot"))
+    assert(!floatDomain.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("floatvecdot"),
+      "rule must not fire on a float-domain multiply")
   }
 
   test("optimizer rewrites the lambda L2-norm to FloatVecNorm, same result") {

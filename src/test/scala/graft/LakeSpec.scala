@@ -86,4 +86,42 @@ class LakeSpec extends AnyFunSuite {
     assert(t2.filter(col("o_orderstatus") === "O").count() === 10)
     assert(t2.filter(col("o_orderstatus") === "F").count() === f.count())
   }
+
+  test("forUser: per-user warehouses are isolated under a shared root") {
+    val root = Files.createTempDirectory("graft_users").toString
+    val alice = Lake.forUser(spark, "alice", Some(root))
+      .attachFixtures(TestSpark.sf)
+    val bob = Lake.forUser(spark, "bob", Some(root))
+    assert(alice.warehouse === s"$root/user_alice")
+    alice.saveDataset(
+      alice.query("SELECT o_orderkey FROM orders LIMIT 7"), "t")
+    assert(alice.load("t").count() === 7)
+    intercept[Exception](bob.load("t").count()) // bob can't see alice's t
+    intercept[IllegalArgumentException](
+      Lake.forUser(spark, "../escape", Some(root)))
+  }
+
+  test("ctas: query-to-table in one call") {
+    val lake = newLake()
+    val back = lake.ctas(
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |GROUP BY o_orderstatus""".stripMargin, "marts.status_counts")
+    assert(back.count() === lake.load("marts.status_counts").count())
+    assert(back.columns.sorted === Array("n", "o_orderstatus"))
+    assert(lake.query("SELECT sum(n) FROM marts_status_counts").head().getLong(0)
+      === lake.query("SELECT count(*) FROM orders").head().getLong(0))
+  }
+
+  test("preview works on map-typed (unorderable) columns") {
+    val lake = newLake()
+    import spark.implicits._
+    val withMap = Seq((2L, "b"), (1L, "a")).toDF("id", "v")
+      .withColumn("meta", map(lit("k"), col("v")))
+    lake.saveDataset(withMap, "mapped")
+    val p = lake.preview("mapped", 1).collect() // sorts by id,v; skips meta
+    assert(p.length === 1 && p.head.getLong(p.head.fieldIndex("id")) === 1L)
+    // all-unorderable schema falls back to plain limit
+    lake.saveDataset(withMap.select(col("meta")), "maponly")
+    assert(lake.preview("maponly", 1).collect().length === 1)
+  }
 }

@@ -29,6 +29,14 @@ object VectorExpressions {
   def normCol(a: Column): Column =
     ColumnBridge.column(FloatVecNorm(ColumnBridge.expression(a)))
 
+  def lshBitsCol(a: Column, nBits: Int): Column =
+    ColumnBridge.column(FloatVecLshBits(ColumnBridge.expression(a), nBits))
+
+  def nearestCentroidCol(a: Column, ids: Array[Long],
+      cents: Array[Array[Double]]): Column =
+    ColumnBridge.column(
+      NearestCentroid(ColumnBridge.expression(a), ids, cents))
+
   private[functions] def checkFloatArray(dt: DataType,
       side: String): TypeCheckResult = dt match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -141,5 +149,154 @@ case class FloatVecNorm(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): FloatVecNorm =
+    copy(child = newChild)
+}
+
+/** Deterministic pseudo-random hyperplane components for sign-LSH:
+  * `comp(p, d)` ∈ [-1, 1) is a splitmix64-style mix of (plane, dim) —
+  * seedless, identical on every executor, callable from generated code
+  * via the static forwarder.
+  */
+object LshMix {
+  def comp(p: Int, d: Int): Double = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L +
+      d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (java.lang.Math.floorMod(z, 2000000L).toDouble / 1000000.0) - 1.0
+  }
+}
+
+/** nBits random-hyperplane sign bits of a float vector, packed into a
+  * long — the SimHash-style LSH bucket id. One compiled nBits×dim pass;
+  * the previous higher-order-function formulation evaluated nBits
+  * interpreted array traversals per row and dominated the
+  * dedup_embedding_lsh benchmark (same escalation as FloatVecDot).
+  */
+case class FloatVecLshBits(child: Expression, nBits: Int)
+    extends UnaryExpression {
+
+  require(nBits > 0 && nBits <= 63, s"nBits must be in [1,63], got $nBits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkFloatArray(child.dataType, "input")
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var bits = 0L
+    var p = 0
+    while (p < nBits) {
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        if (x.isNullAt(d)) return null
+        s += x.getFloat(d).toDouble * LshMix.comp(p, d)
+        d += 1
+      }
+      if (s >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val bits = ctx.freshName("bits")
+      s"""
+         |final int $n = $a.numElements();
+         |long $bits = 0L;
+         |outer:
+         |for (int $p = 0; $p < $nBits; $p++) {
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    if ($a.isNullAt($d)) { ${ev.isNull} = true; break outer; }
+         |    $s += ((double) $a.getFloat($d))
+         |      * graft.functions.LshMix.comp($p, $d);
+         |  }
+         |  if ($s >= 0) $bits |= (1L << $p);
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecLshBits =
+    copy(child = newChild)
+}
+
+/** IVF cell assignment: id of the codebook centroid with the highest
+  * dot(x, ĉ) (centroids pre-normalized driver-side, so the ranking
+  * equals cosine ranking; ‖x‖ scales every score equally). Ids are
+  * scanned in ascending order with a strict `>` update, so ties keep
+  * the smallest centroid id. One compiled C×dim pass per row — replaces
+  * a C-way expression tree (or worse, an N×C crossJoin + window shuffle)
+  * with a single argmax loop; NULL on null/empty input elements.
+  *
+  * The codebook rides the expression as plain constructor data (like
+  * WordShingleHashes' k): it is broadcast-sized by definition and ships
+  * to executors inside the serialized plan.
+  */
+case class NearestCentroid(child: Expression, ids: Array[Long],
+    cents: Array[Array[Double]]) extends UnaryExpression {
+
+  require(ids.nonEmpty && ids.length == cents.length,
+    s"codebook mismatch: ${ids.length} ids vs ${cents.length} centroids")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkFloatArray(child.dataType, "input")
+
+  private def bestOf(x: ArrayData): Any = {
+    val n = x.numElements()
+    var best = Double.NegativeInfinity
+    var bestId = -1L
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      if (cent.length == n) {
+        var s = 0.0
+        var d = 0
+        while (d < n) {
+          if (x.isNullAt(d)) return null
+          s += x.getFloat(d).toDouble * cent(d)
+          d += 1
+        }
+        if (s > best) { best = s; bestId = ids(c) }
+      }
+      c += 1
+    }
+    if (bestId < 0) null else bestId
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    bestOf(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val res = ctx.freshName("res")
+      s"""
+         |Object $res = $self.bestOfJava($a);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $res).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  /** Java-callable entry for generated code. */
+  def bestOfJava(x: ArrayData): Any = bestOf(x)
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
 }

@@ -62,24 +62,17 @@ object SimSearch {
     * buckets): sign of the dot product against `nBits` fixed pseudo-random
     * hyperplanes forms a bucket id; candidates = same-bucket pairs only.
     *
-    * Hyperplanes are derived from a deterministic integer hash (xxhash64
-    * of (plane, dim)) so the operator is reproducible without a random
-    * seed exchange. At 100 TB: bucketing is a single groupBy shuffle,
-    * each bucket joins locally; recall tunes with nBits/nTables.
+    * Hyperplanes are derived from a deterministic seedless integer mix
+    * of (plane, dim) — reproducible without a random seed exchange —
+    * and all nBits sign bits are computed by the codegen'd
+    * FloatVecLshBits kernel in one compiled pass (the higher-order-
+    * function formulation ran nBits interpreted array traversals per
+    * row and dominated the sf0.1 bench). At 100 TB: bucketing is a
+    * single groupBy shuffle, each bucket joins locally; recall tunes
+    * with nBits/nTables.
     */
-  def lshBucket(emb: Column, nBits: Int): Column = {
-    // hyperplane component h(p,d) in [-1,1): deterministic from indices
-    def comp(p: Int, d: Column): Column =
-      (pmod(xxhash64(lit(p), d), lit(2000000L)).cast("double") / 1000000.0) - 1.0
-    val bits = (0 until nBits).map { p =>
-      val s = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x.cast("double") * comp(p, i)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(s >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def lshBucket(emb: Column, nBits: Int): Column =
+    graft.functions.VectorExpressions.lshBitsCol(emb, nBits)
 
   def simsearchLsh(spark: SparkSession, sfDir: String, k: Int = 5,
       nQueries: Int = 10, nBits: Int = 8): DataFrame = {
@@ -175,10 +168,13 @@ object SimSearch {
         lit(-id).as("negid"))
     }
 
-  /** Corpus→cell assignment: argmax cosine over the inlined codebook.
-    * Pure narrow compute — the plan is scan→project with NO Exchange and
-    * NO join (plan-asserted in PlanShapeSpec), vs the old crossJoin +
-    * row_number formulation that shuffled N×C rows.
+  /** Corpus→cell assignment: argmax cosine over the inlined codebook via
+    * the NearestCentroid kernel (centroids pre-normalized driver-side;
+    * dot against ĉ ranks identically to cosine since ‖x‖ scales every
+    * score equally). Pure narrow compute — the plan is scan→project with
+    * NO Exchange and NO join (plan-asserted in PlanShapeSpec), vs the
+    * old crossJoin + row_number formulation that shuffled N×C rows; and
+    * one compiled C×dim argmax loop per row, vs a C-way expression tree.
     */
   def ivfAssignCorpus(emb: DataFrame,
       codebook: Array[(Long, Array[Float], Double)]): DataFrame =
@@ -186,9 +182,9 @@ object SimSearch {
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         l2norm(col("embedding")).as("c_nrm"))
       .withColumn("cent_id",
-        -array_max(array(ivfCellStructs(codebook, col("c_emb"),
-          col("c_nrm")): _*))
-          .getField("negid"))
+        graft.functions.VectorExpressions.nearestCentroidCol(col("c_emb"),
+          codebook.map(_._1),
+          codebook.map { case (_, v, nrm) => v.map(_.toDouble / nrm) }))
 
   /** `expr_custom` — the custom-Catalyst-Expression surface (SURVEY.md
     * §2.J), exercised directly: per-vector L2 norm and self-dot via the
@@ -237,10 +233,14 @@ object SimSearch {
     * OR-of-bands recall shape as MinHash banding), and the exact cosine
     * verify runs on candidates only — so the result is always a SUBSET of
     * the exact operator's, equal on the fixture when recall is 1
-    * (DedupSpec agreement test on planted near-dups; at cos ≥ 0.99 the
-    * per-pair miss probability is (1−p^bitsPerBand)^nBands with
-    * p = 1−θ/π ≈ 0.955 → <1e-3, and the hyperplanes are deterministic so
-    * the test is reproducible).
+    * (DedupSpec agreement test on planted near-dups; per-pair miss
+    * probability is (1−p^bitsPerBand)^nBands with p = 1−θ/π — ≈8e-6 at
+    * cos 0.9999 for the 48-bit/4-band default — and the hyperplanes are
+    * deterministic so the test is reproducible). Band depth trades
+    * candidate precision against borderline-pair recall: 12-bit bands
+    * collide random pairs at ~2⁻¹² per band, keeping the candidate set
+    * ~linear in N, while pairs just at a 0.95 threshold see ~0.7 recall
+    * — tune nBits/nBands per corpus.
     *
     * 100 TB shape: bucketing is per-row compute; the band self-join is a
     * keyed equi-join on (band, key) — pair work is bucket-local, never
@@ -250,7 +250,7 @@ object SimSearch {
     * the cosine is computed.
     */
   def dedupEmbeddingLsh(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.95, nBits: Int = 16, nBands: Int = 4): DataFrame =
+      threshold: Double = 0.95, nBits: Int = 48, nBands: Int = 4): DataFrame =
     dedupEmbeddingLshDocs(Tables.embeddings(spark, sfDir), threshold,
       nBits, nBands)
 

@@ -219,7 +219,7 @@ class DedupSpec extends AnyFunSuite {
     val exact = SimSearch.dedupEmbeddingExactDocs(emb, threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = SimSearch
-      .dedupEmbeddingLshDocs(emb, threshold = 0.95, nBits = 16, nBands = 4)
+      .dedupEmbeddingLshDocs(emb, threshold = 0.95, nBits = 48, nBands = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture must plant at least one near-dup pair")
     Seq(0L, 5L, 11L).foreach(i => assert(exact.contains((i, 100L + i))))

@@ -123,6 +123,7 @@ object SparkEntry {
     "stream_sliding" -> (EventWindows.sliding _),
     "stream_session" -> (EventWindows.sessionize _),
     "stream_dedup" -> (EventWindows.dedupEvents _),
+    "stream_join" -> (EventWindows.streamJoinBatch _),
     "ts_gapfill" -> (EventWindows.tsGapfill _),
     "stream_stateful" -> (EventWindows.statefulRunningTotal _),
     // §2.J UDF / UDAF / UDTF
@@ -154,6 +155,10 @@ object SparkEntry {
     "text_tfidf" -> (TextOps.textTfIdf _),
     "quality_filter" -> (TextOps.qualityFilter _),
     "lang_id" -> (TextOps.langId _),
+    "text_normalize" -> (TextOps.textNormalize _),
+    "pii_scrub" -> (TextOps.piiScrub _),
+    "pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
+    "sample_stratified" -> (TextOps.sampleStratified _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "multimodal_stats" -> (Multimodal.multimodalStats _)
   )
@@ -674,6 +679,15 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id ASC""".stripMargin,
+    "stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  (epoch(date_trunc('second', p.ts))::BIGINT
+        |   - epoch(date_trunc('second', c.ts))::BIGINT) AS gap_sec
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY p.user_id ASC, purchase_id ASC, click_id ASC""".stripMargin,
     "ts_gapfill" ->
       """WITH agg AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bucket,
@@ -795,6 +809,44 @@ object SparkEntry {
         |       ELSE 'fr' END AS pred_lang,
         |  best_score
         |FROM (SELECT *, greatest(sc_en, sc_de, sc_es, sc_fr) AS best_score FROM sc)
+        |ORDER BY doc_id ASC""".stripMargin,
+    "text_normalize" ->
+      raw"""SELECT doc_id, length(text)::INT AS len_raw,
+        |  $normT AS norm,
+        |  regexp_replace($normT, '[^a-z0-9 ]', '', 'g') AS norm_alnum,
+        |  length($normT)::INT AS len_norm
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "pii_scrub" ->
+      raw"""SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::INT
+        |    AS n_emails,
+        |  len(regexp_extract_all(text, '\+?[0-9][0-9() -]{6,}[0-9]'))::INT
+        |    AS n_phones,
+        |  regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "pack_sequences" ->
+      raw"""WITH t AS (SELECT source, doc_id,
+        |    len(string_split($normT, ' '))::INT AS n_tok FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM t)
+        |SELECT source, doc_id, n_tok,
+        |  (cum_before // 512)::BIGINT AS pack_id,
+        |  (cum_before % 512)::BIGINT AS pack_offset
+        |FROM c ORDER BY source ASC, doc_id ASC""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source,
+        |  (('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+        |    % 100)::INT AS bucket
+        |FROM documents
+        |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100
+        |  < (CASE WHEN lang = 'en' THEN 20
+        |          WHEN lang = 'de' THEN 10 ELSE 5 END)
         |ORDER BY doc_id ASC""".stripMargin,
     // mirrors the Spark df-cap: shingles with per-source document
     // frequency > 0.3·|source| are dropped from the shingle universe

@@ -111,6 +111,34 @@ object EventWindows {
       .select(col("event_id"), col("user_id"), col("event_type"))
       .orderBy(col("event_id").asc)
 
+  /** `stream_join` — click→purchase attribution: each purchase joined to
+    * the same user's clicks in the preceding 30 minutes. Batch form of
+    * the watermarked stream-stream interval join
+    * (`Streams.clickPurchaseJoin`; equivalence tested in StreamingSpec).
+    *
+    * Scale: an equi-join keyed on user_id with the time band as a
+    * post-join filter — a keyed shuffle join, never a nested-loop
+    * product (same shape as join_theta_range). In the streaming form the
+    * watermark bounds both sides' state to the interval width.
+    */
+  def streamJoinBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("click_ts") <= col("purchase_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("gap_sec"))
+      .orderBy(col("user_id").asc, col("purchase_id").asc,
+        col("click_id").asc)
+  }
+
   /** `stream_stateful` — running per-user purchase total (batch form of
     * the transformWithState processor in Streams): cumulative sum over
     * the user's purchase history.

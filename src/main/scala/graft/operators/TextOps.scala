@@ -155,6 +155,96 @@ object TextOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** `text_normalize` — the normalization pass a corpus goes through
+    * before hashing/dedup, as a declared operator: lowercase, collapse
+    * whitespace, trim, plus a punctuation-stripped variant ([a-z0-9 ]
+    * charset — same class in Java regex and RE2, so oracle-stable).
+    * Row-local, no shuffle beyond the final sort.
+    */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("len_raw"),
+        normText(col("text")).as("norm"),
+        regexp_replace(normText(col("text")), "[^a-z0-9 ]", "")
+          .as("norm_alnum"))
+      .withColumn("len_norm", length(col("norm")))
+      .orderBy(col("doc_id").asc)
+
+  /** `pii_scrub` — PII redaction for training-data curation: emails and
+    * phone-number-shaped digit runs replaced with typed placeholder
+    * tokens, with per-doc redaction counts. Patterns are RE2-compatible
+    * (no backrefs/lookarounds) so Spark and the DuckDB oracle compile
+    * them identically. Row-local; planted-PII behavior is spec-tested
+    * (the fixture corpus is synthetic prose and mostly clean).
+    */
+  private val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val phonePat = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrubDocs(Tables.documents(spark, sfDir))
+
+  /** Core of `pii_scrub` over any (doc_id, text) frame. */
+  def piiScrubDocs(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phonePat), lit(0)))
+          .as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>").as("scrubbed"))
+      .orderBy(col("doc_id").asc)
+
+  /** `pack_sequences` — token-budget sequence packing for LLM training:
+    * documents are concatenated in a deterministic order (doc_id) within
+    * each source and chunked into fixed token-budget packs; each doc gets
+    * its pack id and token offset. This is the "concat-then-chunk" layout
+    * (docs may straddle pack boundaries — standard for causal-LM token
+    * streams).
+    *
+    * Scale: one window shuffle on source (the same key the data is
+    * naturally grouped by); the running sum is a single sort-based
+    * window, no self-join, no driver state. For sources too large for
+    * one task, pre-split on (source, doc_id range) — pack ids stay
+    * deterministic because the order key is global.
+    */
+  def packSequences(spark: SparkSession, sfDir: String,
+      budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tok", size(split(normText(col("text")), " ")))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(
+        col("source"), col("doc_id"), col("n_tok"),
+        floor(col("cum_before") / budget).as("pack_id"),
+        (col("cum_before") % budget).as("pack_offset"))
+      .orderBy(col("source").asc, col("doc_id").asc)
+  }
+
+  /** `sample_stratified` — deterministic per-stratum sampling: each
+    * language keeps a different rate via the same md5-prefix bucket as
+    * `sample_hash` (seedless, engine-portable, stable under re-runs —
+    * the property cluster re-executions need; `rand()`-based sampleBy
+    * can't give that). Row-local filter, no shuffle.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 100
+    val rate = when(col("lang") === "en", 20L)
+      .when(col("lang") === "de", 10L)
+      .otherwise(5L)
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket", bucket.cast("int"))
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** `doc_fingerprint` — rolling/content-defined fingerprinting: per-doc
     * polynomial rolling hash over word 3-grams, plus the minimum 3-gram
     * hash (a 1-permutation MinHash — the dedup_minhash building block).

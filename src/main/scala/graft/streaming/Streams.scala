@@ -98,6 +98,26 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** `stream_join` — watermarked stream-stream interval join: purchases
+    * matched to the same user's clicks in the preceding 30 minutes
+    * (batch equivalent: EventWindows.streamJoinBatch; equivalence tested
+    * in StreamingSpec). The watermark + time-range condition lets the
+    * engine evict both sides' join state once click_ts falls behind
+    * purchase-side watermark − 30 min — bounded state at scale.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "1 hour")
+    val p = purchases.withWatermark("purchase_ts", "1 hour")
+    p.join(c,
+      expr("""p_user_id = c_user_id AND
+             |click_ts <= purchase_ts AND
+             |purchase_ts <= click_ts + INTERVAL 30 MINUTES""".stripMargin))
+      .select(col("p_user_id").as("user_id"), col("purchase_id"),
+        col("click_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("gap_sec"))
+  }
+
   /** `stream_stateful` — custom keyed state: running purchase total per
     * user, emitted on every purchase. flatMapGroupsWithState keeps one
     * double per user; with event-time timeout the state is GC'd for

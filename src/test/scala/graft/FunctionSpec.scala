@@ -24,6 +24,20 @@ class FunctionSpec extends AnyFunSuite {
     }
   }
 
+  test("pii_scrub redacts planted emails and phone numbers") {
+    val d = Seq(
+      (1L, "contact john.doe@example.com or +1 (555) 123-4567 now"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.piiScrubDocs(d).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(r(1L).getAs[Int]("n_emails") === 1)
+    assert(r(1L).getAs[Int]("n_phones") === 1)
+    val s = r(1L).getAs[String]("scrubbed")
+    assert(s.contains("<EMAIL>") && s.contains("<PHONE>"))
+    assert(!s.contains("example.com") && !s.contains("555"))
+    assert(r(2L).getAs[String]("scrubbed") === "no pii here at all")
+  }
+
   test("hash functions are stable across runs (fixed vectors)") {
     val df = Seq("abc").toDF("s").select(
       md5(col("s")).as("m"), sha2(col("s"), 256).as("h"),

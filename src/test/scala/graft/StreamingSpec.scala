@@ -43,6 +43,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join equals the batch attribution join") {
+    val sfd = TestSpark.sf
+    val ev = Streams.eventsFileStream(spark, sfd)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    runToTable(Streams.clickPurchaseJoin(clicks, purchases), "ssjoin",
+      "append")
+    val streamed = spark.table("ssjoin")
+      .orderBy("user_id", "purchase_id", "click_id").collect().toSeq
+    val batch = EventWindows.streamJoinBatch(spark, sfd).collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("watermark drops late data beyond the threshold") {
     val mem = MemoryStream[Ev]
     val counts = Streams.tumblingCounts(mem.toDF())

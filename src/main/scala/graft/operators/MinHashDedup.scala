@@ -166,12 +166,16 @@ object MinHashDedup {
       .agg(count(lit(1)).as("src_n"))
     val tok = docs.select(col("source"), col("doc_id"),
       explode(col("shh")).as("h"))
-    val dfCap = tok.groupBy(col("source"), col("h"))
+    // the DROP set (df above the cap) is tiny by construction — only
+    // stop-shingles clear a 0.3·|source| document frequency — so the
+    // filter is a broadcast anti-join: tok is shuffled once for the df
+    // aggregate and never again for the cap
+    val hot = tok.groupBy(col("source"), col("h"))
       .agg(count(lit(1)).as("df"))
       .join(broadcast(srcSizes), "source")
-      .filter(col("df") <= col("src_n") * maxDfFrac)
+      .filter(col("df") > col("src_n") * maxDfFrac)
       .select(col("source"), col("h"))
-    val kept = tok.join(dfCap, Seq("source", "h"))
+    val kept = tok.join(broadcast(hot), Seq("source", "h"), "left_anti")
     val sizes = kept.groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
     val inter = kept.select(col("source"), col("h"), col("doc_id").as("a_id"))

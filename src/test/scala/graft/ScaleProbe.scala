@@ -63,7 +63,17 @@ object ScaleProbe {
         MinHashDedup.dedupMinhash(s, d)),
       "text_tfidf" -> TextOps.textTfIdf _,
       "simsearch_knn" -> ((s: SparkSession, d: String) =>
-        SimSearch.knnBruteForce(s, d)))
+        SimSearch.knnBruteForce(s, d)),
+      // round-2 additions. IVF: codebook size is a design constant, not
+      // ∝N — scale the stride with the corpus so C stays ~157.
+      "simsearch_ivf" -> ((s: SparkSession, d: String) =>
+        SimSearch.simsearchIvf(s, d,
+          centroidStride = if (d == base) 127 else 1270)),
+      "dedup_embedding_lsh" -> ((s: SparkSession, d: String) =>
+        SimSearch.dedupEmbeddingLsh(s, d)),
+      "pack_sequences" -> ((s: SparkSession, d: String) =>
+        TextOps.packSequences(s, d)),
+      "stream_join" -> EventWindows.streamJoinBatch _)
     Seq(("1x", base), ("10x", out)).foreach { case (tag, dir) =>
       ops.foreach { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -160,7 +160,9 @@ object SparkEntry {
     "pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "sample_stratified" -> (TextOps.sampleStratified _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
-    "multimodal_stats" -> (Multimodal.multimodalStats _)
+    "multimodal_stats" -> (Multimodal.multimodalStats _),
+    "multimodal_frames" -> (Multimodal.multimodalFrames _),
+    "multimodal_resize" -> (Multimodal.multimodalResize _)
   )
 
   // DuckDB-dialect equivalents. Shared SQL fragments:
@@ -919,6 +921,23 @@ object SparkEntry {
         |  count(*) AS n_assets,
         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         |  CAST(max(n_chars % 1920) AS INT) AS max_width
-        |FROM documents GROUP BY 1 ORDER BY 1 ASC""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id AS asset_id,
+        |  unnest(range(0, (n_chars * 10)::BIGINT, 1000)) AS frame_ts_ms
+        |FROM documents
+        |WHERE doc_id % 3 = 2 AND n_chars * 10 > 0
+        |ORDER BY asset_id ASC, frame_ts_ms ASC""".stripMargin,
+    "multimodal_resize" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |    (n_chars % 1920)::INT AS width, (n_chars % 1080)::INT AS height
+        |  FROM documents),
+        |s AS (SELECT *, least(256.0 / greatest(width, 1),
+        |                      256.0 / greatest(height, 1)) AS sc
+        |      FROM a WHERE width > 0 AND height > 0)
+        |SELECT asset_id, width, height,
+        |  ceil(width * sc)::INT AS out_width,
+        |  ceil(height * sc)::INT AS out_height
+        |FROM s ORDER BY asset_id ASC""".stripMargin
   )
 }

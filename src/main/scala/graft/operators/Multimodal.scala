@@ -127,6 +127,26 @@ object Multimodal {
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
           .as("frame_ts_ms"))
 
+  /** `multimodal_frames` — declared form of sampleFrames over the
+    * synthetic assets: one row per sampled video frame, 1s stride. The
+    * output carries (asset_id, frame_ts_ms) only — frame fan-out never
+    * duplicates blobs.
+    */
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame =
+    sampleFrames(syntheticAssets(spark, sfDir), everyMs = 1000L)
+      .orderBy(col("asset_id").asc, col("frame_ts_ms").asc)
+
+  /** `multimodal_resize` — declared form of resizeTo (256px max side):
+    * aspect-preserving target dimensions from metadata, binary excluded
+    * from the declared output.
+    */
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame =
+    resizeTo(syntheticAssets(spark, sfDir)
+        .filter(col("width") > 0 && col("height") > 0), 256)
+      .select(col("asset_id"), col("width"), col("height"),
+        col("out_width"), col("out_height"))
+      .orderBy(col("asset_id").asc)
+
   /** `multimodal_stats` — oracle-friendly projection over the synthetic
     * assets: byte sizes and metadata, no binary in the output.
     */

@@ -79,6 +79,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cell assignment must not join/explode the corpus:\n$p")
   }
 
+  test("stream_join is a keyed equi-join with pushed type filters, no product") {
+    val p = plan(graft.operators.EventWindows.streamJoinBatch(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay keyed on user_id:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("event_type"),
+      s"event_type filters should reach the scan:\n$p")
+  }
+
+  test("pack_sequences is one window pass: a single source-keyed Exchange, no join") {
+    val p = plan(graft.operators.TextOps.packSequences(spark, sf))
+    assert(!p.contains("Join"), s"packing must not self-join:\n$p")
+    // exchanges: one for the per-source window + the final global sort
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"packing should shuffle once (plus the ORDER BY):\n$p")
+  }
+
+  test("row-local operators read only the columns they emit") {
+    // sample_stratified projects 3 source columns — the scan must prune
+    val p = plan(graft.operators.TextOps.sampleStratified(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"),
+      s"expected pruned documents scan:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the final plan,
     // so materialize first

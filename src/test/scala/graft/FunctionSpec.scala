@@ -24,6 +24,35 @@ class FunctionSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_sequences invariants: offsets under budget, ids contiguous, tokens conserved") {
+    val budget = 512
+    val rows = graft.operators.TextOps.packSequences(spark, sf, budget)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pack_offset") >= 0 &&
+        r.getAs[Long]("pack_offset") < budget)
+    }
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("doc_id"))
+      // pack ids start at 0, never decrease, never skip more than the
+      // largest doc spans
+      assert(ordered.head.getAs[Long]("pack_id") === 0L)
+      assert(ordered.head.getAs[Long]("pack_offset") === 0L)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val cumA = a.getAs[Long]("pack_id") * budget +
+            a.getAs[Long]("pack_offset") + a.getAs[Int]("n_tok")
+          val cumB = b.getAs[Long]("pack_id") * budget +
+            b.getAs[Long]("pack_offset")
+          assert(cumA === cumB,
+            s"$src: doc ${b.getAs[Long]("doc_id")} offset must equal " +
+              "running token sum (concat-then-chunk)")
+        case _ =>
+      }
+    }
+  }
+
   test("pii_scrub redacts planted emails and phone numbers") {
     val d = Seq(
       (1L, "contact john.doe@example.com or +1 (555) 123-4567 now"),

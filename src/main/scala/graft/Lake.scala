@@ -67,6 +67,17 @@ class Lake(val spark: SparkSession, val warehouse: String) {
   /** novlake `Lake.load(name)` — read a warehouse dataset. */
   def load(name: String): DataFrame = spark.read.parquet(pathOf(name))
 
+  /** Cluster-and-sort save: range-partitioned + sorted files so filters
+    * on `sortCols` skip files/row groups via parquet stats (LakeIO
+    * notes). The lake-maintenance form of Delta OPTIMIZE ZORDER.
+    */
+  def saveSorted(df: DataFrame, name: String, sortCols: Seq[String],
+      numFiles: Option[Int] = None): DataFrame = {
+    LakeIO.saveSorted(df, pathOf(name), sortCols, numFiles)
+    LakeIO.registerTable(spark, name.replace('.', '_'), pathOf(name))
+    load(name)
+  }
+
   /** MERGE/upsert into a warehouse dataset: source rows win on `keys`,
     * unmatched target rows survive (Delta MERGE emulation — LakeIO).
     */

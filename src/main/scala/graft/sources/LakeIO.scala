@@ -181,4 +181,24 @@ object LakeIO {
     df.repartition(targetFileCount).write.mode(SaveMode.Overwrite).parquet(tmp)
     swapInto(spark, tmp, path)
   }
+
+  /** Cluster-and-sort save for scan pruning (Delta OPTIMIZE ZORDER's
+    * single-column cousin, parquet-native): range-partition on the sort
+    * keys so each output file owns a disjoint key range, then sort
+    * within partitions so every parquet row group carries tight min/max
+    * stats on those keys. Point/range filters on the sort keys then skip
+    * whole files (via partition-level stats) and whole row groups (via
+    * predicate pushdown) instead of scanning — at 100 TB this is the
+    * difference between touching one file and touching all of them.
+    */
+  def saveSorted(df: DataFrame, path: String, sortCols: Seq[String],
+      numFiles: Option[Int] = None): Unit = {
+    val keys = sortCols.map(col)
+    val ranged = numFiles match {
+      case Some(n) => df.repartitionByRange(n, keys: _*)
+      case None => df.repartitionByRange(keys: _*) // AQE sizes partitions
+    }
+    ranged.sortWithinPartitions(keys: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -87,6 +87,31 @@ class LakeSpec extends AnyFunSuite {
     assert(t2.filter(col("o_orderstatus") === "F").count() === f.count())
   }
 
+  test("saveSorted clusters files into disjoint key ranges (scan pruning)") {
+    val lake = newLake()
+    val src = lake.query("SELECT o_orderkey, o_totalprice FROM orders")
+    val back = lake.saveSorted(src, "sorted_orders", Seq("o_orderkey"),
+      numFiles = Some(4))
+    assert(back.count() === src.count())
+    // each parquet file must own a non-overlapping o_orderkey range —
+    // that's what lets min/max stats skip whole files at scale
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple range-clustered files")
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"file ranges overlap: hi=$hiA > lo=$loB")
+      case _ =>
+    }
+    // and a point filter on the sort key is pushed to the scan
+    val p = back.filter(col("o_orderkey") === ranges.head._1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey"))
+  }
+
   test("forUser: per-user warehouses are isolated under a shared root") {
     val root = Files.createTempDirectory("graft_users").toString
     val alice = Lake.forUser(spark, "alice", Some(root))

@@ -160,6 +160,24 @@ object SparkEntry {
     "pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "sample_stratified" -> (TextOps.sampleStratified _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
+    // novlake's primary surface is `Lake.query(sql)` → Athena; this is
+    // the same ANSI SQL executed by Catalyst over registered tables,
+    // declared end-to-end (the DataFrame-API queries above cover the
+    // operators; this covers the passthrough itself)
+    "sql_passthrough" -> ((s: SparkSession, d: String) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql(
+        """SELECT n_name, count(DISTINCT c.c_custkey) AS n_custs,
+          |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+          |       AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          |FROM customer c
+          |JOIN orders o ON c.c_custkey = o.o_custkey
+          |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |WHERE o.o_orderstatus = 'F'
+          |GROUP BY n_name
+          |ORDER BY n_name ASC""".stripMargin)
+    }),
     "multimodal_stats" -> (Multimodal.multimodalStats _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
     "multimodal_resize" -> (Multimodal.multimodalResize _)
@@ -922,6 +940,17 @@ object SparkEntry {
         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         |  CAST(max(n_chars % 1920) AS INT) AS max_width
         |FROM documents GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    "sql_passthrough" ->
+      """SELECT n_name, count(DISTINCT c.c_custkey) AS n_custs,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |       AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderstatus = 'F'
+        |GROUP BY n_name
+        |ORDER BY n_name ASC""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id AS asset_id,
         |  unnest(range(0, (n_chars * 10)::BIGINT, 1000)) AS frame_ts_ms

@@ -67,6 +67,7 @@ object SparkEntry {
     "join_asof" -> (Joins.joinAsOf _),
     "join_skew_salted" -> (Joins.joinSkewSalted _),
     "join_multiway" -> (Joins.joinMultiway _),
+    "join_interval_overlap" -> (Joins.joinIntervalOverlap _),
     // §2.D aggregations
     "agg_group_sum" -> (Aggregates.aggGroupSum _),
     "agg_count_distinct" -> (Aggregates.aggCountDistinct _),
@@ -699,6 +700,21 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id ASC""".stripMargin,
+    "join_interval_overlap" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch(date_trunc('second', ts))::BIGINT AS s,
+        |    epoch(date_trunc('second', ts))::BIGINT
+        |      + floor(least(value, 500))::BIGINT AS e
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, s AS a_s, e AS a_e
+        |      FROM e WHERE event_type = 'view'),
+        |b AS (SELECT user_id, event_id AS b_id, s AS b_s, e AS b_e
+        |      FROM e WHERE event_type = 'click')
+        |SELECT a.user_id, a_id, b_id,
+        |  (least(a_e, b_e) - greatest(a_s, b_s)) AS overlap_sec
+        |FROM a JOIN b ON a.user_id = b.user_id
+        | AND a_s <= b_e AND b_s <= a_e
+        |ORDER BY a.user_id ASC, a_id ASC, b_id ASC""".stripMargin,
     "stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
         |  (epoch(date_trunc('second', p.ts))::BIGINT

@@ -79,6 +79,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cell assignment must not join/explode the corpus:\n$p")
   }
 
+  test("interval overlap join is grid-bucketed, never a nested-loop product") {
+    val p = plan(Joins.joinIntervalOverlap(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must bucket, not nested-loop:\n$p")
+  }
+
   test("stream_join is a keyed equi-join with pushed type filters, no product") {
     val p = plan(graft.operators.EventWindows.streamJoinBatch(spark, sf))
     assert(!p.contains("CartesianProduct") &&

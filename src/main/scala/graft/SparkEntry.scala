@@ -78,6 +78,7 @@ object SparkEntry {
     "agg_having" -> (Aggregates.aggHaving _),
     "agg_stats" -> (Aggregates.aggStats _),
     "agg_histogram" -> (Aggregates.aggHistogram _),
+    "agg_conditional" -> (Aggregates.aggConditional _),
     "agg_pivot" -> (Aggregates.aggPivot _),
     "agg_unpivot" -> (Aggregates.aggUnpivot _),
     "agg_percentile" -> (Aggregates.aggPercentile _),
@@ -387,6 +388,15 @@ object SparkEntry {
         |  round(kurtosis(l_quantity), 3) AS kurt_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC""".stripMargin,
+    "agg_conditional" ->
+      """SELECT o_orderpriority,
+        |  count_if(o_totalprice > 200000)::BIGINT AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_pos,
+        |  bool_or(o_orderstatus = 'P') AS any_pending,
+        |  arg_max(o_orderkey,
+        |    printf('%020.2f|%019d', o_totalprice, o_orderkey)) AS top_order
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
     "agg_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))

@@ -129,6 +129,24 @@ object Aggregates {
         round(kurtosis(col("l_quantity")), 3).as("kurt_qty"))
       .orderBy(col("l_returnflag").asc)
 
+  /** `agg_conditional` — the conditional/selective aggregate family:
+    * count_if, bool_and, bool_or, and a tie-safe max_by (argmax keyed on
+    * a zero-padded (price, orderkey) string so ties are broken by key —
+    * raw max_by on a non-unique ordering value is engine-arbitrary and
+    * not oracle-safe).
+    */
+  def aggConditional(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("count_if(o_totalprice > 200000)").as("n_big"),
+        expr("bool_and(o_totalprice > 0)").as("all_pos"),
+        expr("bool_or(o_orderstatus = 'P')").as("any_pending"),
+        max_by(col("o_orderkey"),
+          format_string("%020.2f|%019d", col("o_totalprice"),
+            col("o_orderkey"))).as("top_order"))
+      .orderBy(col("o_orderpriority").asc)
+
   /** `agg_pivot` — groupBy().pivot() with an explicit value list (fixed
     * output schema → deterministic; an unbounded pivot would scan for
     * distinct values first). Oracle form: conditional aggregation.

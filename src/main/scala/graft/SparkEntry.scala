@@ -107,6 +107,7 @@ object SparkEntry {
     // §2.H scalar function families
     "fn_string" -> (ScalarFns.fnString _),
     "fn_string2" -> (ScalarFns.fnString2 _),
+    "fn_pad_trim" -> (ScalarFns.fnPadTrim _),
     "fn_date" -> (ScalarFns.fnDate _),
     "fn_math" -> (ScalarFns.fnMath _),
     "fn_cond" -> (ScalarFns.fnCond _),
@@ -571,6 +572,14 @@ object SparkEntry {
         |  ascii(c_mktsegment)::INT AS first_code,
         |  repeat(substring(c_name, 1, 2), 2) AS rep2
         |FROM customer ORDER BY c_custkey ASC""".stripMargin,
+    "fn_pad_trim" ->
+      """SELECT s_suppkey,
+        |  lpad(s_name, 22, '*') AS lpadded,
+        |  rpad(s_name, 22, '.') AS rpadded,
+        |  trim(lpad('  ' || s_name || '  ', 30, ' ')) AS retrimmed,
+        |  split_part(s_name, '#', 1) AS name_prefix,
+        |  string_split(s_name, '#')[-1] AS name_suffix
+        |FROM supplier ORDER BY s_suppkey ASC""".stripMargin,
     "fn_date" ->
       """SELECT o_orderkey,
         |  year(o_orderdate)::INT AS yr,

@@ -46,6 +46,21 @@ object ScalarFns {
         repeat(substring(col("c_name"), 1, 2), 2).as("rep2"))
       .orderBy(col("c_custkey").asc)
 
+  /** `fn_pad_trim` — fixed-width formatting family: lpad/rpad with fill
+    * chars, trim of injected padding, split_part-style extraction.
+    */
+  def fnPadTrim(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir)
+      .select(
+        col("s_suppkey"),
+        lpad(col("s_name"), 22, "*").as("lpadded"),
+        rpad(col("s_name"), 22, ".").as("rpadded"),
+        trim(lpad(concat(lit("  "), col("s_name"), lit("  ")), 30, " "))
+          .as("retrimmed"),
+        element_at(split(col("s_name"), "#"), 1).as("name_prefix"),
+        element_at(split(col("s_name"), "#"), -1).as("name_suffix"))
+      .orderBy(col("s_suppkey").asc)
+
   /** `fn_date` — extraction/truncation/arithmetic on ms-precision
     * timestamps. dow normalized to ISO (1=Mon..7=Sun) on both engines:
     * Spark dayofweek is 1=Sun, DuckDB dow is 0=Sun (SURVEY.md §5.3.5).

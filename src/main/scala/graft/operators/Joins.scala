@@ -209,13 +209,20 @@ object Joins {
     * form). Candidate work is bucket-local; nothing is quadratic in the
     * corpus.
     */
-  def joinIntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = 512L
-    val ev = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_timestamp(col("ts")).as("s"),
-        (unix_timestamp(col("ts")) +
-          floor(least(col("value"), lit(500.0))).cast("long")).as("e"))
+  def joinIntervalOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    joinIntervalOverlapCore(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("s"),
+          (unix_timestamp(col("ts")) +
+            floor(least(col("value"), lit(500.0))).cast("long")).as("e")))
+
+  /** Core of `join_interval_overlap` over any
+    * (user_id, event_id, event_type, s, e) frame with e−s < bucketSec.
+    */
+  def joinIntervalOverlapCore(ev: DataFrame,
+      bucketSec: Long = 512L): DataFrame = {
+    val g = bucketSec
     def side(t: String, id: String, sN: String, eN: String) =
       ev.filter(col("event_type") === t)
         .select(col("user_id"), col("event_id").as(id),

@@ -142,6 +142,28 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.15, s"exact=$exact approx=$approx")
   }
 
+  test("interval overlap bucketing equals brute force on random intervals") {
+    // deterministic pseudo-random intervals, lengths < bucket width;
+    // the grid-bucketed join must find EXACTLY the brute-force pairs
+    val rnd = new scala.util.Random(7)
+    val evs = Seq.tabulate(400) { i =>
+      (rnd.nextInt(6).toLong, i.toLong,
+        if (i % 2 == 0) "view" else "click",
+        rnd.nextInt(50000).toLong, rnd.nextInt(500).toLong)
+    }.map { case (u, id, t, s, len) => (u, id, t, s, s + len) }
+    val ev = evs.toDF("user_id", "event_id", "event_type", "s", "e")
+    val bucketed = graft.operators.Joins.joinIntervalOverlapCore(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (ua, ia, ta, sa, ea) <- evs if ta == "view"
+      (ub, ib, tb, sb, eb) <- evs
+      if tb == "click" && ua == ub && sa <= eb && sb <= ea
+    } yield (ua, ia, ib)).toSet
+    assert(brute.nonEmpty)
+    assert(bucketed === brute,
+      s"missed ${brute -- bucketed}, extra ${bucketed -- brute}")
+  }
+
   test("salted join equals the plain equi-join") {
     val salted = graft.operators.Joins.joinSkewSalted(spark, TestSpark.sf)
       .collect().toSeq

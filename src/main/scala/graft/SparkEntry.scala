@@ -139,6 +139,7 @@ object SparkEntry {
       sigAsCsv(Udfs.corpusSignature(s, d))),
     "udaf_imperative" -> ((s: SparkSession, d: String) =>
       sigAsCsv(Udfs.corpusSignatureImperative(s, d))),
+    "udaf_topk" -> ((s: SparkSession, d: String) => Udfs.topkHeap(s, d)),
     "expr_custom" -> (SimSearch.exprCustom _),
     // §2.K LLM-data-pipeline operators
     "dedup_exact" -> (TextOps.dedupExact _),
@@ -389,6 +390,15 @@ object SparkEntry {
         |  round(kurtosis(l_quantity), 3) AS kurt_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC""".stripMargin,
+    "udaf_topk" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  string_agg(o_orderkey::VARCHAR, ',' ORDER BY rn) AS top_keys
+        |FROM r WHERE rn <= 3 GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
     "agg_conditional" ->
       """SELECT o_orderpriority,
         |  count_if(o_totalprice > 200000)::BIGINT AS n_big,

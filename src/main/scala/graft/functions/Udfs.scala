@@ -106,4 +106,42 @@ object Udfs {
       .agg(ImperativeAggs.minSig(col("sig"), nPerm).as("corpus_sig"))
       .orderBy(col("source").asc)
   }
+
+  /** `udaf_topk` — bounded top-k as a typed Aggregator: each partial
+    * keeps only its k best (value, key) pairs, merges are k+k→k, so the
+    * shuffle carries fixed-size state per group — the scale-correct
+    * alternative to a full window sort when only the top k survive
+    * (topk_per_group's window form sorts EVERY row in the group).
+    * Ordering is (value DESC, key ASC) so ties are deterministic;
+    * output is the ordered key list as a CSV string (array-free for the
+    * driver comparator). Merge laws property-tested in DedupSpec;
+    * result equality vs the window form spec-asserted.
+    */
+  class TopKAggregator(val k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], String] {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortWith(better).take(k)
+    def zero: Seq[(Double, Long)] = Nil
+    def reduce(buf: Seq[(Double, Long)], row: (Double, Long)): Seq[(Double, Long)] =
+      trim(buf :+ row)
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(a ++ b)
+    def finish(buf: Seq[(Double, Long)]): String =
+      trim(buf).map(_._2).mkString(",")
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** Top-3 orders by price per priority through the bounded aggregator. */
+  def topkHeap(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val agg = udaf(new TopKAggregator(k))
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(agg(col("o_totalprice"), col("o_orderkey")).as("top_keys"))
+      .orderBy(col("o_orderpriority").asc)
+  }
 }

@@ -178,6 +178,35 @@ class DedupSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("TopKAggregator: merge laws hold and result equals the window form") {
+    val agg = new Udfs.TopKAggregator(3)
+    val genRow = Gen.zip(Gen.chooseNum(0.0, 100.0), Gen.chooseNum(0L, 50L))
+    val genBuf = Gen.listOfN(5, genRow).map(rs =>
+      rs.foldLeft(agg.zero)(agg.reduce))
+    val prop = Prop.forAll(genBuf, genBuf, genBuf) { (a, b, c) =>
+      agg.merge(a, b) == agg.merge(b, a) &&
+        agg.merge(agg.merge(a, b), c) == agg.merge(a, agg.merge(b, c)) &&
+        agg.merge(a, agg.zero) == a
+    }
+    val result = SCTest.check(SCTest.Parameters.default, prop)
+    assert(result.passed, result.status.toString)
+    // equality with the window-sort formulation on the fixture
+    val viaAgg = Udfs.topkHeap(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val viaWindow = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy(col("o_orderpriority"))
+      // collect_list order out of a shuffle is arbitrary — sort by rn
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("o_orderkey")))),
+        s => s.getField("o_orderkey").cast("string")), ",").as("keys"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaAgg === viaWindow)
+  }
+
   test("imperative (TypedImperativeAggregate) signature equals typed Aggregator's") {
     val typed = Udfs.corpusSignature(spark, TestSpark.sf)
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap

@@ -128,6 +128,9 @@ object SparkEntry {
     "stream_dedup" -> (EventWindows.dedupEvents _),
     "stream_join" -> (EventWindows.streamJoinBatch _),
     "ts_gapfill" -> (EventWindows.tsGapfill _),
+    "ts_interpolate" -> (EventWindows.tsInterpolate _),
+    "event_funnel" -> (EventWindows.eventFunnel _),
+    "retention_cohort" -> (EventWindows.retentionCohort _),
     "stream_stateful" -> (EventWindows.statefulRunningTotal _),
     // §2.J UDF / UDAF / UDTF
     "udf_scalar" -> (Udfs.udfScalar _),
@@ -772,6 +775,62 @@ object SparkEntry {
         |FROM grid g LEFT JOIN agg a
         |  ON g.user_id = a.user_id AND g.bucket = a.bucket
         |ORDER BY user_id ASC, bucket ASC""".stripMargin,
+    "ts_interpolate" ->
+      """WITH agg AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |          FROM agg GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |         FROM spans),
+        |j AS (SELECT g.user_id, g.bucket, a.v
+        |      FROM grid g LEFT JOIN agg a
+        |        ON g.user_id = a.user_id AND g.bucket = a.bucket),
+        |w AS (SELECT user_id, bucket, v,
+        |    last_value(v IGNORE NULLS) OVER pw AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+        |      OVER pw AS pt,
+        |    first_value(v IGNORE NULLS) OVER nw AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+        |      OVER nw AS nt
+        |  FROM j
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  nw AS (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, bucket, (CASE
+        |    WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * (epoch(bucket) - epoch(pt))
+        |                        / (epoch(nt) - epoch(pt)) END) AS interp
+        |FROM w ORDER BY user_id ASC, bucket ASC""".stripMargin,
+    "event_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT count(t1.t1) AS n_view, count(t2.t2) AS n_view_click,
+        |  count(t3.t3) AS n_view_click_purchase
+        |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
+    "retention_cohort" ->
+      """WITH fd AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        |            FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+        |        FROM events)
+        |SELECT cohort,
+        |  date_diff('day', cohort::DATE, d::DATE)::INT AS day_offset,
+        |  count(*) AS n_users
+        |FROM act JOIN fd ON act.user_id = fd.user_id
+        |GROUP BY 1, 2 ORDER BY cohort ASC, day_offset ASC""".stripMargin,
     "stream_stateful" ->
       """SELECT user_id, event_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (

@@ -100,6 +100,96 @@ object EventWindows {
       .orderBy(col("user_id").asc, col("bucket").asc)
   }
 
+  /** `ts_interpolate` — resample to an hourly grid with LINEAR
+    * interpolation between observed points (ts_gapfill's forward-fill
+    * sibling): missing buckets get prev + (next−prev)·(t−tp)/(tn−tp);
+    * leading/trailing gaps take the nearest observed value. The hourly
+    * value is an exact DECIMAL mean cast to double, so both engines
+    * interpolate from identical inputs.
+    *
+    * Scale: same shape as gapfill — one keyed agg, a per-user grid
+    * explode, and two frame-bounded window passes; state per user is
+    * O(1) per window.
+    */
+  def tsInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg((sum(dec(col("value"))).cast("double") / count(lit(1)))
+        .as("v"))
+    val grid = agg.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+          .as("bucket"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("bucket").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(agg, Seq("user_id", "bucket"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last(when(col("v").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nt", first(when(col("v").isNotNull, col("bucket")),
+        ignoreNulls = true).over(wNext))
+      // no rounding: every term is the same IEEE double on both engines
+      // (exact DECIMAL mean, integer-second deltas), so the raw result
+      // is bit-identical — round(,4) actually BREAKS the match at
+      // .xxxx5 edges (engines scale-and-round differently)
+      .withColumn("interp",
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (unix_timestamp(col("bucket")) - unix_timestamp(col("pt")))
+              .cast("double") /
+            (unix_timestamp(col("nt")) - unix_timestamp(col("pt")))
+              .cast("double")))
+      .select(col("user_id"), col("bucket"), col("interp"))
+      .orderBy(col("user_id").asc, col("bucket").asc)
+  }
+
+  /** `event_funnel` — ordered-step funnel: users whose first view is
+    * followed by a click, then a purchase (strictly increasing event
+    * time). Three keyed aggregations + two keyed joins — each stage
+    * prunes the next stage's input, no window over raw events.
+    */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .agg(count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_view_click_purchase"))
+  }
+
+  /** `retention_cohort` — classic cohort retention: users grouped by the
+    * day of their first event; for each (cohort day, day offset), how
+    * many distinct cohort users were active. Two keyed aggs + one join
+    * on user_id.
+    */
+  def retentionCohort(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val firstDay = ev.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+    val active = ev
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    active.join(firstDay, "user_id")
+      .groupBy(col("cohort"),
+        datediff(col("d").cast("date"), col("cohort").cast("date"))
+          .as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort").asc, col("day_offset").asc)
+  }
+
   /** `stream_dedup` — dedup on event_id; batch form of the
     * watermark-bounded streaming dropDuplicates. Deterministic because
     * event_id is unique in the fixture (verified); at scale the streaming

@@ -46,6 +46,8 @@ object SparkEntry {
     "source_csv" -> (SinkQueries.sourceCsv _),
     "source_json" -> (SinkQueries.sourceJson _),
     "source_orc" -> (SinkQueries.sourceOrc _),
+    "source_text" -> (SinkQueries.sourceText _),
+    "source_binary" -> (SinkQueries.sourceBinary _),
     "table_meta" -> (SinkQueries.tableMeta _),
     "list_tables" -> (SinkQueries.listTables _),
     // §2.B projection / filter
@@ -229,6 +231,11 @@ object SparkEntry {
     "source_orc" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         |ORDER BY s_suppkey ASC""".stripMargin,
+    "source_text" ->
+      raw"""SELECT count(*)::BIGINT AS n_lines,
+        |  sum(length(regexp_replace(text, '[\r\n]+', ' ', 'g')))::BIGINT
+        |    AS total_chars
+        |FROM documents""".stripMargin,
     // --- §2.B ---
     "project_arith" ->
       """SELECT l_orderkey, l_linenumber,

@@ -115,6 +115,39 @@ object SinkQueries {
       .orderBy(col("s_suppkey").asc)
   }
 
+  /** `source_text` — line-oriented text ingest round-trip: write each
+    * doc as one normalized line, read back with `spark.read.text` (the
+    * raw-corpus ingest path — at 100 TB this is how unstructured text
+    * enters the lake before parsing). Newlines are stripped on write so
+    * one doc ↔ one line exactly.
+    */
+  def sourceText(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/source_text"
+    Tables.documents(spark, sfDir)
+      .select(regexp_replace(col("text"), "[\\r\\n]+", " ").as("value"))
+      .write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .groupBy()
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).as("total_chars"))
+  }
+
+  /** `source_binary` — whole-file binary ingest (`binaryFile` source):
+    * each file becomes (path, length, blob) — the multimodal asset
+    * ingest path (images/audio enter as opaque blobs + metadata). Reads
+    * back the parquet fixture files themselves; emits per-file sizes
+    * only (blob stays out of the declared output). Spec-checked; no
+    * oracle (file sizes aren't visible to the SQL oracle).
+    */
+  def sourceBinary(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet")
+      .load(sfDir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length"))
+      .orderBy(col("file_name").asc)
+
   /** `source_json` — JSON-lines ingest round-trip. */
   def sourceJson(spark: SparkSession, sfDir: String): DataFrame = {
     val out = tmpBase(sfDir) + "/source_json"

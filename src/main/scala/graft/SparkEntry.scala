@@ -150,6 +150,7 @@ object SparkEntry {
     "dedup_exact" -> (TextOps.dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => MinHashDedup.dedupMinhash(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => MinHashDedup.ngramJaccard(s, d)),
+    "dedup_cluster" -> ((s: SparkSession, d: String) => MinHashDedup.dedupCluster(s, d)),
     "dedup_simhash" -> (MinHashDedup.simhash _),
     "dedup_embedding" -> ((s: SparkSession, d: String) => SimSearch.dedupEmbeddingExact(s, d)),
     // production-scale variant: banded-LSH candidates + exact verify; no
@@ -195,6 +196,42 @@ object SparkEntry {
   // DuckDB-dialect equivalents. Shared SQL fragments:
   private val normT =
     raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+  /** The df-capped ngram-Jaccard pair pipeline as CTEs ending in `p`
+    * (source, a_id, b_id, jaccard) — shared by the dedup_ngram_jaccard
+    * oracle and the dedup_cluster recursive-closure oracle.
+    */
+  private lazy val ngramPairCtes: String =
+    raw"""d AS (SELECT doc_id, source,
+      |        string_split($normT, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, source,
+      |        list_distinct(list_transform(
+      |          range(0, greatest(len(toks) - 2, 0) + 1),
+      |          i -> array_to_string(toks[i+1:i+2], ' '))) AS sh
+      |      FROM d),
+      |src_n AS (SELECT source, count(*) AS src_n FROM d GROUP BY source),
+      |tok AS (SELECT source, doc_id, unnest(sh) AS h FROM s),
+      |keep AS (SELECT t.source, t.h FROM tok t
+      |         JOIN src_n n ON t.source = n.source
+      |         GROUP BY t.source, t.h, n.src_n
+      |         HAVING count(*) <= n.src_n * 0.3),
+      |kept AS (SELECT t.source, t.doc_id, t.h FROM tok t
+      |         JOIN keep k ON t.source = k.source AND t.h = k.h),
+      |sizes AS (SELECT source, doc_id, count(*) AS n_sh
+      |          FROM kept GROUP BY source, doc_id),
+      |inter AS (SELECT a.source AS source, a.doc_id AS a_id,
+      |            b.doc_id AS b_id, count(*) AS n_inter
+      |          FROM kept a JOIN kept b
+      |            ON a.source = b.source AND a.h = b.h
+      |               AND a.doc_id < b.doc_id
+      |          GROUP BY a.source, a.doc_id, b.doc_id),
+      |p AS (SELECT i.source, i.a_id, i.b_id,
+      |        round(i.n_inter::DOUBLE /
+      |          (sa.n_sh::DOUBLE + sb.n_sh::DOUBLE - i.n_inter::DOUBLE),
+      |          4) AS jaccard
+      |      FROM inter i
+      |      JOIN sizes sa ON i.source = sa.source AND i.a_id = sa.doc_id
+      |      JOIN sizes sb ON i.source = sb.source AND i.b_id = sb.doc_id)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -983,38 +1020,28 @@ object SparkEntry {
     // frequency > 0.3·|source| are dropped from the shingle universe
     // before pairing (sizes post-filter too)
     "dedup_ngram_jaccard" ->
-      raw"""WITH d AS (SELECT doc_id, source,
-        |        string_split($normT, ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, source,
-        |        list_distinct(list_transform(
-        |          range(0, greatest(len(toks) - 2, 0) + 1),
-        |          i -> array_to_string(toks[i+1:i+2], ' '))) AS sh
-        |      FROM d),
-        |src_n AS (SELECT source, count(*) AS src_n FROM d GROUP BY source),
-        |tok AS (SELECT source, doc_id, unnest(sh) AS h FROM s),
-        |keep AS (SELECT t.source, t.h FROM tok t
-        |         JOIN src_n n ON t.source = n.source
-        |         GROUP BY t.source, t.h, n.src_n
-        |         HAVING count(*) <= n.src_n * 0.3),
-        |kept AS (SELECT t.source, t.doc_id, t.h FROM tok t
-        |         JOIN keep k ON t.source = k.source AND t.h = k.h),
-        |sizes AS (SELECT source, doc_id, count(*) AS n_sh
-        |          FROM kept GROUP BY source, doc_id),
-        |inter AS (SELECT a.source AS source, a.doc_id AS a_id,
-        |            b.doc_id AS b_id, count(*) AS n_inter
-        |          FROM kept a JOIN kept b
-        |            ON a.source = b.source AND a.h = b.h
-        |               AND a.doc_id < b.doc_id
-        |          GROUP BY a.source, a.doc_id, b.doc_id),
-        |p AS (SELECT i.source, i.a_id, i.b_id,
-        |        round(i.n_inter::DOUBLE /
-        |          (sa.n_sh::DOUBLE + sb.n_sh::DOUBLE - i.n_inter::DOUBLE),
-        |          4) AS jaccard
-        |      FROM inter i
-        |      JOIN sizes sa ON i.source = sa.source AND i.a_id = sa.doc_id
-        |      JOIN sizes sb ON i.source = sb.source AND i.b_id = sb.doc_id)
+      raw"""WITH $ngramPairCtes
         |SELECT source, a_id, b_id, jaccard FROM p WHERE jaccard >= 0.05
         |ORDER BY source ASC, a_id ASC, b_id ASC""".stripMargin,
+    // connected components over the >=0.2 similarity pairs via a
+    // recursive transitive closure; min reachable id = cluster label
+    "dedup_cluster" ->
+      raw"""WITH RECURSIVE $ngramPairCtes,
+        |prs AS (SELECT a_id, b_id FROM p WHERE jaccard >= 0.2),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM prs
+        |          UNION SELECT b_id, a_id FROM prs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |lbl AS (SELECT u AS id, least(u, min(v)) AS cluster
+        |        FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        |  coalesce(l.cluster, d.doc_id) AS cluster_id,
+        |  (CASE WHEN coalesce(l.cluster, d.doc_id) = d.doc_id
+        |        THEN 1 ELSE 0 END)::INT AS is_survivor
+        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+        |ORDER BY d.doc_id ASC""".stripMargin,
     "dedup_embedding" ->
       """WITH p AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -198,6 +198,64 @@ object MinHashDedup {
       .orderBy(col("source").asc, col("a_id").asc, col("b_id").asc)
   }
 
+  /** `dedup_cluster` — near-dup cluster resolution: the similarity pairs
+    * from `dedup_ngram_jaccard` are edges of a graph; connected
+    * components give duplicate clusters, and the minimum doc_id in each
+    * cluster is the canonical survivor (transitive dedup — A~B, B~C ⇒
+    * {A,B,C} keep A, even though A≁C directly). Every doc gets a row;
+    * singletons are their own cluster.
+    *
+    * Implementation: iterative min-label propagation over the cached
+    * edge list — each pass is one keyed join + aggregate, looping until
+    * a convergence count reaches zero (label floods one hop per pass,
+    * so passes ≈ cluster diameter; near-dup clusters are dense, so
+    * diameters are small). At 100 TB you'd run the same propagation
+    * under Pregel/GraphX with pointer doubling for log-diameter rounds;
+    * the per-round dataflow (join edges ⋈ labels → min per node) is
+    * identical. The edge list is persisted so each round doesn't
+    * recompute the similarity pipeline; labels are localCheckpoint'd to
+    * keep lineage bounded.
+    */
+  def dedupCluster(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.2, maxIter: Int = 20): DataFrame =
+    dedupClusterDocs(Tables.documents(spark, sfDir), threshold, maxIter)
+
+  /** Core of `dedup_cluster` over any (doc_id, source, text) frame. */
+  def dedupClusterDocs(docs: DataFrame, threshold: Double = 0.2,
+      maxIter: Int = 20): DataFrame = {
+    val pairs = ngramJaccardDocs(docs, threshold)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = docs.select(col("doc_id").as("id"),
+      col("doc_id").as("lbl")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val incoming = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min(col("lbl")).as("in_lbl"))
+      val next = labels
+        .join(incoming, labels("id") === incoming("id2"), "left")
+        .select(col("id"), least(col("lbl"),
+          coalesce(col("in_lbl"), col("lbl"))).as("lbl"),
+          (col("in_lbl") < col("lbl")).as("changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("changed")).limit(1).count() == 0L
+      labels = next.drop("changed")
+      i += 1
+    }
+    edges.unpersist()
+    labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("is_survivor",
+        when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** `dedup_simhash` — 64-bit SimHash fingerprints: weighted majority
     * vote of shingle-hash bits. Near-dups = fingerprints within small
     * Hamming distance; here we emit per-doc fingerprints plus bucket

@@ -142,6 +142,31 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.15, s"exact=$exact approx=$approx")
   }
 
+  test("dedup_cluster resolves transitive chains: A~B, B~C (A not~ C) => one cluster") {
+    // B shares half its bigrams with A and the other half with C; A and
+    // C share nothing — only transitivity puts all three together
+    // filler docs keep |source| large enough that the 0.3·|source|
+    // df-cap (which needs df ≤ 3 here) doesn't drop the shared shingles
+    val filler = Seq.tabulate(6)(i =>
+      (20L + i, "src", s"filler$i words$i nothing$i shared$i here$i"))
+    val docs = (Seq(
+      (1L, "src", "alpha beta gamma delta alpha beta gamma delta"),
+      (2L, "src", "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "src", "epsilon zeta eta theta epsilon zeta eta theta"),
+      (9L, "src", "totally unrelated content lives over here now")
+    ) ++ filler).toDF("doc_id", "source", "text")
+    val direct = MinHashDedup.ngramJaccardDocs(docs, threshold = 0.2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(direct.contains((1L, 2L)) && direct.contains((2L, 3L)))
+    assert(!direct.contains((1L, 3L)), "A~C directly would defeat the test")
+    val clusters = MinHashDedup.dedupClusterDocs(docs, threshold = 0.2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(clusters(1L) === ((1L, 1)))
+    assert(clusters(2L) === ((1L, 0)))
+    assert(clusters(3L) === ((1L, 0))) // reached A only through B
+    assert(clusters(9L) === ((9L, 1))) // singleton survives as itself
+  }
+
   test("interval overlap bucketing equals brute force on random intervals") {
     // deterministic pseudo-random intervals, lengths < bucket width;
     // the grid-bucketed join must find EXACTLY the brute-force pairs

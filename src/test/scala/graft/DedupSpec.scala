@@ -336,6 +336,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Set((50L, 51L)))
   }
 
+  test("LSH search: k-bounded, deterministic, scores agree with brute force") {
+    val r1 = SimSearch.simsearchLsh(spark, TestSpark.sf).collect().toSeq
+    val r2 = SimSearch.simsearchLsh(spark, TestSpark.sf).collect().toSeq
+    assert(r1 === r2) // deterministic hyperplanes, no rand()
+    assert(r1.nonEmpty)
+    r1.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+    }
+    // every returned (q, c) pair must carry the exact brute-force cosine
+    val brute = SimSearch.knnBruteForce(spark, TestSpark.sf,
+      k = 2000, nQueries = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    r1.foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(1))) === r.getDouble(2))
+    }
+  }
+
   test("LSH bucketing: identical vectors share a bucket") {
     val d = Seq(
       (1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)),

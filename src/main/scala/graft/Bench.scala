@@ -30,7 +30,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // key order: the long queries map FIRST, scalars LAST — JSON parsers
+    // don't care, but a tail-truncated capture of this (long) line still
+    // shows the headline numbers (BENCH_r01's capture kept only the last
+    // 2000 chars, which would otherwise cut off the total)
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -256,6 +256,29 @@ object MinHashDedup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** The Pregel-path variant of dedupCluster: GraphX connectedComponents
+    * (pointer-jumping under the hood — log-diameter supersteps, the
+    * 100 TB formulation the DataFrame loop's scaladoc points at).
+    * GraphX's component label is the lowest vertex id, which is exactly
+    * this operator's survivor rule, so the two variants must agree
+    * row-for-row (spec-asserted). Not a declared query — same result as
+    * `dedup_cluster`, kept as the library's large-graph path.
+    */
+  def dedupClusterGraphX(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = docs.sparkSession
+    val pairs = ngramJaccardDocs(docs, threshold)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val vertices = docs.select(col("doc_id")).rdd.map(r => (r.getLong(0), ()))
+    val cc = Graph(vertices, edges).connectedComponents().vertices
+    import spark.implicits._
+    cc.toDF("doc_id", "cluster_id")
+      .withColumn("is_survivor",
+        when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** `dedup_simhash` — 64-bit SimHash fingerprints: weighted majority
     * vote of shingle-hash bits. Near-dups = fingerprints within small
     * Hamming distance; here we emit per-doc fingerprints plus bucket

@@ -165,6 +165,10 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters(2L) === ((1L, 0)))
     assert(clusters(3L) === ((1L, 0))) // reached A only through B
     assert(clusters(9L) === ((9L, 1))) // singleton survives as itself
+    // the GraphX (Pregel pointer-jumping) variant must agree exactly
+    val viaGraphX = MinHashDedup.dedupClusterGraphX(docs, threshold = 0.2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(viaGraphX === clusters)
   }
 
   test("interval overlap bucketing equals brute force on random intervals") {

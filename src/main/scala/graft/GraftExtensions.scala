@@ -16,15 +16,18 @@ import graft.functions.{FloatVecDot, FloatVecNorm, WordShingleHashes}
   *  - cluster config: `spark.sql.extensions=graft.GraftExtensions`
   *  - runtime, on an existing session: `GraftExtensions.install(spark)`
   *
-  * A custom SparkStrategy is deliberately absent: every operator in this
-  * engine plans onto built-in physical operators (SURVEY.md §4) — the
-  * extension points that earn their keep here are expressions and an
-  * optimizer rule.
+  * Extension points used: SQL function registration, an optimizer rule
+  * (lambda→kernel), and one planner strategy for the single operator
+  * that genuinely benefits from its own physical plan —
+  * graft.plans.TopKPerGroup (bounded per-group heaps; the built-in
+  * window formulation sorts every row). Everything else plans onto
+  * built-in physical operators (SURVEY.md §4).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => AccelerateVectorLambdas)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 
@@ -62,6 +65,11 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(AccelerateVectorLambdas)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AccelerateVectorLambdas
+    }
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerGroupStrategy
     }
   }
 }

@@ -146,6 +146,20 @@ object SparkEntry {
       sigAsCsv(Udfs.corpusSignatureImperative(s, d))),
     "udaf_topk" -> ((s: SparkSession, d: String) => Udfs.topkHeap(s, d)),
     "expr_custom" -> (SimSearch.exprCustom _),
+    // the whole-operator custom-plan surface: logical node + strategy +
+    // physical exec (bounded per-group heaps), via GraftExtensions
+    "plan_custom_topk" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      GraftExtensions.install(s)
+      graft.plans.PlanOps.topKPerGroup(
+        graft.sources.Tables.orders(s, d),
+        Seq("o_orderpriority"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc,
+          col("o_orderkey").asc)
+    }),
     // §2.K LLM-data-pipeline operators
     "dedup_exact" -> (TextOps.dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => MinHashDedup.dedupMinhash(s, d)),
@@ -437,6 +451,14 @@ object SparkEntry {
         |  round(kurtosis(l_quantity), 3) AS kurt_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC""".stripMargin,
+    "plan_custom_topk" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin,
     "udaf_topk" ->
       """WITH r AS (SELECT o_orderpriority, o_orderkey,
         |    row_number() OVER (PARTITION BY o_orderpriority

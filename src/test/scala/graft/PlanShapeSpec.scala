@@ -110,6 +110,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected pruned documents scan:\n$p")
   }
 
+  test("custom TopKPerGroup plans its own exec behind one clustered Exchange, no Window") {
+    GraftExtensions.install(spark)
+    val df = graft.plans.PlanOps.topKPerGroup(
+      graft.sources.Tables.orders(spark, sf),
+      Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    df.collect() // materialize through the custom exec
+    val p = plan(df)
+    assert(p.contains("TopKPerGroup ["), s"custom exec missing:\n$p")
+    assert(p.contains("hashpartitioning(o_orderpriority"),
+      s"expected the clustered-distribution Exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"top-k must not fall back to a window sort:\n$p")
+    // and it agrees with the window formulation
+    val viaWindow = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+        .orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc,
+          org.apache.spark.sql.functions.col("o_orderkey").asc)
+      graft.sources.Tables.orders(spark, sf)
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(org.apache.spark.sql.functions.col("rn") <= 3)
+        .select("o_orderkey").orderBy("o_orderkey")
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val viaCustom = df.select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaCustom === viaWindow)
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the final plan,
     // so materialize first

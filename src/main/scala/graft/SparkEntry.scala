@@ -56,6 +56,8 @@ object SparkEntry {
     "filter_in_between_like" -> (Relational.filterInBetweenLike _),
     "project_distinct" -> (Relational.projectDistinct _),
     "filter_subquery_in" -> (Relational.filterSubqueryIn _),
+    "filter_exists" -> (Relational.filterExists _),
+    "scalar_subquery" -> (Relational.scalarSubquery _),
     // §2.C joins
     "join_inner_hash" -> (Joins.joinInnerHash _),
     "join_broadcast" -> (Joins.joinBroadcast _),
@@ -75,6 +77,7 @@ object SparkEntry {
     "agg_count_distinct" -> (Aggregates.aggCountDistinct _),
     "agg_approx_distinct" -> (Aggregates.aggApproxDistinct _),
     "agg_rollup" -> (Aggregates.aggRollup _),
+    "agg_grouping_fn" -> (Aggregates.aggGroupingFn _),
     "agg_cube" -> (Aggregates.aggCube _),
     "agg_grouping_sets" -> (Aggregates.aggGroupingSets _),
     "agg_having" -> (Aggregates.aggHaving _),
@@ -314,6 +317,25 @@ object SparkEntry {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 400000.0)
         |ORDER BY c_custkey ASC""".stripMargin,
+    "filter_exists" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity >= 49.5)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |                  WHERE l2.l_orderkey = o.o_orderkey
+        |                    AND l2.l_discount > 0.09)
+        |ORDER BY o_orderkey ASC""".stripMargin,
+    "scalar_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |WHERE c_custkey <= 300
+        |ORDER BY c_custkey ASC""".stripMargin,
     // --- §2.C ---
     "join_inner_hash" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
@@ -419,6 +441,13 @@ object SparkEntry {
         |  count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_fn" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  GROUPING(o_orderstatus)::INT AS g_status,
+        |  GROUPING(o_orderpriority)::INT AS g_prio
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS LAST,
+        |  o_orderpriority ASC NULLS LAST""".stripMargin,
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,

@@ -173,6 +173,19 @@ object Aggregates {
         valueColumnName = "value")
       .orderBy(col("s_suppkey").asc, col("metric").asc)
 
+  /** `agg_grouping_fn` — GROUPING()/grouping_id() metadata over a
+    * rollup: distinguishes "NULL because subtotal" from "NULL in data",
+    * the standard way BI layers consume rollup output.
+    */
+  def aggGroupingFn(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+      .orderBy(col("o_orderstatus").asc_nulls_last,
+        col("o_orderpriority").asc_nulls_last)
+
   /** `agg_having` — post-aggregation filter. */
   def aggHaving(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

@@ -98,6 +98,41 @@ object Relational {
         |ORDER BY c_custkey ASC""".stripMargin)
   }
 
+  /** `filter_exists` — correlated EXISTS / NOT EXISTS subqueries:
+    * Catalyst decorrelates both into semi/anti joins (the same physical
+    * shape as join_semi/join_anti — declared separately because the SQL
+    * surface matters for Athena-SQL parity).
+    */
+  def filterExists(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity >= 49.5)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |                  WHERE l2.l_orderkey = o.o_orderkey
+        |                    AND l2.l_discount > 0.09)
+        |ORDER BY o_orderkey ASC""".stripMargin)
+  }
+
+  /** `scalar_subquery` — correlated scalar subqueries in the SELECT
+    * list: decorrelated into a left outer join + aggregate by Catalyst.
+    */
+  def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |WHERE c_custkey <= 300
+        |ORDER BY c_custkey ASC""".stripMargin)
+  }
+
   /** `sort_multikey` — global multi-key sort with explicit null ordering
     * (Spark ASC defaults NULLS FIRST vs DuckDB NULLS LAST — SURVEY.md
     * §5.3.2, so both directions are explicit).

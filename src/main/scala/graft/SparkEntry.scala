@@ -58,6 +58,7 @@ object SparkEntry {
     "filter_subquery_in" -> (Relational.filterSubqueryIn _),
     "filter_exists" -> (Relational.filterExists _),
     "scalar_subquery" -> (Relational.scalarSubquery _),
+    "join_lateral" -> (Relational.joinLateral _),
     // §2.C joins
     "join_inner_hash" -> (Joins.joinInnerHash _),
     "join_broadcast" -> (Joins.joinBroadcast _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "agg_sortagg" -> (Aggregates.aggSortAgg _),
     // §2.E windows
     "win_rank" -> (Windows.winRank _),
+    "win_named_sql" -> (Windows.winNamedSql _),
     "win_lag_lead" -> (Windows.winLagLead _),
     "win_running" -> (Windows.winRunning _),
     "win_moving_avg" -> (Windows.winMovingAvg _),
@@ -336,6 +338,24 @@ object SparkEntry {
         |FROM customer c
         |WHERE c_custkey <= 300
         |ORDER BY c_custkey ASC""".stripMargin,
+    "join_lateral" ->
+      """SELECT o_orderkey, l.lk, l.price
+        |FROM orders,
+        |LATERAL (SELECT l_linenumber AS lk, l_extendedprice AS price
+        |         FROM lineitem WHERE l_orderkey = o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber ASC
+        |         LIMIT 1) l
+        |ORDER BY o_orderkey ASC""".stripMargin,
+    "win_named_sql" ->
+      """SELECT event_id,
+        |  (rank() OVER w)::INT AS rnk,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w2 AS DOUBLE)
+        |    AS cum_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC),
+        |       w2 AS (PARTITION BY user_id ORDER BY event_id
+        |              ROWS UNBOUNDED PRECEDING)
+        |ORDER BY event_id ASC""".stripMargin,
     // --- §2.C ---
     "join_inner_hash" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice

@@ -133,6 +133,23 @@ object Relational {
         |ORDER BY c_custkey ASC""".stripMargin)
   }
 
+  /** `join_lateral` — correlated LATERAL derived table with ORDER BY +
+    * LIMIT (per-order best lineitem): the SQL-surface form of
+    * topk-per-group k=1; Catalyst decorrelates it to a window/aggregate
+    * under the hood.
+    */
+  def joinLateral(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderkey, l.lk, l.price
+        |FROM orders,
+        |LATERAL (SELECT l_linenumber AS lk, l_extendedprice AS price
+        |         FROM lineitem WHERE l_orderkey = o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber ASC
+        |         LIMIT 1) l
+        |ORDER BY o_orderkey ASC""".stripMargin)
+  }
+
   /** `sort_multikey` — global multi-key sort with explicit null ordering
     * (Spark ASC defaults NULLS FIRST vs DuckDB NULLS LAST — SURVEY.md
     * §5.3.2, so both directions are explicit).

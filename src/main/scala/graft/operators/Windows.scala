@@ -127,4 +127,22 @@ object Windows {
       .filter(col("rn") <= 3)
       .orderBy(col("p_brand").asc, col("rn").asc)
   }
+
+  /** `win_named_sql` — the SQL WINDOW clause (named, shared window
+    * specs): two functions over two named windows in one pass.
+    */
+  def winNamedSql(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    graft.sources.Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT event_id,
+        |  rank() OVER w AS rnk,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w2 AS DOUBLE)
+        |    AS cum_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC),
+        |       w2 AS (PARTITION BY user_id ORDER BY event_id
+        |              ROWS UNBOUNDED PRECEDING)
+        |ORDER BY event_id ASC""".stripMargin)
+  }
 }

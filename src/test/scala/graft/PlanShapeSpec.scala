@@ -140,6 +140,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(viaCustom === viaWindow)
   }
 
+  test("TopKPerGroupExec equals the window formulation on random tied data") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // heavy ties: few groups, small value domain, unique id tiebreak
+      val data = Seq.tabulate(200)(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(8).toDouble, i.toLong))
+        .toDF("g", "v", "id")
+      val k = 1 + rnd.nextInt(4)
+      val custom = graft.plans.PlanOps
+        .topKPerGroup(data, Seq("g"), Seq("v" -> false, "id" -> true), k)
+        .select("g", "v", "id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)
+      val window = data.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select("g", "v", "id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(custom === window, s"seed=$seed k=$k")
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the final plan,
     // so materialize first

@@ -67,6 +67,17 @@ class FunctionSpec extends AnyFunSuite {
     assert(r(2L).getAs[String]("scrubbed") === "no pii here at all")
   }
 
+  test("pii_scrub null/empty text: null propagates, empty stays empty") {
+    val d = Seq((1L, null.asInstanceOf[String]), (2L, ""))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextOps.piiScrubDocs(d).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(r(1L).isNullAt(r(1L).fieldIndex("scrubbed")))
+    assert(r(1L).isNullAt(r(1L).fieldIndex("n_emails"))) // size(null) = null
+    assert(r(2L).getAs[String]("scrubbed") === "")
+    assert(r(2L).getAs[Int]("n_emails") === 0)
+  }
+
   test("hash functions are stable across runs (fixed vectors)") {
     val df = Seq("abc").toDF("s").select(
       md5(col("s")).as("m"), sha2(col("s"), 256).as("h"),

@@ -114,6 +114,8 @@ object SparkEntry {
     // §2.H scalar function families
     "fn_string" -> (ScalarFns.fnString _),
     "fn_string2" -> (ScalarFns.fnString2 _),
+    "fn_array_hof" -> (ScalarFns.fnArrayHof _),
+    "fn_try" -> (ScalarFns.fnTry _),
     "fn_pad_trim" -> (ScalarFns.fnPadTrim _),
     "fn_date" -> (ScalarFns.fnDate _),
     "fn_math" -> (ScalarFns.fnMath _),
@@ -707,6 +709,24 @@ object SparkEntry {
         |  trim(lpad('  ' || s_name || '  ', 30, ' ')) AS retrimmed,
         |  split_part(s_name, '#', 1) AS name_prefix,
         |  string_split(s_name, '#')[-1] AS name_suffix
+        |FROM supplier ORDER BY s_suppkey ASC""".stripMargin,
+    "fn_array_hof" ->
+      """SELECT vec_id,
+        |  len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+        |  (len(list_filter(embedding, x -> x > 0.9)) > 0) AS any_big,
+        |  (len(list_filter(embedding, x -> x <= 0.9)) = len(embedding))
+        |    AS all_small,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> x::DOUBLE * x::DOUBLE)), 4) AS sum_sq
+        |FROM embeddings ORDER BY vec_id ASC""".stripMargin,
+    "fn_try" ->
+      """SELECT s_suppkey,
+        |  TRY_CAST(substring(s_name, 10, 9) AS INT) AS name_num,
+        |  TRY_CAST(s_name AS INT) AS bad_cast,
+        |  (CASE WHEN s_suppkey % 3 = 0 THEN NULL
+        |        ELSE s_acctbal / (s_suppkey % 3) END) AS guarded_div,
+        |  (CASE WHEN s_suppkey = 0 THEN 9223372036854775807
+        |        ELSE NULL END)::BIGINT AS overflow_add
         |FROM supplier ORDER BY s_suppkey ASC""".stripMargin,
     "fn_date" ->
       """SELECT o_orderkey,

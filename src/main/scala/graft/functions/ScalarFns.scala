@@ -46,6 +46,39 @@ object ScalarFns {
         repeat(substring(col("c_name"), 1, 2), 2).as("rep2"))
       .orderBy(col("c_custkey").asc)
 
+  /** `fn_array_hof` — the array higher-order-function surface as a
+    * declared query: filter / exists / forall / transform+aggregate
+    * lambdas over the embedding vectors. These evaluate interpreted
+    * (SURVEY.md §7.5) — fine here (declared API surface, short arrays);
+    * hot paths use the native kernels instead.
+    */
+  def fnArrayHof(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
+        exists(col("embedding"), x => x > 0.9f).as("any_big"),
+        forall(col("embedding"), x => x <= 0.9f).as("all_small"),
+        round(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double")), 4)
+          .as("sum_sq"))
+      .orderBy(col("vec_id").asc)
+
+  /** `fn_try` — ANSI-mode error-safe functions: try_cast / try_divide /
+    * try_add return NULL where the strict forms would raise (Spark 4
+    * runs ANSI on by default — this is the migration surface every
+    * Athena-SQL user hits).
+    */
+  def fnTry(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.supplier(spark, sfDir)
+      .select(
+        col("s_suppkey"),
+        expr("try_cast(substring(s_name, 10, 9) AS INT)").as("name_num"),
+        expr("try_cast(s_name AS INT)").as("bad_cast"),
+        expr("try_divide(s_acctbal, s_suppkey % 3)").as("guarded_div"),
+        expr("try_add(s_suppkey, 9223372036854775807L)").as("overflow_add"))
+      .orderBy(col("s_suppkey").asc)
+
   /** `fn_pad_trim` — fixed-width formatting family: lpad/rpad with fill
     * chars, trim of injected padding, split_part-style extraction.
     */

@@ -43,6 +43,8 @@ class Lake(val spark: SparkSession, val warehouse: String) {
   def saveDataset(df: DataFrame, name: String,
       mode: String = "overwrite",
       partitionCols: Seq[String] = Nil): DataFrame = {
+    require(Seq("overwrite", "append", "overwrite_partitions").contains(mode),
+      s"unknown save mode '$mode' (a typo would silently overwrite data)")
     val path = pathOf(name)
     (mode, partitionCols) match {
       case ("append", Nil) => LakeIO.appendDataset(df, path)

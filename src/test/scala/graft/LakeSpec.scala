@@ -137,6 +137,15 @@ class LakeSpec extends AnyFunSuite {
       === lake.query("SELECT count(*) FROM orders").head().getLong(0))
   }
 
+  test("error paths: unknown save mode refuses; missing table load raises cleanly") {
+    val lake = newLake()
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "v")
+    intercept[IllegalArgumentException](
+      lake.saveDataset(df, "t", mode = "overwite")) // typo must not overwrite
+    intercept[Exception](lake.load("never_saved").count())
+  }
+
   test("preview works on map-typed (unorderable) columns") {
     val lake = newLake()
     import spark.implicits._

@@ -137,6 +137,16 @@ class LakeSpec extends AnyFunSuite {
       === lake.query("SELECT count(*) FROM orders").head().getLong(0))
   }
 
+  test("saveSorted default (AQE-sized files) round-trips with content intact") {
+    val lake = newLake()
+    val src = lake.query(
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 500")
+    val back = lake.saveSorted(src, "sorted_default", Seq("o_orderkey"))
+    assert(back.count() === src.count())
+    assert(back.orderBy("o_orderkey").collect().toSeq ===
+      src.orderBy("o_orderkey").collect().toSeq)
+  }
+
   test("error paths: unknown save mode refuses; missing table load raises cleanly") {
     val lake = newLake()
     import spark.implicits._

@@ -171,6 +171,41 @@ class DedupSpec extends AnyFunSuite {
     assert(viaGraphX === clusters)
   }
 
+  test("dedup_cluster converges on a chain with diameter >> maxIter (pointer doubling)") {
+    // 40 docs over a sliding token window: doc i shares 6 of 10 tokens
+    // with doc i+1 (bigram Jaccard 5/13 ≈ 0.38 ≥ 0.2) but only 2 tokens
+    // with doc i+2 (1/17 ≈ 0.06 < 0.2) — the similarity graph is exactly
+    // a 40-node path, diameter 39 > maxIter = 20. Plain one-hop
+    // propagation needs 39 rounds and used to exit the loop silently
+    // with wrong labels (VERDICT r2 #1); hop + pointer-jump needs ~6.
+    val n = 40
+    val chain = Seq.tabulate(n) { i =>
+      val toks = (4 * i until 4 * i + 10).map(t => f"w$t%03d")
+      (100L + i, "src", toks.mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val edges = MinHashDedup.ngramJaccardDocs(chain, threshold = 0.2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val wantEdges = (0 until n - 1).map(i => (100L + i, 101L + i)).toSet
+    assert(edges === wantEdges, "similarity graph must be exactly the path")
+    val clusters = MinHashDedup.dedupClusterDocs(chain, threshold = 0.2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(clusters.size === n)
+    (0 until n).foreach { i =>
+      assert(clusters(100L + i) === ((100L, if (i == 0) 1 else 0)),
+        s"doc ${100 + i} not fully propagated to cluster 100")
+    }
+    val viaGraphX = MinHashDedup.dedupClusterGraphX(chain, threshold = 0.2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(viaGraphX === clusters)
+    // and when the cap genuinely cannot be met, the operator fails loud
+    // instead of emitting partially-propagated labels
+    val ex = intercept[IllegalStateException] {
+      MinHashDedup.dedupClusterDocs(chain, threshold = 0.2, maxIter = 1)
+        .collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("interval overlap bucketing equals brute force on random intervals") {
     // deterministic pseudo-random intervals, lengths < bucket width;
     // the grid-bucketed join must find EXACTLY the brute-force pairs

@@ -42,6 +42,32 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("no declared query plans a product join (VERDICT r2 #3)") {
+    // A CartesianProduct / BroadcastNestedLoopJoin is O(|L|·|R|) pair
+    // work — the scale-killer that made round 2's exact dedup_embedding
+    // weak. Every declared plan must join keyed, except:
+    //   join_cross     — the operator IS a (guarded, 25×5) cross join
+    //   simsearch_knn  — corpus × broadcast BOUNDED query set (documented
+    //                    O(|corpus|·|queries|) baseline; the scale paths
+    //                    are simsearch_lsh / simsearch_ivf)
+    //   text_tfidf     — corpus × broadcast ONE-ROW global doc count (the
+    //                    standard scalar-attach shape; O(|corpus|·1))
+    //   agg_histogram  — corpus × broadcast ONE-ROW min/max bounds (same
+    //                    scalar-attach shape)
+    val allowProduct =
+      Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!allowProduct(name)) {
+        val df = fn(spark, TestSpark.sf)
+        val plan = df.queryExecution.sparkPlan.toString
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
+          assert(!plan.contains(bad),
+            s"$name plans a product join ($bad):\n$plan")
+        }
+      }
+    }
+  }
+
   test("no declared query outputs an array/map column (driver comparator contract)") {
     // The driver sorts result rows by EVERY column before hashing —
     // collection-typed outputs are unhashable there and turned 5 queries

@@ -348,6 +348,45 @@ class DedupSpec extends AnyFunSuite {
     assert(lshT === exactT)
   }
 
+  test("declared dedup_embedding banding (12×4) equals exact on borderline pairs") {
+    // The declared query runs LSH at recall-first banding (48 bits, 12
+    // bands of 4). Plant pairs BARELY above the 0.95 threshold (cos
+    // 0.955 / 0.97 via exact rotation in a 2-plane) — the regime where
+    // the production 48/4 banding would miss ~27% of pairs — plus decoys
+    // just below; equality with exact then demonstrates recall at the
+    // threshold itself, not just on ≈1.0 twins. Deterministic
+    // hyperplanes + fixed seed: never flakes.
+    val rnd = new scala.util.Random(1234)
+    def unit(v: Seq[Float]): Seq[Double] = {
+      val d = v.map(_.toDouble); val n = math.sqrt(d.map(x => x * x).sum)
+      d.map(_ / n)
+    }
+    val bases = Seq.tabulate(30)(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val planted = Seq((0, 0.955), (7, 0.97), (13, 0.955), (21, 0.93), (26, 0.90))
+      .map { case (i, cos) =>
+        val (id, v) = bases(i)
+        val vh = unit(v)
+        val u = Seq.fill(16)(rnd.nextDouble() * 2 - 1)
+        val proj = u.zip(vh).map { case (a, b) => a * b }.sum
+        val orth = u.zip(vh).map { case (a, b) => a - proj * b }
+        val on = math.sqrt(orth.map(x => x * x).sum)
+        val sin = math.sqrt(1 - cos * cos)
+        val w = vh.zip(orth).map { case (a, b) => cos * a + sin * b / on }
+        (200L + id, w.map(_.toFloat))
+      }
+    val emb = (bases ++ planted).toDF("vec_id", "embedding")
+    val exact = SimSearch.dedupEmbeddingExactDocs(emb, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimSearch
+      .dedupEmbeddingLshDocs(emb, threshold = 0.95, nBits = 48, nBands = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(0L, 7L, 13L).foreach(i =>
+      assert(exact.contains((i, 200L + i)), s"planted pair $i missing from exact"))
+    Seq(21L, 26L).foreach(i =>
+      assert(!exact.contains((i, 200L + i)), s"decoy $i must stay below threshold"))
+    assert(lsh === exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
   test("ngram df-cap prunes hot-shingle posting lists (skewed fixture)") {
     // 30 docs in one source all share the bigram "hot hot"; each also has
     // unique content. Uncapped, the hot posting list alone makes

@@ -62,7 +62,7 @@ class Lake(val spark: SparkSession, val warehouse: String) {
       case (_, Nil) => LakeIO.saveDataset(df, path)
       case (_, cols) => LakeIO.savePartitioned(df, path, cols)
     }
-    LakeIO.registerTable(spark, name.replace('.', '_'), path)
+    LakeIO.registerDurable(spark, name.replace('.', '_'), path)
     spark.read.parquet(path)
   }
 
@@ -76,7 +76,7 @@ class Lake(val spark: SparkSession, val warehouse: String) {
   def saveSorted(df: DataFrame, name: String, sortCols: Seq[String],
       numFiles: Option[Int] = None): DataFrame = {
     LakeIO.saveSorted(df, pathOf(name), sortCols, numFiles)
-    LakeIO.registerTable(spark, name.replace('.', '_'), pathOf(name))
+    LakeIO.registerDurable(spark, name.replace('.', '_'), pathOf(name))
     load(name)
   }
 
@@ -124,6 +124,38 @@ class Lake(val spark: SparkSession, val warehouse: String) {
     */
   def attachFixtures(sfDir: String): Lake = {
     Tables.registerAll(spark, sfDir)
+    this
+  }
+
+  /** Re-register every dataset already present in the warehouse — a
+    * fresh process pointed at the same warehouse sees all previously
+    * saved tables, the durability a Glue/Hive-backed catalog gives for
+    * free (with such a metastore this call is a no-op refresh; with the
+    * default in-memory catalog it IS the durable-catalog story, because
+    * the warehouse directory itself is the registry). A dataset root is
+    * any directory carrying Spark's `_SUCCESS` commit marker whose path
+    * has no `k=v` segment (partition and `v=N` snapshot dirs are
+    * addressed through their dataset root / `loadVersioned`). Metadata
+    * listing only — nothing is read or rewritten.
+    */
+  def attachWarehouse(): Lake = {
+    val root = new org.apache.hadoop.fs.Path(warehouse)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def datasets(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val entries = fs.listStatus(p).toSeq
+      if (entries.exists(e => e.getPath.getName == "_SUCCESS"))
+        Seq(fs.makeQualified(p).toString)
+      else entries
+        .filter(e => e.isDirectory && !e.getPath.getName.contains("="))
+        .flatMap(e => datasets(e.getPath))
+    }
+    // listStatus returns scheme-qualified URIs (file:/…, s3a://…) —
+    // qualify the root the same way or the prefix-strip silently fails
+    val qroot = fs.makeQualified(root).toString
+    if (fs.exists(root)) datasets(root).foreach { path =>
+      val rel = path.stripPrefix(qroot).stripPrefix("/")
+      LakeIO.registerDurable(spark, rel.replace('/', '_'), path)
+    }
     this
   }
 }

@@ -61,6 +61,32 @@ object LakeIO {
   def registerTable(spark: SparkSession, name: String, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(name)
 
+  /** Durable-catalog registration (novlake's Glue parity — VERDICT r2
+    * #4): an EXTERNAL parquet table entry over the saved path. Metadata
+    * only — no data rewrite — but unlike a temp view (visible only to
+    * the registering session, gone at session end) the entry lives in
+    * the shared external catalog: every session on this SparkContext
+    * resolves it, and when the catalog is backed by a persistent
+    * metastore (Hive/Glue) it survives process restarts outright. For a
+    * plain in-memory catalog, `Lake.attachWarehouse` rebuilds the
+    * registrations from the warehouse directory itself.
+    */
+  def registerDurable(spark: SparkSession, name: String, path: String): Unit = {
+    // an older temp view would silently shadow the catalog entry
+    spark.catalog.dropTempView(name)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.catalog.createTable(name, path, "parquet")
+    // a Hive-style partitioned layout registers with an EMPTY catalog
+    // partition list until recovered (MSCK) — without this, partition
+    // predicates through the table name silently match nothing
+    if (spark.catalog.listColumns(name).collect().exists(_.isPartition))
+      spark.catalog.recoverPartitions(name)
+    // drop any cached file listing from a previous registration of the
+    // same name in THIS session; sibling sessions follow the standard
+    // Spark contract (REFRESH TABLE after underlying files change)
+    spark.catalog.refreshTable(name)
+  }
+
   /** `source_csv` — CSV ingest with header + schema inference. */
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)

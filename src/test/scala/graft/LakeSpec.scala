@@ -156,6 +156,49 @@ class LakeSpec extends AnyFunSuite {
     intercept[Exception](lake.load("never_saved").count())
   }
 
+  test("saveDataset registration is durable: visible from a different session") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.saveDataset(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "durable_t")
+    // a catalog TABLE (not a temp view): a sibling session on the same
+    // context resolves it — a temp view would throw TABLE_OR_VIEW_NOT_FOUND
+    val sibling = spark.newSession()
+    assert(sibling.sql("SELECT count(*) AS c FROM durable_t")
+      .head().getLong(0) === 2L)
+    assert(!spark.catalog.getTable("durable_t").isTemporary)
+    // overwrite through the same name still works (drop + re-create);
+    // a sibling that already read it refreshes its cached file listing —
+    // the standard Spark contract when underlying files change
+    lake.saveDataset(Seq((9L, "z")).toDF("id", "v"), "durable_t")
+    sibling.sql("REFRESH TABLE durable_t")
+    assert(sibling.sql("SELECT count(*) AS c FROM durable_t")
+      .head().getLong(0) === 1L)
+  }
+
+  test("attachWarehouse: a fresh process over the same warehouse sees saved tables") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.saveDataset(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "marts.wh_t")
+    lake.saveDataset(
+      Seq((1L, "x", "A"), (2L, "y", "B")).toDF("id", "v", "part"),
+      "wh_part", partitionCols = Seq("part"))
+    lake.saveVersioned(Seq((1L, "snap")).toDF("id", "v"), "wh_snap")
+    // simulate a process restart with an in-memory catalog: the entries
+    // are gone, only the warehouse directory survives
+    spark.sql("DROP TABLE IF EXISTS marts_wh_t")
+    spark.sql("DROP TABLE IF EXISTS wh_part")
+    intercept[Exception](spark.sql("SELECT * FROM marts_wh_t").count())
+    val fresh = Lake(spark.newSession(), lake.warehouse).attachWarehouse()
+    assert(fresh.query("SELECT count(*) AS c FROM marts_wh_t")
+      .head().getLong(0) === 2L)
+    // partitioned dataset: registered at its root, partition column intact
+    val part = fresh.query("SELECT id FROM wh_part WHERE part = 'B'")
+    assert(part.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // v=N snapshot dirs are NOT registered as separate tables
+    assert(fresh.listTables()
+      .filter(col("table_name").startsWith("wh_snap")).count() === 0L)
+  }
+
   test("preview works on map-typed (unorderable) columns") {
     val lake = newLake()
     import spark.implicits._

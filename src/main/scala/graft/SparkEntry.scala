@@ -173,6 +173,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => MinHashDedup.ngramJaccard(s, d)),
     "dedup_cluster" -> ((s: SparkSession, d: String) => MinHashDedup.dedupCluster(s, d)),
     "dedup_simhash" -> (MinHashDedup.simhash _),
+    // shadow of dedup_simhash (VERDICT r2 #8): the fingerprints are
+    // engine-specific xxhash64 values, but WHICH docs get one is not —
+    // the id set hash-matches the oracle, cross-checking cardinality
+    "dedup_simhash_ids" -> ((s: SparkSession, d: String) =>
+      MinHashDedup.simhash(s, d).select("doc_id")),
     // LSH candidates + exact cosine verify at recall-first banding
     // (12 bands × 4 bits: per-pair miss ≈ 2e-6 even for pairs exactly at
     // the 0.95 threshold, so the result equals the exact operator's and
@@ -201,6 +206,11 @@ object SparkEntry {
     "pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "sample_stratified" -> (TextOps.sampleStratified _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
+    // shadow of doc_fingerprint: hash values are engine-specific, but the
+    // id set AND the per-doc gram count (max(nTok−k,0)+1, k=3) are exact
+    // cross-engine — hash-matched against a DuckDB token count
+    "doc_fingerprint_ids" -> ((s: SparkSession, d: String) =>
+      TextOps.docFingerprint(s, d).select("doc_id", "n_grams")),
     // novlake's primary surface is `Lake.query(sql)` → Athena; this is
     // the same ANSI SQL executed by Catalyst over registered tables,
     // declared end-to-end (the DataFrame-API queries above cover the
@@ -1000,6 +1010,21 @@ object SparkEntry {
         |WHERE length(u.token) > 0
         |ORDER BY doc_id ASC, pos ASC""".stripMargin,
     // --- §2.K ---
+    // docs that produce a simhash = docs with at least one token; the
+    // kernel tokenizes on whitespace runs, so \S+ run-count is exact
+    "dedup_simhash_ids" ->
+      raw"""SELECT doc_id FROM documents
+        |WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |ORDER BY doc_id ASC""".stripMargin,
+    // gram count of the k=3 non-distinct shingle kernel:
+    // max(nTok − 3, 0) + 1 over whitespace-run tokens
+    "doc_fingerprint_ids" ->
+      raw"""SELECT doc_id,
+        |  (greatest(len(regexp_extract_all(text, '\S+')) - 3, 0) + 1)::INT
+        |    AS n_grams
+        |FROM documents
+        |WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |ORDER BY doc_id ASC""".stripMargin,
     "dedup_exact" ->
       raw"""WITH h AS (SELECT doc_id, lang, source,
         |              md5($normT) AS th FROM documents),

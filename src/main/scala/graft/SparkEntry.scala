@@ -185,9 +185,12 @@ object SparkEntry {
     // equi-join, never a product join; VERDICT r2 #2). The exact
     // cartesian form survives as the spec-only cross-check
     // (SimSearch.dedupEmbeddingExact, DedupSpec agreement tests).
+    // carryVectors=false: shallow bands collide often, so the pair set
+    // dedups as bare ids and the vectors re-attach by keyed join —
+    // the cheap-shuffle strategy for recall-first banding
     "dedup_embedding" -> ((s: SparkSession, d: String) =>
       SimSearch.dedupEmbeddingLsh(s, d, threshold = 0.95,
-        nBits = 48, nBands = 12)),
+        nBits = 48, nBands = 12, carryVectors = false)),
     // production-default banding (deeper bands → ~linear candidate set;
     // recall tunes per corpus); no oracle (xxhash64-derived hyperplanes
     // aren't DuckDB-expressible) — agreement with the exact operator is

@@ -32,13 +32,21 @@ object SinkQueries {
     s"${sys.props("java.io.tmpdir")}/graft_sinks_${processTag}_$h"
   }
 
+  // Fixed writer task count for the scratch-sink queries (VERDICT r2
+  // #6): letting the write inherit the scan's split count made file
+  // counts — and so bench IO time — vary with AQE coalescing and file
+  // layout from round to round. A caller sizing real datasets picks
+  // their own repartition (LakeIO notes); the DECLARED sink queries pin
+  // it so bench numbers are comparable across runs.
+  private val writerTasks = 8
+
   /** `sink_parquet` — overwrite-save + read-back (novlake save_dataset). */
   def sinkParquet(spark: SparkSession, sfDir: String): DataFrame = {
     val out = tmpBase(sfDir) + "/sink_parquet"
     val df = Tables.orders(spark, sfDir)
       .filter(col("o_totalprice") > 400000.0)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    LakeIO.saveDataset(df, out)
+    LakeIO.saveDataset(df.repartition(writerTasks, col("o_orderkey")), out)
     spark.read.parquet(out)
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy(col("o_orderkey").asc)
@@ -64,8 +72,10 @@ object SinkQueries {
     val out = tmpBase(sfDir) + "/sink_append"
     val ord = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_orderstatus")
-    LakeIO.saveDataset(ord.filter(col("o_orderstatus") === "F"), out)
-    LakeIO.appendDataset(ord.filter(col("o_orderstatus") === "O"), out)
+    LakeIO.saveDataset(ord.filter(col("o_orderstatus") === "F")
+      .repartition(writerTasks, col("o_orderkey")), out)
+    LakeIO.appendDataset(ord.filter(col("o_orderstatus") === "O")
+      .repartition(writerTasks, col("o_orderkey")), out)
     spark.read.parquet(out)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"))
@@ -96,6 +106,7 @@ object SinkQueries {
   def sourceCsv(spark: SparkSession, sfDir: String): DataFrame = {
     val out = tmpBase(sfDir) + "/source_csv"
     Tables.nation(spark, sfDir)
+      .repartition(1) // 25 rows — one file, always
       .write.mode("overwrite").option("header", "true").csv(out)
     LakeIO.readCsv(spark, out)
       .select("n_nationkey", "n_name", "n_regionkey")
@@ -110,6 +121,7 @@ object SinkQueries {
     val out = tmpBase(sfDir) + "/source_orc"
     Tables.supplier(spark, sfDir)
       .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .repartition(writerTasks, col("s_suppkey"))
       .write.mode("overwrite").orc(out)
     spark.read.orc(out)
       .orderBy(col("s_suppkey").asc)
@@ -125,6 +137,7 @@ object SinkQueries {
     val out = tmpBase(sfDir) + "/source_text"
     Tables.documents(spark, sfDir)
       .select(regexp_replace(col("text"), "[\\r\\n]+", " ").as("value"))
+      .repartition(writerTasks)
       .write.mode("overwrite").text(out)
     spark.read.text(out)
       .groupBy()
@@ -153,6 +166,7 @@ object SinkQueries {
     val out = tmpBase(sfDir) + "/source_json"
     Tables.events(spark, sfDir)
       .select("event_id", "user_id", "event_type")
+      .repartition(writerTasks, col("event_id"))
       .write.mode("overwrite").json(out)
     LakeIO.readJson(spark, out)
       .select("event_id", "user_id", "event_type")

@@ -377,14 +377,23 @@ class DedupSpec extends AnyFunSuite {
     val emb = (bases ++ planted).toDF("vec_id", "embedding")
     val exact = SimSearch.dedupEmbeddingExactDocs(emb, threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both verify strategies (vector-carrying and id-pair + re-join)
+    // must produce the identical result — they differ only in shuffle
+    // layout; the declared query uses carryVectors=false
     val lsh = SimSearch
-      .dedupEmbeddingLshDocs(emb, threshold = 0.95, nBits = 48, nBands = 12)
+      .dedupEmbeddingLshDocs(emb, threshold = 0.95, nBits = 48, nBands = 12,
+        carryVectors = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshCarry = SimSearch
+      .dedupEmbeddingLshDocs(emb, threshold = 0.95, nBits = 48, nBands = 12,
+        carryVectors = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     Seq(0L, 7L, 13L).foreach(i =>
       assert(exact.contains((i, 200L + i)), s"planted pair $i missing from exact"))
     Seq(21L, 26L).foreach(i =>
       assert(!exact.contains((i, 200L + i)), s"decoy $i must stay below threshold"))
     assert(lsh === exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+    assert(lshCarry === lsh)
   }
 
   test("ngram df-cap prunes hot-shingle posting lists (skewed fixture)") {

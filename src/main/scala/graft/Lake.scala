@@ -80,6 +80,17 @@ class Lake(val spark: SparkSession, val warehouse: String) {
     load(name)
   }
 
+  /** Z-order-clustered save: Morton-interleaved two-column clustering so
+    * predicates on EITHER column skip files/row groups (LakeIO notes —
+    * the two-dimensional sibling of `saveSorted`).
+    */
+  def saveZOrdered(df: DataFrame, name: String, colA: String, colB: String,
+      numFiles: Int = 16): DataFrame = {
+    LakeIO.saveZOrdered(df, pathOf(name), colA, colB, numFiles)
+    LakeIO.registerDurable(spark, name.replace('.', '_'), pathOf(name))
+    load(name)
+  }
+
   /** MERGE/upsert into a warehouse dataset: source rows win on `keys`,
     * unmatched target rows survive (Delta MERGE emulation — LakeIO).
     */

@@ -43,6 +43,7 @@ object SparkEntry {
     "sink_partitioned" -> (SinkQueries.sinkPartitioned _),
     "sink_append" -> (SinkQueries.sinkAppend _),
     "sink_replace_partition" -> (SinkQueries.sinkReplacePartition _),
+    "sink_zorder" -> (SinkQueries.sinkZorder _),
     "source_csv" -> (SinkQueries.sourceCsv _),
     "source_json" -> (SinkQueries.sourceJson _),
     "source_orc" -> (SinkQueries.sourceOrc _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "agg_having" -> (Aggregates.aggHaving _),
     "agg_stats" -> (Aggregates.aggStats _),
     "agg_histogram" -> (Aggregates.aggHistogram _),
+    "agg_mode_median" -> (Aggregates.aggModeMedian _),
     "agg_conditional" -> (Aggregates.aggConditional _),
     "agg_pivot" -> (Aggregates.aggPivot _),
     "agg_unpivot" -> (Aggregates.aggUnpivot _),
@@ -208,6 +210,12 @@ object SparkEntry {
     "pii_scrub" -> (TextOps.piiScrub _),
     "pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "sample_stratified" -> (TextOps.sampleStratified _),
+    // round-3 pipeline additions
+    "decontaminate" -> ((s: SparkSession, d: String) =>
+      TextOps.decontaminate(s, d)),
+    "repetition_score" -> (TextOps.repetitionScore _),
+    "quality_classifier" -> (TextOps.qualityClassifier _),
+    "vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopk(s, d)),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     // shadow of doc_fingerprint: hash values are engine-specific, but the
     // id set AND the per-doc gram count (max(nTok−k,0)+1, k=3) are exact
@@ -304,6 +312,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+        |ORDER BY o_orderkey ASC""".stripMargin,
+    // z-order clustering changes file LAYOUT only — content round-trips
+    "sink_zorder" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey ASC""".stripMargin,
     "source_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey ASC",
@@ -515,6 +527,20 @@ object SparkEntry {
         |  count(*) AS cnt,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders, b GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    // mode pinned to smallest-value-among-most-frequent (raw mode() is
+    // engine-arbitrary on ties); median is the interpolated quantile in
+    // both engines
+    "agg_mode_median" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_returnflag, l_quantity AS mode_qty,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY cnt DESC, l_quantity ASC) AS rn FROM c),
+        |md AS (SELECT l_returnflag, round(median(l_quantity), 4) AS median_qty
+        |       FROM lineitem GROUP BY 1)
+        |SELECT m.l_returnflag, m.mode_qty, md.median_qty
+        |FROM m JOIN md USING (l_returnflag) WHERE m.rn = 1
+        |ORDER BY l_returnflag ASC""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
@@ -1013,6 +1039,65 @@ object SparkEntry {
         |WHERE length(u.token) > 0
         |ORDER BY doc_id ASC, pos ASC""".stripMargin,
     // --- §2.K ---
+    // round-3 pipeline operators. Non-empty-doc predicate and k-gram
+    // construction mirror the kernel exactly (see dedup_simhash_ids /
+    // ngramPairCtes notes); grams compare as strings here vs 64-bit
+    // hashes in Spark — identical sets up to negligible collisions.
+    "decontaminate" ->
+      raw"""WITH d AS (SELECT doc_id, string_split($normT, ' ') AS toks
+        |           FROM documents
+        |           WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |        range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM d),
+        |g AS (SELECT doc_id, unnest(sh) AS h FROM s),
+        |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, count(*) AS n_shared_grams
+        |FROM g JOIN bench USING (h) WHERE g.doc_id % 97 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id ASC""".stripMargin,
+    "repetition_score" ->
+      raw"""WITH d AS (SELECT doc_id, string_split($normT, ' ') AS toks
+        |           FROM documents
+        |           WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |t AS (SELECT doc_id, len(toks) AS n_tok,
+        |        len(list_distinct(toks)) AS n_uniq FROM d),
+        |bg AS (SELECT doc_id, unnest(list_transform(
+        |         range(0, greatest(len(toks) - 2, 0) + 1),
+        |         i -> array_to_string(toks[i+1:i+2], ' '))) AS h FROM d),
+        |bgc AS (SELECT doc_id, h, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bi
+        |       FROM bgc GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  round(1.0 - t.n_uniq::DOUBLE / t.n_tok::DOUBLE, 4)
+        |    AS dup_token_frac,
+        |  round(tb.top_cnt::DOUBLE / tb.n_bi::DOUBLE, 4) AS top_bigram_frac
+        |FROM t JOIN tb USING (doc_id) ORDER BY doc_id ASC""".stripMargin,
+    // feature arithmetic and term order mirror the Spark expression
+    // exactly — same IEEE evaluation order, rounded at 4 dp after the
+    // logistic link
+    "quality_classifier" ->
+      raw"""WITH d AS (SELECT doc_id, $normT AS norm,
+        |             string_split($normT, ' ') AS toks FROM documents
+        |           WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |f AS (SELECT doc_id, len(toks)::INT AS n_tokens,
+        |        len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE
+        |          AS uniq_ratio,
+        |        (CASE WHEN regexp_matches(norm,
+        |           '(^| )(the|and|of|to|in)( |$$)') THEN 1.0 ELSE 0.0 END)
+        |          AS has_glue,
+        |        length(replace(norm, ' ', ''))::DOUBLE / len(toks)::DOUBLE
+        |          AS mean_word_len
+        |      FROM d)
+        |SELECT doc_id, n_tokens,
+        |  round(1.0 / (1.0 + exp(-(-3.0 + n_tokens::DOUBLE * 0.01
+        |    + uniq_ratio * 2.5 + has_glue * 0.5 + mean_word_len * 0.2))), 4)
+        |    AS quality_score
+        |FROM f ORDER BY doc_id ASC""".stripMargin,
+    "vocab_topk" ->
+      raw"""SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split($normT, ' ')) AS token FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin,
     // docs that produce a simhash = docs with at least one token; the
     // kernel tokenizes on whitespace runs, so \S+ run-count is exact
     "dedup_simhash_ids" ->

@@ -110,6 +110,31 @@ object Aggregates {
       .orderBy(col("bucket").asc)
   }
 
+  /** `agg_mode_median` — central-tendency aggregates with deterministic
+    * tie-breaking: per group, the exact interpolated median and the mode
+    * defined as the SMALLEST value among the most frequent (raw `mode()`
+    * is engine-arbitrary on count ties, so it's not oracle-safe; this
+    * window formulation pins it). Mode = one keyed count + a per-group
+    * top-1 window on the (much smaller) distinct-value frame; median =
+    * one partial+final percentile aggregate.
+    */
+  def aggModeMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    val mode = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(round(median(col("l_quantity")), 4).as("median_qty"))
+    mode.join(med, "l_returnflag")
+      .select(col("l_returnflag"), col("mode_qty"), col("median_qty"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   /** `agg_stats` — statistical aggregates: correlation, covariance,
     * stddev/variance (exact 6dp cross-engine agreement, verified), and
     * skewness/kurtosis (3dp — higher moments accumulate float drift

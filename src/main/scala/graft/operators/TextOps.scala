@@ -245,6 +245,135 @@ object TextOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** `decontaminate` — benchmark decontamination, the training-data hygiene
+    * pass every LLM pipeline runs before training: flag corpus documents
+    * that share any word k-gram with a held-out benchmark/eval set (here a
+    * deterministic pseudo-split: doc_id ≡ 0 mod `benchMod` plays the
+    * benchmark). Output: each contaminated corpus doc with its count of
+    * distinct shared k-grams — the evidence a curation run reviews before
+    * dropping.
+    *
+    * Scale: grams are row-local kernel output; the benchmark gram
+    * universe is ONE distinct aggregate (benchmarks are tiny next to the
+    * corpus — at 100 TB it broadcasts); the flagging join is keyed on the
+    * gram hash. The corpus side never self-joins and never goes
+    * quadratic — cost ∝ corpus grams + shared-gram matches.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String, k: Int = 3,
+      benchMod: Int = 97): DataFrame =
+    decontaminateDocs(Tables.documents(spark, sfDir), k, benchMod)
+
+  /** Core of `decontaminate` over any (doc_id, text) frame. */
+  def decontaminateDocs(documents: DataFrame, k: Int = 3,
+      benchMod: Int = 97): DataFrame = {
+    val grams = documents
+      .withColumn("sh",
+        graft.functions.ShingleKernel.shingleHashes(col("text"), k))
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select(col("h")).distinct()
+    grams.filter(col("doc_id") % benchMod =!= 0)
+      .join(bench, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** `repetition_score` — Gopher-style repetition signals for quality
+    * filtering: per-doc duplicate-token fraction (1 − |distinct| / |all|)
+    * and the fraction of all bigrams taken by the single most frequent
+    * bigram. High values mark degenerate/boilerplate text ("batch batch
+    * batch…") that survives length filters but poisons training.
+    *
+    * Scale: token stats are row-local array ops; the top-bigram count is
+    * an explode + two keyed aggregations (doc_id,gram) → (doc_id) with
+    * map-side partial agg — one narrow shuffle per doc, never a
+    * self-join.
+    */
+  def repetitionScore(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionScoreDocs(Tables.documents(spark, sfDir))
+
+  /** Core of `repetition_score` over any (doc_id, text) frame. */
+  def repetitionScoreDocs(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .withColumn("toks", graft.functions.ShingleKernel
+        .shingleHashes(col("text"), 1, distinct = false))
+      .withColumn("bi", graft.functions.ShingleKernel
+        .shingleHashes(col("text"), 2, distinct = false))
+      .filter(size(col("toks")) > 0)
+    val topBigram = docs
+      .select(col("doc_id"), explode(col("bi")).as("h"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_bigram_cnt"),
+        sum(col("cnt")).as("n_bigrams"))
+    docs
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"))
+      .join(topBigram, "doc_id")
+      .select(
+        col("doc_id"),
+        round(lit(1.0) - col("n_uniq").cast("double") /
+          col("n_tokens").cast("double"), 4).as("dup_token_frac"),
+        round(col("top_bigram_cnt").cast("double") /
+          col("n_bigrams").cast("double"), 4).as("top_bigram_frac"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** `quality_classifier` — model-based quality scoring, the shape of a
+    * fastText/logistic quality gate: a fixed, documented weight vector
+    * over exact integer/rational features (token count, distinct-token
+    * ratio, glue-word presence, mean word length) through a logistic
+    * link. A production run would load trained weights; the dataflow —
+    * row-local featurize → dot → sigmoid, zero shuffles before the
+    * output sort — is identical. Feature arithmetic stays in exact
+    * int/rational form until one final double expression evaluated in
+    * the same order on both engines (oracle-stable at 4 dp).
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", graft.functions.ShingleKernel
+        .shingleHashes(col("text"), 1, distinct = false))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("toks"))).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("has_glue",
+        when(normText(col("text"))
+          .rlike("(^| )(the|and|of|to|in)( |$)"), 1.0).otherwise(0.0))
+      .withColumn("mean_word_len",
+        length(regexp_replace(normText(col("text")), " ", ""))
+          .cast("double") / col("n_tokens").cast("double"))
+    val z = lit(-3.0) +
+      col("n_tokens").cast("double") * lit(0.01) +
+      col("uniq_ratio") * lit(2.5) +
+      col("has_glue") * lit(0.5) +
+      col("mean_word_len") * lit(0.2)
+    docs
+      .select(col("doc_id"),
+        col("n_tokens"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("quality_score"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** `vocab_topk` — corpus vocabulary statistics: the 100 most frequent
+    * tokens with counts — the first step of tokenizer/vocab construction
+    * and corpus drift monitoring. Explode → one keyed count with
+    * map-side partial agg → TakeOrderedAndProject (per-partition heads,
+    * no global sort).
+    */
+  def vocabTopk(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(normText(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
   /** `doc_fingerprint` — rolling/content-defined fingerprinting: per-doc
     * polynomial rolling hash over word 3-grams, plus the minimum 3-gram
     * hash (a 1-permutation MinHash — the dedup_minhash building block).

@@ -227,4 +227,32 @@ object LakeIO {
     ranged.sortWithinPartitions(keys: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Z-order save (Delta OPTIMIZE ZORDER BY (a, b), parquet-native):
+    * bucket both cluster columns, interleave the bucket bits into a
+    * Morton key, then range-partition + sort files on that key — rows
+    * close in EITHER dimension cluster on disk, so min/max stats stay
+    * tight on both columns and a predicate on either one skips row
+    * groups/files (`saveSorted` gives this for the leading key only).
+    *
+    * Buckets here are equal-width from a 1-row broadcast min/max (no
+    * driver action); a production z-order samples quantile boundaries
+    * instead so heavy skew can't crowd one bucket — the write shape
+    * (row-local key computation + one range shuffle) is identical.
+    */
+  def saveZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int): Unit = {
+    import graft.functions.ZOrder
+    val bounds = df.agg(
+      min(col(colA)).as("__alo"), max(col(colA)).as("__ahi"),
+      min(col(colB)).as("__blo"), max(col(colB)).as("__bhi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__zkey", ZOrder.morton2(
+        ZOrder.bucket(col(colA), col("__alo"), col("__ahi"), 256),
+        ZOrder.bucket(col(colB), col("__blo"), col("__bhi"), 256)))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey", "__alo", "__ahi", "__blo", "__bhi")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -102,6 +102,21 @@ object SinkQueries {
       .orderBy(col("o_orderkey").asc)
   }
 
+  /** `sink_zorder` — z-order-clustered save + read-back: content must
+    * round-trip exactly (the oracle is a plain SELECT — clustering
+    * changes layout, never content). File-level min/max tightening on
+    * BOTH cluster columns is asserted in SinkSpec.
+    */
+  def sinkZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/sink_zorder"
+    val df = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    LakeIO.saveZOrdered(df, out, "o_custkey", "o_totalprice", writerTasks)
+    spark.read.parquet(out)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_orderkey").asc)
+  }
+
   /** `source_csv` — CSV ingest round-trip (header + schema inference). */
   def sourceCsv(spark: SparkSession, sfDir: String): DataFrame = {
     val out = tmpBase(sfDir) + "/source_csv"

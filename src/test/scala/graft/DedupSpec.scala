@@ -206,6 +206,36 @@ class DedupSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("decontaminate flags only docs sharing a k-gram with the benchmark split") {
+    // doc 0 is the benchmark (0 % 97 == 0); doc 1 shares exactly the
+    // 3-gram "a b c" with it; doc 2 shares nothing; doc 3 shares two
+    // distinct 3-grams ("a b c" and "b c d")
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "x y a b c z"),
+      (2L, "p q r s t u"),
+      (3L, "a b c d w")
+    ).toDF("doc_id", "text")
+    val flagged = graft.operators.TextOps.decontaminateDocs(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 3's grams: "a b c","b c d","c d w" — first two hit doc 0's
+    // {"a b c","b c d","c d e"}
+    assert(flagged === Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("repetition_score: degenerate repetition maxes the signals, unique text zeroes them") {
+    val docs = Seq(
+      (1L, "batch batch batch batch"),  // 1 uniq of 4; top bigram 3/3
+      (2L, "alpha beta gamma delta"),   // all unique; all bigrams unique
+      (3L, "spark")                     // single token: 1 "bigram" (whole doc)
+    ).toDF("doc_id", "text")
+    val m = graft.operators.TextOps.repetitionScoreDocs(docs)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m(1L) === ((0.75, 1.0)))
+    assert(m(2L) === ((0.0, 0.3333)))
+    assert(m(3L) === ((0.0, 1.0)))
+  }
+
   test("interval overlap bucketing equals brute force on random intervals") {
     // deterministic pseudo-random intervals, lengths < bucket width;
     // the grid-bucketed join must find EXACTLY the brute-force pairs

@@ -81,6 +81,43 @@ object ScaleProbe {
         println(f"SCALEPROBE $tag $name ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
       }
     }
+
+    // round-3 probes (VERDICT r2 #5)
+    // dedup_cluster end-to-end: threshold 0.5 keeps the synthetic
+    // fixture's edge density production-like (at the declared 0.2 this
+    // fixture is artifact-dense — 12% of all pairs qualify — so edge
+    // count, not the operator, would dominate the ratio)
+    Seq(("1x", base), ("10x", out)).foreach { case (tag, dir) =>
+      val t0 = System.nanoTime()
+      val n = MinHashDedup.dedupCluster(spark, dir, threshold = 0.5).count()
+      println(f"SCALEPROBE $tag dedup_cluster ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    }
+    // embedding-LSH candidate-set growth: threshold −1 disables the
+    // cosine filter, so the row count IS the (multi-band-deduped)
+    // candidate-pair count
+    Seq(("1x", base), ("10x", out)).foreach { case (tag, dir) =>
+      val t0 = System.nanoTime()
+      val n = SimSearch.dedupEmbeddingLshDocs(
+        Tables.embeddings(spark, dir), threshold = -1.0,
+        nBits = 48, nBands = 4, carryVectors = false).count()
+      println(f"SCALEPROBE $tag lsh_candidates ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    }
+    // adversarial high-diameter chain: an N-doc path graph (diameter
+    // N−1 ≫ maxIter) — converges only because of pointer doubling;
+    // cost should grow ~N·log N (rounds ≈ log₂ diameter)
+    import spark.implicits._
+    def chainDocs(n: Int) =
+      Seq.tabulate(n) { i =>
+        (i.toLong, "chain",
+          (4 * i until 4 * i + 10).map(t => f"w$t%05d").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+    Seq(500, 5000).foreach { n =>
+      val t0 = System.nanoTime()
+      val res = MinHashDedup.dedupClusterDocs(chainDocs(n), threshold = 0.2)
+      val clusters = res.select("cluster_id").distinct().count()
+      assert(clusters == 1L, s"chain of $n must collapse to one cluster, got $clusters")
+      println(f"SCALEPROBE chain$n dedup_cluster_chain ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    }
     spark.stop()
   }
 }

@@ -98,6 +98,33 @@ class SinkSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("saveZOrdered: content round-trips and BOTH cluster columns prune files") {
+    val out = tmp() + "/z"
+    val df = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    LakeIO.saveZOrdered(df, out, "o_custkey", "o_totalprice", 8)
+    val back = spark.read.parquet(out)
+    assert(back.count() === df.count())
+    val nFiles = back.select(input_file_name()).distinct().count()
+    assert(nFiles === 8L)
+    // a narrow box on either dimension must touch a strict subset of
+    // files (with a single-column sort, the SECOND column's ranges span
+    // every file and nothing prunes). input_file_name() only surfaces
+    // files whose row groups produced rows, so distinct-count == files
+    // actually read past the stats.
+    def touched(c: String, lo: Double, hi: Double): Long =
+      back.filter(col(c) >= lo && col(c) <= hi)
+        .select(input_file_name()).distinct().count()
+    val cust = df.agg(min("o_custkey"), max("o_custkey")).head()
+    val price = df.agg(min("o_totalprice"), max("o_totalprice")).head()
+    val (cLo, cHi) = (cust.getLong(0).toDouble, cust.getLong(1).toDouble)
+    val (pLo, pHi) = (price.getDouble(0), price.getDouble(1))
+    val custTouched = touched("o_custkey", cLo, cLo + (cHi - cLo) / 16)
+    val priceTouched = touched("o_totalprice", pLo, pLo + (pHi - pLo) / 16)
+    assert(custTouched < 8, s"custkey box touched all $custTouched files")
+    assert(priceTouched < 8, s"totalprice box touched all $priceTouched files")
+  }
+
   test("setUnionByName aligns drifted schemas, null-fills missing cols") {
     import spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "a_only")

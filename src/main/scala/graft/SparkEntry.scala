@@ -216,6 +216,8 @@ object SparkEntry {
     "repetition_score" -> (TextOps.repetitionScore _),
     "quality_classifier" -> (TextOps.qualityClassifier _),
     "vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopk(s, d)),
+    "dedup_incremental" -> (TextOps.dedupIncremental _),
+    "ngram_lm" -> ((s: SparkSession, d: String) => TextOps.ngramLm(s, d)),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     // shadow of doc_fingerprint: hash values are engine-specific, but the
     // id set AND the per-doc gram count (max(nTok−k,0)+1, k=3) are exact
@@ -1098,6 +1100,31 @@ object SparkEntry {
         |  SELECT unnest(string_split($normT, ' ')) AS token FROM documents)
         |WHERE len(token) > 0
         |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin,
+    // membership-by-content-hash: Spark uses sha2, the oracle md5 — both
+    // are injective-in-practice keys over the same normalized text, so
+    // the anti-join survivor sets agree (same contract as dedup_exact)
+    "dedup_incremental" ->
+      raw"""WITH e AS (SELECT DISTINCT md5($normT) AS h FROM documents
+        |           WHERE doc_id % 10 < 8),
+        |b AS (SELECT doc_id, lang, source, md5($normT) AS h FROM documents
+        |      WHERE doc_id % 10 >= 8)
+        |SELECT doc_id, lang, source FROM b
+        |WHERE h NOT IN (SELECT h FROM e)
+        |ORDER BY doc_id ASC""".stripMargin,
+    "ngram_lm" ->
+      raw"""WITH d AS (SELECT doc_id, string_split($normT, ' ') AS toks
+        |           FROM documents
+        |           WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |bg AS (SELECT toks[i+1] AS w1, toks[i+2] AS w2
+        |       FROM d, unnest(range(0, len(toks) - 1)) AS t(i)
+        |       WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+        |SELECT c12.w1, c12.w2, c12.c12, c1.c1,
+        |  round(c12.c12::DOUBLE / c1.c1::DOUBLE, 4) AS p_cond
+        |FROM c12 JOIN c1 USING (w1)
+        |ORDER BY c12.c12 DESC, c12.w1 ASC, c12.w2 ASC
+        |LIMIT 50""".stripMargin,
     // docs that produce a simhash = docs with at least one token; the
     // kernel tokenizes on whitespace runs, so \S+ run-count is exact
     "dedup_simhash_ids" ->

@@ -359,6 +359,58 @@ object TextOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** `dedup_incremental` — incremental corpus dedup, the daily-crawl
+    * pattern: a new batch lands and only documents whose (normalized)
+    * content is NOT already in the existing corpus survive. Here the
+    * deterministic pseudo-split doc_id % 10 < 8 plays the existing
+    * corpus and the rest the incoming batch. Batch-internal duplicates
+    * are kept — the operator's contract is against the corpus; chain
+    * `dedup_exact` on the survivors for full dedup.
+    *
+    * Scale: the existing side reduces to a distinct hash set (32 B/doc —
+    * at 100 TB this is the bloom/anti-join input, NOT the corpus text);
+    * the batch anti-joins on the hash key. One keyed shuffle each side,
+    * no text ever re-shuffles.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val existing = docs.filter(col("doc_id") % 10 < 8)
+      .select(sha2(normText(col("text")), 256).as("h")).distinct()
+    docs.filter(col("doc_id") % 10 >= 8)
+      .withColumn("h", sha2(normText(col("text")), 256))
+      .join(existing, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** `ngram_lm` — bigram language-model counts: c(w₁w₂), c(w₁·) and the
+    * conditional probability p(w₂|w₁), top 50 bigrams by count — the
+    * count-collection step of KenLM-style n-gram model training and the
+    * standard corpus-statistics probe. Bigrams form by a per-doc
+    * lead() window over token positions (keyed on doc_id — the shuffle
+    * key is the document, token order comes from posexplode, no
+    * self-join); both count aggregations are partial+final keyed.
+    */
+  def ngramLm(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(normText(col("text")), " ")).as(Seq("pos", "w1")))
+      .filter(length(col("w1")) > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val bigrams = toks
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    c12.join(c1, "w1")
+      .withColumn("p_cond",
+        round(col("c12").cast("double") / col("c1").cast("double"), 4))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("p_cond"))
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** `vocab_topk` — corpus vocabulary statistics: the 100 most frequent
     * tokens with counts — the first step of tokenizer/vocab construction
     * and corpus drift monitoring. Explode → one keyed count with

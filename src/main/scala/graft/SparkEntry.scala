@@ -71,6 +71,7 @@ object SparkEntry {
     "join_cross" -> (Joins.joinCross _),
     "join_theta_range" -> (Joins.joinThetaRange _),
     "join_asof" -> (Joins.joinAsOf _),
+    "join_asof_forward" -> (Joins.joinAsOfForward _),
     "join_skew_salted" -> (Joins.joinSkewSalted _),
     "join_multiway" -> (Joins.joinMultiway _),
     "join_interval_overlap" -> (Joins.joinIntervalOverlap _),
@@ -460,6 +461,20 @@ object SparkEntry {
         |         PARTITION BY ukey ORDER BY at_ts ASC, side ASC, o_key ASC NULLS LAST
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
         |FROM tagged QUALIFY side = 1 ORDER BY event_id ASC""".stripMargin,
+    "join_asof_forward" ->
+      """WITH tagged AS (
+        |  SELECT user_id AS ukey, ts::DATE::TIMESTAMP AS at_ts,
+        |         event_id, NULL::BIGINT AS o_key, 0 AS side
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderdate, NULL::BIGINT, o_orderkey, 1
+        |  FROM orders
+        |)
+        |SELECT event_id, ukey AS user_id,
+        |       first_value(o_key IGNORE NULLS) OVER (
+        |         PARTITION BY ukey ORDER BY at_ts ASC, side ASC, o_key ASC NULLS LAST
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_orderkey
+        |FROM tagged QUALIFY side = 0 ORDER BY event_id ASC""".stripMargin,
     "join_skew_salted" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

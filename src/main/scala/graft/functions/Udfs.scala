@@ -144,4 +144,46 @@ object Udfs {
       .agg(agg(col("o_totalprice"), col("o_orderkey")).as("top_keys"))
       .orderBy(col("o_orderpriority").asc)
   }
+
+  /** Misra–Gries frequent-items sketch as a mergeable typed Aggregator —
+    * the fixed-size (≤ `capacity` counters) heavy-hitters pass a corpus
+    * pipeline runs before paying for an exact vocabulary count.
+    * Guarantee: every item with true frequency > n/(capacity+1) survives
+    * the sketch, and each surviving estimate undercounts by at most
+    * n/(capacity+1) (spec-asserted against the exact counts). Merge
+    * subtracts the (capacity+1)-th largest combined count — the standard
+    * mergeable-summaries construction, so partial aggregation works
+    * map-side like any built-in sketch. Estimates (not membership
+    * guarantees) depend on encounter order, so this is a library/spec
+    * surface, not an oracle-declared query.
+    */
+  class FreqItemsAggregator(val capacity: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    def zero: Map[String, Long] = Map.empty
+    def reduce(buf: Map[String, Long], item: String): Map[String, Long] =
+      if (buf.contains(item)) buf.updated(item, buf(item) + 1)
+      else if (buf.size < capacity) buf.updated(item, 1L)
+      else buf.flatMap { case (k, v) =>
+        if (v > 1) Some(k -> (v - 1)) else None
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = (a.keySet ++ b.keySet).iterator
+        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+      if (sum.size <= capacity) sum
+      else {
+        // subtract the (capacity+1)-th largest count; ≤ capacity survive
+        val cut = sum.values.toIndexedSeq
+          .sorted(Ordering[Long].reverse)(capacity)
+        sum.flatMap { case (k, v) =>
+          if (v > cut) Some(k -> (v - cut)) else None
+        }
+      }
+    }
+    def finish(buf: Map[String, Long]): Map[String, Long] = buf
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
 }

@@ -159,6 +159,41 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** `join_asof_forward` — the forward as-of join (next order AT or
+    * AFTER each purchase event's date), completing the as-of family:
+    * same union + single-window composition as `joinAsOf`, with the
+    * frame reversed (current row → unbounded following, first non-null)
+    * and the side tag flipped so a same-date order is visible to the
+    * event. Still exactly one user-keyed window shuffle — the shape a
+    * native as-of operator would plan.
+    */
+  def joinAsOfForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ukey"),
+        to_date(col("ts")).cast("timestamp").as("at_ts"),
+        col("event_id"), lit(null).cast("long").as("o_key"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("ukey"),
+        col("o_orderdate").as("at_ts"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("o_key"))
+    // Events sort before orders at the same timestamp (side=0 < 1) so an
+    // order on the event's own date is visible to it ("at or after").
+    val tagged = ev.withColumn("side", lit(0))
+      .unionByName(ord.withColumn("side", lit(1)))
+    val w = Window.partitionBy("ukey")
+      .orderBy(col("at_ts").asc, col("side").asc, col("o_key").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("next_orderkey",
+        first(col("o_key"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("ukey").as("user_id"),
+        col("next_orderkey"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Salted equi-join for skewed keys (the pre-AQE skew mitigation, and
     * still the right tool when one key dominates beyond what AQE's
     * skew-split handles): the skewed (large) side gets a deterministic

@@ -68,6 +68,22 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("no declared query plans an un-keyed window (SCALE.md invariant #2)") {
+    // A Window with an empty partitionSpec funnels every row through ONE
+    // task for the sort — the quiet single-node bottleneck. Global
+    // ordering in declared queries must come from the final orderBy
+    // (range-partitioned) or TakeOrderedAndProject, never a global
+    // window.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, TestSpark.sf)
+      val unkeyed = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unkeyed.isEmpty, s"$name plans an un-keyed Window")
+    }
+  }
+
   test("no declared query outputs an array/map column (driver comparator contract)") {
     // The driver sorts result rows by EVERY column before hashing —
     // collection-typed outputs are unhashable there and turned 5 queries

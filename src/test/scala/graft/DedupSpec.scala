@@ -206,6 +206,32 @@ class DedupSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("FreqItemsAggregator: Misra-Gries guarantee holds vs exact counts") {
+    import graft.sources.Tables
+    val capacity = 20
+    val tokens = Tables.documents(spark, TestSpark.sf)
+      .select(explode(split(TextOps.normText(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val exact = tokens.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val sketch = tokens.as[String](org.apache.spark.sql.Encoders.STRING)
+      .select(new Udfs.FreqItemsAggregator(capacity).toColumn)
+      .head()
+    assert(sketch.size <= capacity)
+    val bound = n / (capacity + 1)
+    exact.foreach { case (tok, freq) =>
+      if (freq > bound) {
+        assert(sketch.contains(tok),
+          s"heavy hitter '$tok' (freq=$freq > n/(c+1)=$bound) missing")
+        assert(sketch(tok) >= freq - bound && sketch(tok) <= freq,
+          s"'$tok' estimate ${sketch(tok)} outside [${freq - bound}, $freq]")
+      }
+    }
+    // and the sketch never invents items
+    sketch.keys.foreach(tok => assert(exact.contains(tok)))
+  }
+
   test("decontaminate flags only docs sharing a k-gram with the benchmark split") {
     // doc 0 is the benchmark (0 % 97 == 0); doc 1 shares exactly the
     // 3-gram "a b c" with it; doc 2 shares nothing; doc 3 shares two

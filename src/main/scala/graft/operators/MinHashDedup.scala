@@ -175,7 +175,16 @@ object MinHashDedup {
       .join(broadcast(srcSizes), "source")
       .filter(col("df") > col("src_n") * maxDfFrac)
       .select(col("source"), col("h"))
+    // Materialize ONE Exchange on the join key right after the cap:
+    // `kept` is otherwise a narrow subtree (scan → explode → anti-join)
+    // that each of its three consumers (sizes, both self-join sides)
+    // would recompute from the parquet scan — 15 FileScans in the
+    // executed plan before this line. With the explicit shuffle, the
+    // consumers' subtrees are canonically identical up to the Exchange,
+    // ReuseExchange dedups them, and the (source,h) self-join below
+    // needs no further shuffle at all: one explode pass total.
     val kept = tok.join(broadcast(hot), Seq("source", "h"), "left_anti")
+      .repartition(col("source"), col("h"))
     val sizes = kept.groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
     val inter = kept.select(col("source"), col("h"), col("doc_id").as("a_id"))

@@ -164,6 +164,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
+    // The 100 TB scan-pruning trio is static partition pruning (tested
+    // via savePartitioned), min/max skipping (saveSorted/saveZOrdered),
+    // and DPP: a runtime filter from the dim side prunes fact partitions
+    // BEFORE the scan. Assert the subquery-shaped partition filter is in
+    // the plan and that the join result is correct.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.sources.LakeIO.savePartitioned(
+      graft.sources.Tables.orders(spark, sf)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"),
+      dir, Seq("o_orderstatus"))
+    val fact = spark.read.parquet(dir)
+    import spark.implicits._
+    // the dim must be a real scan: a local relation would constant-fold
+    // its filter away and leave no selective predicate for the DPP rule
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dppdim").toString
+    Seq(("F", "finished"), ("P", "pending")).toDF("st", "label")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("label") === "finished")
+    val joined = fact.join(dim, fact("o_orderstatus") === dim("st"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter, got:\n$p")
+    assert(joined.count() ===
+      graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderstatus") === "F").count())
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the final plan,
     // so materialize first

@@ -85,6 +85,10 @@ object MinHashDedup {
     val banded = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bhash"))
+      // one Exchange both self-join sides reuse: the final signature
+      // aggregation + band projection run once, and the (band,bhash)
+      // join shuffles nothing further
+      .repartition(col("band"), col("bhash"))
     val pairs = banded.select(col("band"), col("bhash"),
         col("doc_id").as("a_id"))
       .join(banded.select(col("band"), col("bhash"),

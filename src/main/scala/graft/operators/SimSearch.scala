@@ -286,6 +286,9 @@ object SimSearch {
           .withColumn("band", bandStructs(col("bucket")))
           .select(col("band.bno").as("bno"), col("band.bkey").as("bkey"),
             col("vec_id"), col("embedding"), col("nrm"))
+          // one Exchange both self-join sides reuse (single scan+LSH
+          // pass), and the (bno,bkey) join needs no further shuffle
+          .repartition(col("bno"), col("bkey"))
         val a = banded.select(col("bno"), col("bkey"), col("vec_id").as("a_id"),
           col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
         val b = banded.select(col("bno"), col("bkey"), col("vec_id").as("b_id"),
@@ -300,6 +303,7 @@ object SimSearch {
           .withColumn("band", bandStructs(col("bucket")))
           .select(col("band.bno").as("bno"), col("band.bkey").as("bkey"),
             col("vec_id"))
+          .repartition(col("bno"), col("bkey")) // same reuse as above
         val pairs = banded.select(col("bno"), col("bkey"),
             col("vec_id").as("a_id"))
           .join(banded.select(col("bno"), col("bkey"),

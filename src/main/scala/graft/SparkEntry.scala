@@ -72,6 +72,7 @@ object SparkEntry {
     "join_theta_range" -> (Joins.joinThetaRange _),
     "join_asof" -> (Joins.joinAsOf _),
     "join_asof_forward" -> (Joins.joinAsOfForward _),
+    "fn_url" -> (ScalarFns.fnUrl _),
     "join_skew_salted" -> (Joins.joinSkewSalted _),
     "join_multiway" -> (Joins.joinMultiway _),
     "join_interval_overlap" -> (Joins.joinIntervalOverlap _),
@@ -886,6 +887,16 @@ object SparkEntry {
         |FROM events ORDER BY event_id ASC""".stripMargin,
     "fn_hash_md5" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id ASC",
+    "fn_url" ->
+      """WITH u AS (SELECT event_id,
+        |  'https://shard' || (user_id % 4)::VARCHAR || '.example.com/' ||
+        |  event_type || '/item?id=' || event_id::VARCHAR || '&ref=home' AS url
+        |  FROM events WHERE event_id < 500)
+        |SELECT event_id, url,
+        |  regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]id=([^&]*)', 1) AS qid
+        |FROM u ORDER BY event_id ASC""".stripMargin,
     "set_union_by_name" ->
       """SELECT o_orderkey, o_totalprice, NULL::BIGINT AS o_custkey
         |FROM orders WHERE o_orderstatus = 'F'

@@ -292,4 +292,24 @@ object ScalarFns {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
       .orderBy(col("doc_id").asc)
+
+  /** `fn_url` — the URL-extraction family (Presto url_extract_host/path/
+    * parameter, Spark parse_url): the fixtures carry no URL column, so
+    * the query synthesizes deterministic URLs from event fields first —
+    * the extraction itself is the operator under test. The oracle
+    * re-extracts with anchored regexes, which agree with parse_url on
+    * well-formed URLs.
+    */
+  def fnUrl(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_id") < 500)
+      .withColumn("url", concat(
+        lit("https://shard"), col("user_id") % 4, lit(".example.com/"),
+        col("event_type"), lit("/item?id="), col("event_id"),
+        lit("&ref=home")))
+      .select(col("event_id"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("id")).as("qid"))
+      .orderBy(col("event_id").asc)
 }

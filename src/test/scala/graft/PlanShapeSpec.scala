@@ -193,6 +193,40 @@ class PlanShapeSpec extends AnyFunSuite {
         .filter(col("o_orderstatus") === "F").count())
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The row-level sibling of DPP: for a shuffle join with a selective
+    // dim filter, the engine builds a bloom filter of the dim keys and
+    // semi-filters the fact scan BEFORE the shuffle — at 100 TB this is
+    // what keeps a 0.1%-selective dim join from shuffling the whole
+    // fact table. Thresholds are sized for clusters (10 GB application
+    // side), so lower them to fixture scale; the assertion is that the
+    // mechanism engages and preserves the result.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val savedThresh =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val savedBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val li = graft.sources.Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+      val sup = graft.sources.Tables.supplier(spark, sf)
+        .filter(col("s_acctbal") > 9000.0)
+        .select(col("s_suppkey"), col("s_name"))
+      val joined = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter on the fact side, got:\n$p")
+      val expected = li.join(sup.hint("broadcast"),
+        li("l_suppkey") === sup("s_suppkey")).count()
+      assert(joined.count() === expected)
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", savedThresh)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the final plan,
     // so materialize first

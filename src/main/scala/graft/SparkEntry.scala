@@ -73,6 +73,7 @@ object SparkEntry {
     "join_asof" -> (Joins.joinAsOf _),
     "join_asof_forward" -> (Joins.joinAsOfForward _),
     "fn_url" -> (ScalarFns.fnUrl _),
+    "stream_static_join" -> (EventWindows.streamStaticJoinBatch _),
     "join_skew_salted" -> (Joins.joinSkewSalted _),
     "join_multiway" -> (Joins.joinMultiway _),
     "join_interval_overlap" -> (Joins.joinIntervalOverlap _),
@@ -968,6 +969,11 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY p.user_id ASC, purchase_id ASC, click_id ASC""".stripMargin,
+    "stream_static_join" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id ASC""".stripMargin,
     "ts_gapfill" ->
       """WITH agg AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bucket,

@@ -229,6 +229,24 @@ object EventWindows {
         col("click_id").asc)
   }
 
+  /** `stream_static_join` — batch form of the stream-static dim
+    * enrichment (`Streams.enrichWithCustomer`): purchase events joined
+    * to the static customer table. In streaming this is the stateless
+    * join class — the static side is (re)read per micro-batch, no join
+    * state, no watermark needed — the standard shape for enriching an
+    * event stream with a dimension at any scale (the dim broadcasts or
+    * shuffles exactly as in batch).
+    */
+  def streamStaticJoinBatch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")), "user_id")
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        col("value"))
+      .orderBy(col("event_id").asc)
+
   /** `stream_stateful` — running per-user purchase total (batch form of
     * the transformWithState processor in Streams): cumulative sum over
     * the user's purchase history.

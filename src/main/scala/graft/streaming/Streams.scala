@@ -118,6 +118,22 @@ object Streams {
           .as("gap_sec"))
   }
 
+  /** `stream_static_join` — stream-static dim enrichment: the streaming
+    * side joins a STATIC DataFrame per micro-batch. Stateless (no join
+    * state, no watermark — the static side is simply re-planned each
+    * batch, picking up broadcast like any batch join), which is why this
+    * is the first-choice shape for stream enrichment at scale.
+    * Equivalence with the batch form is StreamingSpec-asserted.
+    */
+  def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .join(customer.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment")), "user_id")
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        col("value"))
+
   /** `stream_stateful` — custom keyed state: running purchase total per
     * user, emitted on every purchase. flatMapGroupsWithState keeps one
     * double per user; with event-time timeout the state is GC'd for

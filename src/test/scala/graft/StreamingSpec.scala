@@ -60,6 +60,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("stream-static join equals the batch dim enrichment") {
+    val sfd = TestSpark.sf
+    val enriched = Streams.enrichWithCustomer(
+      Streams.eventsFileStream(spark, sfd),
+      graft.sources.Tables.customer(spark, sfd))
+    runToTable(enriched, "ssdim", "append")
+    val streamed = spark.table("ssdim")
+      .orderBy("event_id").collect().toSeq
+    val batch = EventWindows.streamStaticJoinBatch(spark, sfd)
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("watermark drops late data beyond the threshold") {
     val mem = MemoryStream[Ev]
     val counts = Streams.tumblingCounts(mem.toDF())

@@ -74,6 +74,15 @@ object SparkEntry {
     "join_asof_forward" -> (Joins.joinAsOfForward _),
     "fn_url" -> (ScalarFns.fnUrl _),
     "stream_static_join" -> (EventWindows.streamStaticJoinBatch _),
+    // full DSv2 connector (graft.sources.SynthDocsSource): deterministic
+    // generation means the DuckDB oracle regenerates the identical
+    // corpus from range() — the connector's output is hash-matched
+    "source_custom" -> ((s: SparkSession, d: String) =>
+      s.read.format("graft-synth")
+        .option("rows", "1000").option("partitions", "8").load()
+        .filter(org.apache.spark.sql.functions.col("doc_id") >= 100 &&
+          org.apache.spark.sql.functions.col("doc_id") < 600)
+        .orderBy("doc_id")),
     "join_skew_salted" -> (Joins.joinSkewSalted _),
     "join_multiway" -> (Joins.joinMultiway _),
     "join_interval_overlap" -> (Joins.joinIntervalOverlap _),
@@ -969,6 +978,14 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY p.user_id ASC, purchase_id ASC, click_id ASC""".stripMargin,
+    "source_custom" ->
+      """SELECT i AS doc_id,
+        |  ['en','de','es','fr'][(i % 4)::INT + 1] AS lang,
+        |  'synth' || (i % 3)::VARCHAR AS source,
+        |  'synthetic document ' || i::VARCHAR || ' body token' ||
+        |    (i % 7)::VARCHAR || ' token' || (i % 11)::VARCHAR || ' end'
+        |    AS text
+        |FROM range(100, 600) t(i) ORDER BY doc_id ASC""".stripMargin,
     "stream_static_join" ->
       """SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey

@@ -77,6 +77,7 @@ object SparkEntry {
     // full DSv2 connector (graft.sources.SynthDocsSource): deterministic
     // generation means the DuckDB oracle regenerates the identical
     // corpus from range() — the connector's output is hash-matched
+    "multimodal_dedup" -> (Multimodal.dedupAssets _),
     "source_custom" -> ((s: SparkSession, d: String) =>
       s.read.format("graft-synth")
         .option("rows", "1000").option("partitions", "8").load()
@@ -978,6 +979,20 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY p.user_id ASC, purchase_id ASC, click_id ASC""".stripMargin,
+    // blob = utf-8 bytes of text, so DuckDB's md5(text) hashes the
+    // identical byte string; octet_length = blob length
+    "multimodal_dedup" ->
+      """WITH h AS (SELECT doc_id AS asset_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |         ELSE 'video/mp4' END AS mime,
+        |    md5(text) AS blob_hash,
+        |    octet_length(encode(text))::INT AS n_bytes
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY blob_hash ORDER BY asset_id ASC) AS rn FROM h)
+        |SELECT asset_id, mime, blob_hash, n_bytes FROM r WHERE rn = 1
+        |ORDER BY asset_id ASC""".stripMargin,
     "source_custom" ->
       """SELECT i AS doc_id,
         |  ['en','de','es','fr'][(i % 4)::INT + 1] AS lang,

@@ -50,6 +50,25 @@ object Multimodal {
         map(lit("lang"), col("lang"), lit("source"), col("source"))
           .as("meta"))
 
+  /** `multimodal_dedup` — exact asset dedup by blob content hash: the
+    * first pass every multimodal ingest runs (identical images/clips
+    * appear under many ids; dedup BEFORE decode so codec work isn't
+    * wasted on copies). One keyed shuffle on md5(blob); survivor = min
+    * asset_id; blobs themselves never shuffle — only the 16-byte hash
+    * and ids do.
+    */
+  def dedupAssets(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blob_hash")).orderBy(col("asset_id").asc)
+    syntheticAssets(spark, sfDir)
+      .withColumn("blob_hash", md5(col("blob")))
+      .withColumn("n_bytes", length(col("blob")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("asset_id"), col("mime"), col("blob_hash"), col("n_bytes"))
+      .orderBy(col("asset_id").asc)
+  }
+
   /** STUB decode: a real implementation would decode the image/audio blob
     * (e.g. via a JNI codec or mapInPandas on a Python-enabled cluster)
     * into pixel/sample tensors. Here: a deterministic fake "feature"

@@ -78,6 +78,8 @@ object SparkEntry {
     // generation means the DuckDB oracle regenerates the identical
     // corpus from range() — the connector's output is hash-matched
     "multimodal_dedup" -> (Multimodal.dedupAssets _),
+    "pipeline_curate" -> ((s: SparkSession, d: String) =>
+      TextOps.pipelineCurate(s, d)),
     "source_custom" -> ((s: SparkSession, d: String) =>
       s.read.format("graft-synth")
         .option("rows", "1000").option("partitions", "8").load()
@@ -979,6 +981,46 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY p.user_id ASC, purchase_id ASC, click_id ASC""".stripMargin,
+    // the composed pipeline: quality predicates == quality_filter's,
+    // dedup among survivors, benchmark + contaminated docs dropped
+    // (decontaminate's gram CTEs), then pack_sequences' window
+    "pipeline_curate" ->
+      raw"""WITH q0 AS (SELECT doc_id, source, lang, n_chars, text,
+        |        $normT AS t FROM documents),
+        |m AS (SELECT doc_id, source, t,
+        |    len(string_split(t, ' '))::INT AS n_tokens, n_chars, lang,
+        |    round(length(replace(t, ' ', ''))::DOUBLE
+        |          / len(string_split(t, ' ')), 4) AS mwl
+        |  FROM q0),
+        |keepq AS (SELECT * FROM m
+        |  WHERE lang IN ('en','de','es','fr')
+        |    AND n_tokens BETWEEN 3 AND 10000
+        |    AND n_chars BETWEEN 20 AND 100000
+        |    AND mwl BETWEEN 2.0 AND 12.0),
+        |ded AS (SELECT *, row_number() OVER (
+        |    PARTITION BY md5(t) ORDER BY doc_id ASC) AS rn FROM keepq),
+        |surv AS (SELECT doc_id, source, n_tokens FROM ded
+        |  WHERE rn = 1 AND doc_id % 97 <> 0),
+        |d AS (SELECT doc_id, string_split($normT, ' ') AS toks
+        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM d),
+        |g AS (SELECT doc_id, unnest(sh) AS h FROM s),
+        |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (h)
+        |  WHERE g.doc_id % 97 <> 0),
+        |fin AS (SELECT sv.* FROM surv sv LEFT JOIN cont c
+        |  ON sv.doc_id = c.doc_id WHERE c.doc_id IS NULL),
+        |p AS (SELECT source, doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS cum_before
+        |  FROM fin)
+        |SELECT source, doc_id, n_tokens,
+        |  (cum_before // 512)::BIGINT AS pack_id,
+        |  (cum_before % 512)::BIGINT AS pack_offset
+        |FROM p ORDER BY source ASC, doc_id ASC""".stripMargin,
     // blob = utf-8 bytes of text, so DuckDB's md5(text) hashes the
     // identical byte string; octet_length = blob length
     "multimodal_dedup" ->

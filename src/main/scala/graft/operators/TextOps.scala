@@ -426,6 +426,52 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
 
+  /** `pipeline_curate` — the operators composed as ONE curation
+    * pipeline, the way a user actually runs them: quality gate
+    * (the `quality_filter` predicates) → exact dedup AMONG the
+    * survivors (min-doc_id per normalized-text hash) → drop the
+    * benchmark split and everything contaminated by it
+    * (`decontaminate`'s 3-gram overlap) → token-budget sequence
+    * packing of what remains. The whole thing is one lazy DAG —
+    * Catalyst sees every stage, so pruning/pushdown cross stage
+    * boundaries and nothing materializes between steps.
+    *
+    * Scale: the stages add exactly three keyed shuffles (dedup hash,
+    * contamination gram join, packing window) on top of row-local
+    * predicates — the same shuffles the standalone operators pay;
+    * composition adds none.
+    */
+  def pipelineCurate(spark: SparkSession, sfDir: String,
+      budget: Int = 512, benchMod: Int = 97): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val quality = docs
+      .withColumn("t", normText(col("text")))
+      .withColumn("n_tokens", size(split(col("t"), " ")))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(col("t"), " ", "")).cast("double") /
+          size(split(col("t"), " ")), 4))
+      .filter(col("lang").isin("en", "de", "es", "fr") &&
+        col("n_tokens").between(3, 10000) &&
+        col("n_chars").between(20, 100000) &&
+        col("mean_word_len").between(2.0, 12.0))
+    val wDedup = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
+    val deduped = quality
+      .withColumn("h", sha2(col("t"), 256))
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1 && col("doc_id") % benchMod =!= 0)
+    val contaminated = decontaminateDocs(docs, benchMod = benchMod)
+      .select(col("doc_id"))
+    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens").cast("long")).over(wPack), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        floor(col("cum_before") / budget).as("pack_id"),
+        (col("cum_before") % budget).as("pack_offset"))
+      .orderBy(col("source").asc, col("doc_id").asc)
+  }
+
   /** `doc_fingerprint` — rolling/content-defined fingerprinting: per-doc
     * polynomial rolling hash over word 3-grams, plus the minimum 3-gram
     * hash (a 1-permutation MinHash — the dedup_minhash building block).

@@ -107,6 +107,18 @@ class Lake(val spark: SparkSession, val warehouse: String) {
   def loadVersioned(name: String, version: Option[Int] = None): DataFrame =
     LakeIO.loadVersion(spark, pathOf(name), version)
 
+  /** Snapshot retention (Delta VACUUM analogue): keep the newest `keep`
+    * versions, delete the rest; returns the versions removed.
+    */
+  def vacuum(name: String, keep: Int): Seq[Int] =
+    LakeIO.vacuumVersions(spark, pathOf(name), keep)
+
+  /** Snapshot history (DESCRIBE HISTORY analogue): version, file count,
+    * bytes, latest flag — metadata only.
+    */
+  def history(name: String): DataFrame =
+    LakeIO.versionHistory(spark, pathOf(name))
+
   /** novlake `Lake.preview(table, n)` ≈ SELECT * LIMIT n — deterministic:
     * totally ordered over all ORDERABLE columns (the first column alone
     * may have ties at the limit boundary). Map-typed columns can't be

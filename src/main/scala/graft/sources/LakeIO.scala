@@ -197,6 +197,40 @@ object LakeIO {
     spark.read.parquet(s"$path/v=$v")
   }
 
+  /** Snapshot retention (Delta VACUUM's directory-versioned analogue):
+    * delete all but the newest `keep` versions under `path`. Readers
+    * pinned to a retained version are unaffected; the latest pointer
+    * (max v) never changes. Refuses keep < 1 — vacuuming everything
+    * would delete the live snapshot.
+    */
+  def vacuumVersions(spark: SparkSession, path: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep (would delete the live snapshot)")
+    val versions = listVersions(spark, path)
+    val drop = versions.dropRight(keep)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(s"$path/v=$v"), true))
+    drop
+  }
+
+  /** Snapshot history as rows (Delta DESCRIBE HISTORY analogue): one row
+    * per retained version with file count, byte size, and latest flag.
+    * Metadata listing only — nothing reads the data files.
+    */
+  def versionHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listVersions(spark, path)
+    val latest = versions.lastOption.getOrElse(-1)
+    versions.map { v =>
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v"))
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      (v, files.length, files.map(_.getLen).sum, v == latest)
+    }.toDF("version", "n_files", "bytes", "is_latest")
+  }
+
   /** Dataset maintenance: compact a (possibly partitioned) parquet
     * dataset to `targetFileCount` files per write — the small-files
     * maintenance job every lake needs at scale.

@@ -156,6 +156,39 @@ class LakeSpec extends AnyFunSuite {
     intercept[Exception](lake.load("never_saved").count())
   }
 
+  test("vacuum + history: retention keeps the newest snapshots, history reflects it") {
+    val lake = newLake()
+    import spark.implicits._
+    (0 until 3).foreach(i =>
+      lake.saveVersioned(Seq((i.toLong, s"v$i")).toDF("id", "v"), "snaps"))
+    val h0 = lake.history("snaps").orderBy("version").collect()
+    assert(h0.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+    assert(h0.count(_.getBoolean(3)) === 1 && h0.last.getBoolean(3))
+    val removed = lake.vacuum("snaps", keep = 2)
+    assert(removed === Seq(0))
+    // latest unchanged; a retained pinned version still readable
+    assert(lake.loadVersioned("snaps").head().getString(1) === "v2")
+    assert(lake.loadVersioned("snaps", Some(1)).head().getString(1) === "v1")
+    intercept[Exception](lake.loadVersioned("snaps", Some(0)).count())
+    intercept[IllegalArgumentException](lake.vacuum("snaps", keep = 0))
+  }
+
+  test("append with mergeSchema evolves the dataset schema (drifted batch)") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.saveDataset(Seq((1L, "a")).toDF("id", "v"), "evolve")
+    // a later batch gains a column; Hive-less parquet appends are
+    // schema-on-read — mergeSchema reconciles at scan time
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(s"${lake.warehouse}/evolve")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"${lake.warehouse}/evolve")
+    assert(merged.columns.sorted === Array("id", "score", "v"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old rows null-fill
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) === 9.5)
+  }
+
   test("saveDataset registration is durable: visible from a different session") {
     val lake = newLake()
     import spark.implicits._

@@ -73,7 +73,16 @@ object ScaleProbe {
         SimSearch.dedupEmbeddingLsh(s, d)),
       "pack_sequences" -> ((s: SparkSession, d: String) =>
         TextOps.packSequences(s, d)),
-      "stream_join" -> EventWindows.streamJoinBatch _)
+      "stream_join" -> EventWindows.streamJoinBatch _,
+      // round-3 additions
+      "decontaminate" -> ((s: SparkSession, d: String) =>
+        TextOps.decontaminate(s, d)),
+      "repetition_score" -> (TextOps.repetitionScore _),
+      "vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopk(s, d)),
+      "ngram_lm" -> ((s: SparkSession, d: String) => TextOps.ngramLm(s, d)),
+      "dedup_incremental" -> (TextOps.dedupIncremental _),
+      "pipeline_curate" -> ((s: SparkSession, d: String) =>
+        TextOps.pipelineCurate(s, d)))
     Seq(("1x", base), ("10x", out)).foreach { case (tag, dir) =>
       ops.foreach { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
-import graft.functions.{FloatVecDot, FloatVecNorm, WordShingleHashes}
+import graft.functions.{FloatVecDot, FloatVecNorm, WordShingleHashes, ZOrder}
 
 /** Engine extensions (SURVEY.md §2.J / §7.5): expose the native kernels
   * to the SQL surface and teach the optimizer to accelerate the
@@ -55,6 +55,23 @@ object GraftExtensions {
             s"word_shingles k must be an int literal, got $other")
         }
         WordShingleHashes(es.head, k, distinct = true)
+      }),
+    // z-order key for SQL users: interleave two 8-bit bucket ids —
+    // the same mask-shift cascade as ZOrder.morton2 (spec-asserted
+    // equal), built as a raw Catalyst tree so it resolves through the
+    // function registry and stays fully codegen'd
+    (FunctionIdentifier("zorder2"),
+      new ExpressionInfo(ZOrder.getClass.getName, "zorder2"),
+      (es: Seq[Expression]) => {
+        def spread8(c: Expression): Expression = {
+          val s1 = BitwiseAnd(BitwiseOr(c, ShiftLeft(c, Literal(4))),
+            Literal(0x0F0F))
+          val s2 = BitwiseAnd(BitwiseOr(s1, ShiftLeft(s1, Literal(2))),
+            Literal(0x3333))
+          BitwiseAnd(BitwiseOr(s2, ShiftLeft(s2, Literal(1))),
+            Literal(0x5555))
+        }
+        BitwiseOr(spread8(es(0)), ShiftLeft(spread8(es(1)), Literal(1)))
       }))
 
   /** Install on an already-running session (tests, notebooks). */

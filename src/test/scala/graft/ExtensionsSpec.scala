@@ -34,6 +34,17 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder2 is SQL-callable and matches the Column form") {
+    // 3 = 0b11 spreads to even bits 0b0101 = 5; 5 = 0b101 spreads to
+    // 0b010001 = 17, shifted to odd bits = 34; 5 | 34 = 39
+    assert(spark.sql("SELECT zorder2(3, 5) AS z").head().getInt(0) === 39)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaColumn = Seq((3, 5)).toDF("a", "b")
+      .select(graft.functions.ZOrder.morton2(col("a"), col("b"))).head().getInt(0)
+    assert(viaColumn === 39)
+  }
+
   test("optimizer rewrites the lambda dot-product to FloatVecDot, same result") {
     // needs a non-local source: over a LocalRelation the optimizer
     // constant-folds the whole projection before/after our rule runs

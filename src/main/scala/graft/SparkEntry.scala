@@ -80,6 +80,7 @@ object SparkEntry {
     "multimodal_dedup" -> (Multimodal.dedupAssets _),
     "pipeline_curate" -> ((s: SparkSession, d: String) =>
       TextOps.pipelineCurate(s, d)),
+    "win_range_interval" -> (Windows.winRangeInterval _),
     "source_custom" -> ((s: SparkSession, d: String) =>
       s.read.format("graft-synth")
         .option("rows", "1000").option("partitions", "8").load()
@@ -981,6 +982,13 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY p.user_id ASC, purchase_id ASC, click_id ASC""".stripMargin,
+    "win_range_interval" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('second', ts)
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS cnt_last_hour
+        |FROM events ORDER BY event_id ASC""".stripMargin,
     // the composed pipeline: quality predicates == quality_filter's,
     // dedup among survivors, benchmark + contaminated docs dropped
     // (decontaminate's gram CTEs), then pack_sequences' window

@@ -145,4 +145,25 @@ object Windows {
         |              ROWS UNBOUNDED PRECEDING)
         |ORDER BY event_id ASC""".stripMargin)
   }
+
+  /** `win_range_interval` — time-interval RANGE frame: per user, how
+    * many events fell in the trailing hour of each event (the sliding
+    * "rate over the last N minutes" primitive). RANGE BETWEEN INTERVAL
+    * is SQL-only surface (the DataFrame API's rangeBetween takes
+    * numeric offsets); frames over RANGE include all ORDER BY peers, so
+    * same-second ties are deterministic by construction. Timestamps are
+    * second-truncated on both engines (the events fixture is ns-grained
+    * — SURVEY §5/FIXTURES).
+    */
+  def winRangeInterval(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    graft.sources.Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id
+        |    ORDER BY date_trunc('second', ts)
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS cnt_last_hour
+        |FROM events ORDER BY event_id ASC""".stripMargin)
+  }
 }

@@ -142,6 +142,25 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.15, s"exact=$exact approx=$approx")
   }
 
+  test("approx_percentile brackets the exact quantiles (GK sketch error bound)") {
+    // percentile_approx with accuracy a guarantees rank error <= n/a;
+    // check the returned values sit within the exact quantile
+    // neighborhood for p50/p95 on order totals
+    import org.apache.spark.sql.functions.{expr, percentile_approx, lit}
+    val ord = graft.sources.Tables.orders(spark, TestSpark.sf)
+    val row = ord.agg(
+      expr("percentile(o_totalprice, 0.5)").as("p50"),
+      expr("percentile(o_totalprice, 0.95)").as("p95"),
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("a50"),
+      percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("a95"))
+      .collect().head
+    val (p50, p95) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(row.getDouble(2) - p50) / p50 < 0.05,
+      s"p50 exact=$p50 approx=${row.getDouble(2)}")
+    assert(math.abs(row.getDouble(3) - p95) / p95 < 0.05,
+      s"p95 exact=$p95 approx=${row.getDouble(3)}")
+  }
+
   test("dedup_cluster resolves transitive chains: A~B, B~C (A not~ C) => one cluster") {
     // B shares half its bigrams with A and the other half with C; A and
     // C share nothing — only transitivity puts all three together

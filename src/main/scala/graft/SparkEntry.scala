@@ -190,6 +190,8 @@ object SparkEntry {
     "dedup_minhash" -> ((s: SparkSession, d: String) => MinHashDedup.dedupMinhash(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => MinHashDedup.ngramJaccard(s, d)),
     "dedup_cluster" -> ((s: SparkSession, d: String) => MinHashDedup.dedupCluster(s, d)),
+    "dedup_cluster_stats" -> ((s: SparkSession, d: String) =>
+      MinHashDedup.dedupClusterStats(s, d)),
     "dedup_simhash" -> (MinHashDedup.simhash _),
     // shadow of dedup_simhash (VERDICT r2 #8): the fingerprints are
     // engine-specific xxhash64 values, but WHICH docs get one is not —
@@ -302,6 +304,22 @@ object SparkEntry {
       |      FROM inter i
       |      JOIN sizes sa ON i.source = sa.source AND i.a_id = sa.doc_id
       |      JOIN sizes sb ON i.source = sb.source AND i.b_id = sb.doc_id)""".stripMargin
+
+  /** The ≥0.2-similarity transitive-closure labels as CTEs ending in
+    * `lbl` (id, cluster) — shared by the dedup_cluster oracle and the
+    * dedup_cluster_stats histogram oracle.
+    */
+  private lazy val clusterLblCtes: String =
+    raw"""$ngramPairCtes,
+      |prs AS (SELECT a_id, b_id FROM p WHERE jaccard >= 0.2),
+      |edges AS (SELECT a_id AS u, b_id AS v FROM prs
+      |          UNION SELECT b_id, a_id FROM prs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |lbl AS (SELECT u AS id, least(u, min(v)) AS cluster
+      |        FROM reach GROUP BY u)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1381,22 +1399,25 @@ object SparkEntry {
     // connected components over the >=0.2 similarity pairs via a
     // recursive transitive closure; min reachable id = cluster label
     "dedup_cluster" ->
-      raw"""WITH RECURSIVE $ngramPairCtes,
-        |prs AS (SELECT a_id, b_id FROM p WHERE jaccard >= 0.2),
-        |edges AS (SELECT a_id AS u, b_id AS v FROM prs
-        |          UNION SELECT b_id, a_id FROM prs),
-        |reach(u, v) AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-        |lbl AS (SELECT u AS id, least(u, min(v)) AS cluster
-        |        FROM reach GROUP BY u)
+      raw"""WITH RECURSIVE $clusterLblCtes
         |SELECT d.doc_id,
         |  coalesce(l.cluster, d.doc_id) AS cluster_id,
         |  (CASE WHEN coalesce(l.cluster, d.doc_id) = d.doc_id
         |        THEN 1 ELSE 0 END)::INT AS is_survivor
         |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
         |ORDER BY d.doc_id ASC""".stripMargin,
+    // histogram over the same transitive-closure labels: how many
+    // clusters of each size (the report a dedup run publishes)
+    "dedup_cluster_stats" ->
+      raw"""WITH RECURSIVE $clusterLblCtes,
+        |assigned AS (SELECT d.doc_id,
+        |    coalesce(l.cluster, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+        |csizes AS (SELECT cluster_id, count(*) AS cluster_size
+        |           FROM assigned GROUP BY cluster_id)
+        |SELECT cluster_size, count(*) AS n_clusters
+        |FROM csizes GROUP BY cluster_size
+        |ORDER BY cluster_size ASC""".stripMargin,
     // oracle is the EXACT all-pairs form — the declared query's banded
     // LSH + exact verify equals it at the declared recall-first banding
     // (subset by construction; misses ≈ 5e-8/pair at the threshold)

@@ -289,6 +289,21 @@ object MinHashDedup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** `dedup_cluster_stats` — the cluster-size histogram over
+    * `dedup_cluster`'s labels: (cluster_size, n_clusters) rows, the
+    * summary a dedup run publishes (how much of the corpus is singleton
+    * vs caught in duplicate groups). Two cheap keyed aggregations over
+    * the label output — cost is the clustering itself.
+    */
+  def dedupClusterStats(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.2): DataFrame =
+    dedupCluster(spark, sfDir, threshold)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size").asc)
+
   /** The Pregel-path variant of dedupCluster: GraphX connectedComponents
     * (pointer-jumping under the hood — log-diameter supersteps, the
     * 100 TB formulation the DataFrame loop's scaladoc points at).

@@ -391,8 +391,12 @@ object TextOps {
     * key is the document, token order comes from posexplode, no
     * self-join); both count aggregations are partial+final keyed.
     */
-  def ngramLm(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
+  def ngramLm(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
+    ngramLmDocs(Tables.documents(spark, sfDir), k)
+
+  /** Core of `ngram_lm` over any (doc_id, text) frame. */
+  def ngramLmDocs(documents: DataFrame, k: Int = 50): DataFrame = {
+    val toks = documents
       .select(col("doc_id"),
         posexplode(split(normText(col("text")), " ")).as(Seq("pos", "w1")))
       .filter(length(col("w1")) > 0)

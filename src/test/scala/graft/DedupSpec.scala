@@ -281,6 +281,60 @@ class DedupSpec extends AnyFunSuite {
     assert(m(3L) === ((0.0, 1.0)))
   }
 
+  test("decontaminate equals brute force on random corpora (property)") {
+    // random small docs over a tiny vocab (forces heavy gram sharing);
+    // brute-force recomputes distinct-3-gram overlap with the
+    // doc_id % 97 == 0 benchmark split
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docsSeq = Seq.tabulate(120) { i =>
+      val n = 3 + rnd.nextInt(8)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def grams(text: String): Set[Seq[String]] = {
+      val t = text.split("\\s+").toSeq
+      (0 to math.max(t.size - 3, 0)).map(i => t.slice(i, i + 3)).toSet
+    }
+    val benchGrams = docsSeq.filter(_._1 % 97 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = docsSeq.filter(_._1 % 97 != 0)
+      .map { case (id, t) => id -> grams(t).count(benchGrams.contains).toLong }
+      .filter(_._2 > 0).toMap
+    val got = graft.operators.TextOps
+      .decontaminateDocs(docsSeq.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected, s"missing ${expected.keySet -- got.keySet}, " +
+      s"extra ${got.keySet -- expected.keySet}")
+  }
+
+  test("ngram_lm equals brute-force bigram counts (property)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("x", "y", "z", "w")
+    val docsSeq = Seq.tabulate(60) { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val allBigrams = docsSeq.flatMap { case (_, t) =>
+      val toks = t.split("\\s+").toSeq
+      toks.zip(toks.drop(1))
+    }
+    val c12 = allBigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = allBigrams.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val expected = c12.toSeq
+      .sortBy { case ((w1, w2), n) => (-n, w1, w2) }.take(50)
+      .map { case ((w1, w2), n) =>
+        (w1, w2, n, c1(w1),
+          BigDecimal(n.toDouble / c1(w1)).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+    val got = graft.operators.TextOps
+      .ngramLmDocs(docsSeq.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got === expected,
+      s"missing ${expected -- got}, extra ${got -- expected}")
+  }
+
   test("interval overlap bucketing equals brute force on random intervals") {
     // deterministic pseudo-random intervals, lengths < bucket width;
     // the grid-bucketed join must find EXACTLY the brute-force pairs

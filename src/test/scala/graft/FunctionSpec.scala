@@ -53,6 +53,52 @@ class FunctionSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of joins (backward + forward) equal in-memory brute force on the fixture") {
+    import graft.sources.Tables
+    val spark2 = spark
+    // NTZ timestamps collect as LocalDateTime; session tz is UTC
+    def millis(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime =>
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case i: java.time.Instant => i.toEpochMilli
+      case other => fail(s"unexpected timestamp type $other")
+    }
+    val purchases = Tables.events(spark2, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        millis(r.get(2)) / 86400000L * 86400000L)) // to_date truncation
+    val orders = Tables.orders(spark2, TestSpark.sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), millis(r.get(2))))
+    def bruteBackward(u: Long, t: Long): Option[Long] = {
+      val c = orders.filter(o => o._2 == u && o._3 <= t)
+      if (c.isEmpty) None
+      // latest date wins; largest key breaks date ties (window order:
+      // at_ts asc, side asc, o_key asc with last() → max key at max ts)
+      else Some(c.maxBy(o => (o._3, o._1))._1)
+    }
+    def bruteForward(u: Long, t: Long): Option[Long] = {
+      val c = orders.filter(o => o._2 == u && o._3 >= t)
+      if (c.isEmpty) None
+      // earliest date wins; smallest key breaks date ties (first() over
+      // the ascending frame)
+      else Some(c.minBy(o => (o._3, o._1))._1)
+    }
+    val back = graft.operators.Joins.joinAsOf(spark2, TestSpark.sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val fwd = graft.operators.Joins.joinAsOfForward(spark2, TestSpark.sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(purchases.nonEmpty)
+    purchases.foreach { case (eid, uid, day) =>
+      assert(back(eid) === bruteBackward(uid, day), s"backward event $eid")
+      assert(fwd(eid) === bruteForward(uid, day), s"forward event $eid")
+    }
+  }
+
   test("pii_scrub redacts planted emails and phone numbers") {
     val d = Seq(
       (1L, "contact john.doe@example.com or +1 (555) 123-4567 now"),

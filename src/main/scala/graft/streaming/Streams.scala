@@ -134,6 +134,33 @@ object Streams {
       .select(col("event_id"), col("user_id"), col("c_mktsegment"),
         col("value"))
 
+  /** Streaming form of `dedup_incremental`: incoming documents
+    * stream-static LEFT ANTI join the existing corpus's content-hash
+    * set — the other stateless stream-static join class (anti, vs the
+    * inner enrichment above): still no join state or watermark, the
+    * static hash set re-plans per micro-batch, so newly compacted
+    * corpus hashes are picked up batch-over-batch. Equivalence with
+    * the batch operator is StreamingSpec-asserted.
+    */
+  def incrementalDedupStream(newDocs: DataFrame,
+      existingHashes: DataFrame): DataFrame = {
+    import graft.operators.TextOps.normText
+    newDocs
+      .withColumn("h", sha2(normText(col("text")), 256))
+      .join(existingHashes, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Documents as a micro-batch file stream (streaming reads need an
+    * explicit schema; the glob pins the one fixture file).
+    */
+  def documentsFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+  }
+
   /** `stream_stateful` — custom keyed state: running purchase total per
     * user, emitted on every purchase. flatMapGroupsWithState keeps one
     * double per user; with event-time timeout the state is GC'd for

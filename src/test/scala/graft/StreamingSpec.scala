@@ -60,6 +60,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("stream-static ANTI join: streamed incremental dedup equals the batch form") {
+    val sfd = TestSpark.sf
+    val docs = graft.sources.Tables.documents(spark, sfd)
+    val existing = docs.filter(col("doc_id") % 10 < 8)
+      .select(org.apache.spark.sql.functions
+        .sha2(graft.operators.TextOps.normText(col("text")), 256).as("h"))
+      .distinct()
+    val incoming = Streams.documentsFileStream(spark, sfd)
+      .filter(col("doc_id") % 10 >= 8)
+    runToTable(Streams.incrementalDedupStream(incoming, existing),
+      "ssdedup", "append")
+    val streamed = spark.table("ssdedup").orderBy("doc_id").collect().toSeq
+    val batch = graft.operators.TextOps.dedupIncremental(spark, sfd)
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("stream-static join equals the batch dim enrichment") {
     val sfd = TestSpark.sf
     val enriched = Streams.enrichWithCustomer(

@@ -72,6 +72,7 @@ object SparkEntry {
     "join_theta_range" -> (Joins.joinThetaRange _),
     "join_asof" -> (Joins.joinAsOf _),
     "join_asof_forward" -> (Joins.joinAsOfForward _),
+    "join_null_safe" -> (Joins.joinNullSafe _),
     "fn_url" -> (ScalarFns.fnUrl _),
     "stream_static_join" -> (EventWindows.streamStaticJoinBatch _),
     // full DSv2 connector (graft.sources.SynthDocsSource): deterministic
@@ -508,6 +509,16 @@ object SparkEntry {
         |         PARTITION BY ukey ORDER BY at_ts ASC, side ASC, o_key ASC NULLS LAST
         |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_orderkey
         |FROM tagged QUALIFY side = 0 ORDER BY event_id ASC""".stripMargin,
+    "join_null_safe" ->
+      """WITH o AS (SELECT o_orderkey, nullif(o_custkey % 100, 0) AS k
+        |           FROM orders),
+        |c AS (SELECT c_custkey, nullif(c_custkey % 100, 0) AS ck
+        |      FROM customer)
+        |SELECT (CASE WHEN k IS NULL THEN 'null_keys'
+        |        ELSE 'value_keys' END) AS key_class,
+        |  count(*) AS n_matches
+        |FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.ck
+        |GROUP BY 1 ORDER BY key_class ASC""".stripMargin,
     "join_skew_salted" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

@@ -159,6 +159,28 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** `join_null_safe` — null-safe equality join (`<=>` / IS NOT
+    * DISTINCT FROM): NULL keys match each other instead of vanishing,
+    * the semantics MERGE-by-nullable-key pipelines rely on. NULLs are
+    * planted deterministically (key % 100 == 0 → NULL) on both sides;
+    * output aggregates match counts per key class so the NULL×NULL
+    * block stays bounded. EqualNullSafe is a proper equi-join key —
+    * the plan is a keyed hash/merge join, never a product.
+    */
+  def joinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        nullif(col("o_custkey") % 100, lit(0)).as("k"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        nullif(col("c_custkey") % 100, lit(0)).as("ck"))
+    ord.join(cust, col("k") <=> col("ck"))
+      .groupBy(when(col("k").isNull, lit("null_keys"))
+        .otherwise(lit("value_keys")).as("key_class"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("key_class").asc)
+  }
+
   /** `join_asof_forward` — the forward as-of join (next order AT or
     * AFTER each purchase event's date), completing the as-of family:
     * same union + single-window composition as `joinAsOf`, with the

@@ -44,6 +44,7 @@ object SparkEntry {
     "sink_append" -> (SinkQueries.sinkAppend _),
     "sink_replace_partition" -> (SinkQueries.sinkReplacePartition _),
     "sink_zorder" -> (SinkQueries.sinkZorder _),
+    "join_bucketed" -> (SinkQueries.joinBucketed _),
     "source_csv" -> (SinkQueries.sourceCsv _),
     "source_json" -> (SinkQueries.sourceJson _),
     "source_orc" -> (SinkQueries.sourceOrc _),
@@ -350,6 +351,11 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
         |ORDER BY o_orderkey ASC""".stripMargin,
+    "join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""".stripMargin,
     // z-order clustering changes file LAYOUT only — content round-trips
     "sink_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

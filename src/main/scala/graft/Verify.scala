@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed/catalog queries saveAsTable — keep their warehouse out
+      // of the CWD (and per-process, so Verify and Bench never collide)
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft_verify_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.install(spark)

@@ -117,6 +117,32 @@ object SinkQueries {
       .orderBy(col("o_orderkey").asc)
   }
 
+  /** `join_bucketed` — the co-located join as a declared query: both
+    * sides are saved CLUSTERED BY the join key into the same bucket
+    * count, so the join itself needs NO shuffle at read time (the
+    * repeated-large-join layout at 100 TB; asserted Exchange-free under
+    * forced SMJ in SinkSpec — here AQE may still choose broadcast,
+    * which is fine: bucketing removes the shuffle it would otherwise
+    * need). Result oracle: the plain equi-join + aggregate.
+    */
+  def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    LakeIO.saveBucketed(
+      Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      "bj_orders", "o_custkey", 8)
+    LakeIO.saveBucketed(
+      Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment"),
+      "bj_customer", "c_custkey", 8)
+    spark.table("bj_orders")
+      .join(spark.table("bj_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+          .as("total"))
+      .orderBy(col("c_mktsegment").asc)
+  }
+
   /** `source_csv` — CSV ingest round-trip (header + schema inference). */
   def sourceCsv(spark: SparkSession, sfDir: String): DataFrame = {
     val out = tmpBase(sfDir) + "/source_csv"

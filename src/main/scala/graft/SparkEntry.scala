@@ -262,6 +262,32 @@ object SparkEntry {
           |GROUP BY n_name
           |ORDER BY n_name ASC""".stripMargin)
     }),
+    // `WITH RECURSIVE` on the Spark SQL surface (VERDICT r3 #4 — the
+    // last Presto/DuckDB SQL-surface item a Lake.query user could
+    // type). Spark 4.1 supports UNION ALL recursion (UNION-distinct is
+    // rejected: UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, verified), so the
+    // declared query is the classic hierarchy walk — each customer key
+    // ascends its decimal-digit ancestor chain (parent = key div 10, a
+    // synthetic but deterministic 10-ary hierarchy) until the root
+    // digit. Depth grows with log10(|customer|): recursion actually
+    // iterates (5 levels at sf0.1), and the per-iteration frame stays
+    // |customer| rows — bounded, no cycle risk (node strictly
+    // shrinks). The cyclic-graph closure form (path-guarded UNION ALL)
+    // is spec-asserted ≡ dedupClusterDocs in DedupSpec.
+    "sql_recursive_cte" -> ((s: SparkSession, d: String) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql(
+        """WITH RECURSIVE up(c_custkey, node, depth) AS (
+          |  SELECT c_custkey, c_custkey, 0 FROM customer
+          |  UNION ALL
+          |  SELECT c_custkey, node DIV 10, depth + 1 FROM up
+          |  WHERE node >= 10
+          |)
+          |SELECT c_custkey, CAST(max(depth) AS BIGINT) AS hops,
+          |       CAST(max_by(node, depth) AS BIGINT) AS root_digit
+          |FROM up GROUP BY c_custkey
+          |ORDER BY c_custkey ASC""".stripMargin)
+    }),
     "multimodal_stats" -> (Multimodal.multimodalStats _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
     "multimodal_resize" -> (Multimodal.multimodalResize _)
@@ -1474,6 +1500,17 @@ object SparkEntry {
         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         |  CAST(max(n_chars % 1920) AS INT) AS max_width
         |FROM documents GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE up(c_custkey, node, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, node // 10, depth + 1 FROM up
+        |  WHERE node >= 10
+        |)
+        |SELECT c_custkey, CAST(max(depth) AS BIGINT) AS hops,
+        |       CAST(max_by(node, depth) AS BIGINT) AS root_digit
+        |FROM up GROUP BY c_custkey
+        |ORDER BY c_custkey ASC""".stripMargin,
     "sql_passthrough" ->
       """SELECT n_name, count(DISTINCT c.c_custkey) AS n_custs,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)

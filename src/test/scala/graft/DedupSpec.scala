@@ -190,6 +190,43 @@ class DedupSpec extends AnyFunSuite {
     assert(viaGraphX === clusters)
   }
 
+  test("WITH RECURSIVE closure (path-guarded UNION ALL) equals dedup_cluster labels") {
+    // Spark 4.1 recursive CTEs reject UNION-distinct, so the cyclic
+    // closure needs an explicit simple-path guard (carry the visited
+    // array, refuse to revisit) — exponential on dense graphs but exact
+    // on the sparse similarity graphs dedup produces. Must agree with
+    // the operator's pointer-doubling labels row-for-row.
+    val filler = Seq.tabulate(6)(i =>
+      (20L + i, "src", s"filler$i words$i nothing$i shared$i here$i"))
+    val docs = (Seq(
+      (1L, "src", "alpha beta gamma delta alpha beta gamma delta"),
+      (2L, "src", "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "src", "epsilon zeta eta theta epsilon zeta eta theta"),
+      (9L, "src", "totally unrelated content lives over here now")
+    ) ++ filler).toDF("doc_id", "source", "text")
+    val labels = MinHashDedup.dedupClusterDocs(docs, threshold = 0.2)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    MinHashDedup.ngramJaccardDocs(docs, threshold = 0.2)
+      .select(col("a_id"), col("b_id")).createOrReplaceTempView("rc_edges")
+    docs.select(col("doc_id")).createOrReplaceTempView("rc_nodes")
+    val viaSql = spark.sql(
+      """WITH RECURSIVE walk(id, root, path) AS (
+        |  SELECT doc_id, doc_id, array(doc_id) FROM rc_nodes
+        |  UNION ALL
+        |  SELECT e.nxt, w.root, array_append(w.path, e.nxt)
+        |  FROM walk w
+        |  JOIN (SELECT a_id AS cur, b_id AS nxt FROM rc_edges
+        |        UNION ALL SELECT b_id, a_id FROM rc_edges) e
+        |    ON e.cur = w.id
+        |  WHERE NOT array_contains(w.path, e.nxt)
+        |)
+        |SELECT id AS doc_id, min(root) AS cluster_id
+        |FROM walk GROUP BY id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql === labels)
+  }
+
   test("dedup_cluster converges on a chain with diameter >> maxIter (pointer doubling)") {
     // 40 docs over a sliding token window: doc i shares 6 of 10 tokens
     // with doc i+1 (bigram Jaccard 5/13 ≈ 0.38 ≥ 0.2) but only 2 tokens

@@ -156,6 +156,7 @@ object SparkEntry {
     "stream_session" -> (EventWindows.sessionize _),
     "stream_dedup" -> (EventWindows.dedupEvents _),
     "stream_join" -> (EventWindows.streamJoinBatch _),
+    "stream_join_outer" -> (EventWindows.streamJoinOuterBatch _),
     "ts_gapfill" -> (EventWindows.tsGapfill _),
     "ts_interpolate" -> (EventWindows.tsInterpolate _),
     "event_funnel" -> (EventWindows.eventFunnel _),
@@ -1041,6 +1042,18 @@ object SparkEntry {
         |FROM events p JOIN events c
         |  ON p.user_id = c.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY p.user_id ASC, purchase_id ASC, click_id ASC""".stripMargin,
+    // LEFT OUTER variant: the event_type filters must move into
+    // subqueries (in the ON clause of a left join they would not
+    // restrict the preserved side)
+    "stream_join_outer" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  (epoch(date_trunc('second', p.ts))::BIGINT
+        |   - epoch(date_trunc('second', c.ts))::BIGINT) AS gap_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
         | AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY p.user_id ASC, purchase_id ASC, click_id ASC""".stripMargin,
     "win_range_interval" ->

@@ -229,6 +229,37 @@ object EventWindows {
         col("click_id").asc)
   }
 
+  /** `stream_join_outer` — batch form of the watermarked stream-stream
+    * LEFT OUTER attribution join (`Streams.clickPurchaseJoinOuter`):
+    * every purchase appears; purchases with no same-user click in the
+    * preceding 30 minutes carry NULL click_id/gap_sec. In batch the
+    * NULL rows are just the unmatched side of a LEFT JOIN; in streaming
+    * they are emitted only once the watermark proves no future click
+    * can match — the semantics StreamingSpec pins down with
+    * MemoryStream. Same scale shape as the inner form: an equi-join
+    * keyed on user_id with the time band as a join-condition filter.
+    */
+  def streamJoinOuterBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    purchases.join(clicks,
+        col("p_user_id") === col("c_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left")
+      .select(col("p_user_id").as("user_id"), col("purchase_id"),
+        col("click_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("gap_sec"))
+      .orderBy(col("user_id").asc, col("purchase_id").asc,
+        col("click_id").asc_nulls_first)
+  }
+
   /** `stream_static_join` — batch form of the stream-static dim
     * enrichment (`Streams.enrichWithCustomer`): purchase events joined
     * to the static customer table. In streaming this is the stateless

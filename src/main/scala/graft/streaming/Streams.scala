@@ -118,6 +118,34 @@ object Streams {
           .as("gap_sec"))
   }
 
+  /** `stream_join_outer` — watermarked stream-stream LEFT OUTER join
+    * (the attribution-with-timeout shape): every purchase emits, matched
+    * to same-user clicks in the preceding 30 minutes; a purchase with no
+    * such click emits ONCE, NULL-padded, only after the watermark passes
+    * the end of its match window — i.e. once the engine can prove no
+    * future click can join it. Same state-eviction bound as the inner
+    * form (`clickPurchaseJoin`): both sides' state is dropped as the
+    * combined watermark advances, so state stays proportional to the
+    * interval width at any input rate. Batch equivalent:
+    * EventWindows.streamJoinOuterBatch (a plain LEFT JOIN — NULL rows
+    * need no watermark reasoning in batch); NULL-emission timing and
+    * batch equivalence are StreamingSpec-asserted.
+    */
+  def clickPurchaseJoinOuter(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "1 hour")
+    val p = purchases.withWatermark("purchase_ts", "1 hour")
+    p.join(c,
+      expr("""p_user_id = c_user_id AND
+             |click_ts <= purchase_ts AND
+             |purchase_ts <= click_ts + INTERVAL 30 MINUTES""".stripMargin),
+      "leftOuter")
+      .select(col("p_user_id").as("user_id"), col("purchase_id"),
+        col("click_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("gap_sec"))
+  }
+
   /** `stream_static_join` — stream-static dim enrichment: the streaming
     * side joins a STATIC DataFrame per micro-batch. Stateless (no join
     * state, no watermark — the static side is simply re-planned each

@@ -60,6 +60,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  case class Clk(c_user_id: Long, click_id: Long, click_ts: Timestamp)
+  case class Pur(p_user_id: Long, purchase_id: Long, purchase_ts: Timestamp)
+
+  test("stream-stream LEFT OUTER join: NULL-padded row emits only after watermark expiry") {
+    val clicks = MemoryStream[Clk]
+    val purchases = MemoryStream[Pur]
+    val q = Streams.clickPurchaseJoinOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssouter")
+      .outputMode("append").start()
+    // user 1: purchase with a click 10 min earlier → inner match
+    // user 2: purchase with NO click in the preceding 30 min
+    clicks.addData(Clk(1, 100, ts("2025-01-01 09:50:00")))
+    purchases.addData(
+      Pur(1, 500, ts("2025-01-01 10:00:00")),
+      Pur(2, 501, ts("2025-01-01 10:05:00")))
+    q.processAllAvailable()
+    val afterBatch1 = spark.table("ssouter")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    // the matched row emits immediately; the unmatched purchase must NOT
+    // yet have a NULL row — the watermark cannot prove no click is coming
+    assert(afterBatch1 === Set((1L, 500L, Some(100L), Some(600L))))
+    // advance BOTH watermarks (join watermark = min of the two) far past
+    // purchase 501's match window end (10:05 + 30 min): event time 13:00
+    // − 1 h delay = 12:00 → state for 501 is provably unmatched
+    clicks.addData(Clk(9, 999, ts("2025-01-01 13:00:00")))
+    purchases.addData(Pur(9, 998, ts("2025-01-01 13:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val afterExpiry = spark.table("ssouter")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(afterExpiry.contains((2L, 501L, None, None)),
+      s"expected NULL-padded row for purchase 501, got $afterExpiry")
+  }
+
+  test("stream-stream LEFT OUTER join equals the batch form (file replay)") {
+    val sfd = TestSpark.sf
+    val ev = Streams.eventsFileStream(spark, sfd)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    runToTable(Streams.clickPurchaseJoinOuter(clicks, purchases), "ssoutereq",
+      "append")
+    val streamed = spark.table("ssoutereq")
+    val batch = EventWindows.streamJoinOuterBatch(spark, sfd)
+    // matched rows are emitted as soon as both sides arrive — they must
+    // match the batch inner set exactly
+    val sm = streamed.filter(col("click_id").isNotNull)
+      .orderBy("user_id", "purchase_id", "click_id").collect().toSeq
+    val bm = batch.filter(col("click_id").isNotNull).collect().toSeq
+    assert(sm.nonEmpty && sm === bm)
+    // NULL rows emit only once the watermark passes the purchase's match
+    // window; purchases near the stream's end stay in state. Streamed
+    // NULLs ⊆ batch NULLs, and every batch NULL comfortably before the
+    // final watermark (max ts − 1 h delay − 30 min window − 1 h slack)
+    // must have been emitted.
+    val sNull = streamed.filter(col("click_id").isNull)
+      .select("purchase_id").as[Long].collect().toSet
+    val bNull = batch.filter(col("click_id").isNull)
+      .select("purchase_id").as[Long].collect().toSet
+    assert(sNull.subsetOf(bNull))
+    val maxTs = graft.sources.Tables.events(spark, sfd)
+      .agg(max(col("ts"))).collect().head.getTimestamp(0).getTime
+    val safeNull = EventWindows.streamJoinOuterBatch(spark, sfd)
+      .filter(col("click_id").isNull)
+      .join(graft.sources.Tables.events(spark, sfd)
+        .select(col("event_id").as("purchase_id"), col("ts")), "purchase_id")
+      .filter(col("ts") < new Timestamp(maxTs - (150L * 60 * 1000)))
+      .select("purchase_id").as[Long].collect().toSet
+    assert(safeNull.subsetOf(sNull),
+      s"${(safeNull -- sNull).size} watermark-expired purchases missing NULL rows")
+  }
+
   test("stream-static ANTI join: streamed incremental dedup equals the batch form") {
     val sfd = TestSpark.sf
     val docs = graft.sources.Tables.documents(spark, sfd)

@@ -254,11 +254,29 @@ object MinHashDedup {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, Double, Int), DataFrame]()
 
+  /** ASSUMES an immutable corpus at sfDir (ADVICE r4): no data
+    * fingerprint in the key, so an in-process rewrite of the fixture
+    * would serve stale labels — the driver fixture contract. A live lake
+    * would key on a snapshot/version id. [[clearLabelCache]] (via
+    * `Lake.clearCaches()`) is the reset for long-lived sessions, and
+    * also releases the persisted frames so many (dir, threshold)
+    * combinations cannot accumulate executor storage.
+    */
   private def cachedClusterLabels(spark: SparkSession, sfDir: String,
       threshold: Double, maxIter: Int): DataFrame =
     labelCache.computeIfAbsent((spark, sfDir, threshold, maxIter), _ =>
       dedupClusterDocs(Tables.documents(spark, sfDir), threshold, maxIter)
         .persist())
+
+  /** Unpersist every memoized labels frame and drop the memo. Part of
+    * [[graft.Lake.clearCaches]]; returns the number of entries cleared.
+    */
+  private[graft] def clearLabelCache(): Int = {
+    val n = labelCache.size()
+    labelCache.values().forEach(df => { df.unpersist(); () })
+    labelCache.clear()
+    n
+  }
 
   /** Core of `dedup_cluster` over any (doc_id, source, text) frame. */
   def dedupClusterDocs(docs: DataFrame, threshold: Double = 0.2,

@@ -131,10 +131,28 @@ object SinkQueries {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), (String, String)]()
 
+  /** Collision-resistant table-name suffix (ADVICE r4): hashCode over two
+    * sfDirs can collide in one process, and SaveMode.Overwrite would then
+    * silently clobber the other dir's tables while its memo entry still
+    * points at them. 16 hex chars of SHA-256 make that impossible in
+    * practice (2⁻³² per pair at billions of dirs).
+    */
+  private def dirDigest(sfDir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sfDir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
+  /** ASSUMES an immutable corpus at sfDir (ADVICE r4): the memo has no
+    * data fingerprint, so rewriting the fixture in-process would serve
+    * stale bucketed tables. That is the fixture contract here (driver
+    * test data never changes mid-process); a live lake would key this on
+    * a table snapshot/version id instead. [[clearBucketedMemo]] is the
+    * explicit reset for long-lived sessions.
+    */
   private def bucketedTables(spark: SparkSession,
       sfDir: String): (String, String) =
     bucketedReady.computeIfAbsent((spark, sfDir), _ => {
-      val h = Integer.toHexString(sfDir.hashCode)
+      val h = dirDigest(sfDir)
       val (ot, ct) = (s"bj_orders_$h", s"bj_customer_$h")
       LakeIO.saveBucketed(
         Tables.orders(spark, sfDir)
@@ -145,6 +163,27 @@ object SinkQueries {
         ct, "c_custkey", 8)
       (ot, ct)
     })
+
+  /** Pre-pay the one-time bucketed-table build outside any timed query
+    * (ADVICE r4: Bench runs each query once per process, so the first —
+    * only — timed `join_bucketed` call otherwise absorbs the build).
+    * Bench calls this in its untimed warmup; the bench number then
+    * measures the read-side join, which is the steady-state cost the
+    * layout investment buys.
+    */
+  def warmBucketed(spark: SparkSession, sfDir: String): Unit = {
+    bucketedTables(spark, sfDir); ()
+  }
+
+  /** Drop the bucketed-table memo (entries only — the tables are disk
+    * catalog state, rebuilt with identical names on next use). Part of
+    * [[graft.Lake.clearCaches]]; returns the number of entries cleared.
+    */
+  private[graft] def clearBucketedMemo(): Int = {
+    val n = bucketedReady.size()
+    bucketedReady.clear()
+    n
+  }
 
   /** `join_bucketed` — the co-located join as a declared query: both
     * sides are saved CLUSTERED BY the join key into the same bucket

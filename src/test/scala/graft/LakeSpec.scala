@@ -232,6 +232,30 @@ class LakeSpec extends AnyFunSuite {
       .filter(col("table_name").startsWith("wh_snap")).count() === 0L)
   }
 
+  test("clearCaches releases memoized label frames (no leak across thresholds)") {
+    import graft.operators.MinHashDedup
+    import org.apache.spark.storage.StorageLevel
+    // start from a clean slate so other suites' memo entries don't count
+    Lake.clearCaches()
+    // two distinct (dir, threshold) keys → two persisted label frames
+    // (dedupCluster returns the cached frame itself, so its storage
+    // level observes the cache's persist/unpersist directly)
+    val df1 = MinHashDedup.dedupCluster(spark, TestSpark.sf, threshold = 0.2)
+    val df2 = MinHashDedup.dedupCluster(spark, TestSpark.sf, threshold = 0.3)
+    df1.count(); df2.count()
+    assert(df1.storageLevel != StorageLevel.NONE)
+    assert(df2.storageLevel != StorageLevel.NONE)
+    val cleared = Lake.clearCaches()
+    assert(cleared >= 2, s"expected >=2 cache entries cleared, got $cleared")
+    // the persisted frames are actually released, not just forgotten —
+    // repeated (dir, threshold) cycling cannot accumulate storage
+    assert(df1.storageLevel === StorageLevel.NONE)
+    assert(df2.storageLevel === StorageLevel.NONE)
+    // and a cleared cache repopulates correctly on next use
+    assert(MinHashDedup.dedupCluster(spark, TestSpark.sf, 0.2).count() > 0)
+    assert(Lake.clearCaches() === 1)
+  }
+
   test("preview works on map-typed (unorderable) columns") {
     val lake = newLake()
     import spark.implicits._

@@ -48,6 +48,7 @@ object SparkEntry {
     "source_csv" -> (SinkQueries.sourceCsv _),
     "source_json" -> (SinkQueries.sourceJson _),
     "source_orc" -> (SinkQueries.sourceOrc _),
+    "source_xml" -> (SinkQueries.sourceXml _),
     "source_text" -> (SinkQueries.sourceText _),
     "source_binary" -> (SinkQueries.sourceBinary _),
     "table_meta" -> (SinkQueries.tableMeta _),
@@ -157,6 +158,8 @@ object SparkEntry {
     "stream_dedup" -> (EventWindows.dedupEvents _),
     "stream_join" -> (EventWindows.streamJoinBatch _),
     "stream_join_outer" -> (EventWindows.streamJoinOuterBatch _),
+    "stream_join_full" -> (EventWindows.streamJoinFullBatch _),
+    "stream_join_semi" -> (EventWindows.streamJoinSemiBatch _),
     "ts_gapfill" -> (EventWindows.tsGapfill _),
     "ts_interpolate" -> (EventWindows.tsInterpolate _),
     "event_funnel" -> (EventWindows.eventFunnel _),
@@ -471,6 +474,8 @@ object SparkEntry {
     "source_orc" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         |ORDER BY s_suppkey ASC""".stripMargin,
+    "source_xml" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey ASC",
     "source_text" ->
       raw"""SELECT count(*)::BIGINT AS n_lines,
         |  sum(length(regexp_replace(text, '[\r\n]+', ' ', 'g')))::BIGINT
@@ -1133,6 +1138,24 @@ object SparkEntry {
         |  ON p.user_id = c.user_id
         | AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY p.user_id ASC, purchase_id ASC, click_id ASC""".stripMargin,
+    "stream_join_full" ->
+      """SELECT coalesce(p.user_id, c.user_id) AS user_id,
+        |  p.event_id AS purchase_id, c.event_id AS click_id,
+        |  (epoch(date_trunc('second', p.ts))::BIGINT
+        |   - epoch(date_trunc('second', c.ts))::BIGINT) AS gap_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY user_id ASC, purchase_id ASC, click_id ASC""".stripMargin,
+    "stream_join_semi" ->
+      """SELECT p.user_id, p.event_id AS purchase_id
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+        |ORDER BY p.user_id ASC, purchase_id ASC""".stripMargin,
     "win_range_interval" ->
       """SELECT event_id, user_id,
         |  count(*) OVER (PARTITION BY user_id

@@ -260,6 +260,53 @@ object EventWindows {
         col("click_id").asc_nulls_first)
   }
 
+  /** `stream_join_full` — batch form of the watermarked stream-stream
+    * FULL OUTER attribution join (`Streams.clickPurchaseJoinFull`):
+    * unmatched purchases AND unmatched clicks both appear, NULL-padded
+    * on the other side.
+    */
+  def streamJoinFullBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    purchases.join(clicks,
+        col("p_user_id") === col("c_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "full")
+      .select(coalesce(col("p_user_id"), col("c_user_id")).as("user_id"),
+        col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("gap_sec"))
+      .orderBy(col("user_id").asc, col("purchase_id").asc_nulls_first,
+        col("click_id").asc_nulls_first)
+  }
+
+  /** `stream_join_semi` — batch form of the watermarked stream-stream
+    * LEFT SEMI attribution join (`Streams.clickPurchaseJoinSemi`):
+    * purchases with at least one qualifying click, no click columns, no
+    * row multiplication.
+    */
+  def streamJoinSemiBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    purchases.join(clicks,
+        col("p_user_id") === col("c_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_semi")
+      .select(col("p_user_id").as("user_id"), col("purchase_id"))
+      .orderBy(col("user_id").asc, col("purchase_id").asc)
+  }
+
   /** `stream_static_join` — batch form of the stream-static dim
     * enrichment (`Streams.enrichWithCustomer`): purchase events joined
     * to the static customer table. In streaming this is the stateless

@@ -231,6 +231,30 @@ object SinkQueries {
       .orderBy(col("s_suppkey").asc)
   }
 
+  /** `source_xml` — XML ingest round-trip on Spark 4's BUILT-IN xml
+    * source (the spark-xml package was merged into spark-sql in 4.0 —
+    * verified present in this runtime's spark-sql jar, unlike the
+    * spark-avro connector which is absent). Region rows are written
+    * `<region>` element-per-row and read back with an explicit schema
+    * (inference would widen n_regionkey to LONG and break the
+    * hash-compare; the explicit schema is also the 100 TB practice —
+    * schema-on-read inference costs a full extra pass).
+    */
+  def sourceXml(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/source_xml"
+    val src = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    src
+      .repartition(1) // 25 rows — one file, always
+      .write.mode("overwrite")
+      .option("rowTag", "nation").option("declaration", "")
+      .format("xml").save(out)
+    spark.read.schema(src.schema)
+      .option("rowTag", "nation")
+      .format("xml").load(out)
+      .orderBy(col("n_nationkey").asc)
+  }
+
   /** `source_text` — line-oriented text ingest round-trip: write each
     * doc as one normalized line, read back with `spark.read.text` (the
     * raw-corpus ingest path — at 100 TB this is how unstructured text

@@ -146,6 +146,48 @@ object Streams {
           .as("gap_sec"))
   }
 
+  /** `stream_join_full` — watermarked stream-stream FULL OUTER join:
+    * completes the outer matrix. Unmatched PURCHASES null-pad the click
+    * side (as in the left-outer form) and unmatched CLICKS null-pad the
+    * purchase side — a click's state is provably unmatched once the
+    * watermark passes click_ts + 30 min (the latest purchase that could
+    * still join it). Both emissions are watermark-driven; both sides'
+    * state stays bounded by the interval width.
+    */
+  def clickPurchaseJoinFull(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "1 hour")
+    val p = purchases.withWatermark("purchase_ts", "1 hour")
+    p.join(c,
+      expr("""p_user_id = c_user_id AND
+             |click_ts <= purchase_ts AND
+             |purchase_ts <= click_ts + INTERVAL 30 MINUTES""".stripMargin),
+      "fullOuter")
+      .select(coalesce(col("p_user_id"), col("c_user_id")).as("user_id"),
+        col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("gap_sec"))
+  }
+
+  /** `stream_join_semi` — watermarked stream-stream LEFT SEMI join:
+    * purchases that HAD a qualifying click, emitted once (no click
+    * columns, no row multiplication — the existence-check shape).
+    * Emission is immediate on first match; state for the probe side is
+    * dropped once matched or expired, so semi state is strictly smaller
+    * than the inner join's.
+    */
+  def clickPurchaseJoinSemi(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "1 hour")
+    val p = purchases.withWatermark("purchase_ts", "1 hour")
+    p.join(c,
+      expr("""p_user_id = c_user_id AND
+             |click_ts <= purchase_ts AND
+             |purchase_ts <= click_ts + INTERVAL 30 MINUTES""".stripMargin),
+      "leftSemi")
+      .select(col("p_user_id").as("user_id"), col("purchase_id"))
+  }
+
   /** `stream_static_join` — stream-static dim enrichment: the streaming
     * side joins a STATIC DataFrame per micro-batch. Stateless (no join
     * state, no watermark — the static side is simply re-planned each

@@ -135,6 +135,53 @@ class StreamingSpec extends AnyFunSuite {
       s"${(safeNull -- sNull).size} watermark-expired purchases missing NULL rows")
   }
 
+  test("stream-stream FULL OUTER join: both sides NULL-pad after watermark expiry") {
+    val clicks = MemoryStream[Clk]
+    val purchases = MemoryStream[Pur]
+    val q = Streams.clickPurchaseJoinFull(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssfull")
+      .outputMode("append").start()
+    // user 1: matched pair; user 2: purchase with no click;
+    // user 3: click with no purchase in the following 30 min
+    clicks.addData(Clk(1, 100, ts("2025-01-01 09:50:00")),
+      Clk(3, 101, ts("2025-01-01 09:00:00")))
+    purchases.addData(
+      Pur(1, 500, ts("2025-01-01 10:00:00")),
+      Pur(2, 501, ts("2025-01-01 10:05:00")))
+    q.processAllAvailable()
+    // advance both watermarks far past every match window
+    clicks.addData(Clk(9, 999, ts("2025-01-01 13:00:00")))
+    purchases.addData(Pur(9, 998, ts("2025-01-01 13:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssfull")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().toSet
+    assert(rows.contains((1L, Some(500L), Some(100L), Some(600L)))) // matched
+    assert(rows.contains((2L, Some(501L), None, None)), // purchase-side NULL
+      s"purchase 501 missing its NULL-padded row: $rows")
+    assert(rows.contains((3L, None, Some(101L), None)), // click-side NULL
+      s"click 101 missing its NULL-padded row: $rows")
+  }
+
+  test("stream-stream LEFT SEMI join equals the batch form (file replay)") {
+    val sfd = TestSpark.sf
+    val ev = Streams.eventsFileStream(spark, sfd)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    runToTable(Streams.clickPurchaseJoinSemi(clicks, purchases), "sssemi",
+      "append")
+    // semi matches emit as soon as the first qualifying click arrives —
+    // no watermark tail, so the full result must equal the batch form
+    val streamed = spark.table("sssemi")
+      .orderBy("user_id", "purchase_id").collect().toSeq
+    val batch = EventWindows.streamJoinSemiBatch(spark, sfd).collect().toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("stream-static ANTI join: streamed incremental dedup equals the batch form") {
     val sfd = TestSpark.sf
     val docs = graft.sources.Tables.documents(spark, sfd)

@@ -137,7 +137,32 @@ object MinHashDedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
       threshold: Double = 0.05, maxDfFrac: Double = 0.3): DataFrame =
-    ngramJaccardDocs(Tables.documents(spark, sfDir), threshold, maxDfFrac)
+    thresholdPairs(cachedNgramPairs(spark, sfDir, maxDfFrac), threshold)
+
+  /** Per-process memo of the UN-thresholded pair similarities, keyed by
+    * (session, corpus dir, df cap): the threshold in this family only
+    * ever applies as the FINAL filter, so `dedup_ngram_jaccard` (θ=0.05),
+    * `dedup_cluster`'s edge set (θ=0.2), and any caller-chosen threshold
+    * are all views of ONE similarity pass — the compute-once/report-many
+    * shape a production dedup job has (same rationale as `labelCache`;
+    * same immutable-corpus assumption; released by `Lake.clearCaches`).
+    * The frame is bounded: only pairs sharing ≥1 under-cap shingle exist
+    * in it (never N²).
+    */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Double), DataFrame]()
+
+  private def cachedNgramPairs(spark: SparkSession, sfDir: String,
+      maxDfFrac: Double): DataFrame =
+    pairCache.computeIfAbsent((spark, sfDir, maxDfFrac), _ =>
+      ngramPairsDocs(Tables.documents(spark, sfDir), maxDfFrac).persist())
+
+  private def thresholdPairs(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .filter(col("jaccard") >= threshold)
+      .select(col("source"), col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("source").asc, col("a_id").asc, col("b_id").asc)
 
   /** Core of `dedup_ngram_jaccard` over any (doc_id, source, text) frame.
     *
@@ -161,6 +186,15 @@ object MinHashDedup {
     * list — and therefore every join task — by maxDfFrac·|source|.
     */
   def ngramJaccardDocs(documents: DataFrame, threshold: Double = 0.05,
+      maxDfFrac: Double = 0.3): DataFrame =
+    thresholdPairs(ngramPairsDocs(documents, maxDfFrac), threshold)
+
+  /** The similarity pass of [[ngramJaccardDocs]] WITHOUT the threshold
+    * filter: every same-source pair sharing at least one under-cap
+    * shingle, with its rounded Jaccard. This is the frame the memo
+    * persists — thresholds are cheap views over it.
+    */
+  def ngramPairsDocs(documents: DataFrame,
       maxDfFrac: Double = 0.3): DataFrame = {
     val docs = documents
       .withColumn("shh",
@@ -206,9 +240,7 @@ object MinHashDedup {
         col("n_inter").cast("double") /
           (col("a_n").cast("double") + col("b_n").cast("double")
             - col("n_inter").cast("double")), 4))
-      .filter(col("jaccard") >= threshold)
       .select(col("source"), col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("source").asc, col("a_id").asc, col("b_id").asc)
   }
 
   /** `dedup_cluster` — near-dup cluster resolution: the similarity pairs
@@ -265,24 +297,38 @@ object MinHashDedup {
   private def cachedClusterLabels(spark: SparkSession, sfDir: String,
       threshold: Double, maxIter: Int): DataFrame =
     labelCache.computeIfAbsent((spark, sfDir, threshold, maxIter), _ =>
-      dedupClusterDocs(Tables.documents(spark, sfDir), threshold, maxIter)
+      clusterFromPairs(Tables.documents(spark, sfDir),
+        cachedNgramPairs(spark, sfDir, maxDfFrac = 0.3)
+          .filter(col("jaccard") >= threshold)
+          .select(col("a_id"), col("b_id")), maxIter)
         .persist())
 
-  /** Unpersist every memoized labels frame and drop the memo. Part of
-    * [[graft.Lake.clearCaches]]; returns the number of entries cleared.
+  /** Unpersist every memoized labels and pair-similarity frame and drop
+    * both memos. Part of [[graft.Lake.clearCaches]]; returns the number
+    * of entries cleared.
     */
   private[graft] def clearLabelCache(): Int = {
-    val n = labelCache.size()
+    val n = labelCache.size() + pairCache.size()
     labelCache.values().forEach(df => { df.unpersist(); () })
     labelCache.clear()
+    pairCache.values().forEach(df => { df.unpersist(); () })
+    pairCache.clear()
     n
   }
 
-  /** Core of `dedup_cluster` over any (doc_id, source, text) frame. */
+  /** Core of `dedup_cluster` over any (doc_id, source, text) frame
+    * (standalone — recomputes the similarity pass; the declared query
+    * path goes through the memos via [[dedupCluster]]).
+    */
   def dedupClusterDocs(docs: DataFrame, threshold: Double = 0.2,
+      maxIter: Int = 20): DataFrame =
+    clusterFromPairs(docs,
+      ngramJaccardDocs(docs, threshold).select(col("a_id"), col("b_id")),
+      maxIter)
+
+  /** Connected components over an explicit similarity-pair edge list. */
+  def clusterFromPairs(docs: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val pairs = ngramJaccardDocs(docs, threshold)
-      .select(col("a_id"), col("b_id"))
     val edges = pairs
       .union(pairs.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")

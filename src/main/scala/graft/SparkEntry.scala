@@ -249,6 +249,7 @@ object SparkEntry {
     "vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopk(s, d)),
     "dedup_incremental" -> (TextOps.dedupIncremental _),
     "ngram_lm" -> ((s: SparkSession, d: String) => TextOps.ngramLm(s, d)),
+    "lm_doc_score" -> (TextOps.lmDocScore _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     // shadow of doc_fingerprint: hash values are engine-specific, but the
     // id set AND the per-doc gram count (max(nTok−k,0)+1, k=3) are exact
@@ -1413,6 +1414,25 @@ object SparkEntry {
         |FROM c12 JOIN c1 USING (w1)
         |ORDER BY c12.c12 DESC, c12.w1 ASC, c12.w2 ASC
         |LIMIT 50""".stripMargin,
+    // per-bigram ln rounded to 6dp and summed as DECIMAL on both sides
+    // — double sums are addition-order-dependent, decimal sums are
+    // exact, so the 4dp hash-match is deterministic (SURVEY §5.3)
+    "lm_doc_score" ->
+      raw"""WITH d AS (SELECT doc_id, string_split($normT, ' ') AS toks
+        |           FROM documents
+        |           WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |bg AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |       FROM d, unnest(range(0, len(toks) - 1)) AS t(i)
+        |       WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |pb AS (SELECT bg.doc_id,
+        |    round(ln(c12.c12::DOUBLE / c1.c1::DOUBLE), 6)::DECIMAL(28,6) AS lp
+        |  FROM bg JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+        |          JOIN c1 ON bg.w1 = c1.w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logp
+        |FROM pb GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
     // docs that produce a simhash = docs with at least one token; the
     // kernel tokenizes on whitespace runs, so \S+ run-count is exact
     "dedup_simhash_ids" ->

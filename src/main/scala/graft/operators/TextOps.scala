@@ -394,6 +394,50 @@ object TextOps {
   def ngramLm(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
     ngramLmDocs(Tables.documents(spark, sfDir), k)
 
+  /** `lm_doc_score` — CCNet-style per-document LM quality score: the
+    * mean log-probability of the doc's word bigrams under the corpus's
+    * own MLE bigram model (p(w2|w1) = c12/c1 — the `ngram_lm` counts,
+    * consumed). Low scores flag disfluent/degenerate text; the standard
+    * perplexity-bucket signal for training-data filtering.
+    *
+    * Determinism (SURVEY §5.3): per-bigram ln(p) is rounded to 6dp and
+    * summed as DECIMAL — double summation is order-dependent under
+    * partial aggregation, decimal summation is exact/associative — then
+    * one double division + 4dp round. Docs with fewer than 2 tokens
+    * have no bigrams and no row.
+    *
+    * Scale shape: token explode → two keyed count aggs → one keyed join
+    * back to the bigram stream → per-doc agg. No corpus self-join; the
+    * model side (c12/c1) is vocabulary-sized, not corpus-sized.
+    */
+  def lmDocScore(spark: SparkSession, sfDir: String): DataFrame =
+    lmDocScoreDocs(Tables.documents(spark, sfDir))
+
+  /** Core of `lm_doc_score` over any (doc_id, text) frame. */
+  def lmDocScoreDocs(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        posexplode(split(normText(col("text")), " ")).as(Seq("pos", "w1")))
+      .filter(length(col("w1")) > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val bigrams = toks
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val probs = c12.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        (col("c12").cast("double") / col("c1").cast("double")).as("p"))
+    bigrams.join(probs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(round(log(col("p")), 6).cast("decimal(28,6)"))
+          .cast("double") / count(lit(1)), 4).as("avg_logp"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Core of `ngram_lm` over any (doc_id, text) frame. */
   def ngramLmDocs(documents: DataFrame, k: Int = 50): DataFrame = {
     val toks = documents

@@ -589,6 +589,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Set((50L, 51L)))
   }
 
+  test("lm_doc_score: repetitive text scores near 0, diverse text lower, <2-token docs dropped") {
+    // doc 1: one bigram repeated — every bigram is fully predictable
+    // under the corpus MLE model restricted to w1="spam" (p≈1) →
+    // avg_logp near 0. doc 2: all-distinct bigrams sharing w1 contexts
+    // with doc 1? no — distinct words, each bigram unique, but contexts
+    // also unique → p=1 again; so share CONTEXTS: interleave a common
+    // word so c1 splits across continuations → p=1/2..1/k, avg_logp < 0.
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "the alpha the beta the gamma the delta"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val rows = graft.operators.TextOps.lmDocScoreDocs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(rows.map(_._1) === List(1L, 2L), "1-token doc must have no row")
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 === 5L) // 5 bigrams
+    assert(byId(1L)._3 === 0.0, "fully predictable text must score ln(1)=0")
+    // doc 2: bigrams (the,X) each occur once among c1("the")=4 → p=1/4
+    // for 4 of its 7 bigrams; (X,the) unique contexts → p=1. Mean < 0.
+    assert(byId(2L)._2 === 7L)
+    assert(byId(2L)._3 < -0.5, s"diverse text must score well below 0: ${byId(2L)._3}")
+  }
+
   test("LSH search: k-bounded, deterministic, scores agree with brute force") {
     val r1 = SimSearch.simsearchLsh(spark, TestSpark.sf).collect().toSeq
     val r2 = SimSearch.simsearchLsh(spark, TestSpark.sf).collect().toSeq

@@ -413,17 +413,31 @@ object TextOps {
   def lmDocScore(spark: SparkSession, sfDir: String): DataFrame =
     lmDocScoreDocs(Tables.documents(spark, sfDir))
 
-  /** Core of `lm_doc_score` over any (doc_id, text) frame. */
+  /** Core of `lm_doc_score` over any (doc_id, text) frame.
+    *
+    * Bigrams are built ROW-LOCAL (zip the token array with its own
+    * 2-suffix) — adjacency is a per-row fact, so there is no doc_id
+    * Window shuffle (the first cut used posexplode + lead() and paid a
+    * full-volume sort shuffle before any counting). The plan's only
+    * full-volume operations are the row-local scan pipelines: both
+    * count aggregates collapse map-side to model-size (vocab) rows
+    * before their exchanges, the model side broadcasts back onto the
+    * bigram stream while it fits (AQE falls back to a keyed shuffle
+    * join when a 100 TB vocabulary doesn't), and the final per-doc
+    * aggregate partial-aggregates to one row per document before its
+    * exchange. Deliberately NO explicit repartition: the three
+    * consumers prune different columns, so a forced common Exchange
+    * cannot be reused and would only add a full-volume shuffle.
+    */
   def lmDocScoreDocs(documents: DataFrame): DataFrame = {
-    val toks = documents
+    val toksCol = split(normText(col("text")), " ")
+    val bigrams = documents
       .select(col("doc_id"),
-        posexplode(split(normText(col("text")), " ")).as(Seq("pos", "w1")))
-      .filter(length(col("w1")) > 0)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    val bigrams = toks
-      .withColumn("w2", lead(col("w1"), 1).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("w1"), col("w2"))
+        explode(zip_with(toksCol, slice(toksCol, lit(2),
+            greatest(size(toksCol) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w2").isNotNull && length(col("w1")) > 0)
     val c12 = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
     val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))

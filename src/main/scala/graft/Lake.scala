@@ -119,6 +119,29 @@ class Lake(val spark: SparkSession, val warehouse: String) {
   def history(name: String): DataFrame =
     LakeIO.versionHistory(spark, pathOf(name))
 
+  /** Small-file compaction (Delta OPTIMIZE analogue): bin-pack data
+    * files to ~`targetFileBytes` each — the maintenance job that
+    * completes the vacuum/history trio. On a version-structured dataset
+    * the compacted copy is written as a NEW version, so `history`
+    * records the rewrite as its own row (fewer files, same content) and
+    * readers pinned to older versions are untouched until `vacuum` —
+    * Delta's OPTIMIZE-then-VACUUM lifecycle. On a plain dataset the
+    * rewrite is in place (scratch dir + rename swap; Hive-partitioned
+    * layouts compact per-partition-dir — LakeIO.compactToSize notes).
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(name: String, targetFileBytes: Long): (Int, Int) = {
+    val path = pathOf(name)
+    val versions = LakeIO.listVersions(spark, path)
+    if (versions.nonEmpty) {
+      val cur = s"$path/v=${versions.last}"
+      val before = LakeIO.dataFiles(spark, cur).length
+      val n = LakeIO.packedFileCount(spark, cur, targetFileBytes)
+      val v = LakeIO.saveVersion(spark.read.parquet(cur).repartition(n), path)
+      (before, LakeIO.dataFiles(spark, s"$path/v=$v").length)
+    } else LakeIO.compactToSize(spark, path, targetFileBytes)
+  }
+
   /** novlake `Lake.preview(table, n)` ≈ SELECT * LIMIT n — deterministic:
     * totally ordered over all ORDERABLE columns (the first column alone
     * may have ties at the limit boundary). Map-typed columns can't be

@@ -44,6 +44,8 @@ object SparkEntry {
     "sink_append" -> (SinkQueries.sinkAppend _),
     "sink_replace_partition" -> (SinkQueries.sinkReplacePartition _),
     "sink_zorder" -> (SinkQueries.sinkZorder _),
+    "sink_compact" -> (SinkQueries.sinkCompact _),
+    "merge_upsert" -> (SinkQueries.mergeUpsert _),
     "join_bucketed" -> (SinkQueries.joinBucketed _),
     "source_csv" -> (SinkQueries.sourceCsv _),
     "source_json" -> (SinkQueries.sourceJson _),
@@ -467,6 +469,28 @@ object SparkEntry {
     // z-order clustering changes file LAYOUT only — content round-trips
     "sink_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey ASC""".stripMargin,
+    // compaction changes file LAYOUT only — content round-trips
+    "sink_compact" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 300000.0 ORDER BY o_orderkey ASC""".stripMargin,
+    // MERGE semantics: target = 'F' orders; source = all orders above
+    // the price cut with +100000.0 (exact in binary — bit-identical
+    // double arithmetic in both engines); source wins on key collision,
+    // unmatched target rows survive
+    "merge_upsert" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 100000.0 AS o_totalprice
+        |  FROM orders WHERE o_totalprice > 400000.0)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT t.o_orderkey, t.o_custkey, t.o_totalprice FROM tgt t
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM src)
         |ORDER BY o_orderkey ASC""".stripMargin,
     "source_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey ASC",
@@ -1138,7 +1162,8 @@ object SparkEntry {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-        |ORDER BY p.user_id ASC, purchase_id ASC, click_id ASC""".stripMargin,
+        |ORDER BY p.user_id ASC, purchase_id ASC NULLS FIRST,
+        |         click_id ASC NULLS FIRST""".stripMargin,
     "stream_join_full" ->
       """SELECT coalesce(p.user_id, c.user_id) AS user_id,
         |  p.event_id AS purchase_id, c.event_id AS click_id,
@@ -1148,7 +1173,8 @@ object SparkEntry {
         |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-        |ORDER BY user_id ASC, purchase_id ASC, click_id ASC""".stripMargin,
+        |ORDER BY user_id ASC, purchase_id ASC NULLS FIRST,
+        |         click_id ASC NULLS FIRST""".stripMargin,
     "stream_join_semi" ->
       """SELECT p.user_id, p.event_id AS purchase_id
         |FROM events p

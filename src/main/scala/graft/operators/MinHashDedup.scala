@@ -114,10 +114,16 @@ object MinHashDedup {
   }
 
   /** `dedup_minhash` — full pipeline: candidate pairs whose exact
-    * shingle-Jaccard clears the threshold. Declared rows-only to the
-    * driver (LSH banding isn't DuckDB-expressible); correctness is
-    * property-tested in DedupSpec (planted near-dups found; estimate
-    * within ε of exact Jaccard).
+    * shingle-Jaccard clears the threshold. Oracled since r5 against
+    * exact corpus-wide 3-shingle Jaccard in DuckDB: the oracle computes
+    * ALL pairs with J >= threshold, so the hash-match holds only
+    * because every fixture near-dup pair sits at J >= 0.9 — far above
+    * the 0.5 threshold, where the 8-band/4-row banding miss probability
+    * is ~2e-4 per pair. A corpus with pairs near the threshold could
+    * produce a legitimate banding miss and a false oracle mismatch
+    * (the same caveat is noted on the oracle SQL in SparkEntry).
+    * Banding itself is additionally property-tested in DedupSpec
+    * (planted near-dups found; estimate within ε of exact Jaccard).
     */
   def dedupMinhash(spark: SparkSession, sfDir: String,
       nPerm: Int = 32, bands: Int = 8,

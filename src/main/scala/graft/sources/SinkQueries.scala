@@ -234,8 +234,8 @@ object SinkQueries {
   /** `source_xml` — XML ingest round-trip on Spark 4's BUILT-IN xml
     * source (the spark-xml package was merged into spark-sql in 4.0 —
     * verified present in this runtime's spark-sql jar, unlike the
-    * spark-avro connector which is absent). Region rows are written
-    * `<region>` element-per-row and read back with an explicit schema
+    * spark-avro connector which is absent). Nation rows are written
+    * `<nation>` element-per-row and read back with an explicit schema
     * (inference would widen n_regionkey to LONG and break the
     * hash-compare; the explicit schema is also the 100 TB practice —
     * schema-on-read inference costs a full extra pass).
@@ -312,5 +312,63 @@ object SinkQueries {
   def listTables(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.registerAll(spark, sfDir)
     LakeIO.listTables(spark)
+  }
+
+  /** `merge_upsert` — Delta MERGE (WHEN MATCHED UPDATE / NOT MATCHED
+    * INSERT) through the `Lake.upsert` facade, the last Level-1 "Delta
+    * ops" surface to get a declared oracle: seed the warehouse with the
+    * 'F' orders, then upsert a batch holding BOTH planted matched keys
+    * ('F' orders above the price cut — their totalprice must change)
+    * and unmatched keys ('O'/'P' orders above the cut — must appear as
+    * inserts). The read-back is checked against a DuckDB NOT
+    * EXISTS anti-join + UNION ALL over the same two frames, so the
+    * oracle verifies source-wins-on-collision AND survivor retention,
+    * not just that the write succeeded. Seeding is a direct LakeIO
+    * write (not saveDataset) so this query never registers catalog
+    * entries — `list_tables` output stays independent of whether this
+    * query ran first.
+    *
+    * Scale: one left-anti shuffle on the key + unionByName; the rewrite
+    * cost is the price of MERGE without a transactional format
+    * (LakeIO.upsert notes). The +100000.0 delta is exact in binary, so
+    * the double arithmetic agrees bit-for-bit across engines.
+    */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tmpBase(sfDir) + "/merge_wh"
+    val lake = new graft.Lake(spark, wh)
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val target = ord.filter(col("o_orderstatus") === "F")
+      .drop("o_orderstatus")
+    // re-seed every call → the query is idempotent under re-runs
+    LakeIO.saveDataset(
+      target.repartition(writerTasks, col("o_orderkey")), s"$wh/merge_orders")
+    val batch = ord.filter(col("o_totalprice") > 400000.0)
+      .drop("o_orderstatus")
+      .withColumn("o_totalprice", col("o_totalprice") + lit(100000.0))
+    lake.upsert(batch, "merge_orders", Seq("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_orderkey").asc)
+  }
+
+  /** `sink_compact` — bin-packing small-file compaction (`Lake.compact`
+    * → LakeIO.compactToSize): seed a deliberately fragmented dataset
+    * (64 writer tasks over a small slice → 64 tiny files), compact to a
+    * byte-size target, read back. The oracle is a plain content SELECT —
+    * compaction changes file LAYOUT, never content — and SinkSpec
+    * asserts the file count actually drops plus the versioned flavor's
+    * history row.
+    */
+  def sinkCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tmpBase(sfDir) + "/compact_wh"
+    val lake = new graft.Lake(spark, wh)
+    val df = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 300000.0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    LakeIO.saveDataset(df.repartition(64), s"$wh/compact_orders")
+    lake.compact("compact_orders", targetFileBytes = 64L * 1024 * 1024)
+    lake.load("compact_orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_orderkey").asc)
   }
 }

@@ -245,16 +245,18 @@ class LakeSpec extends AnyFunSuite {
     df1.count(); df2.count()
     assert(df1.storageLevel != StorageLevel.NONE)
     assert(df2.storageLevel != StorageLevel.NONE)
-    // 2 label entries + 1 shared pair-similarity entry
+    // 2 label entries + 1 shared pair-similarity entry; >= not === —
+    // the caches are process-global, so a concurrently-running suite
+    // could legitimately add entries between our clear and count
     val cleared = Lake.clearCaches()
-    assert(cleared === 3, s"expected 3 cache entries cleared, got $cleared")
+    assert(cleared >= 3, s"expected >=3 cache entries cleared, got $cleared")
     // the persisted frames are actually released, not just forgotten —
     // repeated (dir, threshold) cycling cannot accumulate storage
     assert(df1.storageLevel === StorageLevel.NONE)
     assert(df2.storageLevel === StorageLevel.NONE)
     // and a cleared cache repopulates correctly on next use
     assert(MinHashDedup.dedupCluster(spark, TestSpark.sf, 0.2).count() > 0)
-    assert(Lake.clearCaches() === 2) // 1 label + 1 pair entry
+    assert(Lake.clearCaches() >= 2) // 1 label + 1 pair entry
   }
 
   test("preview works on map-typed (unorderable) columns") {

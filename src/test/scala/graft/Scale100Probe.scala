@@ -58,12 +58,17 @@ object Scale100Probe {
             else if (i < 10) concat(col("text"), lit(s" copytoken$i"))
             else
               // kill similarity: every odd-position token becomes
-              // copy-unique, so every bigram/trigram contains one
+              // (copy, doc)-unique — the doc_id in the prefix matters:
+              // a merely copy-unique token would let two base docs that
+              // were already near-dups stay near-dups inside every
+              // mutated copy index, replicating base cross-doc pairs
+              // ~90x and skewing the 45-pairs-per-original expectation
               array_join(zip_with(
                 split(col("text"), " "),
                 sequence(lit(0), size(split(col("text"), " ")) - 1),
                 (w, j) => when(j % 2 === 0, w)
-                  .otherwise(concat(lit(s"u${i}x"), w))), " ")))
+                  .otherwise(concat(lit(s"u${i}x"), col("doc_id"),
+                    lit("x"), w))), " ")))
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       Seq("nation", "region", "part", "supplier").foreach { t =>
         Tables.table(spark, base, t).write.mode("overwrite")

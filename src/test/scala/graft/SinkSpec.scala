@@ -68,6 +68,63 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === df.count())
   }
 
+  test("compactToSize bin-packs by bytes; content round-trips exactly") {
+    val out = tmp() + "/t"
+    val df = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    LakeIO.saveDataset(df.repartition(32), out)
+    val bytes = LakeIO.dataFiles(spark, out).map(_.getLen).sum
+    // target = half the total → expect exactly ceil(total/target) = 2-3
+    // files, far below the 32 fragments
+    val (before, after) = LakeIO.compactToSize(spark, out, bytes / 2 + 1)
+    assert(before === 32)
+    assert(after <= 3 && after < before)
+    // content identical, not just the count
+    val back = spark.read.parquet(out)
+    assert(back.count() === df.count())
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("compactToSize on a Hive layout compacts per-partition, keeps pruning") {
+    val out = tmp() + "/t"
+    val nat = Tables.nation(spark, sf)
+    // 4 files per partition dir → fragmented
+    LakeIO.replacePartitions(nat.repartition(4), out, Seq("n_regionkey"))
+    val dirs = new java.io.File(out).list().filter(_.startsWith("n_regionkey="))
+    assert(dirs.nonEmpty)
+    val (before, after) = LakeIO.compactToSize(spark, out, 1L << 30)
+    assert(after === dirs.length, "one packed file per partition dir")
+    assert(after < before)
+    // key=value layout survived → partition pruning still works
+    val pruned = spark.read.parquet(out).filter(col("n_regionkey") === 0)
+    assert(pruned.count() === nat.filter(col("n_regionkey") === 0).count())
+    assert(!pruned.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [EqualTo(n_regionkey"))
+    // no scratch dir left behind
+    assert(!new java.io.File(out + "__compact_tmp").exists())
+  }
+
+  test("Lake.compact on a versioned dataset records the rewrite in history") {
+    val wh = tmp()
+    val lake = new Lake(spark, wh)
+    val df = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+    lake.saveVersioned(df.repartition(16), "frag")
+    val (before, after) = lake.compact("frag", 1L << 30)
+    assert(before === 16 && after === 1)
+    // history gained a second row: the compacted version is latest,
+    // with fewer files and the old snapshot retained until vacuum
+    val hist = lake.history("frag").orderBy(col("version").asc).collect()
+    assert(hist.length === 2)
+    assert(hist(0).getAs[Int]("n_files") === 16)
+    assert(hist(1).getAs[Int]("n_files") === 1)
+    assert(hist(1).getAs[Boolean]("is_latest"))
+    // content round-trips across the compaction version
+    assert(lake.loadVersioned("frag").count() === df.count())
+    // time travel to the pre-compaction snapshot still works
+    assert(lake.loadVersioned("frag", Some(0)).count() === df.count())
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     // disable auto-broadcast: at fixture scale AQE would broadcast the
     // dim and skip the bucketed path we're asserting (at 100 TB both

@@ -234,6 +234,7 @@ object SparkEntry {
     "simsearch_knn" -> ((s: SparkSession, d: String) => SimSearch.knnBruteForce(s, d)),
     "simsearch_lsh" -> ((s: SparkSession, d: String) => SimSearch.simsearchLsh(s, d)),
     "simsearch_ivf" -> ((s: SparkSession, d: String) => SimSearch.simsearchIvf(s, d)),
+    "ann_recall" -> ((s: SparkSession, d: String) => SimSearch.annRecall(s, d)),
     "text_stats" -> (TextOps.textStats _),
     "token_count" -> (TextOps.tokenCount _),
     "text_tfidf" -> (TextOps.textTfIdf _),
@@ -432,6 +433,92 @@ object SparkEntry {
       |    / (va.nrm * vb.nrm), 4) AS cos_sim
       |  FROM cand c JOIN v va ON c.a_id = va.vec_id
       |              JOIN v vb ON c.b_id = vb.vec_id)""".stripMargin
+
+  /** The three ANN-searcher oracles live in vals so `ann_recall` can
+    * compose them as nested-WITH derived tables (recall@k is then plain
+    * relational algebra over the three already-verified result sets).
+    */
+  private lazy val knnOracleSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+      |p AS (SELECT q_id, c_id,
+      |  round(
+      |    list_sum(list_transform(range(1, len(q_emb) + 1),
+      |      i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+      |    / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
+      |     * sqrt(list_sum(list_transform(c_emb, x -> x::DOUBLE * x::DOUBLE)))),
+      |    4) AS cos_sim
+      |  FROM c CROSS JOIN q WHERE q_id <> c_id)
+      |SELECT q_id, c_id, cos_sim, rn::INT AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p
+      |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin
+
+  private lazy val lshOracleSql: String =
+    raw"""WITH ${lshWeightCtes(8, 64)},
+      |bits AS (SELECT e.vec_id, wv.p,
+      |  CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> e.embedding[i]::DOUBLE * wv.wts[i])) >= 0
+      |    THEN (1::BIGINT << p) ELSE 0::BIGINT END AS bit
+      |  FROM embeddings e CROSS JOIN wv),
+      |bkt AS (SELECT vec_id, sum(bit)::BIGINT AS bucket
+      |        FROM bits GROUP BY vec_id),
+      |eb AS (SELECT e.vec_id, e.embedding, b.bucket
+      |       FROM embeddings e JOIN bkt b USING (vec_id)),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket
+      |      FROM eb WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket FROM eb),
+      |p2 AS (SELECT q_id, c_id,
+      |  round(
+      |    list_sum(list_transform(range(1, len(q_emb) + 1),
+      |      i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+      |    / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
+      |     * sqrt(list_sum(list_transform(c_emb, x -> x::DOUBLE * x::DOUBLE)))),
+      |    4) AS cos_sim
+      |  FROM c JOIN q USING (bucket) WHERE q_id <> c_id)
+      |SELECT q_id, c_id, cos_sim, rn::INT AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p2
+      |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin
+
+  private lazy val ivfOracleSql: String =
+    """WITH cb AS (SELECT vec_id AS cent_id, embedding AS c_v,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+      |  FROM embeddings WHERE vec_id % 127 = 0),
+      |asg AS (SELECT c_id, c_emb, c_nrm, cent_id FROM (
+      |  SELECT e.vec_id AS c_id, e.embedding AS c_emb,
+      |    sqrt(list_sum(list_transform(e.embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS c_nrm,
+      |    cb.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> e.embedding[i]::DOUBLE * (cb.c_v[i]::DOUBLE / cb.cnrm))) DESC,
+      |      cb.cent_id ASC) AS rn
+      |  FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+      |qc AS (SELECT q_id, q_emb, q_nrm, cent_id FROM (
+      |  SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+      |    sqrt(list_sum(list_transform(e.embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS q_nrm,
+      |    cb.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> e.embedding[i]::DOUBLE * cb.c_v[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(e.embedding,
+      |           x -> x::DOUBLE * x::DOUBLE))) * cb.cnrm) DESC,
+      |      cb.cent_id ASC) AS rn
+      |  FROM embeddings e CROSS JOIN cb WHERE e.vec_id < 10) WHERE rn <= 2),
+      |p3 AS (SELECT q.q_id, a.c_id,
+      |  round(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+      |      i -> q.q_emb[i]::DOUBLE * a.c_emb[i]::DOUBLE))
+      |    / (q.q_nrm * a.c_nrm), 4) AS cos_sim
+      |  FROM qc q JOIN asg a USING (cent_id)
+      |  WHERE q.q_id <> a.c_id)
+      |SELECT q_id, c_id, cos_sim, rn::INT AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p3
+      |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1635,92 +1722,35 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT a_id, b_id, cos_sim FROM p WHERE cos_sim >= 0.95
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
-    "simsearch_knn" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-        |           FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
-        |p AS (SELECT q_id, c_id,
-        |  round(
-        |    list_sum(list_transform(range(1, len(q_emb) + 1),
-        |      i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
-        |    / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
-        |     * sqrt(list_sum(list_transform(c_emb, x -> x::DOUBLE * x::DOUBLE)))),
-        |    4) AS cos_sim
-        |  FROM c CROSS JOIN q WHERE q_id <> c_id)
-        |SELECT q_id, c_id, cos_sim, rn::INT AS rn FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p
-        |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
+    "simsearch_knn" -> knnOracleSql,
     // the LSH hyperplanes are replicated bit-exactly in SQL
     // (lshWeightCtes), so the bucketed search is a full hash-match
     // rather than spec-only: bucket → same-bucket candidates → top-5
-    "simsearch_lsh" ->
-      raw"""WITH ${lshWeightCtes(8, 64)},
-        |bits AS (SELECT e.vec_id, wv.p,
-        |  CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |      i -> e.embedding[i]::DOUBLE * wv.wts[i])) >= 0
-        |    THEN (1::BIGINT << p) ELSE 0::BIGINT END AS bit
-        |  FROM embeddings e CROSS JOIN wv),
-        |bkt AS (SELECT vec_id, sum(bit)::BIGINT AS bucket
-        |        FROM bits GROUP BY vec_id),
-        |eb AS (SELECT e.vec_id, e.embedding, b.bucket
-        |       FROM embeddings e JOIN bkt b USING (vec_id)),
-        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket
-        |      FROM eb WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket FROM eb),
-        |p2 AS (SELECT q_id, c_id,
-        |  round(
-        |    list_sum(list_transform(range(1, len(q_emb) + 1),
-        |      i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
-        |    / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
-        |     * sqrt(list_sum(list_transform(c_emb, x -> x::DOUBLE * x::DOUBLE)))),
-        |    4) AS cos_sim
-        |  FROM c JOIN q USING (bucket) WHERE q_id <> c_id)
-        |SELECT q_id, c_id, cos_sim, rn::INT AS rn FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p2
-        |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
+    "simsearch_lsh" -> lshOracleSql,
     // stride codebook + argmax cell assignment + nProbe=2 probing,
     // replicated: corpus assignment ranks dot(x, ĉ) with ties to the
     // smaller cent_id (the kernel's strict-> scan order), query side
     // ranks cosine like the struct sort
-    "simsearch_ivf" ->
-      """WITH cb AS (SELECT vec_id AS cent_id, embedding AS c_v,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
-        |  FROM embeddings WHERE vec_id % 127 = 0),
-        |asg AS (SELECT c_id, c_emb, c_nrm, cent_id FROM (
-        |  SELECT e.vec_id AS c_id, e.embedding AS c_emb,
-        |    sqrt(list_sum(list_transform(e.embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS c_nrm,
-        |    cb.cent_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |        i -> e.embedding[i]::DOUBLE * (cb.c_v[i]::DOUBLE / cb.cnrm))) DESC,
-        |      cb.cent_id ASC) AS rn
-        |  FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
-        |qc AS (SELECT q_id, q_emb, q_nrm, cent_id FROM (
-        |  SELECT e.vec_id AS q_id, e.embedding AS q_emb,
-        |    sqrt(list_sum(list_transform(e.embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS q_nrm,
-        |    cb.cent_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |        i -> e.embedding[i]::DOUBLE * cb.c_v[i]::DOUBLE))
-        |      / (sqrt(list_sum(list_transform(e.embedding,
-        |           x -> x::DOUBLE * x::DOUBLE))) * cb.cnrm) DESC,
-        |      cb.cent_id ASC) AS rn
-        |  FROM embeddings e CROSS JOIN cb WHERE e.vec_id < 10) WHERE rn <= 2),
-        |p3 AS (SELECT q.q_id, a.c_id,
-        |  round(list_sum(list_transform(range(1, len(q.q_emb) + 1),
-        |      i -> q.q_emb[i]::DOUBLE * a.c_emb[i]::DOUBLE))
-        |    / (q.q_nrm * a.c_nrm), 4) AS cos_sim
-        |  FROM qc q JOIN asg a USING (cent_id)
-        |  WHERE q.q_id <> a.c_id)
-        |SELECT q_id, c_id, cos_sim, rn::INT AS rn FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p3
-        |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
+    "simsearch_ivf" -> ivfOracleSql,
+    // recall@k report composed from the three searcher oracles above
+    // (nested-WITH derived tables — DuckDB-supported); count() keeps
+    // zero-hit queries at hits=0 via the LEFT JOIN
+    "ann_recall" ->
+      raw"""WITH ex AS (SELECT q_id, c_id FROM ($knnOracleSql) t),
+        |ap AS (
+        |  SELECT 'lsh' AS method, q_id, c_id FROM ($lshOracleSql) t
+        |  UNION ALL
+        |  SELECT 'ivf' AS method, q_id, c_id FROM ($ivfOracleSql) t),
+        |m AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'),
+        |base AS (SELECT m.method, ex.q_id, ex.c_id FROM m CROSS JOIN ex),
+        |hit AS (SELECT b.method, b.q_id,
+        |    count(a.c_id) AS hits, count(*) AS exact_n
+        |  FROM base b LEFT JOIN ap a
+        |    ON a.method = b.method AND a.q_id = b.q_id AND a.c_id = b.c_id
+        |  GROUP BY b.method, b.q_id)
+        |SELECT method, q_id, hits,
+        |  round(hits::DOUBLE / exact_n, 4) AS recall
+        |FROM hit ORDER BY method ASC, q_id ASC""".stripMargin,
     // full replication of the production 48-bit/4-band pipeline (NOT the
     // exact-subset trick dedup_embedding uses): same banding, same
     // verify — equality holds at any threshold/SF, not just recall-1

@@ -186,6 +186,40 @@ object SimSearch {
           codebook.map(_._1),
           codebook.map { case (_, v, nrm) => v.map(_.toDouble / nrm) }))
 
+  /** `ann_recall` — the ANN quality report (VERDICT r5 #4): per-query
+    * recall of the two approximate searchers against the exact
+    * brute-force top-k. All three sides are deterministic and already
+    * individually oracled, so the recall table itself is
+    * DuckDB-expressible — this turns "the ANN agrees on the fixture"
+    * into a measured quality surface (a DedupSpec floor pins the
+    * fixture's recall; production tuning moves nBits/nProbe against
+    * exactly this report).
+    *
+    * Scale: the exact side is bounded (|queries|·k rows) by
+    * construction, so every join here is report-sized; the expensive
+    * parts are the three searches themselves, each already audited for
+    * scale shape. recall = hits / |exact set| per query (robust to a
+    * query having fewer than k neighbors).
+    */
+  def annRecall(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    val exact = knnBruteForce(spark, sfDir, k, nQueries)
+      .select(col("q_id"), col("c_id"))
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      exact
+        .join(approx.select(col("q_id"), col("c_id"))
+          .withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(count(col("hit")).as("hits"), count(lit(1)).as("exact_n"))
+        .withColumn("recall",
+          round(col("hits").cast("double") / col("exact_n"), 4))
+        .select(lit(method).as("method"), col("q_id"), col("hits"),
+          col("recall"))
+    recallOf("lsh", simsearchLsh(spark, sfDir, k, nQueries))
+      .unionByName(recallOf("ivf", simsearchIvf(spark, sfDir, k, nQueries)))
+      .orderBy(col("method").asc, col("q_id").asc)
+  }
+
   /** `expr_custom` — the custom-Catalyst-Expression surface (SURVEY.md
     * §2.J), exercised directly: per-vector L2 norm and self-dot via the
     * codegen'd FloatVecNorm/FloatVecDot kernels.

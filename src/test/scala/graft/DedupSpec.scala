@@ -562,6 +562,44 @@ class DedupSpec extends AnyFunSuite {
     assert(lshCarry === lsh)
   }
 
+  test("ann_recall report: IVF clears the generic-top-k floor; LSH owns high similarity") {
+    val rep = SimSearch.annRecall(spark, TestSpark.sf).collect()
+    assert(rep.length === 20) // 2 methods × 10 queries
+    val byM = rep.groupBy(_.getString(0))
+    assert(byM.keySet === Set("ivf", "lsh"))
+    // every query appears for both methods; hits bounded by k
+    byM.values.foreach(rows =>
+      assert(rows.map(_.getLong(1)).toSet === (0L until 10L).toSet))
+    assert(rep.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 5))
+    // measured 0.72 mean on the fixture — floor with margin
+    val ivfMean = byM("ivf").map(_.getDouble(3)).sum / 10
+    assert(ivfMean >= 0.6, s"IVF mean recall@5 $ivfMean < 0.6")
+    // Generic top-5 of this corpus sits at cos 0.25–0.5, where a single
+    // 8-bit hyperplane bucket collides with P ≈ (1 − θ/π)^8 ≈ 0.02 per
+    // true neighbor — near-zero LSH recall here is the expected physics
+    // of the regime, and the report MEASURES it instead of hiding it.
+    // IVF is the generic-top-k scale path; LSH's design regime is high
+    // similarity (floor asserted next, equality-vs-exact above).
+    val lshMean = byM("lsh").map(_.getDouble(3)).sum / 10
+    assert(lshMean <= ivfMean,
+      "LSH beating IVF on generic top-k would invalidate the regime docs")
+    // high-similarity floor: banded LSH recall ≥ 0.9 on planted
+    // cos≈0.9999 pairs (deterministic hyperplanes — never flakes)
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val dups = bases.indices.filter(_ % 4 == 0).map { i =>
+      val (id, v) = bases(i); (300L + id, v.updated(5, v(5) + 0.01f))
+    }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    val planted = dups.map(d => (d._1 - 300L, d._1)).toSet
+    val found = SimSearch.dedupEmbeddingLshDocs(emb, threshold = 0.95,
+        nBits = 48, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"banded-LSH high-similarity recall $recall < 0.9")
+  }
+
   test("ngram df-cap prunes hot-shingle posting lists (skewed fixture)") {
     // 30 docs in one source all share the bigram "hot hot"; each also has
     // unique content. Uncapped, the hot posting list alone makes

@@ -177,6 +177,11 @@ object SparkEntry {
       sigAsCsv(Udfs.corpusSignature(s, d))),
     "udaf_imperative" -> ((s: SparkSession, d: String) =>
       sigAsCsv(Udfs.corpusSignatureImperative(s, d))),
+    // oracle shadow of the two above: group-key set, contributing-doc
+    // cardinality, signature width, typed≡imperative — everything but
+    // the engine-hash values themselves (Udfs.udafShape notes)
+    "udaf_typed_shape" -> ((s: SparkSession, d: String) =>
+      Udfs.udafShape(s, d)),
     "udaf_topk" -> ((s: SparkSession, d: String) => Udfs.topkHeap(s, d)),
     "expr_custom" -> (SimSearch.exprCustom _),
     // the whole-operator custom-plan surface: logical node + strategy +
@@ -856,6 +861,16 @@ object SparkEntry {
         |  string_agg(o_orderkey::VARCHAR, ',' ORDER BY rn) AS top_keys
         |FROM r WHERE rn <= 3 GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC""".stripMargin,
+    // shape shadow of udaf_typed/udaf_imperative: the signature VALUES
+    // are engine hashes, but the group-key set, contributing cardinality
+    // (≥1-token predicate — shingle-count parity with the kernel is
+    // DedupSpec-asserted), fixed width, and typed≡imperative equality
+    // are all relational facts the oracle can state exactly
+    "udaf_typed_shape" ->
+      raw"""SELECT source, 16 AS sig_len, true AS aggs_equal,
+        |  count(*) AS n_docs
+        |FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |GROUP BY source ORDER BY source ASC""".stripMargin,
     "agg_conditional" ->
       """SELECT o_orderpriority,
         |  count_if(o_totalprice > 200000)::BIGINT AS n_big,

@@ -107,6 +107,35 @@ object Udfs {
       .orderBy(col("source").asc)
   }
 
+  /** `udaf_typed_shape` — oracle shadow for the two signature
+    * aggregators (VERDICT r5 #5, same technique as dedup_simhash_ids):
+    * the signature VALUES are engine-hash longs no SQL oracle can
+    * reproduce, but everything else about the aggregation is
+    * relational — which sources get a signature (group-key set), the
+    * contributing-doc cardinality (the ≥1-token predicate), the fixed
+    * signature width (nPerm), and typed-vs-imperative equality (an
+    * array compare after a keyed join). A merge-order bug, a dropped
+    * group, a filter drift, or a divergence between the two Aggregator
+    * implementations all surface here as a hash mismatch, shrinking
+    * what only scalatest could see to just the raw hash values.
+    */
+  def udafShape(spark: SparkSession, sfDir: String,
+      nPerm: Int = 16): DataFrame = {
+    val typed = corpusSignature(spark, sfDir, nPerm)
+    val imp = corpusSignatureImperative(spark, sfDir, nPerm)
+      .withColumnRenamed("corpus_sig", "imp_sig")
+    val nDocs = Tables.documents(spark, sfDir)
+      .withColumn("sh", ShingleKernel.shingleHashes(col("text"), 3))
+      .filter(size(col("sh")) > 0)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    typed.join(imp, "source").join(nDocs, "source")
+      .select(col("source"),
+        size(col("corpus_sig")).as("sig_len"),
+        (col("corpus_sig") === col("imp_sig")).as("aggs_equal"),
+        col("n_docs"))
+      .orderBy(col("source").asc)
+  }
+
   /** `udaf_topk` — bounded top-k as a typed Aggregator: each partial
     * keeps only its k best (value, key) pairs, merges are k+k→k, so the
     * shuffle carries fixed-size state per group — the scale-correct

@@ -157,12 +157,57 @@ object MinHashDedup {
     */
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String, Double), DataFrame]()
+      (SparkSession, String, String, Double), DataFrame]()
+
+  /** Cheap corpus fingerprint (VERDICT r5 #8): sorted (path, length,
+    * mtime) of every file under the corpus' documents table, MD5'd.
+    * One driver-side metadata listing per memoized call — no data is
+    * read — and it turns the memos' immutable-corpus assumption into an
+    * ENFORCED key component: rewriting the fixture in place changes
+    * file names/sizes/mtimes, so the next call computes fresh results
+    * instead of serving stale ones (no `Lake.clearCaches()` needed; the
+    * clear API remains the storage-release lever). A live lake would
+    * use its snapshot/version id — this is the parquet-dir equivalent.
+    */
+  private def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        buf += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      buf.sorted.foreach(s => md.update((s + "\n").getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
+
+  /** Evict (and unpersist) memo entries for the same (session, dir)
+    * whose fingerprint no longer matches — a rewritten corpus must not
+    * strand the old persisted frames in executor storage.
+    */
+  private def evictStale[K](cache: java.util.concurrent.ConcurrentHashMap[
+      K, DataFrame], isStale: K => Boolean): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (isStale(e.getKey)) { e.getValue.unpersist(); it.remove() }
+    }
+  }
 
   private def cachedNgramPairs(spark: SparkSession, sfDir: String,
-      maxDfFrac: Double): DataFrame =
-    pairCache.computeIfAbsent((spark, sfDir, maxDfFrac), _ =>
+      maxDfFrac: Double): DataFrame = {
+    val fp = corpusFingerprint(spark, sfDir)
+    evictStale(pairCache,
+      (k: (SparkSession, String, String, Double)) =>
+        k._1 == spark && k._2 == sfDir && k._3 != fp)
+    pairCache.computeIfAbsent((spark, sfDir, fp, maxDfFrac), _ =>
       ngramPairsDocs(Tables.documents(spark, sfDir), maxDfFrac).persist())
+  }
 
   private def thresholdPairs(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
@@ -290,24 +335,29 @@ object MinHashDedup {
     */
   private val labelCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String, Double, Int), DataFrame]()
+      (SparkSession, String, String, Double, Int), DataFrame]()
 
-  /** ASSUMES an immutable corpus at sfDir (ADVICE r4): no data
-    * fingerprint in the key, so an in-process rewrite of the fixture
-    * would serve stale labels — the driver fixture contract. A live lake
-    * would key on a snapshot/version id. [[clearLabelCache]] (via
-    * `Lake.clearCaches()`) is the reset for long-lived sessions, and
-    * also releases the persisted frames so many (dir, threshold)
-    * combinations cannot accumulate executor storage.
+  /** Keyed on the corpus FINGERPRINT as well as (session, dir,
+    * threshold, maxIter) — see [[corpusFingerprint]]: an in-process
+    * rewrite of the corpus yields fresh labels on the next call (spec:
+    * "memo caches refresh on corpus rewrite"), while the stale entries
+    * are unpersisted eagerly so repeated rewrites cannot accumulate
+    * executor storage. [[clearLabelCache]] (via `Lake.clearCaches()`)
+    * remains the bulk storage-release lever for long-lived sessions.
     */
   private def cachedClusterLabels(spark: SparkSession, sfDir: String,
-      threshold: Double, maxIter: Int): DataFrame =
-    labelCache.computeIfAbsent((spark, sfDir, threshold, maxIter), _ =>
+      threshold: Double, maxIter: Int): DataFrame = {
+    val fp = corpusFingerprint(spark, sfDir)
+    evictStale(labelCache,
+      (k: (SparkSession, String, String, Double, Int)) =>
+        k._1 == spark && k._2 == sfDir && k._3 != fp)
+    labelCache.computeIfAbsent((spark, sfDir, fp, threshold, maxIter), _ =>
       clusterFromPairs(Tables.documents(spark, sfDir),
         cachedNgramPairs(spark, sfDir, maxDfFrac = 0.3)
           .filter(col("jaccard") >= threshold)
           .select(col("a_id"), col("b_id")), maxIter)
         .persist())
+  }
 
   /** Unpersist every memoized labels and pair-similarity frame and drop
     * both memos. Part of [[graft.Lake.clearCaches]]; returns the number

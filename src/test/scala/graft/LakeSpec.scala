@@ -259,6 +259,22 @@ class LakeSpec extends AnyFunSuite {
     assert(Lake.clearCaches() >= 2) // 1 label + 1 pair entry
   }
 
+  test("memo caches refresh on corpus rewrite (fingerprint-keyed, no clearCaches)") {
+    import graft.operators.MinHashDedup
+    import graft.sources.Tables
+    val dir = Files.createTempDirectory("graft_fp").toString
+    val docs = Tables.documents(spark, TestSpark.sf)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val n1 = MinHashDedup.dedupCluster(spark, dir, threshold = 0.2).count()
+    // rewrite the corpus IN PLACE — with fingerprint-free keys this
+    // served the stale labels (the documented r5 staleness assumption)
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val n2 = MinHashDedup.dedupCluster(spark, dir, threshold = 0.2).count()
+    assert(n1 === docs.count(), "first pass labels every doc")
+    assert(n2 < n1, s"stale labels served after corpus rewrite: $n1 -> $n2")
+  }
+
   test("preview works on map-typed (unorderable) columns") {
     val lake = newLake()
     import spark.implicits._

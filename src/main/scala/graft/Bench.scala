@@ -24,7 +24,15 @@ object Bench {
     try graft.sources.SinkQueries.warmBucketed(spark, sfDir)
     catch { case _: Throwable => }
     val errors = scala.collection.mutable.ListBuffer[String]()
+    // per-query GC + task-time attribution (VERDICT r5 #3): rank driver
+    // runs by (wall − gc) to separate VM warmth from real plan cost
+    val clock = org.apache.spark.graft.Instrument.install(spark.sparkContext)
+    val gcByQ = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val taskByQ = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      org.apache.spark.graft.Instrument.drain(spark.sparkContext)
+      val gc0 = org.apache.spark.graft.Instrument.jvmGcMs()
+      val task0 = clock.runMs.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -32,17 +40,25 @@ object Bench {
           errors += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.Instrument.drain(spark.sparkContext)
+      gcByQ(name) = org.apache.spark.graft.Instrument.jvmGcMs() - gc0
+      taskByQ(name) = clock.runMs.get() - task0
+      name -> wall
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def msMap(m: scala.collection.Map[String, Long]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // key order: the long queries map FIRST, scalars LAST — JSON parsers
-    // don't care, but a tail-truncated capture of this (long) line still
-    // shows the headline numbers (BENCH_r01's capture kept only the last
-    // 2000 chars, which would otherwise cut off the total)
-    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size}}""")
+    // key order: the long maps FIRST, scalars LAST — JSON parsers don't
+    // care, but a tail-truncated capture of this (long) line still shows
+    // the headline numbers (BENCH_r01's capture kept only the last
+    // 2000 chars, which would otherwise cut off the total). gc_ms is
+    // whole-JVM collector time during the query's window; task_ms is the
+    // summed executorRunTime of its tasks (listener-drained, exact).
+    println(s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"queries":$qs,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -167,6 +167,7 @@ object SparkEntry {
     "event_funnel" -> (EventWindows.eventFunnel _),
     "retention_cohort" -> (EventWindows.retentionCohort _),
     "stream_stateful" -> (EventWindows.statefulRunningTotal _),
+    "stream_state_ttl" -> (EventWindows.stateTtlBatch _),
     // §2.J UDF / UDAF / UDTF
     "udf_scalar" -> (Udfs.udfScalar _),
     "udtf_generator" -> (Udfs.udtfGenerator _),
@@ -1442,6 +1443,18 @@ object SparkEntry {
         |    AS running_purchases
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id ASC, event_id ASC""".stripMargin,
+    // event-time shape of TTL'd keyed state: only purchases within 30
+    // minutes of the user's latest purchase survive (the wall-clock
+    // TTL eviction itself is StreamingSpec-only — not SQL-expressible)
+    "stream_state_ttl" ->
+      """SELECT user_id, count(*) AS n_live,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS live_value
+        |FROM (SELECT user_id, value, ts,
+        |        max(ts) OVER (PARTITION BY user_id) AS max_ts
+        |      FROM events WHERE event_type = 'purchase') t
+        |WHERE ts > max_ts - INTERVAL 30 MINUTE
+        |GROUP BY user_id
+        |ORDER BY user_id ASC""".stripMargin,
     // --- §2.J ---
     "udf_scalar" ->
       raw"""SELECT doc_id, substring(t, 1, 40) AS norm_prefix,

@@ -340,4 +340,28 @@ object EventWindows {
           .as("running_purchases"))
       .orderBy(col("user_id").asc, col("event_id").asc)
   }
+
+  /** `stream_state_ttl` — batch (event-time) shape of TTL'd keyed state
+    * (Streams.runningTotalsWithTtl / TtlRunningTotalProcessor): per
+    * user, the purchase count and total that would still be live under
+    * a 30-minute state TTL at corpus end — i.e. only purchases within
+    * 30 minutes of that user's most recent purchase. The wall-clock
+    * eviction semantics (state vanishing between micro-batches) are
+    * streaming-only and pinned by StreamingSpec; this query is the
+    * DuckDB-checkable projection of the same retention rule.
+    *
+    * Scale: the window max and the groupBy hash-partition on the same
+    * key, so Catalyst reuses one Exchange — one user_id shuffle total.
+    */
+  def stateTtlBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("max_ts", max(col("ts")).over(w))
+      .filter(col("ts") > col("max_ts") - expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(dec(col("value"))).cast("double").as("live_value"))
+      .orderBy(col("user_id").asc)
+  }
 }

@@ -49,6 +49,42 @@ class RunningTotalProcessor
   }
 }
 
+/** `stream_state_ttl` — the same running purchase total, but the
+  * ValueState carries a TTL: a key whose state was last written more
+  * than `ttlMs` ago reads as absent (`exists()` → false; the store
+  * evicts the value independently), so a late-returning user restarts
+  * from zero instead of resuming a stale total. This is the bounded
+  * state story at 100 TB: per-key state cannot outlive its usefulness
+  * even for keys that never receive another row (unlike
+  * watermark-based eviction, which needs new data to advance).
+  * TTL requires TimeMode.ProcessingTime — see `runningTotalsWithTtl`.
+  */
+class TtlRunningTotalProcessor(ttlMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var total: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    total = getHandle.getValueState[Double]("total",
+      Encoders.scalaDouble, TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    var t = if (total.exists()) total.get() else 0.0
+    val out = rows.toSeq.sortBy(_._2).map { case (_, eid, v) =>
+      t += v
+      (key, eid, t)
+    }
+    total.update(t)
+    out.iterator
+  }
+}
+
 object Streams {
 
   /** `stream_tumbling` — 1h tumbling count/sum per event_type with a
@@ -283,6 +319,30 @@ object Streams {
       .groupByKey(_._1)
       .transformWithState(new RunningTotalProcessor,
         TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_id", "running_purchases")
+  }
+
+  /** `stream_state_ttl` — running purchase totals whose keyed state
+    * expires `ttlMs` after its last write (TtlRunningTotalProcessor).
+    * TimeMode.ProcessingTime is mandatory for TTL'd state in Spark 4.
+    * The declared batch query (EventWindows.stateTtlBatch) is the
+    * event-time shape of the same idea — "state still live at corpus
+    * end" — which IS DuckDB-expressible; the wall-clock eviction
+    * behavior itself is pinned by StreamingSpec with real sleeps.
+    */
+  def runningTotalsWithTtl(spark: SparkSession, events: DataFrame,
+      ttlMs: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as[Long], col("event_id").as[Long],
+        col("value").as[Double])
+      .as[(Long, Long, Double)]
+    purchases
+      .groupByKey(_._1)
+      .transformWithState(new TtlRunningTotalProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
       .toDF("user_id", "event_id", "running_purchases")
   }
 

@@ -1,0 +1,53 @@
+package org.apache.spark.graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Bench-only instrumentation (VERDICT r5 #3: attribute driver-suite
+  * tail drift to GC/VM noise vs real plan cost with data).
+  *
+  * Lives under `org.apache.spark` solely to reach the `private[spark]`
+  * listener bus so per-query metric deltas are exact: task-end events
+  * are delivered asynchronously, and without a drain a query's tasks
+  * could be charged to the NEXT query's window. Nothing else in the
+  * library depends on Spark internals.
+  */
+object Instrument {
+
+  /** Accumulates executor task time and task-reported JVM GC time
+    * (ms). In local mode the "executors" are threads of this JVM, so
+    * taskGcMs is the GC overlap of task execution specifically, while
+    * [[jvmGcMs]] is whole-process GC (includes driver-side planning).
+    */
+  final class TaskClock extends SparkListener {
+    val runMs = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+      }
+    }
+  }
+
+  def install(sc: SparkContext): TaskClock = {
+    val c = new TaskClock
+    sc.addSparkListener(c)
+    c
+  }
+
+  /** Block until all queued listener events are delivered, so counter
+    * snapshots taken after a query include exactly that query's tasks.
+    */
+  def drain(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+
+  /** Whole-JVM collector time (ms) — synchronous read, no listener lag. */
+  def jvmGcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+}

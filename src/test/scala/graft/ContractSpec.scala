@@ -54,8 +54,14 @@ class ContractSpec extends AnyFunSuite {
     //                    standard scalar-attach shape; O(|corpus|·1))
     //   agg_histogram  — corpus × broadcast ONE-ROW min/max bounds (same
     //                    scalar-attach shape)
+    //   ann_recall     — scores the approximate searchers AGAINST the
+    //                    exact KNN baseline, so it necessarily contains
+    //                    simsearch_knn's documented corpus × bounded
+    //                    query-set product; everything downstream of the
+    //                    three searches is report-sized and keyed
     val allowProduct =
-      Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram")
+      Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
+        "ann_recall")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!allowProduct(name)) {
         val df = fn(spark, TestSpark.sf)

@@ -94,6 +94,11 @@ object Scale100Probe {
           threshold = 0.5)
       }
       time("pipeline_curate", dir) { TextOps.pipelineCurate(spark, dir) }
+      // token-volume family (VERDICT r5 #7): both touch every token, so
+      // the scale question is whether cost tracks token count (linear)
+      // and whether the vocab/model side stays broadcast-able
+      time("ngram_lm", dir) { TextOps.ngramLm(spark, dir) }
+      time("lm_doc_score", dir) { TextOps.lmDocScore(spark, dir) }
     }
     spark.stop()
   }

@@ -298,6 +298,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL'd state: totals accumulate within TTL, reset after eviction") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      // TTL of 10s: batch 2 lands well within it (state survives),
+      // batch 3 lands after a 15s idle gap (state evicted → restart).
+      // Margins are wide because TTL expiry is evaluated against batch
+      // processing-time timestamps (second granularity + trigger
+      // latency), not a precise wall clock.
+      // NOTE: under TimeMode.ProcessingTime the query runs no-data
+      // micro-batches continuously (to advance processing time for
+      // TTL/timers), so processAllAvailable never quiesces — poll the
+      // sink for the expected row count instead.
+      val q = Streams.runningTotalsWithTtl(spark, mem.toDF(), ttlMs = 10000L)
+        .writeStream.format("memory").queryName("tws_ttl")
+        .outputMode("append").start()
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 60000L
+        while (spark.table("tws_ttl").count() < n &&
+            System.currentTimeMillis() < deadline) {
+          assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+          Thread.sleep(100L)
+        }
+        assert(spark.table("tws_ttl").count() >= n,
+          s"timed out waiting for $n sink rows")
+      }
+      mem.addData(Ev(1, ts("2025-01-01 10:00:00"), 1, "purchase", 10.0, "{}"))
+      awaitRows(1)
+      mem.addData(Ev(2, ts("2025-01-01 10:01:00"), 1, "purchase", 5.0, "{}"))
+      awaitRows(2) // within TTL → 10 + 5
+      Thread.sleep(15000L) // let user 1's state expire
+      mem.addData(Ev(3, ts("2025-01-01 10:30:00"), 1, "purchase", 7.0, "{}"))
+      awaitRows(3) // state gone → restarts at 7, not 22
+      q.stop()
+      val rows = spark.table("tws_ttl").orderBy("event_id")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(rows === Seq((1L, 1L, 10.0), (1L, 2L, 15.0), (1L, 3L, 7.0)))
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("stream_state_ttl batch shape keeps only purchases within the TTL of each user's latest") {
+    val sfd = TestSpark.sf
+    import org.apache.spark.sql.Row
+    val out = EventWindows.stateTtlBatch(spark, sfd).collect()
+    assert(out.nonEmpty)
+    // every user's live set is nonempty (their latest purchase always
+    // qualifies) and live_value sums only the retained purchases
+    val ev = graft.sources.Tables.events(spark, sfd)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max("ts").as("max_ts"), count(lit(1)).as("n_all"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { case Row(u: Long, nLive: Long, _) =>
+      assert(nLive >= 1L && nLive <= ev(u))
+    }
+  }
+
   test("sliding windows: streaming result equals batch form (file replay)") {
     val sfd = TestSpark.sf
     val stream = Streams.slidingCounts(Streams.eventsFileStream(spark, sfd))

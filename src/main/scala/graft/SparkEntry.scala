@@ -249,6 +249,8 @@ object SparkEntry {
     "text_normalize" -> (TextOps.textNormalize _),
     "pii_scrub" -> (TextOps.piiScrub _),
     "pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
+    "doc_chunking" -> ((s: SparkSession, d: String) => TextOps.docChunk(s, d)),
+    "embedding_quantize" -> (SimSearch.embeddingQuantize _),
     "sample_stratified" -> (TextOps.sampleStratified _),
     // round-3 pipeline additions
     "decontaminate" -> ((s: SparkSession, d: String) =>
@@ -1697,6 +1699,46 @@ object SparkEntry {
         |  (cum_before // 512)::BIGINT AS pack_id,
         |  (cum_before % 512)::BIGINT AS pack_offset
         |FROM c ORDER BY source ASC, doc_id ASC""".stripMargin,
+    // chunk i covers normalized tokens [i*48, i*48+64); DuckDB list
+    // slicing is 1-based inclusive, Spark's slice(start, length) is
+    // 1-based with a length — same token range either way
+    "doc_chunking" ->
+      raw"""WITH d AS (SELECT doc_id, string_split($normT, ' ') AS toks,
+        |    len(string_split($normT, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, toks, n_tok,
+        |    unnest(range(0,
+        |      CAST(ceil(greatest(n_tok - 64, 0) / 48.0) AS BIGINT) + 1))
+        |      AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, chunk_id::INT AS chunk_id,
+        |  (chunk_id * 48)::INT AS start_tok,
+        |  (least(chunk_id * 48 + 64, n_tok) - chunk_id * 48)::INT
+        |    AS chunk_len,
+        |  array_to_string(
+        |    toks[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, n_tok)],
+        |    ' ') AS chunk_text
+        |FROM c ORDER BY doc_id ASC, chunk_id ASC""".stripMargin,
+    // all arithmetic pinned to DOUBLE on both sides (FLOAT/FLOAT stays
+    // FLOAT in DuckDB but widens to DOUBLE in Spark); round() is
+    // half-away-from-zero for doubles in both engines
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, xd,
+        |    list_max(list_transform(xd, x -> abs(x))) / 127.0 AS scale
+        |  FROM e)
+        |SELECT vec_id, len(xd)::INT AS n_dim,
+        |  round(scale, 6) AS scale6,
+        |  CASE WHEN scale = 0 THEN '' ELSE array_to_string(
+        |    list_transform(xd,
+        |      x -> CAST(CAST(round(x / scale, 0) AS INT) AS VARCHAR)),
+        |    ',') END AS codes_csv,
+        |  CASE WHEN scale = 0 THEN 0.0 ELSE
+        |    round(list_max(list_transform(xd,
+        |      x -> abs(round(x / scale, 0) * scale - x))), 4)
+        |  END AS max_abs_err
+        |FROM s ORDER BY vec_id ASC""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, source,
         |  (('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT

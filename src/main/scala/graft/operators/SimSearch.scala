@@ -220,6 +220,39 @@ object SimSearch {
       .orderBy(col("method").asc, col("q_id").asc)
   }
 
+  /** `embedding_quantize` — symmetric int8 scalar quantization of the
+    * embedding column: per-vector scale = max|x| / 127, code_i =
+    * round(x_i / scale) ∈ [−127, 127], plus the max absolute
+    * dequantization error. This is the storage/bandwidth scale path for
+    * ANN at 100 TB — int8 codes are 4× smaller than float32, so the
+    * LSH/IVF bucket shuffles carry a quarter of the bytes and the
+    * verify step dequantizes on the fly (error bounded by scale/2).
+    *
+    * Entirely row-local (transform/array_max over the vector — no
+    * shuffle, no UDF: higher-order functions stay in codegen). All
+    * arithmetic is pinned to DOUBLE up front: both engines then do
+    * identical IEEE ops in identical order, so the oracle hash-matches
+    * (float-typed division would stay FLOAT in DuckDB but widen to
+    * DOUBLE in Spark).
+    */
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("xd"))
+      .withColumn("scale",
+        array_max(transform(col("xd"), x => abs(x))) / 127.0)
+      .select(col("vec_id"), size(col("xd")).as("n_dim"),
+        round(col("scale"), 6).as("scale6"),
+        when(col("scale") === 0.0, lit(""))
+          .otherwise(array_join(transform(col("xd"),
+            x => round(x / col("scale"), 0).cast("int").cast("string")),
+            ",")).as("codes_csv"),
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(round(array_max(transform(col("xd"),
+            x => abs(round(x / col("scale"), 0) * col("scale") - x))), 4))
+          .as("max_abs_err"))
+      .orderBy(col("vec_id").asc)
+
   /** `expr_custom` — the custom-Catalyst-Expression surface (SURVEY.md
     * §2.J), exercised directly: per-vector L2 norm and self-dot via the
     * codegen'd FloatVecNorm/FloatVecDot kernels.

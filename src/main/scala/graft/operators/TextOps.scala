@@ -226,6 +226,35 @@ object TextOps {
       .orderBy(col("source").asc, col("doc_id").asc)
   }
 
+  /** `doc_chunking` — fixed token-window chunking with overlap: each
+    * document becomes ceil(max(n_tok − window, 0) / stride) + 1 chunks;
+    * chunk i covers tokens [i·stride, i·stride + window), the last one
+    * truncated at the document end. The standard context-window prep
+    * for LLM training (stride < window ⇒ overlap = window − stride
+    * tokens carried between consecutive chunks).
+    *
+    * Scale: entirely row-local (split → sequence-explode → slice) — no
+    * shuffle except the declared orderBy; output volume is input tokens
+    * × (window/stride) ≈ 1.33×, and chunk ids are a pure function of
+    * (doc_id, position) so re-runs/retries are deterministic.
+    */
+  def docChunk(spark: SparkSession, sfDir: String,
+      window: Int = 64, stride: Int = 48): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .select(col("doc_id"), col("n_tok"), col("toks"),
+        explode(sequence(lit(0),
+          greatest(ceil((col("n_tok") - window).cast("double") / stride),
+            lit(0)).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        (least(col("chunk_id") * stride + window, col("n_tok"))
+          - col("chunk_id") * stride).as("chunk_len"),
+        array_join(slice(col("toks"), col("chunk_id") * stride + 1,
+          lit(window)), " ").as("chunk_text"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+
   /** `sample_stratified` — deterministic per-stratum sampling: each
     * language keeps a different rate via the same md5-prefix bucket as
     * `sample_hash` (seedless, engine-portable, stable under re-runs —

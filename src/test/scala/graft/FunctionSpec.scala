@@ -53,6 +53,52 @@ class FunctionSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_chunking invariants: coverage, overlap, bounded length, reconstructible") {
+    val (win, stride) = (64, 48)
+    val rows = graft.operators.TextOps.docChunk(spark, sf, win, stride)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (docId, rs) =>
+      val ordered = rs.sortBy(_.getAs[Int]("chunk_id"))
+      // ids contiguous from 0; starts advance by exactly the stride
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("chunk_id") === i)
+        assert(r.getAs[Int]("start_tok") === i * stride)
+        val len = r.getAs[Int]("chunk_len")
+        assert(len >= 1 && len <= win, s"doc $docId chunk $i len $len")
+        assert(r.getAs[String]("chunk_text").split(" ", -1).length === len)
+      }
+      // every chunk except the last is full-width, so consecutive
+      // chunks overlap by win − stride tokens and the doc is covered
+      ordered.dropRight(1).foreach { r =>
+        assert(r.getAs[Int]("chunk_len") === win)
+      }
+      // reconstruct: chunk 0 + the tail (stride..) of every later chunk
+      val toks = ordered.head.getAs[String]("chunk_text").split(" ", -1) ++
+        ordered.drop(1).flatMap(
+          _.getAs[String]("chunk_text").split(" ", -1).drop(win - stride))
+      val last = ordered.last
+      assert(toks.length ===
+        last.getAs[Int]("start_tok") + last.getAs[Int]("chunk_len"))
+    }
+  }
+
+  test("embedding_quantize: codes in [-127,127], error bounded by scale/2") {
+    val rows = graft.operators.SimSearch.embeddingQuantize(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale6")
+      val codes = r.getAs[String]("codes_csv").split(",", -1).map(_.toInt)
+      assert(codes.length === r.getAs[Int]("n_dim"))
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(codes.exists(_.abs === 127),
+        "the max-|x| dimension must quantize to ±127 exactly")
+      // round-to-nearest ⇒ |dequant − x| ≤ scale/2 (+ rounding slack)
+      assert(r.getAs[Double]("max_abs_err") <= scale / 2 + 1e-4)
+    }
+  }
+
   test("as-of joins (backward + forward) equal in-memory brute force on the fixture") {
     import graft.sources.Tables
     val spark2 = spark

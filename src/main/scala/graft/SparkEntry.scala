@@ -601,6 +601,14 @@ object SparkEntry {
         |  sum(length(regexp_replace(text, '[\r\n]+', ' ', 'g')))::BIGINT
         |    AS total_chars
         |FROM documents""".stripMargin,
+    // {SFDIR} is substituted by Verify at dump time (the oracle needs
+    // the fixture FILES, not the table views): DuckDB read_blob stats
+    // the same *.parquet set the binaryFile source scans
+    "source_binary" ->
+      """SELECT list_extract(string_split(filename, '/'), -1) AS file_name,
+        |  size AS length
+        |FROM read_blob('{SFDIR}/*.parquet')
+        |ORDER BY file_name ASC""".stripMargin,
     // --- §2.B ---
     "project_arith" ->
       """SELECT l_orderkey, l_linenumber,

@@ -103,6 +103,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"packing should shuffle once (plus the ORDER BY):\n$p")
   }
 
+  test("doc_chunking is row-local: no Join, no shuffle before the ORDER BY") {
+    val p = plan(graft.operators.TextOps.docChunk(spark, sf))
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    // the only Exchange is the final orderBy's range partitioning
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"chunking must not shuffle before the declared sort:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected pruned documents scan:\n$p")
+  }
+
+  test("embedding_quantize is row-local: no Join, no shuffle before the ORDER BY") {
+    val p = plan(graft.operators.SimSearch.embeddingQuantize(spark, sf))
+    assert(!p.contains("Join"), s"quantization must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"quantization must not shuffle before the declared sort:\n$p")
+  }
+
+  test("stream_state_ttl batch shape reuses one user_id Exchange for window + groupBy") {
+    val p = plan(graft.operators.EventWindows.stateTtlBatch(spark, sf))
+    // one hash Exchange on user_id (window max + aggregate share it)
+    // plus the final orderBy's range Exchange
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"window and groupBy must share the user_id partitioning:\n$p")
+  }
+
   test("row-local operators read only the columns they emit") {
     // sample_stratified projects 3 source columns — the scan must prune
     val p = plan(graft.operators.TextOps.sampleStratified(spark, sf))

@@ -99,6 +99,7 @@ object SparkEntry {
     "agg_group_sum" -> (Aggregates.aggGroupSum _),
     "agg_count_distinct" -> (Aggregates.aggCountDistinct _),
     "agg_approx_distinct" -> (Aggregates.aggApproxDistinct _),
+    "agg_approx_distinct_ok" -> (Aggregates.aggApproxDistinctOk _),
     "agg_rollup" -> (Aggregates.aggRollup _),
     "agg_grouping_fn" -> (Aggregates.aggGroupingFn _),
     "agg_cube" -> (Aggregates.aggCube _),
@@ -261,6 +262,7 @@ object SparkEntry {
     "dedup_incremental" -> (TextOps.dedupIncremental _),
     "ngram_lm" -> ((s: SparkSession, d: String) => TextOps.ngramLm(s, d)),
     "lm_doc_score" -> (TextOps.lmDocScore _),
+    "quality_lm_bucket" -> (TextOps.qualityLmBucket _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     // shadow of doc_fingerprint: hash values are engine-specific, but the
     // id set AND the per-doc gram count (max(nTok−k,0)+1, k=3) are exact
@@ -319,6 +321,27 @@ object SparkEntry {
   // DuckDB-dialect equivalents. Shared SQL fragments:
   private val normT =
     raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+  /** The MLE-bigram LM scoring pipeline as CTEs ending in `lm`
+    * (doc_id, n_bigrams, avg_logp) — shared by the lm_doc_score oracle
+    * and the quality_lm_bucket tercile oracle.
+    */
+  private val lmScoreCtes: String =
+    raw"""d AS (SELECT doc_id, string_split($normT, ' ') AS toks
+        |           FROM documents
+        |           WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |bg AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        |       FROM d, unnest(range(0, len(toks) - 1)) AS t(i)
+        |       WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |pb AS (SELECT bg.doc_id,
+        |    round(ln(c12.c12::DOUBLE / c1.c1::DOUBLE), 6)::DECIMAL(28,6) AS lp
+        |  FROM bg JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+        |          JOIN c1 ON bg.w1 = c1.w1),
+        |lm AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logp
+        |  FROM pb GROUP BY doc_id)""".stripMargin
 
   /** The df-capped ngram-Jaccard pair pipeline as CTEs ending in `p`
     * (source, a_id, b_id, jaccard) — shared by the dedup_ngram_jaccard
@@ -796,6 +819,14 @@ object SparkEntry {
         |       count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC""".stripMargin,
+    // shadow of agg_approx_distinct: the oracle asserts the 5% error
+    // contract (TRUE for every group) — a sketch deviating past the
+    // bound makes Spark emit FALSE and breaks the hash-match
+    "agg_approx_distinct_ok" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -1569,21 +1600,22 @@ object SparkEntry {
     // — double sums are addition-order-dependent, decimal sums are
     // exact, so the 4dp hash-match is deterministic (SURVEY §5.3)
     "lm_doc_score" ->
-      raw"""WITH d AS (SELECT doc_id, string_split($normT, ' ') AS toks
-        |           FROM documents
-        |           WHERE len(regexp_extract_all(text, '\S+')) > 0),
-        |bg AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
-        |       FROM d, unnest(range(0, len(toks) - 1)) AS t(i)
-        |       WHERE len(toks) >= 2),
-        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
-        |pb AS (SELECT bg.doc_id,
-        |    round(ln(c12.c12::DOUBLE / c1.c1::DOUBLE), 6)::DECIMAL(28,6) AS lp
-        |  FROM bg JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
-        |          JOIN c1 ON bg.w1 = c1.w1)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logp
-        |FROM pb GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
+      raw"""WITH $lmScoreCtes
+        |SELECT doc_id, n_bigrams, avg_logp
+        |FROM lm ORDER BY doc_id ASC""".stripMargin,
+    // per-language terciles of the lm score; ties broken by doc_id so
+    // NTILE's total order (and the hash) is deterministic in both engines
+    "quality_lm_bucket" ->
+      raw"""WITH $lmScoreCtes,
+        |j AS (SELECT lm.doc_id AS doc_id, documents.lang AS lang,
+        |        lm.avg_logp AS avg_logp,
+        |        ntile(3) OVER (PARTITION BY documents.lang
+        |          ORDER BY lm.avg_logp DESC, lm.doc_id ASC) AS t
+        |      FROM lm JOIN documents ON lm.doc_id = documents.doc_id)
+        |SELECT doc_id, lang, avg_logp,
+        |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |FROM j ORDER BY doc_id ASC""".stripMargin,
     // docs that produce a simhash = docs with at least one token; the
     // kernel tokenizes on whitespace runs, so \S+ run-count is exact
     "dedup_simhash_ids" ->

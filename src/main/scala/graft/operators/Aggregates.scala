@@ -58,6 +58,20 @@ object Aggregates {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type").asc)
 
+  /** Shadow oracle for `agg_approx_distinct` (same technique as
+    * `dedup_simhash_ids`): the HLL++ sketch value itself is
+    * engine-specific, but its error CONTRACT is checkable — the oracle
+    * asserts `within_5pct` TRUE for every group, so a sketch deviating
+    * past 5× its configured 1% rsd breaks the hash-match. Turns "approx
+    * looks plausible" into a driver-gated bound.
+    */
+  def aggApproxDistinctOk(spark: SparkSession, sfDir: String): DataFrame =
+    aggApproxDistinct(spark, sfDir)
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.05).as("within_5pct"))
+      .orderBy(col("event_type").asc)
+
   /** `agg_rollup` — GROUP BY ROLLUP hierarchy with grouping_id. */
   def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

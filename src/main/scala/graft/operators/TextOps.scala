@@ -502,6 +502,28 @@ object TextOps {
       .limit(k)
   }
 
+  /** `quality_lm_bucket` — CCNet's perplexity bucketing: per-LANGUAGE
+    * terciles of the `lm_doc_score` signal — head (most fluent),
+    * middle, tail — the split CCNet uses to keep/downsample/drop crawl
+    * text. Buckets are per-language (a Wikipedia-trained LM scores
+    * languages incomparably), which also keeps the ntile window KEYED:
+    * the sort funnels one language per task, never the whole corpus.
+    * Ties are broken by doc_id so the tercile assignment — and the
+    * oracle hash — is total-order deterministic.
+    */
+  def qualityLmBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logp").desc, col("doc_id").asc)
+    lmDocScore(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .withColumn("t", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_logp"),
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** `vocab_topk` — corpus vocabulary statistics: the 100 most frequent
     * tokens with counts — the first step of tokenizer/vocab construction
     * and corpus drift monitoring. Explode → one keyed count with

@@ -83,6 +83,25 @@ class FunctionSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_lm_bucket: per-language terciles are balanced and score-ordered") {
+    val rows = graft.operators.TextOps.qualityLmBucket(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.length).toMap
+      // NTILE: bucket sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang terciles unbalanced: $sizes")
+      // every head score >= every tail score within the language
+      val head = rs.filter(_.getAs[String]("bucket") == "head")
+        .map(_.getAs[Double]("avg_logp"))
+      val tail = rs.filter(_.getAs[String]("bucket") == "tail")
+        .map(_.getAs[Double]("avg_logp"))
+      if (head.nonEmpty && tail.nonEmpty)
+        assert(head.min >= tail.max, s"$lang: head/tail overlap")
+    }
+  }
+
   test("embedding_quantize: codes in [-127,127], error bounded by scale/2") {
     val rows = graft.operators.SimSearch.embeddingQuantize(spark, sf)
       .collect()

@@ -220,7 +220,8 @@ object Lake {
     */
   def clearCaches(): Int =
     graft.operators.MinHashDedup.clearLabelCache() +
-      graft.sources.SinkQueries.clearBucketedMemo()
+      graft.sources.SinkQueries.clearBucketedMemo() +
+      graft.operators.TextOps.clearLmCache()
 
   /** novlake `Lake(user)` — the per-user convenience constructor: each
     * user gets a personal warehouse prefix under a shared root, so

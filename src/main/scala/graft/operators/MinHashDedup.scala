@@ -169,7 +169,7 @@ object MinHashDedup {
     * clear API remains the storage-release lever). A live lake would
     * use its snapshot/version id — this is the parquet-dir equivalent.
     */
-  private def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
+  private[operators] def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"
@@ -190,7 +190,7 @@ object MinHashDedup {
     * whose fingerprint no longer matches — a rewritten corpus must not
     * strand the old persisted frames in executor storage.
     */
-  private def evictStale[K](cache: java.util.concurrent.ConcurrentHashMap[
+  private[operators] def evictStale[K](cache: java.util.concurrent.ConcurrentHashMap[
       K, DataFrame], isStale: K => Boolean): Unit = {
     val it = cache.entrySet().iterator()
     while (it.hasNext) {

@@ -440,7 +440,33 @@ object TextOps {
     * model side (c12/c1) is vocabulary-sized, not corpus-sized.
     */
   def lmDocScore(spark: SparkSession, sfDir: String): DataFrame =
-    lmDocScoreDocs(Tables.documents(spark, sfDir))
+    cachedLmScores(spark, sfDir)
+
+  /** Per-(session, dir, corpus-fingerprint) memo of the LM scoring
+    * pass — `lm_doc_score` and `quality_lm_bucket` are both views of
+    * ONE scored frame (the compute-once/report-many shape of the ngram
+    * `pairCache`, same enforced-immutability fingerprint, released by
+    * `Lake.clearCaches`). The frame is one row per ≥2-token document.
+    */
+  private val lmCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]()
+
+  private def cachedLmScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = MinHashDedup.corpusFingerprint(spark, sfDir)
+    MinHashDedup.evictStale(lmCache,
+      (k: (SparkSession, String, String)) =>
+        k._1 == spark && k._2 == sfDir && k._3 != fp)
+    lmCache.computeIfAbsent((spark, sfDir, fp), _ =>
+      lmDocScoreDocs(Tables.documents(spark, sfDir)).persist())
+  }
+
+  private[graft] def clearLmCache(): Int = {
+    val n = lmCache.size()
+    lmCache.values().forEach(df => { df.unpersist(); () })
+    lmCache.clear()
+    n
+  }
 
   /** Core of `lm_doc_score` over any (doc_id, text) frame.
     *

@@ -393,6 +393,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("foreachBatch upsert sink: streamed micro-batch upserts equal one batch sequence") {
+    // the streaming side of merge_upsert: each micro-batch MERGEs into
+    // the lake table via Lake.upsert, so a keyed stream materializes as
+    // latest-value-wins — equal to applying the same batches in order
+    val lakeS = graft.Lake(spark,
+      java.nio.file.Files.createTempDirectory("graft_su_s").toString)
+    val lakeB = graft.Lake(spark,
+      java.nio.file.Files.createTempDirectory("graft_su_b").toString)
+    val seed = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v")
+    lakeS.saveDataset(seed, "su.target")
+    lakeB.saveDataset(seed, "su.target")
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = mem.toDF().toDF("k", "tag", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        lakeS.upsert(batch, "su.target", Seq("k")); ()
+      }
+      .outputMode("update").start()
+    // batch 1: update k=2, insert k=4 · batch 2: update k=4 again
+    mem.addData((2L, "b2", 21.0), (4L, "d", 40.0))
+    q.processAllAvailable()
+    mem.addData((4L, "d2", 41.0))
+    q.processAllAvailable()
+    q.stop()
+    lakeB.upsert(Seq((2L, "b2", 21.0), (4L, "d", 40.0)).toDF("k", "tag", "v"),
+      "su.target", Seq("k"))
+    lakeB.upsert(Seq((4L, "d2", 41.0)).toDF("k", "tag", "v"),
+      "su.target", Seq("k"))
+    val got = lakeS.load("su.target").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    val want = lakeB.load("su.target").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === want)
+    assert(got === Seq((1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0),
+      (4L, "d2", 41.0)))
+  }
+
   test("checkpointed parquet sink is exactly-once under restart (AvailableNow)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val src = Streams.eventsFileStream(spark, TestSpark.sf)

@@ -550,6 +550,32 @@ object TextOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Scale variant of [[qualityLmBucket]]: a window partition cannot be
+    * split across tasks, so at 100 TB a dominant language would funnel
+    * its whole score set through one ntile sort. Here the two tercile
+    * cut values come from an approx_percentile sketch per language
+    * (keyed partial agg — mergeable, no sort), and bucket assignment is
+    * a row-local comparison after a langs-sized broadcast join. Same
+    * exact-declared/approximate-at-scale pairing as simsearch_knn vs
+    * LSH/IVF; DedupSpec-style agreement with the exact terciles is
+    * asserted in FunctionSpec (buckets differ only near cut boundaries).
+    */
+  def qualityLmBucketCutoff(spark: SparkSession, sfDir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val scored = cachedLmScores(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        "doc_id")
+    val cuts = scored.groupBy(col("lang"))
+      .agg(percentile_approx(col("avg_logp"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("cuts"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("avg_logp"),
+        when(col("avg_logp") >= element_at(col("cuts"), 2), "head")
+          .when(col("avg_logp") >= element_at(col("cuts"), 1), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** `vocab_topk` — corpus vocabulary statistics: the 100 most frequent
     * tokens with counts — the first step of tokenizer/vocab construction
     * and corpus drift monitoring. Explode → one keyed count with

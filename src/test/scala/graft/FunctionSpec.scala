@@ -102,6 +102,19 @@ class FunctionSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_lm_bucket cutoff variant agrees with exact terciles away from boundaries") {
+    val exact = graft.operators.TextOps.qualityLmBucket(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))
+      .toMap
+    val approx = graft.operators.TextOps.qualityLmBucketCutoff(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))
+      .toMap
+    assert(approx.keySet === exact.keySet)
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    assert(agree.toDouble / exact.size >= 0.9,
+      s"cutoff buckets agree on only $agree/${exact.size} docs")
+  }
+
   test("embedding_quantize: codes in [-127,127], error bounded by scale/2") {
     val rows = graft.operators.SimSearch.embeddingQuantize(spark, sf)
       .collect()

@@ -82,7 +82,12 @@ object ScaleProbe {
       "ngram_lm" -> ((s: SparkSession, d: String) => TextOps.ngramLm(s, d)),
       "dedup_incremental" -> (TextOps.dedupIncremental _),
       "pipeline_curate" -> ((s: SparkSession, d: String) =>
-        TextOps.pipelineCurate(s, d)))
+        TextOps.pipelineCurate(s, d)),
+      // round-6 additions: all row-local by design — the probe checks
+      // they scale with input volume, nothing super-linear
+      "doc_chunking" -> ((s: SparkSession, d: String) => TextOps.docChunk(s, d)),
+      "embedding_quantize" -> (SimSearch.embeddingQuantize _),
+      "quality_lm_bucket" -> (TextOps.qualityLmBucket _))
     Seq(("1x", base), ("10x", out)).foreach { case (tag, dir) =>
       ops.foreach { case (name, fn) =>
         val t0 = System.nanoTime()

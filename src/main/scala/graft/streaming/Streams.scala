@@ -85,6 +85,88 @@ class TtlRunningTotalProcessor(ttlMs: Long)
   }
 }
 
+/** `stream_session_timer` — sessionization on the arbitrary-state API
+  * with EVENT-TIME TIMERS (the feature class session_window hides):
+  * per-user state accumulates (start, last_ts, n, sum). Sessions close
+  * two ways: an in-batch row whose EVENT-TIME gap from last_ts exceeds
+  * the gap finalizes the open session inline, and the re-armed timer at
+  * last_ts + gap emits from handleExpiredTimer when the WATERMARK
+  * passes it (the stream-went-quiet case no later row ever closes) —
+  * together the same close-on-gap semantics as session_window, but
+  * with the state machine explicit, which is what a custom policy
+  * (e.g. per-key gap, session caps, mid-session emission) would extend. State is one
+  * tuple + one timer per in-flight session per user: bounded by active
+  * users, evicted exactly at session close.
+  *
+  * Input: (user_id, ts_ms, value); output: (user_id, start_ms, n, sum).
+  */
+class SessionTimerProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Double), (Long, Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues,
+    TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  // (start_us, last_us, n, sum in 1e-4 units) — values accumulate as
+  // scaled longs, the exact arithmetic of the batch form's
+  // DECIMAL(18,4) sum (double addition would drift on long sessions
+  // and break the batch-equivalence the spec asserts)
+  @transient private var sess: ValueState[(Long, Long, Long, Long)] = _
+
+  private def scaled(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).unscaledValue().longValue()
+
+  private def emit(key: Long,
+      s: (Long, Long, Long, Long)): (Long, Long, Long, Double) =
+    (key, s._1, s._3, java.math.BigDecimal.valueOf(s._4, 4).doubleValue())
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    sess = getHandle.getValueState[(Long, Long, Long, Long)]("sess",
+      Encoders.product[(Long, Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Double)] = {
+    // sessions close on EVENT-TIME gap: a row arriving after
+    // last + gap finalizes the open session right here (the timer only
+    // covers the stream-went-quiet case, where no later row ever comes)
+    var st = if (sess.exists()) Option(sess.get()) else None
+    val closed = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    rows.toSeq.sortBy(_._2).foreach { case (_, ts, v) =>
+      st match {
+        case Some(s @ (_, last, _, _)) if ts > last + gapUs =>
+          closed += emit(key, s)
+          st = Some((ts, ts, 1L, scaled(v)))
+        case Some((start, last, n, sum)) =>
+          st = Some((math.min(start, ts), math.max(last, ts),
+            n + 1, sum + scaled(v)))
+        case None =>
+          st = Some((ts, ts, 1L, scaled(v)))
+      }
+    }
+    st.foreach { case s @ (_, last, _, _) =>
+      // one armed timer per key: re-arm at the open session's deadline
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer((last + gapUs) / 1000L)
+      sess.update(s)
+    }
+    closed.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Double)] = {
+    if (!sess.exists()) Iterator.empty
+    else {
+      val s = sess.get()
+      sess.clear()
+      Iterator.single(emit(key, s))
+    }
+  }
+}
+
 object Streams {
 
   /** `stream_tumbling` — 1h tumbling count/sum per event_type with a
@@ -344,6 +426,31 @@ object Streams {
       .transformWithState(new TtlRunningTotalProcessor(ttlMs),
         TimeMode.ProcessingTime(), OutputMode.Append())
       .toDF("user_id", "event_id", "running_purchases")
+  }
+
+  /** `stream_session_timer` — timer-closed sessions over the events
+    * stream (SessionTimerProcessor). Requires a watermark: event-time
+    * timers fire when the watermark passes their expiry, which is what
+    * makes "no event for `gap`" provable on an unordered stream.
+    */
+  def sessionsWithTimers(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val rows = events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as[Long],
+        unix_micros(col("ts")).as[Long], col("value").as[Double])
+      .as[(Long, Long, Double)]
+    rows.groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapMinutes * 60000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "start_us", "n_events", "session_value")
+      // second-truncated start — the batch gap-and-island form's shape
+      .select(col("user_id"),
+        date_trunc("second", timestamp_micros(col("start_us")))
+          .as("session_start"),
+        col("n_events"), col("session_value"))
   }
 
   /** `stream_sink` — checkpointed parquet sink (exactly-once into the

@@ -393,6 +393,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("timer-based sessions close when the watermark passes the gap deadline") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = Streams.sessionsWithTimers(spark, mem.toDF(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("tsess")
+        .outputMode("append").start()
+      // session A: user 1, events at 10:00 + 10:10
+      mem.addData(Ev(1, ts("2025-01-01 10:00:00"), 1, "click", 2.0, "{}"),
+        Ev(2, ts("2025-01-01 10:10:00"), 1, "click", 3.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.table("tsess").count() === 0,
+        "no session may close before the watermark proves the gap")
+      // event at 11:30 starts session B AND advances the watermark to
+      // 11:20 — past session A's 10:40 deadline, so A closes
+      mem.addData(Ev(3, ts("2025-01-01 11:30:00"), 1, "click", 7.0, "{}"))
+      q.processAllAvailable()
+      // sentinel user advances the watermark past B's 12:00 deadline;
+      // its own session stays open (state + timer evicted only on close)
+      mem.addData(Ev(9, ts("2025-01-01 13:00:00"), 99, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tsess")
+        .as[(Long, Timestamp, Long, Double)].collect().toSet
+      assert(got === Set(
+        (1L, ts("2025-01-01 10:00:00"), 2L, 5.0),
+        (1L, ts("2025-01-01 11:30:00"), 1L, 7.0)))
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("timer sessions equal the batch gap-and-island form for closed sessions (file replay)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sfd = TestSpark.sf
+      runToTable(
+        Streams.sessionsWithTimers(spark, Streams.eventsFileStream(spark, sfd)),
+        "tsess_eq", "append")
+      val streamed = spark.table("tsess_eq")
+        .as[(Long, Timestamp, Long, Double)].collect().toSet
+      val batch = EventWindows.sessionize(spark, sfd)
+        .select("user_id", "session_start", "n_events", "session_value")
+        .as[(Long, Timestamp, Long, Double)].collect().toSet
+      // every closed streamed session must be a batch session verbatim
+      // (an inline-closure or timer bug would emit a row batch lacks);
+      // sessions still open at stream end are the only legitimate gap
+      assert(streamed.nonEmpty && streamed.subsetOf(batch),
+        s"${(streamed -- batch).size} streamed sessions not in batch")
+      assert(streamed.size.toDouble / batch.size >= 0.5,
+        s"only ${streamed.size}/${batch.size} sessions closed — " +
+          "watermark should close most of a multi-day fixture")
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch upsert sink: streamed micro-batch upserts equal one batch sequence") {
     // the streaming side of merge_upsert: each micro-batch MERGEs into
     // the lake table via Lake.upsert, so a keyed stream materializes as

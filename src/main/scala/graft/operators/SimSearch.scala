@@ -36,8 +36,15 @@ object SimSearch {
     * use `simsearchLsh` below.
     */
   def knnBruteForce(spark: SparkSession, sfDir: String, k: Int = 5,
-      nQueries: Int = 10): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+      nQueries: Int = 10): DataFrame =
+    knnOver(Tables.embeddings(spark, sfDir), k, nQueries)
+
+  /** Core of `simsearch_knn` over any (vec_id, embedding float[]) frame
+    * — also the recall harness for alternative embedding
+    * representations (DedupSpec runs it over int8-dequantized vectors
+    * to witness that `embedding_quantize` preserves neighbor quality).
+    */
+  def knnOver(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
     // norms once per row, not per pair — the per-pair work is a single
     // zip_with/aggregate dot product (identical arithmetic to
     // dot/(‖a‖·‖b‖), so oracle-stable at 4dp rounding)
@@ -236,7 +243,11 @@ object SimSearch {
     * DOUBLE in Spark).
     */
   def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
+    embeddingQuantizeVecs(Tables.embeddings(spark, sfDir))
+
+  /** Core of `embedding_quantize` over any (vec_id, embedding) frame. */
+  def embeddingQuantizeVecs(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("xd"))
       .withColumn("scale",

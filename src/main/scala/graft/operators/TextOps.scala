@@ -240,7 +240,12 @@ object TextOps {
     */
   def docChunk(spark: SparkSession, sfDir: String,
       window: Int = 64, stride: Int = 48): DataFrame =
-    Tables.documents(spark, sfDir)
+    docChunkDocs(Tables.documents(spark, sfDir), window, stride)
+
+  /** Core of `doc_chunking` over any (doc_id, text) frame. */
+  def docChunkDocs(documents: DataFrame,
+      window: Int = 64, stride: Int = 48): DataFrame =
+    documents
       .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
       .withColumn("n_tok", size(col("toks")))
       .select(col("doc_id"), col("n_tok"), col("toks"),

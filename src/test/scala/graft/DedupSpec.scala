@@ -562,6 +562,32 @@ class DedupSpec extends AnyFunSuite {
     assert(lshCarry === lsh)
   }
 
+  test("kNN over int8-dequantized embeddings keeps recall@5 >= 0.9 vs exact") {
+    // the executable witness for embedding_quantize's scale claim: the
+    // 4x-smaller codes must preserve neighbor structure, not just bound
+    // per-dimension error
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val deq = emb
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("xd"))
+      .withColumn("scale",
+        array_max(transform(col("xd"), x => abs(x))) / 127.0)
+      .select(col("vec_id"), transform(col("xd"),
+        x => (round(x / col("scale"), 0) * col("scale")).cast("float"))
+        .as("embedding"))
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      SimSearch.knnOver(df).collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .view.mapValues(_.map(_.getAs[Long]("c_id")).toSet).toMap
+    val exact = topk(emb)
+    val quant = topk(deq)
+    val recalls = exact.map { case (q, ids) =>
+      ids.intersect(quant.getOrElse(q, Set.empty)).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@5 after int8 quantization = $mean")
+  }
+
   test("ann_recall report: IVF clears the generic-top-k floor; LSH owns high similarity") {
     val rep = SimSearch.annRecall(spark, TestSpark.sf).collect()
     assert(rep.length === 20) // 2 methods × 10 queries

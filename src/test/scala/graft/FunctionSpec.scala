@@ -102,6 +102,61 @@ class FunctionSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_chunking randomized: count formula, reconstruction, full middles (2 geometries)") {
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 100).map { i =>
+      val n = rnd.nextInt(251) // 0..250 tokens (0 ⇒ empty text)
+      (i.toLong, Seq.fill(n)("w" + rnd.nextInt(1000)).mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((win, stride) <- Seq((64, 48), (32, 32))) { // overlap + none
+      val rows = graft.operators.TextOps.docChunkDocs(docs, win, stride)
+        .collect().groupBy(_.getAs[Long]("doc_id"))
+      docs.collect().foreach { d =>
+        val (id, text) = (d.getLong(0), d.getString(1))
+        // normText("") = "" splits to [""], one 1-token chunk
+        val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1)
+        val n = toks.length
+        val expChunks = math.ceil(math.max(n - win, 0) / stride.toDouble).toInt + 1
+        val rs = rows(id).sortBy(_.getAs[Int]("chunk_id"))
+        assert(rs.length === expChunks, s"doc $id n=$n win=$win stride=$stride")
+        rs.dropRight(1).foreach(r => assert(r.getAs[Int]("chunk_len") === win))
+        val rebuilt = rs.head.getAs[String]("chunk_text").split(" ", -1) ++
+          rs.drop(1).flatMap(
+            _.getAs[String]("chunk_text").split(" ", -1).drop(win - stride))
+        assert(rebuilt.toSeq === toks.toSeq, s"doc $id reconstruction")
+      }
+    }
+  }
+
+  test("embedding_quantize randomized: bounds, error contract, zero-vector path") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 100).map { i =>
+      val dim = 1 + rnd.nextInt(32)
+      val v = if (i == 0) Seq.fill(4)(0.0f) // planted zero vector
+        else Seq.fill(dim)((rnd.nextFloat() * 20 - 10))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val byId = graft.operators.SimSearch.embeddingQuantizeVecs(vecs)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    vecs.collect().foreach { r =>
+      val (id, v) = (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))
+      val out = byId(id)
+      val scale = v.map(math.abs).max / 127.0
+      if (scale == 0.0) {
+        assert(out.getAs[String]("codes_csv") === "")
+        assert(out.getAs[Double]("max_abs_err") === 0.0)
+      } else {
+        val codes = out.getAs[String]("codes_csv").split(",", -1).map(_.toInt)
+        assert(codes.length === v.length)
+        assert(codes.forall(c => c >= -127 && c <= 127))
+        assert(codes.exists(_.abs === 127))
+        v.zip(codes).foreach { case (x, c) =>
+          assert(math.abs(c * scale - x) <= scale / 2 + 1e-9,
+            s"vec $id dim error beyond scale/2") }
+      }
+    }
+  }
+
   test("quality_lm_bucket cutoff variant agrees with exact terciles away from boundaries") {
     val exact = graft.operators.TextOps.qualityLmBucket(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))

@@ -776,9 +776,9 @@ object SparkEntry {
         |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_orderkey
         |FROM tagged QUALIFY side = 0 ORDER BY event_id ASC""".stripMargin,
     "join_null_safe" ->
-      """WITH o AS (SELECT o_orderkey, nullif(o_custkey % 100, 0) AS k
+      """WITH o AS (SELECT o_orderkey, nullif(o_custkey % 1000, 0) AS k
         |           FROM orders),
-        |c AS (SELECT c_custkey, nullif(c_custkey % 100, 0) AS ck
+        |c AS (SELECT c_custkey, nullif(c_custkey % 1000, 0) AS ck
         |      FROM customer)
         |SELECT (CASE WHEN k IS NULL THEN 'null_keys'
         |        ELSE 'value_keys' END) AS key_class,

@@ -162,7 +162,10 @@ object Joins {
   /** `join_null_safe` — null-safe equality join (`<=>` / IS NOT
     * DISTINCT FROM): NULL keys match each other instead of vanishing,
     * the semantics MERGE-by-nullable-key pipelines rely on. NULLs are
-    * planted deterministically (key % 100 == 0 → NULL) on both sides;
+    * planted deterministically (key % 1000 == 0 → NULL) on both sides
+    * (mod 1000: enough key groups that per-key match blocks stay small
+    * — mod 100 made the demo a 22M-row dense join for no extra
+    * semantic coverage);
     * output aggregates match counts per key class so the NULL×NULL
     * block stays bounded. EqualNullSafe is a proper equi-join key —
     * the plan is a keyed hash/merge join, never a product.
@@ -170,10 +173,10 @@ object Joins {
   def joinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"),
-        nullif(col("o_custkey") % 100, lit(0)).as("k"))
+        nullif(col("o_custkey") % 1000, lit(0)).as("k"))
     val cust = Tables.customer(spark, sfDir)
       .select(col("c_custkey"),
-        nullif(col("c_custkey") % 100, lit(0)).as("ck"))
+        nullif(col("c_custkey") % 1000, lit(0)).as("ck"))
     ord.join(cust, col("k") <=> col("ck"))
       .groupBy(when(col("k").isNull, lit("null_keys"))
         .otherwise(lit("value_keys")).as("key_class"))

@@ -76,6 +76,8 @@ object SparkEntry {
     "join_theta_range" -> (Joins.joinThetaRange _),
     "join_asof" -> (Joins.joinAsOf _),
     "join_asof_forward" -> (Joins.joinAsOfForward _),
+    "join_asof_tolerance" -> ((s: SparkSession, d: String) =>
+      Joins.joinAsOfTolerance(s, d)),
     "join_null_safe" -> (Joins.joinNullSafe _),
     "fn_url" -> (ScalarFns.fnUrl _),
     "stream_static_join" -> (EventWindows.streamStaticJoinBatch _),
@@ -775,6 +777,34 @@ object SparkEntry {
         |         PARTITION BY ukey ORDER BY at_ts ASC, side ASC, o_key ASC NULLS LAST
         |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_orderkey
         |FROM tagged QUALIFY side = 0 ORDER BY event_id ASC""".stripMargin,
+    // both IGNORE NULLS carries read the same last order row, so key
+    // and timestamp stay consistent; gap > 7 days nulls the match
+    "join_asof_tolerance" ->
+      """WITH tagged AS (
+        |  SELECT o_custkey AS ukey, o_orderdate AS at_ts,
+        |         NULL::BIGINT AS event_id, o_orderkey AS o_key, 0 AS side,
+        |         o_orderdate AS o_ts
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT user_id, ts::DATE::TIMESTAMP, event_id, NULL::BIGINT, 1,
+        |         NULL::TIMESTAMP
+        |  FROM events WHERE event_type = 'purchase'
+        |), carried AS (
+        |  SELECT event_id, ukey, at_ts, side,
+        |    last_value(o_key IGNORE NULLS) OVER (
+        |      PARTITION BY ukey ORDER BY at_ts ASC, side ASC, o_key ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_key,
+        |    last_value(o_ts IGNORE NULLS) OVER (
+        |      PARTITION BY ukey ORDER BY at_ts ASC, side ASC, o_key ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+        |  FROM tagged
+        |)
+        |SELECT event_id, ukey AS user_id,
+        |  CASE WHEN date_diff('day', asof_ts, at_ts) <= 7
+        |       THEN asof_key END AS asof_orderkey,
+        |  CASE WHEN date_diff('day', asof_ts, at_ts) <= 7
+        |       THEN date_diff('day', asof_ts, at_ts)::INT END AS gap_days
+        |FROM carried WHERE side = 1 ORDER BY event_id ASC""".stripMargin,
     "join_null_safe" ->
       """WITH o AS (SELECT o_orderkey, nullif(o_custkey % 1000, 0) AS k
         |           FROM orders),

@@ -159,6 +159,47 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** `join_asof_tolerance` — as-of join with a match bound (pandas
+    * `merge_asof(tolerance=...)` / kdb `wj` semantics): the user's
+    * latest order at or before the event's date counts only if it is
+    * at most `tolDays` old; staler matches become NULL instead of
+    * attributing a purchase to an ancient order. Same single
+    * user-keyed union + window shuffle as [[joinAsOf]] — the tolerance
+    * is a row-local post-filter on the carried order timestamp (both
+    * `last(..., ignoreNulls)` carries read the same last order row, so
+    * the key and its timestamp can never disagree).
+    */
+  def joinAsOfTolerance(spark: SparkSession, sfDir: String,
+      tolDays: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ukey"),
+        to_date(col("ts")).cast("timestamp").as("at_ts"),
+        col("event_id"), lit(null).cast("long").as("o_key"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("ukey"),
+        col("o_orderdate").as("at_ts"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("o_key"))
+    val tagged = ord.withColumn("side", lit(0))
+      .unionByName(ev.withColumn("side", lit(1)))
+      .withColumn("o_ts", when(col("side") === 0, col("at_ts")))
+    val w = Window.partitionBy("ukey")
+      .orderBy(col("at_ts").asc, col("side").asc, col("o_key").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_key", last(col("o_key"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", last(col("o_ts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("gap_days",
+        datediff(col("at_ts"), col("asof_ts")).cast("int"))
+      .select(col("event_id"), col("ukey").as("user_id"),
+        when(col("gap_days") <= tolDays, col("asof_key"))
+          .as("asof_orderkey"),
+        when(col("gap_days") <= tolDays, col("gap_days")).as("gap_days"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** `join_null_safe` — null-safe equality join (`<=>` / IS NOT
     * DISTINCT FROM): NULL keys match each other instead of vanishing,
     * the semantics MERGE-by-nullable-key pipelines rely on. NULLs are

@@ -230,6 +230,21 @@ class FunctionSpec extends AnyFunSuite {
       assert(back(eid) === bruteBackward(uid, day), s"backward event $eid")
       assert(fwd(eid) === bruteForward(uid, day), s"forward event $eid")
     }
+    // tolerance variant: backward match survives only if <= 7 days old
+    val tol = graft.operators.Joins.joinAsOfTolerance(spark2, TestSpark.sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getInt(3)))))
+      .toMap
+    var nullified = 0
+    purchases.foreach { case (eid, uid, day) =>
+      val expected = bruteBackward(uid, day).flatMap { k =>
+        val oday = orders.find(_._1 == k).get._3
+        val gap = ((day - oday) / 86400000L).toInt
+        if (gap <= 7) Some((k, gap)) else { nullified += 1; None }
+      }
+      assert(tol(eid) === expected, s"tolerance event $eid")
+    }
+    assert(nullified > 0, "fixture must exercise the beyond-tolerance path")
   }
 
   test("pii_scrub redacts planted emails and phone numbers") {

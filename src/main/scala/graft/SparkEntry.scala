@@ -54,6 +54,7 @@ object SparkEntry {
     "source_text" -> (SinkQueries.sourceText _),
     "source_binary" -> (SinkQueries.sourceBinary _),
     "table_meta" -> (SinkQueries.tableMeta _),
+    "table_meta_types" -> (SinkQueries.tableMetaTypes _),
     "list_tables" -> (SinkQueries.listTables _),
     // §2.B projection / filter
     "project_arith" -> (Relational.projectArith _),
@@ -634,6 +635,15 @@ object SparkEntry {
         |  size AS length
         |FROM read_blob('{SFDIR}/*.parquet')
         |ORDER BY file_name ASC""".stripMargin,
+    // canonical-type shadow of table_meta: both engines project their
+    // native type names onto int64/utf8/f64/ts (catalog-drift gate)
+    "table_meta_types" ->
+      """SELECT column_name AS col_name,
+        |  CASE column_type WHEN 'BIGINT' THEN 'int64'
+        |    WHEN 'VARCHAR' THEN 'utf8' WHEN 'DOUBLE' THEN 'f64'
+        |    WHEN 'TIMESTAMP' THEN 'ts'
+        |    ELSE lower(column_type) END AS ctype
+        |FROM (DESCRIBE orders) ORDER BY col_name ASC""".stripMargin,
     // --- §2.B ---
     "project_arith" ->
       """SELECT l_orderkey, l_linenumber,

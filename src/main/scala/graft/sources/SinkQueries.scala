@@ -308,6 +308,24 @@ object SinkQueries {
     LakeIO.tableMeta(Tables.orders(spark, sfDir))
       .orderBy(col("col_name").asc)
 
+  /** Shadow oracle for `table_meta` (same technique as
+    * `udaf_typed_shape`): the schema TEXT is engine-specific, but the
+    * schema STRUCTURE is not — both engines project their native type
+    * names onto one canonical vocabulary (int64/utf8/f64/ts), so the
+    * driver hash-gates that Spark's parquet read derives the same
+    * (column, type) set DuckDB's does. Catalog drift — a renamed
+    * column, a widened int, a timestamp read as string — breaks it.
+    */
+  def tableMetaTypes(spark: SparkSession, sfDir: String): DataFrame =
+    tableMeta(spark, sfDir)
+      .select(col("col_name"),
+        when(col("data_type") === "bigint", "int64")
+          .when(col("data_type") === "string", "utf8")
+          .when(col("data_type") === "double", "f64")
+          .when(col("data_type").startsWith("timestamp"), "ts")
+          .otherwise(col("data_type")).as("ctype"))
+      .orderBy(col("col_name").asc)
+
   /** `list_tables` — catalog listing (novlake Lake.list_tables). */
   def listTables(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.registerAll(spark, sfDir)

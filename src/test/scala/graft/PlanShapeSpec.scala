@@ -128,6 +128,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"window and groupBy must share the user_id partitioning:\n$p")
   }
 
+  test("join_asof_tolerance keeps the as-of shape: union + one keyed window, no join") {
+    val p = plan(Joins.joinAsOfTolerance(spark, sf))
+    assert(!p.contains("Join"), s"tolerance as-of must stay join-free:\n$p")
+    assert(p.contains("Window"), s"expected the carry window:\n$p")
+    // one hash Exchange for the user-keyed window + the orderBy's range
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"as-of tolerance must shuffle once (plus the ORDER BY):\n$p")
+  }
+
+  test("quality_lm_bucket windows only per-language (no global ntile funnel)") {
+    val unkeyed = graft.operators.TextOps.qualityLmBucket(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+    assert(unkeyed.isEmpty, "ntile must be keyed by lang")
+  }
+
   test("row-local operators read only the columns they emit") {
     // sample_stratified projects 3 source columns — the scan must prune
     val p = plan(graft.operators.TextOps.sampleStratified(spark, sf))

@@ -81,6 +81,13 @@ object ScaleProbe {
       "vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopk(s, d)),
       "ngram_lm" -> ((s: SparkSession, d: String) => TextOps.ngramLm(s, d)),
       "dedup_incremental" -> (TextOps.dedupIncremental _),
+      // NOTE: at 10× this fixture reports ~0 survivors — an artifact,
+      // not a regression: the clone fixture's dense cross-doc gram
+      // sharing plus a 10×-larger benchmark family set (ids ≡ 0 mod 97
+      // across all shifted copies) makes the decontamination stage
+      // remove ~99% of docs (49,483/50,000 flagged vs 4,636/5,000 at
+      // 1×). The 100× probe's fixture mutates copies to share NO grams
+      // and measures the pipeline meaningfully (249,585 survivors).
       "pipeline_curate" -> ((s: SparkSession, d: String) =>
         TextOps.pipelineCurate(s, d)),
       // round-6 additions: all row-local by design — the probe checks
@@ -116,6 +123,47 @@ object ScaleProbe {
         nBits = 48, nBands = 4, carryVectors = false).count()
       println(f"SCALEPROBE $tag lsh_candidates ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
     }
+    // streaming throughput (the one scale axis SCALE.md had no
+    // measurement for): replay the events table through the two
+    // heaviest stateful operators — tumbling window agg and the
+    // timer-based sessionizer (RocksDB state, event-time timers) —
+    // and compare 1× vs 10× end-to-end stream completion
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def eventsStream(dir: String): org.apache.spark.sql.DataFrame =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory) {
+        // 10× events is a multi-part directory — stream the dir itself
+        // (the fixture reader's single-file glob doesn't apply here)
+        Tables.enableNanosAsLong(spark)
+        val schema = spark.read.parquet(s"$dir/events.parquet").schema
+        Tables.normalizeEventTs(
+          spark.readStream.schema(schema).parquet(s"$dir/events.parquet"))
+      } else {
+        // base fixture: single file — the file source needs a directory,
+        // so use the library's glob-filtered reader
+        graft.streaming.Streams.eventsFileStream(spark, dir)
+      }
+    def runStream(name: String, tag: String,
+        df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val q = df.writeStream.format("memory")
+        .queryName(s"${name}_$tag").outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val n = spark.table(s"${name}_$tag").count()
+      println(f"SCALEPROBE $tag $name ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    }
+    Seq(("1x", base), ("10x", out)).foreach { case (tag, dir) =>
+      runStream("stream_session_timer", tag,
+        graft.streaming.Streams.sessionsWithTimers(spark, eventsStream(dir)))
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streams.tumblingCounts(eventsStream(dir))
+        .writeStream.format("memory").queryName(s"tumb_$tag")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+      val n = spark.table(s"tumb_$tag").count()
+      println(f"SCALEPROBE $tag stream_tumbling ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    }
+
     // adversarial high-diameter chain: an N-doc path graph (diameter
     // N−1 ≫ maxIter) — converges only because of pointer doubling;
     // cost should grow ~N·log N (rounds ≈ log₂ diameter)

@@ -318,7 +318,8 @@ object SparkEntry {
     }),
     "multimodal_stats" -> (Multimodal.multimodalStats _),
     "multimodal_frames" -> (Multimodal.multimodalFrames _),
-    "multimodal_resize" -> (Multimodal.multimodalResize _)
+    "multimodal_resize" -> (Multimodal.multimodalResize _),
+    "multimodal_schema" -> (Multimodal.multimodalSchema _)
   )
 
   // DuckDB-dialect equivalents. Shared SQL fragments:
@@ -629,7 +630,11 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // {SFDIR} is substituted by Verify at dump time (the oracle needs
     // the fixture FILES, not the table views): DuckDB read_blob stats
-    // the same *.parquet set the binaryFile source scans
+    // the same *.parquet set the binaryFile source scans. ASSUMES
+    // single-file fixture tables (true of every sf* dir) — a multi-part
+    // table directory would be listed differently by read_blob vs the
+    // recursive binaryFile source, so this oracle is pinned to the
+    // driver's single-file fixtures (ADVICE r7)
     "source_binary" ->
       """SELECT list_extract(string_split(filename, '/'), -1) AS file_name,
         |  size AS length
@@ -788,9 +793,11 @@ object SparkEntry {
         |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_orderkey
         |FROM tagged QUALIFY side = 0 ORDER BY event_id ASC""".stripMargin,
     // both IGNORE NULLS carries read the same last order row, so key
-    // and timestamp stay consistent; gap > 7 days nulls the match
+    // and timestamp stay consistent; gap > Joins.AsOfTolDays days nulls
+    // the match — the bound is interpolated from the SAME constant the
+    // Spark default uses, so query and oracle cannot drift (ADVICE r7)
     "join_asof_tolerance" ->
-      """WITH tagged AS (
+      s"""WITH tagged AS (
         |  SELECT o_custkey AS ukey, o_orderdate AS at_ts,
         |         NULL::BIGINT AS event_id, o_orderkey AS o_key, 0 AS side,
         |         o_orderdate AS o_ts
@@ -810,9 +817,9 @@ object SparkEntry {
         |  FROM tagged
         |)
         |SELECT event_id, ukey AS user_id,
-        |  CASE WHEN date_diff('day', asof_ts, at_ts) <= 7
+        |  CASE WHEN date_diff('day', asof_ts, at_ts) <= ${Joins.AsOfTolDays}
         |       THEN asof_key END AS asof_orderkey,
-        |  CASE WHEN date_diff('day', asof_ts, at_ts) <= 7
+        |  CASE WHEN date_diff('day', asof_ts, at_ts) <= ${Joins.AsOfTolDays}
         |       THEN date_diff('day', asof_ts, at_ts)::INT END AS gap_days
         |FROM carried WHERE side = 1 ORDER BY event_id ASC""".stripMargin,
     "join_null_safe" ->
@@ -1973,6 +1980,22 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 3 = 2 AND n_chars * 10 > 0
         |ORDER BY asset_id ASC, frame_ts_ms ASC""".stripMargin,
+    // round-trip check: the Spark side wrote struct+map to parquet and
+    // read it back; DuckDB recomputes every projected value from the
+    // source documents table the synthetic blob encodes — any value
+    // mangled by the nested-type write/read path breaks the hash
+    "multimodal_schema" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  (n_chars % 1920)::INT AS width,
+        |  (n_chars % 1080)::INT AS height,
+        |  (n_chars * 10)::BIGINT AS duration_ms,
+        |  md5(text) AS blob_md5,
+        |  octet_length(encode(text))::INT AS blob_bytes,
+        |  lang, source
+        |FROM documents ORDER BY asset_id ASC""".stripMargin,
     "multimodal_resize" ->
       """WITH a AS (SELECT doc_id AS asset_id,
         |    (n_chars % 1920)::INT AS width, (n_chars % 1080)::INT AS height

@@ -43,9 +43,17 @@ object Verify {
     } + "\""
     // {SFDIR} lets an oracle reference fixture FILES (e.g. read_blob for
     // source_binary) rather than the pre-registered table views — the
-    // placeholder resolves to whatever dir this dump actually ran on
+    // placeholder resolves to whatever dir this dump actually ran on.
+    // It is spliced into SQL string literals, so single quotes in the
+    // path are doubled (ADVICE r7 — an unescaped quote would break the
+    // read_blob literal). Globs over {SFDIR} assume SINGLE-FILE fixture
+    // tables ('{SFDIR}/x.parquet' is a file, not a directory) — true of
+    // every sf* fixture; a multi-part table (like the builder-local 10x
+    // events directory) would need a recursive glob and is deliberately
+    // out of oracle scope (documented next to the source_binary oracle).
+    val sfDirSql = sfDir.replace("'", "''")
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SFDIR}", sfDir))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SFDIR}", sfDirSql))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -21,6 +21,13 @@ import graft.sources.Tables
   */
 object Joins {
 
+  /** The tolerance (days) the DECLARED `join_asof_tolerance` query and
+    * its DuckDB oracle are both pinned to — the oracle SQL interpolates
+    * this same constant (SparkEntry), so a caller-chosen tolerance can
+    * never silently verify against a stale bound (ADVICE r7).
+    */
+  val AsOfTolDays: Int = 7
+
   /** `join_inner_hash` — inner equi-join orders ⋈ customer. Both sides
     * large at scale → sort-merge on the key; AQE may switch to broadcast
     * when the built side turns out small.
@@ -170,7 +177,7 @@ object Joins {
     * the key and its timestamp can never disagree).
     */
   def joinAsOfTolerance(spark: SparkSession, sfDir: String,
-      tolDays: Int = 7): DataFrame = {
+      tolDays: Int = Joins.AsOfTolDays): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("ukey"),

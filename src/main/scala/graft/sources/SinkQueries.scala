@@ -27,7 +27,7 @@ object SinkQueries {
     s"${rt.getName.takeWhile(_ != '@')}_${rt.getStartTime.toHexString}"
   }
 
-  private def tmpBase(sfDir: String): String = {
+  private[graft] def tmpBase(sfDir: String): String = {
     val h = Integer.toHexString(sfDir.hashCode)
     s"${sys.props("java.io.tmpdir")}/graft_sinks_${processTag}_$h"
   }

@@ -131,20 +131,30 @@ class SessionTimerProcessor(gapUs: Long)
       timerValues: TimerValues): Iterator[(Long, Long, Long, Double)] = {
     // sessions close on EVENT-TIME gap: a row arriving after
     // last + gap finalizes the open session right here (the timer only
-    // covers the stream-went-quiet case, where no later row ever comes)
-    var st = if (sess.exists()) Option(sess.get()) else None
+    // covers the stream-went-quiet case, where no later row ever comes).
+    // The fold is a batch gap-and-island over (open-session interval ∪
+    // batch rows), all sorted by start: a row more than the gap OLDER
+    // than the open session's start forms its own earlier island
+    // instead of being absorbed (ADVICE r7 — min(start, ts) absorption
+    // diverged from the batch form), and a chain of late rows that
+    // reaches within the gap of the open session bridges into it,
+    // exactly as re-sorting the full batch would. The open interval's
+    // internal points are within-gap by construction, so interval-level
+    // merging equals point-level island formation.
+    val atoms = rows.map { case (_, ts, v) => (ts, ts, 1L, scaled(v)) }
+      .toIndexedSeq ++ (if (sess.exists()) Seq(sess.get()) else Nil)
+    var st: Option[(Long, Long, Long, Long)] = None
     val closed = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Double)]
-    rows.toSeq.sortBy(_._2).foreach { case (_, ts, v) =>
+    atoms.sortBy(a => (a._1, a._2)).foreach { case a @ (s0, l0, n0, v0) =>
       st match {
-        case Some(s @ (_, last, _, _)) if ts > last + gapUs =>
-          closed += emit(key, s)
-          st = Some((ts, ts, 1L, scaled(v)))
+        case Some(cur @ (_, last, _, _)) if s0 > last + gapUs =>
+          closed += emit(key, cur)
+          st = Some(a)
         case Some((start, last, n, sum)) =>
-          st = Some((math.min(start, ts), math.max(last, ts),
-            n + 1, sum + scaled(v)))
+          st = Some((start, math.max(last, l0), n + n0, sum + v0))
         case None =>
-          st = Some((ts, ts, 1L, scaled(v)))
+          st = Some(a)
       }
     }
     st.foreach { case s @ (_, last, _, _) =>

@@ -15,8 +15,11 @@ import graft.operators._
   * copies — copies 1..9 are PLANTED NEAR-DUPS (trailing copy token, the
   * 10× probe's convention, so every original sits in a 10-clique), and
   * copies 10..99 are HEAVILY MUTATED (every odd-position token replaced
-  * with a copy-unique token, so they share NO word bigram/trigram with
-  * anything else). A 100× corpus of 100-cliques would measure clique
+  * with a (copy, doc)-unique token, so they share no word bigram/trigram
+  * with other copies EXCEPT the even-position unigrams and any
+  * degenerate repeated-token runs the base text already had — shared
+  * similarity is suppressed far below every dedup threshold, not
+  * literally to zero). A 100× corpus of 100-cliques would measure clique
   * explosion, not scaling — real corpora have bounded dup groups; this
   * fixture keeps the 10-clique structure while scaling corpus volume
   * 100×. Expected: edge count ≈ the 10× probe's (45 pairs × 5000

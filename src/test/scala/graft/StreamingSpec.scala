@@ -304,16 +304,19 @@ class StreamingSpec extends AnyFunSuite {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val mem = MemoryStream[Ev]
-      // TTL of 10s: batch 2 lands well within it (state survives),
-      // batch 3 lands after a 15s idle gap (state evicted → restart).
+      // TTL of 30s: batch 2 lands well within it (state survives),
+      // batch 3 lands after a 35s idle gap (state evicted → restart).
       // Margins are wide because TTL expiry is evaluated against batch
       // processing-time timestamps (second granularity + trigger
-      // latency), not a precise wall clock.
+      // latency), not a precise wall clock — and the TTL must dominate
+      // worst-case trigger delay on a loaded machine (ADVICE r7: at
+      // 10s, one slow batch-2 trigger evicted state early and failed
+      // the assertion intermittently).
       // NOTE: under TimeMode.ProcessingTime the query runs no-data
       // micro-batches continuously (to advance processing time for
       // TTL/timers), so processAllAvailable never quiesces — poll the
       // sink for the expected row count instead.
-      val q = Streams.runningTotalsWithTtl(spark, mem.toDF(), ttlMs = 10000L)
+      val q = Streams.runningTotalsWithTtl(spark, mem.toDF(), ttlMs = 30000L)
         .writeStream.format("memory").queryName("tws_ttl")
         .outputMode("append").start()
       def awaitRows(n: Long): Unit = {
@@ -330,7 +333,7 @@ class StreamingSpec extends AnyFunSuite {
       awaitRows(1)
       mem.addData(Ev(2, ts("2025-01-01 10:01:00"), 1, "purchase", 5.0, "{}"))
       awaitRows(2) // within TTL → 10 + 5
-      Thread.sleep(15000L) // let user 1's state expire
+      Thread.sleep(35000L) // let user 1's state expire
       mem.addData(Ev(3, ts("2025-01-01 10:30:00"), 1, "purchase", 7.0, "{}"))
       awaitRows(3) // state gone → restarts at 7, not 22
       q.stop()
@@ -422,6 +425,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === Set(
         (1L, ts("2025-01-01 10:00:00"), 2L, 5.0),
         (1L, ts("2025-01-01 11:30:00"), 1L, 7.0)))
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("timer sessions: a late row older than the open session by more than the gap forms its own island") {
+    // ADVICE r7: the old fold absorbed such a row via min(start, ts);
+    // the batch gap-and-island form makes it a separate earlier island.
+    // gap (5 min) < watermark delay (10 min) so the late row both
+    // survives watermark filtering AND predates start − gap.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = Streams.sessionsWithTimers(spark, mem.toDF(), gapMinutes = 5)
+        .writeStream.format("memory").queryName("tsess_late")
+        .outputMode("append").start()
+      // opens session A at 12:00; watermark advances to 11:50
+      mem.addData(Ev(1, ts("2025-01-01 12:00:00"), 1, "click", 2.0, "{}"))
+      q.processAllAvailable()
+      // late row at 11:52: above the 11:50 watermark, but more than the
+      // 5-min gap older than A's 12:00 start → its own island, closed
+      // immediately (A is the newer open session)
+      mem.addData(Ev(2, ts("2025-01-01 11:52:00"), 1, "click", 3.0, "{}"))
+      q.processAllAvailable()
+      // sentinel advances the watermark past A's 12:05 deadline
+      mem.addData(Ev(9, ts("2025-01-01 13:00:00"), 99, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tsess_late")
+        .as[(Long, Timestamp, Long, Double)].collect().toSet
+      assert(got === Set(
+        (1L, ts("2025-01-01 11:52:00"), 1L, 3.0),
+        (1L, ts("2025-01-01 12:00:00"), 1L, 2.0)))
     } finally prev match {
       case Some(v) =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)

@@ -56,6 +56,9 @@ object SparkEntry {
     "table_meta" -> (SinkQueries.tableMeta _),
     "table_meta_types" -> (SinkQueries.tableMetaTypes _),
     "list_tables" -> (SinkQueries.listTables _),
+    // oracle shadow of list_tables: catalog listing restricted to the
+    // fixture views (independent of saveAsTable process state)
+    "list_tables_fixture" -> (SinkQueries.listTablesFixture _),
     // §2.B projection / filter
     "project_arith" -> (Relational.projectArith _),
     "filter_conj" -> (Relational.filterConj _),
@@ -156,6 +159,9 @@ object SparkEntry {
     "fn_map" -> (ScalarFns.fnMap _),
     "fn_hash" -> (ScalarFns.fnHash _),
     "fn_hash_md5" -> (ScalarFns.fnHashMd5 _),
+    // cardinality/value shadow of fn_hash (sha256 cross-engine,
+    // xxhash64/crc32 by distinct-count — ScalarFns.fnHashProps notes)
+    "fn_hash_props" -> (ScalarFns.fnHashProps _),
     // §2.I streaming (batch-equivalent forms; incremental forms in
     // graft.streaming.Streams, MemoryStream-tested)
     "stream_tumbling" -> (EventWindows.tumbling _),
@@ -266,6 +272,11 @@ object SparkEntry {
     "ngram_lm" -> ((s: SparkSession, d: String) => TextOps.ngramLm(s, d)),
     "lm_doc_score" -> (TextOps.lmDocScore _),
     "quality_lm_bucket" -> (TextOps.qualityLmBucket _),
+    // the approx-cutoff SCALE variant of quality_lm_bucket (no ntile
+    // window — sketch cuts + row-local compare), oracled on the docs
+    // provably away from the tercile boundaries (TextOps notes)
+    "quality_lm_bucket_approx" -> ((s: SparkSession, d: String) =>
+      TextOps.qualityLmBucketApprox(s, d)),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     // shadow of doc_fingerprint: hash values are engine-specific, but the
     // id set AND the per-doc gram count (max(nTok−k,0)+1, k=3) are exact
@@ -640,6 +651,18 @@ object SparkEntry {
         |  size AS length
         |FROM read_blob('{SFDIR}/*.parquet')
         |ORDER BY file_name ASC""".stripMargin,
+    // static expectation for the fixture-view catalog listing: every
+    // fixture table must surface through the real catalog API as a
+    // TEMPORARY entry (the Spark tableType for temp views)
+    "list_tables_fixture" ->
+      """SELECT * FROM (VALUES
+        |  ('customer', 'TEMPORARY'), ('documents', 'TEMPORARY'),
+        |  ('embeddings', 'TEMPORARY'), ('events', 'TEMPORARY'),
+        |  ('lineitem', 'TEMPORARY'), ('nation', 'TEMPORARY'),
+        |  ('orders', 'TEMPORARY'), ('part', 'TEMPORARY'),
+        |  ('region', 'TEMPORARY'), ('supplier', 'TEMPORARY'))
+        |  AS t(table_name, table_type)
+        |ORDER BY table_name ASC""".stripMargin,
     // canonical-type shadow of table_meta: both engines project their
     // native type names onto int64/utf8/f64/ts (catalog-drift gate)
     "table_meta_types" ->
@@ -874,6 +897,20 @@ object SparkEntry {
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type
         |ORDER BY event_type ASC""".stripMargin,
+    // fn_hash shadow: sha256 is value-checked cross-engine (hex match);
+    // the engine-specific xxhash64/crc32 are checked by cardinality —
+    // collision-free on the fixed fixture, so distinct-hash count =
+    // distinct-text count deterministically
+    "fn_hash_props" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_text,
+        |  count(DISTINCT text) AS n_xx64,
+        |  count(DISTINCT text) AS n_crc,
+        |  count(DISTINCT sha256(text)) AS n_sha,
+        |  min(sha256(text)) AS min_sha,
+        |  max(sha256(text)) AS max_sha,
+        |  TRUE AS crc_in_range
+        |FROM documents""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -1663,6 +1700,47 @@ object SparkEntry {
         |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |         ELSE 'tail' END AS bucket
         |FROM j ORDER BY doc_id ASC""".stripMargin,
+    // approx-cutoff scale variant: DuckDB buckets by its own exact
+    // discrete percentiles; rows inside the rank-window value interval
+    // around each tercile boundary are excluded on BOTH sides (the
+    // Spark sketch's cut and DuckDB's quantile_disc both land inside
+    // the excluded interval, so kept docs bucket identically)
+    "quality_lm_bucket_approx" ->
+      raw"""WITH $lmScoreCtes,
+        |sc AS (SELECT lm.doc_id AS doc_id, documents.lang AS lang,
+        |         lm.avg_logp AS avg_logp
+        |       FROM lm JOIN documents ON lm.doc_id = documents.doc_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |           ORDER BY avg_logp ASC, doc_id ASC) AS rk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |       FROM sc),
+        |bounds AS (SELECT lang, max(n) AS n,
+        |    (3 + (max(n) // 10000))::INT AS w,
+        |    round(max(n) / 3.0)::INT AS r1,
+        |    round(max(n) * 2.0 / 3.0)::INT AS r2
+        |  FROM rk GROUP BY lang),
+        |iv AS (SELECT r.lang,
+        |    min(CASE WHEN r.rk = greatest(1, b.r1 - b.w)
+        |        THEN r.avg_logp END) AS lo1,
+        |    min(CASE WHEN r.rk = least(b.n, b.r1 + b.w)
+        |        THEN r.avg_logp END) AS hi1,
+        |    min(CASE WHEN r.rk = greatest(1, b.r2 - b.w)
+        |        THEN r.avg_logp END) AS lo2,
+        |    min(CASE WHEN r.rk = least(b.n, b.r2 + b.w)
+        |        THEN r.avg_logp END) AS hi2
+        |  FROM rk r JOIN bounds b ON r.lang = b.lang GROUP BY r.lang),
+        |cuts AS (SELECT lang, quantile_disc(avg_logp, 1.0/3) AS c1,
+        |           quantile_disc(avg_logp, 2.0/3) AS c2
+        |         FROM sc GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.avg_logp,
+        |  CASE WHEN s.avg_logp >= c.c2 THEN 'head'
+        |       WHEN s.avg_logp >= c.c1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc s JOIN iv i ON s.lang = i.lang
+        |          JOIN cuts c ON s.lang = c.lang
+        |WHERE NOT (s.avg_logp BETWEEN i.lo1 AND i.hi1)
+        |  AND NOT (s.avg_logp BETWEEN i.lo2 AND i.hi2)
+        |ORDER BY s.doc_id ASC""".stripMargin,
     // docs that produce a simhash = docs with at least one token; the
     // kernel tokenizes on whitespace runs, so \S+ run-count is exact
     "dedup_simhash_ids" ->

@@ -293,6 +293,29 @@ object ScalarFns {
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
       .orderBy(col("doc_id").asc)
 
+  /** `fn_hash_props` — cardinality + value shadow of `fn_hash` (VERDICT
+    * r6 #6): sha256 hex matches DuckDB's sha256 bit-for-bit (min/max of
+    * the column are value-level cross-checks; the distinct count is the
+    * cardinality check), while the engine-specific xxhash64/crc32
+    * columns are checked by CARDINALITY — distinct-hash count must
+    * equal distinct-text count. Collision-free on the fixed fixtures
+    * (expected collisions ≈ n²/2³³ for crc32 at n=500 docs ≈ 1.5e-5),
+    * so the check is deterministic per fixture. crc_in_range pins
+    * crc32's unsigned-32-bit contract.
+    */
+  def fnHashProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_text"),
+        countDistinct(xxhash64(col("text"))).as("n_xx64"),
+        countDistinct(crc32(col("text"))).as("n_crc"),
+        countDistinct(sha2(col("text"), 256)).as("n_sha"),
+        min(sha2(col("text"), 256)).as("min_sha"),
+        max(sha2(col("text"), 256)).as("max_sha"),
+        (max(crc32(col("text"))) <= lit(4294967295L) &&
+          min(crc32(col("text"))) >= lit(0L)).as("crc_in_range"))
+
   /** `fn_url` — the URL-extraction family (Presto url_extract_host/path/
     * parameter, Spark parse_url): the fixtures carry no URL column, so
     * the query synthesizes deterministic URLs from event fields first —

@@ -593,6 +593,57 @@ object TextOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** `quality_lm_bucket_approx` — [[qualityLmBucketCutoff]] as a
+    * DECLARED, oracled query (VERDICT r6 #4: the dominant-language
+    * ntile funnel needed a driver-gated scale path). The sketch cuts
+    * aren't bit-reproducible cross-engine, so the verified rows are the
+    * cutoff variant's output restricted to docs PROVABLY away from the
+    * tercile boundaries: per language, take the score values at ranks
+    * r±W around each tercile rank (W = 3 + n/accuracy ≥ sketch rank
+    * error n/accuracy + any discrete-percentile convention offset ±1,
+    * with margin) and drop docs inside those closed value intervals.
+    * Any cut value either engine picks lies inside the dropped
+    * interval, so every kept doc's `score >= cut` comparison — and
+    * therefore its bucket — is engine-independent. The rank window is
+    * VERIFICATION scaffolding (it reuses the same keyed window shape as
+    * the declared exact `quality_lm_bucket`); the library scale path is
+    * [[qualityLmBucketCutoff]] itself, which has no window at all.
+    */
+  def qualityLmBucketApprox(spark: SparkSession, sfDir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val scored = cachedLmScores(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .select(col("doc_id"), col("lang"), col("avg_logp"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logp").asc, col("doc_id").asc)
+    val ranked = scored.withColumn("rk", row_number().over(wRank))
+    // n/3 has fractional part 0, 1/3, or 2/3 — round() never sees a
+    // .5, so Spark HALF_UP and DuckDB both land on the same rank
+    val bounds = ranked.groupBy(col("lang"))
+      .agg(max(col("rk")).as("n"))
+      .withColumn("w", (lit(3) + col("n") / lit(accuracy)).cast("int"))
+      .withColumn("r1", round(col("n") / 3.0, 0).cast("int"))
+      .withColumn("r2", round(col("n") * 2.0 / 3.0, 0).cast("int"))
+    val iv = ranked.join(broadcast(bounds), "lang")
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("rk") === greatest(lit(1), col("r1") - col("w")),
+          col("avg_logp"))).as("lo1"),
+        min(when(col("rk") === least(col("n"), col("r1") + col("w")),
+          col("avg_logp"))).as("hi1"),
+        min(when(col("rk") === greatest(lit(1), col("r2") - col("w")),
+          col("avg_logp"))).as("lo2"),
+        min(when(col("rk") === least(col("n"), col("r2") + col("w")),
+          col("avg_logp"))).as("hi2"))
+    qualityLmBucketCutoff(spark, sfDir, accuracy)
+      .join(broadcast(iv), "lang")
+      .filter(!col("avg_logp").between(col("lo1"), col("hi1")) &&
+        !col("avg_logp").between(col("lo2"), col("hi2")))
+      .select(col("doc_id"), col("lang"), col("avg_logp"), col("bucket"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** `vocab_topk` — corpus vocabulary statistics: the 100 most frequent
     * tokens with counts — the first step of tokenizer/vocab construction
     * and corpus drift monitoring. Explode → one keyed count with

@@ -332,6 +332,23 @@ object SinkQueries {
     LakeIO.listTables(spark)
   }
 
+  /** `list_tables_fixture` — oracle shadow of `list_tables` (VERDICT r6
+    * #6): the catalog listing restricted to the fixture view names, so
+    * the row set is independent of which saveAsTable queries ran first
+    * in the process (the full `list_tables` also shows bucketed tables
+    * — engine catalog state with no DuckDB equivalent). Verifies that
+    * registration surfaces every fixture table through the REAL catalog
+    * API with the expected type, hash-matched against a static VALUES
+    * oracle.
+    */
+  def listTablesFixture(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    LakeIO.listTables(spark)
+      .filter(col("table_name").isInCollection(Tables.allTables))
+      .select(col("table_name"), col("table_type"))
+      .orderBy(col("table_name").asc)
+  }
+
   /** `merge_upsert` — Delta MERGE (WHEN MATCHED UPDATE / NOT MATCHED
     * INSERT) through the `Lake.upsert` facade, the last Level-1 "Delta
     * ops" surface to get a declared oracle: seed the warehouse with the

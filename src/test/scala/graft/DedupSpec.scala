@@ -588,6 +588,53 @@ class DedupSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall@5 after int8 quantization = $mean")
   }
 
+  test("k-means|| codebook: recall@5 >= the stride codebook at equal cells and nProbe") {
+    // VERDICT r6 #8 — the learned-codebook path must beat-or-match the
+    // stride sample where codebook quality matters: a CLUSTERED corpus
+    // (the fixture's uniform random vectors have no structure to learn —
+    // measured there, the two codebooks sit within noise of each other).
+    // 10 planted clusters, ids shuffled so the stride picks arbitrary
+    // members (duplicating some clusters, missing others) while
+    // k-means|| recovers the true centers.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val nClusters = 10; val per = 50; val dim = 16
+    val centers =
+      Array.fill(nClusters)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val raw = for (c <- 0 until nClusters; _ <- 0 until per) yield
+      centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 1.2f)
+    val perm = rnd.shuffle((0 until nClusters * per).toList)
+    val rows = raw.zipWithIndex.map { case (v, i) => (perm(i).toLong, v.toSeq) }
+    val emb = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val byId = rows.map { case (id, v) => id -> v.toArray }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val exact = (0L until 10L).map { q =>
+      q -> byId.keys.filter(_ != q).toSeq
+        .sortBy(c => (-cos(byId(q), byId(c)), c)).take(5).toSet
+    }.toMap
+    def meanRecall(res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res.select(col("q_id"), col("c_id")).as[(Long, Long)]
+        .collect().groupBy(_._1)
+        .map { case (q, xs) => q -> xs.map(_._2).toSet }
+      (0L until 10L).map(q =>
+        (exact(q) intersect got.getOrElse(q, Set.empty[Long])).size / 5.0)
+        .sum / 10
+    }
+    val strideCb = SimSearch.ivfCodebook(emb, centroidStride = per.toLong)
+    val learnedCb = SimSearch.ivfCodebookKmeans(emb, strideCb.length)
+    assert(learnedCb.length === strideCb.length) // equal cell count
+    val stride = meanRecall(SimSearch.ivfSearch(emb, strideCb, 5, 10, 1))
+    val learned = meanRecall(SimSearch.ivfSearch(emb, learnedCb, 5, 10, 1))
+    info(s"recall@5, nProbe=1: stride=$stride learned=$learned")
+    assert(learned >= stride,
+      s"k-means|| codebook recall $learned < stride baseline $stride")
+  }
+
   test("ann_recall report: IVF clears the generic-top-k floor; LSH owns high similarity") {
     val rep = SimSearch.annRecall(spark, TestSpark.sf).collect()
     assert(rep.length === 20) // 2 methods × 10 queries

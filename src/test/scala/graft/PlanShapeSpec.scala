@@ -58,6 +58,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"as-of must not plan a product join:\n$p")
   }
 
+  test("LATERAL + ORDER BY + LIMIT decorrelates to one window/agg pass (VERDICT r6 #5)") {
+    // Catalyst rewrites the correlated LATERAL(... LIMIT 1) to a keyed
+    // window or aggregate over ONE lineitem scan — a regression to
+    // per-outer-row subquery re-execution (nested-loop or repeated
+    // scans) would be invisible to the oracle and only show up as a
+    // bench blow-up, so the decorrelated shape is pinned here.
+    val p = plan(Relational.joinLateral(spark, sf))
+    assert(p.contains("Window") || p.contains("HashAggregate"),
+      s"expected decorrelated window/agg shape:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"LATERAL must not plan a product join:\n$p")
+    // one scan of each table: a per-row re-execution shape would
+    // re-plan the lineitem relation under a nested loop
+    assert("lineitem\\.parquet".r.findAllIn(p).length <= 1,
+      s"expected a single lineitem scan:\n$p")
+  }
+
   test("dedup_embedding_lsh never plans a product join (VERDICT r1 #3)") {
     val p = plan(graft.operators.SimSearch.dedupEmbeddingLsh(spark, sf))
     assert(!p.contains("CartesianProduct") &&

@@ -43,6 +43,7 @@ object SparkEntry {
     "sink_partitioned" -> (SinkQueries.sinkPartitioned _),
     "sink_append" -> (SinkQueries.sinkAppend _),
     "sink_replace_partition" -> (SinkQueries.sinkReplacePartition _),
+    "sink_schema_evolution" -> (SinkQueries.sinkSchemaEvolution _),
     "sink_zorder" -> (SinkQueries.sinkZorder _),
     "sink_compact" -> (SinkQueries.sinkCompact _),
     "merge_upsert" -> (SinkQueries.mergeUpsert _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "win_first_last" -> (Windows.winFirstLast _),
     "win_distribution" -> (Windows.winDistribution _),
     "win_range_frame" -> (Windows.winRangeFrame _),
+    "win_ignore_nulls" -> (Windows.winIgnoreNulls _),
     "topk_per_group" -> (Windows.topkPerGroup _),
     // §2.F sort / limit
     "sort_multikey" -> (Relational.sortMultikey _),
@@ -213,6 +215,10 @@ object SparkEntry {
     "dedup_exact" -> (TextOps.dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => MinHashDedup.dedupMinhash(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => MinHashDedup.ngramJaccard(s, d)),
+    // directional containment — the sub-document-duplication signal
+    // Jaccard misses; a third view of the memoized similarity pass
+    "dedup_containment" -> ((s: SparkSession, d: String) =>
+      MinHashDedup.ngramContainment(s, d)),
     "dedup_cluster" -> ((s: SparkSession, d: String) => MinHashDedup.dedupCluster(s, d)),
     "dedup_cluster_stats" -> ((s: SparkSession, d: String) =>
       MinHashDedup.dedupClusterStats(s, d)),
@@ -593,6 +599,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+        |ORDER BY o_orderkey ASC""".stripMargin,
+    // schema-drift append: pre-evolution rows must surface NULL for the
+    // late-added column through the mergeSchema read
+    "sink_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice, NULL::VARCHAR AS o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_orderkey ASC""".stripMargin,
     "join_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
@@ -1099,6 +1114,15 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC
         |             RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+    "win_ignore_nulls" ->
+      """SELECT user_id, event_id, event_type,
+        |  lag(pv, 1 IGNORE NULLS) OVER w AS prev_purchase_value,
+        |  lead(pv, 1 IGNORE NULLS) OVER w AS next_purchase_value
+        |FROM (SELECT user_id, event_id, event_type,
+        |        CASE WHEN event_type = 'purchase' THEN value END AS pv
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC)
+        |ORDER BY user_id ASC, event_id ASC""".stripMargin,
     "win_distribution" ->
       """SELECT o_custkey, o_orderkey,
         |  round(percent_rank() OVER w, 6) AS pct_rank,
@@ -1920,6 +1944,23 @@ object SparkEntry {
       raw"""WITH $ngramPairCtes
         |SELECT source, a_id, b_id, jaccard FROM p WHERE jaccard >= 0.05
         |ORDER BY source ASC, a_id ASC, b_id ASC""".stripMargin,
+    // containment reuses the pair CTEs up through inter/sizes (the
+    // unused `p` CTE is legal); contained side = smaller shingle set,
+    // a-side on ties — same rule as the Spark query
+    "dedup_containment" ->
+      raw"""WITH $ngramPairCtes,
+        |c AS (SELECT i.source,
+        |    CASE WHEN sa.n_sh <= sb.n_sh THEN i.a_id ELSE i.b_id END
+        |      AS contained_id,
+        |    CASE WHEN sa.n_sh <= sb.n_sh THEN i.b_id ELSE i.a_id END
+        |      AS container_id,
+        |    round(i.n_inter::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE, 4)
+        |      AS containment
+        |  FROM inter i
+        |  JOIN sizes sa ON i.source = sa.source AND i.a_id = sa.doc_id
+        |  JOIN sizes sb ON i.source = sb.source AND i.b_id = sb.doc_id)
+        |SELECT * FROM c WHERE containment >= 0.2
+        |ORDER BY source ASC, contained_id ASC, container_id ASC""".stripMargin,
     // connected components over the >=0.2 similarity pairs via a
     // recursive transitive closure; min reachable id = cluster label
     "dedup_cluster" ->

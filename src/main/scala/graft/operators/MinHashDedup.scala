@@ -221,6 +221,38 @@ object MinHashDedup {
       ngramPairsDocs(Tables.documents(spark, sfDir), maxDfFrac).persist())
   }
 
+  /** `dedup_containment` — directional containment similarity
+    * C(A,B) = |A∩B| / min(|A|,|B|): the sub-document-duplication signal
+    * Jaccard misses — a short doc fully quoted inside a long one has
+    * tiny Jaccard (union is dominated by the long doc) but containment
+    * 1.0. Standard alongside Jaccard in crawl dedup (quote/boilerplate
+    * inclusion). Another VIEW of the memoized inverted-index pass
+    * (`pairCache` — same single similarity computation powers Jaccard
+    * thresholds, the cluster edge set, and this): the contained side is
+    * the smaller shingle set, ties keep the a-side for determinism.
+    */
+  def ngramContainment(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.2, maxDfFrac: Double = 0.3): DataFrame =
+    containmentOf(cachedNgramPairs(spark, sfDir, maxDfFrac), threshold)
+
+  /** Containment view over any pairs frame carrying
+    * (source, a_id, b_id, n_inter, a_n, b_n) — see [[ngramContainment]].
+    */
+  def containmentOf(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .withColumn("contained_id",
+        when(col("a_n") <= col("b_n"), col("a_id")).otherwise(col("b_id")))
+      .withColumn("container_id",
+        when(col("a_n") <= col("b_n"), col("b_id")).otherwise(col("a_id")))
+      .withColumn("containment", round(
+        col("n_inter").cast("double") /
+          least(col("a_n"), col("b_n")).cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("source"), col("contained_id"), col("container_id"),
+        col("containment"))
+      .orderBy(col("source").asc, col("contained_id").asc,
+        col("container_id").asc)
+
   private def thresholdPairs(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
       .filter(col("jaccard") >= threshold)
@@ -303,7 +335,11 @@ object MinHashDedup {
         col("n_inter").cast("double") /
           (col("a_n").cast("double") + col("b_n").cast("double")
             - col("n_inter").cast("double")), 4))
-      .select(col("source"), col("a_id"), col("b_id"), col("jaccard"))
+      // n_inter / a_n / b_n ride along so CONTAINMENT (r7) is another
+      // view of this same memoized pass — jaccard consumers project
+      // them away
+      .select(col("source"), col("a_id"), col("b_id"), col("jaccard"),
+        col("n_inter"), col("a_n"), col("b_n"))
   }
 
   /** `dedup_cluster` — near-dup cluster resolution: the similarity pairs

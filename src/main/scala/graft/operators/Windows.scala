@@ -46,6 +46,28 @@ object Windows {
       .orderBy(col("user_id").asc, col("event_id").asc)
   }
 
+  /** `win_ignore_nulls` — lag/lead with IGNORE NULLS: per user, the
+    * value of the most recent EARLIER purchase and the nearest LATER
+    * purchase, read at every event (non-purchase rows contribute NULL
+    * and are skipped by the carry). The sessionized "last purchase
+    * before this pageview" shape — the IGNORE NULLS window surface
+    * Presto/DuckDB users type directly, distinct from the default-null
+    * `win_lag_lead`. One keyed window shuffle, same as every window op.
+    */
+  def winIgnoreNulls(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("pv",
+        when(col("event_type") === "purchase", col("value")))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        lag(col("pv"), 1, null, ignoreNulls = true).over(w)
+          .as("prev_purchase_value"),
+        lead(col("pv"), 1, null, ignoreNulls = true).over(w)
+          .as("next_purchase_value"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
   /** `win_running` — running sum per customer over order history. */
   def winRunning(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

@@ -82,6 +82,34 @@ object SinkQueries {
       .orderBy(col("o_orderstatus").asc)
   }
 
+  /** `sink_schema_evolution` — schema-drift APPEND + mergeSchema
+    * read-back (the Delta/Iceberg schema-evolution surface,
+    * parquet-native): v1 writes (key, price), a later batch appends
+    * with an EXTRA column, and the merged read must surface the union
+    * schema with NULLs for pre-evolution rows. This is the lake
+    * behavior novlake users hit when a producer adds a field —
+    * awswrangler's catalog-evolution path; here parquet footer merge
+    * (`mergeSchema=true`) carries it. Oracled against a DuckDB UNION
+    * ALL with explicit NULL padding, so a dropped column, a mistyped
+    * pad, or rows lost in the merged read all break the hash.
+    *
+    * Scale: mergeSchema reads every file footer (metadata-sized, not
+    * data); the scan itself stays one pass with pushdown intact.
+    */
+  def sinkSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/sink_schema_evolution"
+    val ord = Tables.orders(spark, sfDir)
+    LakeIO.saveDataset(ord.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice")
+      .repartition(writerTasks, col("o_orderkey")), out)
+    LakeIO.appendDataset(ord.filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .repartition(writerTasks, col("o_orderkey")), out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy(col("o_orderkey").asc)
+  }
+
   /** `sink_replace_partition` — dynamic partition overwrite: replace ONLY
     * the 'O' partition with a filtered batch; 'F' must survive intact
     * (awswrangler overwrite_partitions / Delta replaceWhere semantics,

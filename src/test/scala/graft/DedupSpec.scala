@@ -588,6 +588,26 @@ class DedupSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall@5 after int8 quantization = $mean")
   }
 
+  test("containment: full quote-inclusion scores 1.0 where jaccard stays low") {
+    // the signal containment exists for: a short doc fully embedded in
+    // a long one — near-1 containment, Jaccard diluted by the union
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s", short),
+      (2L, "s", long),
+      (3L, "s", "unrelated words entirely different content here"))
+      .toDF("doc_id", "source", "text")
+    val pairs = MinHashDedup.ngramPairsDocs(docs, maxDfFrac = 1.0)
+    val cont = MinHashDedup.containmentOf(pairs, 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)),
+      s"expected exactly the planted inclusion pair, got ${cont.toSeq}")
+    val jac = pairs.filter(col("a_id") === 1 && col("b_id") === 2)
+      .select(col("jaccard")).head().getDouble(0)
+    assert(jac < 0.2, s"planted inclusion should have low jaccard, got $jac")
+  }
+
   test("k-means|| codebook: recall@5 >= the stride codebook at equal cells and nProbe") {
     // VERDICT r6 #8 — the learned-codebook path must beat-or-match the
     // stride sample where codebook quality matters: a CLUSTERED corpus

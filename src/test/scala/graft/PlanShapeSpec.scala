@@ -164,6 +164,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(unkeyed.isEmpty, "ntile must be keyed by lang")
   }
 
+  test("quality_lm_bucket cutoff variant plans NO window at all (the scale path)") {
+    // the sketch-cutoff operator is the dominant-language-funnel fix:
+    // keyed percentile_approx agg + broadcast cut join + row-local
+    // compare — any Window node appearing here would mean the funnel
+    // came back. (The DECLARED quality_lm_bucket_approx adds a rank
+    // window as verification scaffolding; the library operator is this
+    // windowless one.)
+    val windows = graft.operators.TextOps.qualityLmBucketCutoff(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.isEmpty, "cutoff bucketing must not plan a window")
+  }
+
   test("row-local operators read only the columns they emit") {
     // sample_stratified projects 3 source columns — the scan must prune
     val p = plan(graft.operators.TextOps.sampleStratified(spark, sf))

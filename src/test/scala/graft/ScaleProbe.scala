@@ -94,7 +94,17 @@ object ScaleProbe {
       // they scale with input volume, nothing super-linear
       "doc_chunking" -> ((s: SparkSession, d: String) => TextOps.docChunk(s, d)),
       "embedding_quantize" -> (SimSearch.embeddingQuantize _),
-      "quality_lm_bucket" -> (TextOps.qualityLmBucket _))
+      "quality_lm_bucket" -> (TextOps.qualityLmBucket _),
+      // round-7 additions: the windowless cutoff variant should track
+      // the exact ntile form's cost (both read the lm memo; the probe
+      // pays the memo build on whichever runs first per dir) while
+      // being the one that survives a dominant language; containment
+      // is a third view of the memoized pair pass
+      "quality_lm_cutoff" -> ((s: SparkSession, d: String) =>
+        TextOps.qualityLmBucketCutoff(s, d)),
+      "dedup_containment" -> ((s: SparkSession, d: String) =>
+        MinHashDedup.ngramContainment(s, d)),
+      "win_ignore_nulls" -> (Windows.winIgnoreNulls _))
     Seq(("1x", base), ("10x", out)).foreach { case (tag, dir) =>
       ops.foreach { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -120,6 +120,7 @@ object SparkEntry {
     "agg_unpivot" -> (Aggregates.aggUnpivot _),
     "agg_percentile" -> (Aggregates.aggPercentile _),
     "agg_collect" -> (Aggregates.aggCollect _),
+    "agg_listagg" -> (Aggregates.aggListagg _),
     "agg_sortagg" -> (Aggregates.aggSortAgg _),
     // §2.E windows
     "win_rank" -> (Windows.winRank _),
@@ -147,6 +148,7 @@ object SparkEntry {
     "fn_string" -> (ScalarFns.fnString _),
     "fn_string2" -> (ScalarFns.fnString2 _),
     "fn_array_hof" -> (ScalarFns.fnArrayHof _),
+    "fn_explode_outer" -> (ScalarFns.fnExplodeOuter _),
     "fn_try" -> (ScalarFns.fnTry _),
     "fn_pad_trim" -> (ScalarFns.fnPadTrim _),
     "fn_date" -> (ScalarFns.fnDate _),
@@ -1056,6 +1058,13 @@ object SparkEntry {
         |  array_to_string(list_sort(list(DISTINCT n_regionkey::VARCHAR)), ',')
         |    AS keys
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey ASC""".stripMargin,
+    "agg_listagg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+        |    AS priorities,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC""".stripMargin,
     "agg_sortagg" ->
       """SELECT l_orderkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS order_total,
@@ -1221,6 +1230,17 @@ object SparkEntry {
         |  round(list_sum(list_transform(embedding,
         |    x -> x::DOUBLE * x::DOUBLE)), 4) AS sum_sq
         |FROM embeddings ORDER BY vec_id ASC""".stripMargin,
+    // OUTER retention: empty-array docs survive as one NULL row — the
+    // UNION arm is exactly the rows plain explode would silently drop
+    "fn_explode_outer" ->
+      """WITH lt AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 6) AS toks
+        |  FROM documents)
+        |SELECT doc_id, unnest(toks) AS long_token
+        |FROM lt WHERE len(toks) > 0
+        |UNION ALL
+        |SELECT doc_id, NULL FROM lt WHERE len(toks) = 0
+        |ORDER BY doc_id ASC, long_token ASC NULLS FIRST""".stripMargin,
     "fn_try" ->
       """SELECT s_suppkey,
         |  TRY_CAST(substring(s_name, 10, 9) AS INT) AS name_num,

@@ -64,6 +64,20 @@ object ScalarFns {
           .as("sum_sq"))
       .orderBy(col("vec_id").asc)
 
+  /** `fn_explode_outer` — LATERAL VIEW OUTER / explode_outer semantics:
+    * rows whose array is EMPTY survive as a single NULL row instead of
+    * vanishing (plain explode drops them — the classic silent-row-loss
+    * bug in token pipelines). The filter keeps only >6-char tokens, so
+    * the fixture genuinely splits: ~21% of docs have none and exist
+    * only through the OUTER retention.
+    */
+  def fnExplodeOuter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode_outer(filter(split(col("text"), " "),
+          t => length(t) > 6)).as("long_token"))
+      .orderBy(col("doc_id").asc, col("long_token").asc_nulls_first)
+
   /** `fn_try` — ANSI-mode error-safe functions: try_cast / try_divide /
     * try_add return NULL where the strict forms would raise (Spark 4
     * runs ANSI on by default — this is the migration surface every

@@ -261,6 +261,24 @@ object Aggregates {
           ",").as("keys"))
       .orderBy(col("n_regionkey").asc)
 
+  /** `agg_listagg` — ANSI LISTAGG ... WITHIN GROUP (ORDER BY ...) on
+    * the SQL surface (Spark 4.0+): the string-concatenation aggregate
+    * Presto/Athena users write as listagg/string_agg. DISTINCT + the
+    * WITHIN GROUP sort make the output order-deterministic through any
+    * shuffle; DuckDB's `string_agg(DISTINCT x, sep ORDER BY x)` is the
+    * oracle equivalent.
+    */
+  def aggListagg(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderstatus,
+        |  listagg(DISTINCT o_orderpriority, '|')
+        |    WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC""".stripMargin)
+  }
+
   /** `agg_sortagg` — aggregation on a high-cardinality key: same API,
     * but the planner can pick SortAggregate / spill under memory
     * pressure; at 100 TB this is the "group by near-unique key" shape.

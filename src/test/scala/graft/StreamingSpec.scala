@@ -252,6 +252,28 @@ class StreamingSpec extends AnyFunSuite {
       === Array(1L, 2L))
   }
 
+  test("dropDuplicatesWithinWatermark: expired state re-admits the key (bounded-state contract)") {
+    // the property separating WithinWatermark from plain dropDuplicates:
+    // dedup state is EVICTED once the watermark passes the event's
+    // expiry, so a much-later re-occurrence is emitted again — which is
+    // exactly why state stays bounded at 100 TB stream volumes
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupWithWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_exp")
+      .outputMode("append").start()
+    mem.addData(Ev(1, ts("2025-01-01 10:00:00"), 1, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // sentinel advances the watermark to 11:50, far past id 1's expiry
+    mem.addData(Ev(2, ts("2025-01-01 12:00:00"), 99, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // same event_id again after eviction → re-emitted
+    mem.addData(Ev(1, ts("2025-01-01 12:01:00"), 1, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_exp").count() === 3,
+      "expired dedup state must re-admit the key")
+  }
+
   test("flatMapGroupsWithState keeps a running per-user total across batches") {
     val mem = MemoryStream[Ev]
     val q = Streams.runningPurchaseTotals(spark, mem.toDF())

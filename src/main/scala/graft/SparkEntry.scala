@@ -54,6 +54,7 @@ object SparkEntry {
     "source_xml" -> (SinkQueries.sourceXml _),
     "source_text" -> (SinkQueries.sourceText _),
     "source_binary" -> (SinkQueries.sourceBinary _),
+    "source_json_corrupt" -> (SinkQueries.sourceJsonCorrupt _),
     "table_meta" -> (SinkQueries.tableMeta _),
     "table_meta_types" -> (SinkQueries.tableMetaTypes _),
     "list_tables" -> (SinkQueries.listTables _),
@@ -680,6 +681,21 @@ object SparkEntry {
         |  ('region', 'TEMPORARY'), ('supplier', 'TEMPORARY'))
         |  AS t(table_name, table_type)
         |ORDER BY table_name ASC""".stripMargin,
+    // static expected frame for PERMISSIVE corrupt-record ingest: the
+    // fixture file is deterministic, so the oracle pins which rows
+    // parse, which fields NULL, and where the raw lines land
+    "source_json_corrupt" ->
+      """SELECT * FROM (VALUES
+        |  (NULL::BIGINT, NULL::VARCHAR, NULL::DOUBLE,
+        |   '{"id": 5, "name": [broken'),
+        |  (NULL::BIGINT, NULL::VARCHAR, NULL::DOUBLE, 'not json at all'),
+        |  (1::BIGINT, 'alpha', 10.5, NULL::VARCHAR),
+        |  (2, 'beta', 20.0, NULL),
+        |  (3, 'gamma', NULL::DOUBLE, NULL),
+        |  (4, 'delta', 40.25, NULL),
+        |  (6, 'zeta', -1.5, NULL))
+        |  AS t(id, name, v, corrupt_raw)
+        |ORDER BY id ASC NULLS FIRST, corrupt_raw ASC NULLS FIRST""".stripMargin,
     // canonical-type shadow of table_meta: both engines project their
     // native type names onto int64/utf8/f64/ts (catalog-drift gate)
     "table_meta_types" ->

@@ -360,6 +360,39 @@ object SinkQueries {
     LakeIO.listTables(spark)
   }
 
+  /** `source_json_corrupt` — PERMISSIVE-mode JSON ingest over a file
+    * with malformed lines: good rows parse (missing fields → NULL), bad
+    * lines survive as raw text in the corrupt-record column instead of
+    * failing the read (or silently vanishing, DROPMALFORMED's trap).
+    * The everyday Athena/lake ingestion reality — producers emit broken
+    * JSON and the pipeline must quarantine, not die. The fixture is a
+    * deterministic inline file, so the oracle is the static expected
+    * frame: which rows parse, which fields NULL, where raw lines land.
+    */
+  def sourceJsonCorrupt(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/source_json_corrupt"
+    val lines = Seq(
+      """{"id": 1, "name": "alpha", "v": 10.5}""",
+      """{"id": 2, "name": "beta", "v": 20.0}""",
+      """{"id": 3, "name": "gamma"}""",
+      """not json at all""",
+      """{"id": 4, "name": "delta", "v": 40.25}""",
+      """{"id": 5, "name": [broken""",
+      """{"id": 6, "name": "zeta", "v": -1.5}""")
+    val p = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("data.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    spark.read
+      .schema("id BIGINT, name STRING, v DOUBLE, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$out/data.jsonl")
+      .select(col("id"), col("name"), col("v"),
+        col("_corrupt_record").as("corrupt_raw"))
+      .orderBy(col("id").asc_nulls_first, col("corrupt_raw").asc_nulls_first)
+  }
+
   /** `list_tables_fixture` — oracle shadow of `list_tables` (VERDICT r6
     * #6): the catalog listing restricted to the fixture view names, so
     * the row set is independent of which saveAsTable queries ran first

@@ -102,6 +102,12 @@ object Scale100Probe {
       // and whether the vocab/model side stays broadcast-able
       time("ngram_lm", dir) { TextOps.ngramLm(spark, dir) }
       time("lm_doc_score", dir) { TextOps.lmDocScore(spark, dir) }
+      // round-7: the perplexity-bucketing pair — the exact ntile form
+      // funnels per-language, the sketch-cutoff form is the scale path;
+      // both read the lm memo (warmed by lm_doc_score above), so these
+      // rows time the BUCKETING step alone at 100×
+      time("qlm_exact", dir) { TextOps.qualityLmBucket(spark, dir) }
+      time("qlm_cutoff", dir) { TextOps.qualityLmBucketCutoff(spark, dir) }
     }
     spark.stop()
   }

@@ -84,6 +84,7 @@ object SparkEntry {
     "join_asof_forward" -> (Joins.joinAsOfForward _),
     "join_asof_tolerance" -> ((s: SparkSession, d: String) =>
       Joins.joinAsOfTolerance(s, d)),
+    "join_asof_nearest" -> (Joins.joinAsOfNearest _),
     "join_null_safe" -> (Joins.joinNullSafe _),
     "fn_url" -> (ScalarFns.fnUrl _),
     "stream_static_join" -> (EventWindows.streamStaticJoinBatch _),
@@ -877,6 +878,50 @@ object SparkEntry {
         |       THEN asof_key END AS asof_orderkey,
         |  CASE WHEN date_diff('day', asof_ts, at_ts) <= ${Joins.AsOfTolDays}
         |       THEN date_diff('day', asof_ts, at_ts)::INT END AS gap_days
+        |FROM carried WHERE side = 1 ORDER BY event_id ASC""".stripMargin,
+    // nearest = row-local argmin over the backward and forward carries
+    // (both frames over one sorted pass); ties go backward. Runs within
+    // events (purchase ↔ nearest error) so both directions compete
+    "join_asof_nearest" ->
+      """WITH tagged AS (
+        |  SELECT user_id AS ukey, ts AS at_ts,
+        |         NULL::BIGINT AS event_id, event_id AS o_key, 0 AS side,
+        |         ts AS o_ts
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, NULL::BIGINT, 1, NULL::TIMESTAMP
+        |  FROM events WHERE event_type = 'purchase'
+        |), carried AS (
+        |  SELECT event_id, ukey, at_ts, side,
+        |    last_value(o_key IGNORE NULLS) OVER wb AS back_key,
+        |    last_value(o_ts IGNORE NULLS) OVER wb AS back_ts,
+        |    first_value(o_key IGNORE NULLS) OVER wf AS fwd_key,
+        |    first_value(o_ts IGNORE NULLS) OVER wf AS fwd_ts
+        |  FROM tagged
+        |  WINDOW
+        |    wb AS (PARTITION BY ukey
+        |           ORDER BY at_ts ASC, side ASC, o_key ASC NULLS LAST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY ukey
+        |           ORDER BY at_ts ASC, side ASC, o_key ASC NULLS LAST
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_id, ukey AS user_id,
+        |  CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL::BIGINT
+        |       WHEN fwd_ts IS NULL THEN back_key
+        |       WHEN back_ts IS NULL THEN fwd_key
+        |       WHEN date_diff('microsecond', back_ts, at_ts)
+        |            <= date_diff('microsecond', at_ts, fwd_ts)
+        |         THEN back_key
+        |       ELSE fwd_key END AS nearest_error_id,
+        |  CASE WHEN back_ts IS NULL AND fwd_ts IS NULL THEN NULL::BIGINT
+        |       WHEN fwd_ts IS NULL
+        |         THEN date_diff('microsecond', back_ts, at_ts)
+        |       WHEN back_ts IS NULL
+        |         THEN date_diff('microsecond', at_ts, fwd_ts)
+        |       ELSE least(date_diff('microsecond', back_ts, at_ts),
+        |                  date_diff('microsecond', at_ts, fwd_ts))
+        |  END AS gap_us
         |FROM carried WHERE side = 1 ORDER BY event_id ASC""".stripMargin,
     "join_null_safe" ->
       """WITH o AS (SELECT o_orderkey, nullif(o_custkey % 1000, 0) AS k

@@ -207,6 +207,63 @@ object Joins {
       .orderBy(col("event_id").asc)
   }
 
+  /** `join_asof_nearest` — pandas `merge_asof(direction='nearest')`,
+    * completing the as-of family (backward / forward / tolerance /
+    * nearest): each purchase matches the same user's CLOSEST error
+    * event in time, earlier or later; ties go backward (pandas' rule).
+    * Runs within the events table — both directions genuinely compete
+    * at microsecond granularity (the orders-side variants are
+    * backward-only by fixture construction: orders end 2001, events
+    * start 2024). Both carries come from ONE user-keyed union + window
+    * pass — two frames over the same sort, so still a single shuffle;
+    * the pick is a row-local CASE. A same-timestamp error is reachable
+    * via the backward carry (gap 0 — necessarily minimal), so the
+    * forward frame's same-ts blindness can never change the answer.
+    */
+  def joinAsOfNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ukey"), col("ts").as("at_ts"),
+        col("event_id"), lit(null).cast("long").as("o_key"))
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("ukey"), col("ts").as("at_ts"),
+        lit(null).cast("long").as("event_id"),
+        col("event_id").as("o_key"))
+    val tagged = err.withColumn("side", lit(0))
+      .unionByName(pur.withColumn("side", lit(1)))
+      .withColumn("o_ts", when(col("side") === 0, col("at_ts")))
+    val sort = Seq(col("at_ts").asc, col("side").asc, col("o_key").asc)
+    val wBack = Window.partitionBy("ukey").orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy("ukey").orderBy(sort: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val gb = unix_micros(col("at_ts")) - unix_micros(col("back_ts"))
+    val gf = unix_micros(col("fwd_ts")) - unix_micros(col("at_ts"))
+    tagged
+      .withColumn("back_key",
+        last(col("o_key"), ignoreNulls = true).over(wBack))
+      .withColumn("back_ts",
+        last(col("o_ts"), ignoreNulls = true).over(wBack))
+      .withColumn("fwd_key",
+        first(col("o_key"), ignoreNulls = true).over(wFwd))
+      .withColumn("fwd_ts",
+        first(col("o_ts"), ignoreNulls = true).over(wFwd))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("ukey").as("user_id"),
+        when(col("back_ts").isNull && col("fwd_ts").isNull,
+          lit(null).cast("long"))
+          .when(col("fwd_ts").isNull, col("back_key"))
+          .when(col("back_ts").isNull, col("fwd_key"))
+          .when(gb <= gf, col("back_key"))
+          .otherwise(col("fwd_key")).as("nearest_error_id"),
+        when(col("back_ts").isNull && col("fwd_ts").isNull,
+          lit(null).cast("long"))
+          .when(col("fwd_ts").isNull, gb)
+          .when(col("back_ts").isNull, gf)
+          .otherwise(least(gb, gf)).as("gap_us"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** `join_null_safe` — null-safe equality join (`<=>` / IS NOT
     * DISTINCT FROM): NULL keys match each other instead of vanishing,
     * the semantics MERGE-by-nullable-key pipelines rely on. NULLs are

@@ -245,6 +245,47 @@ class FunctionSpec extends AnyFunSuite {
       assert(tol(eid) === expected, s"tolerance event $eid")
     }
     assert(nullified > 0, "fixture must exercise the beyond-tolerance path")
+    // nearest variant (purchase ↔ nearest error within events, µs
+    // gaps): argmin of the two directional carries, tie backward.
+    // Equal-ts errors sort BEFORE the purchase (side 0 < 1), so they
+    // are backward-side with gap 0 — the brute mirrors that.
+    def micros(v: Any): Long = v match {
+      case t: java.sql.Timestamp =>
+        t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      case d: java.time.LocalDateTime =>
+        d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000
+      case i: java.time.Instant =>
+        i.getEpochSecond * 1000000L + i.getNano / 1000
+      case other => fail(s"unexpected timestamp type $other")
+    }
+    val ev = Tables.events(spark2, TestSpark.sf)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+    val purFull = ev.filter(_.getString(3) == "purchase")
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.get(2))))
+    val errs = ev.filter(_.getString(3) == "error")
+      .map(r => (r.getLong(0), r.getLong(1), micros(r.get(2))))
+    val near = graft.operators.Joins.joinAsOfNearest(spark2, TestSpark.sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))))
+      .toMap
+    var forwardWins = 0
+    purFull.foreach { case (eid, uid, t) =>
+      val bc = errs.filter(e => e._2 == uid && e._3 <= t)
+      val b = if (bc.isEmpty) None
+        else { val m = bc.maxBy(e => (e._3, e._1)); Some((m._1, t - m._3)) }
+      val fc = errs.filter(e => e._2 == uid && e._3 > t)
+      val f = if (fc.isEmpty) None
+        else { val m = fc.minBy(e => (e._3, e._1)); Some((m._1, m._3 - t)) }
+      val expected = (b, f) match {
+        case (None, None) => None
+        case (Some(x), None) => Some(x)
+        case (None, Some(y)) => Some(y)
+        case (Some(x), Some(y)) =>
+          if (x._2 <= y._2) Some(x) else { forwardWins += 1; Some(y) }
+      }
+      assert(near(eid) === expected, s"nearest event $eid")
+    }
+    assert(forwardWins > 0, "fixture must exercise the forward-wins path")
   }
 
   test("pii_scrub redacts planted emails and phone numbers") {

@@ -134,6 +134,7 @@ object SparkEntry {
     "win_distribution" -> (Windows.winDistribution _),
     "win_range_frame" -> (Windows.winRangeFrame _),
     "win_ignore_nulls" -> (Windows.winIgnoreNulls _),
+    "win_nth" -> (Windows.winNth _),
     "topk_per_group" -> (Windows.topkPerGroup _),
     // §2.F sort / limit
     "sort_multikey" -> (Relational.sortMultikey _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "fn_string2" -> (ScalarFns.fnString2 _),
     "fn_array_hof" -> (ScalarFns.fnArrayHof _),
     "fn_explode_outer" -> (ScalarFns.fnExplodeOuter _),
+    "fn_tz" -> (ScalarFns.fnTz _),
     "fn_try" -> (ScalarFns.fnTry _),
     "fn_pad_trim" -> (ScalarFns.fnPadTrim _),
     "fn_date" -> (ScalarFns.fnDate _),
@@ -1184,6 +1186,16 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC
         |             RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
+    "win_nth" ->
+      """SELECT o_custkey, o_orderkey,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_order,
+        |  ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC)::INT AS quartile
+        |FROM orders
+        |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
     "win_ignore_nulls" ->
       """SELECT user_id, event_id, event_type,
         |  lag(pv, 1 IGNORE NULLS) OVER w AS prev_purchase_value,
@@ -1291,6 +1303,23 @@ object SparkEntry {
         |  round(list_sum(list_transform(embedding,
         |    x -> x::DOUBLE * x::DOUBLE)), 4) AS sum_sq
         |FROM embeddings ORDER BY vec_id ASC""".stripMargin,
+    // DuckDB timezone() overloads: (zone, TIMESTAMP) interprets the
+    // naive value IN the zone → TIMESTAMPTZ; (zone, TIMESTAMPTZ)
+    // renders the instant in the zone → naive TIMESTAMP. Session TZ is
+    // UTC on both engines, so ::TIMESTAMPTZ reads the fixture value as
+    // UTC — matching from_utc_timestamp — and the double application
+    // is the to_utc round-trip
+    "fn_tz" ->
+      """SELECT event_id, ts,
+        |  timezone('Asia/Kolkata', ts::TIMESTAMPTZ) AS ts_kolkata,
+        |  timezone('America/Sao_Paulo', ts::TIMESTAMPTZ) AS ts_sao_paulo,
+        |  timezone('Asia/Kolkata',
+        |    timezone('Asia/Kolkata', ts::TIMESTAMPTZ))::TIMESTAMP
+        |    AS ts_roundtrip,
+        |  hour(timezone('Asia/Kolkata', ts::TIMESTAMPTZ))::INT
+        |    AS hour_kolkata
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id ASC""".stripMargin,
     // OUTER retention: empty-array docs survive as one NULL row — the
     // UNION arm is exactly the rows plain explode would silently drop
     "fn_explode_outer" ->

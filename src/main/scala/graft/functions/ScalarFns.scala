@@ -64,6 +64,27 @@ object ScalarFns {
           .as("sum_sq"))
       .orderBy(col("vec_id").asc)
 
+  /** `fn_tz` — timezone conversion (from_utc_timestamp /
+    * to_utc_timestamp / local-hour extraction): the Athena/Presto
+    * AT TIME ZONE surface every analytics user hits. Zones chosen
+    * WITHOUT DST (Asia/Kolkata +05:30, America/Sao_Paulo −03 since
+    * 2019) so the conversion is a constant offset on the 2024 fixture
+    * and the cross-engine parity is exact; the round-trip column pins
+    * from/to inverse-ness.
+    */
+  def fnTz(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"), col("ts"),
+        from_utc_timestamp(col("ts"), "Asia/Kolkata").as("ts_kolkata"),
+        from_utc_timestamp(col("ts"), "America/Sao_Paulo")
+          .as("ts_sao_paulo"),
+        to_utc_timestamp(from_utc_timestamp(col("ts"), "Asia/Kolkata"),
+          "Asia/Kolkata").as("ts_roundtrip"),
+        hour(from_utc_timestamp(col("ts"), "Asia/Kolkata"))
+          .as("hour_kolkata"))
+      .orderBy(col("event_id").asc)
+
   /** `fn_explode_outer` — LATERAL VIEW OUTER / explode_outer semantics:
     * rows whose array is EMPTY survive as a single NULL row instead of
     * vanishing (plain explode drops them — the classic silent-row-loss

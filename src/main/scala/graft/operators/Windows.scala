@@ -46,6 +46,25 @@ object Windows {
       .orderBy(col("user_id").asc, col("event_id").asc)
   }
 
+  /** `win_nth` — nth_value over the full partition frame + ntile
+    * bucketing: each order sees the customer's SECOND-ever order key
+    * (NULL for single-order customers) and its own quartile in the
+    * customer's history — the remaining ANSI window functions not
+    * covered by the rank/lag/first families. ntile's tie-break is
+    * pinned by the (date, key) sort so assignment is deterministic.
+    */
+  def winNth(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wFull = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
   /** `win_ignore_nulls` — lag/lead with IGNORE NULLS: per user, the
     * value of the most recent EARLIER purchase and the nearest LATER
     * purchase, read at every event (non-purchase rows contribute NULL

@@ -67,6 +67,7 @@ object SparkEntry {
     "filter_in_between_like" -> (Relational.filterInBetweenLike _),
     "project_distinct" -> (Relational.projectDistinct _),
     "filter_subquery_in" -> (Relational.filterSubqueryIn _),
+    "filter_not_in_null" -> (Relational.filterNotInNull _),
     "filter_exists" -> (Relational.filterExists _),
     "scalar_subquery" -> (Relational.scalarSubquery _),
     "join_lateral" -> (Relational.joinLateral _),
@@ -367,7 +368,9 @@ object SparkEntry {
         |  FROM bg JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
         |          JOIN c1 ON bg.w1 = c1.w1),
         |lm AS (SELECT doc_id, count(*) AS n_bigrams,
-        |    round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logp
+        |    (CASE WHEN sum(lp) < 0 THEN -1 ELSE 1 END *
+        |     ((abs(CAST(sum(lp) * 1000000 AS BIGINT)) + 50 * count(*))
+        |        // (100 * count(*))))::DOUBLE / 10000.0 AS avg_logp
         |  FROM pb GROUP BY doc_id)""".stripMargin
 
   /** The df-capped ngram-Jaccard pair pipeline as CTEs ending in `p`
@@ -735,6 +738,10 @@ object SparkEntry {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 400000.0)
         |ORDER BY c_custkey ASC""".stripMargin,
+    // same ANSI SQL on both engines: NOT IN over a NULL-bearing
+    // subquery must collapse to 0 (three-valued logic), while the
+    // filtered NOT IN and NOT EXISTS agree on the real count
+    "filter_not_in_null" -> Relational.notInNullSql,
     "filter_exists" ->
       """SELECT o_orderkey, o_totalprice
         |FROM orders o

@@ -150,6 +150,34 @@ object Relational {
         |ORDER BY o_orderkey ASC""".stripMargin)
   }
 
+  /** `filter_not_in_null` — ANSI three-valued logic on NOT IN: when the
+    * subquery contains a NULL, `x NOT IN (...)` is never TRUE (x <> NULL
+    * is UNKNOWN), so the count collapses to 0 — the classic silent-empty
+    * trap every Athena/Presto user hits once. The query pins all three
+    * semantics side by side: the trap, the NULL-filtered NOT IN, and
+    * the equivalent NOT EXISTS (null-safe by construction). Identical
+    * ANSI SQL runs on both engines.
+    */
+  val notInNullSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM orders
+      |   WHERE o_custkey NOT IN
+      |     (SELECT nullif(c_custkey % 997, 0) FROM customer))
+      |    AS not_in_with_null,
+      |  (SELECT count(*) FROM orders
+      |   WHERE o_custkey NOT IN
+      |     (SELECT c_custkey % 997 FROM customer WHERE c_custkey % 997 <> 0))
+      |    AS not_in_filtered,
+      |  (SELECT count(*) FROM orders o
+      |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                     WHERE nullif(c.c_custkey % 997, 0) = o.o_custkey))
+      |    AS not_exists""".stripMargin
+
+  def filterNotInNull(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(notInNullSql)
+  }
+
   /** `sort_multikey` — global multi-key sort with explicit null ordering
     * (Spark ASC defaults NULLS FIRST vs DuckDB NULLS LAST — SURVEY.md
     * §5.3.2, so both directions are explicit).

@@ -519,8 +519,20 @@ object TextOps {
     bigrams.join(probs, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(round(log(col("p")), 6).cast("decimal(28,6)"))
-          .cast("double") / count(lit(1)), 4).as("avg_logp"))
+        sum(round(log(col("p")), 6).cast("decimal(28,6)")).as("s"))
+      // The final 4dp round runs in EXACT INTEGER arithmetic: the 6dp
+      // decimal sum scales to an exact BIGINT x, and round(x/1e6/n, 4)
+      // half-up = sign · ((|x| + 50n) DIV (100n)). A double division
+      // here let a half-boundary quotient flip between Spark's
+      // BigDecimal HALF_UP and DuckDB's multiply-round — caught by the
+      // r7 sf0.1 cross-check (one doc in 5,000 flipped −3.4063 vs
+      // −3.4064); integer DIV is bit-identical in both engines.
+      .withColumn("x", (col("s") * 1000000).cast("long"))
+      .withColumn("r",
+        expr("(abs(x) + 50L * n_bigrams) DIV (100L * n_bigrams)"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (when(col("x") < 0, -col("r")).otherwise(col("r"))
+          .cast("double") / 10000.0).as("avg_logp"))
       .orderBy(col("doc_id").asc)
   }
 

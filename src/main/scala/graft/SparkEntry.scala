@@ -817,7 +817,10 @@ object SparkEntry {
         |ORDER BY c_custkey ASC""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT'
+        |                    AND o_totalprice > 150000.0)
         |ORDER BY c_custkey ASC""".stripMargin,
     "join_cross" ->
       """SELECT n_nationkey, n_name, r_regionkey, r_name

@@ -95,10 +95,18 @@ object Joins {
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy(col("c_custkey").asc)
 
-  /** `join_anti` — NOT EXISTS as left-anti: customers with no orders. */
+  /** `join_anti` — NOT EXISTS as left-anti: customers with no URGENT
+    * high-value order. The right side is FILTERED (vs "no orders at
+    * all", which is vacuously empty on the fixtures — every customer
+    * has orders, so the oracle was matching 0 = 0; r7 vacuousness
+    * sweep) — non-empty survivors at every SF make the anti-join
+    * arithmetic actually falsifiable.
+    */
   def joinAnti(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
-      .join(Tables.orders(spark, sfDir),
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 150000.0),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy(col("c_custkey").asc)

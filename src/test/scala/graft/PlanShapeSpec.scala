@@ -178,6 +178,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows.isEmpty, "cutoff bucketing must not plan a window")
   }
 
+  test("win_ignore_nulls shuffles once: both carries share the user_id window") {
+    val p = plan(graft.operators.Windows.winIgnoreNulls(spark, sf))
+    // one hash Exchange for the keyed window (lag + lead share it) plus
+    // the declared ORDER BY's range Exchange
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"lag and lead must share one user_id partitioning:\n$p")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>")
+      || p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp"),
+      s"expected pruned events scan:\n$p")
+  }
+
+  test("join_asof_nearest keeps the as-of shape: union + one keyed window pass, no join") {
+    val p = plan(graft.operators.Joins.joinAsOfNearest(spark, sf))
+    assert(!p.contains("Join"), s"nearest as-of must stay join-free:\n$p")
+    assert(p.contains("Window"), s"expected the carry windows:\n$p")
+    // both carries use the same (ukey, sort) window spec → one hash
+    // Exchange + the ORDER BY's range Exchange
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"backward and forward carries must share one shuffle:\n$p")
+  }
+
   test("row-local operators read only the columns they emit") {
     // sample_stratified projects 3 source columns — the scan must prune
     val p = plan(graft.operators.TextOps.sampleStratified(spark, sf))

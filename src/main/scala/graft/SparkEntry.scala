@@ -390,7 +390,7 @@ object SparkEntry {
       |keep AS (SELECT t.source, t.h FROM tok t
       |         JOIN src_n n ON t.source = n.source
       |         GROUP BY t.source, t.h, n.src_n
-      |         HAVING count(*) <= n.src_n * 0.3),
+      |         HAVING count(*) <= least(n.src_n * 0.3, 10000)),
       |kept AS (SELECT t.source, t.doc_id, t.h FROM tok t
       |         JOIN keep k ON t.source = k.source AND t.h = k.h),
       |sizes AS (SELECT source, doc_id, count(*) AS n_sh
@@ -2058,8 +2058,10 @@ object SparkEntry {
         |          WHEN lang = 'de' THEN 10 ELSE 5 END)
         |ORDER BY doc_id ASC""".stripMargin,
     // mirrors the Spark df-cap: shingles with per-source document
-    // frequency > 0.3·|source| are dropped from the shingle universe
-    // before pairing (sizes post-filter too)
+    // frequency > min(0.3·|source|, 10000) are dropped from the shingle
+    // universe before pairing (sizes post-filter too); the absolute term
+    // is MinHashDedup.DefaultMaxDfAbs (r7 #1 — bounds posting lists by a
+    // constant at any corpus size; never binds at fixture scale)
     "dedup_ngram_jaccard" ->
       raw"""WITH $ngramPairCtes
         |SELECT source, a_id, b_id, jaccard FROM p WHERE jaccard >= 0.05

@@ -142,11 +142,32 @@ object MinHashDedup {
     * oracle-declared.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.05, maxDfFrac: Double = 0.3): DataFrame =
-    thresholdPairs(cachedNgramPairs(spark, sfDir, maxDfFrac), threshold)
+      threshold: Double = 0.05, maxDfFrac: Double = 0.3,
+      maxDfAbs: Int = DefaultMaxDfAbs): DataFrame =
+    thresholdPairs(cachedNgramPairs(spark, sfDir, maxDfFrac, maxDfAbs),
+      threshold)
+
+  /** Absolute posting-list cap for the exact n-gram pair family
+    * (VERDICT r7 #1). The relative cap (maxDfFrac·|source|) bounds every
+    * posting list as a FRACTION of the corpus, which is still quadratic
+    * in |source|: a shingle sitting just under 0.3·n contributes
+    * (0.3·n)² join pairs — at 100 TB that single shingle is the job. The
+    * absolute cap bounds every posting list — and therefore every
+    * (source, shingle) join task — by a CONSTANT: the effective cap is
+    * min(maxDfFrac·|source|, maxDfAbs), so pair fan-out per shingle is
+    * ≤ C(maxDfAbs, 2) regardless of corpus size. 10⁴ keeps the worst
+    * shingle's pair contribution ≤ 5·10⁷ rows — one task's work — while
+    * sitting far above any fixture df (sf0.1 documents ≈ 6·10³ rows
+    * total), so fixture results are bit-identical with or without it.
+    * Semantics note: like the relative cap, the dropped shingles leave
+    * the Jaccard a true set similarity over the capped universe (the
+    * sklearn max_df convention), and the cap is mirrored in the DuckDB
+    * oracle CTEs (SparkEntry.ngramPairCtes).
+    */
+  val DefaultMaxDfAbs: Int = 10000
 
   /** Per-process memo of the UN-thresholded pair similarities, keyed by
-    * (session, corpus dir, df cap): the threshold in this family only
+    * (session, corpus dir, df caps): the threshold in this family only
     * ever applies as the FINAL filter, so `dedup_ngram_jaccard` (θ=0.05),
     * `dedup_cluster`'s edge set (θ=0.2), and any caller-chosen threshold
     * are all views of ONE similarity pass — the compute-once/report-many
@@ -157,7 +178,7 @@ object MinHashDedup {
     */
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String, String, Double), DataFrame]()
+      (SparkSession, String, String, Double, Int), DataFrame]()
 
   /** Cheap corpus fingerprint (VERDICT r5 #8): sorted (path, length,
     * mtime) of every file under the corpus' documents table, MD5'd.
@@ -211,14 +232,15 @@ object MinHashDedup {
   }
 
   private def cachedNgramPairs(spark: SparkSession, sfDir: String,
-      maxDfFrac: Double): DataFrame = {
+      maxDfFrac: Double, maxDfAbs: Int = DefaultMaxDfAbs): DataFrame = {
     val fp = corpusFingerprint(spark, sfDir)
     evictStale(pairCache,
-      (k: (SparkSession, String, String, Double)) =>
+      (k: (SparkSession, String, String, Double, Int)) =>
         k._1 == spark && k._2 == sfDir && k._3 != fp,
-      (k: (SparkSession, String, String, Double)) => k._1)
-    pairCache.computeIfAbsent((spark, sfDir, fp, maxDfFrac), _ =>
-      ngramPairsDocs(Tables.documents(spark, sfDir), maxDfFrac).persist())
+      (k: (SparkSession, String, String, Double, Int)) => k._1)
+    pairCache.computeIfAbsent((spark, sfDir, fp, maxDfFrac, maxDfAbs), _ =>
+      ngramPairsDocs(Tables.documents(spark, sfDir), maxDfFrac, maxDfAbs)
+        .persist())
   }
 
   /** `dedup_containment` — directional containment similarity
@@ -232,8 +254,10 @@ object MinHashDedup {
     * the smaller shingle set, ties keep the a-side for determinism.
     */
   def ngramContainment(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.2, maxDfFrac: Double = 0.3): DataFrame =
-    containmentOf(cachedNgramPairs(spark, sfDir, maxDfFrac), threshold)
+      threshold: Double = 0.2, maxDfFrac: Double = 0.3,
+      maxDfAbs: Int = DefaultMaxDfAbs): DataFrame =
+    containmentOf(cachedNgramPairs(spark, sfDir, maxDfFrac, maxDfAbs),
+      threshold)
 
   /** Containment view over any pairs frame carrying
     * (source, a_id, b_id, n_inter, a_n, b_n) — see [[ngramContainment]].
@@ -269,20 +293,21 @@ object MinHashDedup {
     * Shingles are compared by 64-bit hash, not string — identical
     * Jaccard up to hash collisions (≈n²/2⁶⁴ per pair, negligible).
     *
-    * Skew guard (VERDICT r1 #5): a shingle shared by k docs in a source
-    * yields k(k−1)/2 self-join rows, so one stop-word bigram makes the
-    * hot partition quadratic. Shingles with document frequency >
-    * maxDfFrac·|source| are dropped from the shingle universe BEFORE the
-    * self-join (sizes are computed post-filter, so Jaccard stays a true
-    * set similarity over the capped universe — the sklearn max_df
-    * convention). The df aggregation and the kept-filter join both run
-    * on the (source, shingle) key the explode already shuffles on, so
-    * the cap costs one co-partitioned pass, and bounds every posting
-    * list — and therefore every join task — by maxDfFrac·|source|.
+    * Skew guard (VERDICT r1 #5 + r7 #1): a shingle shared by k docs in a
+    * source yields k(k−1)/2 self-join rows, so one stop-word bigram makes
+    * the hot partition quadratic. Shingles with document frequency >
+    * min(maxDfFrac·|source|, maxDfAbs) are dropped from the shingle
+    * universe BEFORE the self-join (sizes are computed post-filter, so
+    * Jaccard stays a true set similarity over the capped universe — the
+    * sklearn max_df convention). The df aggregation and the kept-filter
+    * join both run on the (source, shingle) key the explode already
+    * shuffles on, so the cap costs one co-partitioned pass, and bounds
+    * every posting list — and therefore every join task — by a CONSTANT
+    * (the absolute term), not a corpus fraction.
     */
   def ngramJaccardDocs(documents: DataFrame, threshold: Double = 0.05,
-      maxDfFrac: Double = 0.3): DataFrame =
-    thresholdPairs(ngramPairsDocs(documents, maxDfFrac), threshold)
+      maxDfFrac: Double = 0.3, maxDfAbs: Int = DefaultMaxDfAbs): DataFrame =
+    thresholdPairs(ngramPairsDocs(documents, maxDfFrac, maxDfAbs), threshold)
 
   /** The similarity pass of [[ngramJaccardDocs]] WITHOUT the threshold
     * filter: every same-source pair sharing at least one under-cap
@@ -290,7 +315,7 @@ object MinHashDedup {
     * persists — thresholds are cheap views over it.
     */
   def ngramPairsDocs(documents: DataFrame,
-      maxDfFrac: Double = 0.3): DataFrame = {
+      maxDfFrac: Double = 0.3, maxDfAbs: Int = DefaultMaxDfAbs): DataFrame = {
     val docs = documents
       .withColumn("shh",
         graft.functions.ShingleKernel.shingleHashes(col("text"), 2))
@@ -303,10 +328,16 @@ object MinHashDedup {
     // stop-shingles clear a 0.3·|source| document frequency — so the
     // filter is a broadcast anti-join: tok is shuffled once for the df
     // aggregate and never again for the cap
+    // effective cap = min(maxDfFrac·|source|, maxDfAbs): the relative
+    // term handles small sources (a shingle in 30% of a 100-doc source
+    // is boilerplate), the ABSOLUTE term bounds the posting list — and
+    // therefore the per-shingle join fan-out — by a constant at any
+    // corpus size (VERDICT r7 #1; see [[DefaultMaxDfAbs]])
     val hot = tok.groupBy(col("source"), col("h"))
       .agg(count(lit(1)).as("df"))
       .join(broadcast(srcSizes), "source")
-      .filter(col("df") > col("src_n") * maxDfFrac)
+      .filter(col("df") >
+        least(col("src_n") * maxDfFrac, lit(maxDfAbs.toDouble)))
       .select(col("source"), col("h"))
     // Materialize ONE Exchange on the join key right after the cap:
     // `kept` is otherwise a narrow subtree (scan → explode → anti-join)

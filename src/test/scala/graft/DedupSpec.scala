@@ -720,6 +720,52 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Set((50L, 51L)))
   }
 
+  test("ngram ABSOLUTE df-cap bounds posting lists where the relative cap cannot (r7 #1)") {
+    // Planted hot shingle: every doc shares "hot hot", so its posting
+    // list is the whole source. The RELATIVE cap scales with the corpus
+    // — with maxDfFrac=1.0 it never binds, modeling the 100 TB failure
+    // mode where a shingle just under 0.3·n has a Θ(n) posting list and
+    // contributes Θ(n²) join pairs. The ABSOLUTE cap is a constant:
+    // pair fan-out per shingle stops growing once df > maxDfAbs.
+    def corpus(n: Int) = Seq.tabulate(n)(i =>
+      (i.toLong, "src", s"hot hot unique$i tail$i word$i")).toDF(
+      "doc_id", "source", "text")
+    def pairCount(n: Int, maxDfAbs: Int): Long = MinHashDedup
+      .ngramJaccardDocs(corpus(n), threshold = 0.01,
+        maxDfFrac = 1.0, maxDfAbs = maxDfAbs).count()
+    // uncapped: quadratic — C(n,2) pairs from the hot shingle alone
+    assert(pairCount(40, maxDfAbs = 1000000) === 780L)
+    assert(pairCount(80, maxDfAbs = 1000000) === 3160L) // 2x docs -> ~4x pairs
+    // absolute cap at 25: the hot shingle (df=n > 25) is dropped at BOTH
+    // sizes; growth is now zero — sub-quadratic, bounded task size
+    assert(pairCount(40, maxDfAbs = 25) === 0L)
+    assert(pairCount(80, maxDfAbs = 25) === 0L)
+    // the cap prunes only the hot universe — a rare shingle pair at
+    // either corpus size still survives with its exact Jaccard
+    val docs = corpus(80).union(Seq(
+      (900L, "src", "rare pair rare pair alpha"),
+      (901L, "src", "rare pair rare pair beta")).toDF(
+      "doc_id", "source", "text"))
+    val kept = MinHashDedup
+      .ngramJaccardDocs(docs, threshold = 0.3, maxDfFrac = 1.0,
+        maxDfAbs = 25)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(kept === Set((900L, 901L)))
+    // declared-query default (10000) never binds at fixture scale:
+    // identical pair set with and without the absolute term on the
+    // real sf documents table
+    val withCap = MinHashDedup.ngramJaccardDocs(
+      graft.sources.Tables.documents(spark, TestSpark.sf),
+      threshold = 0.05, maxDfFrac = 0.3, maxDfAbs = 10000)
+      .collect().map(_.toSeq).toSet
+    val noAbs = MinHashDedup.ngramJaccardDocs(
+      graft.sources.Tables.documents(spark, TestSpark.sf),
+      threshold = 0.05, maxDfFrac = 0.3, maxDfAbs = Int.MaxValue)
+      .collect().map(_.toSeq).toSet
+    assert(withCap === noAbs, "default absolute cap must not bind at fixture scale")
+    assert(withCap.nonEmpty)
+  }
+
   test("lm_doc_score: repetitive text scores near 0, diverse text lower, <2-token docs dropped") {
     // doc 1: one bigram repeated — every bigram is fully predictable
     // under the corpus MLE model restricted to w1="spam" (p≈1) →

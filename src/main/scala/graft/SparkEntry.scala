@@ -105,6 +105,11 @@ object SparkEntry {
     "join_skew_salted" -> (Joins.joinSkewSalted _),
     "join_multiway" -> (Joins.joinMultiway _),
     "join_interval_overlap" -> (Joins.joinIntervalOverlap _),
+    // TPC-H-shaped composite macro queries (VERDICT r7 #2) — multi-join
+    // + agg + top-k composed on one plan; see operators/MacroQueries
+    "q_shaped_q3" -> (MacroQueries.qShapedQ3 _),
+    "q_shaped_q5" -> (MacroQueries.qShapedQ5 _),
+    "q_shaped_q10" -> (MacroQueries.qShapedQ10 _),
     // §2.D aggregations
     "agg_group_sum" -> (Aggregates.aggGroupSum _),
     "agg_count_distinct" -> (Aggregates.aggCountDistinct _),
@@ -963,6 +968,50 @@ object SparkEntry {
         |  AND l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate <  TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY n_name ASC""".stripMargin,
+    // --- TPC-H-shaped composites (r7 #2): revenue desc + unique-key
+    // tiebreaker makes every ORDER BY total, so the LIMIT is
+    // deterministic on both engines ---
+    "q_shaped_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate  > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q_shaped_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_shaped_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
     // --- §2.D ---
     "agg_group_sum" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Relational.dec
+
+/** TPC-H-shaped composite macro queries (VERDICT r7 #2): the per-operator
+  * suite times joins/aggs in isolation; these compose multi-join + filter
+  * + aggregate + top-k the way real reporting workloads do, so
+  * join-reordering, broadcast selection, partial aggregation, and AQE are
+  * exercised TOGETHER on one plan. Shapes follow the public TPC-H Q3 /
+  * Q5 / Q10 skeletons, adapted to the fixture's trimmed star schema.
+  *
+  * 100 TB plan intent (asserted for the fixture plans in PlanShapeSpec):
+  * - Selective dimension filters sit UNDER the joins (pushed to the
+  *   parquet scans), so the fact-side shuffle carries survivors only.
+  * - Small dims (nation, region, filtered supplier) are explicitly
+  *   broadcast; customer/orders/lineitem join on their keys — at fixture
+  *   scale AQE may upgrade those to broadcasts too, which is exactly the
+  *   runtime re-plan a 1000-executor cluster wants.
+  * - One hash-aggregate per query, partial map-side: the only full
+  *   shuffles are the fact joins and the single agg exchange.
+  * - Top-k ends in TakeOrderedAndProject — never a global sort.
+  * - Money sums run in DECIMAL(18,4) (order-independent under partial
+  *   aggregation), cast back to double for the comparable schema.
+  */
+object MacroQueries {
+
+  private def revenue = sum(
+    dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+    .cast("double").as("revenue")
+
+  /** `q_shaped_q3` — shipping-priority skeleton: one market segment's
+    * orders not yet shipped at the cutoff; top 10 open orders by accrued
+    * revenue. customer(filtered 1/5) ⋈ orders(date<) ⋈ lineitem(date>),
+    * group by the order, top-k.
+    */
+  def qShapedQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(revenue)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** `q_shaped_q5` — local-supplier-volume skeleton: revenue per nation
+    * for one region and one order-year, counting only lineitems whose
+    * supplier sits in the customer's own nation (the c_nationkey =
+    * s_nationkey equi-constraint is what distinguishes this from a plain
+    * star join — it correlates two dimension paths through the fact).
+    */
+  def qShapedQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val supp = broadcast(Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey"))
+    val nat = broadcast(Tables.nation(spark, sfDir))
+    val reg = broadcast(Tables.region(spark, sfDir)
+      .filter(col("r_name") === "ASIA"))
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(revenue)
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** `q_shaped_q10` — returned-item-reporting skeleton: revenue lost to
+    * returns per customer over one quarter; top 20 customers.
+    * lineitem(returnflag) ⋈ orders(quarter) ⋈ customer ⋈ nation.
+    */
+  def qShapedQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nat = broadcast(Tables.nation(spark, sfDir))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(revenue)
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+}

@@ -50,6 +50,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected ≥2 broadcast joins (nation, region):\n$p")
   }
 
+  test("TPC-H-shaped composites: pushed dim filters, broadcast dims, one agg, top-k (r7 #2)") {
+    import graft.operators.MacroQueries
+    // q3: the segment filter reaches the customer scan; top-10 is
+    // TakeOrderedAndProject, never a global sort
+    val p3 = plan(MacroQueries.qShapedQ3(spark, sf))
+    assert(p3.contains("BUILDING") && p3.contains("PushedFilters"),
+      s"q3 segment filter must reach the scan:\n$p3")
+    assert(p3.contains("TakeOrderedAndProject"), s"q3 expected top-k:\n$p3")
+    assert("HashAggregate".r.findAllIn(p3).length >= 2,
+      s"q3 expected partial+final agg:\n$p3")
+    // q5: six tables, no product join, supplier/nation/region broadcast
+    val p5 = plan(MacroQueries.qShapedQ5(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p5).length >= 3,
+      s"q5 expected ≥3 broadcast dim joins:\n$p5")
+    assert(!p5.contains("CartesianProduct") &&
+      !p5.contains("BroadcastNestedLoopJoin"),
+      s"q5 must not plan a product join:\n$p5")
+    // q10: returnflag filter pushed to the lineitem scan; single agg
+    val p10 = plan(MacroQueries.qShapedQ10(spark, sf))
+    assert(p10.contains("EqualTo(l_returnflag,R)"),
+      s"q10 returnflag filter must be pushed:\n$p10")
+    assert(p10.contains("TakeOrderedAndProject"), s"q10 expected top-k:\n$p10")
+  }
+
   test("as-of join is a single shuffle + window (no join explosion)") {
     val p = plan(Joins.joinAsOf(spark, sf))
     assert(p.contains("Window"), s"expected window operator:\n$p")

@@ -127,6 +127,8 @@ object SparkEntry {
     "agg_pivot" -> (Aggregates.aggPivot _),
     "agg_unpivot" -> (Aggregates.aggUnpivot _),
     "agg_percentile" -> (Aggregates.aggPercentile _),
+    "agg_approx_percentile" -> (Aggregates.aggApproxPercentile _),
+    "agg_approx_percentile_ok" -> (Aggregates.aggApproxPercentileOk _),
     "agg_collect" -> (Aggregates.aggCollect _),
     "agg_listagg" -> (Aggregates.aggListagg _),
     "agg_sortagg" -> (Aggregates.aggSortAgg _),
@@ -1174,6 +1176,15 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
+    // agg_approx_percentile itself is no-oracle (GK sketch vs t-digest);
+    // this shadow pins its rank-error CONTRACT: ok_* are TRUE iff the
+    // sketch's answer has rank within (p ± 1/accuracy)·n — a drifting
+    // sketch breaks the hash-match (the agg_approx_distinct_ok technique)
+    "agg_approx_percentile_ok" ->
+      """SELECT l_returnflag, TRUE AS ok_p50, TRUE AS ok_p90,
+        |  TRUE AS ok_p99, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin,
     "agg_collect" ->
       """SELECT n_regionkey,
         |  array_to_string(list_sort(list(n_name)), ',') AS nations,

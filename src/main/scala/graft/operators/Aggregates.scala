@@ -72,6 +72,64 @@ object Aggregates {
           / col("exact_users") <= 0.05).as("within_5pct"))
       .orderBy(col("event_type").asc)
 
+  /** `agg_approx_percentile` — GK-sketch quantile estimates
+    * (percentile_approx, accuracy 100 → rank error ≤ 1%) next to the
+    * exact interpolated percentiles. Not oracle-declared: the sketch's
+    * answer is engine-specific (Spark GK vs DuckDB t-digest). This is
+    * the 100 TB quantile path — fixed-size mergeable summary per group,
+    * no sort, no full materialization; the exact percentile needs the
+    * group's values collected to one aggregator. Shadowed by
+    * [[aggApproxPercentileOk]] (r7 #4).
+    */
+  def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 100)").as("apx_p50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 100)").as("apx_p90"),
+        expr("approx_percentile(l_extendedprice, 0.99, 100)").as("apx_p99"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("exact_p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("exact_p99"))
+      .orderBy(col("l_returnflag").asc)
+
+  /** Shadow oracle for `agg_approx_percentile` (the
+    * [[aggApproxDistinctOk]] technique): the sketch VALUE is
+    * engine-specific, but the GK error CONTRACT is checkable — a value
+    * returned for quantile p with accuracy a must have rank within
+    * (p ± 1/a)·n. The check is the standard tie-safe bracket: the
+    * fraction of rows ≤ v must reach p − ε and the fraction < v must
+    * not exceed p + ε. Emitted as ok_* booleans next to the exact group
+    * count, so a sketch drifting past its contract breaks the
+    * hash-match. One broadcast join of 3 sketch rows back onto the
+    * fact — the re-scan is the verification's cost, not the sketch's.
+    */
+  def aggApproxPercentileOk(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val acc = 100
+    val eps = 1.0 / acc
+    val apx = li.groupBy(col("l_returnflag")).agg(
+      expr(s"approx_percentile(l_extendedprice, 0.5, $acc)").as("v50"),
+      expr(s"approx_percentile(l_extendedprice, 0.9, $acc)").as("v90"),
+      expr(s"approx_percentile(l_extendedprice, 0.99, $acc)").as("v99"))
+    def okAt(v: String, p: Double) = {
+      val n = count(lit(1)).cast("double")
+      val le = sum(when(col("l_extendedprice") <= col(v), 1L).otherwise(0L))
+        .cast("double")
+      val lt = sum(when(col("l_extendedprice") < col(v), 1L).otherwise(0L))
+        .cast("double")
+      (le / n >= p - eps) && (lt / n <= p + eps)
+    }
+    li.join(broadcast(apx), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(okAt("v50", 0.5).as("ok_p50"),
+        okAt("v90", 0.9).as("ok_p90"),
+        okAt("v99", 0.99).as("ok_p99"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   /** `agg_rollup` — GROUP BY ROLLUP hierarchy with grouping_id. */
   def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

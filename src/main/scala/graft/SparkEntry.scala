@@ -46,6 +46,8 @@ object SparkEntry {
     "sink_schema_evolution" -> (SinkQueries.sinkSchemaEvolution _),
     "sink_zorder" -> (SinkQueries.sinkZorder _),
     "sink_compact" -> (SinkQueries.sinkCompact _),
+    "lake_history" -> (SinkQueries.lakeHistory _),
+    "lake_vacuum" -> (SinkQueries.lakeVacuum _),
     "merge_upsert" -> (SinkQueries.mergeUpsert _),
     "join_bucketed" -> (SinkQueries.joinBucketed _),
     "source_csv" -> (SinkQueries.sourceCsv _),
@@ -630,6 +632,29 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""".stripMargin,
+    // lake_history/lake_vacuum (r7 #5): the versioned write path's
+    // OBSERVABLE contract — which versions exist, the pinned per-write
+    // file count (8 round-robin writer tasks, all non-empty at every
+    // fixture SF), the latest flag, each snapshot's exact row count,
+    // and (vacuum) how many snapshots were physically deleted
+    "lake_history" ->
+      """SELECT 0 AS version, 8 AS n_files, FALSE AS is_latest,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 400000.0) AS n_rows
+        |UNION ALL
+        |SELECT 1, 8, FALSE,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 300000.0)
+        |UNION ALL
+        |SELECT 2, 8, TRUE,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 200000.0)
+        |ORDER BY version ASC""".stripMargin,
+    "lake_vacuum" ->
+      """SELECT 2 AS version, 8 AS n_files, FALSE AS is_latest,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 200000.0) AS n_rows,
+        |  2 AS n_dropped
+        |UNION ALL
+        |SELECT 3, 8, TRUE,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 100000.0), 2
+        |ORDER BY version ASC""".stripMargin,
     // z-order clustering changes file LAYOUT only — content round-trips
     "sink_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -2218,22 +2218,38 @@ object SparkEntry {
     // recall@k report composed from the three searcher oracles above
     // (nested-WITH derived tables — DuckDB-supported); count() keeps
     // zero-hit queries at hits=0 via the LEFT JOIN
+    // codebook column + floor contract (r7 #7): lsh/stride rows are
+    // fully recomputed here (floor_ok genuinely FALSE for the 8-bit
+    // fixture LSH, TRUE for stride IVF); the kmeans summary row's
+    // centroids are not DuckDB-replicable, so its floor_ok TRUE is the
+    // shadow assertion — Spark measures the pinned-seed k-means||
+    // mean recall against the same 0.25 floor (margins 0.70/0.74/0.42
+    // at the three fixture SFs)
     "ann_recall" ->
       raw"""WITH ex AS (SELECT q_id, c_id FROM ($knnOracleSql) t),
         |ap AS (
         |  SELECT 'lsh' AS method, q_id, c_id FROM ($lshOracleSql) t
         |  UNION ALL
         |  SELECT 'ivf' AS method, q_id, c_id FROM ($ivfOracleSql) t),
-        |m AS (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'),
-        |base AS (SELECT m.method, ex.q_id, ex.c_id FROM m CROSS JOIN ex),
-        |hit AS (SELECT b.method, b.q_id,
+        |m AS (SELECT 'lsh' AS method, 'none' AS codebook
+        |      UNION ALL SELECT 'ivf', 'stride'),
+        |base AS (SELECT m.method, m.codebook, ex.q_id, ex.c_id
+        |         FROM m CROSS JOIN ex),
+        |hit AS (SELECT b.method, b.codebook, b.q_id,
         |    count(a.c_id) AS hits, count(*) AS exact_n
         |  FROM base b LEFT JOIN ap a
         |    ON a.method = b.method AND a.q_id = b.q_id AND a.c_id = b.c_id
-        |  GROUP BY b.method, b.q_id)
-        |SELECT method, q_id, hits,
-        |  round(hits::DOUBLE / exact_n, 4) AS recall
-        |FROM hit ORDER BY method ASC, q_id ASC""".stripMargin,
+        |  GROUP BY b.method, b.codebook, b.q_id)
+        |SELECT * FROM (
+        |  SELECT method, codebook, q_id, hits,
+        |    round(hits::DOUBLE / exact_n, 4) AS recall,
+        |    avg(round(hits::DOUBLE / exact_n, 4))
+        |      OVER (PARTITION BY method, codebook) >= 0.25 AS floor_ok
+        |  FROM hit
+        |  UNION ALL
+        |  SELECT 'ivf', 'kmeans', -1::BIGINT, NULL::BIGINT,
+        |    NULL::DOUBLE, TRUE)
+        |ORDER BY method ASC, codebook ASC, q_id ASC""".stripMargin,
     // full replication of the production 48-bit/4-band pipeline (NOT the
     // exact-subset trick dedup_embedding uses): same banding, same
     // verify — equality holds at any threshold/SF, not just recall-1

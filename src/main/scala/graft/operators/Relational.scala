@@ -157,20 +157,28 @@ object Relational {
     * semantics side by side: the trap, the NULL-filtered NOT IN, and
     * the equivalent NOT EXISTS (null-safe by construction). Identical
     * ANSI SQL runs on both engines.
+    *
+    * Modulus 7, not 997 (ADVICE r7): the planted NULL exists iff some
+    * c_custkey % m == 0, so m must not exceed the SMALLEST fixture's
+    * customer count (150 at sf0.001; 997 made the trap vacuous there —
+    * no NULL, not_in_with_null silently equal to not_in_filtered while
+    * cross-engine parity still passed). m=7 guarantees a NULL at every
+    * SF; RelationalNullSpec asserts the plant is live on the test
+    * fixture.
     */
   val notInNullSql: String =
     """SELECT
       |  (SELECT count(*) FROM orders
       |   WHERE o_custkey NOT IN
-      |     (SELECT nullif(c_custkey % 997, 0) FROM customer))
+      |     (SELECT nullif(c_custkey % 7, 0) FROM customer))
       |    AS not_in_with_null,
       |  (SELECT count(*) FROM orders
       |   WHERE o_custkey NOT IN
-      |     (SELECT c_custkey % 997 FROM customer WHERE c_custkey % 997 <> 0))
+      |     (SELECT c_custkey % 7 FROM customer WHERE c_custkey % 7 <> 0))
       |    AS not_in_filtered,
       |  (SELECT count(*) FROM orders o
       |   WHERE NOT EXISTS (SELECT 1 FROM customer c
-      |                     WHERE nullif(c.c_custkey % 997, 0) = o.o_custkey))
+      |                     WHERE nullif(c.c_custkey % 7, 0) = o.o_custkey))
       |    AS not_exists""".stripMargin
 
   def filterNotInNull(spark: SparkSession, sfDir: String): DataFrame = {

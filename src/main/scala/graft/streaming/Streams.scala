@@ -98,6 +98,23 @@ class TtlRunningTotalProcessor(ttlMs: Long)
   * tuple + one timer per in-flight session per user: bounded by active
   * users, evicted exactly at session close.
   *
+  * SINGLE-OPEN-SESSION LIMITATION (ADVICE r7, documented by design):
+  * state holds ONE open interval per key — the newest. A closed-but-
+  * not-watermark-expired earlier island is emitted in the batch that
+  * closes it, so a late row arriving in a LATER micro-batch (still
+  * above the watermark, within the gap of that already-emitted island)
+  * starts a fresh island instead of extending the emitted one: the
+  * output can contain a split that re-sorting the full input would
+  * merge. Within one micro-batch the fold IS exactly batch-equivalent
+  * (the replay spec asserts this); across micro-batches the guarantee
+  * is only as strong as the watermark — the same trade
+  * `session_window` makes in update mode before watermark expiry.
+  * An extension needing exact cross-batch late-chain merging would
+  * hold closed islands in ListState keyed by island_end and emit them
+  * from handleExpiredTimer only once the watermark passes
+  * island_end + gap (cost: state grows with unexpired islands, not
+  * just open sessions).
+  *
   * Input: (user_id, ts_ms, value); output: (user_id, start_ms, n, sum).
   */
 class SessionTimerProcessor(gapUs: Long)
@@ -138,9 +155,11 @@ class SessionTimerProcessor(gapUs: Long)
     // instead of being absorbed (ADVICE r7 — min(start, ts) absorption
     // diverged from the batch form), and a chain of late rows that
     // reaches within the gap of the open session bridges into it,
-    // exactly as re-sorting the full batch would. The open interval's
-    // internal points are within-gap by construction, so interval-level
-    // merging equals point-level island formation.
+    // exactly as re-sorting THIS micro-batch (plus the open interval)
+    // would — equivalence across micro-batches is weaker; see the
+    // single-open-session limitation in the class scaladoc. The open
+    // interval's internal points are within-gap by construction, so
+    // interval-level merging equals point-level island formation.
     val atoms = rows.map { case (_, ts, v) => (ts, ts, 1L, scaled(v)) }
       .toIndexedSeq ++ (if (sess.exists()) Seq(sess.get()) else Nil)
     var st: Option[(Long, Long, Long, Long)] = None

@@ -14,6 +14,22 @@ class FunctionSpec extends AnyFunSuite {
   val sf = TestSpark.sf
   import spark.implicits._
 
+  test("filter_not_in_null: the planted NULL is live at the smallest fixture (ADVICE r7)") {
+    // the three-valued-logic pin is only non-vacuous if the NOT IN
+    // subquery actually contains a NULL — i.e. some customer has
+    // c_custkey % 7 == 0 — at EVERY fixture SF, including this one
+    graft.sources.Tables.registerAll(spark, sf)
+    val nNull = spark.sql(
+      "SELECT count(*) FROM customer WHERE c_custkey % 7 = 0")
+      .head().getLong(0)
+    assert(nNull > 0, "no customer divisible by 7: the NULL trap is vacuous")
+    val r = graft.operators.Relational.filterNotInNull(spark, sf).head()
+    assert(r.getLong(0) === 0L,
+      "NOT IN over a subquery containing NULL must be silently empty")
+    assert(r.getLong(1) > 0L && r.getLong(1) === r.getLong(2),
+      "NULL-filtered NOT IN must equal NOT EXISTS and be non-empty")
+  }
+
   test("fn_map builds and accesses maps from parsed props") {
     val rows = ScalarFns.fnMap(spark, sf).limit(5).collect()
     assert(rows.nonEmpty)

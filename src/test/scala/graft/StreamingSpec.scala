@@ -320,7 +320,8 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("TTL'd state: totals accumulate within TTL, reset after eviction") {
+  test("TTL'd state: totals accumulate within TTL, reset after eviction",
+      SlowTest) {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

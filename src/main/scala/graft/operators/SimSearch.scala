@@ -275,14 +275,19 @@ object SimSearch {
     // share an exact 8-bit bucket with their true top-k) and TRUE for
     // both IVF codebooks. The report-sized window is 10 rows.
     def perQuery(method: String, codebook: String,
-        approx: DataFrame): DataFrame =
-      hitsOf(approx)
+        approx: DataFrame): DataFrame = {
+      val h = hitsOf(approx)
         .withColumn("recall",
           round(col("hits").cast("double") / col("exact_n"), 4))
-        .withColumn("floor_ok",
-          avg(col("recall")).over(Window.partitionBy(lit(1))) >= 0.25)
+      // 1-row broadcast cross join for the searcher mean (the
+      // agg_histogram bounds pattern) — a constant-partitioned window
+      // would plan un-keyed, which the ContractSpec invariant forbids
+      val mean = h.agg(avg(col("recall")).as("mean_recall"))
+      h.crossJoin(broadcast(mean))
+        .withColumn("floor_ok", col("mean_recall") >= 0.25)
         .select(lit(method).as("method"), lit(codebook).as("codebook"),
           col("q_id"), col("hits"), col("recall"), col("floor_ok"))
+    }
     // Learned-codebook row (VERDICT r7 #7): k-means|| centroids are not
     // DuckDB-replicable, so per-query hits are not oracle-expressible;
     // the declared contract is the summary row — the learned codebook's

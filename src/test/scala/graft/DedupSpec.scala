@@ -676,16 +676,19 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("ann_recall report: IVF clears the generic-top-k floor; LSH owns high similarity") {
-    val rep = SimSearch.annRecall(spark, TestSpark.sf).collect()
-    assert(rep.length === 20) // 2 methods × 10 queries
+    val all = SimSearch.annRecall(spark, TestSpark.sf).collect()
+    assert(all.length === 21) // 2 per-query searchers × 10 + kmeans summary
+    // per-query rows (the r8 kmeans summary row is contract-granular,
+    // asserted in its own test above)
+    val rep = all.filter(_.getString(1) != "kmeans")
     val byM = rep.groupBy(_.getString(0))
     assert(byM.keySet === Set("ivf", "lsh"))
     // every query appears for both methods; hits bounded by k
     byM.values.foreach(rows =>
-      assert(rows.map(_.getLong(1)).toSet === (0L until 10L).toSet))
-    assert(rep.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 5))
+      assert(rows.map(_.getLong(2)).toSet === (0L until 10L).toSet))
+    assert(rep.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 5))
     // measured 0.72 mean on the fixture — floor with margin
-    val ivfMean = byM("ivf").map(_.getDouble(3)).sum / 10
+    val ivfMean = byM("ivf").map(_.getDouble(4)).sum / 10
     assert(ivfMean >= 0.6, s"IVF mean recall@5 $ivfMean < 0.6")
     // Generic top-5 of this corpus sits at cos 0.25–0.5, where a single
     // 8-bit hyperplane bucket collides with P ≈ (1 − θ/π)^8 ≈ 0.02 per
@@ -693,7 +696,7 @@ class DedupSpec extends AnyFunSuite {
     // of the regime, and the report MEASURES it instead of hiding it.
     // IVF is the generic-top-k scale path; LSH's design regime is high
     // similarity (floor asserted next, equality-vs-exact above).
-    val lshMean = byM("lsh").map(_.getDouble(3)).sum / 10
+    val lshMean = byM("lsh").map(_.getDouble(4)).sum / 10
     assert(lshMean <= ivfMean,
       "LSH beating IVF on generic top-k would invalidate the regime docs")
     // high-similarity floor: banded LSH recall ≥ 0.9 on planted

@@ -112,6 +112,7 @@ object SparkEntry {
     "q_shaped_q3" -> (MacroQueries.qShapedQ3 _),
     "q_shaped_q5" -> (MacroQueries.qShapedQ5 _),
     "q_shaped_q10" -> (MacroQueries.qShapedQ10 _),
+    "q_shaped_q18" -> (MacroQueries.qShapedQ18 _),
     // §2.D aggregations
     "agg_group_sum" -> (Aggregates.aggGroupSum _),
     "agg_count_distinct" -> (Aggregates.aggCountDistinct _),
@@ -1025,6 +1026,19 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_shaped_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 180)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
     "q_shaped_q10" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -436,6 +436,65 @@ object Joins {
     * exercises Catalyst join reordering. Revenue per nation for one
     * region over a date slice (TPC-H Q5 shape).
     */
+  /** Library form of the hot-user mitigation the as-of family's scaladoc
+    * documents (VERDICT r7 #6; measured in AsOfSkewProbe): the forward
+    * carry `last(valCol, ignoreNulls) over (partitionBy keyCol orderBy
+    * tsCol)` computed as RANGE-SPLIT + BOUNDARY CARRY, so one
+    * pathological key's timeline becomes ceil(range/bucketWidth)
+    * parallel tasks instead of a single serialized window partition.
+    *
+    * Exactly equivalent to the single-window carry (the carry is a
+    * prefix scan; the per-bucket rollup is its segment tree) under the
+    * tie rule "among equal timestamps the GREATEST value wins", which
+    * both formulations implement (the window orders by (ts, value), the
+    * rollup takes max(struct(ts, value))); with unique timestamps per
+    * key — the as-of queries' case — the rule never fires. Spec-asserted
+    * equal on planted multi-bucket data with nulls, empty buckets, and a
+    * hot key (JoinsCarrySpec).
+    *
+    * Cost: two narrow shuffles over the same (key, bucket) layout plus
+    * a one-row-per-bucket rollup — pays for itself once one key's rows
+    * ≫ a task's worth (probe: wall 6.0 → 4.4 s, max task 2.1 → 1.1 s
+    * with a user owning 4M of 8M rows); below that, keep the plain
+    * window. tsCol and valCol must be numeric; bucketWidth is in tsCol
+    * units.
+    */
+  def carryLastRangeSplit(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, bucketWidth: Long, out: String = "carry"): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val bucketed = df.withColumn("__bucket",
+      floor(col(tsCol) / bucketWidth).cast("long"))
+    val wIn = Window.partitionBy(col(keyCol), col("__bucket"))
+      .orderBy(col(tsCol).asc, col(valCol).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = bucketed.withColumn("__w",
+      last(col(valCol), ignoreNulls = true).over(wIn))
+    val rollup = bucketed
+      .groupBy(col(keyCol), col("__bucket"))
+      .agg(max(when(col(valCol).isNotNull,
+        struct(col(tsCol).as("t"), col(valCol).as("v")))).as("__last"))
+    val wSeam = Window.partitionBy(col(keyCol)).orderBy(col("__bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = rollup.withColumn("__ci",
+      last(col("__last.v"), ignoreNulls = true).over(wSeam))
+      .select(col(keyCol), col("__bucket"), col("__ci"))
+    within.join(carryIn, Seq(keyCol, "__bucket"))
+      .withColumn(out, coalesce(col("__w"), col("__ci")))
+      .drop("__bucket", "__w", "__ci")
+  }
+
+  /** The plain single-window forward carry [[carryLastRangeSplit]] is
+    * equivalent to — the shape the declared as-of queries use (and the
+    * baseline its spec compares against). Same (ts, value) tie rule.
+    */
+  def carryLastPlain(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, out: String = "carry"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(valCol).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, last(col(valCol), ignoreNulls = true).over(w))
+  }
+
   def joinMultiway(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&

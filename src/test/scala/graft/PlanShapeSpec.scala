@@ -72,6 +72,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p10.contains("EqualTo(l_returnflag,R)"),
       s"q10 returnflag filter must be pushed:\n$p10")
     assert(p10.contains("TakeOrderedAndProject"), s"q10 expected top-k:\n$p10")
+    // q18: the HAVING-aggregate qualifier semi-joins the fact (one keyed
+    // pass, never a correlated re-scan), no products, top-k
+    val p18 = plan(MacroQueries.qShapedQ18(spark, sf))
+    assert(p18.contains("LeftSemi"), s"q18 expected a semi join:\n$p18")
+    assert(!p18.contains("CartesianProduct") &&
+      !p18.contains("BroadcastNestedLoopJoin"),
+      s"q18 must not plan a product join:\n$p18")
+    assert(p18.contains("TakeOrderedAndProject"), s"q18 expected top-k:\n$p18")
   }
 
   test("as-of join is a single shuffle + window (no join explosion)") {

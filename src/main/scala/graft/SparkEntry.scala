@@ -132,6 +132,8 @@ object SparkEntry {
     "agg_percentile" -> (Aggregates.aggPercentile _),
     "agg_approx_percentile" -> (Aggregates.aggApproxPercentile _),
     "agg_approx_percentile_ok" -> (Aggregates.aggApproxPercentileOk _),
+    "agg_map_agg" -> (Aggregates.aggMapAgg _),
+    "agg_argmax" -> (Aggregates.aggArgMax _),
     "agg_collect" -> (Aggregates.aggCollect _),
     "agg_listagg" -> (Aggregates.aggListagg _),
     "agg_sortagg" -> (Aggregates.aggSortAgg _),
@@ -1222,6 +1224,30 @@ object SparkEntry {
     "agg_approx_percentile_ok" ->
       """SELECT l_returnflag, TRUE AS ok_p50, TRUE AS ok_p90,
         |  TRUE AS ok_p99, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin,
+    // map_agg surface: statuses are single chars and unique per group,
+    // so sorted-entry CSV == string_agg ORDER BY key
+    "agg_map_agg" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus AS s,
+        |             count(*) AS cnt
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority,
+        |  string_agg(s || '=' || cnt, ',' ORDER BY s) AS status_counts
+        |FROM c GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
+    // arg-max with a UNIQUE packed ordering value (exact price cents +
+    // row identity) so value ties cannot make the pick engine-arbitrary
+    "agg_argmax" ->
+      """SELECT l_returnflag,
+        |  arg_max(l_orderkey || ':' || l_linenumber,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 100000000
+        |      + l_orderkey * 10 + l_linenumber) AS max_price_item,
+        |  arg_min(l_orderkey || ':' || l_linenumber,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 100000000
+        |      + l_orderkey * 10 + l_linenumber) AS min_price_item,
+        |  round(max(l_extendedprice), 2) AS max_price,
+        |  round(min(l_extendedprice), 2) AS min_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC""".stripMargin,
     "agg_collect" ->

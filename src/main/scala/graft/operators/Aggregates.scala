@@ -130,6 +130,53 @@ object Aggregates {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** `agg_map_agg` — Presto/Athena `map_agg(k, v)`: per order priority,
+    * the status→count map, built through Spark's actual MAP type
+    * (collect entries → map_from_entries) and serialized to a sorted
+    * `k=v` CSV for the comparator (map columns are unhashable there —
+    * the `agg_collect` rule; statuses are single chars, so the
+    * lexicographic entry sort equals ORDER BY key). Two keyed
+    * aggregations, both partial-aggregating map-side.
+    */
+  def aggMapAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(
+        collect_list(struct(col("o_orderstatus"), col("cnt")))).as("m"))
+      .select(col("o_orderpriority"),
+        array_join(array_sort(transform(map_entries(col("m")),
+          e => concat_ws("=", e.getField("key"), e.getField("value")))),
+          ",").as("status_counts"))
+      .orderBy(col("o_orderpriority").asc)
+
+  /** `agg_argmax` — `max_by`/`min_by` (Presto's arg-max surface; DuckDB
+    * `arg_max`/`arg_min`): per return flag, which lineitem carries the
+    * extreme extended price. Raw max_by is engine-arbitrary on value
+    * ties, so the ordering value is made UNIQUE by packing exact price
+    * cents with the (orderkey, linenumber) row identity into one BIGINT
+    * — both engines then pick the same row deterministically (the
+    * `agg_mode_median` tie-pinning rule, done arithmetically instead of
+    * with a window).
+    */
+  def aggArgMax(spark: SparkSession, sfDir: String): DataFrame = {
+    // cents ≤ ~1.1e7, row id = okey*10+lineno ≤ ~6e7 < 1e8 → packed
+    // value < 1.2e15, exact in BIGINT on both engines
+    val ord = (round(col("l_extendedprice") * 100, 0).cast("long")
+      * 100000000L) + (col("l_orderkey") * 10L + col("l_linenumber"))
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max_by(concat_ws(":", col("l_orderkey"), col("l_linenumber")), ord)
+          .as("max_price_item"),
+        min_by(concat_ws(":", col("l_orderkey"), col("l_linenumber")), ord)
+          .as("min_price_item"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(min(col("l_extendedprice")), 2).as("min_price"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   /** `agg_rollup` — GROUP BY ROLLUP hierarchy with grouping_id. */
   def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)

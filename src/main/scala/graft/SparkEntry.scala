@@ -293,6 +293,8 @@ object SparkEntry {
     "repetition_score" -> (TextOps.repetitionScore _),
     "quality_classifier" -> (TextOps.qualityClassifier _),
     "vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopk(s, d)),
+    "vocab_topk_approx" -> ((s: SparkSession, d: String) =>
+      TextOps.vocabTopkApprox(s, d)),
     "dedup_incremental" -> (TextOps.dedupIncremental _),
     "ngram_lm" -> ((s: SparkSession, d: String) => TextOps.ngramLm(s, d)),
     "lm_doc_score" -> (TextOps.lmDocScore _),
@@ -1924,6 +1926,15 @@ object SparkEntry {
         |  SELECT unnest(string_split($normT, ' ')) AS token FROM documents)
         |WHERE len(token) > 0
         |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin,
+    // the sketch's EXACT regime: fixture vocab (31 tokens) is far under
+    // the 1024-item capacity, so approx_top_k evicts nothing and its
+    // counts equal the true counts; k=40 > |vocab| returns the whole
+    // vocabulary, re-sorted deterministically on the Spark side
+    "vocab_topk_approx" ->
+      raw"""SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split($normT, ' ')) AS token FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token ORDER BY cnt DESC, token ASC""".stripMargin,
     // membership-by-content-hash: Spark uses sha2, the oracle md5 — both
     // are injective-in-practice keys over the same normalized text, so
     // the anti-join survivor sets agree (same contract as dedup_exact)

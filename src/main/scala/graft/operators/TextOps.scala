@@ -671,6 +671,38 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
 
+  /** `vocab_topk_approx` — the SKETCH form of [[vocabTopk]]
+    * (`approx_top_k`, a datasketches frequent-items aggregate — the
+    * Presto `approx_most_frequent` surface): fixed-size mergeable state
+    * per partition, no exact keyed count — at a 100 TB vocab (billions
+    * of distinct tokens) the exact groupBy's shuffle carries the whole
+    * vocabulary while the sketch ships maxTracked items per partition.
+    *
+    * Oracle-declared EXACTLY, not as a shadow: a frequent-items sketch
+    * evicts nothing while distinct items ≤ its capacity, so counts are
+    * exact — the fixture vocab (31 tokens ≪ 1024 tracked ≪ k=40) pins
+    * the sketch's exact regime against the true counts, with the output
+    * re-sorted deterministically (the sketch's own tie order is
+    * engine-internal). The eviction regime — overestimates bounded by
+    * ~N/maxTracked, heavy hitters still surfaced — is spec-asserted on
+    * a planted heavy-hitter corpus (FunctionSpec).
+    */
+  def vocabTopkApprox(spark: SparkSession, sfDir: String,
+      k: Int = 40, maxTracked: Int = 1024): DataFrame =
+    approxTopKTokens(
+      Tables.documents(spark, sfDir)
+        .select(explode(split(normText(col("text")), " ")).as("token"))
+        .filter(length(col("token")) > 0),
+      k, maxTracked)
+
+  /** The sketch aggregation over any single-column (token) frame. */
+  def approxTopKTokens(tokens: DataFrame, k: Int, maxTracked: Int): DataFrame =
+    tokens
+      .agg(expr(s"approx_top_k(token, $k, $maxTracked)").as("topk"))
+      .select(explode(col("topk")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+
   /** `pipeline_curate` — the operators composed as ONE curation
     * pipeline, the way a user actually runs them: quality gate
     * (the `quality_filter` predicates) → exact dedup AMONG the

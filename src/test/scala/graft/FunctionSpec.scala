@@ -30,6 +30,37 @@ class FunctionSpec extends AnyFunSuite {
       "NULL-filtered NOT IN must equal NOT EXISTS and be non-empty")
   }
 
+  test("approx_top_k eviction regime: heavy hitters surface, overestimates bounded") {
+    // 20 planted heavies (2000 each) in a 30k-distinct singleton tail,
+    // tracked capacity 64 — eviction is active (30k ≫ 64). The
+    // frequent-items guarantees must hold regardless of encounter
+    // order: every heavy in the top-20 by estimate, estimates never
+    // under the true count, overestimate within ~4N/maxTracked.
+    val n = 20 * 2000 + 30000
+    val heavies = (0 until 20).flatMap(h => Seq.fill(2000)(s"heavy$h"))
+    val tail = (0 until 30000).map(i => s"tail$i")
+    val tokens = spark.createDataFrame(
+      (heavies ++ tail).map(Tuple1(_))).toDF("token")
+      .repartition(8) // multi-partition: the merge path runs too
+    val rows = TextOps.approxTopKTokens(tokens, k = 20, maxTracked = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length === 20)
+    val top = rows.map(_._1).toSet
+    assert((0 until 20).forall(h => top.contains(s"heavy$h")),
+      s"a planted heavy hitter missed the sketch top-20: $top")
+    val bound = 4L * n / 64
+    rows.foreach { case (t, est) =>
+      assert(est >= 2000L, s"$t estimated $est under its true count")
+      assert(est <= 2000L + bound, s"$t overestimate $est exceeds bound")
+    }
+    // exact regime: capacity over the distinct count → counts exact
+    val exactRows = TextOps.approxTopKTokens(
+      tokens.filter(col("token").startsWith("heavy")), k = 25,
+      maxTracked = 1024)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(exactRows.length === 20 && exactRows.forall(_._2 === 2000L))
+  }
+
   test("fn_map builds and accesses maps from parsed props") {
     val rows = ScalarFns.fnMap(spark, sf).limit(5).collect()
     assert(rows.nonEmpty)

@@ -134,6 +134,7 @@ object SparkEntry {
     "agg_approx_percentile_ok" -> (Aggregates.aggApproxPercentileOk _),
     "agg_map_agg" -> (Aggregates.aggMapAgg _),
     "agg_argmax" -> (Aggregates.aggArgMax _),
+    "agg_hll_rollup" -> (Aggregates.aggHllRollup _),
     "agg_collect" -> (Aggregates.aggCollect _),
     "agg_listagg" -> (Aggregates.aggListagg _),
     "agg_sortagg" -> (Aggregates.aggSortAgg _),
@@ -1228,6 +1229,15 @@ object SparkEntry {
         |  TRUE AS ok_p99, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC""".stripMargin,
+    // hll rollup: the daily-sketch union's estimate must sit within 5%
+    // of exact (hash-gated boolean); exact count + day count anchor
+    "agg_hll_rollup" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin,
     // map_agg surface: statuses are single chars and unique per group,
     // so sorted-entry CSV == string_agg ORDER BY key
     "agg_map_agg" ->

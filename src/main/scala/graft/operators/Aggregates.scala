@@ -130,6 +130,36 @@ object Aggregates {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** `agg_hll_rollup` — RE-AGGREGATABLE distinct-count sketches (the
+    * datasketches HLL surface: hll_sketch_agg → hll_union_agg →
+    * hll_sketch_estimate): per (event_type, day) sketches are built
+    * once, then UNIONED across days into the per-type estimate — the
+    * incremental-rollup pattern a 100 TB pipeline runs nightly (store
+    * yesterday's binary sketch column, union today's, never re-scan
+    * history; approx_count_distinct alone cannot be re-aggregated from
+    * saved partials). Declared through the error-contract technique
+    * (`agg_approx_distinct_ok`): the unioned estimate must sit within
+    * 5% of the exact distinct count, emitted as a hash-gated boolean
+    * beside the exact count — sketch bytes themselves are
+    * engine-specific and never surfaced.
+    */
+  def aggHllRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val rolled = daily.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_days"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    rolled.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"), col("n_days"),
+        (abs(col("est") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.05).as("within_5pct"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** `agg_map_agg` — Presto/Athena `map_agg(k, v)`: per order priority,
     * the status→count map, built through Spark's actual MAP type
     * (collect entries → map_from_entries) and serialized to a sorted

@@ -111,6 +111,8 @@ object SparkEntry {
     // + agg + top-k composed on one plan; see operators/MacroQueries
     "q_shaped_q3" -> (MacroQueries.qShapedQ3 _),
     "q_shaped_q5" -> (MacroQueries.qShapedQ5 _),
+    "q_shaped_q7" -> (MacroQueries.qShapedQ7 _),
+    "q_shaped_q14" -> (MacroQueries.qShapedQ14 _),
     "q_shaped_q10" -> (MacroQueries.qShapedQ10 _),
     "q_shaped_q18" -> (MacroQueries.qShapedQ18 _),
     // §2.D aggregations
@@ -135,6 +137,7 @@ object SparkEntry {
     "agg_map_agg" -> (Aggregates.aggMapAgg _),
     "agg_argmax" -> (Aggregates.aggArgMax _),
     "agg_hll_rollup" -> (Aggregates.aggHllRollup _),
+    "agg_bitmap_rollup" -> (Aggregates.aggBitmapRollup _),
     "agg_collect" -> (Aggregates.aggCollect _),
     "agg_listagg" -> (Aggregates.aggListagg _),
     "agg_sortagg" -> (Aggregates.aggSortAgg _),
@@ -1031,6 +1034,33 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_shaped_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_12'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin,
+    "q_shaped_q14" ->
+      """SELECT
+        |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+        |  COUNT(1) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-10-01'""".stripMargin,
     "q_shaped_q18" ->
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
@@ -1236,6 +1266,14 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS exact_users,
         |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
         |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin,
+    // the bitmap rollup is EXACT, so the whole output oracles as plain
+    // count(DISTINCT) — no error-contract shadow needed
+    "agg_bitmap_rollup" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days
         |FROM events GROUP BY event_type
         |ORDER BY event_type ASC""".stripMargin,
     // map_agg surface: statuses are single chars and unique per group,

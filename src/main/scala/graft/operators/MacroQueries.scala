@@ -141,4 +141,73 @@ object MacroQueries {
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(20)
   }
+
+  /** `q_shaped_q7` — volume-shipping skeleton: bilateral trade revenue
+    * between two nations by ship year. The two single-nation filters are
+    * pushed into the broadcast nation dims (23/25 nations die before the
+    * fact join); only the cross-pair disjunction — which couples the
+    * supplier and customer sides — evaluates after the joins, on rows
+    * already narrowed to the two nations. Exercises the one composite
+    * shape the q3/q5/q10/q18 set lacks: the same dimension joined TWICE
+    * under different roles with a coupled predicate.
+    */
+  def qShapedQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    val pair = Seq("NATION_12", "NATION_19")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey")
+    val supp = broadcast(Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey"))
+    val nat = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin(pair: _*))
+    val n1 = broadcast(nat.select(col("n_nationkey").as("n1_key"),
+      col("n_name").as("supp_nation")))
+    val n2 = broadcast(nat.select(col("n_nationkey").as("n2_key"),
+      col("n_name").as("cust_nation")))
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("n1_key"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(n2, col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === pair.head &&
+          col("cust_nation") === pair(1)) ||
+        (col("supp_nation") === pair(1) && col("cust_nation") === pair.head))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(revenue)
+      .orderBy(col("supp_nation").asc, col("cust_nation").asc,
+        col("l_year").asc)
+  }
+
+  /** `q_shaped_q14` — promotion-effect skeleton: one month of lineitem
+    * joined to the part dim, conditional aggregation splitting promo
+    * revenue from total. Part is explicitly broadcast (the dim is
+    * key+type only after pruning); the result is a single global
+    * partial+final aggregate — at 100 TB the month filter prunes at the
+    * scan, every executor emits one partial row, and the exchange
+    * carries 32 rows. The promo share is left as its two EXACT decimal
+    * sums (the half-boundary double-division lesson from the lm-score
+    * family: never round a ratio of doubles at the output boundary).
+    */
+  def qShapedQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = broadcast(Tables.part(spark, sfDir)
+      .select("p_partkey", "p_type"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(dec(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0)))).cast("double").as("promo_revenue"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
 }

@@ -238,6 +238,8 @@ object SparkEntry {
     "dedup_exact" -> (TextOps.dedupExact _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => MinHashDedup.dedupMinhash(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => MinHashDedup.ngramJaccard(s, d)),
+    "dedup_span" -> ((s: SparkSession, d: String) =>
+      MinHashDedup.dedupSpan(s, d)),
     // directional containment — the sub-document-duplication signal
     // Jaccard misses; a third view of the memoized similarity pass
     "dedup_containment" -> ((s: SparkSession, d: String) =>
@@ -294,6 +296,8 @@ object SparkEntry {
     // round-3 pipeline additions
     "decontaminate" -> ((s: SparkSession, d: String) =>
       TextOps.decontaminate(s, d)),
+    "decontaminate_bloom" -> ((s: SparkSession, d: String) =>
+      TextOps.decontaminateBloom(s, d)),
     "repetition_score" -> (TextOps.repetitionScore _),
     "quality_classifier" -> (TextOps.qualityClassifier _),
     "vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopk(s, d)),
@@ -1931,6 +1935,20 @@ object SparkEntry {
         |SELECT g.doc_id, count(*) AS n_shared_grams
         |FROM g JOIN bench USING (h) WHERE g.doc_id % 97 <> 0
         |GROUP BY g.doc_id ORDER BY g.doc_id ASC""".stripMargin,
+    // the bloom prefilter has no false negatives and survivors are
+    // exact-confirmed, so the result is decontaminate's, verbatim
+    "decontaminate_bloom" ->
+      raw"""WITH d AS (SELECT doc_id, string_split($normT, ' ') AS toks
+        |           FROM documents
+        |           WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |        range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM d),
+        |g AS (SELECT doc_id, unnest(sh) AS h FROM s),
+        |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, count(*) AS n_shared_grams
+        |FROM g JOIN bench USING (h) WHERE g.doc_id % 97 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id ASC""".stripMargin,
     "repetition_score" ->
       raw"""WITH d AS (SELECT doc_id, string_split($normT, ' ') AS toks
         |           FROM documents
@@ -2250,6 +2268,24 @@ object SparkEntry {
       raw"""WITH $ngramPairCtes
         |SELECT source, a_id, b_id, jaccard FROM p WHERE jaccard >= 0.05
         |ORDER BY source ASC, a_id ASC, b_id ASC""".stripMargin,
+    // exact duplicated 8-token spans across documents: span strings here
+    // vs 64-bit kernel hashes in Spark (the decontaminate convention —
+    // identical sets up to negligible collisions); position counts are
+    // NON-distinct, the clamped slice mirrors the kernel's one-window
+    // case for docs shorter than 8 tokens
+    "dedup_span" ->
+      raw"""WITH d AS (SELECT doc_id, string_split($normT, ' ') AS toks
+        |           FROM documents
+        |           WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |sp AS (SELECT doc_id, unnest(list_transform(
+        |         range(0, greatest(len(toks) - 8, 0) + 1),
+        |         i -> array_to_string(toks[i+1:i+8], ' '))) AS h FROM d),
+        |dup AS (SELECT h FROM sp GROUP BY h
+        |        HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, count(*) AS dup_positions,
+        |  count(DISTINCT h) AS dup_spans
+        |FROM sp JOIN dup USING (h)
+        |GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
     // containment reuses the pair CTEs up through inter/sizes (the
     // unused `p` CTE is legal); contained side = smaller shingle set,
     // a-side on ties — same rule as the Spark query

@@ -603,4 +603,45 @@ object MinHashDedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** `dedup_span` — EXACT duplicated-span detection (the
+    * exact-substring-dedup step of LLM corpus pipelines, per the public
+    * "Deduplicating Training Data Makes Language Models Better" recipe,
+    * done Spark-relational instead of via suffix arrays): every k-token
+    * span occurring in ≥ 2 distinct documents is a duplicated span, and
+    * the per-doc report counts how many span POSITIONS (non-distinct —
+    * a doc repeating a boilerplate span 5 times reports 5) and distinct
+    * spans are duplicated elsewhere.
+    *
+    * Scale shape: positions explode to ~|tokens| rows, then ONE keyed
+    * shuffle on the span hash for the df aggregate and one keyed join
+    * back — the same inverted-index discipline as the n-gram family,
+    * with no all-pairs stage at all (span identity, not similarity,
+    * so candidates never pair up). A viral span shared by millions of
+    * docs makes one hot build-side key whose probe AQE skew-splits;
+    * posting lists are never materialized per-key.
+    */
+  def dedupSpan(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame =
+    dedupSpanDocs(Tables.documents(spark, sfDir), k)
+
+  /** Core of `dedup_span` over any (doc_id, text) frame. */
+  def dedupSpanDocs(documents: DataFrame, k: Int = 8): DataFrame = {
+    // distinct=false: one hash PER POSITION (the kernel's one-window
+    // degenerate case for docs shorter than k matches the oracle's
+    // clamped list slice)
+    val spans = documents
+      .withColumn("sh", graft.functions.ShingleKernel
+        .shingleHashes(col("text"), k, distinct = false))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    val dup = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    spans.join(dup, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_positions"),
+        countDistinct(col("h")).as("dup_spans"))
+      .orderBy(col("doc_id").asc)
+  }
 }

@@ -313,6 +313,56 @@ object TextOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** `decontaminate_bloom` — the 100 TB shape of [[decontaminateDocs]]:
+    * the benchmark gram set is compacted into a Bloom filter (Spark's
+    * native `BloomFilterAggregate`, the same machinery AQE's runtime
+    * bloom pruning uses) and corpus grams pass a codegen'd
+    * `BloomFilterMightContain` prefilter BEFORE the confirm join. No
+    * false negatives, so the exact semi-join over survivors returns the
+    * identical result — the oracle is decontaminate's, verbatim — while
+    * the join's shuffled volume drops from |corpus grams| to
+    * |true hits| + fpp·|corpus grams|. The benchmark bloom is the one
+    * driver-side materialization: bounded by definition (benchmark
+    * suites are ~1e6 grams → a few hundred KB of bits), the same
+    * bounded-collect class as the IVF codebook, and it ships to
+    * executors as a literal in the task binary exactly like a broadcast
+    * runtime filter. The full gram set is NEVER broadcast.
+    */
+  def decontaminateBloom(spark: SparkSession, sfDir: String, k: Int = 3,
+      benchMod: Int = 97): DataFrame =
+    decontaminateBloomDocs(Tables.documents(spark, sfDir), k, benchMod)
+
+  /** Core of `decontaminate_bloom` over any (doc_id, text) frame. */
+  def decontaminateBloomDocs(documents: DataFrame, k: Int = 3,
+      benchMod: Int = 97): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val grams = documents
+      .withColumn("sh",
+        graft.functions.ShingleKernel.shingleHashes(col("text"), k))
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select(col("h")).distinct()
+    val bfBytes = bench.agg(ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(col("h")), 1000000L)
+        .toAggregateExpression()).as("bf")).head().getAs[Array[Byte]](0)
+    // empty benchmark split → no bloom; result is empty either way, but
+    // a null literal would fail might_contain's type check
+    val pre =
+      if (bfBytes == null) grams.filter(lit(false))
+      else grams.filter(col("doc_id") % benchMod =!= 0)
+        .filter(ColumnBridge.column(BloomFilterMightContain(
+          CatLit(bfBytes, BinaryType),
+          ColumnBridge.expression(col("h")))))
+    pre.join(bench, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** `repetition_score` — Gopher-style repetition signals for quality
     * filtering: per-doc duplicate-token fraction (1 − |distinct| / |all|)
     * and the fraction of all bigrams taken by the single most frequent

@@ -343,6 +343,81 @@ class DedupSpec extends AnyFunSuite {
       s"extra ${got.keySet -- expected.keySet}")
   }
 
+  test("decontaminate_bloom equals exact decontaminate (property) and keeps the prefilter in-plan") {
+    // same adversarial corpus family as the exact property test: tiny
+    // vocab forces heavy gram sharing, so the bloom prefilter passes
+    // many TRUE hits (plus whatever false positives) and the confirm
+    // join must kill exactly the false positives
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docsSeq = Seq.tabulate(150) { i =>
+      val n = 3 + rnd.nextInt(8)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docsSeq.toDF("doc_id", "text")
+    val exact = graft.operators.TextOps.decontaminateDocs(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = graft.operators.TextOps.decontaminateBloomDocs(df)
+    assert(bloomed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === exact)
+    // the bloom membership test is a real codegen'd filter in the plan,
+    // not a driver-side pre-materialization
+    assert(bloomed.queryExecution.executedPlan.toString
+      .contains("might_contain"))
+  }
+
+  test("decontaminate_bloom with an empty benchmark split returns no rows") {
+    // no doc_id % 97 == 0 → no bloom can be built; the operator must
+    // degrade to the exact result (empty), not throw on a null sketch
+    val df = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc ee"))
+      .toDF("doc_id", "text")
+    assert(graft.operators.TextOps.decontaminateBloomDocs(df).count() === 0)
+  }
+
+  test("dedup_span counts cross-doc duplicated span positions, non-distinct") {
+    // docs 1/2 share one 4-token span; doc 3 repeats that span twice
+    // (both positions count); doc 4 shares nothing; doc 5 is shorter
+    // than k and duplicates doc 6 wholesale (one-window degenerate case)
+    val docs = Seq(
+      (1L, "a b c d x"),
+      (2L, "y a b c d"),
+      (3L, "a b c d a b c d"),
+      (4L, "p q r s t"),
+      (5L, "u v"),
+      (6L, "u v")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.MinHashDedup.dedupSpanDocs(docs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // doc 3 positions: spans at 0..4 = abcd,bcda,cdab,dabc,abcd — two
+    // "a b c d" positions duplicated cross-doc, one distinct span
+    assert(got === List((1L, 1L, 1L), (2L, 1L, 1L), (3L, 2L, 1L),
+      (5L, 1L, 1L), (6L, 1L, 1L)))
+  }
+
+  test("dedup_span equals brute force on random corpora (property)") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val k = 4
+    val docsSeq = Seq.tabulate(80) { i =>
+      val n = 2 + rnd.nextInt(10)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def spans(text: String): Seq[Seq[String]] = {
+      val t = text.split("\\s+").toSeq
+      (0 to math.max(t.size - k, 0)).map(i => t.slice(i, i + k))
+    }
+    val byDoc = docsSeq.map { case (id, t) => id -> spans(t) }
+    val docsPerSpan = byDoc.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = byDoc.map { case (id, ss) =>
+      val dup = ss.filter(s => docsPerSpan(s) >= 2)
+      (id, dup.size.toLong, dup.distinct.size.toLong)
+    }.filter(_._2 > 0).map { case (a, b, c) => a -> ((b, c)) }.toMap
+    val got = graft.operators.MinHashDedup.dedupSpanDocs(docsSeq.toDF("doc_id", "text"), k = k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+  }
+
   test("ngram_lm equals brute-force bigram counts (property)") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("x", "y", "z", "w")

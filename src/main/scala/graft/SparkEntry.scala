@@ -138,6 +138,7 @@ object SparkEntry {
     "agg_argmax" -> (Aggregates.aggArgMax _),
     "agg_hll_rollup" -> (Aggregates.aggHllRollup _),
     "agg_bitmap_rollup" -> (Aggregates.aggBitmapRollup _),
+    "agg_theta_sketch" -> (Aggregates.aggThetaSketch _),
     "agg_collect" -> (Aggregates.aggCollect _),
     "agg_listagg" -> (Aggregates.aggListagg _),
     "agg_sortagg" -> (Aggregates.aggSortAgg _),
@@ -1272,6 +1273,29 @@ object SparkEntry {
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type
         |ORDER BY event_type ASC""".stripMargin,
+    // theta sketches are in their EXACT regime at fixture scale
+    // (≤1500 users < 2^12 nominal entries), so intersection/union
+    // estimates equal DuckDB's exact pair counts; pairs come from the
+    // verified event-type domain so zero-overlap pairs still emit
+    "agg_theta_sketch" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |pp AS (SELECT a.event_type AS event_a, b.event_type AS event_b
+        |       FROM t a JOIN t b ON a.event_type < b.event_type),
+        |inter AS (SELECT a.event_type AS ea, b.event_type AS eb,
+        |            count(*) AS nb
+        |          FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |            AND a.event_type < b.event_type
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+        |SELECT pp.event_a, pp.event_b,
+        |  coalesce(inter.nb, 0) AS users_both,
+        |  sa.n + sb.n - coalesce(inter.nb, 0) AS users_either
+        |FROM pp
+        |LEFT JOIN inter ON pp.event_a = inter.ea AND pp.event_b = inter.eb
+        |JOIN sizes sa ON pp.event_a = sa.event_type
+        |JOIN sizes sb ON pp.event_b = sb.event_type
+        |ORDER BY event_a ASC, event_b ASC""".stripMargin,
     // the bitmap rollup is EXACT, so the whole output oracles as plain
     // count(DISTINCT) — no error-contract shadow needed
     "agg_bitmap_rollup" ->

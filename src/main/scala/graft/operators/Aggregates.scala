@@ -160,6 +160,46 @@ object Aggregates {
       .orderBy(col("event_type").asc)
   }
 
+  /** `agg_theta_sketch` — audience-overlap via theta sketches, the
+    * distinct-count sketch family with SET ALGEBRA (see
+    * [[graft.functions.ThetaAggs]]): per event type a mergeable theta
+    * sketch of user ids is built in one keyed pass (sketch bytes, never
+    * raw ids, cross the partial/final shuffle), then every type PAIR
+    * reports its user-base intersection and union — the "how many
+    * distinct users did BOTH" question HLL structurally cannot answer.
+    *
+    * The pair frame is a literal of the verified fixture event-type
+    * domain equi-joined twice against the 5 sketch rows (broadcast) —
+    * keyed on purpose: an inequality self-join would plan a
+    * nested-loop product, which declared plans ban. Estimates are in
+    * the sketch's EXACT regime at every fixture SF (≤1500 users <
+    * 2^12), so the whole output full-oracles against DuckDB's exact
+    * pair counts; at 100 TB the identical plan returns ±~1.6%
+    * estimates from the same fixed-size sketch bytes.
+    */
+  def aggThetaSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ThetaAggs
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(ThetaAggs.thetaSketch(col("user_id")).as("sk"))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pairDf = spark.createDataFrame(
+      types.combinations(2).map(p => (p.head, p(1))).toSeq)
+      .toDF("event_a", "event_b")
+    pairDf
+      .join(broadcast(sk.select(col("event_type").as("event_a"),
+        col("sk").as("sk_a"))), "event_a")
+      .join(broadcast(sk.select(col("event_type").as("event_b"),
+        col("sk").as("sk_b"))), "event_b")
+      .select(col("event_a"), col("event_b"),
+        round(ThetaAggs.thetaIntersectEstimate(col("sk_a"), col("sk_b")))
+          .cast("long").as("users_both"),
+        round(ThetaAggs.thetaUnionEstimate(col("sk_a"), col("sk_b")))
+          .cast("long").as("users_either"))
+      .orderBy(col("event_a").asc, col("event_b").asc)
+  }
+
   /** `agg_bitmap_rollup` — EXACT re-aggregatable distinct counts via the
     * bitmap aggregate surface (`bitmap_bit_position` →
     * `bitmap_construct_agg` → `bitmap_or_agg` → `bitmap_count`): per

@@ -82,6 +82,65 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p18.contains("TakeOrderedAndProject"), s"q18 expected top-k:\n$p18")
   }
 
+  test("q7/q14 composites: nation filters under the broadcasts, no products, partial aggs") {
+    import graft.operators.MacroQueries
+    // q7: both nation roles broadcast WITH the pair filter already
+    // applied (23/25 nations die before the fact join); no product
+    val p7 = plan(MacroQueries.qShapedQ7(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p7).length >= 3,
+      s"q7 expected ≥3 broadcast dim joins:\n$p7")
+    assert(p7.contains("NATION_12"),
+      s"q7 nation filter must sit in the plan (pushed under the joins):\n$p7")
+    assert(!p7.contains("CartesianProduct") &&
+      !p7.contains("BroadcastNestedLoopJoin"),
+      s"q7 must not plan a product join:\n$p7")
+    assert("HashAggregate".r.findAllIn(p7).length >= 2,
+      s"q7 expected partial+final agg:\n$p7")
+    // q14: the part dim is broadcast; the global agg still runs
+    // partial+final (one row per executor crosses the exchange); the
+    // month filter reaches the lineitem scan
+    val p14 = plan(MacroQueries.qShapedQ14(spark, sf))
+    assert(p14.contains("BroadcastHashJoin"),
+      s"q14 expected the part dim broadcast:\n$p14")
+    assert("HashAggregate".r.findAllIn(p14).length >= 2,
+      s"q14 expected partial+final agg:\n$p14")
+    assert(p14.contains("PushedFilters") && p14.contains("l_shipdate"),
+      s"q14 month filter must reach the scan:\n$p14")
+  }
+
+  test("decontaminate_bloom: might_contain prefilter sits under the confirm join") {
+    val df = graft.operators.TextOps.decontaminateBloom(spark, sf)
+    val p = plan(df)
+    assert(p.contains("might_contain"),
+      s"bloom prefilter must be in the executed plan:\n$p")
+    // the prefilter evaluates corpus-side BEFORE the exact confirm
+    // join: in the plan string the first might_contain occurrence is
+    // below (= printed after) the join operator, i.e. on its input
+    val joinIdx = p.indexOf("Join")
+    val mcIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && mcIdx > joinIdx,
+      s"prefilter must be an input of the confirm join:\n$p")
+  }
+
+  test("dedup_span: inverted-index shape — keyed aggregation + join, no product, no window") {
+    val p = plan(graft.operators.MinHashDedup.dedupSpan(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dedup_span must not pair all docs:\n$p")
+    assert(!p.contains("Window"), s"dedup_span needs no window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"dedup_span expected partial+final aggs:\n$p")
+  }
+
+  test("agg_bitmap_rollup: three aggregation levels, all partial+final, no raw-row re-shuffle") {
+    val p = plan(Aggregates.aggBitmapRollup(spark, TestSpark.sf))
+    assert(p.contains("bitmap_construct_agg") || p.contains("BitmapConstructAgg")
+      || p.contains("bitmap_count"),
+      s"expected the bitmap aggregate surface in the plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"bitmap rollup must stay keyed:\n$p")
+  }
+
   test("as-of join is a single shuffle + window (no join explosion)") {
     val p = plan(Joins.joinAsOf(spark, sf))
     assert(p.contains("Window"), s"expected window operator:\n$p")

@@ -88,6 +88,8 @@ object SparkEntry {
     "join_asof_tolerance" -> ((s: SparkSession, d: String) =>
       Joins.joinAsOfTolerance(s, d)),
     "join_asof_nearest" -> (Joins.joinAsOfNearest _),
+    "join_asof_split" -> ((s: SparkSession, d: String) =>
+      Joins.joinAsOfSplit(s, d)),
     "join_null_safe" -> (Joins.joinNullSafe _),
     "fn_url" -> (ScalarFns.fnUrl _),
     "stream_static_join" -> (EventWindows.streamStaticJoinBatch _),
@@ -199,6 +201,7 @@ object SparkEntry {
     "stream_join_full" -> (EventWindows.streamJoinFullBatch _),
     "stream_join_semi" -> (EventWindows.streamJoinSemiBatch _),
     "ts_gapfill" -> (EventWindows.tsGapfill _),
+    "ts_resample" -> (EventWindows.tsResample _),
     "ts_interpolate" -> (EventWindows.tsInterpolate _),
     "event_funnel" -> (EventWindows.eventFunnel _),
     "retention_cohort" -> (EventWindows.retentionCohort _),
@@ -880,6 +883,22 @@ object SparkEntry {
         |WHERE p.event_type = 'purchase' AND e.event_type = 'error'
         |ORDER BY p_id ASC, e_id ASC""".stripMargin,
     "join_asof" ->
+      """WITH tagged AS (
+        |  SELECT o_custkey AS ukey, o_orderdate AS at_ts,
+        |         NULL::BIGINT AS event_id, o_orderkey AS o_key, 0 AS side
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT user_id, ts::DATE::TIMESTAMP, event_id, NULL::BIGINT, 1
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT event_id, ukey AS user_id,
+        |       last_value(o_key IGNORE NULLS) OVER (
+        |         PARTITION BY ukey ORDER BY at_ts ASC, side ASC, o_key ASC NULLS LAST
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+        |FROM tagged QUALIFY side = 1 ORDER BY event_id ASC""".stripMargin,
+    // the range-split + boundary-carry form is exactly equivalent to
+    // the single-window as-of, so its oracle is join_asof's, verbatim
+    "join_asof_split" ->
       """WITH tagged AS (
         |  SELECT o_custkey AS ukey, o_orderdate AS at_ts,
         |         NULL::BIGINT AS event_id, o_orderkey AS o_key, 0 AS side
@@ -1832,6 +1851,21 @@ object SparkEntry {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id ASC""".stripMargin,
+    // OHLC bars: open/close picked by a UNIQUE packed (ms, event_id)
+    // ordering (the agg_argmax rule), bucketing via day-truncate +
+    // interval arithmetic — no engine-specific time_bucket
+    "ts_resample" ->
+      """WITH ev AS (SELECT event_type,
+        |    date_trunc('hour', ts) - (hour(ts) % 6) * INTERVAL 1 HOUR
+        |      AS bucket,
+        |    epoch_ms(ts) * 1000000 + event_id AS ord, value
+        |  FROM events)
+        |SELECT event_type, bucket,
+        |  arg_min(value, ord) AS open, max(value) AS high,
+        |  min(value) AS low, arg_max(value, ord) AS close,
+        |  count(*) AS n_events
+        |FROM ev GROUP BY 1, 2
+        |ORDER BY event_type ASC, bucket ASC""".stripMargin,
     "ts_gapfill" ->
       """WITH agg AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bucket,

@@ -149,6 +149,47 @@ object EventWindows {
       .orderBy(col("user_id").asc, col("bucket").asc)
   }
 
+  /** `ts_resample` — OHLC downsampling: 6-hour bars per event type with
+    * open/high/low/close and the bar's event count — the classic
+    * time-series resample (finance bars, metrics rollups). Open/close
+    * are `min_by`/`max_by` over a UNIQUE packed ordering value (epoch
+    * millis · 10⁶ + event_id, exact in BIGINT for any fixture —
+    * event_id < 10⁶, ms < 2·10¹²), so same-millisecond ties cannot make
+    * the picked row engine-arbitrary (the `agg_argmax` rule). The
+    * bucket is day-truncate + 6·⌊hour/6⌋ interval arithmetic —
+    * identical bucketing in both engines without a nonstandard
+    * `time_bucket`.
+    *
+    * Scale: ONE keyed partial+final aggregation over (type, bucket) —
+    * min_by/max_by carry a single (value, ord) pair of state per
+    * group, so the shuffle moves 5·4·|days| tiny rows regardless of
+    * input size; no window, no sort before the declared ORDER BY.
+    */
+  def tsResample(spark: SparkSession, sfDir: String): DataFrame =
+    tsResampleEvents(Tables.events(spark, sfDir))
+
+  /** Core of `ts_resample` over any (event_type, ts, value, event_id)
+    * frame.
+    */
+  def tsResampleEvents(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("event_type"), col("ts"), col("value"), col("event_id"))
+      // hour-truncate minus the in-bucket offset (≡ day + 6·⌊h/6⌋) —
+      // this form keeps DuckDB's result in the ns timestamp family the
+      // events column already has, so the compared schemas agree
+      .withColumn("bucket", expr(
+        "date_trunc('HOUR', ts) - (CAST(hour(ts) AS INT) % 6) * INTERVAL '1' HOUR"))
+      .withColumn("ord",
+        unix_millis(col("ts")) * 1000000L + col("event_id"))
+    ev.groupBy(col("event_type"), col("bucket"))
+      .agg(min_by(col("value"), col("ord")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ord")).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type").asc, col("bucket").asc)
+  }
+
   /** `event_funnel` — ordered-step funnel: users whose first view is
     * followed by a click, then a purchase (strictly increasing event
     * time). Three keyed aggregations + two keyed joins — each stage

@@ -436,6 +436,41 @@ object Joins {
     * exercises Catalyst join reordering. Revenue per nation for one
     * region over a date slice (TPC-H Q5 shape).
     */
+  /** `join_asof_split` — [[joinAsOf]] computed through
+    * [[carryLastRangeSplit]], declaring the hot-user mitigation as a
+    * driver-gated query: identical semantics (the oracle is
+    * join_asof's SQL, verbatim), different physical shape — one
+    * serialized window partition per user becomes
+    * ceil(range/bucketWidth) parallel tasks plus a one-row-per-bucket
+    * seam rollup. The (at_ts, side) tie rule rides INSIDE the packed
+    * millisecond timestamp (ms·2 + side), so orders at the event's own
+    * date stay visible to it, and the range-split's "greatest value
+    * wins on equal ts" rule resolves same-date orders to the max
+    * o_key exactly like the window's (…, o_key ASC) ordering.
+    */
+  def joinAsOfSplit(spark: SparkSession, sfDir: String,
+      bucketDays: Long = 64L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ukey"),
+        to_date(col("ts")).cast("timestamp").as("at_ts"),
+        col("event_id"), lit(null).cast("long").as("o_key"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("ukey"),
+        col("o_orderdate").as("at_ts"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("o_key"))
+    val tagged = ord.withColumn("side", lit(0))
+      .unionByName(ev.withColumn("side", lit(1)))
+      .withColumn("__pts", unix_millis(col("at_ts")) * 2 + col("side"))
+    carryLastRangeSplit(tagged, "ukey", "__pts", "o_key",
+        bucketWidth = 2L * 86400000L * bucketDays, out = "asof_orderkey")
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("ukey").as("user_id"),
+        col("asof_orderkey"))
+      .orderBy(col("event_id").asc)
+  }
+
   /** Library form of the hot-user mitigation the as-of family's scaladoc
     * documents (VERDICT r7 #6; measured in AsOfSkewProbe): the forward
     * carry `last(valCol, ignoreNulls) over (partitionBy keyCol orderBy

@@ -14,6 +14,27 @@ class FunctionSpec extends AnyFunSuite {
   val sf = TestSpark.sf
   import spark.implicits._
 
+  test("ts_resample OHLC: open/close resolve same-millisecond ties by event_id") {
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 02:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // one 6h bucket (00:00–06:00): two rows share the SAME timestamp —
+    // the packed ordering must pick event_id order, not row order
+    val ev = Seq(
+      ("click", at(0), 10.0, 7L),   // same ms as event 3 → open is id 3
+      ("click", at(0), 99.0, 3L),
+      ("click", at(60), 1.0, 9L),   // low
+      ("click", at(120), 42.0, 11L) // latest ts → close
+    ).toDF("event_type", "ts", "value", "event_id")
+    val r = graft.operators.EventWindows.tsResampleEvents(ev).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getDouble(2) === 99.0, "open = earliest (ms, event_id)")
+    assert(row.getDouble(3) === 99.0, "high")
+    assert(row.getDouble(4) === 1.0, "low")
+    assert(row.getDouble(5) === 42.0, "close = latest (ms, event_id)")
+    assert(row.getLong(6) === 4L)
+  }
+
   test("filter_not_in_null: the planted NULL is live at the smallest fixture (ADVICE r7)") {
     // the three-valued-logic pin is only non-vacuous if the NOT IN
     // subquery actually contains a NULL — i.e. some customer has

@@ -21,6 +21,20 @@ class JoinsCarrySpec extends AnyFunSuite {
         if (r.isNullAt(2)) None else Some(r.getLong(2))))
       .toSet
 
+  test("join_asof_split equals join_asof row for row at several bucket widths") {
+    val base = Joins.joinAsOf(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(base.nonEmpty)
+    for (days <- Seq(1L, 64L, 100000L)) {
+      val split = Joins.joinAsOfSplit(spark, TestSpark.sf, bucketDays = days)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+      assert(split === base, s"bucketDays=$days diverged")
+    }
+  }
+
   test("range-split carry equals the single window on planted edge cases") {
     // key 1: hot key spanning many buckets, with a null-only bucket
     // (ts 200..299 all null) and an empty bucket gap (no ts in 300..399)

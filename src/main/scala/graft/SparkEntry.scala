@@ -244,6 +244,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => MinHashDedup.ngramJaccard(s, d)),
     "dedup_span" -> ((s: SparkSession, d: String) =>
       MinHashDedup.dedupSpan(s, d)),
+    "agg_minhash_union" -> ((s: SparkSession, d: String) =>
+      MinHashDedup.aggMinhashUnion(s, d)),
     // directional containment — the sub-document-duplication signal
     // Jaccard misses; a third view of the memoized similarity pass
     "dedup_containment" -> ((s: SparkSession, d: String) =>
@@ -2326,6 +2328,37 @@ object SparkEntry {
       raw"""WITH $ngramPairCtes
         |SELECT source, a_id, b_id, jaccard FROM p WHERE jaccard >= 0.05
         |ORDER BY source ASC, a_id ASC, b_id ASC""".stripMargin,
+    // exact pair-vocabulary Jaccard anchors the row (string grams vs
+    // 64-bit kernel hashes — the decontaminate convention); the
+    // signature estimate is engine-specific, so its 0.1-error contract
+    // rides as a hash-gated TRUE (the agg_hll_rollup technique)
+    "agg_minhash_union" ->
+      raw"""WITH d AS (SELECT doc_id, lang, string_split($normT, ' ') AS toks
+        |           FROM documents
+        |           WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |s AS (SELECT doc_id, lang, list_distinct(list_transform(
+        |        range(0, greatest(len(toks) - 3, 0) + 1),
+        |        i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM d),
+        |g AS (SELECT DISTINCT lang, h
+        |      FROM (SELECT lang, unnest(sh) AS h FROM s)),
+        |sizes AS (SELECT lang, count(*) AS n FROM g GROUP BY 1),
+        |t AS (SELECT DISTINCT lang FROM documents),
+        |pp AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+        |       FROM t a JOIN t b ON a.lang < b.lang),
+        |inter AS (SELECT a.lang AS la, b.lang AS lb, count(*) AS ni
+        |          FROM g a JOIN g b ON a.h = b.h AND a.lang < b.lang
+        |          GROUP BY 1, 2)
+        |SELECT pp.lang_a, pp.lang_b,
+        |  coalesce(inter.ni, 0) AS n_inter,
+        |  round(coalesce(inter.ni, 0)::DOUBLE /
+        |    (sa.n::DOUBLE + sb.n::DOUBLE - coalesce(inter.ni, 0)::DOUBLE),
+        |    4) AS jaccard,
+        |  TRUE AS minhash_ok
+        |FROM pp
+        |LEFT JOIN inter ON pp.lang_a = inter.la AND pp.lang_b = inter.lb
+        |JOIN sizes sa ON pp.lang_a = sa.lang
+        |JOIN sizes sb ON pp.lang_b = sb.lang
+        |ORDER BY lang_a ASC, lang_b ASC""".stripMargin,
     // exact duplicated 8-token spans across documents: span strings here
     // vs 64-bit kernel hashes in Spark (the decontaminate convention —
     // identical sets up to negligible collisions); position counts are

@@ -604,6 +604,87 @@ object MinHashDedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** `agg_minhash_union` — RE-AGGREGATABLE corpus-shard similarity: the
+    * minhash completion of the rollup family (`agg_hll_rollup` counts,
+    * `agg_bitmap_rollup` exact counts, `agg_theta_sketch` set algebra —
+    * this one does set SIMILARITY). Per-doc signatures (row-local
+    * codegen'd kernel) fold element-wise-min into per-(lang, source)
+    * PARTIAL signatures, which fold again into per-lang signatures —
+    * the two-level rollup proving stored shard partials merge into any
+    * coarser grouping without touching documents again (min is
+    * associative/commutative; [[graft.functions.MinSigImperative]]
+    * carries nPerm longs of state per group through both shuffles).
+    * Every language pair then reports its estimated vocabulary-overlap
+    * Jaccard beside the EXACT value.
+    *
+    * Declared through the error-contract technique: exact pair Jaccard
+    * (inverted-index |A∩B|, never per-pair array walks) anchors the
+    * row, and the signature estimate — matching positions / nPerm —
+    * must sit within 0.1 (≈4.5σ at nPerm=512, J=0.5) of it, emitted as
+    * a hash-gated boolean. Signatures themselves never surface (the
+    * FNV+mix permutation family is engine-specific).
+    */
+  def aggMinhashUnion(spark: SparkSession, sfDir: String,
+      nPerm: Int = 512): DataFrame =
+    aggMinhashUnionDocs(Tables.documents(spark, sfDir), nPerm)
+
+  /** Core of `agg_minhash_union` over any (doc_id, lang, source, text)
+    * frame.
+    */
+  def aggMinhashUnionDocs(documents: DataFrame,
+      nPerm: Int = 512): DataFrame = {
+    val spark = documents.sparkSession
+    val docs = documents
+      .withColumn("sh",
+        graft.functions.ShingleKernel.shingleHashes(col("text"), 3))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashFromHashes(col("sh"), nPerm))
+    val partial = docs.groupBy(col("lang"), col("source"))
+      .agg(graft.functions.ImperativeAggs.minSig(col("sig"), nPerm)
+        .as("psig"))
+    val langSig = partial.groupBy(col("lang"))
+      .agg(graft.functions.ImperativeAggs.minSig(col("psig"), nPerm)
+        .as("sig"))
+    val grams = docs.select(col("lang"), explode(col("sh")).as("h"))
+      .distinct()
+    val sizes = grams.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val inter = grams.select(col("lang").as("lang_a"), col("h"))
+      .join(grams.select(col("lang").as("lang_b"), col("h")), "h")
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("ni"))
+    // the lang domain is a verified fixture constant — a literal pair
+    // frame keeps the pairing equi-keyed (the agg_theta_sketch rule)
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val pairDf = spark.createDataFrame(
+      langs.combinations(2).map(p => (p.head, p(1))).toSeq)
+      .toDF("lang_a", "lang_b")
+    val matches = zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => when(x === y, 1L).otherwise(0L))
+    val est = aggregate(matches, lit(0L), (acc, v) => acc + v)
+      .cast("double") / nPerm
+    pairDf
+      .join(broadcast(sizes.select(col("lang").as("lang_a"),
+        col("n").as("n_a"))), "lang_a")
+      .join(broadcast(sizes.select(col("lang").as("lang_b"),
+        col("n").as("n_b"))), "lang_b")
+      .join(broadcast(inter), Seq("lang_a", "lang_b"), "left")
+      .join(broadcast(langSig.select(col("lang").as("lang_a"),
+        col("sig").as("sig_a"))), "lang_a")
+      .join(broadcast(langSig.select(col("lang").as("lang_b"),
+        col("sig").as("sig_b"))), "lang_b")
+      .withColumn("n_inter", coalesce(col("ni"), lit(0L)))
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (col("n_a").cast("double") + col("n_b").cast("double")
+            - col("n_inter").cast("double")), 4))
+      .select(col("lang_a"), col("lang_b"), col("n_inter"), col("jaccard"),
+        (abs(est - col("n_inter").cast("double") /
+          (col("n_a").cast("double") + col("n_b").cast("double")
+            - col("n_inter").cast("double"))) <= 0.1).as("minhash_ok"))
+      .orderBy(col("lang_a").asc, col("lang_b").asc)
+  }
+
   /** `dedup_span` — EXACT duplicated-span detection (the
     * exact-substring-dedup step of LLM corpus pipelines, per the public
     * "Deduplicating Training Data Makes Language Models Better" recipe,

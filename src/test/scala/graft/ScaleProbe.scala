@@ -104,7 +104,18 @@ object ScaleProbe {
         TextOps.qualityLmBucketCutoff(s, d)),
       "dedup_containment" -> ((s: SparkSession, d: String) =>
         MinHashDedup.ngramContainment(s, d)),
-      "win_ignore_nulls" -> (Windows.winIgnoreNulls _))
+      "win_ignore_nulls" -> (Windows.winIgnoreNulls _),
+      // round-8 continuation: bloom prefilter vs the plain confirm
+      // join (same result — the delta is the shuffle cut), span dedup
+      // (one inverted-index shuffle, expect ~linear), OHLC resample +
+      // bitmap/theta rollups (keyed partial aggs, expect ~linear)
+      "decontaminate_bloom" -> ((s: SparkSession, d: String) =>
+        TextOps.decontaminateBloom(s, d)),
+      "dedup_span" -> ((s: SparkSession, d: String) =>
+        MinHashDedup.dedupSpan(s, d)),
+      "ts_resample" -> (EventWindows.tsResample _),
+      "agg_bitmap_rollup" -> (Aggregates.aggBitmapRollup _),
+      "agg_theta_sketch" -> (Aggregates.aggThetaSketch _))
     Seq(("1x", base), ("10x", out)).foreach { case (tag, dir) =>
       ops.foreach { case (name, fn) =>
         val t0 = System.nanoTime()

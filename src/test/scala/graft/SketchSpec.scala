@@ -56,6 +56,39 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(est - n) / n < 0.05, s"estimate $est vs exact $n")
   }
 
+  test("agg_minhash_union: two-level partial merge equals the direct per-lang signature") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val nPerm = 128
+    val withSig = docs
+      .withColumn("sh", graft.functions.ShingleKernel
+        .shingleHashes(col("text"), 3))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", graft.operators.MinHashDedup
+        .minhashFromHashes(col("sh"), nPerm))
+    def sigMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val direct = sigMap(withSig.groupBy(col("lang"))
+      .agg(graft.functions.ImperativeAggs.minSig(col("sig"), nPerm)
+        .as("s")))
+    val twoLevel = sigMap(withSig.groupBy(col("lang"), col("source"))
+      .agg(graft.functions.ImperativeAggs.minSig(col("sig"), nPerm)
+        .as("p"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.ImperativeAggs.minSig(col("p"), nPerm)
+        .as("s")))
+    assert(twoLevel === direct)
+  }
+
+  test("agg_minhash_union: every pair's estimate sits inside the declared 0.1 contract") {
+    val out = graft.operators.MinHashDedup
+      .aggMinhashUnion(spark, TestSpark.sf).collect()
+    assert(out.length === 10)
+    assert(out.forall(_.getBoolean(4)),
+      out.filterNot(_.getBoolean(4)).mkString(", "))
+    // anchors are real: at least one pair shares vocabulary
+    assert(out.exists(_.getLong(2) > 0))
+  }
+
   test("agg_theta_sketch emits all 10 event-type pairs with exact counts at fixture scale") {
     val out = graft.operators.Aggregates
       .aggThetaSketch(spark, TestSpark.sf).collect()

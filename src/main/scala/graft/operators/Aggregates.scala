@@ -160,6 +160,41 @@ object Aggregates {
       .orderBy(col("event_type").asc)
   }
 
+  /** `table_stats` — the Presto/Athena `SHOW STATS` surface as one
+    * aggregation pass: per-column row count, null count, exact NDV, and
+    * min/max over the fact table, pivoted to the one-row-per-column
+    * stats shape with `stack`. The optimizer-statistics collection path
+    * (ANALYZE) done declaratively — at 100 TB this is one partial+final
+    * aggregate (the multi-distinct plans through Expand, each distinct
+    * column one stream), never a per-column re-scan of the table.
+    */
+  def tableStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_quantity")).as("ndv_qty"),
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("nn_qty"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      countDistinct(col("l_extendedprice")).as("ndv_px"),
+      sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("nn_px"),
+      min(col("l_extendedprice")).as("min_px"),
+      max(col("l_extendedprice")).as("max_px"),
+      countDistinct(col("l_discount")).as("ndv_disc"),
+      sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("nn_disc"),
+      min(col("l_discount")).as("min_disc"),
+      max(col("l_discount")).as("max_disc"))
+    agg.select(col("n_rows"), expr(
+      """stack(3,
+        |  'l_discount', ndv_disc, nn_disc, min_disc, max_disc,
+        |  'l_extendedprice', ndv_px, nn_px, min_px, max_px,
+        |  'l_quantity', ndv_qty, nn_qty, min_qty, max_qty)
+        |  AS (column_name, ndv, n_nulls, min_v, max_v)""".stripMargin))
+      .select(col("column_name"), col("n_rows"), col("ndv"),
+        col("n_nulls"), col("min_v"), col("max_v"))
+      .orderBy(col("column_name").asc)
+  }
+
   /** `agg_theta_sketch` — audience-overlap via theta sketches, the
     * distinct-count sketch family with SET ALGEBRA (see
     * [[graft.functions.ThetaAggs]]): per event type a mergeable theta

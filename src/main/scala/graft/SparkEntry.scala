@@ -247,6 +247,8 @@ object SparkEntry {
       MinHashDedup.dedupSpan(s, d)),
     "agg_minhash_union" -> ((s: SparkSession, d: String) =>
       MinHashDedup.aggMinhashUnion(s, d)),
+    "dedup_span_mask" -> ((s: SparkSession, d: String) =>
+      MinHashDedup.dedupSpanMask(s, d)),
     // directional containment — the sub-document-duplication signal
     // Jaccard misses; a third view of the memoized similarity pass
     "dedup_containment" -> ((s: SparkSession, d: String) =>
@@ -2385,6 +2387,35 @@ object SparkEntry {
         |JOIN sizes sa ON pp.lang_a = sa.lang
         |JOIN sizes sb ON pp.lang_b = sb.lang
         |ORDER BY lang_a ASC, lang_b ASC""".stripMargin,
+    // the removal step of the span family: mask every duplicated-span
+    // occurrence except the globally first (min packed (doc_id, pos) —
+    // positions < 1e5 by fixture bound); cover positions are DISTINCT
+    // so overlapping spans don't double-count masked tokens
+    "dedup_span_mask" ->
+      raw"""WITH d AS (SELECT doc_id, string_split($normT, ' ') AS toks
+        |           FROM documents
+        |           WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |ln AS (SELECT doc_id, len(toks) AS n_tokens FROM d),
+        |sp0 AS (SELECT doc_id, unnest(list_transform(
+        |          range(0, greatest(len(toks) - 8, 0) + 1),
+        |          i -> struct_pack(pos := i,
+        |                 h := array_to_string(toks[i+1:i+8], ' ')))) AS s
+        |        FROM d),
+        |sp AS (SELECT doc_id, (s.pos)::BIGINT AS pos, s.h AS h FROM sp0),
+        |dup AS (SELECT h, min(doc_id * 100000 + pos) AS first_occ
+        |        FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |occ AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (h)
+        |        WHERE sp.doc_id * 100000 + sp.pos <> dup.first_occ),
+        |cov0 AS (SELECT o.doc_id, unnest(range(o.pos,
+        |           o.pos + least(8, ln.n_tokens))) AS tp
+        |         FROM occ o JOIN ln ON o.doc_id = ln.doc_id),
+        |cover AS (SELECT DISTINCT doc_id, tp FROM cov0),
+        |masked AS (SELECT doc_id, count(*) AS n_masked
+        |           FROM cover GROUP BY 1)
+        |SELECT m.doc_id AS doc_id, ln.n_tokens, m.n_masked,
+        |  ln.n_tokens - m.n_masked AS n_kept
+        |FROM masked m JOIN ln ON m.doc_id = ln.doc_id
+        |ORDER BY m.doc_id ASC""".stripMargin,
     // exact duplicated 8-token spans across documents: span strings here
     // vs 64-bit kernel hashes in Spark (the decontaminate convention —
     // identical sets up to negligible collisions); position counts are

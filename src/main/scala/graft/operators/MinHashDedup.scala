@@ -604,6 +604,56 @@ object MinHashDedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** `dedup_span_mask` — the REMOVAL step that [[dedupSpanDocs]] only
+    * detects (completing the public exact-substring-dedup recipe):
+    * every occurrence of a cross-doc duplicated k-token span except the
+    * globally FIRST one (min (doc_id, position)) is masked, and the
+    * per-doc report counts surviving tokens. A token is masked when ≥1
+    * non-first duplicated-span occurrence covers it, so overlapping
+    * spans don't double-count (the cover set is DISTINCT (doc, token)
+    * positions).
+    *
+    * Scale shape: the same single inverted-index shuffle as dedup_span
+    * (the first-occurrence argmin rides the df aggregate as a packed
+    * min — no extra pass, no window), a keyed join-back, then a
+    * row-local cover explode bounded by k·|dup occurrences| before the
+    * final keyed count. Global "first" is a total order on (doc_id,
+    * pos) packed exactly like agg_argmax (positions < 10⁵ by fixture
+    * bound, documented).
+    */
+  def dedupSpanMask(spark: SparkSession, sfDir: String,
+      k: Int = 8): DataFrame =
+    dedupSpanMaskDocs(Tables.documents(spark, sfDir), k)
+
+  /** Core of `dedup_span_mask` over any (doc_id, text) frame. */
+  def dedupSpanMaskDocs(documents: DataFrame, k: Int = 8): DataFrame = {
+    val base = documents
+      .withColumn("sh", graft.functions.ShingleKernel
+        .shingleHashes(col("text"), k, distinct = false))
+      .filter(size(col("sh")) > 0)
+      .withColumn("n_tokens", size(graft.functions.ShingleKernel
+        .shingleHashes(col("text"), 1, distinct = false)).cast("long"))
+    val sp = base.select(col("doc_id"), col("n_tokens"),
+      posexplode(col("sh")).as(Seq("pos", "h")))
+    val dup = sp.groupBy(col("h"))
+      .agg(min(col("doc_id") * 100000L + col("pos")).as("first_occ"),
+        countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h", "first_occ")
+    val occ = sp.join(dup, "h")
+      .filter(col("doc_id") * 100000L + col("pos") =!= col("first_occ"))
+    val cover = occ
+      .select(col("doc_id"), explode(sequence(col("pos"),
+        col("pos") + least(lit(k.toLong), col("n_tokens")).cast("int")
+          - 1)).as("tp"))
+      .distinct()
+    cover.groupBy(col("doc_id")).agg(count(lit(1)).as("n_masked"))
+      .join(base.select("doc_id", "n_tokens"), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        (col("n_tokens") - col("n_masked")).as("n_kept"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** `agg_minhash_union` — RE-AGGREGATABLE corpus-shard similarity: the
     * minhash completion of the rollup family (`agg_hll_rollup` counts,
     * `agg_bitmap_rollup` exact counts, `agg_theta_sketch` set algebra —

@@ -394,6 +394,29 @@ class DedupSpec extends AnyFunSuite {
       (5L, 1L, 1L), (6L, 1L, 1L)))
   }
 
+  test("dedup_span_mask keeps the global first occurrence and never double-counts overlaps") {
+    // doc 1 holds the GLOBAL first occurrences of both "a b c d" (pos 0)
+    // and "b c d a" (pos 1) → doc 1 unmasked entirely; doc 2 pos 1
+    // masked (tokens 1-4); doc 3 has BOTH dup spans as non-first
+    // occurrences at pos 0 and 1, overlapping on tokens 1-3 — the
+    // distinct cover masks 5 tokens (0..4), not 8
+    val docs = Seq(
+      (1L, "a b c d a y z"),
+      (2L, "q a b c d"),
+      (3L, "a b c d a p p p"),
+      (4L, "z b c d a")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.MinHashDedup.dedupSpanMaskDocs(docs, k = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: first occurrence of "a b c d" → no masks; absent from report
+    assert(!got.contains(1L))
+    assert(got(2L) === ((5L, 4L, 1L)))
+    assert(got(3L) === ((8L, 5L, 3L)))
+    assert(got(4L) === ((5L, 4L, 1L)))
+  }
+
   test("dedup_span equals brute force on random corpora (property)") {
     val rnd = new scala.util.Random(17)
     val vocab = Vector("aa", "bb", "cc", "dd")

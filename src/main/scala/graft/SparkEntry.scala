@@ -142,6 +142,8 @@ object SparkEntry {
     "agg_bitmap_rollup" -> (Aggregates.aggBitmapRollup _),
     "agg_theta_sketch" -> (Aggregates.aggThetaSketch _),
     "table_stats" -> (Aggregates.tableStats _),
+    "agg_corr" -> (Aggregates.aggCorr _),
+    "event_path" -> (EventWindows.eventPath _),
     "agg_collect" -> (Aggregates.aggCollect _),
     "agg_listagg" -> (Aggregates.aggListagg _),
     "agg_sortagg" -> (Aggregates.aggSortAgg _),
@@ -1297,6 +1299,31 @@ object SparkEntry {
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type
         |ORDER BY event_type ASC""".stripMargin,
+    // corr/regr_slope from exact decimal moments; the closed-form
+    // double expression mirrors the Spark column op for op, so the raw
+    // doubles are bit-identical (no rounding — the ts_interpolate rule)
+    "agg_corr" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n_rows,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows,
+        |  (n_rows::DOUBLE * sxy - sx * sy)
+        |    / (sqrt(n_rows::DOUBLE * sxx - sx * sx)
+        |      * sqrt(n_rows::DOUBLE * syy - sy * sy)) AS corr_qp,
+        |  (n_rows::DOUBLE * sxy - sx * sy)
+        |    / (n_rows::DOUBLE * sxx - sx * sx) AS slope_qp
+        |FROM m ORDER BY l_returnflag ASC""".stripMargin,
+    "event_path" ->
+      """SELECT user_id,
+        |  string_agg(event_type, '>' ORDER BY epoch_ms(ts), event_id)
+        |    AS path,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id ASC""".stripMargin,
     // SHOW STATS surface: per-column stats rows from one aggregation
     "table_stats" ->
       """WITH a AS (SELECT count(*) AS n_rows,

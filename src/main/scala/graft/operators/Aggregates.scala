@@ -160,6 +160,46 @@ object Aggregates {
       .orderBy(col("event_type").asc)
   }
 
+  /** `agg_corr` — Pearson correlation + OLS slope (the Presto
+    * `corr`/`regr_slope` surface) per return flag, computed from EXACT
+    * decimal moment sums instead of the built-in streaming aggregates:
+    * built-in `corr()` is a Welford-style single pass whose float
+    * accumulation order differs between engines (and between runs at
+    * different partitionings), so its last bits are not reproducible.
+    * Five exact decimal sums (x, y, xy, x², y² — squares in
+    * DECIMAL(28,4): price² ≈ 10¹⁰ per row overflows scale-18) are
+    * order-independent under partial aggregation; each casts to double
+    * once and the closed-form formula runs the SAME IEEE ops in the
+    * same order in both engines → bit-identical, no rounding needed
+    * (the ts_interpolate rule).
+    */
+  def aggCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec28(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(28, 4))
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(dec(col("l_quantity"))).cast("double").as("sx"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+        sum(dec28(col("l_quantity") * col("l_extendedprice")))
+          .cast("double").as("sxy"),
+        sum(dec28(col("l_quantity") * col("l_quantity")))
+          .cast("double").as("sxx"),
+        sum(dec28(col("l_extendedprice") * col("l_extendedprice")))
+          .cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n_rows"),
+        ((col("n_rows").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n_rows").cast("double") * col("sxx")
+              - col("sx") * col("sx"))
+            * sqrt(col("n_rows").cast("double") * col("syy")
+              - col("sy") * col("sy")))).as("corr_qp"),
+        ((col("n_rows").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_rows").cast("double") * col("sxx")
+            - col("sx") * col("sx"))).as("slope_qp"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   /** `table_stats` — the Presto/Athena `SHOW STATS` surface as one
     * aggregation pass: per-column row count, null count, exact NDV, and
     * min/max over the fact table, pivoted to the one-row-per-column

@@ -190,6 +190,31 @@ object EventWindows {
       .orderBy(col("event_type").asc, col("bucket").asc)
   }
 
+  /** `event_path` — per-user ordered journey string ("view>click>…"),
+    * the path-analysis primitive funnels and Markov attribution build
+    * on. Ordering is total and engine-identical: (epoch millis,
+    * event_id) — the unique id breaks same-millisecond ties, and
+    * millis (not the raw timestamp) sidesteps the ns-vs-µs precision
+    * split between engines (FIXTURES.md events.ts rule).
+    *
+    * Scale: one keyed partial+final aggregation; collect_list partials
+    * merge on the reduce side and the row-local sort is per-user
+    * (bounded by a user's own event count — the same per-key
+    * collect+sort shape the r8 single-pass window alternative uses).
+    */
+  def eventPath(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("ms"), col("event_id"),
+            col("event_type")))),
+          s => s.getField("event_type")), ">").as("path"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id").asc)
+
   /** `event_funnel` — ordered-step funnel: users whose first view is
     * followed by a click, then a purchase (strictly increasing event
     * time). Three keyed aggregations + two keyed joins — each stage

@@ -1311,11 +1311,11 @@ object SparkEntry {
         |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n_rows,
-        |  (n_rows::DOUBLE * sxy - sx * sy)
+        |  round((n_rows::DOUBLE * sxy - sx * sy)
         |    / (sqrt(n_rows::DOUBLE * sxx - sx * sx)
-        |      * sqrt(n_rows::DOUBLE * syy - sy * sy)) AS corr_qp,
-        |  (n_rows::DOUBLE * sxy - sx * sy)
-        |    / (n_rows::DOUBLE * sxx - sx * sx) AS slope_qp
+        |      * sqrt(n_rows::DOUBLE * syy - sy * sy)), 9) AS corr_qp,
+        |  round((n_rows::DOUBLE * sxy - sx * sy)
+        |    / (n_rows::DOUBLE * sxx - sx * sx), 9) AS slope_qp
         |FROM m ORDER BY l_returnflag ASC""".stripMargin,
     "event_path" ->
       """SELECT user_id,

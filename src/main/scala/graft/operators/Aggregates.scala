@@ -170,8 +170,10 @@ object Aggregates {
     * DECIMAL(28,4): price² ≈ 10¹⁰ per row overflows scale-18) are
     * order-independent under partial aggregation; each casts to double
     * once and the closed-form formula runs the SAME IEEE ops in the
-    * same order in both engines → bit-identical, no rounding needed
-    * (the ts_interpolate rule).
+    * same order in both engines. The outputs still round to 9 dp: the
+    * engines' decimal→double CASTS disagree in the last ulp once the
+    * unscaled value passes 2^53 (see the in-select comment) — sub-ulp
+    * noise, absorbed by a rounding 10⁸ ulps wide.
     */
   def aggCorr(spark: SparkSession, sfDir: String): DataFrame = {
     def dec28(c: org.apache.spark.sql.Column) =
@@ -189,14 +191,23 @@ object Aggregates {
         sum(dec28(col("l_extendedprice") * col("l_extendedprice")))
           .cast("double").as("syy"))
       .select(col("l_returnflag"), col("n_rows"),
-        ((col("n_rows").cast("double") * col("sxy") - col("sx") * col("sy"))
+        // 9 dp rounding, NOT raw doubles: DuckDB's decimal→double cast
+        // double-rounds (int128 unscaled beyond 2^53, then the scale
+        // divide) where Spark's BigDecimal cast rounds once, so the
+        // moment doubles can differ in the last ulp (caught by the
+        // sf0.001 sweep). 9 dp is ~10⁸ ulps away from that noise, and
+        // the half-boundary hazard of r7 needs rational arithmetic —
+        // these quotients pass through sqrt/irrational territory.
+        round((col("n_rows").cast("double") * col("sxy")
+            - col("sx") * col("sy"))
           / (sqrt(col("n_rows").cast("double") * col("sxx")
               - col("sx") * col("sx"))
             * sqrt(col("n_rows").cast("double") * col("syy")
-              - col("sy") * col("sy")))).as("corr_qp"),
-        ((col("n_rows").cast("double") * col("sxy") - col("sx") * col("sy"))
+              - col("sy") * col("sy"))), 9).as("corr_qp"),
+        round((col("n_rows").cast("double") * col("sxy")
+            - col("sx") * col("sy"))
           / (col("n_rows").cast("double") * col("sxx")
-            - col("sx") * col("sx"))).as("slope_qp"))
+            - col("sx") * col("sx")), 9).as("slope_qp"))
       .orderBy(col("l_returnflag").asc)
   }
 

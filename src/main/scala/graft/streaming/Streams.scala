@@ -210,6 +210,28 @@ object Streams {
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming form of `ts_resample`: 6-hour OHLC bars as a watermarked
+    * windowed aggregate — min_by/max_by carry one (value, ord) pair of
+    * state per (window, type) group exactly like the batch plan, so the
+    * incremental state is bar-sized, never event-sized. Same unique
+    * packed (ms, event_id) ordering as the batch operator; equality
+    * with [[graft.operators.EventWindows.tsResampleEvents]] is
+    * spec-asserted by file replay (StreamingSpec).
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("ord", unix_millis(col("ts")) * 1000000L + col("event_id"))
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(min_by(col("value"), col("ord")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ord")).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"))
+
   /** `stream_sliding` — 1h window sliding every 15 min. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -43,6 +43,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming OHLC bars equal the batch ts_resample (file replay)") {
+    val sfd = TestSpark.sf
+    val stream = Streams.ohlcBars(Streams.eventsFileStream(spark, sfd))
+    val q = stream.writeStream.format("memory").queryName("ohlc")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ohlc")
+      .orderBy("event_type", "win_start").collect().toSeq
+    val batch = graft.operators.EventWindows
+      .tsResample(spark, sfd)
+      .select(col("event_type"), col("bucket").as("win_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"))
+      .select("win_start", "event_type", "open", "high", "low", "close",
+        "n_events")
+      .orderBy("event_type", "win_start")
+      .collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("stream-stream interval join equals the batch attribution join") {
     val sfd = TestSpark.sf
     val ev = Streams.eventsFileStream(spark, sfd)

@@ -113,8 +113,10 @@ object SparkEntry {
     // + agg + top-k composed on one plan; see operators/MacroQueries
     "q_shaped_q3" -> (MacroQueries.qShapedQ3 _),
     "q_shaped_q5" -> (MacroQueries.qShapedQ5 _),
+    "q_shaped_q4" -> (MacroQueries.qShapedQ4 _),
     "q_shaped_q7" -> (MacroQueries.qShapedQ7 _),
     "q_shaped_q14" -> (MacroQueries.qShapedQ14 _),
+    "q_shaped_q22" -> (MacroQueries.qShapedQ22 _),
     "q_shaped_q10" -> (MacroQueries.qShapedQ10 _),
     "q_shaped_q18" -> (MacroQueries.qShapedQ18 _),
     // §2.D aggregations
@@ -1065,6 +1067,31 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q_shaped_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
+    "q_shaped_q22" ->
+      """WITH t AS (SELECT
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) AS thr
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey % 10 AS code, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer, t
+        |WHERE c_acctbal > thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 400000)
+        |GROUP BY code
+        |ORDER BY code ASC""".stripMargin,
     "q_shaped_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS l_year,

@@ -184,6 +184,59 @@ object MacroQueries {
         col("l_year").asc)
   }
 
+  /** `q_shaped_q4` — order-priority-checking skeleton: orders in one
+    * half-year with at least one lineitem shipped more than 60 days
+    * after the order date (the fixture's stand-in for Q4's
+    * commitdate < receiptdate — those columns don't exist here),
+    * counted by priority. The correlated EXISTS decorrelates to ONE
+    * left-semi join whose condition mixes the equi key with the
+    * cross-side date comparison — the semi join prunes before the agg,
+    * so the exchange carries five priority rows.
+    */
+  def qShapedQ4(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
+  /** `q_shaped_q22` — global-sales-opportunity skeleton: above-average-
+    * balance customers who never placed a premium (>400k) order,
+    * grouped by a country-code proxy (nationkey mod 10). Composes the
+    * two shapes the other composites lack TOGETHER: a scalar subquery
+    * (the average balance, one broadcast row) and a correlated NOT
+    * EXISTS that decorrelates to a left-anti join against the premium
+    * slice — the price filter pushes into the orders scan, so the anti
+    * build side is the 20% premium slice, not all orders. The 400k
+    * threshold is the documented fixture landmark (survivors exist at
+    * every SF, 7 at sf0.001).
+    */
+  def qShapedQ22(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val thr = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double")
+        / count(lit(1))).as("thr"))
+    val premium = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 400000)
+      .select("o_custkey")
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(premium, col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 10).as("code"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy(col("code").asc)
+  }
+
   /** `q_shaped_q14` — promotion-effect skeleton: one month of lineitem
     * joined to the part dim, conditional aggregation splitting promo
     * revenue from total. Part is explicitly broadcast (the dim is

@@ -108,6 +108,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q14 month filter must reach the scan:\n$p14")
   }
 
+  test("q4/q22 composites: EXISTS→semi and NOT EXISTS→anti, filters pushed") {
+    import graft.operators.MacroQueries
+    // q4: the correlated EXISTS decorrelates to one left-semi join;
+    // the half-year filter reaches the orders scan
+    val p4 = plan(MacroQueries.qShapedQ4(spark, sf))
+    assert(p4.contains("LeftSemi"), s"q4 expected a semi join:\n$p4")
+    assert(p4.contains("PushedFilters") && p4.contains("o_orderdate"),
+      s"q4 date filter must reach the scan:\n$p4")
+    assert(!p4.contains("CartesianProduct") &&
+      !p4.contains("BroadcastNestedLoopJoin"),
+      s"q4 must not plan a product join:\n$p4")
+    // q22: NOT EXISTS decorrelates to a left-anti join whose build side
+    // is the premium slice (price filter pushed); the scalar average is
+    // a broadcast single row (the allowed 1-row product)
+    val p22 = plan(MacroQueries.qShapedQ22(spark, sf))
+    assert(p22.contains("LeftAnti"), s"q22 expected an anti join:\n$p22")
+    assert(p22.contains("GreaterThan(o_totalprice,400000"),
+      s"q22 premium filter must be pushed to the orders scan:\n$p22")
+  }
+
   test("decontaminate_bloom: might_contain prefilter sits under the confirm join") {
     val df = graft.operators.TextOps.decontaminateBloom(spark, sf)
     val p = plan(df)

@@ -145,6 +145,8 @@ object SparkEntry {
     "agg_theta_sketch" -> (Aggregates.aggThetaSketch _),
     "table_stats" -> (Aggregates.tableStats _),
     "agg_corr" -> (Aggregates.aggCorr _),
+    "sample_weighted" -> ((s: SparkSession, d: String) =>
+      Aggregates.sampleWeighted(s, d)),
     "event_path" -> (EventWindows.eventPath _),
     "agg_collect" -> (Aggregates.aggCollect _),
     "agg_listagg" -> (Aggregates.aggListagg _),
@@ -1344,6 +1346,24 @@ object SparkEntry {
         |  round((n_rows::DOUBLE * sxy - sx * sy)
         |    / (n_rows::DOUBLE * sxx - sx * sx), 9) AS slope_qp
         |FROM m ORDER BY l_returnflag ASC""".stripMargin,
+    // PPS systematic sampling in exact arithmetic: decimal prefix sums,
+    // integer tick comparison in 1e-4 units — zero randomness, so the
+    // selected row set is engine-identical by construction
+    "sample_weighted" ->
+      """WITH w AS (SELECT o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS wt FROM orders),
+        |c AS (SELECT o_orderkey, wt,
+        |    SUM(wt) OVER (ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM w),
+        |u AS (SELECT o_orderkey, wt,
+        |    CAST(cum * 10000 AS BIGINT) AS cum_u,
+        |    CAST(wt * 10000 AS BIGINT) AS w_u FROM c)
+        |SELECT o_orderkey, CAST(wt AS DOUBLE) AS weight,
+        |  cum_u // 100000000000 AS tick
+        |FROM u
+        |WHERE cum_u // 100000000000 > (cum_u - w_u) // 100000000000
+        |ORDER BY o_orderkey ASC""".stripMargin,
     "event_path" ->
       """SELECT user_id,
         |  string_agg(event_type, '>' ORDER BY epoch_ms(ts), event_id)

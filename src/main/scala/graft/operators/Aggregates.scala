@@ -160,6 +160,62 @@ object Aggregates {
       .orderBy(col("event_type").asc)
   }
 
+  /** `sample_weighted` — weight-proportional SYSTEMATIC sampling
+    * (completing the sampling family beside hash-uniform `sample_hash`
+    * and `sample_stratified`): one row is taken each time the exact
+    * running weight (orders by o_orderkey, weighted by price) crosses a
+    * fixed step — PPS sampling with zero randomness, so both engines
+    * select the identical rows. Everything stays in exact arithmetic:
+    * decimal prefix sums, then integer tick comparison in 10⁻⁴ units
+    * (no float ever touches the selection predicate).
+    *
+    * The global prefix sum is built WITHOUT a global window (banned —
+    * one task would sort everything): keyed per-bucket partials, ONE
+    * report-sized fold for the bucket offsets (sort_array + aggregate
+    * over ≤ |keys|/1024 rollup rows — the r8 single-pass shape), and a
+    * bucket-KEYED window for the within-bucket cumsum. At 100 TB the
+    * offsets layer is the one scale knob: widen the bucket (or add a
+    * second rollup level, the segment-tree step carryLastRangeSplit
+    * already demonstrates) so the folded array stays driver-safe.
+    */
+  def sampleWeighted(spark: SparkSession, sfDir: String,
+      stepUnits: Long = 100000000000L /* 1e7 price · 1e4 scale */)
+      : DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("wt"))
+      .withColumn("bkt", (col("o_orderkey") / lit(1024)).cast("long"))
+    val bsum = ord.groupBy(col("bkt"))
+      .agg(sum(col("wt")).as("bw"))
+    val offs = bsum
+      .agg(sort_array(collect_list(struct(col("bkt"), col("bw"))))
+        .as("bs"))
+      .select(explode(expr(
+        """aggregate(bs,
+          |  named_struct(
+          |    'arr', cast(array() as array<struct<bkt:bigint,off:decimal(38,4)>>),
+          |    'run', cast(0 as decimal(38,4))),
+          |  (acc, x) -> named_struct(
+          |    'arr', array_append(acc.arr, named_struct('bkt', x.bkt, 'off', acc.run)),
+          |    'run', cast(acc.run + x.bw as decimal(38,4))),
+          |  acc -> acc.arr)""".stripMargin)).as("o"))
+      .select(col("o.bkt").as("bkt"), col("o.off").as("off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("o_orderkey").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ord
+      .withColumn("wcum", sum(col("wt")).over(wIn))
+      .join(broadcast(offs), "bkt")
+      .withColumn("cum_u",
+        ((col("off") + col("wcum")) * 10000).cast("long"))
+      .withColumn("w_u", (col("wt") * 10000).cast("long"))
+      .filter(expr(s"cum_u DIV $stepUnits") >
+        expr(s"(cum_u - w_u) DIV $stepUnits"))
+      .select(col("o_orderkey"), col("wt").cast("double").as("weight"),
+        expr(s"cum_u DIV $stepUnits").as("tick"))
+      .orderBy(col("o_orderkey").asc)
+  }
+
   /** `agg_corr` — Pearson correlation + OLS slope (the Presto
     * `corr`/`regr_slope` surface) per return flag, computed from EXACT
     * decimal moment sums instead of the built-in streaming aggregates:

@@ -14,6 +14,25 @@ class FunctionSpec extends AnyFunSuite {
   val sf = TestSpark.sf
   import spark.implicits._
 
+  test("sample_weighted equals the driver-computed systematic sample") {
+    val step = 100000000000L // 1e7 price in 1e-4 units
+    val rows = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    var cumU = 0L
+    val expect = rows.flatMap { case (k, p) =>
+      val wU = java.math.BigDecimal.valueOf(p)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .movePointRight(4).longValueExact()
+      val prev = cumU; cumU += wU
+      if (cumU / step > prev / step) Some(k) else None
+    }.toSeq
+    val got = graft.operators.Aggregates.sampleWeighted(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("ts_resample OHLC: open/close resolve same-millisecond ties by event_id") {
     val t0 = java.sql.Timestamp.valueOf("2024-03-01 02:00:00")
     def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)

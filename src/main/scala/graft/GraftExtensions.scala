@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
-import graft.functions.{FloatVecDot, FloatVecNorm, WordShingleHashes, ZOrder}
+import graft.functions.{FloatVecDot, FloatVecNorm, ThetaEstimate,
+  ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionEstimate,
+  WordShingleHashes, ZOrder}
 
 /** Engine extensions (SURVEY.md §2.J / §7.5): expose the native kernels
   * to the SQL surface and teach the optimizer to accelerate the
@@ -72,7 +74,24 @@ object GraftExtensions {
             Literal(0x5555))
         }
         BitwiseOr(spread8(es(0)), ShiftLeft(spread8(es(1)), Literal(1)))
-      }))
+      }),
+    // theta sketch set algebra for SQL users (ThetaAggs.scala): the
+    // aggregate resolves through the registry and the analyzer wraps it
+    // into an AggregateExpression; the scalar estimators run on compact
+    // sketch bytes
+    (FunctionIdentifier("theta_sketch"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch"),
+      (es: Seq[Expression]) => ThetaSketchAgg(es.head)),
+    (FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+      (es: Seq[Expression]) => ThetaEstimate(es.head)),
+    (FunctionIdentifier("theta_intersect"),
+      new ExpressionInfo(classOf[ThetaIntersectEstimate].getName,
+        "theta_intersect"),
+      (es: Seq[Expression]) => ThetaIntersectEstimate(es(0), es(1))),
+    (FunctionIdentifier("theta_union"),
+      new ExpressionInfo(classOf[ThetaUnionEstimate].getName, "theta_union"),
+      (es: Seq[Expression]) => ThetaUnionEstimate(es(0), es(1))))
 
   /** Install on an already-running session (tests, notebooks). */
   def install(spark: SparkSession): Unit = {

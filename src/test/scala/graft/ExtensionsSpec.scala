@@ -34,6 +34,21 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("theta sketch family is SQL-callable end to end") {
+    spark.range(0, 500).createOrReplaceTempView("ids_a")
+    spark.range(300, 900).createOrReplaceTempView("ids_b")
+    val r = spark.sql(
+      """SELECT round(theta_estimate(a.sk)) AS na,
+        |  round(theta_intersect(a.sk, b.sk)) AS ni,
+        |  round(theta_union(a.sk, b.sk)) AS nu
+        |FROM (SELECT theta_sketch(id) AS sk FROM ids_a) a,
+        |     (SELECT theta_sketch(id) AS sk FROM ids_b) b""".stripMargin)
+      .head()
+    assert(r.getDouble(0) === 500.0)
+    assert(r.getDouble(1) === 200.0) // [300,500)
+    assert(r.getDouble(2) === 900.0) // [0,900)
+  }
+
   test("zorder2 is SQL-callable and matches the Column form") {
     // 3 = 0b11 spreads to even bits 0b0101 = 5; 5 = 0b101 spreads to
     // 0b010001 = 17, shifted to odd bits = 34; 5 | 34 = 39

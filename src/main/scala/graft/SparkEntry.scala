@@ -145,6 +145,7 @@ object SparkEntry {
     "agg_theta_sketch" -> (Aggregates.aggThetaSketch _),
     "table_stats" -> (Aggregates.tableStats _),
     "agg_corr" -> (Aggregates.aggCorr _),
+    "agg_filter_clause" -> (Aggregates.aggFilterClause _),
     "sample_weighted" -> ((s: SparkSession, d: String) =>
       Aggregates.sampleWeighted(s, d)),
     "event_path" -> (EventWindows.eventPath _),
@@ -1346,6 +1347,18 @@ object SparkEntry {
         |  round((n_rows::DOUBLE * sxy - sx * sy)
         |    / (n_rows::DOUBLE * sxx - sx * sx), 9) AS slope_qp
         |FROM m ORDER BY l_returnflag ASC""".stripMargin,
+    "agg_filter_clause" ->
+      """SELECT o_orderstatus,
+        |  COUNT(1) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE quarter(o_orderdate) = 1) AS DOUBLE) AS rev_q1,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE quarter(o_orderdate) = 4) AS DOUBLE) AS rev_q4,
+        |  COUNT(DISTINCT o_custkey)
+        |    FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_custs
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC""".stripMargin,
     // PPS systematic sampling in exact arithmetic: decimal prefix sums,
     // integer tick comparison in 1e-4 units — zero randomness, so the
     // selected row set is engine-identical by construction

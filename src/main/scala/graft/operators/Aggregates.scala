@@ -540,6 +540,29 @@ object Aggregates {
             col("o_orderkey"))).as("top_order"))
       .orderBy(col("o_orderpriority").asc)
 
+  /** `agg_filter_clause` — the ANSI `FILTER (WHERE …)` aggregate
+    * modifier (Presto/DuckDB/Spark 3+ all speak it), the standard-SQL
+    * sibling of [[aggConditional]]'s count_if/CASE forms: per status,
+    * quarterly revenue splits in ONE pass — each FILTER prunes its own
+    * aggregate's input row-locally, so four conditional sums still cost
+    * one partial+final aggregation, never four scans.
+    */
+  def aggFilterClause(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderstatus,
+        |  COUNT(1) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE quarter(o_orderdate) = 1) AS DOUBLE) AS rev_q1,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE quarter(o_orderdate) = 4) AS DOUBLE) AS rev_q4,
+        |  COUNT(DISTINCT o_custkey)
+        |    FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_custs
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC""".stripMargin)
+  }
+
   /** `agg_pivot` — groupBy().pivot() with an explicit value list (fixed
     * output schema → deterministic; an unbounded pivot would scan for
     * distinct values first). Oracle form: conditional aggregation.

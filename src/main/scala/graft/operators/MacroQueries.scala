@@ -220,21 +220,26 @@ object MacroQueries {
     * every SF, 7 at sf0.001).
     */
   def qShapedQ22(spark: SparkSession, sfDir: String): DataFrame = {
-    val cust = Tables.customer(spark, sfDir)
-      .select("c_custkey", "c_nationkey", "c_acctbal")
-    val thr = cust.filter(col("c_acctbal") > 0)
-      .agg((sum(dec(col("c_acctbal"))).cast("double")
-        / count(lit(1))).as("thr"))
-    val premium = Tables.orders(spark, sfDir)
-      .filter(col("o_totalprice") > 400000)
-      .select("o_custkey")
-    cust.crossJoin(broadcast(thr))
-      .filter(col("c_acctbal") > col("thr"))
-      .join(premium, col("o_custkey") === col("c_custkey"), "left_anti")
-      .groupBy((col("c_nationkey") % 10).as("code"))
-      .agg(count(lit(1)).as("n_cust"),
-        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
-      .orderBy(col("code").asc)
+    // SQL form ON PURPOSE: the uncorrelated scalar subquery plans as a
+    // separate subquery stage feeding a literal — NO join at all for
+    // the threshold attach (the DSL crossJoin(broadcast(1 row)) form
+    // plans a BroadcastNestedLoopJoin, which the declared-plan contract
+    // bans), and the NOT EXISTS decorrelates to the left-anti join
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT c_nationkey % 10 AS code, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 400000)
+        |GROUP BY code
+        |ORDER BY code ASC""".stripMargin)
   }
 
   /** `q_shaped_q14` — promotion-effect skeleton: one month of lineitem

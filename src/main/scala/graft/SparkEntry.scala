@@ -49,6 +49,7 @@ object SparkEntry {
     "lake_history" -> (SinkQueries.lakeHistory _),
     "lake_vacuum" -> (SinkQueries.lakeVacuum _),
     "merge_upsert" -> (SinkQueries.mergeUpsert _),
+    "merge_scd2" -> (SinkQueries.mergeScd2 _),
     "join_bucketed" -> (SinkQueries.joinBucketed _),
     "source_csv" -> (SinkQueries.sourceCsv _),
     "source_json" -> (SinkQueries.sourceJson _),
@@ -192,6 +193,7 @@ object SparkEntry {
     "sample_hash" -> ((s: SparkSession, d: String) => ScalarFns.sampleHash(s, d)),
     "fn_array" -> (ScalarFns.fnArray _),
     "fn_json" -> (ScalarFns.fnJson _),
+    "fn_variant" -> (ScalarFns.fnVariant _),
     "fn_map" -> (ScalarFns.fnMap _),
     "fn_hash" -> (ScalarFns.fnHash _),
     "fn_hash_md5" -> (ScalarFns.fnHashMd5 _),
@@ -710,6 +712,47 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM src)
         |ORDER BY o_orderkey ASC""".stripMargin,
+    // SCD2 semantics: unchanged update rows are no-ops; changed keys
+    // close v1 and open v2; the +256.0 delta is exact in binary
+    "merge_scd2" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |upd AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 256.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '-R'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer
+        |  WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+        |     OR c_custkey % 13 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 97 = 0),
+        |chg AS (
+        |  SELECT u.c_custkey FROM upd u JOIN cur c USING (c_custkey)
+        |  WHERE u.c_acctbal <> c.c_acctbal
+        |     OR u.c_mktsegment <> c.c_mktsegment)
+        |SELECT c_custkey, c_acctbal, c_mktsegment,
+        |       valid_from, valid_to, is_current FROM (
+        |  SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+        |    1 AS valid_from, 2 AS valid_to, FALSE AS is_current
+        |  FROM cur c WHERE c.c_custkey IN (SELECT c_custkey FROM chg)
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+        |    1, NULL::INT, TRUE
+        |  FROM cur c
+        |  WHERE c.c_custkey NOT IN (SELECT c_custkey FROM chg)
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+        |    2, NULL::INT, TRUE
+        |  FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM chg)
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+        |    2, NULL::INT, TRUE
+        |  FROM upd u
+        |  WHERE u.c_custkey NOT IN (SELECT c_custkey FROM cur))
+        |ORDER BY c_custkey ASC, valid_from ASC""".stripMargin,
     "source_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey ASC",
     "source_json" ->
@@ -1769,6 +1812,14 @@ object SparkEntry {
         |  json_extract_string(props, '$.k')::INT AS k_val,
         |  json_extract_string(props, '$.k')::INT AS k_parsed,
         |  to_json(struct_pack(t := event_type))::VARCHAR AS rejson
+        |FROM events ORDER BY event_id ASC""".stripMargin,
+    // the variant binary never surfaces — only extracted primitives;
+    // a missing path is NULL on both sides
+    "fn_variant" ->
+      """SELECT event_id,
+        |  json_extract(props, '$.k')::BIGINT AS k_val,
+        |  json_extract(props, '$.k')::BIGINT * 2 AS k_doubled,
+        |  json_extract(props, '$.missing')::BIGINT AS absent
         |FROM events ORDER BY event_id ASC""".stripMargin,
     "fn_map" ->
       """SELECT event_id,

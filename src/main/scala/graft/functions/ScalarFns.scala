@@ -285,6 +285,29 @@ object ScalarFns {
         to_json(struct(col("event_type").as("t"))).as("rejson"))
       .orderBy(col("event_id").asc)
 
+  /** `fn_variant` — Spark 4's VARIANT semi-structured type
+    * (`parse_json` → `variant_get` / `try_variant_get`), the
+    * schema-on-read path that replaces string-walking
+    * `get_json_object` at scale: the JSON parses ONCE into a binary
+    * variant and every extraction is an offset walk, not a re-parse —
+    * on a 100 TB telemetry column that is the difference between one
+    * parse per row and one per extracted field. Variant values
+    * themselves never surface to the comparator (engine-specific
+    * binary): only extracted primitives do; a missing path through
+    * `try_variant_get` must yield NULL, not an error.
+    */
+  def fnVariant(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')")
+          .as("k_val"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')")
+          .multiply(2).as("k_doubled"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'bigint')")
+          .as("absent"))
+      .orderBy(col("event_id").asc)
+
   /** `fn_map` — map construction and access over parsed props. Keys and
     * entries are serialized to sorted CSV strings: that makes the output
     * deterministic regardless of map entry order AND oracle-declarable

@@ -364,4 +364,41 @@ object LakeIO {
       .drop("__zkey", "__alo", "__ahi", "__blo", "__bhi")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** SCD type-2 apply (`merge_scd2`): fold an update batch into a
+    * versioned dimension whose rows carry (valid_from, valid_to,
+    * is_current). Change detection is explicit attribute comparison —
+    * an update row whose attributes equal the current version is a
+    * NO-OP (no spurious version), changed keys close the current row
+    * at `newVersion` and open a new one, never-seen keys insert.
+    *
+    * Scale: two keyed semi/anti joins on the dimension key + unions —
+    * no window, no full-dimension rewrite logic beyond what MERGE
+    * itself costs (LakeIO.upsert notes); history rows pass through
+    * untouched.
+    */
+  def scd2Apply(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+      attrs: Seq[String], newVersion: Int): DataFrame = {
+    val cur = dim.filter(col("is_current"))
+    val hist = dim.filter(!col("is_current"))
+    val keyCols = keys.map(col)
+    def attrStruct(prefix: String) =
+      struct(attrs.map(a => col(s"$prefix$a")): _*)
+    val changed = cur.as("c")
+      .join(updates.as("u"), keys)
+      .filter(attrStruct("c.") =!= attrStruct("u."))
+      .select(keys.map(k => col(s"c.$k")): _*)
+    val closed = cur.join(changed, keys, "left_semi")
+      .withColumn("valid_to", lit(newVersion))
+      .withColumn("is_current", lit(false))
+    val stillCurrent = cur.join(changed, keys, "left_anti")
+    val opened = updates.join(changed, keys, "left_semi")
+    val inserted = updates.join(cur.select(keyCols: _*), keys, "left_anti")
+    val fresh = opened.unionByName(inserted)
+      .withColumn("valid_from", lit(newVersion))
+      .withColumn("valid_to", lit(null).cast("int"))
+      .withColumn("is_current", lit(true))
+    hist.unionByName(closed).unionByName(stillCurrent)
+      .unionByName(fresh.select(dim.columns.map(col): _*))
+  }
 }

@@ -447,6 +447,38 @@ object SinkQueries {
       .orderBy(col("o_orderkey").asc)
   }
 
+  /** `merge_scd2` — slowly-changing-dimension type-2 merge
+    * (LakeIO.scd2Apply): customer is the v1 dimension; the update
+    * batch flips market segments (key % 7), bumps balances by an
+    * exactly-representable +256.0 (key % 11), replays UNCHANGED rows
+    * (key % 13 — must be a no-op, no spurious version), and inserts
+    * brand-new keys (key % 97, shifted +1e6). Changed keys close their
+    * v1 row at version 2 and open a v2 row; history semantics land in
+    * (valid_from, valid_to, is_current).
+    */
+  def mergeScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    val k = col("c_custkey")
+    val dim = cust
+      .withColumn("valid_from", lit(1))
+      .withColumn("valid_to", lit(null).cast("int"))
+      .withColumn("is_current", lit(true))
+    val upd = cust
+      .filter(k % 7 === 0 || k % 11 === 0 || k % 13 === 0)
+      .withColumn("c_acctbal",
+        when(k % 11 === 0, col("c_acctbal") + 256.0)
+          .otherwise(col("c_acctbal")))
+      .withColumn("c_mktsegment",
+        when(k % 7 === 0, concat(col("c_mktsegment"), lit("-R")))
+          .otherwise(col("c_mktsegment")))
+      .unionByName(cust.filter(k % 97 === 0)
+        .withColumn("c_custkey", k + 1000000L))
+    LakeIO.scd2Apply(dim, upd, Seq("c_custkey"),
+        Seq("c_acctbal", "c_mktsegment"), newVersion = 2)
+      .orderBy(col("c_custkey").asc, col("valid_from").asc)
+  }
+
   /** `sink_compact` — bin-packing small-file compaction (`Lake.compact`
     * → LakeIO.compactToSize): seed a deliberately fragmented dataset
     * (64 writer tasks over a small slice → 64 tiny files), compact to a

@@ -15,6 +15,38 @@ class LakeSpec extends AnyFunSuite {
     Lake(spark, Files.createTempDirectory("graft_lake").toString)
       .attachFixtures(TestSpark.sf)
 
+  test("scd2Apply: change closes+opens, no-op is silent, insert starts at the new version") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def dimOf(rows: Seq[(Long, String, Int, Option[Int], Boolean)]) =
+      rows.toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val v1 = dimOf(Seq(
+      (1L, "a", 1, None, true),
+      (2L, "b", 1, None, true),
+      (3L, "c", 1, None, true)))
+    val upd2 = Seq((1L, "a"), (2L, "X"), (4L, "d")).toDF("k", "attr")
+    val v2 = graft.sources.LakeIO.scd2Apply(v1, upd2, Seq("k"),
+      Seq("attr"), newVersion = 2)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        r.getBoolean(4))).toSet
+    assert(snap(v2) === Set(
+      (1L, "a", 1, None, true),        // no-op: still the v1 row
+      (2L, "b", 1, Some(2), false),    // closed
+      (2L, "X", 2, None, true),        // opened
+      (3L, "c", 1, None, true),        // untouched
+      (4L, "d", 2, None, true)))       // inserted
+    // a second round stacks history: key 2 changes again
+    val v3 = graft.sources.LakeIO.scd2Apply(v2,
+      Seq((2L, "Y")).toDF("k", "attr"), Seq("k"), Seq("attr"),
+      newVersion = 3)
+    assert(snap(v3.filter(col("k") === 2L)) === Set(
+      (2L, "b", 1, Some(2), false),
+      (2L, "X", 2, Some(3), false),
+      (2L, "Y", 3, None, true)))
+  }
+
   test("query: SQL passthrough over attached tables") {
     val lake = newLake()
     val top = lake.query(

@@ -340,6 +340,49 @@ object SparkEntry {
     // the same ANSI SQL executed by Catalyst over registered tables,
     // declared end-to-end (the DataFrame-API queries above cover the
     // operators; this covers the passthrough itself)
+    // Spark 4 SQL pipe syntax: each |> stage is a plain relational op,
+    // so the plan is identical to the classic form — the surface, not
+    // the execution, is what's declared here
+    "sql_pipe" -> ((s: SparkSession, d: String) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql(
+        """FROM lineitem
+          ||> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |         AND l_shipdate < TIMESTAMP '1998-01-01'
+          ||> AGGREGATE
+          |     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+          |       AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |     COUNT(1) AS n_items
+          |   GROUP BY l_returnflag
+          ||> ORDER BY l_returnflag ASC""".stripMargin)
+    }),
+    "agg_group_by_all" -> ((s: SparkSession, d: String) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          |    AS sum_qty,
+          |  COUNT(1) AS cnt
+          |FROM lineitem
+          |GROUP BY ALL
+          |ORDER BY ALL""".stripMargin)
+    }),
+    // collation-aware equality (Spark 4 COLLATE): the UTF8_LCASE
+    // comparison must match DuckDB's lower()-normalized equality
+    "fn_collation" -> ((s: SparkSession, d: String) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql(
+        """SELECT c_mktsegment,
+          |  COUNT(1) AS n,
+          |  COUNT(1) FILTER (
+          |    WHERE c_mktsegment COLLATE UTF8_LCASE = 'building')
+          |    AS n_building_ci,
+          |  COUNT(1) FILTER (WHERE c_mktsegment = 'building')
+          |    AS n_building_cs
+          |FROM customer
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment ASC""".stripMargin)
+    }),
     "sql_passthrough" -> ((s: SparkSession, d: String) => {
       graft.sources.Tables.registerAll(s, d)
       s.sql(
@@ -2737,6 +2780,36 @@ object SparkEntry {
         |WHERE o.o_orderstatus = 'F'
         |GROUP BY n_name
         |ORDER BY n_name ASC""".stripMargin,
+    // the pipe query is plain relational algebra — its oracle is the
+    // classic-syntax equivalent
+    "sql_pipe" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(1) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin,
+    "agg_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_qty,
+        |  COUNT(1) AS cnt
+        |FROM lineitem
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin,
+    "fn_collation" ->
+      """SELECT c_mktsegment,
+        |  COUNT(1) AS n,
+        |  COUNT(1) FILTER (WHERE lower(c_mktsegment) = 'building')
+        |    AS n_building_ci,
+        |  COUNT(1) FILTER (WHERE c_mktsegment = 'building')
+        |    AS n_building_cs
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id AS asset_id,
         |  unnest(range(0, (n_chars * 10)::BIGINT, 1000)) AS frame_ts_ms

@@ -47,6 +47,7 @@ object SparkEntry {
     "sink_zorder" -> (SinkQueries.sinkZorder _),
     "sink_compact" -> (SinkQueries.sinkCompact _),
     "lake_history" -> (SinkQueries.lakeHistory _),
+    "lake_time_travel" -> (SinkQueries.lakeTimeTravel _),
     "lake_vacuum" -> (SinkQueries.lakeVacuum _),
     "merge_upsert" -> (SinkQueries.mergeUpsert _),
     "merge_scd2" -> (SinkQueries.mergeScd2 _),
@@ -720,6 +721,25 @@ object SparkEntry {
         |UNION ALL
         |SELECT 2, 8, TRUE,
         |  (SELECT count(*) FROM orders WHERE o_totalprice > 200000.0)
+        |ORDER BY version ASC""".stripMargin,
+    // pinned-version reads: each version's content recomputed from the
+    // source slice that produced it
+    "lake_time_travel" ->
+      """SELECT 0 AS version,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 200000.0)
+        |    AS n_rows,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |   FROM orders WHERE o_totalprice > 200000.0) AS revenue
+        |UNION ALL
+        |SELECT 1,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 300000.0),
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |   FROM orders WHERE o_totalprice > 300000.0)
+        |UNION ALL
+        |SELECT 2,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 400000.0),
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |   FROM orders WHERE o_totalprice > 400000.0)
         |ORDER BY version ASC""".stripMargin,
     "lake_vacuum" ->
       """SELECT 2 AS version, 8 AS n_files, FALSE AS is_latest,

@@ -552,6 +552,35 @@ object SinkQueries {
     historyWithCounts(spark, out)
   }
 
+  /** `lake_time_travel` — pinned-version READS (the consumer side of
+    * [[lakeHistory]]'s versioned writes): three snapshots of shrinking
+    * premium slices, then every version is read back BY PIN while newer
+    * versions exist — the reproducible-training-run property (a reader
+    * pinned to v0 is unaffected by later writes, which is the point of
+    * version pinning at 100 TB: data lineage without copying). Emits
+    * per-version row counts and exact decimal revenue recomputed from
+    * the pinned read.
+    */
+  def lakeTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/lake_tt"
+    rmDir(spark, out)
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Seq(200000.0, 300000.0, 400000.0).foreach { t =>
+      LakeIO.saveVersion(
+        ord.filter(col("o_totalprice") > t).repartition(writerTasks), out)
+      ()
+    }
+    val perVersion = (0 to 2).map { v =>
+      LakeIO.loadVersion(spark, out, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(graft.operators.Relational.dec(col("o_totalprice")))
+            .cast("double").as("revenue"))
+        .select(lit(v).as("version"), col("n_rows"), col("revenue"))
+    }
+    perVersion.reduce(_ unionByName _).orderBy(col("version").asc)
+  }
+
   /** `lake_vacuum` — snapshot retention (`Lake.vacuum` /
     * LakeIO.vacuumVersions) declared as a query (VERDICT r7 #5): four
     * snapshots, keep the newest two; the post-vacuum history must show

@@ -317,6 +317,7 @@ object SparkEntry {
       TextOps.decontaminate(s, d)),
     "decontaminate_bloom" -> ((s: SparkSession, d: String) =>
       TextOps.decontaminateBloom(s, d)),
+    "dedup_url" -> (TextOps.dedupUrl _),
     "repetition_score" -> (TextOps.repetitionScore _),
     "quality_classifier" -> (TextOps.qualityClassifier _),
     "vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopk(s, d)),
@@ -2224,6 +2225,48 @@ object SparkEntry {
         |SELECT g.doc_id, count(*) AS n_shared_grams
         |FROM g JOIN bench USING (h) WHERE g.doc_id % 97 <> 0
         |GROUP BY g.doc_id ORDER BY g.doc_id ASC""".stripMargin,
+    // canonical form = lowercase scheme://host + path minus trailing
+    // slash + sorted non-utm params; ASCII-only strings so binary vs
+    // default collation agree on the ORDER BY
+    "dedup_url" ->
+      raw"""WITH r AS (SELECT event_id,
+        |  (CASE WHEN event_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END)
+        |  || '://' ||
+        |  (CASE WHEN event_id % 3 = 0
+        |    THEN 'Shard' || (user_id % 4)::VARCHAR || '.Example.COM'
+        |    ELSE 'shard' || (user_id % 4)::VARCHAR || '.example.com' END)
+        |  || '/' || event_type || '/item' ||
+        |  (CASE WHEN event_id % 7 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN event_id % 5 = 0
+        |    THEN '?ref=home&id=' || (event_id % 50)::VARCHAR
+        |    ELSE '?id=' || (event_id % 50)::VARCHAR || '&ref=home' END) ||
+        |  (CASE WHEN event_id % 2 = 0 THEN '&utm_source=feed'
+        |        ELSE '' END) ||
+        |  (CASE WHEN event_id % 11 = 0 THEN '#section' ELSE '' END)
+        |    AS raw_url
+        | FROM events),
+        |c AS (SELECT event_id, raw_url,
+        |  regexp_replace(raw_url, '#.*$$', '') AS nofrag FROM r),
+        |d AS (SELECT event_id, raw_url,
+        |  lower(regexp_extract(nofrag, '^([^:]+://[^/]+)', 1))
+        |    AS schemehost,
+        |  regexp_replace(
+        |    regexp_extract(nofrag, '^[^:]+://[^/]+([^?]*)', 1),
+        |    '/$$', '') AS path,
+        |  regexp_extract(nofrag, '\?(.*)$$', 1) AS qs FROM c),
+        |e AS (SELECT event_id, raw_url, schemehost, path,
+        |  list_sort(list_filter(string_split(qs, '&'),
+        |    p -> p <> '' AND NOT starts_with(p, 'utm_'))) AS params
+        |  FROM d),
+        |f AS (SELECT event_id, raw_url,
+        |  schemehost || path ||
+        |  (CASE WHEN len(params) > 0
+        |    THEN '?' || array_to_string(params, '&') ELSE '' END) AS canon
+        |  FROM e)
+        |SELECT canon, count(*) AS n_events,
+        |  count(DISTINCT raw_url) AS n_raw_variants,
+        |  min(event_id) AS survivor_id
+        |FROM f GROUP BY canon ORDER BY canon ASC""".stripMargin,
     // the bloom prefilter has no false negatives and survivors are
     // exact-confirmed, so the result is decontaminate's, verbatim
     "decontaminate_bloom" ->

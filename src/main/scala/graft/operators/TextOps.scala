@@ -363,6 +363,61 @@ object TextOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** `dedup_url` — URL canonicalization dedup, the web-corpus step that
+    * precedes content dedup in every public crawl pipeline: the same
+    * logical page arrives as scheme/host case variants, shuffled query
+    * params, tracking params (`utm_*`), trailing slashes, and
+    * fragments. Canonical form = lowercase scheme://host + path minus
+    * trailing slash + sorted non-tracking params; grouping on it
+    * collapses the variants (survivor = min event_id, the
+    * dedup-family rule). Fixture URLs are BUILT with deterministic
+    * messiness (modulus-planted case/order/tracking/slash/fragment
+    * variants over a 50-id target space, so real collisions exist at
+    * every SF).
+    *
+    * Scale: construction + canonicalization are row-local codegen'd
+    * string ops; the dedup is one keyed shuffle on the canonical
+    * string — identical shape to `dedup_exact`.
+    */
+  def dedupUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val shard = col("user_id") % 4
+    val tid = col("event_id") % 50
+    val raw = concat(
+      when(col("event_id") % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(col("event_id") % 3 === 0,
+        concat(lit("Shard"), shard, lit(".Example.COM")))
+        .otherwise(concat(lit("shard"), shard, lit(".example.com"))),
+      lit("/"), col("event_type"), lit("/item"),
+      when(col("event_id") % 7 === 0, lit("/")).otherwise(lit("")),
+      when(col("event_id") % 5 === 0,
+        concat(lit("?ref=home&id="), tid))
+        .otherwise(concat(lit("?id="), tid, lit("&ref=home"))),
+      when(col("event_id") % 2 === 0, lit("&utm_source=feed"))
+        .otherwise(lit("")),
+      when(col("event_id") % 11 === 0, lit("#section")).otherwise(lit("")))
+    val withCanon = ev.withColumn("raw_url", raw)
+      .withColumn("nofrag", regexp_replace(col("raw_url"), "#.*$", ""))
+      .withColumn("schemehost",
+        lower(regexp_extract(col("nofrag"), "^([^:]+://[^/]+)", 1)))
+      .withColumn("path", regexp_replace(
+        regexp_extract(col("nofrag"), "^[^:]+://[^/]+([^?]*)", 1),
+        "/$", ""))
+      .withColumn("qs", regexp_extract(col("nofrag"), "\\?(.*)$", 1))
+      .withColumn("params", filter(split(col("qs"), "&"),
+        p => p =!= "" && !p.startsWith("utm_")))
+      .withColumn("canon", concat(col("schemehost"), col("path"),
+        when(size(col("params")) > 0,
+          concat(lit("?"), array_join(array_sort(col("params")), "&")))
+          .otherwise(lit(""))))
+    withCanon.groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("raw_url")).as("n_raw_variants"),
+        min(col("event_id")).as("survivor_id"))
+      .orderBy(col("canon").asc)
+  }
+
   /** `repetition_score` — Gopher-style repetition signals for quality
     * filtering: per-doc duplicate-token fraction (1 − |distinct| / |all|)
     * and the fraction of all bigrams taken by the single most frequent

@@ -318,6 +318,8 @@ object SparkEntry {
     "decontaminate_bloom" -> ((s: SparkSession, d: String) =>
       TextOps.decontaminateBloom(s, d)),
     "dedup_url" -> (TextOps.dedupUrl _),
+    "pipeline_curate_v2" -> ((s: SparkSession, d: String) =>
+      TextOps.pipelineCurateV2(s, d)),
     "repetition_score" -> (TextOps.repetitionScore _),
     "quality_classifier" -> (TextOps.qualityClassifier _),
     "vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopk(s, d)),
@@ -2631,6 +2633,64 @@ object SparkEntry {
         |JOIN sizes sa ON pp.lang_a = sa.lang
         |JOIN sizes sb ON pp.lang_b = sb.lang
         |ORDER BY lang_a ASC, lang_b ASC""".stripMargin,
+    // the v2 capstone: span-duplication gate (majority-masked docs out)
+    // → exact dedup → bloom decontaminate (≡ exact) → pack; CTE names
+    // prefixed z_ for the span stage to avoid colliding with the
+    // decontaminate stage's d/s/g
+    "pipeline_curate_v2" ->
+      raw"""WITH zd AS (SELECT doc_id, string_split($normT, ' ') AS toks
+        |           FROM documents
+        |           WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |zln AS (SELECT doc_id, len(toks) AS n_tokens FROM zd),
+        |zsp0 AS (SELECT doc_id, unnest(list_transform(
+        |          range(0, greatest(len(toks) - 8, 0) + 1),
+        |          i -> struct_pack(pos := i,
+        |                 h := array_to_string(toks[i+1:i+8], ' ')))) AS s
+        |        FROM zd),
+        |zsp AS (SELECT doc_id, (s.pos)::BIGINT AS pos, s.h AS h
+        |        FROM zsp0),
+        |zdup AS (SELECT h, min(doc_id * 100000 + pos) AS first_occ
+        |        FROM zsp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |zocc AS (SELECT zsp.doc_id, zsp.pos FROM zsp JOIN zdup USING (h)
+        |        WHERE zsp.doc_id * 100000 + zsp.pos <> zdup.first_occ),
+        |zcov AS (SELECT o.doc_id, unnest(range(o.pos,
+        |           o.pos + least(8, zln.n_tokens))) AS tp
+        |         FROM zocc o JOIN zln ON o.doc_id = zln.doc_id),
+        |zmask AS (SELECT doc_id, count(*) AS n_masked
+        |          FROM (SELECT DISTINCT doc_id, tp FROM zcov)
+        |          GROUP BY doc_id),
+        |toodup AS (SELECT m.doc_id FROM zmask m
+        |           JOIN zln ON m.doc_id = zln.doc_id
+        |           WHERE m.n_masked * 2 > zln.n_tokens),
+        |q0 AS (SELECT doc_id, source, $normT AS t FROM documents),
+        |m2 AS (SELECT doc_id, source, t,
+        |    len(string_split(t, ' '))::INT AS n_tokens FROM q0),
+        |keep AS (SELECT * FROM m2 WHERE n_tokens >= 3
+        |  AND doc_id NOT IN (SELECT doc_id FROM toodup)),
+        |ded AS (SELECT *, row_number() OVER (
+        |    PARTITION BY md5(t) ORDER BY doc_id ASC) AS rn FROM keep),
+        |surv AS (SELECT doc_id, source, n_tokens FROM ded
+        |  WHERE rn = 1 AND doc_id % 97 <> 0),
+        |d AS (SELECT doc_id, string_split($normT, ' ') AS toks
+        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM d),
+        |g AS (SELECT doc_id, unnest(sh) AS h FROM s),
+        |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (h)
+        |  WHERE g.doc_id % 97 <> 0),
+        |fin AS (SELECT sv.* FROM surv sv LEFT JOIN cont c
+        |  ON sv.doc_id = c.doc_id WHERE c.doc_id IS NULL),
+        |p AS (SELECT source, doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS cum_before
+        |  FROM fin)
+        |SELECT source, doc_id, n_tokens,
+        |  (cum_before // 512)::BIGINT AS pack_id,
+        |  (cum_before % 512)::BIGINT AS pack_offset
+        |FROM p ORDER BY source ASC, doc_id ASC""".stripMargin,
     // the removal step of the span family: mask every duplicated-span
     // occurrence except the globally first (min packed (doc_id, pos) —
     // positions < 1e5 by fixture bound); cover positions are DISTINCT

@@ -854,6 +854,46 @@ object TextOps {
       .orderBy(col("source").asc, col("doc_id").asc)
   }
 
+  /** `pipeline_curate_v2` — the round-8 capstone: the same
+    * gate→dedup→decontaminate→pack lazy DAG as [[pipelineCurate]],
+    * rebuilt from this round's operators — the quality gate is the
+    * SPAN-DUPLICATION gate (dedup_span_mask accounting: drop docs whose
+    * duplicated-span positions cover the majority of their tokens — the
+    * boilerplate filter exact-substring pipelines actually use), and
+    * decontamination takes the BLOOM-prefilter path. Still one lazy
+    * DAG: every stage is a keyed shuffle or row-local compute, and
+    * Catalyst plans it end-to-end (nothing materializes between
+    * stages).
+    */
+  def pipelineCurateV2(spark: SparkSession, sfDir: String,
+      budget: Int = 512, benchMod: Int = 97): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tooDup = graft.operators.MinHashDedup.dedupSpanMaskDocs(docs)
+      .filter(col("n_masked") * 2 > col("n_tokens"))
+      .select(col("doc_id"))
+    val base = docs
+      .withColumn("t", normText(col("text")))
+      .withColumn("n_tokens", size(split(col("t"), " ")))
+      .filter(col("n_tokens") >= 3)
+      .join(tooDup, Seq("doc_id"), "left_anti")
+    val wDedup = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
+    val deduped = base
+      .withColumn("h", sha2(col("t"), 256))
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1 && col("doc_id") % benchMod =!= 0)
+    val contaminated = decontaminateBloomDocs(docs, benchMod = benchMod)
+      .select(col("doc_id"))
+    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens").cast("long")).over(wPack), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        floor(col("cum_before") / budget).as("pack_id"),
+        (col("cum_before") % budget).as("pack_offset"))
+      .orderBy(col("source").asc, col("doc_id").asc)
+  }
+
   /** `doc_fingerprint` — rolling/content-defined fingerprinting: per-doc
     * polynomial rolling hash over word 3-grams, plus the minimum 3-gram
     * hash (a 1-permutation MinHash — the dedup_minhash building block).

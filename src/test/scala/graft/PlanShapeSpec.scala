@@ -142,6 +142,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"prefilter must be an input of the confirm join:\n$p")
   }
 
+  test("pipeline_curate_v2: one DAG, keyed only — bloom prefilter in, no products") {
+    val p = plan(graft.operators.TextOps.pipelineCurateV2(spark, sf))
+    assert(p.contains("might_contain"),
+      s"v2 must run the bloom decontamination path:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"v2 must stay keyed end to end:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"v2 expected anti joins for the gate/decontaminate stages:\n$p")
+  }
+
   test("dedup_span: inverted-index shape — keyed aggregation + join, no product, no window") {
     val p = plan(graft.operators.MinHashDedup.dedupSpan(spark, sf))
     assert(!p.contains("CartesianProduct") &&

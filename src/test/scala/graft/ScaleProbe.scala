@@ -115,7 +115,15 @@ object ScaleProbe {
         MinHashDedup.dedupSpan(s, d)),
       "ts_resample" -> (EventWindows.tsResample _),
       "agg_bitmap_rollup" -> (Aggregates.aggBitmapRollup _),
-      "agg_theta_sketch" -> (Aggregates.aggThetaSketch _))
+      "agg_theta_sketch" -> (Aggregates.aggThetaSketch _),
+      "dedup_span_mask" -> ((s: SparkSession, d: String) =>
+        MinHashDedup.dedupSpanMask(s, d)),
+      "dedup_url" -> (TextOps.dedupUrl _),
+      "event_path" -> (EventWindows.eventPath _),
+      "sample_weighted" -> ((s: SparkSession, d: String) =>
+        Aggregates.sampleWeighted(s, d)),
+      "pipeline_curate_v2" -> ((s: SparkSession, d: String) =>
+        TextOps.pipelineCurateV2(s, d)))
     Seq(("1x", base), ("10x", out)).foreach { case (tag, dir) =>
       ops.foreach { case (name, fn) =>
         val t0 = System.nanoTime()

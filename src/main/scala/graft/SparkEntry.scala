@@ -92,6 +92,8 @@ object SparkEntry {
     "join_asof_nearest" -> (Joins.joinAsOfNearest _),
     "join_asof_split" -> ((s: SparkSession, d: String) =>
       Joins.joinAsOfSplit(s, d)),
+    "join_fuzzy" -> ((s: SparkSession, d: String) =>
+      Joins.joinFuzzy(s, d)),
     "join_null_safe" -> (Joins.joinNullSafe _),
     "fn_url" -> (ScalarFns.fnUrl _),
     "stream_static_join" -> (EventWindows.streamStaticJoinBatch _),
@@ -1017,6 +1019,20 @@ object SparkEntry {
         |         PARTITION BY ukey ORDER BY at_ts ASC, side ASC, o_key ASC NULLS LAST
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
         |FROM tagged QUALIFY side = 1 ORDER BY event_id ASC""".stripMargin,
+    // blocked fuzzy match: candidates from the blocking equi-join,
+    // levenshtein only on candidates; both engines implement classic
+    // edit distance
+    "join_fuzzy" ->
+      """SELECT a.c_nationkey AS c_nationkey,
+        |  count(*) AS n_fuzzy_pairs,
+        |  count(DISTINCT a.c_custkey) AS n_left_members
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        | AND length(a.c_name) = length(b.c_name)
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |GROUP BY a.c_nationkey
+        |ORDER BY c_nationkey ASC""".stripMargin,
     // the range-split + boundary-carry form is exactly equivalent to
     // the single-window as-of, so its oracle is join_asof's, verbatim
     "join_asof_split" ->

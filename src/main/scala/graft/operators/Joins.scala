@@ -436,6 +436,35 @@ object Joins {
     * exercises Catalyst join reordering. Revenue per nation for one
     * region over a date slice (TPC-H Q5 shape).
     */
+  /** `join_fuzzy` — BLOCKED fuzzy matching (entity-resolution's
+    * workhorse): candidate pairs come from an equi-join on cheap
+    * blocking keys (nation, name length) and only candidates pay the
+    * levenshtein evaluation; names within edit distance 1 count as
+    * fuzzy duplicates, reported per nation. The blocking join is the
+    * entire scale story — a global fuzzy match is O(n²) by definition,
+    * blocking makes it Σ(block²) with block sizes the pipeline author
+    * controls; the edit-distance filter is codegen'd row work on
+    * candidates only, and the a<b key order kills mirror/self pairs
+    * before the filter.
+    */
+  def joinFuzzy(spark: SparkSession, sfDir: String,
+      maxDist: Int = 1): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"),
+        length(col("c_name")).as("name_len"))
+    val a = cust.select(col("c_custkey").as("a_key"),
+      col("c_nationkey"), col("c_name").as("a_name"), col("name_len"))
+    val b = cust.select(col("c_custkey").as("b_key"),
+      col("c_nationkey"), col("c_name").as("b_name"), col("name_len"))
+    a.join(b, Seq("c_nationkey", "name_len"))
+      .filter(col("a_key") < col("b_key") &&
+        levenshtein(col("a_name"), col("b_name")) <= maxDist)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_fuzzy_pairs"),
+        countDistinct(col("a_key")).as("n_left_members"))
+      .orderBy(col("c_nationkey").asc)
+  }
+
   /** `join_asof_split` — [[joinAsOf]] computed through
     * [[carryLastRangeSplit]], declaring the hot-user mitigation as a
     * driver-gated query: identical semantics (the oracle is

@@ -7,6 +7,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", java.nio.file.Files
         .createTempDirectory("graft_bench_wh").toString)
@@ -77,7 +79,20 @@ object Bench {
     // whole-JVM collector time during the query's window; task_ms is the
     // summed executorRunTime of its tasks (listener-drained, exact).
     val warmFailedJson = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"queries":$qs,"warm_ms":${msMap(warmMs)},"warmup_failed":$warmFailedJson,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size}}""")
+    val line = s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"queries":$qs,"warm_ms":${msMap(warmMs)},"warmup_failed":$warmFailedJson,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"failed":${errors.nonEmpty}}"""
+    println(line)
+    // the stdout line is ~15 KB and the driver's tail capture truncates
+    // it (BENCH_r08/r09 kept ~60 of 217 per-query timings) — persist the
+    // complete JSON to a file so regressions in ANY query stay visible
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_last.json: $e")
+    }
     spark.stop()
+    // errored queries must surface as a nonzero exit, not rc=0 with a
+    // flattered total (each failure "costs" ~0.1s instead of real work)
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -96,6 +96,9 @@ object SparkEntry {
       Joins.joinFuzzy(s, d)),
     "join_null_safe" -> (Joins.joinNullSafe _),
     "fn_url" -> (ScalarFns.fnUrl _),
+    "fn_geo" -> (ScalarFns.fnGeo _),
+    "join_spatial_grid" -> ((s: SparkSession, d: String) =>
+      Joins.joinSpatialGrid(s, d)),
     "stream_static_join" -> (EventWindows.streamStaticJoinBatch _),
     // full DSv2 connector (graft.sources.SynthDocsSource): deterministic
     // generation means the DuckDB oracle regenerates the identical
@@ -104,6 +107,7 @@ object SparkEntry {
     "pipeline_curate" -> ((s: SparkSession, d: String) =>
       TextOps.pipelineCurate(s, d)),
     "win_range_interval" -> (Windows.winRangeInterval _),
+    "win_groups_frame" -> (Windows.winGroupsFrame _),
     "source_custom" -> ((s: SparkSession, d: String) =>
       s.read.format("graft-synth")
         .option("rows", "1000").option("partitions", "8").load()
@@ -1924,6 +1928,43 @@ object SparkEntry {
         |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
         |  regexp_extract(url, '[?&]id=([^&]*)', 1) AS qid
         |FROM u ORDER BY event_id ASC""".stripMargin,
+    // identical haversine formula on both sides; round(…, 3) absorbs
+    // last-ulp libm differences between the JVM and DuckDB
+    "fn_geo" ->
+      """WITH pts AS (SELECT s_suppkey,
+        |    (s_suppkey * 7 % 17000)::DOUBLE / 100.0 - 85.0 AS lat,
+        |    (s_suppkey * 13 % 35000)::DOUBLE / 100.0 - 175.0 AS lon
+        |  FROM supplier)
+        |SELECT s_suppkey, round(lat, 2) AS lat, round(lon, 2) AS lon,
+        |  round(2.0 * 6371.0088 * asin(sqrt(
+        |    pow(sin((radians(48.8566) - radians(lat)) / 2.0), 2.0)
+        |    + cos(radians(lat)) * cos(radians(48.8566))
+        |      * pow(sin((radians(2.3522) - radians(lon)) / 2.0), 2.0))), 3)
+        |    AS dist_km,
+        |  (lat BETWEEN 40.0 AND 60.0 AND lon BETWEEN -10.0 AND 30.0)
+        |    AS in_bbox
+        |FROM pts ORDER BY s_suppkey ASC""".stripMargin,
+    // oracle is the brute-force cross join — the grid blocking must
+    // reproduce it exactly (no false negatives by cell-size construction)
+    "join_spatial_grid" ->
+      """WITH s AS (SELECT s_suppkey,
+        |    45.0 + (s_suppkey * 7 % 1000)::DOUBLE / 100.0 AS slat,
+        |    (s_suppkey * 13 % 2000)::DOUBLE / 100.0 AS slon
+        |  FROM supplier),
+        |c AS (SELECT c_custkey,
+        |    45.0 + (c_custkey * 11 % 1000)::DOUBLE / 100.0 AS clat,
+        |    (c_custkey * 17 % 2000)::DOUBLE / 100.0 AS clon
+        |  FROM customer),
+        |p AS (SELECT s_suppkey, c_custkey,
+        |    2.0 * 6371.0088 * asin(sqrt(
+        |      pow(sin((radians(clat) - radians(slat)) / 2.0), 2.0)
+        |      + cos(radians(slat)) * cos(radians(clat))
+        |        * pow(sin((radians(clon) - radians(slon)) / 2.0), 2.0)))
+        |      AS dist_km
+        |  FROM s, c)
+        |SELECT s_suppkey, c_custkey, round(dist_km, 3) AS dist_km
+        |FROM p WHERE dist_km <= 50.0
+        |ORDER BY s_suppkey ASC, c_custkey ASC""".stripMargin,
     "set_union_by_name" ->
       """SELECT o_orderkey, o_totalprice, NULL::BIGINT AS o_custkey
         |FROM orders WHERE o_orderstatus = 'F'
@@ -2034,6 +2075,25 @@ object SparkEntry {
         |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |    AS cnt_last_hour
         |FROM events ORDER BY event_id ASC""".stripMargin,
+    // this container's DuckDB rejects native GROUPS mode ("not
+    // implemented yet"), so the oracle uses the ANSI-equivalent
+    // dense_rank + integer-RANGE formulation (peer groups numbered
+    // 1,2,3… gap-free, so RANGE k PRECEDING over the rank IS GROUPS k
+    // PRECEDING); WindowSpec pins the GROUPS semantics themselves
+    // against a planted brute-force peer-group computation
+    "win_groups_frame" ->
+      """WITH g AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    dense_rank() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC) AS date_grp
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    AS grp_sum,
+        |  count(*) OVER w AS grp_cnt
+        |FROM g
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY date_grp
+        |             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
     // the composed pipeline: quality predicates == quality_filter's,
     // dedup among survivors, benchmark + contaminated docs dropped
     // (decontaminate's gram CTEs), then pack_sequences' window

@@ -185,6 +185,38 @@ object ScalarFns {
         least(col("s_suppkey"), lit(500L)).as("key_cap"))
       .orderBy(col("s_suppkey").asc)
 
+  /** `fn_geo` — deterministic geospatial scalar math (the Presto
+    * `ST_Distance`-style surface a lake SQL user reaches for; no ST_
+    * family or Sedona jar exists in this runtime, so the two workhorse
+    * primitives — great-circle distance and point-in-bbox — are
+    * expressed directly with codegen'd trig built-ins). Coordinates are
+    * synthesized from the supplier key (deterministic, both engines
+    * compute the identical integer arithmetic), the haversine distance
+    * to a fixed reference point uses the standard formula with
+    * R = 6371.0088 km, and outputs are rounded to 3 decimals (~1 m) so
+    * last-ulp libm differences between the JVM and DuckDB cannot flip
+    * the hash. Row-local scalar work: trivially partition-parallel.
+    */
+  def fnGeo(spark: SparkSession, sfDir: String): DataFrame = {
+    val lat = (col("s_suppkey") * 7 % 17000).cast("double") / 100.0 - 85.0
+    val lon = (col("s_suppkey") * 13 % 35000).cast("double") / 100.0 - 175.0
+    val refLat = radians(lit(48.8566))
+    val refLon = radians(lit(2.3522))
+    val dPhi = (radians(lit(48.8566)) - radians(lat)) / 2.0
+    val dLam = (refLon - radians(lon)) / 2.0
+    val a = pow(sin(dPhi), 2.0) +
+      cos(radians(lat)) * cos(refLat) * pow(sin(dLam), 2.0)
+    Tables.supplier(spark, sfDir)
+      .select(
+        col("s_suppkey"),
+        round(lat, 2).as("lat"),
+        round(lon, 2).as("lon"),
+        round(lit(2.0 * 6371.0088) * asin(sqrt(a)), 3).as("dist_km"),
+        (lat.between(40.0, 60.0) && lon.between(-10.0, 30.0))
+          .as("in_bbox"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
   /** `fn_regex` — the regexp family beyond extract/replace: extract-all
     * (serialized to a CSV string in match order — the driver comparator
     * can't hash array columns, VERDICT r1 #1), match counting, boolean

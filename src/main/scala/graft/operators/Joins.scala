@@ -118,6 +118,58 @@ object Joins {
         col("r_name"))
       .orderBy(col("n_nationkey").asc, col("r_regionkey").asc)
 
+  /** `join_spatial_grid` — distance-radius spatial join (all
+    * supplier/customer pairs within `radiusKm` great-circle km), the
+    * ST_DWithin/ST_Distance join a geospatial SQL user reaches for.
+    * Naively a cross join with a haversine filter — O(|A|·|B|) trig.
+    * Grid-cell blocking makes it a keyed equi-join: both sides bucket
+    * into (latCell, lonCell) grid cells sized so that any pair within
+    * the radius is at most one cell apart on each axis (lat cell =
+    * r/111.045 km-per-degree; lon cell = r/(111.32·cos φmax), using the
+    * domain's max |latitude| 55° so cells only widen toward the
+    * equator — conservative ⇒ no false negatives); the customer side
+    * explodes its 3×3 cell neighborhood, the equi-join on the cell id
+    * shuffles both sides keyed, and only same-neighborhood candidates
+    * pay the codegen'd haversine verification. Supplier's cell is
+    * single, so a pair can match at most once — no dedup stage.
+    * Coordinates are key-synthesized into a [45,55]°×[0,20]° region
+    * (deterministic integer arithmetic, identical in both engines);
+    * the oracle is the brute-force cross join in DuckDB. At 100 TB the
+    * cell population is bounded by geography (points per r×r km cell),
+    * never by corpus row count — AQE handles urban-density skew like
+    * any other keyed-join skew.
+    */
+  def joinSpatialGrid(spark: SparkSession, sfDir: String,
+      radiusKm: Double = 50.0): DataFrame = {
+    val latCellDeg = radiusKm / 111.045
+    val lonCellDeg = radiusKm / (111.32 * math.cos(math.toRadians(55.0)))
+    def slat = lit(45.0) + (col("s_suppkey") * 7 % 1000).cast("double") / 100.0
+    def slon = (col("s_suppkey") * 13 % 2000).cast("double") / 100.0
+    def clat = lit(45.0) + (col("c_custkey") * 11 % 1000).cast("double") / 100.0
+    def clon = (col("c_custkey") * 17 % 2000).cast("double") / 100.0
+    val sup = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), slat.as("slat"), slon.as("slon"))
+      .withColumn("cell_lat", floor(col("slat") / latCellDeg))
+      .withColumn("cell_lon", floor(col("slon") / lonCellDeg))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), clat.as("clat"), clon.as("clon"))
+      .withColumn("d_lat", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("d_lon", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("cell_lat", col("d_lat") + floor(col("clat") / latCellDeg))
+      .withColumn("cell_lon", col("d_lon") + floor(col("clon") / lonCellDeg))
+    val dPhi = (radians(col("clat")) - radians(col("slat"))) / 2.0
+    val dLam = (radians(col("clon")) - radians(col("slon"))) / 2.0
+    val dist = lit(2.0 * 6371.0088) * asin(sqrt(
+      pow(sin(dPhi), 2.0) +
+        cos(radians(col("slat"))) * cos(radians(col("clat"))) *
+          pow(sin(dLam), 2.0)))
+    sup.join(cust, Seq("cell_lat", "cell_lon"))
+      .filter(dist <= radiusKm)
+      .select(col("s_suppkey"), col("c_custkey"),
+        round(dist, 3).as("dist_km"))
+      .orderBy(col("s_suppkey").asc, col("c_custkey").asc)
+  }
+
   /** `join_theta_range` — non-equi band join: error events within 1 hour
     * AFTER a purchase by the same user. Equi part (user_id) keeps it a
     * hash/sort-merge join; the band predicate is applied as a join filter
@@ -437,27 +489,66 @@ object Joins {
     * region over a date slice (TPC-H Q5 shape).
     */
   /** `join_fuzzy` — BLOCKED fuzzy matching (entity-resolution's
-    * workhorse): candidate pairs come from an equi-join on cheap
-    * blocking keys (nation, name length) and only candidates pay the
-    * levenshtein evaluation; names within edit distance 1 count as
-    * fuzzy duplicates, reported per nation. The blocking join is the
-    * entire scale story — a global fuzzy match is O(n²) by definition,
-    * blocking makes it Σ(block²) with block sizes the pipeline author
-    * controls; the edit-distance filter is codegen'd row work on
-    * candidates only, and the a<b key order kills mirror/self pairs
-    * before the filter.
+    * workhorse): same-length names within edit distance 1, counted per
+    * nation. The blocking is the entire scale story — a global fuzzy
+    * match is O(n²) by definition. Naive attribute blocks (nation,
+    * name length) degenerate to per-nation cross products on
+    * fixed-width name corpora (TPC-H names are all `Customer#NNNNNNNNN`
+    * — the round-8/9 verdicts measured Σblock² ≈ 9M levenshtein calls
+    * at sf0.1, growing O(n²) with the corpus), so candidates come from
+    * a deletion-neighborhood signature join instead (the public FastSS
+    * scheme): each name emits itself plus its L single-character
+    * deletions; two strings within edit distance 1 ALWAYS share a
+    * signature (equal → full string; substitution at i → both i-th
+    * deletions; indel → the shorter string is a deletion of the
+    * longer). Signature frequency tracks true near-duplicate density,
+    * not corpus size, so candidate count ≈ true-pair count and total
+    * cost is O(n·L) explode + one keyed shuffle — linear at any scale.
+    * A hard per-signature frequency cap (`maxSigFreq`, the same
+    * absolute-cap pattern as MinHashDedup.maxDfAbs) bounds the worst
+    * case on adversarial corpora (> cap names sharing a signature means
+    * a near-identical cluster that size; such signatures are dropped,
+    * trading recall inside mega-clusters for bounded tasks). Only
+    * deduped candidates pay the codegen'd levenshtein verification.
     */
+  /** del-1 neighborhood of a string column (the FastSS signature set):
+    * the string itself plus each single-character deletion. Two strings
+    * within edit distance 1 always share an element. The number of
+    * strings that can emit any given signature s is bounded by
+    * |alphabet|·(|s|+1)+1 (the possible single-char insertions into s)
+    * — independent of corpus size, which is what makes the blocking
+    * linear-scale.
+    */
+  def del1Signatures(c: String): org.apache.spark.sql.Column = expr(
+    s"""array_union(array($c),
+       |  transform(sequence(1, length($c)),
+       |    i -> concat(substring($c, 1, i - 1),
+       |                substring($c, i + 1, length($c)))))""".stripMargin)
+
   def joinFuzzy(spark: SparkSession, sfDir: String,
-      maxDist: Int = 1): DataFrame = {
+      maxDist: Int = 1, maxSigFreq: Int = 10000): DataFrame = {
+    require(maxDist == 1,
+      "del-1 signatures generate candidates for edit distance <= 1")
     val cust = Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_nationkey"), col("c_name"),
-        length(col("c_name")).as("name_len"))
-    val a = cust.select(col("c_custkey").as("a_key"),
-      col("c_nationkey"), col("c_name").as("a_name"), col("name_len"))
-    val b = cust.select(col("c_custkey").as("b_key"),
-      col("c_nationkey"), col("c_name").as("b_name"), col("name_len"))
-    a.join(b, Seq("c_nationkey", "name_len"))
-      .filter(col("a_key") < col("b_key") &&
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    val sigs = cust.withColumn("sig", explode(del1Signatures("c_name")))
+    // absolute posting-list cap: one count over the same (nation, sig)
+    // partitioning the join shuffles on anyway
+    val capped = sigs
+      .withColumn("sig_df", count(lit(1)).over(
+        Window.partitionBy(col("c_nationkey"), col("sig"))))
+      .filter(col("sig_df") <= maxSigFreq)
+    val a = capped.select(col("c_nationkey"), col("sig"),
+      col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+    val b = capped.select(col("c_nationkey"), col("sig"),
+      col("c_custkey").as("b_key"), col("c_name").as("b_name"))
+    a.join(b, Seq("c_nationkey", "sig"))
+      .filter(col("a_key") < col("b_key"))
+      // a pair can share several signatures — dedup before verifying
+      .select(col("c_nationkey"), col("a_key"), col("b_key"),
+        col("a_name"), col("b_name"))
+      .distinct()
+      .filter(length(col("a_name")) === length(col("b_name")) &&
         levenshtein(col("a_name"), col("b_name")) <= maxDist)
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_fuzzy_pairs"),

@@ -143,6 +143,33 @@ object Windows {
       .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
   }
 
+  /** `win_groups_frame` — the ANSI GROUPS frame mode (frame bounds count
+    * peer groups of the ORDER BY key, not rows or value ranges): sum and
+    * count over the current and previous order-date peer group per
+    * customer. Spark has no native GROUPS frame, but it is exactly
+    * expressible with built-ins: `dense_rank` numbers the peer groups
+    * 1,2,3…, and a RANGE frame over that integer rank with offset k IS
+    * `GROUPS BETWEEN k PRECEDING AND CURRENT ROW` (every row of a peer
+    * group shares one rank, and rank gaps are impossible with
+    * dense_rank). Both windows share the partition key, so it is still
+    * one shuffle; the second sort is order-compatible with the first
+    * (rank is monotone in the order key) and collapses to a no-op.
+    */
+  def winGroupsFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val wRank = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc)
+    val wGroups = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("date_grp"))
+      .rangeBetween(-1L, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .withColumn("date_grp", dense_rank().over(wRank))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(wGroups).cast("double")
+          .as("grp_sum"),
+        count(lit(1)).over(wGroups).as("grp_cnt"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
   /** `win_distribution` — percent_rank / cume_dist over orders per
     * customer (distribution-position window family).
     */

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table sources for the lake layout used by the test fixtures.
   *
@@ -32,7 +32,10 @@ object Tables {
     if (cache.size > 256) cache.clear()
     cache.computeIfAbsent((spark, sfDir, name), { _ =>
       if (name == "events") eventsUncached(spark, sfDir)
-      else spark.read.parquet(s"$sfDir/$name.parquet")
+      else {
+        preferLtzTimestamps(spark)
+        normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet"))
+      }
     })
   }
 
@@ -45,6 +48,7 @@ object Tables {
     */
   private def eventsRaw(spark: SparkSession, d: String): DataFrame = {
     enableNanosAsLong(spark)
+    preferLtzTimestamps(spark)
     spark.read.parquet(s"$d/events.parquet")
   }
 
@@ -56,13 +60,41 @@ object Tables {
   def enableNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** ns-epoch long `ts` → µs-precision timestamp (no-op if already a
-    * timestamp).
+  /** The fixtures (regenerated 2026-08-13) write tz-less `timestamp[us]`
+    * (parquet `isAdjustedToUTC = false`), which Spark 4 infers as
+    * TIMESTAMP_NTZ by default — and `unix_millis`/`unix_micros` and
+    * other epoch functions reject NTZ. Read them as session-local
+    * TIMESTAMP instead: value-identical under the forced UTC session
+    * timezone, and exactly what DuckDB sees reading the same naive
+    * timestamps under its UTC session. Doing it via the reader conf (not
+    * a cast) keeps parquet filter pushdown on timestamp columns intact.
     */
-  def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+  def preferLtzTimestamps(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+  /** Defensive belt-and-braces for frames that were scanned before the
+    * reader conf applied (or come from elsewhere): cast any residual
+    * TIMESTAMP_NTZ column to TIMESTAMP. No-op on normal reads.
+    */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    if (ntz.isEmpty) df
+    else df.withColumns(ntz.map(c => c -> col(c).cast(TimestampType)).toMap)
+  }
+
+  /** Event `ts` normalization across fixture generations: ns-epoch long
+    * (retired ns fixtures read via nanosAsLong) → µs timestamp; NTZ
+    * (current tz-less µs fixtures) → session TIMESTAMP.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    val cast =
+      if (df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    normalizeNtz(cast)
+  }
 
   def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")

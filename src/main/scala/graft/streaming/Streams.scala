@@ -394,6 +394,7 @@ object Streams {
     * explicit schema; the glob pins the one fixture file).
     */
   def documentsFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.Tables.preferLtzTimestamps(spark)
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
@@ -522,9 +523,11 @@ object Streams {
     * trigger) — the batch fixture replayed as a stream for tests.
     */
   def eventsFileStream(spark: SparkSession, sfDir: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) — shared legacy-conf + ns→µs
-    // handling with the batch reader (graft.sources.Tables)
+    // events.ts timestamp handling is shared with the batch reader
+    // (graft.sources.Tables): legacy ns-as-long conf for the retired ns
+    // fixtures, LTZ inference for the current tz-less µs fixtures
     graft.sources.Tables.enableNanosAsLong(spark)
+    graft.sources.Tables.preferLtzTimestamps(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the file source requires a directory path; select just the events
     // file out of the fixture dir with a glob filter

@@ -1,12 +1,38 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
 
 /** Driver-contract invariants: key alignment between `queries` and
   * `oracleSql`, and the t1 smoke (entry returns rows on sf0.001).
+  *
+  * Every plan walk COLLECTS per-query failures and asserts the full
+  * list empty (VERDICT r9 #3): one query that fails analysis must not
+  * abort the walk and silently disarm the product-join / driver-funnel
+  * / unkeyed-window / array-output guards for the other 200+ declared
+  * queries — which is exactly what happened in round 9 when the NTZ
+  * fixture flip broke 4 queries and took all five guards down with
+  * them.
   */
 class ContractSpec extends AnyFunSuite {
   val spark = TestSpark.spark
+
+  /** Run `check` over every declared query, turning thrown analysis
+    * errors into recorded failures instead of aborting the walk;
+    * `check` returns Some(message) to flag a query.
+    */
+  private def walk(check: (String, DataFrame) => Option[String]): Unit = {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try check(name, fn(spark, TestSpark.sf)).map(m => s"$name: $m")
+        catch {
+          case e: Throwable =>
+            Some(s"$name: threw ${e.toString.linesIterator.next()}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries failed the walk:\n${failures.mkString("\n")}")
+  }
 
   test("every oracleSql key has a queries implementation") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -19,9 +45,8 @@ class ContractSpec extends AnyFunSuite {
 
   test("every declared query analyzes (schema resolvable)") {
     // analysis only — execution is the driver's Verify pass
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val df = fn(spark, TestSpark.sf)
-      assert(df.schema.fields.nonEmpty, s"$name produced empty schema")
+    walk { (_, df) =>
+      if (df.schema.fields.nonEmpty) None else Some("produced empty schema")
     }
   }
 
@@ -30,15 +55,14 @@ class ContractSpec extends AnyFunSuite {
     // driver: no CollectLimit / toLocalIterator shape in any optimized
     // plan. (Verify's coalesce(1) is the driver-mandated dump format and
     // lives outside the query definitions.)
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val df = fn(spark, TestSpark.sf)
+    walk { (_, df) =>
       val plan = df.queryExecution.optimizedPlan.toString
-      assert(!plan.contains("CollectLimit"),
-        s"$name funnels through the driver:\n$plan")
       // `preview`-style bounded limits are fine; whole-table collects are
       // what the executed plan would show as CollectLimit over all rows —
       // also reject obvious local relations materialized from collects
-      assert(!plan.contains("toLocalIterator"), s"$name iterates locally")
+      if (plan.contains("CollectLimit")) Some("funnels through the driver")
+      else if (plan.contains("toLocalIterator")) Some("iterates locally")
+      else None
     }
   }
 
@@ -62,14 +86,13 @@ class ContractSpec extends AnyFunSuite {
     val allowProduct =
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
         "ann_recall")
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (!allowProduct(name)) {
-        val df = fn(spark, TestSpark.sf)
+    walk { (name, df) =>
+      if (allowProduct(name)) None
+      else {
         val plan = df.queryExecution.sparkPlan.toString
-        Seq("CartesianProduct", "BroadcastNestedLoopJoin").foreach { bad =>
-          assert(!plan.contains(bad),
-            s"$name plans a product join ($bad):\n$plan")
-        }
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+          .find(plan.contains)
+          .map(bad => s"plans a product join ($bad)")
       }
     }
   }
@@ -80,13 +103,12 @@ class ContractSpec extends AnyFunSuite {
     // ordering in declared queries must come from the final orderBy
     // (range-partitioned) or TakeOrderedAndProject, never a global
     // window.
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val df = fn(spark, TestSpark.sf)
+    walk { (_, df) =>
       val unkeyed = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
             if w.partitionSpec.isEmpty => w
       }
-      assert(unkeyed.isEmpty, s"$name plans an un-keyed Window")
+      if (unkeyed.isEmpty) None else Some("plans an un-keyed Window")
     }
   }
 
@@ -96,14 +118,14 @@ class ContractSpec extends AnyFunSuite {
     // into ERRs in round 1. Library APIs may return arrays; DECLARED
     // query outputs must serialize them.
     import org.apache.spark.sql.types.{ArrayType, MapType}
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val bad = fn(spark, TestSpark.sf).schema.fields.collect {
+    walk { (_, df) =>
+      val bad = df.schema.fields.collect {
         case f if f.dataType.isInstanceOf[ArrayType]
           || f.dataType.isInstanceOf[MapType] => f.name
       }
-      assert(bad.isEmpty,
-        s"$name outputs collection columns ${bad.mkString(",")} — " +
-          "serialize with array_join/to_json before declaring")
+      if (bad.isEmpty) None
+      else Some(s"outputs collection columns ${bad.mkString(",")} — " +
+        "serialize with array_join/to_json before declaring")
     }
   }
 }

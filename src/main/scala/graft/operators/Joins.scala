@@ -511,19 +511,43 @@ object Joins {
     * trading recall inside mega-clusters for bounded tasks). Only
     * deduped candidates pay the codegen'd levenshtein verification.
     */
-  /** del-1 neighborhood of a string column (the FastSS signature set):
-    * the string itself plus each single-character deletion. Two strings
-    * within edit distance 1 always share an element. The number of
-    * strings that can emit any given signature s is bounded by
-    * |alphabet|·(|s|+1)+1 (the possible single-char insertions into s)
-    * — independent of corpus size, which is what makes the blocking
-    * linear-scale.
+  /** del-1 neighborhood of a string column (the FastSS signature set),
+    * POSITION-KEYED: the string itself (position tag 00) plus each
+    * single-character deletion tagged with its position. Two EQUAL-LENGTH
+    * strings within edit distance 1 always share an element — equal
+    * strings share the pos-00 signature; a substitution at position i
+    * makes both i-th deletions equal (same tag). Tagging the position
+    * prunes the cross-position collisions a plain del-1 join would pay
+    * for (deleting different characters of different strings can yield
+    * the same text — e.g. any leading-zero run — without the pair being
+    * within distance 1). NOTE: unequal-length indel pairs do NOT
+    * reliably share a position-tagged signature (the shorter string's
+    * pos-00 equals the longer's pos-i del — different tags); this
+    * blocking is for the equal-length edit≤1 (= Hamming≤1) contract
+    * `joinFuzzy` declares. Frequency of any signature stays bounded by
+    * |alphabet| regardless of corpus size (all emitters agree on every
+    * character except the tagged position).
     */
   def del1Signatures(c: String): org.apache.spark.sql.Column = expr(
-    s"""array_union(array($c),
+    s"""array_union(array(concat('00|', $c)),
        |  transform(sequence(1, length($c)),
-       |    i -> concat(substring($c, 1, i - 1),
+       |    i -> concat(lpad(cast(i as string), 2, '0'), '|',
+       |                substring($c, 1, i - 1),
        |                substring($c, i + 1, length($c)))))""".stripMargin)
+
+  /** [[del1Signatures]] folded to 64-bit hashes: the shuffle key becomes
+    * a long instead of a ~20-byte string (half the exchange volume and
+    * cheaper grouping comparisons). A hash collision can only MERGE two
+    * posting lists — extra candidates that the downstream levenshtein
+    * verification discards — never lose a true pair, so recall is
+    * unaffected.
+    */
+  def del1SignatureHashes(c: String): org.apache.spark.sql.Column = expr(
+    s"""array_union(array(xxhash64(concat('00|', $c))),
+       |  transform(sequence(1, length($c)),
+       |    i -> xxhash64(concat(lpad(cast(i as string), 2, '0'), '|',
+       |                substring($c, 1, i - 1),
+       |                substring($c, i + 1, length($c))))))""".stripMargin)
 
   def joinFuzzy(spark: SparkSession, sfDir: String,
       maxDist: Int = 1, maxSigFreq: Int = 10000): DataFrame = {
@@ -531,22 +555,29 @@ object Joins {
       "del-1 signatures generate candidates for edit distance <= 1")
     val cust = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
-    val sigs = cust.withColumn("sig", explode(del1Signatures("c_name")))
-    // absolute posting-list cap: one count over the same (nation, sig)
-    // partitioning the join shuffles on anyway
-    val capped = sigs
-      .withColumn("sig_df", count(lit(1)).over(
-        Window.partitionBy(col("c_nationkey"), col("sig"))))
-      .filter(col("sig_df") <= maxSigFreq)
-    val a = capped.select(col("c_nationkey"), col("sig"),
-      col("c_custkey").as("a_key"), col("c_name").as("a_name"))
-    val b = capped.select(col("c_nationkey"), col("sig"),
-      col("c_custkey").as("b_key"), col("c_name").as("b_name"))
-    a.join(b, Seq("c_nationkey", "sig"))
-      .filter(col("a_key") < col("b_key"))
+    // inverted index: ONE keyed shuffle builds the per-(nation, sig)
+    // posting list (vs exploding both sides of a self-join — two
+    // shuffles and two sorts); lists of 1 generate nothing, lists over
+    // the absolute cap are dropped (bounded tasks on any corpus), and
+    // in-list pair generation is a row-local array lambda. Signature
+    // frequency is alphabet-bounded, so a posting list is KBs, never
+    // corpus-sized.
+    val posting = cust
+      .withColumn("sig", explode(del1SignatureHashes("c_name")))
+      .groupBy(col("c_nationkey"), col("sig"))
+      .agg(sort_array(collect_list(struct(col("c_custkey"), col("c_name"))))
+        .as("ps"))
+      .filter(size(col("ps")).between(2, maxSigFreq))
+    posting
+      .select(col("c_nationkey"), explode(expr(
+        """flatten(transform(ps, (a, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), b ->
+          |    struct(a.c_custkey AS a_key, a.c_name AS a_name,
+          |           b.c_custkey AS b_key, b.c_name AS b_name))))"""
+          .stripMargin)).as("p"))
+      .select(col("c_nationkey"), col("p.a_key"), col("p.b_key"),
+        col("p.a_name"), col("p.b_name"))
       // a pair can share several signatures — dedup before verifying
-      .select(col("c_nationkey"), col("a_key"), col("b_key"),
-        col("a_name"), col("b_name"))
       .distinct()
       .filter(length(col("a_name")) === length(col("b_name")) &&
         levenshtein(col("a_name"), col("b_name")) <= maxDist)

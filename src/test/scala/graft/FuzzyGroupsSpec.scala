@@ -80,6 +80,31 @@ class FuzzyGroupsSpec extends AnyFunSuite {
       s"block size scaled with corpus: $at1x -> $at2x")
   }
 
+  test("join_spatial_grid equals the brute-force cross join (no false negatives at cell edges)") {
+    // The grid blocking's correctness claim is "any in-radius pair is at
+    // most one cell apart per axis" — verify against the unblocked cross
+    // join on sf0.001, which exercises pairs straddling cell boundaries
+    // near the 50 km radius.
+    val sup = graft.sources.Tables.supplier(spark, TestSpark.sf)
+      .select(col("s_suppkey"),
+        (lit(45.0) + (col("s_suppkey") * 7 % 1000).cast("double") / 100.0).as("slat"),
+        ((col("s_suppkey") * 13 % 2000).cast("double") / 100.0).as("slon"))
+    val cust = graft.sources.Tables.customer(spark, TestSpark.sf)
+      .select(col("c_custkey"),
+        (lit(45.0) + (col("c_custkey") * 11 % 1000).cast("double") / 100.0).as("clat"),
+        ((col("c_custkey") * 17 % 2000).cast("double") / 100.0).as("clon"))
+    val dist = lit(2.0 * 6371.0088) * asin(sqrt(
+      pow(sin((radians(col("clat")) - radians(col("slat"))) / 2.0), 2.0) +
+        cos(radians(col("slat"))) * cos(radians(col("clat"))) *
+          pow(sin((radians(col("clon")) - radians(col("slon"))) / 2.0), 2.0)))
+    val brute = sup.crossJoin(cust).filter(dist <= 50.0)
+      .select(col("s_suppkey"), col("c_custkey"),
+        round(dist, 3).as("dist_km"))
+    val got = Joins.joinSpatialGrid(spark, TestSpark.sf)
+    assert(got.count() === brute.count())
+    assert(got.except(brute).isEmpty && brute.except(got).isEmpty)
+  }
+
   test("win_groups_frame emulation equals brute-force GROUPS semantics") {
     // Planted partition with ties: GROUPS 1 PRECEDING must include ALL
     // rows of the current order-key peer group and ALL rows of the

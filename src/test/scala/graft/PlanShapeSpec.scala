@@ -235,6 +235,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"event_type filters should reach the scan:\n$p")
   }
 
+  test("join_fuzzy is join-free: one posting-list aggregation, no self-join, no window") {
+    // r10 re-blocking: the del-1 signature inverted index pairs names
+    // inside row-local posting lists — the plan must contain NO join of
+    // any kind and no Window (the old frequency-cap window is a size()
+    // filter on the aggregated list now).
+    val p = plan(Joins.joinFuzzy(spark, sf))
+    assert(!p.contains("Join"), s"fuzzy match must not self-join:\n$p")
+    assert(!p.contains("Window"), s"cap must ride the aggregate:\n$p")
+  }
+
+  test("join_spatial_grid is a keyed equi-join on grid cells, never a product") {
+    val p = plan(Joins.joinSpatialGrid(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"spatial join must equi-join on cell ids:\n$p")
+    assert(p.contains("Join") && p.contains("cell_lat"),
+      s"expected a cell-keyed join:\n$p")
+  }
+
   test("pack_sequences is one window pass: a single source-keyed Exchange, no join") {
     val p = plan(graft.operators.TextOps.packSequences(spark, sf))
     assert(!p.contains("Join"), s"packing must not self-join:\n$p")

@@ -152,8 +152,11 @@ object Windows {
     * `GROUPS BETWEEN k PRECEDING AND CURRENT ROW` (every row of a peer
     * group shares one rank, and rank gaps are impossible with
     * dense_rank). Both windows share the partition key, so it is still
-    * one shuffle; the second sort is order-compatible with the first
-    * (rank is monotone in the order key) and collapses to a no-op.
+    * ONE shuffle (plan-pinned: 2 Exchanges total, the second being the
+    * final ORDER BY's range partitioning); the rank window does add a
+    * second per-partition sort — Catalyst cannot prove dense_rank is
+    * monotone in the order key — but that is node-local CPU over
+    * already-sorted runs, not a scale hazard.
     */
   def winGroupsFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val wRank = Window.partitionBy(col("o_custkey"))

@@ -235,6 +235,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"event_type filters should reach the scan:\n$p")
   }
 
+  test("win_groups_frame: both windows share one shuffle (2 Exchanges incl. final sort)") {
+    // GROUPS emulation = dense_rank window + RANGE-over-rank window;
+    // both partition on o_custkey so they must reuse ONE hash Exchange,
+    // plus the final ORDER BY's range Exchange — never a third.
+    val p = plan(graft.operators.Windows.winGroupsFrame(spark, sf))
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"GROUPS emulation should not add a shuffle per window:\n$p")
+  }
+
   test("join_fuzzy is join-free: one posting-list aggregation, no self-join, no window") {
     // r10 re-blocking: the del-1 signature inverted index pairs names
     // inside row-local posting lists — the plan must contain NO join of

@@ -110,3 +110,75 @@ case class WordShingleHashes(child: Expression, k: Int, distinct: Boolean)
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
     copy(child = newChild)
 }
+
+/** Native position-tagged del-1 signature hashing for the fuzzy-join
+  * blocking hot path (graft.operators.Joins.joinFuzzy): for a string of
+  * length L, emit L+1 64-bit hashes — the string itself (tag 0) and each
+  * single-character deletion tagged with its 1-based position — in one
+  * JIT-compiled pass with no intermediate strings. Equivalent by
+  * construction to Joins.del1Signatures folded through a hash (that
+  * Column-DSL form is the readable spec; it allocates L+1 strings per
+  * row and evaluates interpreted transform lambdas). Two EQUAL-LENGTH
+  * strings within edit distance 1 always share an element; hashes are
+  * opaque join keys, so only determinism matters (FNV-1a, fixed seed,
+  * no per-run state) and a collision can only merge two posting lists —
+  * extra verified-then-discarded candidates, never a lost pair.
+  */
+object Del1Kernel {
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  def del1Hashes(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val out = new Array[Long](n + 1)
+    // tag 0: the full string
+    var h = FnvOffset
+    h ^= 0L; h *= FnvPrime
+    var i = 0
+    while (i < n) { h ^= str.charAt(i).toLong; h *= FnvPrime; i += 1 }
+    out(0) = h
+    // tag d (1-based): the string minus its d-th character
+    var d = 1
+    while (d <= n) {
+      h = FnvOffset
+      h ^= d.toLong; h *= FnvPrime
+      i = 0
+      while (i < n) {
+        if (i != d - 1) { h ^= str.charAt(i).toLong; h *= FnvPrime }
+        i += 1
+      }
+      out(d) = h
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def del1SignatureHashes(text: Column): Column =
+    ColumnBridge.column(Del1SignatureHashes(ColumnBridge.expression(text)))
+}
+
+/** array<long> of position-tagged del-1 signature hashes; codegen emits
+  * one static kernel call so the blocking stage stays in whole-stage
+  * codegen.
+  */
+case class Del1SignatureHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Del1Kernel.del1Hashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Del1Kernel.del1Hashes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Del1SignatureHashes =
+    copy(child = newChild)
+}

@@ -540,14 +540,12 @@ object Joins {
     * cheaper grouping comparisons). A hash collision can only MERGE two
     * posting lists — extra candidates that the downstream levenshtein
     * verification discards — never lose a true pair, so recall is
-    * unaffected.
+    * unaffected. Implemented as the native codegen'd kernel
+    * [[graft.functions.Del1Kernel]] (one static call, no intermediate
+    * strings or interpreted lambdas — SCALE.md invariant #4).
     */
-  def del1SignatureHashes(c: String): org.apache.spark.sql.Column = expr(
-    s"""array_union(array(xxhash64(concat('00|', $c))),
-       |  transform(sequence(1, length($c)),
-       |    i -> xxhash64(concat(lpad(cast(i as string), 2, '0'), '|',
-       |                substring($c, 1, i - 1),
-       |                substring($c, i + 1, length($c))))))""".stripMargin)
+  def del1SignatureHashes(c: String): org.apache.spark.sql.Column =
+    graft.functions.Del1Kernel.del1SignatureHashes(col(c))
 
   def joinFuzzy(spark: SparkSession, sfDir: String,
       maxDist: Int = 1, maxSigFreq: Int = 10000): DataFrame = {

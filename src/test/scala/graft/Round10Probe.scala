@@ -34,6 +34,10 @@ object Round10Probe {
         new java.io.File(s"$dir/_done").createNewFile()
       }
 
+    // untimed warmup: session/codegen init must not ride the 1× row
+    fuzzyFixture(15000L, "/tmp/r10_fuzzy1x")
+    Joins.joinFuzzy(spark, "/tmp/r10_fuzzy1x").count()
+
     Seq(("1x", 15000L, "/tmp/r10_fuzzy1x"),
         ("10x", 150000L, "/tmp/r10_fuzzy10x")).foreach { case (tag, n, dir) =>
       fuzzyFixture(n, dir)

@@ -17,21 +17,43 @@ import org.apache.spark.sql.DataFrame
 class ContractSpec extends AnyFunSuite {
   val spark = TestSpark.spark
 
-  /** Run `check` over every declared query, turning thrown analysis
+  /** Run `check` over every query in `qs`, turning thrown analysis
     * errors into recorded failures instead of aborting the walk;
-    * `check` returns Some(message) to flag a query.
+    * `check` returns Some(message) to flag a query. Returns the full
+    * failure list (exposed for the meta-test below).
     */
-  private def walk(check: (String, DataFrame) => Option[String]): Unit = {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try check(name, fn(spark, TestSpark.sf)).map(m => s"$name: $m")
-        catch {
-          case e: Throwable =>
-            Some(s"$name: threw ${e.toString.linesIterator.next()}")
-        }
+  private[graft] def walkFailures(
+      qs: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame],
+      check: (String, DataFrame) => Option[String]): Seq[String] =
+    qs.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try check(name, fn(spark, TestSpark.sf)).map(m => s"$name: $m")
+      catch {
+        case e: Throwable =>
+          Some(s"$name: threw ${e.toString.linesIterator.next()}")
+      }
     }
+
+  private def walk(check: (String, DataFrame) => Option[String]): Unit = {
+    val failures = walkFailures(SparkEntry.queries, check)
     assert(failures.isEmpty,
       s"${failures.size} queries failed the walk:\n${failures.mkString("\n")}")
+  }
+
+  test("a broken query cannot disarm the walk for the others (r9 regression shape)") {
+    // Round 9's fixture flip broke 4 queries and the old fail-fast walks
+    // aborted on the first, checking NONE of the remaining 213. The walk
+    // must instead record the broken query AND still evaluate the rest.
+    val broken: (org.apache.spark.sql.SparkSession, String) => DataFrame =
+      (_, _) => throw new IllegalStateException("planted analysis failure")
+    var checkedHealthy = false
+    val fails = walkFailures(
+      Map("aa_planted_broken" -> broken,
+        "scan_parquet" -> SparkEntry.queries("scan_parquet")),
+      { (name, _) => if (name == "scan_parquet") checkedHealthy = true; None })
+    assert(fails.size === 1 && fails.head.startsWith("aa_planted_broken"),
+      s"expected exactly the planted failure, got: $fails")
+    assert(checkedHealthy,
+      "the healthy query must still be checked after the broken one")
   }
 
   test("every oracleSql key has a queries implementation") {

@@ -39,7 +39,8 @@ object Round10Probe {
     Joins.joinFuzzy(spark, "/tmp/r10_fuzzy1x").count()
 
     Seq(("1x", 15000L, "/tmp/r10_fuzzy1x"),
-        ("10x", 150000L, "/tmp/r10_fuzzy10x")).foreach { case (tag, n, dir) =>
+        ("10x", 150000L, "/tmp/r10_fuzzy10x"),
+        ("100x", 1500000L, "/tmp/r10_fuzzy100x")).foreach { case (tag, n, dir) =>
       fuzzyFixture(n, dir)
       val t0 = System.nanoTime()
       val byNation = Joins.joinFuzzy(spark, dir).collect()

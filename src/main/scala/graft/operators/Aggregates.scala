@@ -170,42 +170,81 @@ object Aggregates {
     * (no float ever touches the selection predicate).
     *
     * The global prefix sum is built WITHOUT a global window (banned —
-    * one task would sort everything): keyed per-bucket partials, ONE
-    * report-sized fold for the bucket offsets (sort_array + aggregate
-    * over ≤ |keys|/1024 rollup rows — the r8 single-pass shape), and a
-    * bucket-KEYED window for the within-bucket cumsum. At 100 TB the
-    * offsets layer is the one scale knob: widen the bucket (or add a
-    * second rollup level, the segment-tree step carryLastRangeSplit
-    * already demonstrates) so the folded array stays driver-safe.
+    * one task would sort everything), as a TWO-LEVEL segment tree of
+    * keyed partials (the carryLastRangeSplit step, applied twice):
+    *  1. per-bucket weight sums (1024 keys per bucket), keyed agg;
+    *  2. per-SUPERBUCKET sums (1024 buckets per superbucket), keyed agg;
+    *  3. one tiny fold over the superbucket sums → superbucket offsets
+    *     (|keys|/2²⁰ rows — ~10⁴ entries at 10¹⁰ keys, KBs; a third
+    *     level divides by another 1024 the same way if ever needed);
+    *  4. a superbucket-KEYED fold (≤1024 bucket rows per group, by
+    *     construction) adds within-superbucket prefix → bucket offsets;
+    *  5. a bucket-KEYED window for the within-bucket cumsum.
+    * No task anywhere materializes more than max(1024, |keys|/2²⁰)
+    * fold rows — SampleWeightedScaleSpec pins the bound on the very
+    * frames this method builds, at 1×/2×/10× planted data. The final
+    * offsets join is keyed on bkt, NOT broadcast (|keys|/1024 rows is
+    * broadcastable at bench SF but not at 100 TB); the fact side
+    * arrives already hash-partitioned and sorted by bkt from the
+    * window, so only the tiny offsets side shuffles.
     */
-  def sampleWeighted(spark: SparkSession, sfDir: String,
-      stepUnits: Long = 100000000000L /* 1e7 price · 1e4 scale */)
-      : DataFrame = {
+  /** Levels 1+2 of [[sampleWeighted]]'s segment tree, exposed so the
+    * scale spec asserts bounds on the executed frames (not a re-derived
+    * copy of the bucket arithmetic): (bucketed fact rows, per-bucket
+    * sums tagged with their superbucket, per-superbucket sums).
+    */
+  private[graft] def sampleWeightedPartials(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
     val ord = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), dec(col("o_totalprice")).as("wt"))
       .withColumn("bkt", (col("o_orderkey") / lit(1024)).cast("long"))
-    val bsum = ord.groupBy(col("bkt"))
+      .withColumn("sbkt", (col("bkt") / lit(1024)).cast("long"))
+    val bsum = ord.groupBy(col("sbkt"), col("bkt"))
       .agg(sum(col("wt")).as("bw"))
+    val ssum = bsum.groupBy(col("sbkt")).agg(sum(col("bw")).as("sw"))
+    (ord, bsum, ssum)
+  }
+
+  /** The exact-decimal prefix fold shared by both segment-tree levels:
+    * `bs` (a sorted array of (k, v) structs) → exploded (k, running sum
+    * BEFORE k). Input arrays are bounded by construction — see
+    * [[sampleWeighted]] step 3 (≤ |keys|/2²⁰ rows) and step 4 (≤1024).
+    */
+  private def prefixFold(keyF: String, valF: String): String =
+    s"""aggregate(bs,
+       |  named_struct(
+       |    'arr', cast(array() as array<struct<k:bigint,off:decimal(38,4)>>),
+       |    'run', cast(0 as decimal(38,4))),
+       |  (acc, x) -> named_struct(
+       |    'arr', array_append(acc.arr, named_struct('k', x.$keyF, 'off', acc.run)),
+       |    'run', cast(acc.run + x.$valF as decimal(38,4))),
+       |  acc -> acc.arr)""".stripMargin
+
+  def sampleWeighted(spark: SparkSession, sfDir: String,
+      stepUnits: Long = 100000000000L /* 1e7 price · 1e4 scale */)
+      : DataFrame = {
+    val (ord, bsum, ssum) = sampleWeightedPartials(spark, sfDir)
+    val soffs = ssum
+      .agg(sort_array(collect_list(struct(col("sbkt"), col("sw"))))
+        .as("bs"))
+      .select(explode(expr(prefixFold("sbkt", "sw"))).as("o"))
+      .select(col("o.k").as("sbkt"), col("o.off").as("soff"))
     val offs = bsum
+      .groupBy(col("sbkt"))
       .agg(sort_array(collect_list(struct(col("bkt"), col("bw"))))
         .as("bs"))
-      .select(explode(expr(
-        """aggregate(bs,
-          |  named_struct(
-          |    'arr', cast(array() as array<struct<bkt:bigint,off:decimal(38,4)>>),
-          |    'run', cast(0 as decimal(38,4))),
-          |  (acc, x) -> named_struct(
-          |    'arr', array_append(acc.arr, named_struct('bkt', x.bkt, 'off', acc.run)),
-          |    'run', cast(acc.run + x.bw as decimal(38,4))),
-          |  acc -> acc.arr)""".stripMargin)).as("o"))
-      .select(col("o.bkt").as("bkt"), col("o.off").as("off"))
+      .select(col("sbkt"), explode(expr(prefixFold("bkt", "bw"))).as("o"))
+      .join(broadcast(soffs), "sbkt")
+      .select(col("o.k").as("bkt"),
+        (col("soff") + col("o.off"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("off"))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bkt")).orderBy(col("o_orderkey").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     ord
       .withColumn("wcum", sum(col("wt")).over(wIn))
-      .join(broadcast(offs), "bkt")
+      .join(offs, "bkt")
       .withColumn("cum_u",
         ((col("off") + col("wcum")) * 10000).cast("long"))
       .withColumn("w_u", (col("wt") * 10000).cast("long"))

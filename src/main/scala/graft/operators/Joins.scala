@@ -124,50 +124,150 @@ object Joins {
     * Naively a cross join with a haversine filter — O(|A|·|B|) trig.
     * Grid-cell blocking makes it a keyed equi-join: both sides bucket
     * into (latCell, lonCell) grid cells sized so that any pair within
-    * the radius is at most one cell apart on each axis (lat cell =
-    * r/111.045 km-per-degree; lon cell = r/(111.32·cos φmax), using the
-    * domain's max |latitude| 55° so cells only widen toward the
-    * equator — conservative ⇒ no false negatives); the customer side
-    * explodes its 3×3 cell neighborhood, the equi-join on the cell id
-    * shuffles both sides keyed, and only same-neighborhood candidates
-    * pay the codegen'd haversine verification. Supplier's cell is
-    * single, so a pair can match at most once — no dedup stage.
-    * Coordinates are key-synthesized into a [45,55]°×[0,20]° region
-    * (deterministic integer arithmetic, identical in both engines);
-    * the oracle is the brute-force cross join in DuckDB. At 100 TB the
-    * cell population is bounded by geography (points per r×r km cell),
-    * never by corpus row count — AQE handles urban-density skew like
-    * any other keyed-join skew.
+    * the radius is at most one cell apart on each axis; the customer
+    * side explodes its 3×3 cell neighborhood, the equi-join on the
+    * cell id shuffles both sides keyed, and only same-neighborhood
+    * candidates pay the codegen'd haversine verification. Supplier's
+    * cell is single, so a pair can match at most once — no dedup.
+    *
+    * Cell sizing is derived from the SAME sphere as the distance
+    * formula (ADVICE r10: the old 111.045/111.32 km-per-degree mix was
+    * WGS84-flavored while the verify uses sphere R=6371.0088, leaving
+    * a ~0.1% window near the domain's max latitude where an in-radius
+    * pair could be 2 cells apart): max Δlat of an in-radius pair is
+    * exactly r/R rad (same-meridian arc), max Δlon is
+    * 2·asin(sin(r/2R)/cos φmax) (both points at the max |latitude|,
+    * 55° for the synthesized domain). A 1.0001 pad absorbs double
+    * rounding — wider cells only add candidates, never lose any.
+    *
+    * HOT-CELL GUARD (VERDICT r10 #4): "cell population is bounded by
+    * geographic density" fails on an adversarial city-dense corpus —
+    * one cell with 10⁶ points makes one join task generate all its
+    * candidates. Per-cell populations are counted first (two tiny
+    * aggs); cells where either side exceeds `capPerCell` go to a FINE
+    * path — sub-grid refinement, the `maxSigFreq`/`maxDfAbs` analogue
+    * for space: cells split 4×4, the customer side explodes the ±4
+    * fine neighborhood (any in-radius pair is ≤4 fine cells apart per
+    * axis, floor identity), and the join keys on the FINE cell, so a
+    * hot cell's work lands on ≥16 keys (AQE-splittable further) and
+    * the out-of-radius fringe of the 3×3 coarse box is pruned. A pair
+    * routes to exactly one path — coarse iff both ends' cells are
+    * cold, fine iff either end is hot (both ends of such a pair are
+    * within 1 cell of a hot cell, so the fine side only processes the
+    * hot neighborhoods' points — no global 81× explode). When density
+    * concentrates below the fine-cell scale, candidates ≈ true pairs —
+    * output-bound, which no blocking can beat. SpatialHotCellSpec
+    * plants a dense cell and pins both the per-key bound and equality
+    * with brute force; fixture cells are all cold at every SF, so the
+    * declared plan is the old coarse one plus two count aggs.
     */
   def joinSpatialGrid(spark: SparkSession, sfDir: String,
-      radiusKm: Double = 50.0): DataFrame = {
-    val latCellDeg = radiusKm / 111.045
-    val lonCellDeg = radiusKm / (111.32 * math.cos(math.toRadians(55.0)))
+      radiusKm: Double = 50.0, capPerCell: Int = 1024): DataFrame = {
     def slat = lit(45.0) + (col("s_suppkey") * 7 % 1000).cast("double") / 100.0
     def slon = (col("s_suppkey") * 13 % 2000).cast("double") / 100.0
     def clat = lit(45.0) + (col("c_custkey") * 11 % 1000).cast("double") / 100.0
     def clon = (col("c_custkey") * 17 % 2000).cast("double") / 100.0
     val sup = Tables.supplier(spark, sfDir)
-      .select(col("s_suppkey"), slat.as("slat"), slon.as("slon"))
-      .withColumn("cell_lat", floor(col("slat") / latCellDeg))
-      .withColumn("cell_lon", floor(col("slon") / lonCellDeg))
+      .select(col("s_suppkey").as("s_id"), slat.as("slat"), slon.as("slon"))
     val cust = Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), clat.as("clat"), clon.as("clon"))
-      .withColumn("d_lat", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("d_lon", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("cell_lat", col("d_lat") + floor(col("clat") / latCellDeg))
-      .withColumn("cell_lon", col("d_lon") + floor(col("clon") / lonCellDeg))
+      .select(col("c_custkey").as("c_id"), clat.as("clat"), clon.as("clon"))
+    spatialGridJoin(sup, cust, radiusKm, capPerCell, maxAbsLatDeg = 55.0)
+      .select(col("s_id").as("s_suppkey"), col("c_id").as("c_custkey"),
+        round(col("dist_km"), 3).as("dist_km"))
+      .orderBy(col("s_suppkey").asc, col("c_custkey").asc)
+  }
+
+  /** Candidate generation for [[joinSpatialGrid]] (pre-verification),
+    * exposed so SpatialHotCellSpec measures per-join-key candidate
+    * counts on the executed frames. Input frames: (s_id, slat, slon)
+    * and (c_id, clat, clon). Output carries the join key (j1, j2) and
+    * a `fine` flag marking which path produced the candidate.
+    */
+  private[graft] def spatialCandidates(sup: DataFrame, cust: DataFrame,
+      radiusKm: Double, capPerCell: Int, maxAbsLatDeg: Double): DataFrame = {
+    val R = 6371.0088
+    val latCellDeg = math.toDegrees(radiusKm / R) * 1.0001
+    val lonCellDeg = math.toDegrees(2.0 * math.asin(math.min(1.0,
+      math.sin(radiusKm / (2.0 * R)) /
+        math.cos(math.toRadians(maxAbsLatDeg))))) * 1.0001
+    val fLat = latCellDeg / 4.0
+    val fLon = lonCellDeg / 4.0
+    // fine cell first; coarse = floor(fine/4) (floor-division identity
+    // floor(x/4f) = floor(floor(x/f)/4), so coarse cells from the two
+    // paths agree exactly)
+    def cells(df: DataFrame, latC: String, lonC: String) = df
+      .withColumn("f_lat", floor(col(latC) / fLat))
+      .withColumn("f_lon", floor(col(lonC) / fLon))
+      .withColumn("cl", floor(col("f_lat") / 4.0))
+      .withColumn("cn", floor(col("f_lon") / 4.0))
+    val supC = cells(sup, "slat", "slon")
+    val custC = cells(cust, "clat", "clon")
+    // hot = either side's population over the cap; near = within 1 cell
+    // of a hot cell (both ends of any pair involving a hot cell qualify)
+    val hot = supC.groupBy(col("cl"), col("cn")).count()
+      .filter(col("count") > capPerCell)
+      .unionByName(custC.groupBy(col("cl"), col("cn")).count()
+        .filter(col("count") > capPerCell))
+      .select(col("cl"), col("cn")).distinct()
+      .withColumn("hot0", lit(true))
+    val nearHot = hot
+      .withColumn("d1", explode(array((-1 to 1).map(i => lit(i.toLong)): _*)))
+      .withColumn("d2", explode(array((-1 to 1).map(i => lit(i.toLong)): _*)))
+      .select((col("cl") + col("d1")).as("cl"), (col("cn") + col("d2")).as("cn"))
+      .distinct()
+      .withColumn("near0", lit(true))
+    def flag(df: DataFrame) = df
+      .join(hot, Seq("cl", "cn"), "left")
+      .join(nearHot, Seq("cl", "cn"), "left")
+      .withColumn("is_hot", coalesce(col("hot0"), lit(false)))
+      .withColumn("is_near", coalesce(col("near0"), lit(false)))
+      .drop("hot0", "near0")
+    val supF = flag(supC)
+    val custF = flag(custC)
+    val coarseOffsets = array((-1 to 1).map(i => lit(i.toLong)): _*)
+    val fineOffsets = array((-4 to 4).map(i => lit(i.toLong)): _*)
+    val cold = supF.filter(!col("is_hot"))
+      .select(col("s_id"), col("slat"), col("slon"),
+        col("cl").as("j1"), col("cn").as("j2"))
+      .join(custF.filter(!col("is_hot"))
+          .withColumn("d1", explode(coarseOffsets))
+          .withColumn("d2", explode(coarseOffsets))
+          .select(col("c_id"), col("clat"), col("clon"),
+            (col("cl") + col("d1")).as("j1"), (col("cn") + col("d2")).as("j2")),
+        Seq("j1", "j2"))
+      .withColumn("fine", lit(false))
+    val hotPath = supF.filter(col("is_near"))
+      .select(col("s_id"), col("slat"), col("slon"), col("is_hot").as("s_hot"),
+        col("f_lat").as("j1"), col("f_lon").as("j2"))
+      .join(custF.filter(col("is_near"))
+          .withColumn("d1", explode(fineOffsets))
+          .withColumn("d2", explode(fineOffsets))
+          .select(col("c_id"), col("clat"), col("clon"),
+            col("is_hot").as("c_hot"),
+            (col("f_lat") + col("d1")).as("j1"), (col("f_lon") + col("d2")).as("j2")),
+        Seq("j1", "j2"))
+      .filter(col("s_hot") || col("c_hot"))
+      .drop("s_hot", "c_hot")
+      .withColumn("fine", lit(true))
+    val cols = Seq("s_id", "slat", "slon", "c_id", "clat", "clon",
+      "j1", "j2", "fine").map(col)
+    cold.select(cols: _*).unionByName(hotPath.select(cols: _*))
+  }
+
+  /** [[spatialCandidates]] + the haversine verification: all (s, c)
+    * pairs within `radiusKm`, with `dist_km` attached.
+    */
+  private[graft] def spatialGridJoin(sup: DataFrame, cust: DataFrame,
+      radiusKm: Double, capPerCell: Int, maxAbsLatDeg: Double): DataFrame = {
     val dPhi = (radians(col("clat")) - radians(col("slat"))) / 2.0
     val dLam = (radians(col("clon")) - radians(col("slon"))) / 2.0
     val dist = lit(2.0 * 6371.0088) * asin(sqrt(
       pow(sin(dPhi), 2.0) +
         cos(radians(col("slat"))) * cos(radians(col("clat"))) *
           pow(sin(dLam), 2.0)))
-    sup.join(cust, Seq("cell_lat", "cell_lon"))
-      .filter(dist <= radiusKm)
-      .select(col("s_suppkey"), col("c_custkey"),
-        round(dist, 3).as("dist_km"))
-      .orderBy(col("s_suppkey").asc, col("c_custkey").asc)
+    spatialCandidates(sup, cust, radiusKm, capPerCell, maxAbsLatDeg)
+      .withColumn("dist_km", dist)
+      .filter(col("dist_km") <= radiusKm)
   }
 
   /** `join_theta_range` — non-equi band join: error events within 1 hour

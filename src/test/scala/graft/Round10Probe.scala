@@ -50,10 +50,14 @@ object Round10Probe {
 
     // spatial: keep suppliers fixed, clone customers 10× with shifted
     // keys (coords derive from the key, so copies land elsewhere in the
-    // same 10°×20° region)
-    val spatialDir = "/tmp/r10_spatial10x"
+    // same 10°×20° region). The shift K must not divide the coordinate
+    // periods (key*11 % 1000, key*17 % 2000 — ADVICE r10: the old 1e8
+    // was ≡0 mod both, so "copies" stacked at the original coords and
+    // the probe measured duplicates, not 10× spatial density); 1e8+7
+    // shifts every clone's (lat, lon) by a nonzero offset.
+    val spatialDir = "/tmp/r11_spatial10x"
     if (!new java.io.File(s"$spatialDir/_done").exists()) {
-      val K = 100000000L
+      val K = 100000007L
       (0 until 10).map(i => graft.sources.Tables.customer(spark, base)
           .withColumn("c_custkey", col("c_custkey") + i * K))
         .reduce(_ unionByName _)

@@ -610,6 +610,22 @@ object Joins {
     * a near-identical cluster that size; such signatures are dropped,
     * trading recall inside mega-clusters for bounded tasks). Only
     * deduped candidates pay the codegen'd levenshtein verification.
+    *
+    * Cap sizing (ADVICE r10): in-list pair generation materializes up
+    * to cap²/2 structs in ONE row before its explode, so the cap is
+    * the executor-memory bound, not just the posting-list bound — at
+    * the 1024 default that is ≤524k small structs (~25 MB transient),
+    * versus the old 10000 default's ~5·10⁷ (GBs). 1024 also sits
+    * safely above the alphabet bound |Σ|·(L+1)+1 (≈721 for
+    * alphanumeric 19-char names), which only holds for DISTINCT
+    * names: duplicate name strings inflate every one of their
+    * signatures without bound, so a >cap pos-00 list is exactly an
+    * exact-duplicate cluster — that belongs to `dedup_exact` upstream
+    * (the standard entity-resolution order), and a corpus fed here
+    * without exact-dedup DIVERGES from a brute-force oracle on pairs
+    * inside such dropped mega-clusters. FuzzyGroupsSpec pins the
+    * kernel-vs-DSL posting equivalence and the alphabet bound on the
+    * hashed signatures the join actually executes.
     */
   /** del-1 neighborhood of a string column (the FastSS signature set),
     * POSITION-KEYED: the string itself (position tag 00) plus each
@@ -648,7 +664,7 @@ object Joins {
     graft.functions.Del1Kernel.del1SignatureHashes(col(c))
 
   def joinFuzzy(spark: SparkSession, sfDir: String,
-      maxDist: Int = 1, maxSigFreq: Int = 10000): DataFrame = {
+      maxDist: Int = 1, maxSigFreq: Int = 1024): DataFrame = {
     require(maxDist == 1,
       "del-1 signatures generate candidates for edit distance <= 1")
     val cust = Tables.customer(spark, sfDir)

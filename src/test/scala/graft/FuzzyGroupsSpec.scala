@@ -133,4 +133,45 @@ class FuzzyGroupsSpec extends AnyFunSuite {
       20L -> ((1.0, 1L)))
     assert(got === want)
   }
+
+  test("hashed signature kernel induces the same posting groups as the string DSL") {
+    // ADVICE r10: the bound test used to measure the string-DSL spec
+    // while joinFuzzy executes the hashed kernel, with no equivalence
+    // link. The link: both blockings must partition rows into the SAME
+    // posting groups (as a multiset — distinct signatures can share a
+    // member list). Includes an exact duplicate and a substitution pair
+    // so non-trivial groups exist.
+    val names = (0 until 600).map(i => (i.toLong, f"Customer#$i%09d")) ++
+      Seq((9001L, "Customer#000000001"), (9002L, "Austomer#000000001"))
+    val df = names.toDF("k", "c_name")
+    def groups(sig: org.apache.spark.sql.Column): Map[List[Long], Int] =
+      df.withColumn("sig", explode(sig))
+        .groupBy(col("sig"))
+        .agg(sort_array(collect_list(col("k"))).as("ks"))
+        .filter(size(col("ks")) >= 2)
+        .select(col("ks")).as[Seq[Long]].collect()
+        .map(_.toList).groupBy(identity).view.mapValues(_.size).toMap
+    val dsl = groups(Joins.del1Signatures("c_name"))
+    val kernel = groups(Joins.del1SignatureHashes("c_name"))
+    assert(dsl.nonEmpty, "corpus planted no shared signatures")
+    assert(kernel === dsl)
+  }
+
+  test("hashed-signature block sizes stay bounded when the corpus doubles") {
+    // same alphabet-bound assertion as above, but through the
+    // del1SignatureHashes kernel the join actually executes
+    def maxSigFreq(n: Int): Long = {
+      val names = (0 until n).map(i => (i.toLong, 0, f"Customer#$i%09d"))
+      names.toDF("c_custkey", "c_nationkey", "c_name")
+        .withColumn("sig", explode(Joins.del1SignatureHashes("c_name")))
+        .groupBy(col("c_nationkey"), col("sig")).count()
+        .agg(max(col("count"))).as[Long].head()
+    }
+    val at1x = maxSigFreq(1000)
+    val at2x = maxSigFreq(2000)
+    assert(at1x <= 191 && at2x <= 191,
+      s"hashed signature blocks exceed the alphabet bound: $at1x / $at2x")
+    assert(at2x <= at1x * 2,
+      s"hashed block size scaled with corpus: $at1x -> $at2x")
+  }
 }

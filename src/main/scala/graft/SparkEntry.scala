@@ -214,6 +214,7 @@ object SparkEntry {
     "stream_sliding" -> (EventWindows.sliding _),
     "stream_session" -> (EventWindows.sessionize _),
     "stream_dedup" -> (EventWindows.dedupEvents _),
+    "stream_watermark_late_ok" -> (graft.streaming.Streams.watermarkLateOk _),
     "stream_join" -> (EventWindows.streamJoinBatch _),
     "stream_join_outer" -> (EventWindows.streamJoinOuterBatch _),
     "stream_join_full" -> (EventWindows.streamJoinFullBatch _),
@@ -2040,6 +2041,21 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events
         |ORDER BY event_id ASC""".stripMargin,
+    // watermark late-drop contract: the streaming result must equal the
+    // batch tumbling agg over NON-late rows, and late_dropped must equal
+    // the planted late-set size (see Streams.watermarkLateOk)
+    "stream_watermark_late_ok" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |late AS (SELECT CAST(count(*) AS BIGINT) AS late_dropped
+        |  FROM events, m
+        |  WHERE ts < mx - INTERVAL 2 HOUR AND event_id % 7 = 0)
+        |SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  (SELECT late_dropped FROM late) AS late_dropped
+        |FROM events, m
+        |WHERE NOT (ts < mx - INTERVAL 2 HOUR AND event_id % 7 = 0)
+        |GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""".stripMargin,
     "join_interval_overlap" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |    epoch(date_trunc('second', ts))::BIGINT AS s,

@@ -519,6 +519,70 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** `stream_watermark_late_ok` — the watermark late-drop CONTRACT as a
+    * batch-checkable declared query (VERDICT r10 #8, the `_ok` shadow
+    * technique that retires the spec-only `stream_watermark_late` row):
+    * the events table is replayed through a REAL three-micro-batch
+    * append-mode streaming aggregation —
+    *  1. every ON-TIME row in one batch (single coalesced file: a split
+    *     batch could let the mid-run watermark drop rows the contract
+    *     calls on-time), parking the watermark at max(ts) − 10 min;
+    *  2. the designated LATE set (rows older than max(ts) − 2 h with
+    *     event_id % 7 = 0): every window they belong to ended ≥ 50 min
+    *     below the watermark, so the streaming agg must drop ALL of
+    *     them;
+    *  3. one far-future sentinel row that pushes the watermark past
+    *     every real window, so append mode finalizes and emits them.
+    * Batches are delivered as files moved into the source directory
+    * between processAllAvailable() calls — the data path stays fully
+    * distributed (the driver only renames files). The emitted result
+    * must equal the batch tumbling aggregate over the non-late rows —
+    * exactly what the DuckDB oracle computes — and `late_dropped`
+    * (rows fed minus rows aggregated) must equal the planted late-set
+    * size, which the oracle recomputes in SQL: an engine that stopped
+    * dropping late rows mismatches on both the window counts and the
+    * cardinality column.
+    */
+  def watermarkLateOk(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val lateCut = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)
+    val isLate = col("ts") < lit(lateCut) && pmod(col("event_id"), lit(7)) === 0
+    val dir = java.nio.file.Files.createTempDirectory("graft_wmk").toString
+    val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
+    ev.filter(!isLate).coalesce(1).write.parquet(s"$dir/b1")
+    ev.filter(isLate).coalesce(1).write.parquet(s"$dir/b2")
+    spark.range(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+      lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+      .write.parquet(s"$dir/b3")
+    def deliver(batch: String): Unit =
+      new java.io.File(s"$dir/$batch").listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(feed, s"$batch-$i.parquet").toPath)
+        }
+    val stream = spark.readStream.schema(ev.schema).parquet(feed.toString)
+    val q = tumblingCounts(stream).writeStream
+      .format("memory").queryName("wmk_late_ok")
+      .outputMode(OutputMode.Append).start()
+    try {
+      Seq("b1", "b2", "b3").foreach { b =>
+        deliver(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val result = spark.table("wmk_late_ok")
+      .filter(col("event_type") =!= "__sentinel")
+    val summary = result.agg((lit(ev.count()) - sum(col("n_events")))
+      .cast("long").as("late_dropped"))
+    result.crossJoin(broadcast(summary))
+      .orderBy(col("win_start").asc, col("event_type").asc)
+  }
+
   /** File-replay source: read the events table as a stream (one file per
     * trigger) — the batch fixture replayed as a stream for tests.
     */

@@ -105,9 +105,12 @@ class ContractSpec extends AnyFunSuite {
     //                    simsearch_knn's documented corpus × bounded
     //                    query-set product; everything downstream of the
     //                    three searches is report-sized and keyed
+    //   stream_watermark_late_ok — window rows × broadcast ONE-ROW
+    //                    late-drop cardinality (the same scalar-attach
+    //                    shape as text_tfidf/agg_histogram)
     val allowProduct =
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
-        "ann_recall")
+        "ann_recall", "stream_watermark_late_ok")
     walk { (name, df) =>
       if (allowProduct(name)) None
       else {

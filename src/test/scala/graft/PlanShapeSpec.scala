@@ -259,7 +259,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"spatial join must equi-join on cell ids:\n$p")
-    assert(p.contains("Join") && p.contains("cell_lat"),
+    // both the cold (coarse) and hot (fine) paths key their join on the
+    // (j1, j2) grid-cell pair
+    assert(p.contains("Join") && p.contains("j1"),
       s"expected a cell-keyed join:\n$p")
   }
 

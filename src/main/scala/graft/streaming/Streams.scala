@@ -567,9 +567,20 @@ object Streams {
             new java.io.File(feed, s"$batch-$i.parquet").toPath)
         }
     val stream = spark.readStream.schema(ev.schema).parquet(feed.toString)
-    val q = tumblingCounts(stream).writeStream
-      .format("memory").queryName("wmk_late_ok")
-      .outputMode(OutputMode.Append).start()
+    // the streaming agg state is window×type-sized (~3.6k groups at
+    // sf0.1): at the session's 32 shuffle partitions the HDFS state
+    // store pays 32 partitions × 3 batches of checkpoint I/O for a
+    // hand-rolled query; pin the stream (its partitioning is fixed at
+    // start) to 8 and restore the session conf for the batch result
+    val shufKey = "spark.sql.shuffle.partitions"
+    val oldShuf = spark.conf.get(shufKey)
+    val q =
+      try {
+        spark.conf.set(shufKey, "8")
+        tumblingCounts(stream).writeStream
+          .format("memory").queryName("wmk_late_ok")
+          .outputMode(OutputMode.Append).start()
+      } finally spark.conf.set(shufKey, oldShuf)
     try {
       Seq("b1", "b2", "b3").foreach { b =>
         deliver(b); q.processAllAvailable()

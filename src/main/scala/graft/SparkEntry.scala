@@ -215,6 +215,7 @@ object SparkEntry {
     "stream_session" -> (EventWindows.sessionize _),
     "stream_dedup" -> (EventWindows.dedupEvents _),
     "stream_watermark_late_ok" -> (graft.streaming.Streams.watermarkLateOk _),
+    "stream_sink_ok" -> (graft.streaming.Streams.streamSinkOk _),
     "stream_join" -> (EventWindows.streamJoinBatch _),
     "stream_join_outer" -> (EventWindows.streamJoinOuterBatch _),
     "stream_join_full" -> (EventWindows.streamJoinFullBatch _),
@@ -2056,6 +2057,14 @@ object SparkEntry {
         |FROM events, m
         |WHERE NOT (ts < mx - INTERVAL 2 HOUR AND event_id % 7 = 0)
         |GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""".stripMargin,
+    // exactly-once sink contract: the sink directory (written twice over
+    // one checkpoint) must aggregate to the original table's aggregate —
+    // a re-emitting restart doubles n_events but not n_distinct_events
+    "stream_sink_ok" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT event_id) AS n_distinct_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "join_interval_overlap" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |    epoch(date_trunc('second', ts))::BIGINT AS s,

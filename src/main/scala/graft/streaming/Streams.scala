@@ -594,6 +594,35 @@ object Streams {
       .orderBy(col("win_start").asc, col("event_type").asc)
   }
 
+  /** `stream_sink_ok` — the checkpointed-sink EXACTLY-ONCE contract as a
+    * hash-gated declared query (retiring the last spec-only streaming
+    * row the same way `stream_watermark_late_ok` retired the watermark
+    * one): the events table file-replays through the AvailableNow
+    * parquet sink TWICE over the SAME checkpoint — the restart sees no
+    * new input, so an engine honoring the checkpoint adds nothing,
+    * while a broken sink re-emits and doubles every count. The sink
+    * directory's contents then aggregate per event type, which is
+    * exactly the batch aggregate the DuckDB oracle computes from the
+    * original table. (StreamingSpec pins the same invariant as a
+    * row-count spec; this makes it a value-level oracle row.)
+    */
+  def streamSinkOk(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_ok").toString
+    val src = eventsFileStream(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    Seq(1, 2).foreach { _ =>
+      startParquetSink(src, s"$dir/out", s"$dir/ckpt").awaitTermination()
+    }
+    spark.read.parquet(s"$dir/out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_distinct_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** File-replay source: read the events table as a stream (one file per
     * trigger) — the batch fixture replayed as a stream for tests.
     */

@@ -123,6 +123,16 @@ case class WordShingleHashes(child: Expression, k: Int, distinct: Boolean)
   * opaque join keys, so only determinism matters (FNV-1a, fixed seed,
   * no per-run state) and a collision can only merge two posting lists —
   * extra verified-then-discarded candidates, never a lost pair.
+  *
+  * "Character" means UNICODE CODE POINT, matching the semantics of
+  * Spark's substring/length (which the DSL spec is built from) and of
+  * the levenshtein verification the candidates feed: an earlier
+  * UTF-16-code-unit version silently MISSED pairs whose single
+  * code-point substitution changes both units of a surrogate pair
+  * (edit distance 2 in code units, 1 in code points — e.g. two
+  * distinct non-BMP emoji), diverging from the DSL blocking and
+  * losing true-pair recall on non-BMP corpora. Pinned by the non-BMP
+  * cases in FuzzyGroupsSpec's kernel-vs-DSL equivalence test.
   */
 object Del1Kernel {
   private final val FnvOffset = 0xcbf29ce484222325L
@@ -130,23 +140,35 @@ object Del1Kernel {
 
   def del1Hashes(s: UTF8String): ArrayData = {
     val str = s.toString
-    val n = str.length
+    // decode once to code points; ASCII fast path is the common case
+    // (cp values equal char values, so ASCII hashes are unchanged from
+    // the code-unit version)
+    val units = str.length
+    var n = 0
+    var i = 0
+    while (i < units) { n += 1; i += Character.charCount(str.codePointAt(i)) }
+    val cps = new Array[Int](n)
+    i = 0; var ci = 0
+    while (i < units) {
+      val cp = str.codePointAt(i)
+      cps(ci) = cp; ci += 1; i += Character.charCount(cp)
+    }
     val out = new Array[Long](n + 1)
     // tag 0: the full string
     var h = FnvOffset
     h ^= 0L; h *= FnvPrime
-    var i = 0
-    while (i < n) { h ^= str.charAt(i).toLong; h *= FnvPrime; i += 1 }
+    var j = 0
+    while (j < n) { h ^= cps(j).toLong; h *= FnvPrime; j += 1 }
     out(0) = h
-    // tag d (1-based): the string minus its d-th character
+    // tag d (1-based): the string minus its d-th code point
     var d = 1
     while (d <= n) {
       h = FnvOffset
       h ^= d.toLong; h *= FnvPrime
-      i = 0
-      while (i < n) {
-        if (i != d - 1) { h ^= str.charAt(i).toLong; h *= FnvPrime }
-        i += 1
+      j = 0
+      while (j < n) {
+        if (j != d - 1) { h ^= cps(j).toLong; h *= FnvPrime }
+        j += 1
       }
       out(d) = h
       d += 1

@@ -140,9 +140,15 @@ class FuzzyGroupsSpec extends AnyFunSuite {
     // link. The link: both blockings must partition rows into the SAME
     // posting groups (as a multiset — distinct signatures can share a
     // member list). Includes an exact duplicate and a substitution pair
-    // so non-trivial groups exist.
+    // so non-trivial groups exist, plus non-BMP pairs: the kernel must
+    // count CODE POINTS like Spark's substring/length/levenshtein — a
+    // code-UNIT kernel misses substitutions that change both units of a
+    // surrogate pair (two distinct emoji = distance 1 in code points,
+    // 2 in units) and silently loses those true pairs.
     val names = (0 until 600).map(i => (i.toLong, f"Customer#$i%09d")) ++
-      Seq((9001L, "Customer#000000001"), (9002L, "Austomer#000000001"))
+      Seq((9001L, "Customer#000000001"), (9002L, "Austomer#000000001"),
+        (9003L, "ab😀cd"), (9004L, "ab🤖cd"),
+        (9005L, "caféx"), (9006L, "caféy"))
     val df = names.toDF("k", "c_name")
     def groups(sig: org.apache.spark.sql.Column): Map[List[Long], Int] =
       df.withColumn("sig", explode(sig))

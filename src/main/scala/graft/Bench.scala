@@ -77,9 +77,12 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // task_ms ranking (VERDICT r10 #3): executorRunTime is wall-noise-
-    // free, so THIS is the list to diff against last round, not wall
+    // free, so THIS is the list to diff against last round, not wall.
+    // Emitted as an ARRAY of [name, ms] pairs — JSON object key order
+    // is not contractual, so an object would lose the ranking in any
+    // normalizing parser
     val rankTask = taskByQ.toSeq.sortBy(-_._2).take(20)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, v) => s"""["$k",$v]""" }.mkString("[", ",", "]")
     // key order: the long maps FIRST, scalars LAST — JSON parsers don't
     // care, but a tail-truncated capture of this (long) line still shows
     // the headline numbers (BENCH_r01's capture kept only the last

@@ -183,6 +183,8 @@ object Windows {
   private[graft] def groupsFrameK(df: org.apache.spark.sql.DataFrame,
       part: String, ord: String, value: String, k: Int)
       : org.apache.spark.sql.DataFrame = {
+    require(Seq("__grp", "grp_sum", "grp_cnt").forall(!df.columns.contains(_)),
+      "groupsFrameK writes __grp/grp_sum/grp_cnt; input already has one")
     val wRank = Window.partitionBy(col(part)).orderBy(col(ord).asc)
     val wGroups = Window.partitionBy(col(part))
       .orderBy(col("__grp"))

@@ -198,6 +198,12 @@ class SessionTimerProcessor(gapUs: Long)
 
 object Streams {
 
+  private def deleteRec(f: java.io.File): Unit = {
+    val fs = f.listFiles()
+    if (fs != null) fs.foreach(deleteRec)
+    f.delete(); ()
+  }
+
   /** `stream_tumbling` — 1h tumbling count/sum per event_type with a
     * 10-minute watermark.
     */
@@ -585,7 +591,12 @@ object Streams {
       Seq("b1", "b2", "b3").foreach { b =>
         deliver(b); q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the memory sink owns the result now; the staged table copy must
+      // not accumulate across walks/verify/bench runs
+      deleteRec(new java.io.File(dir))
+    }
     val result = spark.table("wmk_late_ok")
       .filter(col("event_type") =!= "__sentinel")
     val summary = result.agg((lit(ev.count()) - sum(col("n_events")))
@@ -614,6 +625,9 @@ object Streams {
     Seq(1, 2).foreach { _ =>
       startParquetSink(src, s"$dir/out", s"$dir/ckpt").awaitTermination()
     }
+    // the returned frame lazily reads $dir/out, so only the checkpoint
+    // is reclaimable here
+    deleteRec(new java.io.File(s"$dir/ckpt"))
     spark.read.parquet(s"$dir/out")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),

@@ -279,6 +279,102 @@ object Joins {
       .filter(col("dist_km") <= radiusKm)
   }
 
+  /** Literal polygon set for [[joinPointInPolygon]] — (poly_id, name,
+    * vertices as (lon, lat), counter-clockwise, not closed). Two shapes
+    * in the synthesized customer coordinate domain (lat 45–55,
+    * lon 0–20): a convex pentagon and a NON-convex L-shape (the notch
+    * proves genuine ray-casting — a bounding-box or convex-hull test
+    * would wrongly include it). Vertices sit at .005 offsets so no
+    * 0.01°-quantized fixture point lies on an axis-parallel edge, and
+    * both shapes intersect the synthesized coordinate lattice at EVERY
+    * fixture SF (the sf0.001 customers trace a sparse diagonal —
+    * placements were chosen so no polygon's match set is vacuous).
+    * Single source of truth: the Spark predicate and the generated
+    * oracle SQL are both unrolled from this list.
+    */
+  val polygons: Seq[(Int, String, Seq[(Double, Double)])] = Seq(
+    (1, "pentagon", Seq(
+      (6.505, 47.005), (9.505, 46.505), (11.005, 49.005),
+      (8.505, 51.505), (6.005, 49.505))),
+    (2, "lshape", Seq(
+      (2.005, 51.005), (8.005, 51.005), (8.005, 54.505),
+      (5.005, 54.505), (5.005, 52.505), (2.005, 52.505))))
+
+  /** Even–odd ray-cast point-in-polygon as a pure Column expression,
+    * unrolled over the polygon's edges (the classic crossing-number
+    * test: a horizontal ray from the point crosses edge (i, j) iff the
+    * edge spans the point's latitude and the intersection lies east of
+    * the point; odd crossings = inside). Each edge term is one
+    * explicitly-parenthesized double expression so the generated oracle
+    * SQL performs the identical IEEE ops in the identical order.
+    */
+  def pointInPolygon(lonC: org.apache.spark.sql.Column,
+      latC: org.apache.spark.sql.Column,
+      verts: Seq[(Double, Double)]): org.apache.spark.sql.Column = {
+    val crossings = verts.indices.flatMap { i =>
+      val (xi, yi) = verts(i)
+      val (xj, yj) = verts((i + 1) % verts.size)
+      // a horizontal edge never crosses the horizontal ray — skip it at
+      // unroll time (the SQL renderer skips the same edges)
+      if (yi == yj) None
+      else Some(
+        when((lit(yi) > latC) =!= (lit(yj) > latC),
+          when(lonC < (lit(xj - xi) * (latC - lit(yi)) / lit(yj - yi)
+            + lit(xi)), lit(1)).otherwise(lit(0)))
+          .otherwise(lit(0)))
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
+  /** The same unrolled even–odd test rendered as an ANSI SQL predicate
+    * for the DuckDB oracle — token-for-token the arithmetic of
+    * [[pointInPolygon]].
+    */
+  def pointInPolygonSql(lonE: String, latE: String,
+      verts: Seq[(Double, Double)]): String = {
+    val terms = verts.indices.flatMap { i =>
+      val (xi, yi) = verts(i)
+      val (xj, yj) = verts((i + 1) % verts.size)
+      if (yi == yj) None // same horizontal-edge skip as the Column form
+      else Some(
+        s"""(CASE WHEN (($yi > $latE) <> ($yj > $latE)) THEN
+           |  (CASE WHEN ($lonE < (${xj - xi} * ($latE - $yi) / ${yj - yi}
+           |    + $xi)) THEN 1 ELSE 0 END) ELSE 0 END)""".stripMargin)
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
+  /** `join_point_in_polygon` — the join form of ST_Contains over a
+    * polygon layer: which customers fall inside which region polygon.
+    * SURVEY §2 lists the full Presto ST_* family as runtime-infeasible
+    * (no geospatial jar); the containment JOIN — its workhorse use —
+    * needs no library: ray-cast containment is pure arithmetic,
+    * unrolled per edge into codegen'd expressions (see
+    * [[pointInPolygon]]). Non-convex polygons are handled exactly
+    * (even–odd rule); the planted L-shape notch pins that in
+    * PointInPolygonSpec.
+    *
+    * Scale shape: the polygon layer here is literal-inlined, so the
+    * plan is scan → project/filter — zero shuffles before the output
+    * sort, no join at all. A large polygon layer would bucket polygon
+    * bounding boxes into the SAME grid cells as [[joinSpatialGrid]]
+    * and equi-join points to candidate polygons on cell id (blocking,
+    * then this exact per-pair test) — the operator's per-pair kernel is
+    * unchanged, so this query IS the 100 TB kernel.
+    */
+  def joinPointInPolygon(spark: SparkSession, sfDir: String): DataFrame = {
+    def clat = lit(45.0) + (col("c_custkey") * 11 % 1000).cast("double") / 100.0
+    def clon = (col("c_custkey") * 17 % 2000).cast("double") / 100.0
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), clat.as("clat"), clon.as("clon"))
+    polygons.map { case (pid, pname, verts) =>
+      cust.filter(pointInPolygon(col("clon"), col("clat"), verts))
+        .select(lit(pid).as("poly_id"), lit(pname).as("poly_name"),
+          col("c_custkey"), col("clat"), col("clon"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("poly_id").asc, col("c_custkey").asc)
+  }
+
   /** `join_theta_range` — non-equi band join: error events within 1 hour
     * AFTER a purchase by the same user. Equi part (user_id) keeps it a
     * hash/sort-merge join; the band predicate is applied as a join filter

@@ -442,6 +442,125 @@ object SimSearch {
     dedupEmbeddingLshDocs(Tables.embeddings(spark, sfDir), threshold,
       nBits, nBands, carryVectors)
 
+  /** `simsearch_hybrid` — hybrid lexical+vector retrieval, the standard
+    * RAG / training-data retrieval stack: BM25 over the document text
+    * and cosine kNN over the embedding column, fused per query by
+    * reciprocal-rank fusion (RRF, Cormack et al. SIGIR'09:
+    * score = Σ_lists 1/(60+rank)). The corpus is documents⋈embeddings
+    * on doc_id=vec_id (docs that carry a vector); each of the first
+    * `nQueries` corpus docs plays the query role with its own text
+    * (lexical side) and vector (dense side).
+    *
+    * Engine-exact by construction — every cross-engine hazard is
+    * closed with fixed-point integer arithmetic:
+    *  - BM25 per-term contributions are doubles computed in one
+    *    explicitly-parenthesized expression (identical IEEE op order
+    *    in Spark and the oracle), then snapped to 1e-6 units
+    *    (`round(c*1e6)::BIGINT`) BEFORE the per-document sum — an
+    *    integer sum is associative, so Spark's partial-aggregation
+    *    order vs DuckDB's single-threaded order cannot flip a rank.
+    *  - RRF terms are integer floor divisions `1000000 DIV (60+rank)`
+    *    over integer ranks — exact on both engines (fixed-point RRF in
+    *    1e-6 units; monotone in rank like the real thing).
+    *  - All orderings tie-break on c_id ASC after rounded scores.
+    *
+    * Scale shape (100 TB): the lexical side is the tf-idf machinery —
+    * explode → keyed tf/df aggs → a query-term join that only touches
+    * postings of the (bounded) query vocabulary; corpus stats (N,
+    * avgdl) attach as a 1-row broadcast. The dense side is the
+    * brute-force kNN shape (query side broadcast, corpus streams; swap
+    * in simsearchLsh/Ivf for large query sets). Fusion joins two
+    * |queries|·nList-row frames — report-sized by construction.
+    */
+  def simsearchHybrid(spark: SparkSession, sfDir: String, k: Int = 10,
+      nQueries: Int = 10, nList: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    hybridOver(docs, emb, k, nQueries, nList)
+  }
+
+  /** Core of `simsearch_hybrid` over any (doc_id, text) + (vec_id,
+    * embedding) pair of frames — also the planted-corpus harness for
+    * HybridSearchSpec.
+    */
+  def hybridOver(docs: DataFrame, emb: DataFrame, k: Int, nQueries: Int,
+      nList: Int): DataFrame = {
+    import graft.operators.TextOps.normText
+    // corpus = docs that carry a vector (inner join on id)
+    val corpusDocs = docs.join(
+      emb.select(col("vec_id").as("doc_id")), "doc_id")
+    val corpusEmb = emb.join(
+      docs.select(col("doc_id").as("vec_id")), "vec_id")
+
+    // ---- lexical side: BM25 (k1=1.2, b=0.75, Lucene ln(1+..) idf) ----
+    // ONE materialized Exchange on doc_id that all three token
+    // consumers (tf, dl, qTerms) reuse — without it each consumer
+    // re-plans the corpus scan + explode (the dedup_ngram_jaccard
+    // shared-exchange treatment, r3). HashPartitioning(doc_id) is a
+    // subset of every downstream grouping ((doc_id,term), (doc_id),
+    // distinct(doc_id,term)), so the aggs after it are exchange-free.
+    val tokens = corpusDocs
+      .select(col("doc_id"), explode(split(normText(col("text")), " "))
+        .as("term"))
+      .filter(length(col("term")) > 0)
+      .repartition(col("doc_id"))
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // query vocabulary: DISTINCT terms of each query doc (query-side tf
+    // is ignored — short-query BM25 convention)
+    val qTerms = tokens.filter(col("doc_id") < nQueries.toLong)
+      .select(col("doc_id").as("q_id"), col("term")).distinct()
+    // contribution, explicitly parenthesized — the oracle mirrors this
+    // op order token for token; snapped to 1e-6 units pre-sum
+    val contrib = qTerms
+      .join(tf.select(col("doc_id").as("c_id"), col("term"), col("tf")),
+        "term")
+      .filter(col("c_id") =!= col("q_id"))
+      .join(df, "term")
+      .join(dl.select(col("doc_id").as("c_id"), col("dl")), "c_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(((col("n_docs") - col("df").cast("double")) + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("c",
+        col("idf") * ((col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double")
+            + lit(1.2) * (lit(0.25) + lit(0.75)
+              * (col("dl").cast("double") / col("avgdl"))))))
+      .withColumn("c_u", round(col("c") * lit(1000000.0), 0).cast("long"))
+    val wLex = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_u").desc, col("c_id").asc)
+    val lexTop = contrib.groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("c_u")).as("score_u"))
+      .withColumn("lex_rn", row_number().over(wLex))
+      .filter(col("lex_rn") <= nList)
+      .select(col("q_id"), col("c_id"), col("lex_rn"))
+
+    // ---- dense side: exact cosine top-nList over the same corpus ----
+    val vecTop = knnOver(corpusEmb, nList, nQueries)
+      .select(col("q_id"), col("c_id"), col("rn").as("vec_rn"))
+
+    // ---- fusion: fixed-point RRF over the two rank lists ----
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_u").desc, col("c_id").asc)
+    lexTop.join(vecTop, Seq("q_id", "c_id"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(expr("1000000 DIV (60 + lex_rn)"), lit(0L))
+          + coalesce(expr("1000000 DIV (60 + vec_rn)"), lit(0L)))
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"),
+        coalesce(col("lex_rn"), lit(0)).as("lex_rn"),
+        coalesce(col("vec_rn"), lit(0)).as("vec_rn"),
+        round(col("rrf_u").cast("double") / 1000000.0, 6).as("rrf_score"),
+        col("rn"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
   /** Core of `dedup_embedding_lsh` over any (vec_id, embedding) frame. */
   def dedupEmbeddingLshDocs(emb: DataFrame, threshold: Double,
       nBits: Int, nBands: Int, carryVectors: Boolean = true): DataFrame = {

@@ -131,9 +131,15 @@ class ContractSpec extends AnyFunSuite {
     //   stream_watermark_late_ok — window rows × broadcast ONE-ROW
     //                    late-drop cardinality (the same scalar-attach
     //                    shape as text_tfidf/agg_histogram)
+    //   simsearch_hybrid — its dense side IS simsearch_knn's documented
+    //                    corpus × bounded-query product, and its BM25
+    //                    side attaches the ONE-ROW (n_docs, avgdl)
+    //                    stats (both shapes already allowed above);
+    //                    fusion itself is a keyed full-outer join of
+    //                    two report-sized rank lists
     val allowProduct =
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
-        "ann_recall", "stream_watermark_late_ok")
+        "ann_recall", "stream_watermark_late_ok", "simsearch_hybrid")
     walk { (name, df) =>
       if (allowProduct(name)) None
       else {

@@ -475,6 +475,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("join_point_in_polygon is map-only: 1-column scan, no join, one sort Exchange") {
+    // ray-cast containment must stay per-row codegen arithmetic — a
+    // polygon-side join or a second Exchange would mean the literal
+    // layer stopped inlining
+    val p = plan(Joins.joinPointInPolygon(spark, sf))
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint>"),
+      s"scan must read only c_custkey:\n$p")
+    assert(!p.contains("Join"), s"polygon layer must inline, not join:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"only the output sort may shuffle:\n$p")
+  }
+
+  test("simsearch_hybrid: fusion joins keyed, token exchange shared (3 reused)") {
+    import graft.operators.SimSearch
+    val df = SimSearch.simsearchHybrid(spark, sf)
+    df.collect() // AQE resolves ReusedExchange only in the final plan
+    val p = plan(df)
+    assert("ReusedExchange".r.findAllIn(p).length >= 3,
+      s"tf/dl/query-vocab must reuse ONE token Exchange:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast scalar-attach/knn products are allowed:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"fusion must join keyed:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     // AQE prints codegen stage markers (`*(n)`) only in the final plan,
     // so materialize first

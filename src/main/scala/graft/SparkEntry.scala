@@ -100,6 +100,7 @@ object SparkEntry {
     "join_spatial_grid" -> ((s: SparkSession, d: String) =>
       Joins.joinSpatialGrid(s, d)),
     "join_point_in_polygon" -> (Joins.joinPointInPolygon _),
+    "join_polygon_grid" -> (Joins.joinPolygonGrid _),
     "stream_static_join" -> (EventWindows.streamStaticJoinBatch _),
     // full DSv2 connector (graft.sources.SynthDocsSource): deterministic
     // generation means the DuckDB oracle regenerates the identical
@@ -2015,6 +2016,41 @@ object SparkEntry {
          |$polySelects
          |) ORDER BY poly_id ASC, c_custkey ASC""".stripMargin
     },
+    // data-driven polygon layer (one diamond per nation, rebuilt from
+    // n_nationkey arithmetic) — the oracle is the brute-force cross
+    // join; the Spark side must produce the same pairs from its
+    // grid-blocked keyed join. The crossing test mirrors
+    // Joins.pointInPolygonDynSql op for op (DuckDB lists are 1-based:
+    // range(1,5) + an i=4 wrap vs Spark's 0-based (i+1)%size)
+    "join_polygon_grid" ->
+      """WITH p AS (SELECT n_nationkey AS poly_id,
+        |    1.0 + (n_nationkey * 13 % 37)::DOUBLE / 2.0 AS lonc,
+        |    46.0 + (n_nationkey * 7 % 17)::DOUBLE / 2.0 AS latc,
+        |    0.4 + (n_nationkey % 5)::DOUBLE * 0.2 AS rx,
+        |    0.3 + (n_nationkey % 4)::DOUBLE * 0.2 AS ry
+        |  FROM nation),
+        |pv AS (SELECT poly_id, [
+        |    struct_pack(x := lonc + rx, y := latc),
+        |    struct_pack(x := lonc, y := latc + ry),
+        |    struct_pack(x := lonc - rx, y := latc),
+        |    struct_pack(x := lonc, y := latc - ry)] AS verts FROM p),
+        |c AS (SELECT c_custkey,
+        |    45.0 + (c_custkey * 11 % 1000)::DOUBLE / 100.0 AS clat,
+        |    (c_custkey * 17 % 2000)::DOUBLE / 100.0 AS clon
+        |  FROM customer)
+        |SELECT poly_id, c_custkey, clat, clon
+        |FROM pv CROSS JOIN c
+        |WHERE (list_sum(list_transform(range(1, 5), i ->
+        |   CASE WHEN ((verts[i].y > clat)
+        |              <> (verts[CASE WHEN i = 4 THEN 1 ELSE i + 1 END].y > clat))
+        |         AND (clon < ((verts[CASE WHEN i = 4 THEN 1 ELSE i + 1 END].x
+        |                        - verts[i].x)
+        |              * (clat - verts[i].y)
+        |              / (verts[CASE WHEN i = 4 THEN 1 ELSE i + 1 END].y
+        |                 - verts[i].y)
+        |              + verts[i].x))
+        |   THEN 1 ELSE 0 END)) % 2 = 1)
+        |ORDER BY poly_id ASC, c_custkey ASC""".stripMargin,
     "set_union_by_name" ->
       """SELECT o_orderkey, o_totalprice, NULL::BIGINT AS o_custkey
         |FROM orders WHERE o_orderstatus = 'F'

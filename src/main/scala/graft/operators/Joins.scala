@@ -375,6 +375,100 @@ object Joins {
       .orderBy(col("poly_id").asc, col("c_custkey").asc)
   }
 
+  /** The cyclic even–odd ray-cast over a RUNTIME vertex array column
+    * (struct<x,y>[]), as a SQL-expression predicate — the data-driven
+    * sibling of [[pointInPolygon]]'s literal unrolling, used where the
+    * polygon layer is a table, not a constant. Evaluates via the
+    * `aggregate` higher-order function — interpreted, not codegen
+    * (SURVEY §7.5), which is why [[joinPolygonGrid]] only applies it
+    * AFTER grid blocking has reduced pairs to cell-local candidates.
+    * `vertsC`/`lonC`/`latC` name columns of the input frame.
+    */
+  def pointInPolygonDynSql(vertsC: String, lonC: String,
+      latC: String): String =
+    s"""(aggregate(sequence(0, size($vertsC) - 1), 0, (acc, i) -> acc +
+       |  (CASE WHEN (($vertsC[i].y > $latC)
+       |              != ($vertsC[(i + 1) % size($vertsC)].y > $latC))
+       |         AND ($lonC < (($vertsC[(i + 1) % size($vertsC)].x
+       |                         - $vertsC[i].x)
+       |              * ($latC - $vertsC[i].y)
+       |              / ($vertsC[(i + 1) % size($vertsC)].y - $vertsC[i].y)
+       |              + $vertsC[i].x))
+       |   THEN 1 ELSE 0 END)) % 2) = 1""".stripMargin
+
+  /** `join_polygon_grid` — the SCALE form of point-in-polygon: the
+    * polygon layer is a TABLE (one deterministic diamond per nation,
+    * centers/radii derived arithmetically from n_nationkey so the
+    * DuckDB oracle rebuilds the identical layer), and the join is
+    * grid-blocked exactly as the docstring of [[joinPointInPolygon]]
+    * promises: each polygon explodes into the 1°-grid cells its
+    * bounding box covers (bounded by ⌈2rx⌉·⌈2ry⌉ cells — radii are
+    * data-bounded ≤1.2°), each point hashes to its single cell, the
+    * equi-join on (cx, cy) shuffles keyed, and only cell-local
+    * candidates pay the exact even–odd ray-cast
+    * ([[pointInPolygonDynSql]] over the carried vertex array). A pair
+    * can meet in at most one cell (the point's), so no dedup stage.
+    * Diamonds have no horizontal edges by construction, so the
+    * crossing test never divides by zero on either engine.
+    *
+    * 100 TB shape: both sides shuffle keyed on the cell; per-cell work
+    * is |points-in-cell| × |polygons-overlapping-cell| — bounded by
+    * layer density, and a city-dense CELL is AQE-splittable since the
+    * verify is a projection after the join, not an aggregation. The
+    * hot-cell sub-grid refinement of [[joinSpatialGrid]] composes
+    * unchanged if polygon density itself is adversarial.
+    */
+  def joinPolygonGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.nation(spark, sfDir).select(
+      col("n_nationkey").as("poly_id"),
+      (lit(1.0) + (col("n_nationkey") * 13 % 37).cast("double") / 2.0)
+        .as("lonc"),
+      (lit(46.0) + (col("n_nationkey") * 7 % 17).cast("double") / 2.0)
+        .as("latc"),
+      (lit(0.4) + (col("n_nationkey") % 5).cast("double") * 0.2).as("rx"),
+      (lit(0.3) + (col("n_nationkey") % 4).cast("double") * 0.2).as("ry"))
+    val pv = p.select(col("poly_id"), col("lonc"), col("latc"),
+      col("rx"), col("ry"),
+      array(
+        struct((col("lonc") + col("rx")).as("x"), col("latc").as("y")),
+        struct(col("lonc").as("x"), (col("latc") + col("ry")).as("y")),
+        struct((col("lonc") - col("rx")).as("x"), col("latc").as("y")),
+        struct(col("lonc").as("x"), (col("latc") - col("ry")).as("y")))
+        .as("verts"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("p_id"),
+        ((col("c_custkey") * 17 % 2000).cast("double") / 100.0).as("lon"),
+        (lit(45.0) + (col("c_custkey") * 11 % 1000).cast("double") / 100.0)
+          .as("lat"))
+    polygonGridJoin(cust, pv)
+      .select(col("poly_id"), col("p_id").as("c_custkey"),
+        col("lat").as("clat"), col("lon").as("clon"))
+      .orderBy(col("poly_id").asc, col("c_custkey").asc)
+  }
+
+  /** Core of [[joinPolygonGrid]] over any (p_id, lon, lat) point frame
+    * and (poly_id, lonc, latc, rx, ry, verts) polygon frame — also the
+    * planted-layer harness for PolygonGridSpec. Output: one row per
+    * containing (polygon, point) pair with lon/lat carried.
+    */
+  private[graft] def polygonGridJoin(points: DataFrame,
+      polys: DataFrame): DataFrame = {
+    val pCells = polys
+      .withColumn("cx", explode(sequence(
+        floor(col("lonc") - col("rx")).cast("long"),
+        floor(col("lonc") + col("rx")).cast("long"))))
+      .withColumn("cy", explode(sequence(
+        floor(col("latc") - col("ry")).cast("long"),
+        floor(col("latc") + col("ry")).cast("long"))))
+      .select(col("cx"), col("cy"), col("poly_id"), col("verts"))
+    points
+      .withColumn("cx", floor(col("lon")).cast("long"))
+      .withColumn("cy", floor(col("lat")).cast("long"))
+      .join(pCells, Seq("cx", "cy"))
+      .filter(expr(pointInPolygonDynSql("verts", "lon", "lat")))
+      .select(col("poly_id"), col("p_id"), col("lon"), col("lat"))
+  }
+
   /** `join_theta_range` — non-equi band join: error events within 1 hour
     * AFTER a purchase by the same user. Equi part (user_id) keeps it a
     * hash/sort-merge join; the band predicate is applied as a join filter

@@ -349,4 +349,25 @@ class LakeSpec extends AnyFunSuite {
       eTable.getMessage.contains("MERGE INTO TABLE"), eTable.getMessage)
     spark.sql("DROP TABLE IF EXISTS merge_probe_tbl")
   }
+
+  test("avro and delta sources raise the pinned missing-source errors (documented exclusions)") {
+    // SURVEY "what's missing" #3/#4: the spark-avro connector and the
+    // Delta/Iceberg/Hudi format jars are absent from /opt/spark/jars.
+    // Same executable-exclusion treatment as MERGE INTO above — if a
+    // future runtime ships the jars, these FAIL and the docs (and the
+    // coverage ledger) must be updated instead of silently going stale.
+    val eAvro = intercept[Exception] {
+      spark.read.format("avro").load("/tmp/nonexistent.avro").collect()
+    }
+    // avro gets Spark's special-cased "external module since 2.4" hint;
+    // delta gets the generic DATA_SOURCE_NOT_FOUND error class
+    assert(eAvro.getMessage.contains("Failed to find data source: avro"),
+      eAvro.getMessage)
+    val eDelta = intercept[Exception] {
+      spark.read.format("delta").load("/tmp/nonexistent_delta").collect()
+    }
+    assert(eDelta.getMessage.contains("DATA_SOURCE_NOT_FOUND") &&
+      eDelta.getMessage.contains("Failed to find the data source: delta"),
+      eDelta.getMessage)
+  }
 }

@@ -498,6 +498,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only broadcast scalar-attach/knn products are allowed:\n$p")
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
       s"fusion must join keyed:\n$p")
+    // rank-list top-nList must push a partial per-partition group limit
+    // under the q_id window (Spark's WindowGroupLimit) — without it the
+    // per-query rank sort funnels every scored candidate through one
+    // window partition at scale
+    assert(p.contains("WindowGroupLimit"),
+      s"top-nList must push a group limit under the rank window:\n$p")
   }
 
   test("whole-stage codegen covers the scan→filter→project pipeline") {

@@ -314,6 +314,8 @@ object SparkEntry {
     "ann_recall" -> ((s: SparkSession, d: String) => SimSearch.annRecall(s, d)),
     "simsearch_hybrid" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchHybrid(s, d)),
+    "simsearch_hybrid_lsh" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchHybridLsh(s, d)),
     "text_stats" -> (TextOps.textStats _),
     "token_count" -> (TextOps.tokenCount _),
     "text_tfidf" -> (TextOps.textTfIdf _),
@@ -615,6 +617,64 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY q_id
       |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p
       |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin
+
+  /** BM25 lexical CTE chain shared by the hybrid retriever oracles
+    * (`simsearch_hybrid`/`_lsh`): corpus (cd/ce, docs⋈embeddings on
+    * id), tokenization, tf/dl/df, corpus stats, query vocabulary, and
+    * the 1e-6-unit fixed-point contribution sum ending in the `lex`
+    * top-20 rank list. Mirrors SimSearch.hybridOver op for op.
+    */
+  private lazy val hybridLexCtes: String =
+    raw"""cd AS (SELECT d.doc_id, d.text FROM documents d
+      |         JOIN embeddings e ON d.doc_id = e.vec_id),
+      |ce AS (SELECT e.vec_id, e.embedding FROM embeddings e
+      |       JOIN documents d ON e.vec_id = d.doc_id),
+      |tok AS (SELECT doc_id, unnest(string_split($normT, ' ')) AS term
+      |        FROM cd),
+      |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+      |       GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |stats AS (SELECT count(*)::DOUBLE AS n_docs,
+      |          sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+      |qt AS (SELECT DISTINCT doc_id AS q_id, term FROM tok2
+      |       WHERE doc_id < 10),
+      |contrib AS (SELECT q.q_id, t.doc_id AS c_id,
+      |    round(
+      |      ln((((s.n_docs - f.df::DOUBLE) + 0.5)
+      |          / (f.df::DOUBLE + 0.5)) + 1.0)
+      |      * ((t.tf::DOUBLE * 2.2)
+      |        / (t.tf::DOUBLE
+      |          + 1.2 * (0.25 + 0.75 * (l.dl::DOUBLE / s.avgdl))))
+      |      * 1000000.0, 0)::BIGINT AS c_u
+      |  FROM qt q JOIN tf t ON q.term = t.term AND t.doc_id <> q.q_id
+      |  JOIN dfq f ON q.term = f.term
+      |  JOIN dl l ON t.doc_id = l.doc_id
+      |  CROSS JOIN stats s),
+      |lex AS (SELECT q_id, c_id, lex_rn FROM (
+      |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score_u DESC, c_id ASC) AS lex_rn
+      |    FROM (SELECT q_id, c_id, sum(c_u) AS score_u FROM contrib
+      |          GROUP BY q_id, c_id))
+      |  WHERE lex_rn <= 20)""".stripMargin
+
+  /** Fixed-point RRF fusion tail shared by the hybrid oracles: expects
+    * `lex` (q_id, c_id, lex_rn) and `vec` (q_id, c_id, vec_rn) CTEs.
+    */
+  private lazy val hybridFusionSql: String =
+    raw"""fused AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+      |    coalesce(l.c_id, v.c_id) AS c_id, l.lex_rn, v.vec_rn,
+      |    coalesce(1000000 // (60 + l.lex_rn), 0)
+      |      + coalesce(1000000 // (60 + v.vec_rn), 0) AS rrf_u
+      |  FROM lex l FULL OUTER JOIN vec v
+      |    ON l.q_id = v.q_id AND l.c_id = v.c_id)
+      |SELECT q_id, c_id, coalesce(lex_rn, 0)::INT AS lex_rn,
+      |  coalesce(vec_rn, 0)::INT AS vec_rn,
+      |  round(rrf_u::DOUBLE / 1000000.0, 6) AS rrf_score, rn::INT AS rn
+      |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY rrf_u DESC, c_id ASC) AS rn FROM fused)
+      |WHERE rn <= 10 ORDER BY q_id ASC, rn ASC""".stripMargin
 
   private lazy val lshOracleSql: String =
     raw"""WITH ${lshWeightCtes(8, 64)},
@@ -3022,45 +3082,15 @@ object SparkEntry {
         |  SELECT 'ivf', 'kmeans', -1::BIGINT, NULL::BIGINT,
         |    NULL::DOUBLE, TRUE)
         |ORDER BY method ASC, codebook ASC, q_id ASC""".stripMargin,
-    // BM25 + cosine-kNN fused by fixed-point RRF: per-term BM25
+    // BM25 + dense rank list fused by fixed-point RRF: per-term BM25
     // contributions snapped to 1e-6 integer units BEFORE the per-doc
     // sum (integer sums are associative — Spark's partial-agg order
     // can't flip a rank), RRF terms are integer floor divisions, all
-    // float expressions mirror the Spark op order token for token
+    // float expressions mirror the Spark op order token for token.
+    // Composed from hybridLexCtes + a dense `vec` CTE + hybridFusionSql
+    // so the knn and lsh variants share the lexical/fusion SQL verbatim
     "simsearch_hybrid" ->
-      raw"""WITH cd AS (SELECT d.doc_id, d.text FROM documents d
-        |         JOIN embeddings e ON d.doc_id = e.vec_id),
-        |ce AS (SELECT e.vec_id, e.embedding FROM embeddings e
-        |       JOIN documents d ON e.vec_id = d.doc_id),
-        |tok AS (SELECT doc_id, unnest(string_split($normT, ' ')) AS term
-        |        FROM cd),
-        |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
-        |       GROUP BY doc_id, term),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |stats AS (SELECT count(*)::DOUBLE AS n_docs,
-        |          sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
-        |qt AS (SELECT DISTINCT doc_id AS q_id, term FROM tok2
-        |       WHERE doc_id < 10),
-        |contrib AS (SELECT q.q_id, t.doc_id AS c_id,
-        |    round(
-        |      ln((((s.n_docs - f.df::DOUBLE) + 0.5)
-        |          / (f.df::DOUBLE + 0.5)) + 1.0)
-        |      * ((t.tf::DOUBLE * 2.2)
-        |        / (t.tf::DOUBLE
-        |          + 1.2 * (0.25 + 0.75 * (l.dl::DOUBLE / s.avgdl))))
-        |      * 1000000.0, 0)::BIGINT AS c_u
-        |  FROM qt q JOIN tf t ON q.term = t.term AND t.doc_id <> q.q_id
-        |  JOIN dfq f ON q.term = f.term
-        |  JOIN dl l ON t.doc_id = l.doc_id
-        |  CROSS JOIN stats s),
-        |lex AS (SELECT q_id, c_id, lex_rn FROM (
-        |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY score_u DESC, c_id ASC) AS lex_rn
-        |    FROM (SELECT q_id, c_id, sum(c_u) AS score_u FROM contrib
-        |          GROUP BY q_id, c_id))
-        |  WHERE lex_rn <= 20),
+      raw"""WITH $hybridLexCtes,
         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM ce
         |      WHERE vec_id < 10),
         |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM ce),
@@ -3076,18 +3106,38 @@ object SparkEntry {
         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
         |      ORDER BY cos_sim DESC, c_id ASC) AS vec_rn FROM p)
         |  WHERE vec_rn <= 20),
-        |fused AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
-        |    coalesce(l.c_id, v.c_id) AS c_id, l.lex_rn, v.vec_rn,
-        |    coalesce(1000000 // (60 + l.lex_rn), 0)
-        |      + coalesce(1000000 // (60 + v.vec_rn), 0) AS rrf_u
-        |  FROM lex l FULL OUTER JOIN vec v
-        |    ON l.q_id = v.q_id AND l.c_id = v.c_id)
-        |SELECT q_id, c_id, coalesce(lex_rn, 0)::INT AS lex_rn,
-        |  coalesce(vec_rn, 0)::INT AS vec_rn,
-        |  round(rrf_u::DOUBLE / 1000000.0, 6) AS rrf_score, rn::INT AS rn
-        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY rrf_u DESC, c_id ASC) AS rn FROM fused)
-        |WHERE rn <= 10 ORDER BY q_id ASC, rn ASC""".stripMargin,
+        |$hybridFusionSql""".stripMargin,
+    // the scale-path hybrid: same lexical CTEs and fusion, dense side =
+    // 6-bit LSH bucket candidates (hyperplane mix replicated bit-exactly
+    // in HUGEINT SQL, same as simsearch_lsh's oracle)
+    "simsearch_hybrid_lsh" ->
+      raw"""WITH $hybridLexCtes,
+        |${lshWeightCtes(6, 64)},
+        |bits AS (SELECT e.vec_id, wv.p,
+        |  CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * wv.wts[i])) >= 0
+        |    THEN (1::BIGINT << p) ELSE 0::BIGINT END AS bit
+        |  FROM ce e CROSS JOIN wv),
+        |bkt AS (SELECT vec_id, sum(bit)::BIGINT AS bucket
+        |        FROM bits GROUP BY vec_id),
+        |eb AS (SELECT e.vec_id, e.embedding, b.bucket
+        |       FROM ce e JOIN bkt b USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket
+        |      FROM eb WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket FROM eb),
+        |p AS (SELECT q_id, c_id,
+        |  round(
+        |    list_sum(list_transform(range(1, len(q_emb) + 1),
+        |      i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(c_emb, x -> x::DOUBLE * x::DOUBLE)))),
+        |    4) AS cos_sim
+        |  FROM c JOIN q USING (bucket) WHERE q_id <> c_id),
+        |vec AS (SELECT q_id, c_id, vec_rn FROM (
+        |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, c_id ASC) AS vec_rn FROM p)
+        |  WHERE vec_rn <= 20),
+        |$hybridFusionSql""".stripMargin,
     // full replication of the production 48-bit/4-band pipeline (NOT the
     // exact-subset trick dedup_embedding uses): same banding, same
     // verify — equality holds at any threshold/SF, not just recall-1

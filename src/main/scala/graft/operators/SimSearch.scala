@@ -82,13 +82,19 @@ object SimSearch {
     graft.functions.VectorExpressions.lshBitsCol(emb, nBits)
 
   def simsearchLsh(spark: SparkSession, sfDir: String, k: Int = 5,
-      nQueries: Int = 10, nBits: Int = 8): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-      .withColumn("bucket", lshBucket(col("embedding"), nBits))
-    val queries = emb.filter(col("vec_id") < nQueries.toLong)
+      nQueries: Int = 10, nBits: Int = 8): DataFrame =
+    lshOver(Tables.embeddings(spark, sfDir), k, nQueries, nBits)
+
+  /** Core of `simsearch_lsh` over any (vec_id, embedding) frame — also
+    * the pluggable dense side of [[simsearchHybridLsh]].
+    */
+  def lshOver(emb: DataFrame, k: Int, nQueries: Int,
+      nBits: Int): DataFrame = {
+    val e = emb.withColumn("bucket", lshBucket(col("embedding"), nBits))
+    val queries = e.filter(col("vec_id") < nQueries.toLong)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("bucket"))
-    val corpus = emb.select(col("vec_id").as("c_id"),
+    val corpus = e.select(col("vec_id").as("c_id"),
       col("embedding").as("c_emb"), col("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id").asc)
@@ -479,12 +485,33 @@ object SimSearch {
     hybridOver(docs, emb, k, nQueries, nList)
   }
 
+  /** `simsearch_hybrid_lsh` — [[simsearchHybrid]] with the SCALE dense
+    * side: LSH-bucketed candidates instead of the brute-force corpus
+    * product. Same lexical machinery, same fixed-point fusion; only
+    * the vector rank list changes — which is exactly how a production
+    * stack swaps retrievers. nBits=6 (64 buckets) keeps the fixture's
+    * per-query candidate lists non-vacuous at every SF (8-bit buckets
+    * are honest-but-near-empty on 500 random vectors — see
+    * ann_recall's measured floor). Fully hash-gated: the seedless
+    * hyperplane mix is replicated bit-exactly in the oracle's HUGEINT
+    * CTEs, so the fused output is value-compared, not shape-compared.
+    */
+  def simsearchHybridLsh(spark: SparkSession, sfDir: String, k: Int = 10,
+      nQueries: Int = 10, nList: Int = 20, nBits: Int = 6): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    hybridOver(docs, emb, k, nQueries, nList,
+      dense = e => lshOver(e, nList, nQueries, nBits))
+  }
+
   /** Core of `simsearch_hybrid` over any (doc_id, text) + (vec_id,
     * embedding) pair of frames — also the planted-corpus harness for
-    * HybridSearchSpec.
+    * HybridSearchSpec. `dense` maps the corpus embedding frame to a
+    * (q_id, c_id, …, rn) rank list — brute-force kNN by default,
+    * [[lshOver]] for the declared scale variant.
     */
   def hybridOver(docs: DataFrame, emb: DataFrame, k: Int, nQueries: Int,
-      nList: Int): DataFrame = {
+      nList: Int, dense: DataFrame => DataFrame = null): DataFrame = {
     import graft.operators.TextOps.normText
     // corpus = docs that carry a vector (inner join on id)
     val corpusDocs = docs.join(
@@ -540,8 +567,10 @@ object SimSearch {
       .filter(col("lex_rn") <= nList)
       .select(col("q_id"), col("c_id"), col("lex_rn"))
 
-    // ---- dense side: exact cosine top-nList over the same corpus ----
-    val vecTop = knnOver(corpusEmb, nList, nQueries)
+    // ---- dense side: top-nList rank list over the same corpus ----
+    val denseF: DataFrame => DataFrame =
+      if (dense != null) dense else (e: DataFrame) => knnOver(e, nList, nQueries)
+    val vecTop = denseF(corpusEmb)
       .select(col("q_id"), col("c_id"), col("rn").as("vec_rn"))
 
     // ---- fusion: fixed-point RRF over the two rank lists ----

@@ -137,9 +137,13 @@ class ContractSpec extends AnyFunSuite {
     //                    stats (both shapes already allowed above);
     //                    fusion itself is a keyed full-outer join of
     //                    two report-sized rank lists
+    //   simsearch_hybrid_lsh — dense side is the KEYED lsh bucket join;
+    //                    only the ONE-ROW (n_docs, avgdl) scalar attach
+    //                    remains as a product shape
     val allowProduct =
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
-        "ann_recall", "stream_watermark_late_ok", "simsearch_hybrid")
+        "ann_recall", "stream_watermark_late_ok", "simsearch_hybrid",
+        "simsearch_hybrid_lsh")
     walk { (name, df) =>
       if (allowProduct(name)) None
       else {

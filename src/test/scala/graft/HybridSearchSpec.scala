@@ -68,4 +68,21 @@ class HybridSearchSpec extends AnyFunSuite {
         s"query $q fused order broken")
     }
   }
+
+  test("lsh variant: same contract, both retrievers genuinely represented (sf0.001)") {
+    val rows = SimSearch.simsearchHybridLsh(spark, TestSpark.sf)
+      .as[(Long, Long, Int, Int, Double, Int)].collect()
+    assert(rows.length === 100)
+    rows.foreach { case (q, c, lexRn, vecRn, score, _) =>
+      assert(c !== q)
+      val u = (if (lexRn > 0) 1000000L / (60 + lexRn) else 0L) +
+        (if (vecRn > 0) 1000000L / (60 + vecRn) else 0L)
+      assert(math.abs(score - u / 1e6) < 1e-9, s"($q,$c)")
+    }
+    // the fusion is only meaningful if BOTH rank lists reach the output
+    // — a vacuous dense side would make this the lexical ranker with
+    // extra steps (the reason the declared variant buckets at 6 bits)
+    assert(rows.count(_._4 > 0) >= 10, "dense (lsh) side near-vacuous")
+    assert(rows.count(_._3 > 0) >= 10, "lexical side near-vacuous")
+  }
 }

@@ -78,14 +78,26 @@ object TextOps {
     */
   def textTfIdf(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val tokens = docs
+    // ONE materialized Exchange on term that both consumers reuse via a
+    // shared per-(doc, term) count (r11, the simsearch_hybrid
+    // treatment): raw tokens fed tf and docFreq directly before, and
+    // column pruning pushed DIFFERENT projections below each branch's
+    // shuffle — two full scan+explode passes. The dt rollup needs the
+    // identical (doc_id, lang, term) subtree in both branches (reused
+    // exchange), and HashPartitioning(term) is a subset of every
+    // grouping here, so dt, tf and docFreq all aggregate shuffle-free.
+    val dt = docs
       .select(col("doc_id"), col("lang"),
         explode(split(normText(col("text")), " ")).as("term"))
       .filter(length(col("term")) > 0)
-    val tf = tokens.groupBy(col("lang"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val docFreq = tokens.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .repartition(col("term"))
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("dtf"))
+    val tf = dt.groupBy(col("lang"), col("term"))
+      .agg(sum(col("dtf")).as("tf"))
+    // dt is unique per (doc_id, term) — lang is a per-doc attribute —
+    // so document frequency is a plain count
+    val docFreq = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // corpus size as a 1-row broadcast cross join, not a driver action —
     // keeps the whole operator one lazy DAG (SURVEY.md §7.6 no-collect)
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))

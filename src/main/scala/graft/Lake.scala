@@ -221,7 +221,8 @@ object Lake {
   def clearCaches(): Int =
     graft.operators.MinHashDedup.clearLabelCache() +
       graft.sources.SinkQueries.clearBucketedMemo() +
-      graft.operators.TextOps.clearLmCache()
+      graft.operators.TextOps.clearLmCache() +
+      graft.operators.GraphOps.clearUnrolledEdgeCache()
 
   /** novlake `Lake(user)` — the per-user convenience constructor: each
     * user gets a personal warehouse prefix under a shared root, so

@@ -342,6 +342,10 @@ object SparkEntry {
       TextOps.vocabTopkApprox(s, d)),
     "dedup_incremental" -> (TextOps.dedupIncremental _),
     "ngram_lm" -> ((s: SparkSession, d: String) => TextOps.ngramLm(s, d)),
+    "ngram_pmi" -> ((s: SparkSession, d: String) => TextOps.ngramPmi(s, d)),
+    "mix_budget" -> ((s: SparkSession, d: String) => TextOps.mixBudget(s, d)),
+    "graph_pagerank" -> ((s: SparkSession, d: String) =>
+      GraphOps.graphPagerank(s, d)),
     "lm_doc_score" -> (TextOps.lmDocScore _),
     "quality_lm_bucket" -> (TextOps.qualityLmBucket _),
     // the approx-cutoff SCALE variant of quality_lm_bucket (no ntile
@@ -474,6 +478,47 @@ object SparkEntry {
         |     ((abs(CAST(sum(lp) * 1000000 AS BIGINT)) + 50 * count(*))
         |        // (100 * count(*))))::DOUBLE / 10000.0 AS avg_logp
         |  FROM pb GROUP BY doc_id)""".stripMargin
+
+  /** The `graph_pagerank` oracle: the nation-trade edge aggregation,
+    * then the 5 power iterations UNROLLED as chained CTEs — the same
+    * 1e12-scaled integer arithmetic as [[graft.operators.GraphOps]]
+    * (HUGEINT products where Spark uses DECIMAL(38,0); `//` and `DIV`
+    * agree on non-negative operands), so the fixed-point ranks are
+    * bit-identical and the hash compare is exact.
+    */
+  private lazy val pagerankSql: String = {
+    val iterCtes = (1 to 5).map { i =>
+      val prev = s"p${i - 1}"
+      raw"""s$i AS (SELECT r.dst AS v,
+        |    sum((p.p::HUGEINT * r.r) // 1000000000000)::BIGINT AS s
+        |  FROM $prev p JOIN r ON p.v = r.u GROUP BY r.dst),
+        |d$i AS (SELECT coalesce(sum(p.p), 0)::BIGINT AS dm FROM $prev p
+        |        WHERE p.v NOT IN (SELECT u FROM outs)),
+        |p$i AS (SELECT p.v,
+        |    (((15 * 1000000000000) // 100) // nn.nn
+        |     + (85 * (coalesce(s.s, 0) + d.dm // nn.nn)) // 100)::BIGINT
+        |      AS p
+        |  FROM $prev p LEFT JOIN s$i s ON p.v = s.v, d$i d, nn)""".stripMargin
+    }.mkString(",\n")
+    raw"""WITH e AS (SELECT s_nationkey AS u, c_nationkey AS dst,
+      |    count(*)::BIGINT AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |outs AS (SELECT u, sum(w)::BIGINT AS outw FROM e GROUP BY u),
+      |r AS (SELECT u, dst,
+      |    ((w::HUGEINT * 1000000000000) // outw)::BIGINT AS r
+      |  FROM e JOIN outs USING (u)),
+      |nn AS (SELECT count(*)::BIGINT AS nn FROM nation),
+      |p0 AS (SELECT n_nationkey AS v,
+      |    (1000000000000 // nn.nn)::BIGINT AS p FROM nation, nn),
+      |""".stripMargin + iterCtes + "\n" +
+    raw"""SELECT n_name AS nation, p5.p AS pr_fp,
+      |  round(p5.p::DOUBLE / 1000000000000.0, 9) AS pagerank
+      |FROM p5 JOIN nation ON p5.v = n_nationkey
+      |ORDER BY pr_fp DESC, nation ASC""".stripMargin
+  }
 
   /** The df-capped ngram-Jaccard pair pipeline as CTEs ending in `p`
     * (source, a_id, b_id, jaccard) — shared by the dedup_ngram_jaccard
@@ -2605,6 +2650,50 @@ object SparkEntry {
         |FROM c12 JOIN c1 USING (w1)
         |ORDER BY c12.c12 DESC, c12.w1 ASC, c12.w2 ASC
         |LIMIT 50""".stripMargin,
+    // PMI double computed with the SAME IEEE expression tree on both
+    // sides ((c12/N2) / ((c1/N1)*(c2/N1)), one ln, 6dp round), ranked
+    // on the ROUNDED value with a (w1, w2) tie-break (SURVEY §5.3)
+    "ngram_pmi" ->
+      raw"""WITH d AS (SELECT string_split($normT, ' ') AS toks
+        |           FROM documents),
+        |tok AS (SELECT unnest(toks) AS w FROM d),
+        |tok2 AS (SELECT w FROM tok WHERE length(w) > 0),
+        |c1 AS (SELECT w, count(*) AS c FROM tok2 GROUP BY w),
+        |n1 AS (SELECT count(*)::DOUBLE AS n1 FROM tok2),
+        |bg AS (SELECT toks[i+1] AS w1, toks[i+2] AS w2
+        |       FROM d, unnest(range(0, len(toks) - 1)) AS t(i)
+        |       WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg
+        |        GROUP BY 1, 2 HAVING count(*) >= 5),
+        |n2 AS (SELECT count(*)::DOUBLE AS n2 FROM bg)
+        |SELECT c12.w1, c12.w2, c12.c12, a.c AS c1, b.c AS c2,
+        |  round(ln((c12.c12::DOUBLE / n2.n2) /
+        |    ((a.c::DOUBLE / n1.n1) * (b.c::DOUBLE / n1.n1))), 6) AS pmi
+        |FROM c12 JOIN c1 a ON c12.w1 = a.w
+        |         JOIN c1 b ON c12.w2 = b.w, n1, n2
+        |ORDER BY pmi DESC, c12.w1 ASC, c12.w2 ASC
+        |LIMIT 100""".stripMargin,
+    // selection order is the key-pure md5-prefix hash (the sample_hash
+    // idiom) — identical in both engines, independent of layout
+    "mix_budget" ->
+      raw"""WITH t AS (SELECT doc_id, lang,
+        |    len(string_split($normT, ' '))::BIGINT AS n_tokens,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS rk
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY rk ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS before_toks
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  (before_toks + n_tokens)::BIGINT AS cum_tokens
+        |FROM c WHERE before_toks < 5000
+        |ORDER BY doc_id ASC""".stripMargin,
+    // 5 unrolled power iterations in pure 1e12-scaled integer
+    // arithmetic (HUGEINT products mirror Spark's DECIMAL(38,0)) — no
+    // floating point until the final display division of an exact int
+    "graph_pagerank" -> pagerankSql,
     // per-bigram ln rounded to 6dp and summed as DECIMAL on both sides
     // — double sums are addition-order-dependent, decimal sums are
     // exact, so the 4dp hash-match is deterministic (SURVEY §5.3)

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Graph-centrality analytics over relational data (SURVEY.md §2.K
+  * extension family). `dedup_cluster` already covers connected
+  * components (min-label propagation + a GraphX Pregel twin); this
+  * module adds the SCORING side of graph analytics — PageRank over a
+  * graph derived from the fact tables — the other workhorse iterative
+  * dataflow (PageRank is the canonical example in both the Pregel and
+  * the Spark papers).
+  */
+object GraphOps {
+
+  private val Scale = 1000000000000L // 1e12 fixed-point for rank mass
+
+  /** Persisted edge aggregate for [[graphPagerankUnrolled]] only (the
+    * declared `graph_pagerank` needs no cache — its single collect_list
+    * consumer reads the aggregate once). Tiny (≤|nations|² rows).
+    */
+  private val unrolledEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]()
+
+  private[graft] def clearUnrolledEdgeCache(): Int = {
+    val n = unrolledEdgeCache.size()
+    unrolledEdgeCache.values().forEach(df => { df.unpersist(); () })
+    unrolledEdgeCache.clear()
+    n
+  }
+
+  /** `graph_pagerank` — weighted PageRank over the nation-level trade
+    * graph: an edge u→v with weight w means suppliers in nation u
+    * shipped w lineitems to customers in nation v
+    * (lineitem ⋈ orders ⋈ customer ⋈ supplier, aggregated to nation
+    * pairs). Damping d = 0.85, `iters` fixed power iterations,
+    * dangling mass (nations with no outgoing shipments — real at
+    * sf0.001, where only 10 of 25 nations have suppliers)
+    * redistributed uniformly each step, the standard correction.
+    *
+    * Scale shape: the ONLY corpus-sized work is the edge aggregation —
+    * three keyed joins and a partial+final count that collapses to at
+    * most |nations|² = 625 rows before its exchange; that part is
+    * fully distributed and is what 100 TB of lineitem actually costs.
+    * The graph itself is NODE-BOUNDED BY CONSTRUCTION (nation-level:
+    * ≤625 edges at any corpus size), so the power iterations run
+    * in-task over the collected edge aggregate — one collect_list
+    * row, one exact BigInt solve — rather than as ~50 distributed
+    * micro-stages over 625 rows (measured 12 s of pure stage/AQE
+    * latency for the relational unrolling at sf0.1, vs ~2 s total
+    * this way; the same bounded-state argument as sample_weighted's
+    * superbucket fold). For a graph that does NOT fit one task (e.g.
+    * customer-level), [[graphPagerankUnrolled]] below is the
+    * distributed formulation of the same arithmetic — ReusedExchange
+    * collapses its 5 unrolled edge subtrees to one scan — and
+    * GraphMixSpec asserts the two produce bit-identical ranks.
+    *
+    * Determinism (SURVEY §5.3): NO floating point anywhere in the
+    * iteration. Rank mass is a 1e12-scaled BIGINT; the out-degree
+    * ratio is the exact integer `(w·1e12) DIV out`; per-edge
+    * contributions multiply in BigInt (HUGEINT in the DuckDB oracle —
+    * the simsearch_hybrid_lsh wide-integer technique) and floor-divide
+    * back to scale; sums are exact integer sums — order-independent,
+    * unlike double accumulation. The only double in the output is the
+    * final `p / 1e12` display division of an exact integer.
+    */
+  def graphPagerank(spark: SparkSession, sfDir: String,
+      iters: Int = 5): DataFrame = {
+    val nations = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long").as("v"), col("n_name"))
+    val edges = edgeAgg(spark, sfDir)
+    val prUdf = udf((es: Seq[org.apache.spark.sql.Row], vs: Seq[Long]) =>
+      solvePagerank(
+        es.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))), vs, iters))
+    val g = edges
+      .agg(collect_list(struct(col("u"), col("dst"), col("w"))).as("es"))
+    val ns = nations.agg(sort_array(collect_list(col("v"))).as("ns"))
+    g.crossJoin(broadcast(ns))
+      .select(explode(prUdf(col("es"), col("ns"))).as("pr"))
+      .select(col("pr._1").as("v"), col("pr._2").as("p"))
+      .join(broadcast(nations), "v")
+      .select(col("n_name").as("nation"), col("p").as("pr_fp"),
+        round(col("p").cast("double") / lit(Scale.toDouble), 9)
+          .as("pagerank"))
+      .orderBy(col("pr_fp").desc, col("nation").asc)
+  }
+
+  /** The distributed heavy pass shared by both formulations: the
+    * corpus-sized 3-way join aggregated to nation-pair edge weights.
+    */
+  private def edgeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").cast("long").as("u"),
+        col("c_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** The in-task exact solve: same 1e12-scaled integer arithmetic as
+    * the DuckDB oracle and [[graphPagerankUnrolled]] (BigInt products
+    * where they use HUGEINT/DECIMAL(38,0); all operands non-negative
+    * so truncating and flooring division agree).
+    */
+  private[graft] def solvePagerank(edges: Seq[(Long, Long, Long)],
+      nodes: Seq[Long], iters: Int): Seq[(Long, Long)] = {
+    val S = BigInt(Scale)
+    val n = BigInt(nodes.size)
+    val out = edges.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(e => BigInt(e._3)).sum
+    }
+    val ratio = edges.map { case (u, v, w) => (u, v, BigInt(w) * S / out(u)) }
+    var p: Map[Long, BigInt] = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to iters) {
+      val s = scala.collection.mutable.Map[Long, BigInt]()
+      ratio.foreach { case (u, v, r) =>
+        s(v) = s.getOrElse(v, BigInt(0)) + p(u) * r / S
+      }
+      val dm = p.iterator.collect { case (u, pu) if !out.contains(u) => pu }
+        .foldLeft(BigInt(0))(_ + _)
+      p = nodes.map(v => v -> ((BigInt(15) * S / 100) / n +
+        BigInt(85) * (s.getOrElse(v, BigInt(0)) + dm / n) / 100)).toMap
+    }
+    nodes.map(v => v -> p(v).toLong)
+  }
+
+  /** The fully relational formulation: 5 power iterations UNROLLED as
+    * tiny keyed joins — the scale path for graphs too large for one
+    * task. Identical integer arithmetic to [[graphPagerank]]
+    * (spec-asserted bit-equal); its per-iteration edge/out-degree
+    * subtrees canonicalize identically and collapse to
+    * ReusedExchange, so the fact tables are scanned once.
+    */
+  def graphPagerankUnrolled(spark: SparkSession, sfDir: String,
+      iters: Int = 5): DataFrame = {
+    val nations = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("v"), col("n_name"))
+    val nn = Tables.nation(spark, sfDir)
+      .agg(count(lit(1)).as("nn"))
+    // Fresh subtrees per use (defs, not vals): reusing one DataFrame
+    // instance across the unrolled iterations trips Spark's dataset-id
+    // self-join ambiguity check (only name-based joins below keep the
+    // references resolvable). ReusedExchange collapses the identical
+    // shuffle subtrees, but AQE's broadcast conversions re-derive the
+    // edge aggregate under BroadcastExchange shapes — so the graph-
+    // sized aggregate is additionally registered in the cache manager
+    // (the dedup_cluster treatment): every fresh subtree canonicalizes
+    // onto ONE InMemoryRelation and the fact tables are scanned once
+    // regardless of iteration count. The caller of this spec-only
+    // scale path unpersists via [[unrolledEdgeCache]].
+    def edgesF(): DataFrame = unrolledEdgeCache
+      .computeIfAbsent((spark, sfDir), _ => edgeAgg(spark, sfDir).persist())
+    def outsF(): DataFrame =
+      edgesF().groupBy(col("u")).agg(sum(col("w")).as("outw"))
+    def ratioF(): DataFrame = edgesF().join(outsF(), "u")
+      .select(col("u"), col("dst"),
+        expr(s"(CAST(w AS DECIMAL(38,0)) * ${Scale}L) DIV outw").as("r"))
+
+    def step(p: DataFrame): DataFrame = {
+      val contrib = p.select(col("v").as("u"), col("p"))
+        .join(ratioF(), Seq("u"))
+        .select(col("dst").as("vc"),
+          expr(s"(CAST(p AS DECIMAL(38,0)) * r) DIV ${Scale}L").as("c"))
+        .groupBy(col("vc")).agg(sum(col("c")).as("s"))
+      val dangling = p.select(col("v").as("u"), col("p"))
+        .join(outsF().select(col("u")), Seq("u"), "left_anti")
+        .agg(coalesce(sum(col("p")), lit(0L)).as("dm"))
+      p.select(col("v"), col("nn"))
+        .join(contrib, col("v") === col("vc"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("v"), col("nn"),
+          expr(s"((15 * ${Scale}L) DIV 100) DIV nn" +
+            " + (85 * (coalesce(s, 0L) + dm DIV nn)) DIV 100").as("p"))
+    }
+
+    val p0 = nations.select(col("v")).crossJoin(broadcast(nn))
+      .select(col("v"), col("nn"), expr(s"${Scale}L DIV nn").as("p"))
+    val pN = (1 to iters).foldLeft(p0)((p, _) => step(p))
+    pN.join(broadcast(nations), "v")
+      .select(col("n_name").as("nation"), col("p").as("pr_fp"),
+        round(col("p").cast("double") / lit(Scale.toDouble), 9)
+          .as("pagerank"))
+      .orderBy(col("pr_fp").desc, col("nation").asc)
+  }
+}

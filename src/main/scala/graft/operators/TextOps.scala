@@ -922,4 +922,100 @@ object TextOps {
         array_min(col("gh")).as("min_gram_hash"),
         size(col("gh")).as("n_grams"))
       .orderBy(col("doc_id").asc)
+
+  /** `ngram_pmi` — collocation (phrase) mining: the corpus's top word
+    * bigrams by pointwise mutual information, PMI = ln(p(w1w2) /
+    * (p(w1)·p(w2))) — the standard phrase-detection signal used to
+    * merge multi-word expressions before tokenizer training (word2vec's
+    * phrase pass uses the same statistic with a discount).
+    *
+    * Bigrams form ROW-LOCAL (the [[lmDocScoreDocs]] zip-with-own-suffix
+    * shape — adjacency is a per-row fact, no doc_id window shuffle);
+    * unigram and bigram counts both collapse map-side to vocab-size
+    * rows before their exchanges, and the two 1-row totals broadcast
+    * back (no driver action, one lazy DAG). The `minCount` floor is
+    * applied BEFORE the c1/c2 joins, so the joined stream is the
+    * surviving-pair set, not the full bigram vocabulary. At 100 TB the
+    * only full-volume work is the two scan→explode pipelines; all
+    * joins are vocabulary-sized.
+    *
+    * Determinism (SURVEY §5.3): the PMI double is computed with the
+    * SAME IEEE expression tree in Spark and the DuckDB oracle
+    * ((c12/N2) / ((c1/N1)·(c2/N1)), one ln), rounded to 6dp, and the
+    * top-k ranks on the ROUNDED value with a (w1, w2) tie-break.
+    */
+  def ngramPmi(spark: SparkSession, sfDir: String,
+      minCount: Int = 5, k: Int = 100): DataFrame =
+    ngramPmiDocs(Tables.documents(spark, sfDir), minCount, k)
+
+  /** Core of [[ngramPmi]] over any (text) frame. */
+  def ngramPmiDocs(docs: DataFrame,
+      minCount: Int = 5, k: Int = 100): DataFrame = {
+    val toksCol = split(normText(col("text")), " ")
+    val toks = docs.select(explode(toksCol).as("w"))
+      .filter(length(col("w")) > 0)
+    val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n1 = toks.agg(count(lit(1)).cast("double").as("n1"))
+    val bigrams = docs
+      .select(explode(zip_with(toksCol, slice(toksCol, lit(2),
+          greatest(size(toksCol) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w2").isNotNull && length(col("w1")) > 0)
+    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val n2 = bigrams.agg(count(lit(1)).cast("double").as("n2"))
+    c12.filter(col("c12") >= minCount)
+      .join(c1.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(c1.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(log((col("c12").cast("double") / col("n2")) /
+          ((col("c1").cast("double") / col("n1")) *
+            (col("c2").cast("double") / col("n1")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** `mix_budget` — data-mixing by token budget: for each language,
+    * keep a deterministic pseudo-random subset of documents whose
+    * whitespace-token counts fill a fixed budget — the proportioning
+    * step of training-data curation (hit a target token count per
+    * domain/language, reproducibly). Selection order is the md5-prefix
+    * hash of doc_id (the [[graft.functions.ScalarFns.sampleHash]]
+    * key-pure idiom: a pure function of the key, independent of
+    * partition layout, identical across engines and cluster sizes),
+    * doc_id tie-broken; a doc is kept iff the tokens BEFORE it in that
+    * order are under budget, so the budget overshoots by at most one
+    * document and the first document per language always survives.
+    *
+    * Scale shape: one row-local token count + hash, one keyed window
+    * (per-language running sum). A single language's partition is
+    * corpus-sized at 100 TB — the documented scale path is the
+    * [[qualityLmBucketApprox]] treatment: pre-aggregate token sums per
+    * hash bucket, find the budget-crossing bucket from the (tiny)
+    * bucket rollup, and run the exact window only inside that boundary
+    * bucket.
+    */
+  def mixBudget(spark: SparkSession, sfDir: String,
+      budget: Long = 5000L): DataFrame =
+    mixBudgetDocs(Tables.documents(spark, sfDir), budget)
+
+  /** Core of [[mixBudget]] over any (doc_id, lang, text) frame. */
+  def mixBudgetDocs(docs: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("rk").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(normText(col("text")), " ")).cast("long").as("n_tokens"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("rk"))
+      .withColumn("before_toks",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("before_toks") < budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("before_toks") + col("n_tokens")).as("cum_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
 }

@@ -1,0 +1,218 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphOps, TextOps}
+
+/** Round-11 additions: `graph_pagerank` (exact fixed-point centrality),
+  * `ngram_pmi` (collocation mining), `mix_budget` (token-budget data
+  * mixing). The pagerank test re-derives the ENTIRE iteration in
+  * driver-side BigInt from an independently aggregated edge list and
+  * asserts bit-equality of the fixed-point ranks — possible only
+  * because the operator has no floating point anywhere.
+  */
+class GraphMixSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  val sf = TestSpark.sf
+  import spark.implicits._
+
+  // ---------------------------------------------------------- pagerank
+
+  test("graph_pagerank equals an exact BigInt reference model") {
+    val Scale = BigInt(1000000000000L)
+    // independent edge derivation: plain SQL over temp views
+    Seq("lineitem", "orders", "customer", "supplier", "nation").foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").createOrReplaceTempView(s"ref_$t")
+    }
+    val edges = spark.sql(
+      """SELECT CAST(s_nationkey AS BIGINT) AS u,
+        |  CAST(c_nationkey AS BIGINT) AS v, count(*) AS w
+        |FROM ref_lineitem JOIN ref_orders ON l_orderkey = o_orderkey
+        |JOIN ref_customer ON o_custkey = c_custkey
+        |JOIN ref_supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val nations = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = BigInt(nations.size)
+    val out = edges.groupBy(_._1._1).map { case (u, es) =>
+      u -> BigInt(es.values.sum)
+    }
+    val ratio = edges.map { case ((u, v), w) =>
+      ((u, v), BigInt(w) * Scale / out(u))
+    }
+    var p: Map[Long, BigInt] = nations.keys.map(_ -> Scale / n).toMap
+    for (_ <- 1 to 5) {
+      val s = scala.collection.mutable.Map[Long, BigInt]()
+      ratio.foreach { case ((u, v), r) =>
+        s(v) = s.getOrElse(v, BigInt(0)) + p(u) * r / Scale
+      }
+      val dm = p.collect { case (u, pu) if !out.contains(u) => pu }
+        .foldLeft(BigInt(0))(_ + _)
+      p = nations.keys.map { v =>
+        v -> ((BigInt(15) * Scale / 100) / n +
+          BigInt(85) * (s.getOrElse(v, BigInt(0)) + dm / n) / 100)
+      }.toMap
+    }
+    val expected = nations.map { case (k, name) => name -> p(k).toLong }
+    val got = GraphOps.graphPagerank(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"fixed-point ranks diverge from the BigInt model:\n" +
+        s"only-op=${got.toSet -- expected.toSet}\n" +
+        s"only-ref=${expected.toSet -- got.toSet}")
+    // mass conservation within floor dust: 25 nodes × ≤2 floor ops per
+    // node per iteration × 5 iterations of sub-1e12 dust
+    val total = got.values.map(BigInt(_)).sum
+    assert((Scale - total) >= 0 && (Scale - total) < BigInt(25L * 12 * 100),
+      s"rank mass should be ~1.0 minus floor dust, got $total")
+  }
+
+  test("unrolled relational pagerank is bit-identical to the in-task solve") {
+    val a = GraphOps.graphPagerank(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val b = GraphOps.graphPagerankUnrolled(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(a.sameElements(b),
+      s"formulations diverge:\nlocal=${a.toSeq}\nunrolled=${b.toSeq}")
+  }
+
+  /** Identity-distinct lineitem scan instances, traversing INTO AQE
+    * query stages (plain TreeNode traversal stops at stage leaves) but
+    * NOT into ReusedExchange (whose child is the shared original — a
+    * reused scan must not count twice).
+    */
+  private def distinctLineitemScans(
+      p: org.apache.spark.sql.execution.SparkPlan): Set[Int] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val self = p match {
+      case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("lineitem")) =>
+        Set(System.identityHashCode(f))
+      case _ => Set[Int]()
+    }
+    val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _: ReusedExchangeExec => Seq()
+      case o => o.children
+    }
+    kids.map(distinctLineitemScans).foldLeft(self)(_ ++ _)
+  }
+
+  test("unrolled pagerank iterates over ONE cached edge aggregate (fact not re-scanned)") {
+    try {
+      val df = GraphOps.graphPagerankUnrolled(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // every iteration's edge subtree must resolve to the in-memory
+      // aggregate — a direct lineitem scan in THIS plan means an
+      // iteration recomputed the corpus-sized join
+      val liScans = distinctLineitemScans(df.queryExecution.executedPlan)
+      assert(plan.contains("InMemoryTableScan") && liScans.isEmpty,
+        s"iterations must read the cached edge aggregate: " +
+          s"directLineitemScans=${liScans.size}\n$plan")
+    } finally assert(GraphOps.clearUnrolledEdgeCache() >= 1)
+  }
+
+  test("declared pagerank plan has no per-iteration stages (one scan of lineitem)") {
+    val df = GraphOps.graphPagerank(spark, sf)
+    df.collect()
+    val liScans = distinctLineitemScans(df.queryExecution.executedPlan)
+    assert(liScans.size == 1,
+      s"the local-solve plan scans lineitem exactly once, got " +
+        s"${liScans.size}")
+  }
+
+  // --------------------------------------------------------- ngram_pmi
+
+  test("ngram_pmi ranks a planted collocation above frequent-but-independent pairs") {
+    // "neural networks" always adjacent; "data" and "model" frequent but
+    // in independent positions — classic PMI separation
+    val filler = Seq("data", "model", "train", "eval", "loss", "step")
+    val docs = (0 until 60).map { i =>
+      val a = filler(i % 6); val b = filler((i + 3) % 6)
+      (i.toLong, s"$a neural networks $b $a $b neural networks $a")
+    }.toDF("doc_id", "text")
+    val res = TextOps.ngramPmiDocs(docs, minCount = 5, k = 10).collect()
+    assert(res.nonEmpty)
+    val top = res.head
+    assert(top.getString(0) == "neural" && top.getString(1) == "networks",
+      s"planted collocation must rank first, got ${res.toSeq}")
+    val pmiOf = res.map(r => (r.getString(0), r.getString(1)) ->
+      r.getDouble(5)).toMap
+    assert(pmiOf(("neural", "networks")) > 0.5,
+      "an always-adjacent pair has strongly positive PMI")
+  }
+
+  test("ngram_pmi honors the minCount floor") {
+    val docs = Seq((1L, "rare pair common common common common common common"))
+      .toDF("doc_id", "text")
+    val res = TextOps.ngramPmiDocs(docs, minCount = 5, k = 10).collect()
+    assert(res.forall(_.getLong(2) >= 5), s"minCount violated: ${res.toSeq}")
+    assert(!res.exists(r => r.getString(0) == "rare"),
+      "a once-seen bigram must not survive the floor")
+  }
+
+  // -------------------------------------------------------- mix_budget
+
+  /** The sample_hash md5-prefix rank, reimplemented independently. */
+  private def md5Rank(docId: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(docId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  test("mix_budget selects exactly the hash-ordered prefix that fills the budget") {
+    val budget = 40L
+    val docs = (0 until 40).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      // token counts 3..10, deterministic
+      (i.toLong, lang, (0 to (i % 8) + 2).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val got = TextOps.mixBudgetDocs(docs, budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // reference: per lang, sort by (md5 prefix, doc_id), take while
+    // tokens-before < budget
+    val ref = (0 until 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", (i % 8 + 3).toLong)
+    }.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      val ordered = ds.sortBy(d => (md5Rank(d._1), d._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3)
+      ordered.zip(cums).collect { case ((id, lg, nt), before)
+        if before < budget => (id, lg, nt, before + nt) }
+    }.sortBy(_._1)
+    assert(got.toSeq == ref,
+      s"selection must be the exact hash-ordered budget prefix:\n" +
+        s"got=${got.toSeq}\nref=$ref")
+  }
+
+  test("mix_budget on the fixtures: budget is covered or language exhausted") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val langTotals = docs
+      .select(col("lang"), size(split(TextOps.normText(col("text")), " "))
+        .cast("long").as("nt"))
+      .groupBy("lang").agg(sum("nt").as("total"), count(lit(1)).as("ndocs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sel = TextOps.mixBudget(spark, sf, budget = 5000L)
+      .collect().groupBy(_.getString(1))
+    langTotals.foreach { case (lang, (total, ndocs)) =>
+      val rows = sel.getOrElse(lang, Array())
+      assert(rows.nonEmpty, s"every language keeps at least one doc ($lang)")
+      val selSum = rows.map(_.getLong(2)).sum
+      assert(selSum >= math.min(5000L, total),
+        s"$lang: selected $selSum tokens, budget 5000, corpus $total")
+      assert(rows.forall(r => r.getLong(3) - r.getLong(2) < 5000L),
+        s"$lang: a selected doc had >= budget tokens before it")
+      if (total >= 5000L + rows.map(_.getLong(2)).max)
+        assert(rows.length < ndocs,
+          s"$lang: budget must actually exclude docs (non-vacuous)")
+    }
+  }
+}

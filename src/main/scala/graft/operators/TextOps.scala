@@ -929,15 +929,26 @@ object TextOps {
     * merge multi-word expressions before tokenizer training (word2vec's
     * phrase pass uses the same statistic with a discount).
     *
-    * Bigrams form ROW-LOCAL (the [[lmDocScoreDocs]] zip-with-own-suffix
-    * shape — adjacency is a per-row fact, no doc_id window shuffle);
-    * unigram and bigram counts both collapse map-side to vocab-size
-    * rows before their exchanges, and the two 1-row totals broadcast
-    * back (no driver action, one lazy DAG). The `minCount` floor is
-    * applied BEFORE the c1/c2 joins, so the joined stream is the
-    * surviving-pair set, not the full bigram vocabulary. At 100 TB the
-    * only full-volume work is the two scan→explode pipelines; all
-    * joins are vocabulary-sized.
+    * ONE corpus pass feeds every statistic (the `text_tfidf` rollup
+    * treatment, applied from the start): the zip-with-own-suffix
+    * explode ([[lmDocScoreDocs]] — adjacency is a per-row fact, no
+    * doc_id window shuffle) emits each token exactly once as `w1` with
+    * its nullable successor `w2`, and ONE (w1, w2)-keyed count rollup
+    * — null w2 rows are the doc-final tokens, kept as their own groups
+    * — is the only full-volume aggregate. Bigram counts are the
+    * non-null-w2 rows of that rollup verbatim; unigram counts re-group
+    * it by w1 (every token counted exactly once — vocab-sized input);
+    * the two totals are SUMS of those frames. Both consumers see the
+    * identical partial-agg Exchange subtree (consumer-specific pruning
+    * happens in the final-agg projections ABOVE it), so it
+    * canonicalizes to one ReusedExchange and the corpus is scanned
+    * once — spec-pinned, because the first cut of this operator (and
+    * of text_tfidf, per its round-11 note) let pruning push DIFFERENT
+    * projections below per-branch shuffles and silently re-scanned.
+    * The `minCount` floor is applied BEFORE the c1/c2 joins, so the
+    * joined stream is the surviving-pair set, not the full bigram
+    * vocabulary. At 100 TB the only full-volume work is the single
+    * scan→explode→rollup pipeline; all joins are vocabulary-sized.
     *
     * Determinism (SURVEY §5.3): the PMI double is computed with the
     * SAME IEEE expression tree in Spark and the DuckDB oracle
@@ -952,23 +963,36 @@ object TextOps {
   def ngramPmiDocs(docs: DataFrame,
       minCount: Int = 5, k: Int = 100): DataFrame = {
     val toksCol = split(normText(col("text")), " ")
-    val toks = docs.select(explode(toksCol).as("w"))
-      .filter(length(col("w")) > 0)
-    val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val n1 = toks.agg(count(lit(1)).cast("double").as("n1"))
-    val bigrams = docs
+    // Each token once as w1; w2 = successor, or the "" sentinel at doc
+    // end. Both columns COALESCE-non-nullable and the emptiness guard
+    // is DOC-level (identical in every branch, below the rollup) — so
+    // no branch has a derivable IsNotNull/length constraint, which is
+    // what keeps the per-branch subtrees canonically identical: the
+    // first cut filtered tokens per-branch, the c12→c1 joins inferred
+    // length(w2)>0 onto one branch only, pushdown sank it below the
+    // rollup, and the "shared" pass silently became three scans.
+    val pairCounts = docs
+      .filter(length(normText(col("text"))) > 0)
       .select(explode(zip_with(toksCol, slice(toksCol, lit(2),
           greatest(size(toksCol) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .filter(col("w2").isNotNull && length(col("w1")) > 0)
-    val c12 = bigrams.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
-    val n2 = bigrams.agg(count(lit(1)).cast("double").as("n2"))
-    c12.filter(col("c12") >= minCount)
+      .select(coalesce(col("bg.w1"), lit("")).as("w1"),
+        coalesce(col("bg.w2"), lit("")).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pc"))
+    val c1 = pairCounts.groupBy(col("w1")).agg(sum(col("pc")).as("c"))
+      .select(col("w1").as("w"), col("c"))
+    val tot = pairCounts.agg(
+      sum(col("pc")).cast("double").as("n1"),
+      sum(when(col("w2") =!= "", col("pc")).otherwise(lit(0L)))
+        .cast("double").as("n2"))
+    // the w2 join drops the sentinel rows (no "" key exists in c1 —
+    // tokens of non-empty docs are never empty), so no w2 filter is
+    // needed anywhere
+    pairCounts.filter(col("pc") >= minCount)
+      .select(col("w1"), col("w2"), col("pc").as("c12"))
       .join(c1.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(c1.select(col("w").as("w2"), col("c").as("c2")), "w2")
-      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
         round(log((col("c12").cast("double") / col("n2")) /
           ((col("c1").cast("double") / col("n1")) *

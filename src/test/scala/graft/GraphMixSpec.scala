@@ -78,20 +78,20 @@ class GraphMixSpec extends AnyFunSuite {
       s"formulations diverge:\nlocal=${a.toSeq}\nunrolled=${b.toSeq}")
   }
 
-  /** Identity-distinct lineitem scan instances, traversing INTO AQE
-    * query stages (plain TreeNode traversal stops at stage leaves) but
-    * NOT into ReusedExchange (whose child is the shared original — a
-    * reused scan must not count twice).
+  /** Identity-distinct scan instances over the named table, traversing
+    * INTO AQE query stages (plain TreeNode traversal stops at stage
+    * leaves) but NOT into ReusedExchange (whose child is the shared
+    * original — a reused scan must not count twice).
     */
-  private def distinctLineitemScans(
-      p: org.apache.spark.sql.execution.SparkPlan): Set[Int] = {
+  private def distinctScans(p: org.apache.spark.sql.execution.SparkPlan,
+      table: String): Set[Int] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{
       AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     val self = p match {
       case f: FileSourceScanExec
-          if f.metadata.get("Location").exists(_.contains("lineitem")) =>
+          if f.metadata.get("Location").exists(_.contains(table)) =>
         Set(System.identityHashCode(f))
       case _ => Set[Int]()
     }
@@ -101,7 +101,7 @@ class GraphMixSpec extends AnyFunSuite {
       case _: ReusedExchangeExec => Seq()
       case o => o.children
     }
-    kids.map(distinctLineitemScans).foldLeft(self)(_ ++ _)
+    kids.map(distinctScans(_, table)).foldLeft(self)(_ ++ _)
   }
 
   test("unrolled pagerank iterates over ONE cached edge aggregate (fact not re-scanned)") {
@@ -112,7 +112,7 @@ class GraphMixSpec extends AnyFunSuite {
       // every iteration's edge subtree must resolve to the in-memory
       // aggregate — a direct lineitem scan in THIS plan means an
       // iteration recomputed the corpus-sized join
-      val liScans = distinctLineitemScans(df.queryExecution.executedPlan)
+      val liScans = distinctScans(df.queryExecution.executedPlan, "lineitem")
       assert(plan.contains("InMemoryTableScan") && liScans.isEmpty,
         s"iterations must read the cached edge aggregate: " +
           s"directLineitemScans=${liScans.size}\n$plan")
@@ -122,7 +122,7 @@ class GraphMixSpec extends AnyFunSuite {
   test("declared pagerank plan has no per-iteration stages (one scan of lineitem)") {
     val df = GraphOps.graphPagerank(spark, sf)
     df.collect()
-    val liScans = distinctLineitemScans(df.queryExecution.executedPlan)
+    val liScans = distinctScans(df.queryExecution.executedPlan, "lineitem")
     assert(liScans.size == 1,
       s"the local-solve plan scans lineitem exactly once, got " +
         s"${liScans.size}")
@@ -147,6 +147,17 @@ class GraphMixSpec extends AnyFunSuite {
       r.getDouble(5)).toMap
     assert(pmiOf(("neural", "networks")) > 0.5,
       "an always-adjacent pair has strongly positive PMI")
+  }
+
+  test("ngram_pmi feeds every statistic from ONE corpus pass (shared w1 exchange)") {
+    val df = TextOps.ngramPmi(spark, sf)
+    df.collect()
+    val scans = distinctScans(df.queryExecution.executedPlan, "documents")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(scans.size == 1,
+      s"c1/c12/n1/n2 must share one corpus pass, got ${scans.size} scans:\n$plan")
+    assert("ReusedExchange".r.findAllIn(plan).length >= 1,
+      s"the w1 Exchange must be reused across the aggregates:\n$plan")
   }
 
   test("ngram_pmi honors the minCount floor") {

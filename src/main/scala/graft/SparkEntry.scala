@@ -344,6 +344,8 @@ object SparkEntry {
     "ngram_lm" -> ((s: SparkSession, d: String) => TextOps.ngramLm(s, d)),
     "ngram_pmi" -> ((s: SparkSession, d: String) => TextOps.ngramPmi(s, d)),
     "mix_budget" -> ((s: SparkSession, d: String) => TextOps.mixBudget(s, d)),
+    "mix_budget_approx" -> ((s: SparkSession, d: String) =>
+      TextOps.mixBudgetApprox(s, d)),
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
       GraphOps.graphPagerank(s, d)),
     "lm_doc_score" -> (TextOps.lmDocScore _),
@@ -478,6 +480,26 @@ object SparkEntry {
         |     ((abs(CAST(sum(lp) * 1000000 AS BIGINT)) + 50 * count(*))
         |        // (100 * count(*))))::DOUBLE / 10000.0 AS avg_logp
         |  FROM pb GROUP BY doc_id)""".stripMargin
+
+  /** The token-budget selection shared verbatim by `mix_budget` and its
+    * bucket-pruned scale twin `mix_budget_approx` (same output by
+    * construction — the pruning only drops rows the budget rule drops).
+    */
+  private lazy val mixBudgetSql: String =
+    raw"""WITH t AS (SELECT doc_id, lang,
+      |    len(string_split($normT, ' '))::BIGINT AS n_tokens,
+      |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS rk
+      |  FROM documents),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY lang
+      |      ORDER BY rk ASC, doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0)::BIGINT AS before_toks
+      |  FROM t)
+      |SELECT doc_id, lang, n_tokens,
+      |  (before_toks + n_tokens)::BIGINT AS cum_tokens
+      |FROM c WHERE before_toks < 5000
+      |ORDER BY doc_id ASC""".stripMargin
 
   /** The `graph_pagerank` oracle: the nation-trade edge aggregation,
     * then the 5 power iterations UNROLLED as chained CTEs — the same
@@ -2675,21 +2697,10 @@ object SparkEntry {
         |LIMIT 100""".stripMargin,
     // selection order is the key-pure md5-prefix hash (the sample_hash
     // idiom) — identical in both engines, independent of layout
-    "mix_budget" ->
-      raw"""WITH t AS (SELECT doc_id, lang,
-        |    len(string_split($normT, ' '))::BIGINT AS n_tokens,
-        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS rk
-        |  FROM documents),
-        |c AS (SELECT doc_id, lang, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang
-        |      ORDER BY rk ASC, doc_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |      0)::BIGINT AS before_toks
-        |  FROM t)
-        |SELECT doc_id, lang, n_tokens,
-        |  (before_toks + n_tokens)::BIGINT AS cum_tokens
-        |FROM c WHERE before_toks < 5000
-        |ORDER BY doc_id ASC""".stripMargin,
+    "mix_budget" -> mixBudgetSql,
+    // the bucket-pruned scale form is "approx" only in plan shape —
+    // its output is bit-identical, so it shares the exact oracle
+    "mix_budget_approx" -> mixBudgetSql,
     // 5 unrolled power iterations in pure 1e12-scaled integer
     // arithmetic (HUGEINT products mirror Spark's DECIMAL(38,0)) — no
     // floating point until the final display division of an exact int

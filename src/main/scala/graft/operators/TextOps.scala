@@ -1025,6 +1025,53 @@ object TextOps {
       budget: Long = 5000L): DataFrame =
     mixBudgetDocs(Tables.documents(spark, sfDir), budget)
 
+  /** `mix_budget_approx` — the SCALE form of [[mixBudget]], and "approx"
+    * only in plan shape: the output is BIT-IDENTICAL (same oracle SQL).
+    * [[mixBudget]]'s per-language window sorts the whole corpus; here
+    * the 32-bit hash-rank space is pre-cut into `buckets` ranges, a
+    * per-(lang, bucket) token rollup (tiny: |langs|·buckets rows) finds
+    * the budget-crossing bucket per language, every bucket past it is
+    * PRUNED BEFORE the window — so the exact sort+cumsum runs only
+    * over the kept prefix (≤ budget + one bucket of tokens per
+    * language, independent of corpus size). The quality_lm_bucket_approx
+    * sketch-cut treatment applied to a running-sum cutoff. A doc in a
+    * fully-kept bucket satisfies before_doc < budget by construction
+    * (its prefix is bounded by the bucket rollup's own prefix), so the
+    * final per-doc rule only ever trims inside the crossing bucket.
+    */
+  def mixBudgetApprox(spark: SparkSession, sfDir: String,
+      budget: Long = 5000L, buckets: Int = 256): DataFrame =
+    mixBudgetApproxDocs(Tables.documents(spark, sfDir), budget, buckets)
+
+  /** Core of [[mixBudgetApprox]] over any (doc_id, lang, text) frame. */
+  def mixBudgetApproxDocs(docs: DataFrame,
+      budget: Long, buckets: Int): DataFrame = {
+    val bucketWidth = 4294967296L / buckets // rank space is 8 hex digits
+    val t = docs
+      .select(col("doc_id"), col("lang"),
+        size(split(normText(col("text")), " ")).cast("long").as("n_tokens"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("rk"))
+      .withColumn("b", expr(s"rk DIV ${bucketWidth}L"))
+    val wb = Window.partitionBy(col("lang")).orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keptBuckets = t.groupBy(col("lang"), col("b"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("before_b", coalesce(sum(col("bt")).over(wb), lit(0L)))
+      .filter(col("before_b") < budget)
+      .select(col("lang"), col("b"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("rk").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(keptBuckets), Seq("lang", "b"))
+      .withColumn("before_toks",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("before_toks") < budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("before_toks") + col("n_tokens")).as("cum_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Core of [[mixBudget]] over any (doc_id, lang, text) frame. */
   def mixBudgetDocs(docs: DataFrame, budget: Long): DataFrame = {
     val w = Window.partitionBy(col("lang"))

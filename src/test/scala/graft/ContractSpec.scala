@@ -140,10 +140,16 @@ class ContractSpec extends AnyFunSuite {
     //   simsearch_hybrid_lsh — dense side is the KEYED lsh bucket join;
     //                    only the ONE-ROW (n_docs, avgdl) scalar attach
     //                    remains as a product shape
+    //   ngram_pmi        — VOCAB-sized surviving-pair stream × broadcast
+    //                    ONE-ROW (n1, n2) totals (the text_tfidf
+    //                    scalar-attach shape; corpus never products)
+    //   graph_pagerank   — ONE-ROW collected edge aggregate × ONE-ROW
+    //                    node list feeding the in-task solve (1×1; the
+    //                    corpus-sized work is all keyed upstream)
     val allowProduct =
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
         "ann_recall", "stream_watermark_late_ok", "simsearch_hybrid",
-        "simsearch_hybrid_lsh")
+        "simsearch_hybrid_lsh", "ngram_pmi", "graph_pagerank")
     walk { (name, df) =>
       if (allowProduct(name)) None
       else {

@@ -204,6 +204,57 @@ class GraphMixSpec extends AnyFunSuite {
         s"got=${got.toSeq}\nref=$ref")
   }
 
+  test("mix_budget_approx is bit-identical to mix_budget (fixtures + planted)") {
+    val a = TextOps.mixBudget(spark, sf, budget = 5000L).collect().toSeq
+    val b = TextOps.mixBudgetApprox(spark, sf, budget = 5000L).collect().toSeq
+    assert(a == b, s"scale twin diverges on fixtures:\n$a\nvs\n$b")
+    // planted: budget boundary lands INSIDE a bucket (many docs per
+    // bucket), exercising the crossing-bucket trim
+    val docs = (0 until 500).map { i =>
+      (i.toLong, "en", (0 to (i % 7) + 1).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val ea = TextOps.mixBudgetDocs(docs, 97L).collect().toSeq
+    val eb = TextOps.mixBudgetApproxDocs(docs, 97L, buckets = 16)
+      .collect().toSeq
+    assert(ea == eb && ea.nonEmpty,
+      s"planted boundary diverges:\n$ea\nvs\n$eb")
+  }
+
+  test("mix_budget_approx prunes the window input to the kept-bucket prefix") {
+    // 2000 docs, tiny budget: almost every bucket is past the crossing
+    // point, so the keptBuckets join must discard the overwhelming
+    // majority of the corpus BEFORE the doc-level window
+    val docs = (0 until 2000).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de",
+        (0 to (i % 5) + 1).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val res = TextOps.mixBudgetApproxDocs(docs, 50L, buckets = 256)
+    assert(res.collect().toSeq ==
+      TextOps.mixBudgetDocs(docs, 50L).collect().toSeq)
+    // executed-metric pin: the kept-bucket join's output IS the window
+    // input; it must be budget-sized, not corpus-sized
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def bhjRows(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = {
+      val self = p match {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          b.metrics.get("numOutputRows").map(_.value).toSeq
+        case _ => Seq()
+      }
+      val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _: ReusedExchangeExec => Seq()
+        case o => o.children
+      }
+      self ++ kids.flatMap(bhjRows)
+    }
+    val joins = bhjRows(res.queryExecution.executedPlan)
+    assert(joins.nonEmpty && joins.forall(_ < 200),
+      s"window input must be pruned to ~budget rows, join outputs: $joins")
+  }
+
   test("mix_budget on the fixtures: budget is covered or language exhausted") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val langTotals = docs

@@ -72,10 +72,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p10.contains("EqualTo(l_returnflag,R)"),
       s"q10 returnflag filter must be pushed:\n$p10")
     assert(p10.contains("TakeOrderedAndProject"), s"q10 expected top-k:\n$p10")
-    // q18: the HAVING-aggregate qualifier semi-joins the fact (one keyed
-    // pass, never a correlated re-scan), no products, top-k
+    // q18: the HAVING aggregate IS the final per-order sum (round-11
+    // collapse) — exactly ONE aggregate pair over ONE lineitem scan,
+    // qualifying survivors join to orders/customer, no products, top-k
     val p18 = plan(MacroQueries.qShapedQ18(spark, sf))
-    assert(p18.contains("LeftSemi"), s"q18 expected a semi join:\n$p18")
+    assert(!p18.contains("LeftSemi"),
+      s"q18 must not re-join the fact (the re-aggregation is collapsed):\n$p18")
+    assert("lineitem\\.parquet".r.findAllIn(p18).length == 1,
+      s"q18 must scan lineitem exactly once:\n$p18")
+    assert("HashAggregate".r.findAllIn(p18).length == 2,
+      s"q18 expected exactly one partial+final agg pair:\n$p18")
     assert(!p18.contains("CartesianProduct") &&
       !p18.contains("BroadcastNestedLoopJoin"),
       s"q18 must not plan a product join:\n$p18")

@@ -335,6 +335,8 @@ object SparkEntry {
     "dedup_url" -> (TextOps.dedupUrl _),
     "pipeline_curate_v2" -> ((s: SparkSession, d: String) =>
       TextOps.pipelineCurateV2(s, d)),
+    "pipeline_curate_v3" -> ((s: SparkSession, d: String) =>
+      TextOps.pipelineCurateV3(s, d)),
     "repetition_score" -> (TextOps.repetitionScore _),
     "quality_classifier" -> (TextOps.qualityClassifier _),
     "vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopk(s, d)),
@@ -2370,6 +2372,49 @@ object SparkEntry {
         |  (cum_before // 512)::BIGINT AS pack_id,
         |  (cum_before % 512)::BIGINT AS pack_offset
         |FROM p ORDER BY source ASC, doc_id ASC""".stripMargin,
+    // the v3 capstone: same gate→dedup→decontaminate chain, ending in
+    // the per-LANGUAGE mix_budget prefix instead of the source pack
+    "pipeline_curate_v3" ->
+      raw"""WITH q0 AS (SELECT doc_id, source, lang, n_chars, text,
+        |        $normT AS t FROM documents),
+        |m AS (SELECT doc_id, source, lang, t,
+        |    len(string_split(t, ' '))::INT AS n_tokens, n_chars,
+        |    round(length(replace(t, ' ', ''))::DOUBLE
+        |          / len(string_split(t, ' ')), 4) AS mwl
+        |  FROM q0),
+        |keepq AS (SELECT * FROM m
+        |  WHERE lang IN ('en','de','es','fr')
+        |    AND n_tokens BETWEEN 3 AND 10000
+        |    AND n_chars BETWEEN 20 AND 100000
+        |    AND mwl BETWEEN 2.0 AND 12.0),
+        |ded AS (SELECT *, row_number() OVER (
+        |    PARTITION BY md5(t) ORDER BY doc_id ASC) AS rn FROM keepq),
+        |surv AS (SELECT doc_id, lang, n_tokens FROM ded
+        |  WHERE rn = 1 AND doc_id % 97 <> 0),
+        |d AS (SELECT doc_id, string_split($normT, ' ') AS toks
+        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM d),
+        |g AS (SELECT doc_id, unnest(sh) AS h FROM s),
+        |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (h)
+        |  WHERE g.doc_id % 97 <> 0),
+        |fin AS (SELECT sv.* FROM surv sv LEFT JOIN cont c
+        |  ON sv.doc_id = c.doc_id WHERE c.doc_id IS NULL),
+        |mx AS (SELECT doc_id, lang, n_tokens,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS rk
+        |  FROM fin),
+        |p AS (SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY rk ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS before_toks
+        |  FROM mx)
+        |SELECT doc_id, lang, n_tokens,
+        |  (before_toks + n_tokens)::BIGINT AS cum_tokens
+        |FROM p WHERE before_toks < 3000
+        |ORDER BY doc_id ASC""".stripMargin,
     // blob = utf-8 bytes of text, so DuckDB's md5(text) hashes the
     // identical byte string; octet_length = blob length
     "multimodal_dedup" ->

@@ -906,6 +906,54 @@ object TextOps {
       .orderBy(col("source").asc, col("doc_id").asc)
   }
 
+  /** `pipeline_curate_v3` — the round-11 capstone: the curation DAG
+    * ending in the round's new PROPORTIONING stage — quality gate →
+    * exact dedup → decontaminate → per-LANGUAGE token-budget mix
+    * ([[mixBudget]]'s hash-ordered prefix replaces `pipeline_curate`'s
+    * source-keyed pack). This is the cut a pretraining pipeline
+    * actually ships: a quality-gated, deduped, decontaminated corpus
+    * trimmed to a reproducible per-language token budget. Still ONE
+    * lazy DAG — every stage is a keyed shuffle or row-local compute,
+    * and Catalyst plans it end-to-end; at 100 TB the mix window takes
+    * [[mixBudgetApprox]]'s bucket-pruning verbatim (the stage input
+    * here is already dedup-keyed, so the swap is mechanical).
+    */
+  def pipelineCurateV3(spark: SparkSession, sfDir: String,
+      budget: Long = 3000L, benchMod: Int = 97): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val quality = docs
+      .withColumn("t", normText(col("text")))
+      .withColumn("n_tokens", size(split(col("t"), " ")))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(col("t"), " ", "")).cast("double") /
+          size(split(col("t"), " ")), 4))
+      .filter(col("lang").isin("en", "de", "es", "fr") &&
+        col("n_tokens").between(3, 10000) &&
+        col("n_chars").between(20, 100000) &&
+        col("mean_word_len").between(2.0, 12.0))
+    val wDedup = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
+    val deduped = quality
+      .withColumn("h", sha2(col("t"), 256))
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1 && col("doc_id") % benchMod =!= 0)
+    val contaminated = decontaminateDocs(docs, benchMod = benchMod)
+      .select(col("doc_id"))
+    val wMix = Window.partitionBy(col("lang"))
+      .orderBy(col("rk").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("rk",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("before_toks",
+        coalesce(sum(col("n_tokens").cast("long")).over(wMix), lit(0L)))
+      .filter(col("before_toks") < budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("before_toks") + col("n_tokens").cast("long"))
+          .as("cum_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** `doc_fingerprint` — rolling/content-defined fingerprinting: per-doc
     * polynomial rolling hash over word 3-grams, plus the minimum 3-gram
     * hash (a 1-permutation MinHash — the dedup_minhash building block).

@@ -255,6 +255,30 @@ class GraphMixSpec extends AnyFunSuite {
       s"window input must be pruned to ~budget rows, join outputs: $joins")
   }
 
+  test("pipeline_curate_v3: mix stage composes the upstream curation stages") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))
+    val v3 = TextOps.pipelineCurateV3(spark, sf).collect().map(key)
+    assert(v3.nonEmpty, "capstone must select documents at sf0.001")
+    // an effectively-unbounded budget yields ALL gate+dedup+decontam
+    // survivors with their running sums — v3 must be EXACTLY its
+    // before_toks < 3000 prefix (pins the mix stage given the chain)
+    val allSurv = TextOps.pipelineCurateV3(spark, sf,
+      budget = Long.MaxValue / 4).collect().map(key)
+    assert(v3.toSeq == allSurv.filter(r => r._4 - r._3 < 3000L).toSeq,
+      "v3 must be the exact budget prefix of the survivor stream")
+    assert(v3.length < allSurv.length,
+      "the budget must actually trim (non-vacuous at sf0.001)")
+    // upstream liveness: survivors match pipeline_curate's id set (the
+    // same gate→dedup→decontaminate chain, independently composed)
+    val v1Ids = TextOps.pipelineCurate(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    assert(allSurv.map(_._1).toSet == v1Ids,
+      "v3's survivor stream must equal pipeline_curate's survivors")
+    // gate: only the four gated languages survive
+    assert(v3.map(_._2).toSet.subsetOf(Set("en", "de", "es", "fr")))
+  }
+
   test("mix_budget on the fixtures: budget is covered or language exhausted") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val langTotals = docs

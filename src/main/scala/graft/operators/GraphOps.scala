@@ -19,6 +19,11 @@ object GraphOps {
   /** Persisted edge aggregate for [[graphPagerankUnrolled]] only (the
     * declared `graph_pagerank` needs no cache — its single collect_list
     * consumer reads the aggregate once). Tiny (≤|nations|² rows).
+    * Lifecycle follows [[MinHashDedup.evictStale]]: every access sweeps
+    * stopped-session entries, and unpersist is best-effort — on a
+    * stopped SparkContext it can throw, but the entry REMOVAL is what
+    * releases the reference (the stopped session's storage is already
+    * gone), so neither the sweep nor `Lake.clearCaches` may abort on it.
     */
   private val unrolledEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[
@@ -26,7 +31,8 @@ object GraphOps {
 
   private[graft] def clearUnrolledEdgeCache(): Int = {
     val n = unrolledEdgeCache.size()
-    unrolledEdgeCache.values().forEach(df => { df.unpersist(); () })
+    unrolledEdgeCache.values().forEach(df =>
+      try df.unpersist() catch { case _: Throwable => })
     unrolledEdgeCache.clear()
     n
   }
@@ -157,8 +163,13 @@ object GraphOps {
     // onto ONE InMemoryRelation and the fact tables are scanned once
     // regardless of iteration count. The caller of this spec-only
     // scale path unpersists via [[unrolledEdgeCache]].
-    def edgesF(): DataFrame = unrolledEdgeCache
-      .computeIfAbsent((spark, sfDir), _ => edgeAgg(spark, sfDir).persist())
+    def edgesF(): DataFrame = {
+      MinHashDedup.evictStale(unrolledEdgeCache,
+        (_: (SparkSession, String)) => false,
+        (k: (SparkSession, String)) => k._1)
+      unrolledEdgeCache
+        .computeIfAbsent((spark, sfDir), _ => edgeAgg(spark, sfDir).persist())
+    }
     def outsF(): DataFrame =
       edgesF().groupBy(col("u")).agg(sum(col("w")).as("outw"))
     def ratioF(): DataFrame = edgesF().join(outsF(), "u")

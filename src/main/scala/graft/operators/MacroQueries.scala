@@ -93,7 +93,8 @@ object MacroQueries {
     * semi-joins the qualifying keys back to lineitem and re-aggregates,
     * but the HAVING aggregate ALREADY IS the final per-order quantity
     * sum — so this plan collapses the re-aggregation algebraically and
-    * scans lineitem exactly once (measured 3.9 s → 1.0 s at sf0.1; the
+    * scans lineitem exactly once (measured 3.9 s — the r10 driver
+    * artifact — → ~1.0 s at sf0.1, 0.98–1.3 across runs; the
     * semi-join shape itself is covered by `join_semi`/`filter_subquery_in`). At
     * 100 TB that one keyed aggregate collapses map-side to order-level
     * rows before its exchange, and the qualifying survivors (not the

@@ -23,6 +23,18 @@ object TextOps {
   def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** The key-pure md5-prefix selection rank (the
+    * [[graft.functions.ScalarFns.sampleHash]] idiom in its 8-hex form):
+    * a pure function of the key, independent of partition layout and
+    * cluster size, bit-identical to the oracle's
+    * `('0x' || substring(md5(id::VARCHAR), 1, 8))::BIGINT`. ONE
+    * definition shared by every budget/mix consumer — a drifted copy
+    * would break cross-engine bit-identity for just that operator.
+    */
+  private[graft] def hashRank(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** `dedup_exact` — exact dedup on normalized text hash; the survivor is
     * the lowest doc_id per hash group (deterministic). One shuffle on the
     * 256-bit hash — at 100 TB this is the cheapest dedup pass and always
@@ -837,6 +849,26 @@ object TextOps {
     */
   def pipelineCurate(spark: SparkSession, sfDir: String,
       budget: Int = 512, benchMod: Int = 97): DataFrame = {
+    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    curatedSurvivors(spark, sfDir, benchMod)
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens").cast("long")).over(wPack), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        floor(col("cum_before") / budget).as("pack_id"),
+        (col("cum_before") % budget).as("pack_offset"))
+      .orderBy(col("source").asc, col("doc_id").asc)
+  }
+
+  /** The quality-gate → exact-dedup → decontaminate survivor stream
+    * (doc_id, source, lang, n_tokens) — the ONE definition of the
+    * curation chain, shared by [[pipelineCurate]] (which packs it by
+    * source) and [[pipelineCurateV3]] (which mixes it by language);
+    * a predicate change in two drifted copies would silently diverge
+    * the capstones from each other and their shared oracle fragments.
+    */
+  private def curatedSurvivors(spark: SparkSession, sfDir: String,
+      benchMod: Int): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val quality = docs
       .withColumn("t", normText(col("text")))
@@ -855,15 +887,8 @@ object TextOps {
       .filter(col("rn") === 1 && col("doc_id") % benchMod =!= 0)
     val contaminated = decontaminateDocs(docs, benchMod = benchMod)
       .select(col("doc_id"))
-    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
     deduped.join(contaminated, Seq("doc_id"), "left_anti")
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tokens").cast("long")).over(wPack), lit(0L)))
-      .select(col("source"), col("doc_id"), col("n_tokens"),
-        floor(col("cum_before") / budget).as("pack_id"),
-        (col("cum_before") % budget).as("pack_offset"))
-      .orderBy(col("source").asc, col("doc_id").asc)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"))
   }
 
   /** `pipeline_curate_v2` — the round-8 capstone: the same
@@ -919,40 +944,9 @@ object TextOps {
     * here is already dedup-keyed, so the swap is mechanical).
     */
   def pipelineCurateV3(spark: SparkSession, sfDir: String,
-      budget: Long = 3000L, benchMod: Int = 97): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val quality = docs
-      .withColumn("t", normText(col("text")))
-      .withColumn("n_tokens", size(split(col("t"), " ")))
-      .withColumn("mean_word_len",
-        round(length(regexp_replace(col("t"), " ", "")).cast("double") /
-          size(split(col("t"), " ")), 4))
-      .filter(col("lang").isin("en", "de", "es", "fr") &&
-        col("n_tokens").between(3, 10000) &&
-        col("n_chars").between(20, 100000) &&
-        col("mean_word_len").between(2.0, 12.0))
-    val wDedup = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
-    val deduped = quality
-      .withColumn("h", sha2(col("t"), 256))
-      .withColumn("rn", row_number().over(wDedup))
-      .filter(col("rn") === 1 && col("doc_id") % benchMod =!= 0)
-    val contaminated = decontaminateDocs(docs, benchMod = benchMod)
-      .select(col("doc_id"))
-    val wMix = Window.partitionBy(col("lang"))
-      .orderBy(col("rk").asc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    deduped.join(contaminated, Seq("doc_id"), "left_anti")
-      .withColumn("rk",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long"))
-      .withColumn("before_toks",
-        coalesce(sum(col("n_tokens").cast("long")).over(wMix), lit(0L)))
-      .filter(col("before_toks") < budget)
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        (col("before_toks") + col("n_tokens").cast("long"))
-          .as("cum_tokens"))
-      .orderBy(col("doc_id").asc)
-  }
+      budget: Long = 3000L, benchMod: Int = 97): DataFrame =
+    budgetPrefix(curatedSurvivors(spark, sfDir, benchMod)
+      .select(col("doc_id"), col("lang"), col("n_tokens")), budget)
 
   /** `doc_fingerprint` — rolling/content-defined fingerprinting: per-doc
     * polynomial rolling hash over word 3-grams, plus the minimum 3-gram
@@ -1098,8 +1092,7 @@ object TextOps {
     val t = docs
       .select(col("doc_id"), col("lang"),
         size(split(normText(col("text")), " ")).cast("long").as("n_tokens"),
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long").as("rk"))
+        hashRank(col("doc_id")).as("rk"))
       .withColumn("b", expr(s"rk DIV ${bucketWidth}L"))
     val wb = Window.partitionBy(col("lang")).orderBy(col("b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1108,33 +1101,36 @@ object TextOps {
       .withColumn("before_b", coalesce(sum(col("bt")).over(wb), lit(0L)))
       .filter(col("before_b") < budget)
       .select(col("lang"), col("b"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("rk").asc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    t.join(broadcast(keptBuckets), Seq("lang", "b"))
-      .withColumn("before_toks",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .filter(col("before_toks") < budget)
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        (col("before_toks") + col("n_tokens")).as("cum_tokens"))
-      .orderBy(col("doc_id").asc)
+    budgetPrefix(
+      t.join(broadcast(keptBuckets), Seq("lang", "b"))
+        .select(col("doc_id"), col("lang"), col("n_tokens")),
+      budget)
   }
 
   /** Core of [[mixBudget]] over any (doc_id, lang, text) frame. */
-  def mixBudgetDocs(docs: DataFrame, budget: Long): DataFrame = {
+  def mixBudgetDocs(docs: DataFrame, budget: Long): DataFrame =
+    budgetPrefix(docs.select(col("doc_id"), col("lang"),
+      size(split(normText(col("text")), " ")).cast("long").as("n_tokens")),
+      budget)
+
+  /** The hash-ordered per-language budget prefix — the ONE definition
+    * of the selection rule, shared by [[mixBudgetDocs]],
+    * [[mixBudgetApproxDocs]] (post-pruning) and [[pipelineCurateV3]]
+    * (post-curation): rank by [[hashRank]] (doc_id tie-broken), keep a
+    * doc iff the tokens before it are under budget. Preserves the
+    * incoming `n_tokens` type; extra input columns are projected away.
+    */
+  private def budgetPrefix(t: DataFrame, budget: Long): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("rk").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select(col("doc_id"), col("lang"),
-        size(split(normText(col("text")), " ")).cast("long").as("n_tokens"),
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long").as("rk"))
+    t.withColumn("rk", hashRank(col("doc_id")))
       .withColumn("before_toks",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
       .filter(col("before_toks") < budget)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        (col("before_toks") + col("n_tokens")).as("cum_tokens"))
+        (col("before_toks") + col("n_tokens").cast("long"))
+          .as("cum_tokens"))
       .orderBy(col("doc_id").asc)
   }
 }

@@ -78,31 +78,17 @@ class GraphMixSpec extends AnyFunSuite {
       s"formulations diverge:\nlocal=${a.toSeq}\nunrolled=${b.toSeq}")
   }
 
-  /** Identity-distinct scan instances over the named table, traversing
-    * INTO AQE query stages (plain TreeNode traversal stops at stage
-    * leaves) but NOT into ReusedExchange (whose child is the shared
-    * original — a reused scan must not count twice).
+  /** Identity-distinct scan instances over the named table (the
+    * [[SpecUtil.collectPlan]] AQE-aware traversal, so reused exchanges
+    * never count twice).
     */
   private def distinctScans(p: org.apache.spark.sql.execution.SparkPlan,
-      table: String): Set[Int] = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{
-      AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    val self = p match {
-      case f: FileSourceScanExec
+      table: String): Set[Int] =
+    SpecUtil.collectPlan(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.metadata.get("Location").exists(_.contains(table)) =>
-        Set(System.identityHashCode(f))
-      case _ => Set[Int]()
-    }
-    val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case _: ReusedExchangeExec => Seq()
-      case o => o.children
-    }
-    kids.map(distinctScans(_, table)).foldLeft(self)(_ ++ _)
-  }
+        System.identityHashCode(f)
+    }.toSet
 
   test("unrolled pagerank iterates over ONE cached edge aggregate (fact not re-scanned)") {
     try {
@@ -116,7 +102,13 @@ class GraphMixSpec extends AnyFunSuite {
       assert(plan.contains("InMemoryTableScan") && liScans.isEmpty,
         s"iterations must read the cached edge aggregate: " +
           s"directLineitemScans=${liScans.size}\n$plan")
-    } finally assert(GraphOps.clearUnrolledEdgeCache() >= 1)
+      // the body populated the cache; count the release here (an
+      // assert in finally would mask the primary failure)
+      assert(GraphOps.clearUnrolledEdgeCache() >= 1)
+    } finally {
+      GraphOps.clearUnrolledEdgeCache() // idempotent; no-op after success
+      ()
+    }
   }
 
   test("declared pagerank plan has no per-iteration stages (one scan of lineitem)") {
@@ -171,14 +163,6 @@ class GraphMixSpec extends AnyFunSuite {
 
   // -------------------------------------------------------- mix_budget
 
-  /** The sample_hash md5-prefix rank, reimplemented independently. */
-  private def md5Rank(docId: Long): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    val hex = d.digest(docId.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 8), 16)
-  }
-
   test("mix_budget selects exactly the hash-ordered prefix that fills the budget") {
     val budget = 40L
     val docs = (0 until 40).map { i =>
@@ -194,7 +178,7 @@ class GraphMixSpec extends AnyFunSuite {
     val ref = (0 until 40).map { i =>
       (i.toLong, if (i % 2 == 0) "en" else "de", (i % 8 + 3).toLong)
     }.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
-      val ordered = ds.sortBy(d => (md5Rank(d._1), d._1))
+      val ordered = ds.sortBy(d => (SpecUtil.md5Rank(d._1), d._1))
       val cums = ordered.scanLeft(0L)(_ + _._3)
       ordered.zip(cums).collect { case ((id, lg, nt), before)
         if before < budget => (id, lg, nt, before + nt) }
@@ -233,24 +217,10 @@ class GraphMixSpec extends AnyFunSuite {
       TextOps.mixBudgetDocs(docs, 50L).collect().toSeq)
     // executed-metric pin: the kept-bucket join's output IS the window
     // input; it must be budget-sized, not corpus-sized
-    import org.apache.spark.sql.execution.adaptive.{
-      AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    def bhjRows(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = {
-      val self = p match {
-        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
-          b.metrics.get("numOutputRows").map(_.value).toSeq
-        case _ => Seq()
-      }
-      val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case _: ReusedExchangeExec => Seq()
-        case o => o.children
-      }
-      self ++ kids.flatMap(bhjRows)
-    }
-    val joins = bhjRows(res.queryExecution.executedPlan)
+    val joins = SpecUtil.collectPlan(res.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        b.metrics.get("numOutputRows").map(_.value)
+    }.flatten
     assert(joins.nonEmpty && joins.forall(_ < 200),
       s"window input must be pruned to ~budget rows, join outputs: $joins")
   }

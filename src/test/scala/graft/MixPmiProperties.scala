@@ -14,13 +14,6 @@ class MixPmiProperties extends AnyFunSuite {
   val spark = TestSpark.spark
   import spark.implicits._
 
-  private def md5Rank(docId: Long): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    val hex = d.digest(docId.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 8), 16)
-  }
-
   test("mix_budget == mix_budget_approx == the reference model on random corpora") {
     val genCase = for {
       n <- Gen.choose(1, 70)
@@ -46,7 +39,7 @@ class MixPmiProperties extends AnyFunSuite {
       val ref = rows.map { case (id, lang, text) =>
         (id, lang, math.max(1L, text.split(" ").count(_.nonEmpty).toLong))
       }.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
-        val ordered = ds.sortBy(d => (md5Rank(d._1), d._1))
+        val ordered = ds.sortBy(d => (SpecUtil.md5Rank(d._1), d._1))
         val cums = ordered.scanLeft(0L)(_ + _._3)
         ordered.zip(cums).collect { case ((id, lg, nt), before)
           if before < budget => (id, lg, nt, before + nt) }

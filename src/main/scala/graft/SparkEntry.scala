@@ -348,6 +348,8 @@ object SparkEntry {
     "mix_budget" -> ((s: SparkSession, d: String) => TextOps.mixBudget(s, d)),
     "mix_budget_approx" -> ((s: SparkSession, d: String) =>
       TextOps.mixBudgetApprox(s, d)),
+    "mix_weighted" -> ((s: SparkSession, d: String) =>
+      TextOps.mixWeighted(s, d)),
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
       GraphOps.graphPagerank(s, d)),
     "lm_doc_score" -> (TextOps.lmDocScore _),
@@ -502,6 +504,30 @@ object SparkEntry {
       |  (before_toks + n_tokens)::BIGINT AS cum_tokens
       |FROM c WHERE before_toks < 5000
       |ORDER BY doc_id ASC""".stripMargin
+
+  /** The `mix_weighted` oracle: [[mixBudgetSql]]'s selection with the
+    * per-language budget CASE generated from the operator's own
+    * weights literal (exact integer shares of the 10000-token total).
+    */
+  private lazy val mixWeightedSql: String = {
+    val cases = graft.operators.TextOps.DefaultMixWeights
+      .map { case (lg, w) => s"WHEN lang = '$lg' THEN ${10000L * w / 1000}" }
+      .mkString(" ")
+    raw"""WITH t AS (SELECT doc_id, lang,
+      |    len(string_split($normT, ' '))::BIGINT AS n_tokens,
+      |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS rk
+      |  FROM documents),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY lang
+      |      ORDER BY rk ASC, doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0)::BIGINT AS before_toks
+      |  FROM t)
+      |SELECT doc_id, lang, n_tokens,
+      |  (before_toks + n_tokens)::BIGINT AS cum_tokens
+      |FROM c WHERE before_toks < (CASE $cases ELSE 0 END)
+      |ORDER BY doc_id ASC""".stripMargin
+  }
 
   /** The `graph_pagerank` oracle: the nation-trade edge aggregation,
     * then the 5 power iterations UNROLLED as chained CTEs — the same
@@ -2746,6 +2772,10 @@ object SparkEntry {
     // the bucket-pruned scale form is "approx" only in plan shape —
     // its output is bit-identical, so it shares the exact oracle
     "mix_budget_approx" -> mixBudgetSql,
+    // per-language budgets generated from the SAME weights literal the
+    // operator consumes (TextOps.DefaultMixWeights) — one source of
+    // truth for the mixture spec on both engines
+    "mix_weighted" -> mixWeightedSql,
     // 5 unrolled power iterations in pure 1e12-scaled integer
     // arithmetic (HUGEINT products mirror Spark's DECIMAL(38,0)) — no
     // floating point until the final display division of an exact int

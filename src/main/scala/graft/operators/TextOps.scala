@@ -1115,12 +1115,18 @@ object TextOps {
 
   /** The hash-ordered per-language budget prefix — the ONE definition
     * of the selection rule, shared by [[mixBudgetDocs]],
-    * [[mixBudgetApproxDocs]] (post-pruning) and [[pipelineCurateV3]]
-    * (post-curation): rank by [[hashRank]] (doc_id tie-broken), keep a
-    * doc iff the tokens before it are under budget. Preserves the
-    * incoming `n_tokens` type; extra input columns are projected away.
+    * [[mixBudgetApproxDocs]] (post-pruning), [[mixWeightedDocs]]
+    * (per-language budgets from a mixture spec) and
+    * [[pipelineCurateV3]] (post-curation): rank by [[hashRank]]
+    * (doc_id tie-broken), keep a doc iff the tokens before it are
+    * under the (possibly per-row) budget. Preserves the incoming
+    * `n_tokens` type; extra input columns are projected away.
     */
-  private def budgetPrefix(t: DataFrame, budget: Long): DataFrame = {
+  private def budgetPrefix(t: DataFrame, budget: Long): DataFrame =
+    budgetPrefixCol(t, lit(budget))
+
+  private def budgetPrefixCol(t: DataFrame,
+      budget: org.apache.spark.sql.Column): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("rk").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1133,4 +1139,46 @@ object TextOps {
           .as("cum_tokens"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** `mix_weighted` — data-mixing against a TARGET MIXTURE: the usual
+    * curation input is not one uniform per-domain budget but a mixture
+    * spec ("40% en, 25% de, …") plus a total token budget; each
+    * language's budget is its share of the total, and selection within
+    * a language is [[mixBudget]]'s hash-ordered prefix (same
+    * [[budgetPrefixCol]] rule, per-row budget). Weights that don't
+    * mention a language give it budget 0 — it is excluded entirely,
+    * which is how a mixture drops a domain. Integer share arithmetic
+    * (totalBudget·num DIV den) keeps the per-language budgets exact
+    * and oracle-replicable.
+    */
+  def mixWeighted(spark: SparkSession, sfDir: String,
+      totalBudget: Long = 10000L): DataFrame =
+    mixWeightedDocs(Tables.documents(spark, sfDir), totalBudget,
+      DefaultMixWeights)
+
+  /** The default mixture: per-mille weights (sum 1000) over the five
+    * fixture languages — en-heavy with a zh tail, the typical
+    * multilingual-pretraining shape. ONE definition, consumed by both
+    * the operator and SparkEntry's oracle-SQL generator.
+    */
+  val DefaultMixWeights: Seq[(String, Int)] =
+    Seq("en" -> 400, "de" -> 250, "es" -> 200, "fr" -> 100, "zh" -> 50)
+
+  /** The per-language budget of `lang` under `weights` (per-mille) as a
+    * CASE column: `totalBudget·w DIV 1000`, 0 for unlisted languages.
+    */
+  private def weightBudget(totalBudget: Long,
+      weights: Seq[(String, Int)]): org.apache.spark.sql.Column =
+    weights.foldLeft(when(lit(false), lit(0L))) { case (acc, (lg, w)) =>
+      acc.when(col("lang") === lg, lit(totalBudget * w / 1000))
+    }.otherwise(lit(0L))
+
+  /** Core of [[mixWeighted]] over any (doc_id, lang, text) frame. */
+  def mixWeightedDocs(docs: DataFrame, totalBudget: Long,
+      weights: Seq[(String, Int)]): DataFrame =
+    budgetPrefixCol(
+      docs.select(col("doc_id"), col("lang"),
+        size(split(normText(col("text")), " ")).cast("long")
+          .as("n_tokens")),
+      weightBudget(totalBudget, weights))
 }

@@ -225,6 +225,46 @@ class GraphMixSpec extends AnyFunSuite {
       s"window input must be pruned to ~budget rows, join outputs: $joins")
   }
 
+  test("mix_weighted applies exact per-language budget shares; unlisted langs drop") {
+    val docs = (0 until 60).map { i =>
+      val lang = Seq("en", "de", "xx")(i % 3) // xx: not in the mixture
+      (i.toLong, lang, (0 to (i % 6) + 2).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val weights = Seq("en" -> 700, "de" -> 300)
+    val total = 100L
+    val got = TextOps.mixWeightedDocs(docs, total, weights)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // reference: per-lang budget = total*w/1000, hash-prefix rule
+    val budgets = Map("en" -> 70L, "de" -> 30L)
+    val ref = (0 until 60).map { i =>
+      (i.toLong, Seq("en", "de", "xx")(i % 3), (i % 6 + 3).toLong)
+    }.filter(d => budgets.contains(d._2))
+      .groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+        val ordered = ds.sortBy(d => (SpecUtil.md5Rank(d._1), d._1))
+        val cums = ordered.scanLeft(0L)(_ + _._3)
+        ordered.zip(cums).collect { case ((id, lg, nt), before)
+          if before < budgets(lg) => (id, lg, nt, before + nt) }
+      }.sortBy(_._1)
+    assert(got == ref, s"weighted selection diverges:\ngot=$got\nref=$ref")
+    assert(!got.exists(_._2 == "xx"), "unlisted language must drop entirely")
+    assert(got.exists(_._2 == "en") && got.exists(_._2 == "de"))
+  }
+
+  test("mix_weighted on the fixtures: every weighted language contributes") {
+    val rows = TextOps.mixWeighted(spark, sf).collect()
+    val langs = rows.map(_.getString(1)).toSet
+    assert(langs == Set("en", "de", "es", "fr", "zh"),
+      s"all five weighted languages must select docs, got $langs")
+    // per-language selected tokens stay within budget + one doc overshoot
+    val budgets = TextOps.DefaultMixWeights
+      .map { case (lg, w) => lg -> 10000L * w / 1000 }.toMap
+    rows.groupBy(_.getString(1)).foreach { case (lg, rs) =>
+      assert(rs.forall(r => r.getLong(3) - r.getLong(2) < budgets(lg)),
+        s"$lg: a selected doc exceeded its language budget window")
+    }
+  }
+
   test("pipeline_curate_v3: mix stage composes the upstream curation stages") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))

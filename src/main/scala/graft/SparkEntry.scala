@@ -155,6 +155,7 @@ object SparkEntry {
     "agg_theta_sketch" -> (Aggregates.aggThetaSketch _),
     "table_stats" -> (Aggregates.tableStats _),
     "table_stats_approx" -> (Aggregates.tableStatsApprox _),
+    "dq_checks" -> (Aggregates.dqChecks _),
     "agg_corr" -> (Aggregates.aggCorr _),
     "agg_filter_clause" -> (Aggregates.aggFilterClause _),
     "sample_weighted" -> ((s: SparkSession, d: String) =>
@@ -1701,6 +1702,42 @@ object SparkEntry {
         |FROM a
         |ORDER BY column_name ASC""".stripMargin,
     // sketch-NDV form: estimates are engine-specific, so the oracle
+    // exact violation counts; pass = (violations == 0) as INT
+    "dq_checks" ->
+      """SELECT check_name, target, violations,
+        |  (CASE WHEN violations = 0 THEN 1 ELSE 0 END)::INT AS pass
+        |FROM (
+        |SELECT 'pk_unique' AS check_name, 'orders.o_orderkey' AS target,
+        |  (SELECT (count(*) - count(DISTINCT o_orderkey))::BIGINT
+        |     FROM orders) AS violations
+        |UNION ALL
+        |SELECT 'pk_unique', 'customer.c_custkey',
+        |  (SELECT (count(*) - count(DISTINCT c_custkey))::BIGINT
+        |     FROM customer)
+        |UNION ALL
+        |SELECT 'fk_exists', 'lineitem.l_orderkey->orders',
+        |  (SELECT count(*)::BIGINT FROM lineitem l
+        |     LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |     WHERE o.o_orderkey IS NULL)
+        |UNION ALL
+        |SELECT 'fk_exists', 'orders.o_custkey->customer',
+        |  (SELECT count(*)::BIGINT FROM orders o
+        |     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |     WHERE c.c_custkey IS NULL)
+        |UNION ALL
+        |SELECT 'not_null', 'customer.c_name',
+        |  (SELECT count(CASE WHEN c_name IS NULL THEN 1 END)::BIGINT
+        |     FROM customer)
+        |UNION ALL
+        |SELECT 'range', 'lineitem.l_quantity in [1,50]',
+        |  (SELECT count(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+        |                     THEN 1 END)::BIGINT FROM lineitem)
+        |UNION ALL
+        |SELECT 'range_strict', 'lineitem.l_quantity in [1,25]',
+        |  (SELECT count(CASE WHEN NOT (l_quantity BETWEEN 1 AND 25)
+        |                     THEN 1 END)::BIGINT FROM lineitem)
+        |) t
+        |ORDER BY check_name ASC, target ASC""".stripMargin,
     // pins the exact stats plus the Spark-side within-5% contract bool
     "table_stats_approx" ->
       """WITH a AS (SELECT count(*) AS n_rows,

@@ -357,6 +357,53 @@ object Aggregates {
     * every sketch on each Expand replica — measured 7× the split
     * form's cost at sf0.1).
     */
+  /** `dq_checks` — the declarative data-quality audit surface (what
+    * Deequ / dbt tests provide on a warehouse): primary-key
+    * uniqueness, referential integrity along the fact→dim edges,
+    * not-null and domain-range constraints, evaluated as one
+    * aggregation pass per table plus keyed anti-joins for the FK
+    * probes — the report is check-count-sized, never row-sized.
+    * Violations are exact COUNTS; `pass` = (violations == 0) as INT.
+    * One check (`range_strict`) is deliberately violated on the
+    * fixtures so the report demonstrably counts rather than
+    * rubber-stamps. At 100 TB every probe is a scan-side aggregate or
+    * a keyed anti-join — nothing funnels.
+    */
+  def dqChecks(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    def report(name: String, target: String, agged: DataFrame): DataFrame =
+      agged.select(lit(name).as("check_name"), lit(target).as("target"),
+        col("violations"),
+        when(col("violations") === 0L, 1).otherwise(0).as("pass"))
+    def agg1(df: DataFrame, v: org.apache.spark.sql.Column): DataFrame =
+      df.agg(v.cast("long").as("violations"))
+    Seq(
+      report("pk_unique", "orders.o_orderkey",
+        agg1(ord, count(lit(1)) - countDistinct(col("o_orderkey")))),
+      report("pk_unique", "customer.c_custkey",
+        agg1(cust, count(lit(1)) - countDistinct(col("c_custkey")))),
+      report("fk_exists", "lineitem.l_orderkey->orders",
+        agg1(li.select(col("l_orderkey"))
+          .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti"),
+          count(lit(1)))),
+      report("fk_exists", "orders.o_custkey->customer",
+        agg1(ord.select(col("o_custkey"))
+          .join(cust.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti"),
+          count(lit(1)))),
+      report("not_null", "customer.c_name",
+        agg1(cust, count(when(col("c_name").isNull, lit(1))))),
+      report("range", "lineitem.l_quantity in [1,50]",
+        agg1(li, count(when(!col("l_quantity").between(1, 50), lit(1))))),
+      report("range_strict", "lineitem.l_quantity in [1,25]",
+        agg1(li, count(when(!col("l_quantity").between(1, 25), lit(1))))))
+      .reduce(_ unionByName _)
+      .orderBy(col("check_name").asc, col("target").asc)
+  }
+
   def tableStatsApprox(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val apx = li.agg(

@@ -120,6 +120,27 @@ class GraphMixSpec extends AnyFunSuite {
         s"${liScans.size}")
   }
 
+  // --------------------------------------------------------- dq_checks
+
+  test("dq_checks passes real invariants and counts real violations") {
+    val rows = graft.operators.Aggregates.dqChecks(spark, sf).collect()
+    val byKey = rows.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getInt(3)))).toMap
+    // true fixture invariants hold
+    assert(byKey(("pk_unique", "orders.o_orderkey")) == ((0L, 1)))
+    assert(byKey(("pk_unique", "customer.c_custkey")) == ((0L, 1)))
+    assert(byKey(("fk_exists", "lineitem.l_orderkey->orders")) == ((0L, 1)))
+    assert(byKey(("fk_exists", "orders.o_custkey->customer")) == ((0L, 1)))
+    assert(byKey(("not_null", "customer.c_name")) == ((0L, 1)))
+    assert(byKey(("range", "lineitem.l_quantity in [1,50]")) == ((0L, 1)))
+    // the deliberately-strict range check must actually COUNT — a
+    // rubber-stamping audit would report 0 everywhere
+    val (strictViol, strictPass) =
+      byKey(("range_strict", "lineitem.l_quantity in [1,25]"))
+    assert(strictViol > 0L && strictPass == 0,
+      s"strict check must fail with a real count, got $strictViol")
+  }
+
   // --------------------------------------------------------- ngram_pmi
 
   test("ngram_pmi ranks a planted collocation above frequent-but-independent pairs") {

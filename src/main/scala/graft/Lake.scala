@@ -162,6 +162,39 @@ class Lake(val spark: SparkSession, val warehouse: String) {
   /** novlake `Lake.meta(table)` — schema as rows (Glue DDL stand-in). */
   def meta(name: String): DataFrame = LakeIO.tableMeta(load(name))
 
+  /** Generic data-quality audit of any lake table (the `dq_checks`
+    * surface as a facade method): row count, per-column null counts,
+    * and optional key-uniqueness probes — ONE aggregation pass
+    * regardless of column count (null counts are conditional counts in
+    * the same aggregate, never per-column re-scans), plus one
+    * `count distinct` per declared key. Output is check-count-sized:
+    * (check_name, target, violations, pass).
+    */
+  def audit(name: String, uniqueKeys: Seq[String] = Seq()): DataFrame = {
+    val df = load(name)
+    val nullChecks = df.schema.fields.map(f =>
+      count(when(col(f.name).isNull, lit(1))).as(s"nulls_${f.name}"))
+    val keyChecks = uniqueKeys.map(k =>
+      (count(lit(1)) - countDistinct(col(k))).as(s"dup_$k"))
+    val agged = df.agg(count(lit(1)).as("n_rows"),
+      (nullChecks ++ keyChecks).toIndexedSeq: _*)
+    val rows =
+      Seq(agged.select(lit("row_count").as("check_name"),
+        lit(name).as("target"),
+        when(col("n_rows") > 0, 0L).otherwise(1L).as("violations"))) ++
+      df.schema.fields.map(f => agged.select(
+        lit("not_null").as("check_name"),
+        lit(s"$name.${f.name}").as("target"),
+        col(s"nulls_${f.name}").cast("long").as("violations"))) ++
+      uniqueKeys.map(k => agged.select(
+        lit("unique").as("check_name"),
+        lit(s"$name.$k").as("target"),
+        col(s"dup_$k").cast("long").as("violations")))
+    rows.reduce(_ unionByName _)
+      .withColumn("pass", when(col("violations") === 0L, 1).otherwise(0))
+      .orderBy(col("check_name").asc, col("target").asc)
+  }
+
   /** novlake `Lake.list_tables()` — session-catalog listing. */
   def listTables(): DataFrame = LakeIO.listTables(spark)
 

@@ -350,6 +350,29 @@ class LakeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS merge_probe_tbl")
   }
 
+  test("audit: one-pass generic DQ report with planted nulls and duplicate keys") {
+    import spark.implicits._
+    val lake = newLake()
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (2L, None), (3L, Some("c")))
+      .toDF("k", "v")
+    lake.saveDataset(df, "audit_probe")
+    val rows = lake.audit("audit_probe", uniqueKeys = Seq("k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    assert(rows(("row_count", "audit_probe")) == ((0L, 1)))
+    assert(rows(("not_null", "audit_probe.k")) == ((0L, 1)))
+    assert(rows(("not_null", "audit_probe.v")) == ((1L, 0)),
+      "the planted null must be counted")
+    assert(rows(("unique", "audit_probe.k")) == ((1L, 0)),
+      "the planted duplicate key must be counted")
+    // all column and key probes ride ONE aggregate — no per-column
+    // re-scan of the table
+    val plan = lake.audit("audit_probe", Seq("k"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"audit must not join:\n$plan")
+  }
+
   test("avro and delta sources raise the pinned missing-source errors (documented exclusions)") {
     // SURVEY "what's missing" #3/#4: the spark-avro connector and the
     // Delta/Iceberg/Hudi format jars are absent from /opt/spark/jars.

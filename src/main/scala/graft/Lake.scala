@@ -166,33 +166,50 @@ class Lake(val spark: SparkSession, val warehouse: String) {
     * surface as a facade method): row count, per-column null counts,
     * and optional key-uniqueness probes — ONE aggregation pass
     * regardless of column count (null counts are conditional counts in
-    * the same aggregate, never per-column re-scans), plus one
-    * `count distinct` per declared key. Output is check-count-sized:
-    * (check_name, target, violations, pass).
+    * the same aggregate), plus one `count distinct` per declared key.
+    * The single 1-row aggregate is collected and the check-count-sized
+    * report built locally — the decontaminate_bloom bounded-collect
+    * class; the first cut instead union-ed one `agged.select` per
+    * check, and Catalyst's column pruning specialized every branch
+    * into its OWN single-expression aggregate over its own scan
+    * (verified: 1+C+K full scans for a C-column table), which is why
+    * the report must not be derived relationally from the aggregate.
+    * Column names are backtick-escaped: an audit facade must survive
+    * dotted column names that `col(...)` would parse as field access.
+    * Output: (check_name, target, violations, pass).
     */
   def audit(name: String, uniqueKeys: Seq[String] = Seq()): DataFrame = {
-    val df = load(name)
-    val nullChecks = df.schema.fields.map(f =>
-      count(when(col(f.name).isNull, lit(1))).as(s"nulls_${f.name}"))
-    val keyChecks = uniqueKeys.map(k =>
-      (count(lit(1)) - countDistinct(col(k))).as(s"dup_$k"))
-    val agged = df.agg(count(lit(1)).as("n_rows"),
-      (nullChecks ++ keyChecks).toIndexedSeq: _*)
-    val rows =
-      Seq(agged.select(lit("row_count").as("check_name"),
-        lit(name).as("target"),
-        when(col("n_rows") > 0, 0L).otherwise(1L).as("violations"))) ++
-      df.schema.fields.map(f => agged.select(
-        lit("not_null").as("check_name"),
-        lit(s"$name.${f.name}").as("target"),
-        col(s"nulls_${f.name}").cast("long").as("violations"))) ++
-      uniqueKeys.map(k => agged.select(
-        lit("unique").as("check_name"),
-        lit(s"$name.$k").as("target"),
-        col(s"dup_$k").cast("long").as("violations")))
-    rows.reduce(_ unionByName _)
+    val agged = auditAgg(load(name), uniqueKeys)
+    val row = agged.collect().head
+    val nCols = agged.columns.length - 1 - uniqueKeys.length
+    val fields = agged.columns.slice(1, 1 + nCols).map(_.stripPrefix("nulls_"))
+    val checks: Seq[(String, String, Long)] =
+      Seq(("row_count", name, if (row.getLong(0) > 0) 0L else 1L)) ++
+      fields.zipWithIndex.map { case (f, i) =>
+        ("not_null", s"$name.$f", row.getLong(1 + i))
+      } ++
+      uniqueKeys.zipWithIndex.map { case (k, i) =>
+        ("unique", s"$name.$k", row.getLong(1 + nCols + i))
+      }
+    import spark.implicits._
+    checks.toDF("check_name", "target", "violations")
       .withColumn("pass", when(col("violations") === 0L, 1).otherwise(0))
       .orderBy(col("check_name").asc, col("target").asc)
+  }
+
+  /** The audit's single aggregate frame (one row; one table scan) —
+    * exposed so LakeSpec can pin the one-scan plan shape directly.
+    */
+  private[graft] def auditAgg(df: DataFrame,
+      uniqueKeys: Seq[String]): DataFrame = {
+    def c(n: String) = col(s"`$n`")
+    val nullChecks = df.schema.fields.map(f =>
+      count(when(c(f.name).isNull, lit(1))).cast("long")
+        .as(s"nulls_${f.name}"))
+    val keyChecks = uniqueKeys.map(k =>
+      (count(lit(1)) - countDistinct(c(k))).cast("long").as(s"dup_$k"))
+    df.agg(count(lit(1)).as("n_rows"),
+      (nullChecks ++ keyChecks).toIndexedSeq: _*)
   }
 
   /** novlake `Lake.list_tables()` — session-catalog listing. */

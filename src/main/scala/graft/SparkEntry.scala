@@ -1701,7 +1701,6 @@ object SparkEntry {
         |SELECT 'l_quantity', n_rows, ndv_qty, nn_qty, min_qty, max_qty
         |FROM a
         |ORDER BY column_name ASC""".stripMargin,
-    // sketch-NDV form: estimates are engine-specific, so the oracle
     // exact violation counts; pass = (violations == 0) as INT
     "dq_checks" ->
       """SELECT check_name, target, violations,
@@ -1738,6 +1737,7 @@ object SparkEntry {
         |                     THEN 1 END)::BIGINT FROM lineitem)
         |) t
         |ORDER BY check_name ASC, target ASC""".stripMargin,
+    // sketch-NDV form: estimates are engine-specific, so the oracle
     // pins the exact stats plus the Spark-side within-5% contract bool
     "table_stats_approx" ->
       """WITH a AS (SELECT count(*) AS n_rows,

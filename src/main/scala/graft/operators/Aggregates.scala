@@ -360,47 +360,64 @@ object Aggregates {
   /** `dq_checks` — the declarative data-quality audit surface (what
     * Deequ / dbt tests provide on a warehouse): primary-key
     * uniqueness, referential integrity along the fact→dim edges,
-    * not-null and domain-range constraints, evaluated as one
-    * aggregation pass per table plus keyed anti-joins for the FK
-    * probes — the report is check-count-sized, never row-sized.
-    * Violations are exact COUNTS; `pass` = (violations == 0) as INT.
-    * One check (`range_strict`) is deliberately violated on the
-    * fixtures so the report demonstrably counts rather than
-    * rubber-stamps. At 100 TB every probe is a scan-side aggregate or
-    * a keyed anti-join — nothing funnels.
+    * not-null and domain-range constraints. Violations are exact
+    * COUNTS; `pass` = (violations == 0) as INT; the report is
+    * check-count-sized, never row-sized. One check (`range_strict`)
+    * is deliberately violated on the fixtures so the report
+    * demonstrably counts rather than rubber-stamps.
+    *
+    * Plan shape, stated honestly: each table's AGGREGATE checks share
+    * one scan — the per-table aggregate emits all its violation
+    * counts in one row, fanned to check rows by `stack` (ONE consumer;
+    * deriving the rows with per-check selects instead lets column
+    * pruning specialize every branch into its own aggregate + scan,
+    * the bug the first cut of `Lake.audit` shipped). Each FK probe is
+    * additionally its own keyed anti-join — inherently a separate
+    * join, so lineitem is read twice (ranges + FK probe) and orders
+    * three times (PK agg + both FK sides). Nothing funnels; every
+    * probe is a scan-side aggregate or keyed anti-join.
     */
   def dqChecks(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
     val cust = Tables.customer(spark, sfDir)
-    def report(name: String, target: String, agged: DataFrame): DataFrame =
-      agged.select(lit(name).as("check_name"), lit(target).as("target"),
-        col("violations"),
-        when(col("violations") === 0L, 1).otherwise(0).as("pass"))
-    def agg1(df: DataFrame, v: org.apache.spark.sql.Column): DataFrame =
-      df.agg(v.cast("long").as("violations"))
-    Seq(
-      report("pk_unique", "orders.o_orderkey",
-        agg1(ord, count(lit(1)) - countDistinct(col("o_orderkey")))),
-      report("pk_unique", "customer.c_custkey",
-        agg1(cust, count(lit(1)) - countDistinct(col("c_custkey")))),
-      report("fk_exists", "lineitem.l_orderkey->orders",
-        agg1(li.select(col("l_orderkey"))
+    val liChecks = li.agg(
+        count(when(!col("l_quantity").between(1, 50), lit(1)))
+          .as("v_range"),
+        count(when(!col("l_quantity").between(1, 25), lit(1)))
+          .as("v_range_strict"))
+      .select(expr("stack(2," +
+        " 'range', 'lineitem.l_quantity in [1,50]', v_range," +
+        " 'range_strict', 'lineitem.l_quantity in [1,25]', v_range_strict" +
+        ") AS (check_name, target, violations)"))
+    val custChecks = cust.agg(
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("v_pk"),
+        count(when(col("c_name").isNull, lit(1))).as("v_null"))
+      .select(expr("stack(2," +
+        " 'pk_unique', 'customer.c_custkey', v_pk," +
+        " 'not_null', 'customer.c_name', v_null" +
+        ") AS (check_name, target, violations)"))
+    val ordChecks = ord
+      .agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("v"))
+      .select(lit("pk_unique").as("check_name"),
+        lit("orders.o_orderkey").as("target"), col("v").as("violations"))
+    def fk(name: String, probe: DataFrame): DataFrame =
+      probe.agg(count(lit(1)).as("v"))
+        .select(lit("fk_exists").as("check_name"), lit(name).as("target"),
+          col("v").as("violations"))
+    Seq(liChecks, custChecks, ordChecks,
+      fk("lineitem.l_orderkey->orders",
+        li.select(col("l_orderkey"))
           .join(ord.select(col("o_orderkey")),
-            col("l_orderkey") === col("o_orderkey"), "left_anti"),
-          count(lit(1)))),
-      report("fk_exists", "orders.o_custkey->customer",
-        agg1(ord.select(col("o_custkey"))
+            col("l_orderkey") === col("o_orderkey"), "left_anti")),
+      fk("orders.o_custkey->customer",
+        ord.select(col("o_custkey"))
           .join(cust.select(col("c_custkey")),
-            col("o_custkey") === col("c_custkey"), "left_anti"),
-          count(lit(1)))),
-      report("not_null", "customer.c_name",
-        agg1(cust, count(when(col("c_name").isNull, lit(1))))),
-      report("range", "lineitem.l_quantity in [1,50]",
-        agg1(li, count(when(!col("l_quantity").between(1, 50), lit(1))))),
-      report("range_strict", "lineitem.l_quantity in [1,25]",
-        agg1(li, count(when(!col("l_quantity").between(1, 25), lit(1))))))
+            col("o_custkey") === col("c_custkey"), "left_anti")))
       .reduce(_ unionByName _)
+      .select(col("check_name"), col("target"),
+        col("violations").cast("long").as("violations"),
+        when(col("violations") === 0L, 1).otherwise(0).as("pass"))
       .orderBy(col("check_name").asc, col("target").asc)
   }
 

@@ -1103,7 +1103,7 @@ object TextOps {
       .select(col("lang"), col("b"))
     budgetPrefix(
       t.join(broadcast(keptBuckets), Seq("lang", "b"))
-        .select(col("doc_id"), col("lang"), col("n_tokens")),
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("rk")),
       budget)
   }
 
@@ -1130,7 +1130,10 @@ object TextOps {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("rk").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    t.withColumn("rk", hashRank(col("doc_id")))
+    // reuse a caller-computed rank (mix_budget_approx already ranked
+    // for bucketing) rather than paying the md5 twice per row
+    (if (t.columns.contains("rk")) t
+     else t.withColumn("rk", hashRank(col("doc_id"))))
       .withColumn("before_toks",
         coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
       .filter(col("before_toks") < budget)

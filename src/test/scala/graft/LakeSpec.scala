@@ -366,11 +366,26 @@ class LakeSpec extends AnyFunSuite {
       "the planted null must be counted")
     assert(rows(("unique", "audit_probe.k")) == ((1L, 0)),
       "the planted duplicate key must be counted")
-    // all column and key probes ride ONE aggregate — no per-column
-    // re-scan of the table
-    val plan = lake.audit("audit_probe", Seq("k"))
-      .queryExecution.optimizedPlan.toString
-    assert(!plan.contains("Join"), s"audit must not join:\n$plan")
+    // the real one-scan pin (code-review r11: per-check selects over
+    // the aggregate got column-pruned into one aggregate + scan PER
+    // CHECK, 1+C+K scans — the report is now built from ONE collected
+    // aggregate row, so the aggregate frame itself must plan exactly
+    // one scan and one aggregate pair)
+    val agged = lake.auditAgg(lake.load("audit_probe"), Seq("k"))
+    agged.collect()
+    val scans = SpecUtil.collectPlan(agged.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        System.identityHashCode(f)
+    }.toSet
+    assert(scans.size == 1,
+      s"audit must scan the table exactly once, got ${scans.size}")
+    // dotted column names must survive (audit reads names from the
+    // schema; unescaped col() would parse the dot as field access)
+    lake.saveDataset(df.withColumnRenamed("v", "payload.size"), "audit_dots")
+    val dotted = lake.audit("audit_dots")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(dotted("audit_dots.payload.size") == 1L,
+      "the dotted column's planted null must be counted")
   }
 
   test("avro and delta sources raise the pinned missing-source errors (documented exclusions)") {

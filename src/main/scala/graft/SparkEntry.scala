@@ -223,6 +223,7 @@ object SparkEntry {
     "stream_join_outer" -> (EventWindows.streamJoinOuterBatch _),
     "stream_join_full" -> (EventWindows.streamJoinFullBatch _),
     "stream_join_semi" -> (EventWindows.streamJoinSemiBatch _),
+    "ts_anomaly" -> (EventWindows.tsAnomaly _),
     "ts_gapfill" -> (EventWindows.tsGapfill _),
     "ts_resample" -> (EventWindows.tsResample _),
     "ts_interpolate" -> (EventWindows.tsInterpolate _),
@@ -2520,6 +2521,32 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM ev GROUP BY 1, 2
         |ORDER BY event_type ASC, bucket ASC""".stripMargin,
+    // z from exact decimal moment sums, SAME IEEE tree both engines,
+    // flag compares the ROUNDED z (agg_corr discipline)
+    "ts_anomaly" ->
+      raw"""WITH daily AS (SELECT o_orderpriority,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |d2 AS (SELECT o_orderpriority, day,
+        |    CAST(rev AS DOUBLE) AS x FROM daily),
+        |st AS (SELECT o_orderpriority, count(*)::DOUBLE AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+        |  FROM d2 GROUP BY 1)
+        |SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day,
+        |  day_rev, z,
+        |  (CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END)::INT AS anomaly
+        |FROM (SELECT d2.o_orderpriority, d2.day, d2.x AS day_rev,
+        |    CASE WHEN (st.sxx / st.n
+        |               - (st.sx / st.n) * (st.sx / st.n)) <= 0.0
+        |         THEN 0.0
+        |         ELSE round((d2.x - st.sx / st.n)
+        |           / sqrt(st.sxx / st.n
+        |                  - (st.sx / st.n) * (st.sx / st.n)), 6)
+        |    END AS z
+        |  FROM d2 JOIN st USING (o_orderpriority)) q
+        |ORDER BY o_orderpriority ASC, day ASC""".stripMargin,
     "ts_gapfill" ->
       """WITH agg AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bucket,

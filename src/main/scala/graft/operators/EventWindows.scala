@@ -430,4 +430,47 @@ object EventWindows {
         sum(dec(col("value"))).cast("double").as("live_value"))
       .orderBy(col("user_id").asc)
   }
+
+  /** `ts_anomaly` — series anomaly flagging, the monitoring workhorse:
+    * each order priority's DAILY revenue series is scored against its
+    * own population mean/stddev, and days with |z| > 2 are flagged.
+    * Per-series stats keep everything KEYED (a global series would
+    * need the scalar-attach product shape); the stats join back on the
+    * series key, so the plan is two keyed aggregates + one keyed join
+    * — day-count-sized after the first aggregate, at any corpus size.
+    *
+    * Determinism (the agg_corr discipline): day revenue is an exact
+    * DECIMAL sum; the moment sums snap each double to DECIMAL before
+    * summing (order-independent under partial aggregation); μ/σ/z run
+    * the SAME IEEE expression tree in both engines; z rounds to 6dp
+    * and the flag compares the ROUNDED z, so a boundary day cannot
+    * flip between engines. Zero-variance series short-circuit to
+    * z = 0 in both engines (identical double comparison).
+    */
+  def tsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec28(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(28, 4))
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      .withColumn("x", col("rev").cast("double"))
+    val stats = daily.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec28(col("x") * col("x"))).cast("double").as("sxx"))
+    def varp = col("sxx") / col("n") -
+      (col("sx") / col("n")) * (col("sx") / col("n"))
+    daily.join(stats, "o_orderpriority")
+      // day as yyyy-MM-dd STRING: a DATE column round-trips as date
+      // objects from Spark parquet but datetime64 from DuckDB's
+      // fetchdf, failing the driver's value compare on type
+      .select(col("o_orderpriority"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x").as("day_rev"),
+        when(varp <= 0.0, lit(0.0))
+          .otherwise(round((col("x") - col("sx") / col("n")) / sqrt(varp),
+            6)).as("z"))
+      .withColumn("anomaly", when(abs(col("z")) > 2.0, 1).otherwise(0))
+      .orderBy(col("o_orderpriority").asc, col("day").asc)
+  }
 }

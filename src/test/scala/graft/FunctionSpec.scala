@@ -497,4 +497,31 @@ class FunctionSpec extends AnyFunSuite {
       .as[(Long, Seq[Double])].collect().toSeq
     assert(run() === run())
   }
+
+  test("ts_anomaly: z-scores recompute per series and flags follow the rounded z") {
+    val rows = graft.operators.EventWindows.tsAnomaly(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    // the flag is a pure function of the emitted z
+    assert(rows.forall { case (_, _, _, z, f) =>
+      f == (if (math.abs(z) > 2.0) 1 else 0) })
+    // both flag values occur on the fixtures (the check counts, not
+    // rubber-stamps) and the tail mass is plausible for a z>2 cut
+    val flagged = rows.count(_._5 == 1)
+    assert(flagged > 0 && flagged < rows.length / 4,
+      s"implausible anomaly mass: $flagged of ${rows.length}")
+    // per-series recompute from the emitted day_rev values: mean z ~ 0
+    // and each z within rounding of (x - mu) / sigma
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      val xs = rs.map(_._3)
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      val sd = math.sqrt(xs.map(x => x * x).sum / n - mu * mu)
+      rs.foreach { case (_, day, x, z, _) =>
+        assert(math.abs(z - (x - mu) / sd) < 1e-3,
+          s"$p $day: z=$z but recompute=${(x - mu) / sd}")
+      }
+    }
+  }
 }

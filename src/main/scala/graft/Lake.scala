@@ -202,7 +202,7 @@ class Lake(val spark: SparkSession, val warehouse: String) {
     */
   private[graft] def auditAgg(df: DataFrame,
       uniqueKeys: Seq[String]): DataFrame = {
-    def c(n: String) = col(s"`$n`")
+    def c(n: String) = col("`" + n.replace("`", "``") + "`")
     val nullChecks = df.schema.fields.map(f =>
       count(when(c(f.name).isNull, lit(1))).cast("long")
         .as(s"nulls_${f.name}"))

@@ -1101,10 +1101,10 @@ object TextOps {
       .withColumn("before_b", coalesce(sum(col("bt")).over(wb), lit(0L)))
       .filter(col("before_b") < budget)
       .select(col("lang"), col("b"))
-    budgetPrefix(
+    budgetPrefixCol(
       t.join(broadcast(keptBuckets), Seq("lang", "b"))
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("rk")),
-      budget)
+      lit(budget), rkPrecomputed = true)
   }
 
   /** Core of [[mixBudget]] over any (doc_id, lang, text) frame. */
@@ -1125,14 +1125,19 @@ object TextOps {
   private def budgetPrefix(t: DataFrame, budget: Long): DataFrame =
     budgetPrefixCol(t, lit(budget))
 
+  /** `rkPrecomputed = true` lets a caller that ALREADY ranked by
+    * [[hashRank]] (mix_budget_approx, for its bucketing) skip the
+    * second per-row md5 — an EXPLICIT opt-in, not name-sniffing: a
+    * frame that happened to carry an unrelated `rk` column must not
+    * silently replace the selection order the oracle SQL encodes.
+    */
   private def budgetPrefixCol(t: DataFrame,
-      budget: org.apache.spark.sql.Column): DataFrame = {
+      budget: org.apache.spark.sql.Column,
+      rkPrecomputed: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("rk").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    // reuse a caller-computed rank (mix_budget_approx already ranked
-    // for bucketing) rather than paying the md5 twice per row
-    (if (t.columns.contains("rk")) t
+    (if (rkPrecomputed) t
      else t.withColumn("rk", hashRank(col("doc_id"))))
       .withColumn("before_toks",
         coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))

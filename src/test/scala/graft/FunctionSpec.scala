@@ -518,9 +518,12 @@ class FunctionSpec extends AnyFunSuite {
       val n = xs.length.toDouble
       val mu = xs.sum / n
       val sd = math.sqrt(xs.map(x => x * x).sum / n - mu * mu)
+      // a zero-variance series short-circuits to z = 0 in the operator;
+      // mirror that here instead of dividing by zero
       rs.foreach { case (_, day, x, z, _) =>
-        assert(math.abs(z - (x - mu) / sd) < 1e-3,
-          s"$p $day: z=$z but recompute=${(x - mu) / sd}")
+        val expect = if (sd > 0) (x - mu) / sd else 0.0
+        assert(math.abs(z - expect) < 1e-3,
+          s"$p $day: z=$z but recompute=$expect")
       }
     }
   }

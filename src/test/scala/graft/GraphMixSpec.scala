@@ -246,6 +246,31 @@ class GraphMixSpec extends AnyFunSuite {
       s"window input must be pruned to ~budget rows, join outputs: $joins")
   }
 
+  test("mix_weighted prunes the window input to per-language kept-bucket prefixes") {
+    // 2000 docs, small per-language budgets: the per-row-budget prune
+    // (round-12: budgetPrefixPruned generalized past the scalar case)
+    // must discard the overwhelming majority of the corpus BEFORE the
+    // doc-level window, exactly like mix_budget_approx's scalar form
+    val docs = (0 until 2000).map { i =>
+      (i.toLong, Seq("en", "de", "xx")(i % 3),
+        (0 to (i % 5) + 1).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val weights = Seq("en" -> 700, "de" -> 300)
+    val res = TextOps.mixWeightedDocs(docs, 100L, weights, buckets = 256)
+    // buckets = 1 keeps every bucket of every weighted language — the
+    // unpruned selection — so equality pins bit-identical output
+    assert(res.collect().toSeq ==
+      TextOps.mixWeightedDocs(docs, 100L, weights, buckets = 1)
+        .collect().toSeq)
+    val joins = SpecUtil.collectPlan(res.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        b.metrics.get("numOutputRows").map(_.value)
+    }.flatten
+    assert(joins.nonEmpty && joins.forall(_ < 200),
+      s"window input must be pruned to ~budget rows per language, " +
+        s"join outputs: $joins")
+  }
+
   test("mix_weighted applies exact per-language budget shares; unlisted langs drop") {
     val docs = (0 until 60).map { i =>
       val lang = Seq("en", "de", "xx")(i % 3) // xx: not in the mixture

@@ -354,6 +354,12 @@ object SparkEntry {
       TextOps.mixWeighted(s, d)),
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
       GraphOps.graphPagerank(s, d)),
+    // the DISTRIBUTED formulation of the same arithmetic (unrolled keyed
+    // joins over the cached edge aggregate) — the scale path for graphs
+    // too large for one task, driver-gated on the same oracle (the
+    // join_asof_split precedent, VERDICT r11 #3)
+    "graph_pagerank_dist" -> ((s: SparkSession, d: String) =>
+      GraphOps.graphPagerankUnrolled(s, d)),
     "lm_doc_score" -> (TextOps.lmDocScore _),
     "quality_lm_bucket" -> (TextOps.qualityLmBucket _),
     // the approx-cutoff SCALE variant of quality_lm_bucket (no ntile
@@ -2844,6 +2850,10 @@ object SparkEntry {
     // arithmetic (HUGEINT products mirror Spark's DECIMAL(38,0)) — no
     // floating point until the final display division of an exact int
     "graph_pagerank" -> pagerankSql,
+    // same fixed-point arithmetic, same oracle, verbatim (the
+    // join_asof_split precedent: a scale-path rewrite earns its own
+    // driver gate against the identical SQL)
+    "graph_pagerank_dist" -> pagerankSql,
     // per-bigram ln rounded to 6dp and summed as DECIMAL on both sides
     // — double sums are addition-order-dependent, decimal sums are
     // exact, so the 4dp hash-match is deterministic (SURVEY §5.3)

@@ -149,7 +149,9 @@ object GraphOps {
 
   /** The fully relational formulation: 5 power iterations UNROLLED as
     * tiny keyed joins — the scale path for graphs too large for one
-    * task. Identical integer arithmetic to [[graphPagerank]]
+    * task, declared as `graph_pagerank_dist` and driver-gated on the
+    * SAME oracle SQL as [[graphPagerank]] (the join_asof_split
+    * precedent). Identical integer arithmetic to [[graphPagerank]]
     * (spec-asserted bit-equal); its per-iteration edge/out-degree
     * subtrees canonicalize identically and collapse to
     * ReusedExchange, so the fact tables are scanned once.
@@ -169,8 +171,9 @@ object GraphOps {
     // sized aggregate is additionally registered in the cache manager
     // (the dedup_cluster treatment): every fresh subtree canonicalizes
     // onto ONE InMemoryRelation and the fact tables are scanned once
-    // regardless of iteration count. The caller of this spec-only
-    // scale path unpersists via [[unrolledEdgeCache]].
+    // regardless of iteration count. Storage release is
+    // [[clearUnrolledEdgeCache]] / `Lake.clearCaches` (the memo
+    // discipline); the entry itself is ≤625 rows.
     val fp = MinHashDedup.corpusFingerprint(spark, sfDir, EdgeTables)
     def edgesF(): DataFrame = {
       MinHashDedup.evictStale(unrolledEdgeCache,

@@ -146,10 +146,15 @@ class ContractSpec extends AnyFunSuite {
     //   graph_pagerank   — ONE-ROW collected edge aggregate × ONE-ROW
     //                    node list feeding the in-task solve (1×1; the
     //                    corpus-sized work is all keyed upstream)
+    //   graph_pagerank_dist — per-iteration ONE-ROW dangling-mass and
+    //                    ONE-ROW node-count scalar attaches (|nodes|×1,
+    //                    graph-sized); the corpus-sized edge aggregation
+    //                    is keyed and cached once
     val allowProduct =
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
         "ann_recall", "stream_watermark_late_ok", "simsearch_hybrid",
-        "simsearch_hybrid_lsh", "ngram_pmi", "graph_pagerank")
+        "simsearch_hybrid_lsh", "ngram_pmi", "graph_pagerank",
+        "graph_pagerank_dist")
     walk { (name, df) =>
       if (allowProduct(name)) None
       else {

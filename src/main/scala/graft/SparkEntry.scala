@@ -740,7 +740,8 @@ object SparkEntry {
       |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       |stats AS (SELECT count(*)::DOUBLE AS n_docs,
-      |          sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+      |          sum(dl)::DOUBLE / count(*) AS avgdl,
+      |          count(*) AS n_docs_l FROM dl),
       |qt AS (SELECT DISTINCT doc_id AS q_id, term FROM tok2
       |       WHERE doc_id < 10),
       |contrib AS (SELECT q.q_id, t.doc_id AS c_id,
@@ -754,7 +755,8 @@ object SparkEntry {
       |  FROM qt q JOIN tf t ON q.term = t.term AND t.doc_id <> q.q_id
       |  JOIN dfq f ON q.term = f.term
       |  JOIN dl l ON t.doc_id = l.doc_id
-      |  CROSS JOIN stats s),
+      |  CROSS JOIN stats s
+      |  WHERE f.df * 1000 <= s.n_docs_l * 500),
       |lex AS (SELECT q_id, c_id, lex_rn FROM (
       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
       |      ORDER BY score_u DESC, c_id ASC) AS lex_rn

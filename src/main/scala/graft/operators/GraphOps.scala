@@ -180,8 +180,16 @@ object GraphOps {
         (k: (SparkSession, String, String)) =>
           k._1 == spark && k._2 == sfDir && k._3 != fp,
         (k: (SparkSession, String, String)) => k._1)
-      unrolledEdgeCache.computeIfAbsent((spark, sfDir, fp),
-        _ => edgeAgg(spark, sfDir).persist())
+      unrolledEdgeCache.computeIfAbsent((spark, sfDir, fp), _ => {
+        val e = edgeAgg(spark, sfDir).persist()
+        // materialize NOW (bench r12): the unrolled plan has ~20 AQE
+        // query stages all reading this relation, and a LAZY cache lets
+        // the early stages race its population — each racer recomputes
+        // the corpus-sized 3-way join (measured 325 s of task time at
+        // sf0.1 vs ~1 s for one build). One eager count = one build.
+        e.count()
+        e
+      })
     }
     def outsF(): DataFrame =
       edgesF().groupBy(col("u")).agg(sum(col("w")).as("outw"))
@@ -190,25 +198,39 @@ object GraphOps {
         expr(s"(CAST(w AS DECIMAL(38,0)) * ${Scale}L) DIV outw").as("r"))
 
     def step(p: DataFrame): DataFrame = {
-      val contrib = p.select(col("v").as("u"), col("p"))
+      // broadcast hints: every join side here is ≤|nodes|² rows, and an
+      // explicit hint skips the shuffle exchange AQE would first plan
+      // then convert — fewer sequential query stages per iteration
+      val contrib = broadcast(p.select(col("v").as("u"), col("p")))
         .join(ratioF(), Seq("u"))
         .select(col("dst").as("vc"),
           expr(s"(CAST(p AS DECIMAL(38,0)) * r) DIV ${Scale}L").as("c"))
         .groupBy(col("vc")).agg(sum(col("c")).as("s"))
       val dangling = p.select(col("v").as("u"), col("p"))
-        .join(outsF().select(col("u")), Seq("u"), "left_anti")
+        .join(broadcast(outsF().select(col("u"))), Seq("u"), "left_anti")
         .agg(coalesce(sum(col("p")), lit(0L)).as("dm"))
       p.select(col("v"), col("nn"))
-        .join(contrib, col("v") === col("vc"), "left")
+        .join(broadcast(contrib), col("v") === col("vc"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("v"), col("nn"),
           expr(s"((15 * ${Scale}L) DIV 100) DIV nn" +
             " + (85 * (coalesce(s, 0L) + dm DIV nn)) DIV 100").as("p"))
     }
 
+    // Each iterate is consumed THREE times (contrib, dangling, carry) —
+    // under different prunings, so its exchanges don't canonicalize to
+    // one reuse and a lazy chain re-plans p_{i-1} per consumer: ~3^i
+    // micro-stage fan-out (measured ~20 s of pure AQE stage latency at
+    // sf0.1). Eagerly localCheckpoint each ≤|nodes|-row iterate (the
+    // dedup_cluster lineage-bounding treatment; what Pregel's superstep
+    // barrier does) — one dust-sized job per iteration, linear total.
+    // (the LAST iterate stays lazy so the returned plan is one real
+    // step over the cached edge aggregate — spec-pinned shape)
     val p0 = nations.select(col("v")).crossJoin(broadcast(nn))
       .select(col("v"), col("nn"), expr(s"${Scale}L DIV nn").as("p"))
-    val pN = (1 to iters).foldLeft(p0)((p, _) => step(p))
+      .localCheckpoint(true)
+    val pN = (1 to iters).foldLeft(p0)((p, i) =>
+      if (i == iters) step(p) else step(p).localCheckpoint(true))
     pN.join(broadcast(nations), "v")
       .select(col("n_name").as("nation"), col("p").as("pr_fp"),
         round(col("p").cast("double") / lit(Scale.toDouble), 9)

@@ -509,9 +509,27 @@ object SimSearch {
     * HybridSearchSpec. `dense` maps the corpus embedding frame to a
     * (q_id, c_id, …, rn) rank list — brute-force kNN by default,
     * [[lshOver]] for the declared scale variant.
+    *
+    * `maxDfPerMille` (VERDICT r11 #2): a query term whose document
+    * frequency exceeds this per-mille of the corpus is DROPPED from
+    * the contribution — classic stop-word elimination, because the
+    * `qTerms ⋈ tf` posting join is keyed on `term` and one stop word's
+    * posting list is corpus-sized: it would flood the downstream joins
+    * AND make the per-q_id rank window's partition corpus-sized (the
+    * single-task sort ContractSpec bans elsewhere). The prune happens
+    * BEFORE the posting join (qTerms ⋈ df is vocabulary-sized), in
+    * exact integer arithmetic (`df·1000 ≤ n_docs·maxDfPerMille`) so
+    * both engines drop the identical term set. Rank-impact bound at
+    * the default 500‰: a dropped term has df > N/2, so its Lucene idf
+    * is < ln 2 and its per-doc BM25 contribution is < ln 2 · (k1+1) ≈
+    * 1.53 — near-uniform evidence that can only flip candidates whose
+    * score gap is already under that margin (the standard stop-word
+    * argument); terms in over half the corpus carry almost no
+    * discriminative signal. 1000 disables the cap (every df ≤ N).
     */
   def hybridOver(docs: DataFrame, emb: DataFrame, k: Int, nQueries: Int,
-      nList: Int, dense: DataFrame => DataFrame = null): DataFrame = {
+      nList: Int, dense: DataFrame => DataFrame = null,
+      maxDfPerMille: Int = 500): DataFrame = {
     import graft.operators.TextOps.normText
     // corpus = docs that carry a vector (inner join on id)
     val corpusDocs = docs.join(
@@ -536,20 +554,25 @@ object SimSearch {
     val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).as("n_docs_l"))
     // query vocabulary: DISTINCT terms of each query doc (query-side tf
     // is ignored — short-query BM25 convention)
     val qTerms = tokens.filter(col("doc_id") < nQueries.toLong)
       .select(col("doc_id").as("q_id"), col("term")).distinct()
     // contribution, explicitly parenthesized — the oracle mirrors this
-    // op order token for token; snapped to 1e-6 units pre-sum
+    // op order token for token; snapped to 1e-6 units pre-sum. The df
+    // cap applies on the VOCAB-sized qTerms ⋈ df frame, so a capped
+    // term's corpus-sized posting list never enters the tf join.
     val contrib = qTerms
+      .join(df, "term")
+      .crossJoin(broadcast(stats))
+      .filter(col("df") * lit(1000L)
+        <= col("n_docs_l") * lit(maxDfPerMille.toLong))
       .join(tf.select(col("doc_id").as("c_id"), col("term"), col("tf")),
         "term")
       .filter(col("c_id") =!= col("q_id"))
-      .join(df, "term")
       .join(dl.select(col("doc_id").as("c_id"), col("dl")), "c_id")
-      .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(((col("n_docs") - col("df").cast("double")) + lit(0.5))
           / (col("df").cast("double") + lit(0.5)) + lit(1.0)))

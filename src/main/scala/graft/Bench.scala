@@ -49,16 +49,65 @@ object Bench {
     val clock = org.apache.spark.graft.Instrument.install(spark.sparkContext)
     val gcByQ = scala.collection.mutable.LinkedHashMap[String, Long]()
     val taskByQ = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val cpuByQ = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // opt-in per-stage attribution (SPARK_GRAFT_STAGE_DEBUG=query name):
+    // prints each completed stage's executorRunTime + RDD lineage while
+    // the named query's window is open — for diagnosing task_ms entries
+    // that exceed the query's own plan cost (cross-window bleed)
+    val stageDebug = sys.env.get("SPARK_GRAFT_STAGE_DEBUG")
+    @volatile var currentQ = ""
+    if (stageDebug.isDefined) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            if (stageDebug.contains(currentQ)) {
+              val i = e.stageInfo
+              System.err.println(s"[stage-debug] q=$currentQ stage=" +
+                s"${i.stageId} run=${i.taskMetrics.executorRunTime}ms " +
+                s"tasks=${i.numTasks} " +
+                i.rddInfos.map(_.name).mkString("|").take(200))
+            }
+          }
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            if (stageDebug.contains(currentQ) && e.taskMetrics != null &&
+                e.taskMetrics.executorRunTime > 100) {
+              System.err.println(s"[task-debug] q=$currentQ stage=" +
+                s"${e.stageId} task=${e.taskInfo.index} " +
+                s"run=${e.taskMetrics.executorRunTime}ms " +
+                s"deser=${e.taskMetrics.executorDeserializeTime}ms " +
+                s"gc=${e.taskMetrics.jvmGCTime}ms " +
+                s"cpu=${e.taskMetrics.executorCpuTime / 1000000}ms")
+            }
+          }
+        })
+    }
     // run order is SORTED KEY ORDER (VERDICT r10 #3): Map iteration
     // order was stable but arbitrary, so cross-round per-query wall
     // diffs absorbed neighbor effects (who warmed whose cache); sorted
     // order makes r(N) vs r(N-1) per-query comparisons mean something
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      currentQ = name
       org.apache.spark.graft.Instrument.drain(spark.sparkContext)
       val gc0 = org.apache.spark.graft.Instrument.jvmGcMs()
       val task0 = clock.runMs.get()
+      val cpu0 = clock.cpuMs.get()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try {
+        if (stageDebug.contains(name)) {
+          val df = fn(spark, sfDir)
+          df.count()
+          System.err.println(s"[stage-debug] plan for $name:\n" +
+            df.queryExecution.executedPlan.toString)
+          // debugging aid: stop after the inspected query when asked —
+          // the remaining ~180 queries add nothing to the attribution
+          if (sys.env.contains("SPARK_GRAFT_DEBUG_EXIT")) {
+            spark.stop(); sys.exit(0)
+          }
+        } else fn(spark, sfDir).count()
+      } catch {
         case e: Throwable =>
           // a failed query must not masquerade as a fast success
           errors += name
@@ -68,6 +117,7 @@ object Bench {
       org.apache.spark.graft.Instrument.drain(spark.sparkContext)
       gcByQ(name) = org.apache.spark.graft.Instrument.jvmGcMs() - gc0
       taskByQ(name) = clock.runMs.get() - task0
+      cpuByQ(name) = clock.cpuMs.get() - cpu0
       name -> wall
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -90,7 +140,12 @@ object Bench {
     // whole-JVM collector time during the query's window; task_ms is the
     // summed executorRunTime of its tasks (listener-drained, exact).
     val warmFailedJson = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"queries":$qs,"rank_task_ms":$rankTask,"warm_ms":${msMap(warmMs)},"warmup_failed":$warmFailedJson,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"failed":${errors.nonEmpty}}"""
+    // cpu_ms = summed executorCpuTime: the scheduler/JVM-pause-free
+    // compute cost. task_ms − cpu_ms is time tasks sat BLOCKED (codegen
+    // compiles, safepoints) — in a 32-thread local JVM one pause charges
+    // all 32 concurrent tasks, so dust-sized stages can carry seconds of
+    // task_ms at milliseconds of cpu_ms. Read rank_task_ms with cpu_ms.
+    val line = s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"cpu_ms":${msMap(cpuByQ)},"queries":$qs,"rank_task_ms":$rankTask,"warm_ms":${msMap(warmMs)},"warmup_failed":$warmFailedJson,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"failed":${errors.nonEmpty}}"""
     println(line)
     // the stdout line is ~15 KB and the driver's tail capture truncates
     // it (BENCH_r08/r09 kept ~60 of 217 per-query timings) — persist the

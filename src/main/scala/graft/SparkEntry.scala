@@ -756,7 +756,7 @@ object SparkEntry {
       |  JOIN dfq f ON q.term = f.term
       |  JOIN dl l ON t.doc_id = l.doc_id
       |  CROSS JOIN stats s
-      |  WHERE f.df * 1000 <= s.n_docs_l * 500),
+      |  WHERE f.df * 1000 <= s.n_docs_l * 800),
       |lex AS (SELECT q_id, c_id, lex_rn FROM (
       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
       |      ORDER BY score_u DESC, c_id ASC) AS lex_rn

@@ -520,16 +520,22 @@ object SimSearch {
     * BEFORE the posting join (qTerms ⋈ df is vocabulary-sized), in
     * exact integer arithmetic (`df·1000 ≤ n_docs·maxDfPerMille`) so
     * both engines drop the identical term set. Rank-impact bound at
-    * the default 500‰: a dropped term has df > N/2, so its Lucene idf
-    * is < ln 2 and its per-doc BM25 contribution is < ln 2 · (k1+1) ≈
-    * 1.53 — near-uniform evidence that can only flip candidates whose
-    * score gap is already under that margin (the standard stop-word
-    * argument); terms in over half the corpus carry almost no
-    * discriminative signal. 1000 disables the cap (every df ≤ N).
+    * the default 800‰: a dropped term has df > 0.8N, so its Lucene idf
+    * is < ln 1.25 and its per-doc BM25 contribution is < ln 1.25 ·
+    * (k1+1) ≈ 0.49 — near-uniform evidence that can only flip
+    * candidates whose score gap is already under that margin (the
+    * standard stop-word argument); a term in 80% of the corpus carries
+    * almost no discriminative signal. The default is 800 rather than a
+    * web-corpus-style 500 because the synthetic fixtures draw from a
+    * ~31-term vocabulary where 30 terms exceed half the corpus — a
+    * 500‰ cap would gut their lexical side entirely (still
+    * well-defined, just vacuous); 800‰ binds at the small SFs (drops
+    * the most-common terms) while keeping both retrievers live.
+    * 1000 disables the cap (every df ≤ N).
     */
   def hybridOver(docs: DataFrame, emb: DataFrame, k: Int, nQueries: Int,
       nList: Int, dense: DataFrame => DataFrame = null,
-      maxDfPerMille: Int = 500): DataFrame = {
+      maxDfPerMille: Int = 800): DataFrame = {
     import graft.operators.TextOps.normText
     // corpus = docs that carry a vector (inner join on id)
     val corpusDocs = docs.join(

@@ -24,11 +24,19 @@ object Instrument {
   final class TaskClock extends SparkListener {
     val runMs = new AtomicLong(0L)
     val gcMs = new AtomicLong(0L)
+    val cpuMs = new AtomicLong(0L)
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         runMs.addAndGet(m.executorRunTime)
         gcMs.addAndGet(m.jvmGCTime)
+        // executorCpuTime is ns; runTime − cpuTime is BLOCKED time —
+        // in a 32-thread local JVM one codegen compile / safepoint
+        // charges every concurrently-waiting task, so runMs alone
+        // overstates dust-sized stages ~32× (round-12 attribution:
+        // dedup_cluster_stats' 8 s of "task time" was 32 uniform tasks
+        // each ~270 ms run / ~60 ms cpu / 0 gc over 156 cached rows)
+        cpuMs.addAndGet(m.executorCpuTime / 1000000L)
       }
     }
   }

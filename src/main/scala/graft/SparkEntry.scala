@@ -360,6 +360,11 @@ object SparkEntry {
     // join_asof_split precedent, VERDICT r11 #3)
     "graph_pagerank_dist" -> ((s: SparkSession, d: String) =>
       GraphOps.graphPagerankUnrolled(s, d)),
+    // word-level BPE merge training: k=8 iterations of pair-count →
+    // deterministic argmax → greedy left-to-right merge; oracle unrolls
+    // the iterations as chained CTEs (round 12)
+    "bpe_train" -> ((s: SparkSession, d: String) =>
+      BpeTrain.bpeTrain(s, d)),
     "lm_doc_score" -> (TextOps.lmDocScore _),
     "quality_lm_bucket" -> (TextOps.qualityLmBucket _),
     // the approx-cutoff SCALE variant of quality_lm_bucket (no ntile
@@ -576,6 +581,45 @@ object SparkEntry {
       |  round(p5.p::DOUBLE / 1000000000000.0, 9) AS pagerank
       |FROM p5 JOIN nation ON p5.v = n_nationkey
       |ORDER BY pr_fp DESC, nation ASC""".stripMargin
+  }
+
+  /** The `bpe_train` oracle: k=8 BPE iterations unrolled as chained
+    * CTEs (the pagerank technique). Each iteration re-derives the
+    * pair counts from the CURRENT segmentation string, takes the
+    * (count DESC, a ASC, b ASC) argmax, and applies the SAME
+    * boundary-flanked `replace` as [[graft.operators.BpeTrain]] —
+    * u001f/u001e control chars embedded in the SQL literals verbatim
+    * (Verify's JSON dump escapes them as \\u sequences).
+    */
+  private lazy val bpeTrainSql: String = {
+    val S = graft.operators.BpeTrain.Sep
+    val SS = S + S
+    val M = graft.operators.BpeTrain.MergeJ
+    val k = 8
+    val iterCtes = (1 to k).map { i =>
+      val prev = s"it${i - 1}"
+      raw"""pc$i AS (SELECT p.a AS a, p.b AS b, count(*) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)),
+        |      j -> {'a': t[j], 'b': t[j + 1]})) AS p
+        |    FROM (SELECT list_filter(string_split(s, '$S'),
+        |          x -> x <> '') AS t FROM $prev)) GROUP BY 1, 2),
+        |m$i AS (SELECT a, b, c FROM pc$i
+        |        ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+        |it$i AS (SELECT i.doc_id,
+        |    replace(i.s, '$S' || m.a || '$SS' || m.b || '$S',
+        |      '$S' || m.a || '$M' || m.b || '$S') AS s
+        |  FROM $prev i CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    raw"""WITH it0 AS (SELECT doc_id,
+      |    '$SS' || array_to_string(toks, '$SS') || '$SS' AS s
+      |  FROM (SELECT doc_id, list_filter(string_split($normT, ' '),
+      |        x -> x <> '') AS toks FROM documents)
+      |  WHERE len(toks) >= 1),
+      |""".stripMargin + iterCtes + "\n" +
+    (1 to k).map(i =>
+      s"SELECT $i AS step, replace(a, '$M', ' ') AS lhs, " +
+        s"replace(b, '$M', ' ') AS rhs, c AS pair_count FROM m$i")
+      .mkString("", "\nUNION ALL ", "\nORDER BY step ASC")
   }
 
   /** The df-capped ngram-Jaccard pair pipeline as CTEs ending in `p`
@@ -2856,6 +2900,7 @@ object SparkEntry {
     // join_asof_split precedent: a scale-path rewrite earns its own
     // driver gate against the identical SQL)
     "graph_pagerank_dist" -> pagerankSql,
+    "bpe_train" -> bpeTrainSql,
     // per-bigram ln rounded to 6dp and summed as DECIMAL on both sides
     // — double sums are addition-order-dependent, decimal sums are
     // exact, so the 4dp hash-match is deterministic (SURVEY §5.3)

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** `bpe_train` — byte-pair-encoding-style merge training (Sennrich et
+  * al.'s BPE applied at the word level): k iterations of "count every
+  * adjacent token pair, pick the most frequent, merge its occurrences
+  * greedily left-to-right" — the tokenizer-CONSTRUCTION step that
+  * `vocab_topk` only approximates. The output is the merge table
+  * ((step, lhs, rhs, pair_count)) a tokenizer trainer publishes; lhs/
+  * rhs are surface forms (earlier merges appear space-joined).
+  *
+  * Iteration shape (the dedup_cluster iterative dataflow): each step is
+  * ONE distributed pair-count aggregation (explode adjacent pairs —
+  * row-local, no window — then a keyed count) + ONE row-local
+  * re-segmentation map over the state; the argmax is a 1-row
+  * `limit(1).collect()` per step — the bounded-collect class (k rows
+  * total). State is eagerly localCheckpoint'd per step, so lineage
+  * stays one-step deep (the graph_pagerank_dist treatment). At 100 TB
+  * the cost is k sequential corpus passes — inherent to BPE (every
+  * merge changes the segmentation the next count sees); production
+  * trainers bound it by sampling, which composes here as
+  * `bpeTrainDocs(sampleHash(docs), k)`.
+  *
+  * Determinism (SURVEY §5.3): counts are exact integers; the argmax
+  * tie-breaks (count DESC, lhs ASC, rhs ASC) on binary string order —
+  * identical in both engines. Re-segmentation is engine-exact by
+  * construction: writing U for the u001f boundary char and R for the
+  * u001e merge-join char, the state string carries DOUBLE boundaries
+  * (`UU a UU b UU`), and a merge of pair (a, b) replaces `U a UU b U`
+  * with `U a R b U` — the match takes one boundary char from each
+  * flank and the replacement puts it back, so boundaries stay exactly
+  * double forever, while the flanking chars make a token PREFIX or
+  * SUFFIX collision impossible. Plain `replace()` is left-to-right
+  * non-overlapping and resumes scanning right after the replacement
+  * in both engines, which reproduces greedy BPE exactly: [a,a,a]
+  * merges to [aa, a] (the overlap is consumed), and [a,b,a,b] merges
+  * both occurrences (the restored flank seeds the next match). Tokens
+  * are normText words, so they cannot contain U or R. The DuckDB
+  * oracle unrolls the k iterations as chained CTEs (the pagerank
+  * technique) and re-derives every argmax independently.
+  */
+object BpeTrain {
+
+  /** Token boundary (doubled between tokens) and merge-join chars —
+    * control characters normText output can never contain. ONE
+    * definition, mirrored character-for-character in the oracle SQL.
+    */
+  private[graft] val Sep = "\u001f"
+  private[graft] val MergeJ = "\u001e"
+
+  def bpeTrain(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame =
+    bpeTrainDocs(Tables.documents(spark, sfDir), k)
+
+  /** Core of [[bpeTrain]] over any (doc_id, text) frame. */
+  def bpeTrainDocs(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ss = Sep + Sep
+    val toks = filter(split(TextOps.normText(col("text")), " "),
+      t => t =!= lit(""))
+    var st = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        concat(lit(ss), array_join(col("toks"), ss), lit(ss)).as("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
+    var i = 1
+    var exhausted = false
+    while (i <= k && !exhausted) {
+      val top = st
+        .select(filter(split(col("s"), Sep), x => x =!= lit("")).as("t"))
+        .filter(size(col("t")) >= 2) // sequence(1, 0) would descend
+        .select(explode(expr("transform(sequence(1, size(t) - 1), " +
+          "j -> named_struct('a', element_at(t, j), " +
+          "'b', element_at(t, j + 1)))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // corpus is all single-token docs
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i, a, b, c))
+        // boundary-flanked merge (see object scaladoc); the pattern and
+        // replacement pass as literal COLUMNS — never spliced into an
+        // expr string (token text is corpus data)
+        st = st
+          .withColumn("s", call_function("replace", col("s"),
+            lit(Sep + a + ss + b + Sep), lit(Sep + a + MergeJ + b + Sep)))
+          .localCheckpoint(true)
+        i += 1
+      }
+    }
+    merges.toSeq
+      .map { case (step, a, b, c) =>
+        (step, a.replace(MergeJ, " "), b.replace(MergeJ, " "), c)
+      }
+      .toDF("step", "lhs", "rhs", "pair_count")
+      .orderBy(col("step").asc)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.operators.BpeTrain
+
+/** `bpe_train` — word-level BPE merge training. The property test
+  * re-implements greedy BPE literally (mutable vectors, explicit
+  * left-to-right scan) and asserts the distributed
+  * replace-with-flanked-boundaries formulation produces the identical
+  * merge table on random corpora — including overlap chains ([a,a,a])
+  * and nested merges (a merged token merging again).
+  */
+class BpeTrainSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val M = ""
+
+  /** Literal greedy BPE: count adjacent pairs, take the (count DESC,
+    * lhs ASC, rhs ASC) argmax, merge occurrences left-to-right
+    * consuming both tokens, repeat.
+    */
+  private def refBpe(docs: Seq[Seq[String]], k: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var state = docs.map(_.toVector).filter(_.nonEmpty)
+    val out = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
+    var i = 1
+    var stop = false
+    while (i <= k && !stop) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      state.foreach { t =>
+        var j = 0
+        while (j + 1 < t.length) { counts((t(j), t(j + 1))) += 1; j += 1 }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((i, a, b, c))
+        val m = a + M + b
+        state = state.map { t =>
+          val r = Vector.newBuilder[String]
+          var j = 0
+          while (j < t.length) {
+            if (j + 1 < t.length && t(j) == a && t(j + 1) == b) {
+              r += m; j += 2
+            } else { r += t(j); j += 1 }
+          }
+          r.result()
+        }
+        i += 1
+      }
+    }
+    out.toSeq.map { case (s, a, b, c) =>
+      (s, a.replace(M, " "), b.replace(M, " "), c)
+    }
+  }
+
+  private def run(docs: Seq[Seq[String]], k: Int)
+      : Seq[(Int, String, String, Long)] = {
+    val df = docs.zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    BpeTrain.bpeTrainDocs(df, k)
+      .as[(Int, String, String, Long)].collect().toSeq
+  }
+
+  test("planted corpus: nested merges build multi-word units deterministically") {
+    val docs = Seq(
+      Seq("new", "york", "city", "is", "big"),
+      Seq("new", "york", "city", "is", "old"),
+      Seq("new", "york", "is", "cold"))
+    val got = run(docs, 4)
+    assert(got === refBpe(docs, 4))
+    assert(got.head === ((1, "new", "york", 3L)),
+      s"first merge must be the dominant pair: $got")
+    // a later merge must involve an already-merged (space-joined) unit
+    assert(got.exists(r => r._2.contains(" ") || r._3.contains(" ")),
+      s"nested merge expected in $got")
+  }
+
+  test("overlap chain merges greedily left-to-right ([a,a,a,a] -> [aa,aa])") {
+    val docs = Seq(Seq("a", "a", "a", "a"), Seq("a", "a", "a"))
+    val got = run(docs, 2)
+    // step 1: (a,a) counted 3+2=5 times; greedy merge leaves
+    // [aa,aa] and [aa,a]; step 2 ties (aa,aa) vs (aa,a) at count 1 and
+    // the rhs tie-break picks the raw "a" (binary-prefix order)
+    assert(got === refBpe(docs, 2))
+    assert(got.head === ((1, "a", "a", 5L)))
+    assert(got(1) === ((2, "a a", "a", 1L)),
+      s"greedy residue pairs diverge: $got")
+  }
+
+  test("single-token and empty docs exhaust cleanly") {
+    assert(run(Seq(Seq("only"), Seq("one"), Seq()), 3).isEmpty)
+    val got = run(Seq(Seq("x", "y"), Seq("solo")), 5)
+    assert(got === Seq((1, "x", "y", 1L)),
+      "one mergeable pair, then exhaustion")
+  }
+
+  test("bpe_train equals the literal greedy merger on random corpora") {
+    val genCase = for {
+      vocab <- Gen.choose(2, 5)
+      nDocs <- Gen.choose(1, 25)
+      docs <- Gen.listOfN(nDocs,
+        Gen.choose(0, 8).flatMap(len =>
+          Gen.listOfN(len, Gen.choose(0, vocab - 1).map(i => s"t$i"))))
+      k <- Gen.choose(1, 6)
+    } yield (docs, k)
+    val prop = Prop.forAll(genCase) { case (docs, k) =>
+      run(docs, k) == refBpe(docs, k)
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(result.passed, result.status.toString)
+  }
+}

@@ -217,6 +217,7 @@ object SparkEntry {
     "stream_sliding" -> (EventWindows.sliding _),
     "stream_session" -> (EventWindows.sessionize _),
     "stream_dedup" -> (EventWindows.dedupEvents _),
+    "stream_anomaly" -> (EventWindows.streamAnomalyBatch _),
     "stream_watermark_late_ok" -> (graft.streaming.Streams.watermarkLateOk _),
     "stream_sink_ok" -> (graft.streaming.Streams.streamSinkOk _),
     "stream_join" -> (EventWindows.streamJoinBatch _),
@@ -2316,6 +2317,28 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""".stripMargin,
+    "stream_anomaly" ->
+      raw"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS rev
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, bucket, CAST(rev AS DOUBLE) AS x FROM h),
+        |s AS (SELECT event_type, bucket, x,
+        |    CAST(count(*) OVER w AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sxx
+        |  FROM d2
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, bucket, bucket_value, z,
+        |  (CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END)::INT AS anomaly
+        |FROM (SELECT event_type, bucket, x AS bucket_value,
+        |    CASE WHEN n < 2.0 OR (sxx / n - (sx / n) * (sx / n)) <= 0.0
+        |         THEN 0.0
+        |         ELSE round((x - sx / n)
+        |           / sqrt(sxx / n - (sx / n) * (sx / n)), 6)
+        |    END AS z
+        |  FROM s) q
+        |ORDER BY event_type ASC, bucket ASC""".stripMargin,
     "stream_sliding" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts)
         |         - (r.i * INTERVAL '15 minutes') AS win_start,

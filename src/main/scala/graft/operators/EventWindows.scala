@@ -456,6 +456,51 @@ object EventWindows {
     * engines stay bit-aligned to ~10⁶× the 100 TB scale's ~1.6e10
     * per-day-per-priority revenue before either cast can saturate.
     */
+  /** `stream_anomaly` — the PREQUENTIAL (online) z-score, the form a
+    * streaming monitor actually computes: each event type's HOURLY
+    * value sum is scored against the moments of all STRICTLY EARLIER
+    * hours of its series — history only, never the future — so the
+    * score a batch backfill assigns equals what the live stream
+    * assigned at the time. This batch form is the declared, oracled
+    * twin; [[graft.streaming.Streams.anomalyScores]] is the streaming
+    * form (transformWithState + event-time timers closing hour buckets
+    * at the watermark), and StreamingSpec asserts file-replay equality.
+    *
+    * Shape: one keyed hourly aggregate, then per-series running-moment
+    * windows ordered by bucket (rows unbounded-preceding → -1) — both
+    * keyed on event_type, bucket-count-sized after the first agg.
+    * Determinism: the ts_anomaly decimal discipline — exact
+    * DECIMAL(18,4) bucket sums; moment terms snapped to DECIMAL(28,4)/
+    * DECIMAL(38,4) before the ORDERED window sums; one IEEE tree for
+    * μ/σ/z; flag on the 6dp-ROUNDED z. Fewer than 2 prior buckets or
+    * zero variance ⇒ z = 0 in both engines.
+    */
+  def streamAnomalyBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec28(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(28, 4))
+    def dec38(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 4))
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(sum(dec(col("value"))).as("rev"))
+      .withColumn("x", col("rev").cast("double"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def varp = col("sxx") / col("n") -
+      (col("sx") / col("n")) * (col("sx") / col("n"))
+    hourly
+      .select(col("event_type"), col("bucket"), col("x"),
+        count(lit(1)).over(w).cast("double").as("n"),
+        sum(dec28(col("x"))).over(w).cast("double").as("sx"),
+        sum(dec38(col("x") * col("x"))).over(w).cast("double").as("sxx"))
+      .select(col("event_type"), col("bucket"), col("x").as("bucket_value"),
+        when(col("n") < 2.0 || varp <= 0.0, lit(0.0))
+          .otherwise(round((col("x") - col("sx") / col("n")) / sqrt(varp),
+            6)).as("z"))
+      .withColumn("anomaly", when(abs(col("z")) > 2.0, 1).otherwise(0))
+      .orderBy(col("event_type").asc, col("bucket").asc)
+  }
+
   def tsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
     def dec28(c: org.apache.spark.sql.Column) =
       c.cast(org.apache.spark.sql.types.DecimalType(28, 4))

@@ -196,6 +196,102 @@ class SessionTimerProcessor(gapUs: Long)
   }
 }
 
+/** `stream_anomaly` — prequential per-series z-scoring on the
+  * arbitrary-state API: per event type, hourly value-sum buckets
+  * accumulate in MapState; EVENT-TIME TIMERS close every bucket once
+  * the watermark passes its end, in time order, scoring each against
+  * the running moments of the buckets closed before it (history only —
+  * the score the monitor emitted live is the score a backfill
+  * reproduces). State per key = open buckets (bounded by the watermark
+  * lag / bucket width) + one 3-long moment tuple; closed buckets leave
+  * the map immediately. Rows whose bucket already closed (older than
+  * the watermark) are DROPPED — the same late policy as the
+  * append-mode windowed aggregate.
+  *
+  * Exactness (the batch twin's decimal discipline, as scaled longs —
+  * the SessionTimerProcessor technique): bucket sums accumulate in
+  * 1e-4 units of HALF_UP-snapped values (= the DECIMAL(18,4) sum);
+  * moment sums accumulate 1e-4-unit snaps of x and x·x (= the
+  * DECIMAL(28,4)/(38,4) window sums); μ/σ/z evaluate the same IEEE
+  * tree and the flag compares the 6dp-rounded z.
+  * [[graft.operators.EventWindows.streamAnomalyBatch]] is the declared
+  * oracled twin; StreamingSpec asserts file-replay equality.
+  *
+  * Input: (event_type, ts_us, value); output: (event_type,
+  * bucket_start_us, bucket_value, z, anomaly).
+  */
+class AnomalyProcessor(bucketUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long, Double), (String, Long, Double, Double, Int)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState,
+    TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var open: MapState[Long, Long] = _
+  // (n_closed, sx in 1e-4 units, sxx in 1e-4 units)
+  @transient private var moments: ValueState[(Long, Long, Long)] = _
+
+  private def snap4(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).unscaledValue().longValue()
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    open = getHandle.getMapState[Long, Long]("open",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    moments = getHandle.getValueState[(Long, Long, Long)]("moments",
+      Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Long, Double)],
+      timerValues: TimerValues): Iterator[(String, Long, Double, Double, Int)] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    rows.foreach { case (_, tsUs, v) =>
+      val b = tsUs - java.lang.Math.floorMod(tsUs, bucketUs)
+      // late policy of the append-mode windowed agg: a bucket the
+      // watermark already closed cannot reopen
+      if (b + bucketUs > wmUs) {
+        val fresh = !open.containsKey(b)
+        val cur = if (fresh) 0L else open.getValue(b)
+        open.updateValue(b, cur + snap4(v))
+        // one timer per bucket, armed when the bucket first opens
+        if (fresh) getHandle.registerTimer((b + bucketUs) / 1000L)
+      }
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo)
+      : Iterator[(String, Long, Double, Double, Int)] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    val closable = open.iterator().map(p => (p._1, p._2)).toSeq
+      .filter { case (b, _) => b + bucketUs <= wmUs }
+      .sortBy(_._1) // score in TIME order: earlier buckets fold first
+    var (n, sxU, sxxU) =
+      if (moments.exists()) moments.get() else (0L, 0L, 0L)
+    val out = closable.map { case (b, sumU) =>
+      val x = java.math.BigDecimal.valueOf(sumU, 4).doubleValue()
+      val nD = n.toDouble
+      val sx = java.math.BigDecimal.valueOf(sxU, 4).doubleValue()
+      val sxx = java.math.BigDecimal.valueOf(sxxU, 4).doubleValue()
+      val varp = sxx / nD - (sx / nD) * (sx / nD)
+      val z =
+        if (nD < 2.0 || varp <= 0.0) 0.0
+        else BigDecimal((x - sx / nD) / math.sqrt(varp))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      n += 1L
+      sxU += snap4(x)
+      sxxU += snap4(x * x)
+      open.removeKey(b)
+      (key, b, x, z, if (math.abs(z) > 2.0) 1 else 0)
+    }
+    moments.update((n, sxU, sxxU))
+    out.iterator
+  }
+}
+
 object Streams {
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -509,6 +605,28 @@ object Streams {
         date_trunc("second", timestamp_micros(col("start_us")))
           .as("session_start"),
         col("n_events"), col("session_value"))
+  }
+
+  /** Streaming form of `stream_anomaly` (see [[AnomalyProcessor]]):
+    * watermarked events → per-type hourly buckets closed by event-time
+    * timers → prequential z against the running prior-bucket moments.
+    */
+  def anomalyScores(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.TimeMode
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_type").as[String],
+        unix_micros(col("ts")).as[Long], col("value").as[Double])
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new AnomalyProcessor(3600L * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("event_type", "bucket_us", "bucket_value", "z", "anomaly")
+      .select(col("event_type"),
+        timestamp_micros(col("bucket_us")).as("bucket"),
+        col("bucket_value"), col("z"), col("anomaly"))
   }
 
   /** `stream_sink` — checkpointed parquet sink (exactly-once into the

@@ -63,6 +63,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming prequential anomaly equals the batch twin (file replay + sentinel)") {
+    // stream_anomaly: hourly buckets close via EVENT-TIME TIMERS as the
+    // watermark passes; each closed bucket is scored against the
+    // moments of its series' PRIOR buckets only. A far-future sentinel
+    // batch pushes the watermark past every real bucket so the full
+    // fixture finalizes (the watermarkLateOk delivery shape).
+    val sfd = TestSpark.sf
+    val ev = graft.sources.Tables.events(spark, sfd)
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
+    ev.coalesce(1).write.parquet(s"$dir/b1")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelTs = new Timestamp(maxTs.getTime + 24L * 3600 * 1000)
+    spark.range(1).select(lit(-1L).as("event_id"),
+      lit(sentinelTs).as("ts"), lit(-1L).as("user_id"),
+      lit("__sentinel").as("event_type"), lit(0.0).as("value"),
+      lit("{}").as("props")).write.parquet(s"$dir/b2")
+    def deliver(batch: String): Unit =
+      new java.io.File(s"$dir/$batch").listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(feed, s"$batch-$i.parquet").toPath)
+        }
+    val stream = spark.readStream.schema(ev.schema).parquet(feed.toString)
+    // transformWithState's MapState + ValueState need the multi-column-
+    // family store (RocksDB) — the established transformWithState
+    // test conf shape
+    val prev = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streams.anomalyScores(stream).writeStream.format("memory")
+        .queryName("anom").outputMode("append").start()
+      try Seq("b1", "b2").foreach { b => deliver(b); q.processAllAvailable() }
+      finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val streamed = spark.table("anom")
+      .filter(col("event_type") =!= "__sentinel")
+      .select("event_type", "bucket", "bucket_value", "z", "anomaly")
+      .orderBy("event_type", "bucket").collect().toSeq
+    val batch = EventWindows.streamAnomalyBatch(spark, sfd)
+      .select("event_type", "bucket", "bucket_value", "z", "anomaly")
+      .collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "replay must finalize real buckets")
+  }
+
   test("stream-stream interval join equals the batch attribution join") {
     val sfd = TestSpark.sf
     val ev = Streams.eventsFileStream(spark, sfd)

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{LakeIO, Tables}
 
@@ -164,24 +164,36 @@ class Lake(val spark: SparkSession, val warehouse: String) {
 
   /** Generic data-quality audit of any lake table (the `dq_checks`
     * surface as a facade method): row count, per-column null counts,
-    * and optional key-uniqueness probes — ONE aggregation pass
-    * regardless of column count (null counts are conditional counts in
-    * the same aggregate), plus one `count distinct` per declared key.
-    * The single 1-row aggregate is collected and the check-count-sized
-    * report built locally — the decontaminate_bloom bounded-collect
-    * class; the first cut instead union-ed one `agged.select` per
-    * check, and Catalyst's column pruning specialized every branch
-    * into its OWN single-expression aggregate over its own scan
-    * (verified: 1+C+K full scans for a C-column table), which is why
-    * the report must not be derived relationally from the aggregate.
-    * Column names are backtick-escaped: an audit facade must survive
-    * dotted column names that `col(...)` would parse as field access.
+    * optional key-uniqueness probes, optional RANGE constraints — all
+    * riding ONE aggregation pass regardless of check count (null,
+    * dup-key, and out-of-range violations are conditional counts in
+    * the same aggregate) — plus optional REFERENTIAL-INTEGRITY checks,
+    * each a keyed LEFT ANTI join count against its referenced table
+    * (the `dq_checks` fk_exists discipline: the only check class that
+    * inherently needs a second table). The single 1-row aggregate is
+    * collected and the check-count-sized report built locally — the
+    * decontaminate_bloom bounded-collect class; the first cut instead
+    * union-ed one `agged.select` per check, and Catalyst's column
+    * pruning specialized every branch into its OWN single-expression
+    * aggregate over its own scan (verified: 1+C+K full scans for a
+    * C-column table), which is why the report must not be derived
+    * relationally from the aggregate. Column names are
+    * backtick-escaped: an audit facade must survive dotted column
+    * names that `col(...)` would parse as field access.
     * Output: (check_name, target, violations, pass).
+    *
+    * @param ranges (column, lo, hi) inclusive-domain constraints —
+    *               non-null values outside [lo, hi] count as violations
+    * @param fks    (column, refTable, refColumn) — non-null values of
+    *               `column` missing from `refTable.refColumn` count
     */
-  def audit(name: String, uniqueKeys: Seq[String] = Seq()): DataFrame = {
-    val agged = auditAgg(load(name), uniqueKeys)
+  def audit(name: String, uniqueKeys: Seq[String] = Seq(),
+      ranges: Seq[(String, Double, Double)] = Seq(),
+      fks: Seq[(String, String, String)] = Seq()): DataFrame = {
+    val agged = auditAgg(load(name), uniqueKeys, ranges)
     val row = agged.collect().head
-    val nCols = agged.columns.length - 1 - uniqueKeys.length
+    val nCols =
+      agged.columns.length - 1 - uniqueKeys.length - ranges.length
     val fields = agged.columns.slice(1, 1 + nCols).map(_.stripPrefix("nulls_"))
     val checks: Seq[(String, String, Long)] =
       Seq(("row_count", name, if (row.getLong(0) > 0) 0L else 1L)) ++
@@ -190,6 +202,18 @@ class Lake(val spark: SparkSession, val warehouse: String) {
       } ++
       uniqueKeys.zipWithIndex.map { case (k, i) =>
         ("unique", s"$name.$k", row.getLong(1 + nCols + i))
+      } ++
+      ranges.zipWithIndex.map { case ((f, lo, hi), i) =>
+        ("range", s"$name.$f in [$lo,$hi]",
+          row.getLong(1 + nCols + uniqueKeys.length + i))
+      } ++
+      fks.map { case (f, refTable, refCol) =>
+        val missing = load(name).select(escCol(f).as("__fk"))
+          .filter(col("__fk").isNotNull)
+          .join(load(refTable).select(escCol(refCol).as("__fk")),
+            Seq("__fk"), "left_anti")
+          .count()
+        ("fk_exists", s"$name.$f->$refTable.$refCol", missing)
       }
     import spark.implicits._
     checks.toDF("check_name", "target", "violations")
@@ -197,19 +221,26 @@ class Lake(val spark: SparkSession, val warehouse: String) {
       .orderBy(col("check_name").asc, col("target").asc)
   }
 
+  private def escCol(n: String): Column =
+    col("`" + n.replace("`", "``") + "`")
+
   /** The audit's single aggregate frame (one row; one table scan) —
     * exposed so LakeSpec can pin the one-scan plan shape directly.
     */
-  private[graft] def auditAgg(df: DataFrame,
-      uniqueKeys: Seq[String]): DataFrame = {
-    def c(n: String) = col("`" + n.replace("`", "``") + "`")
+  private[graft] def auditAgg(df: DataFrame, uniqueKeys: Seq[String],
+      ranges: Seq[(String, Double, Double)] = Seq()): DataFrame = {
+    def c(n: String) = escCol(n)
     val nullChecks = df.schema.fields.map(f =>
       count(when(c(f.name).isNull, lit(1))).cast("long")
         .as(s"nulls_${f.name}"))
     val keyChecks = uniqueKeys.map(k =>
       (count(lit(1)) - countDistinct(c(k))).cast("long").as(s"dup_$k"))
+    val rangeChecks = ranges.map { case (f, lo, hi) =>
+      count(when(c(f) < lit(lo) || c(f) > lit(hi), lit(1))).cast("long")
+        .as(s"range_$f")
+    }
     df.agg(count(lit(1)).as("n_rows"),
-      (nullChecks ++ keyChecks).toIndexedSeq: _*)
+      (nullChecks ++ keyChecks ++ rangeChecks).toIndexedSeq: _*)
   }
 
   /** novlake `Lake.list_tables()` — session-catalog listing. */

@@ -317,6 +317,8 @@ object SparkEntry {
     "ann_recall" -> ((s: SparkSession, d: String) => SimSearch.annRecall(s, d)),
     "simsearch_hybrid" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchHybrid(s, d)),
+    "simsearch_hybrid_ivf" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchHybridIvf(s, d)),
     "simsearch_hybrid_lsh" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchHybridLsh(s, d)),
     "text_stats" -> (TextOps.textStats _),
@@ -3429,6 +3431,48 @@ object SparkEntry {
     // the scale-path hybrid: same lexical CTEs and fusion, dense side =
     // 6-bit LSH bucket candidates (hyperplane mix replicated bit-exactly
     // in HUGEINT SQL, same as simsearch_lsh's oracle)
+    // the third retriever in the swap matrix: same lexical CTEs and
+    // fusion, dense side = the IVF stride-codebook cell probe over the
+    // corpus embeddings (simsearch_ivf's oracle CTEs restricted to ce)
+    "simsearch_hybrid_ivf" ->
+      raw"""WITH $hybridLexCtes,
+        |cb AS (SELECT vec_id AS cent_id, embedding AS c_v,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+        |  FROM ce WHERE vec_id % 127 = 0),
+        |asg AS (SELECT c_id, c_emb, c_nrm, cent_id FROM (
+        |  SELECT e.vec_id AS c_id, e.embedding AS c_emb,
+        |    sqrt(list_sum(list_transform(e.embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS c_nrm,
+        |    cb.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE * (cb.c_v[i]::DOUBLE / cb.cnrm))) DESC,
+        |      cb.cent_id ASC) AS rn
+        |  FROM ce e CROSS JOIN cb) WHERE rn = 1),
+        |qc AS (SELECT q_id, q_emb, q_nrm, cent_id FROM (
+        |  SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+        |    sqrt(list_sum(list_transform(e.embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS q_nrm,
+        |    cb.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE * cb.c_v[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> x::DOUBLE * x::DOUBLE))) * cb.cnrm) DESC,
+        |      cb.cent_id ASC) AS rn
+        |  FROM ce e CROSS JOIN cb WHERE e.vec_id < 10) WHERE rn <= 2),
+        |p3 AS (SELECT q.q_id, a.c_id,
+        |  round(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |      i -> q.q_emb[i]::DOUBLE * a.c_emb[i]::DOUBLE))
+        |    / (q.q_nrm * a.c_nrm), 4) AS cos_sim
+        |  FROM qc q JOIN asg a USING (cent_id)
+        |  WHERE q.q_id <> a.c_id),
+        |vec AS (SELECT q_id, c_id, vec_rn FROM (
+        |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, c_id ASC) AS vec_rn FROM p3)
+        |  WHERE vec_rn <= 20),
+        |$hybridFusionSql""".stripMargin,
     "simsearch_hybrid_lsh" ->
       raw"""WITH $hybridLexCtes,
         |${lshWeightCtes(6, 64)},

@@ -504,6 +504,25 @@ object SimSearch {
       dense = e => lshOver(e, nList, nQueries, nBits))
   }
 
+  /** `simsearch_hybrid_ivf` — [[simsearchHybrid]] with the IVF dense
+    * side, completing the retriever-swap matrix (brute force / LSH
+    * buckets / IVF cells): same lexical machinery, same fixed-point
+    * fusion, dense candidates from the stride-codebook cell probe —
+    * the third way a production stack points the same fusion at a
+    * different vector index. The codebook derives from the CORPUS
+    * embeddings (docs ⋈ embeddings), so the oracle's cell assignment
+    * replays bit-exactly.
+    */
+  def simsearchHybridIvf(spark: SparkSession, sfDir: String, k: Int = 10,
+      nQueries: Int = 10, nList: Int = 20, centroidStride: Long = 127,
+      nProbe: Int = 2): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    hybridOver(docs, emb, k, nQueries, nList,
+      dense = e => ivfSearch(e, ivfCodebook(e, centroidStride),
+        nList, nQueries, nProbe))
+  }
+
   /** Core of `simsearch_hybrid` over any (doc_id, text) + (vec_id,
     * embedding) pair of frames — also the planted-corpus harness for
     * HybridSearchSpec. `dense` maps the corpus embedding frame to a

@@ -89,6 +89,20 @@ class HybridSearchSpec extends AnyFunSuite {
     assert(rows.count(_._3 > 0) >= 10, "lexical side near-vacuous")
   }
 
+  test("ivf variant: same contract, both retrievers genuinely represented (sf0.001)") {
+    val rows = SimSearch.simsearchHybridIvf(spark, TestSpark.sf)
+      .as[(Long, Long, Int, Int, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, c, lexRn, vecRn, score, _) =>
+      assert(c !== q)
+      val u = (if (lexRn > 0) 1000000L / (60 + lexRn) else 0L) +
+        (if (vecRn > 0) 1000000L / (60 + vecRn) else 0L)
+      assert(math.abs(score - u / 1e6) < 1e-9, s"($q,$c)")
+    }
+    assert(rows.count(_._4 > 0) >= 10, "dense (ivf) side near-vacuous")
+    assert(rows.count(_._3 > 0) >= 10, "lexical side near-vacuous")
+  }
+
   test("df cap drops a stop word from the lexical side (planted, 500 per-mille)") {
     // same corpus as the fusion test: "alpha" df=3/4 (>50% — dropped),
     // "beta"/"gamma" df=2/4 (=50% — kept, boundary inclusive). doc3's

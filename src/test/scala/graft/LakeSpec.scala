@@ -388,6 +388,34 @@ class LakeSpec extends AnyFunSuite {
       "the dotted column's planted null must be counted")
   }
 
+  test("audit: range and fk check classes (round 12) count planted violations, range rides the one aggregate") {
+    import spark.implicits._
+    val lake = newLake()
+    lake.saveDataset(Seq((1L, 5.0, 10L), (2L, 55.0, 20L), (3L, -1.0, 99L))
+      .toDF("k", "amount", "ref_k"), "audit_facts")
+    lake.saveDataset(Seq(10L, 20L, 30L).toDF("rk"), "audit_dims")
+    val rows = lake.audit("audit_facts", uniqueKeys = Seq("k"),
+      ranges = Seq(("amount", 0.0, 50.0)),
+      fks = Seq(("ref_k", "audit_dims", "rk")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    // 55.0 and -1.0 violate [0,50]; ref_k=99 is missing from the dim
+    assert(rows(("range", "audit_facts.amount in [0.0,50.0]")) == ((2L, 0)))
+    assert(rows(("fk_exists", "audit_facts.ref_k->audit_dims.rk")) ==
+      ((1L, 0)))
+    assert(rows(("unique", "audit_facts.k")) == ((0L, 1)))
+    // the range check must RIDE the single aggregate: still one scan
+    val agged = lake.auditAgg(lake.load("audit_facts"), Seq("k"),
+      Seq(("amount", 0.0, 50.0)))
+    agged.collect()
+    val scans = SpecUtil.collectPlan(agged.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        System.identityHashCode(f)
+    }.toSet
+    assert(scans.size == 1,
+      s"range checks must not add scans, got ${scans.size}")
+  }
+
   test("avro and delta sources raise the pinned missing-source errors (documented exclusions)") {
     // SURVEY "what's missing" #3/#4: the spark-avro connector and the
     // Delta/Iceberg/Hudi format jars are absent from /opt/spark/jars.

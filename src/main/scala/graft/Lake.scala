@@ -303,7 +303,8 @@ object Lake {
     graft.operators.MinHashDedup.clearLabelCache() +
       graft.sources.SinkQueries.clearBucketedMemo() +
       graft.operators.TextOps.clearLmCache() +
-      graft.operators.GraphOps.clearUnrolledEdgeCache()
+      graft.operators.GraphOps.clearUnrolledEdgeCache() +
+      graft.operators.BpeTrain.clearBpeCache()
 
   /** novlake `Lake(user)` — the per-user convenience constructor: each
     * user gets a personal warehouse prefix under a shared root, so

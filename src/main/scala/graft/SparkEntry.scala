@@ -368,6 +368,10 @@ object SparkEntry {
     // the iterations as chained CTEs (round 12)
     "bpe_train" -> ((s: SparkSession, d: String) =>
       BpeTrain.bpeTrain(s, d)),
+    // the inference half: the corpus re-segmented by the trained merge
+    // table (shares ONE memoized training with bpe_train)
+    "bpe_encode" -> ((s: SparkSession, d: String) =>
+      BpeTrain.bpeEncode(s, d)),
     "lm_doc_score" -> (TextOps.lmDocScore _),
     "quality_lm_bucket" -> (TextOps.qualityLmBucket _),
     // the approx-cutoff SCALE variant of quality_lm_bucket (no ntile
@@ -594,12 +598,19 @@ object SparkEntry {
     * u001f/u001e control chars embedded in the SQL literals verbatim
     * (Verify's JSON dump escapes them as \\u sequences).
     */
-  private lazy val bpeTrainSql: String = {
+  private val bpeK = 8
+
+  /** The shared k-iteration BPE CTE chain (`WITH it0 …, pc_i, m_i,
+    * it_i …`) — consumed by BOTH the `bpe_train` oracle (union of the
+    * m_i argmaxes) and the `bpe_encode` oracle (projection of the
+    * final it_k state), mirroring how the two queries share one memoized
+    * training on the Spark side.
+    */
+  private lazy val bpeCtes: String = {
     val S = graft.operators.BpeTrain.Sep
     val SS = S + S
     val M = graft.operators.BpeTrain.MergeJ
-    val k = 8
-    val iterCtes = (1 to k).map { i =>
+    val iterCtes = (1 to bpeK).map { i =>
       val prev = s"it${i - 1}"
       raw"""pc$i AS (SELECT p.a AS a, p.b AS b, count(*) AS c FROM (
         |    SELECT unnest(list_transform(range(1, len(t)),
@@ -618,11 +629,31 @@ object SparkEntry {
       |  FROM (SELECT doc_id, list_filter(string_split($normT, ' '),
       |        x -> x <> '') AS toks FROM documents)
       |  WHERE len(toks) >= 1),
-      |""".stripMargin + iterCtes + "\n" +
-    (1 to k).map(i =>
+      |""".stripMargin + iterCtes
+  }
+
+  private lazy val bpeTrainSql: String = {
+    val M = graft.operators.BpeTrain.MergeJ
+    bpeCtes + "\n" +
+    (1 to bpeK).map(i =>
       s"SELECT $i AS step, replace(a, '$M', ' ') AS lhs, " +
         s"replace(b, '$M', ' ') AS rhs, c AS pair_count FROM m$i")
       .mkString("", "\nUNION ALL ", "\nORDER BY step ASC")
+  }
+
+  private lazy val bpeEncodeSql: String = {
+    val S = graft.operators.BpeTrain.Sep
+    val M = graft.operators.BpeTrain.MergeJ
+    bpeCtes + "\n" +
+    raw"""SELECT doc_id,
+      |  len(list_filter(t, x -> contains(x, '$M')))::INT
+      |    AS n_merged_units,
+      |  len(t)::INT AS n_units,
+      |  array_to_string(list_transform(t, x -> replace(x, '$M', '_')),
+      |    ' ') AS encoded
+      |FROM (SELECT doc_id, list_filter(string_split(s, '$S'),
+      |      x -> x <> '') AS t FROM it$bpeK)
+      |ORDER BY doc_id ASC""".stripMargin
   }
 
   /** The df-capped ngram-Jaccard pair pipeline as CTEs ending in `p`
@@ -2926,6 +2957,7 @@ object SparkEntry {
     // driver gate against the identical SQL)
     "graph_pagerank_dist" -> pagerankSql,
     "bpe_train" -> bpeTrainSql,
+    "bpe_encode" -> bpeEncodeSql,
     // per-bigram ln rounded to 6dp and summed as DECIMAL on both sides
     // — double sums are addition-order-dependent, decimal sums are
     // exact, so the 4dp hash-match is deterministic (SURVEY §5.3)

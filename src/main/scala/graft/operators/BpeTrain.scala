@@ -51,13 +51,100 @@ object BpeTrain {
   private[graft] val Sep = "\u001f"
   private[graft] val MergeJ = "\u001e"
 
-  def bpeTrain(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame =
-    bpeTrainDocs(Tables.documents(spark, sfDir), k)
+  /** Per-process memo of a finished training run — (merge table,
+    * final segmentation state) — keyed by (session, dir, corpus
+    * fingerprint, k), the [[MinHashDedup]] labelCache discipline:
+    * `bpe_train` (the merge table) and `bpe_encode` (the segmented
+    * corpus) are two views of ONE training, so the second consumer
+    * must not re-run the k iterations. The state frame is already
+    * localCheckpoint'd (lineage one step deep); entries evict on
+    * fingerprint mismatch or stopped sessions, and
+    * [[clearBpeCache]] / `Lake.clearCaches` is the bulk release.
+    */
+  private val trainCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String, Int),
+      (Seq[(Int, String, String, Long)], DataFrame)]()
+
+  private[graft] def clearBpeCache(): Int = {
+    val n = trainCache.size()
+    trainCache.values().forEach { case (_, df) =>
+      try df.unpersist() catch { case _: Throwable => }
+    }
+    trainCache.clear()
+    n
+  }
+
+  private def cachedTraining(spark: SparkSession, sfDir: String,
+      k: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    val fp = MinHashDedup.corpusFingerprint(spark, sfDir)
+    val it = trainCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val key = e.getKey
+      if (key._1.sparkContext.isStopped ||
+          (key._1 == spark && key._2 == sfDir && key._3 != fp)) {
+        try e.getValue._2.unpersist() catch { case _: Throwable => }
+        it.remove()
+      }
+    }
+    trainCache.computeIfAbsent((spark, sfDir, fp, k),
+      _ => trainDocs(Tables.documents(spark, sfDir), k))
+  }
+
+  def bpeTrain(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    val (merges, _) = cachedTraining(spark, sfDir, k)
+    mergeTable(spark, merges)
+  }
+
+  /** `bpe_encode` — the INFERENCE half: the corpus re-segmented by the
+    * trained merge table (what a tokenizer does to every shard after
+    * training). Emitted per doc: the unit count before/after merging
+    * and the encoded surface (merge joins shown as `_`) — the
+    * compression a k-merge vocabulary buys. Shares ONE training with
+    * `bpe_train` via the memo (two views of one computation — the
+    * dedup_cluster / dedup_cluster_stats discipline); the
+    * re-segmentation itself already happened inside the training loop
+    * (the final state IS the encoded corpus), so this query adds only
+    * a row-local projection.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    val (_, state) = cachedTraining(spark, sfDir, k)
+    val units = filter(split(col("s"), Sep), x => x =!= lit(""))
+    state.select(col("doc_id"), units.as("u"))
+      .select(col("doc_id"),
+        size(filter(col("u"),
+          x => x.contains(MergeJ))).as("n_merged_units"),
+        size(col("u")).as("n_units"),
+        array_join(transform(col("u"),
+          x => call_function("replace", x, lit(MergeJ), lit("_"))), " ")
+          .as("encoded"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  private def mergeTable(spark: SparkSession,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    merges
+      .map { case (step, a, b, c) =>
+        (step, a.replace(MergeJ, " "), b.replace(MergeJ, " "), c)
+      }
+      .toDF("step", "lhs", "rhs", "pair_count")
+      .orderBy(col("step").asc)
+  }
 
   /** Core of [[bpeTrain]] over any (doc_id, text) frame. */
   def bpeTrainDocs(docs: DataFrame, k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+    val (merges, state) = trainDocs(docs, k)
+    state.unpersist()
+    mergeTable(docs.sparkSession, merges)
+  }
+
+  /** The k-iteration training loop: returns (merge table, final
+    * segmentation state — checkpointed, caller releases).
+    */
+  private def trainDocs(docs: DataFrame,
+      k: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     val ss = Sep + Sep
     val toks = filter(split(TextOps.normText(col("text")), " "),
       t => t =!= lit(""))
@@ -96,11 +183,6 @@ object BpeTrain {
         i += 1
       }
     }
-    merges.toSeq
-      .map { case (step, a, b, c) =>
-        (step, a.replace(MergeJ, " "), b.replace(MergeJ, " "), c)
-      }
-      .toDF("step", "lhs", "rhs", "pair_count")
-      .orderBy(col("step").asc)
+    (merges.toSeq, st)
   }
 }

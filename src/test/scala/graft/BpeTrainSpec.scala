@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
 import graft.operators.BpeTrain
 
 /** `bpe_train` — word-level BPE merge training. The property test
@@ -98,6 +99,36 @@ class BpeTrainSpec extends AnyFunSuite {
     val got = run(Seq(Seq("x", "y"), Seq("solo")), 5)
     assert(got === Seq((1, "x", "y", 1L)),
       "one mergeable pair, then exhaustion")
+  }
+
+  test("bpe_encode: segmentation is conservative and merge-table-derived (fixture, shared memo)") {
+    val merges = graft.operators.BpeTrain.bpeTrain(spark, TestSpark.sf)
+      .as[(Int, String, String, Long)].collect()
+    val enc = graft.operators.BpeTrain.bpeEncode(spark, TestSpark.sf)
+      .as[(Long, Int, Int, String)].collect()
+    assert(merges.nonEmpty && enc.nonEmpty)
+    // every merged unit's surface must be buildable from a merge row
+    val legalMerged = merges.map { case (_, lhs, rhs, _) =>
+      lhs.replace(" ", "_") + "_" + rhs.replace(" ", "_")
+    }.toSet
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"),
+        graft.operators.TextOps.normText(col("text")).as("t"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").count(_.nonEmpty) }.toMap
+    enc.foreach { case (docId, nMerged, nUnits, encoded) =>
+      val units = encoded.split(" ").filter(_.nonEmpty)
+      assert(units.length == nUnits, s"doc $docId unit count")
+      assert(units.count(_.contains("_")) == nMerged, s"doc $docId merged count")
+      units.filter(_.contains("_")).foreach(u =>
+        assert(legalMerged.contains(u),
+          s"doc $docId: unit '$u' not derivable from the merge table"))
+      // conservation: units re-expand to the original token count
+      assert(units.map(u => u.count(_ == '_') + 1).sum == docs(docId),
+        s"doc $docId: merged units must re-expand to the original tokens")
+    }
+    // both queries rode ONE memoized training
+    assert(graft.operators.BpeTrain.clearBpeCache() >= 1)
   }
 
   test("bpe_train equals the literal greedy merger on random corpora") {

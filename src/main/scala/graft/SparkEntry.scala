@@ -129,6 +129,7 @@ object SparkEntry {
     "q_shaped_q22" -> (MacroQueries.qShapedQ22 _),
     "q_shaped_q10" -> (MacroQueries.qShapedQ10 _),
     "q_shaped_q18" -> (MacroQueries.qShapedQ18 _),
+    "q_shaped_q21" -> (MacroQueries.qShapedQ21 _),
     // §2.D aggregations
     "agg_group_sum" -> (Aggregates.aggGroupSum _),
     "agg_count_distinct" -> (Aggregates.aggCountDistinct _),
@@ -1514,6 +1515,24 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 100""".stripMargin,
+    "q_shaped_q21" ->
+      """SELECT s_name, count(*) AS numwait FROM (
+        |  SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+        |  FROM lineitem l1
+        |  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |    AND o.o_orderstatus = 'F'
+        |  WHERE l1.l_returnflag = 'R'
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                WHERE l3.l_orderkey = l1.l_orderkey
+        |                  AND l3.l_suppkey <> l1.l_suppkey
+        |                  AND l3.l_returnflag = 'R')
+        |) b JOIN supplier ON s_suppkey = b.l_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 20""".stripMargin,
     "q_shaped_q10" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

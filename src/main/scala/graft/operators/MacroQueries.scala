@@ -211,6 +211,49 @@ object MacroQueries {
       .orderBy(col("o_orderpriority").asc)
   }
 
+  /** `q_shaped_q21` — suppliers-who-kept-orders-waiting skeleton: the
+    * hardest composite shape in the TPC-H dialect — a DOUBLE-correlated
+    * pair over fact SELF-joins (EXISTS a line from another supplier in
+    * the same order; NOT EXISTS an R-flagged line from another
+    * supplier), adapted to the fixture schema (`l_returnflag = 'R'` is
+    * the failure marker — no commit/receipt dates here), restricted to
+    * finished ('F') orders. Decorrelation shape: both correlations
+    * become lineitem self-joins KEYED on l_orderkey — a left-semi and
+    * a left-anti each carrying the supplier-inequality residual — so
+    * there is never a product and the fact shuffles once per side on
+    * the order key; the blamed (suppkey, orderkey) pairs deduplicate
+    * BEFORE the per-supplier count (an order counts once per supplier
+    * regardless of line count), the supplier dim broadcasts, and the
+    * top-20 is TakeOrderedAndProject with the (numwait DESC, s_name
+    * ASC) total order (boundary ties at every SF resolve on the unique
+    * name).
+    */
+  def qShapedQ21(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+    val fOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    val blamed = l1
+      .join(l2, col("o2") === col("l_orderkey") &&
+        col("s2") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("o3") === col("l_orderkey") &&
+        col("s3") =!= col("l_suppkey"), "left_anti")
+      .select(col("l_suppkey"), col("l_orderkey")).distinct()
+    blamed
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
   /** `q_shaped_q22` — global-sales-opportunity skeleton: above-average-
     * balance customers who never placed a premium (>400k) order,
     * grouped by a country-code proxy (nationkey mod 10). Composes the

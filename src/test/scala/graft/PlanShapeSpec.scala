@@ -102,6 +102,19 @@ class PlanShapeSpec extends AnyFunSuite {
       !p18.contains("BroadcastNestedLoopJoin"),
       s"q18 must not plan a product join:\n$p18")
     assert(p18.contains("TakeOrderedAndProject"), s"q18 expected top-k:\n$p18")
+    // q21: both correlations decorrelate to KEYED fact self-joins (one
+    // LeftSemi, one LeftAnti, each with the supplier-inequality
+    // residual) — never a product; supplier dim broadcasts; top-20 is
+    // TakeOrderedAndProject
+    val q21 = MacroQueries.qShapedQ21(spark, sf)
+    q21.collect()
+    val p21 = q21.queryExecution.executedPlan.toString
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"q21 expected decorrelated semi+anti self-joins:\n$p21")
+    assert(!p21.contains("CartesianProduct") &&
+      !p21.contains("BroadcastNestedLoopJoin"),
+      s"q21 must not plan a product join:\n$p21")
+    assert(p21.contains("TakeOrderedAndProject"), s"q21 expected top-k:\n$p21")
   }
 
   test("q7/q14 composites: nation filters under the broadcasts, no products, partial aggs") {

@@ -320,6 +320,10 @@ object SparkEntry {
       SimSearch.simsearchHybrid(s, d)),
     "simsearch_hybrid_ivf" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchHybridIvf(s, d)),
+    // product-quantized ANN: per-subspace codes + broadcast lookup
+    // table — the vector-compression half of a production index
+    "simsearch_pq" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchPq(s, d)),
     "simsearch_hybrid_lsh" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchHybridLsh(s, d)),
     "text_stats" -> (TextOps.textStats _),
@@ -3419,6 +3423,37 @@ object SparkEntry {
     // smaller cent_id (the kernel's strict-> scan order), query side
     // ranks cosine like the struct sort
     "simsearch_ivf" -> ivfOracleSql,
+    // PQ: per-subspace code assignment (argmax raw dot, code-ASC ties)
+    // + 1e-6-unit partial-dot lookup table, summed per candidate —
+    // mirrors pqOver's kernel arithmetic element for element
+    "simsearch_pq" ->
+      """WITH cb AS (SELECT vec_id AS code, embedding AS cv
+        |  FROM embeddings WHERE vec_id % 127 = 0),
+        |ss AS (SELECT unnest(range(0, 4)) AS s),
+        |codes AS (SELECT c_id, s, code FROM (
+        |  SELECT e.vec_id AS c_id, r.s, cb.code,
+        |    row_number() OVER (PARTITION BY e.vec_id, r.s ORDER BY
+        |      list_sum(list_transform(range(1, 17),
+        |        i -> e.embedding[r.s * 16 + i]::DOUBLE
+        |           * cb.cv[r.s * 16 + i]::DOUBLE)) DESC,
+        |      cb.code ASC) AS rn
+        |  FROM embeddings e CROSS JOIN ss r CROSS JOIN cb) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS q_id, r.s, cb.code,
+        |    round(list_sum(list_transform(range(1, 17),
+        |      i -> q.embedding[r.s * 16 + i]::DOUBLE
+        |         * cb.cv[r.s * 16 + i]::DOUBLE)) * 1000000.0, 0)::BIGINT
+        |      AS pdot_u
+        |  FROM embeddings q CROSS JOIN ss r CROSS JOIN cb
+        |  WHERE q.vec_id < 10),
+        |sc AS (SELECT l.q_id, c.c_id, sum(l.pdot_u) AS score_u
+        |  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+        |  WHERE c.c_id <> l.q_id GROUP BY 1, 2)
+        |SELECT q_id, c_id,
+        |  round(score_u::DOUBLE / 1000000.0, 6) AS approx_score,
+        |  rn::INT AS rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score_u DESC, c_id ASC) AS rn FROM sc)
+        |WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
     // recall@k report composed from the three searcher oracles above
     // (nested-WITH derived tables — DuckDB-supported); count() keeps
     // zero-hit queries at hits=0 via the LEFT JOIN

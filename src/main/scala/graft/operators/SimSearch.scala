@@ -247,6 +247,87 @@ object SimSearch {
           codebook.map(_._1),
           codebook.map { case (_, v, nrm) => v.map(_.toDouble / nrm) }))
 
+  /** `simsearch_pq` — product-quantized ANN (Jégou et al.'s PQ, the
+    * compression every production vector index ships): the 64-dim
+    * space splits into `m` = 4 subspaces of 16 dims; each corpus
+    * vector is stored as m CODES (nearest codebook entry per
+    * subspace — here the stride-sampled codebook, the simsearch_ivf
+    * determinism choice, where a real pipeline k-means per subspace
+    * offline); a query builds a tiny LOOKUP TABLE of partial dots
+    * (query-subvector · centroid-subvector, |queries|·m·C rows) and
+    * every candidate's approximate score is the SUM OF m TABLE LOOKUPS
+    * — the corpus's full vectors are never touched at query time,
+    * which is the entire point (4 longs per vector instead of 64
+    * floats).
+    *
+    * Scale shape: code assignment is scan→project narrow compute (the
+    * NearestCentroid kernel per subspace over inlined centroids — no
+    * join, no shuffle); the lookup table broadcasts; scoring is a
+    * (s, code)-KEYED join + one (q_id, c_id) aggregate. The per-query
+    * rank window is corpus-sized here (the documented simsearch_knn
+    * baseline trade — PQ at scale composes with IVF cell pruning for
+    * the candidate cut; this operator is the COMPRESSION half).
+    *
+    * Determinism (SURVEY §5.3): partial dots snap to 1e-6 integer
+    * units BEFORE the per-candidate sum (the simsearch_hybrid BM25
+    * discipline — integer sums are associative, so partial-agg order
+    * cannot flip a rank); assignment argmaxes tie-break to the LOWEST
+    * code id in both engines (kernel keeps the first of the
+    * ascending-sorted ids on strict ties; oracle orders `code ASC`).
+    */
+  def simsearchPq(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 10, centroidStride: Long = 127,
+      m: Int = 4): DataFrame =
+    pqOver(Tables.embeddings(spark, sfDir), k, nQueries, centroidStride, m)
+
+  /** Core of [[simsearchPq]] over any (vec_id, embedding) frame. */
+  def pqOver(emb: DataFrame, k: Int, nQueries: Int, centroidStride: Long,
+      m: Int): DataFrame = {
+    val cb = ivfCodebook(emb, centroidStride) // (id, vector, ‖·‖); sorted
+    require(cb.nonEmpty, "empty PQ codebook — raise the corpus or lower the stride")
+    val dim = cb.head._2.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    def subVec(v: Array[Float], s: Int): Array[Float] =
+      v.slice(s * sub, (s + 1) * sub)
+    // m codes per corpus vector: per-subspace argmax of the RAW dot
+    // against the inlined codebook subvectors (narrow compute, the
+    // ivfAssignCorpus treatment — ties resolve to the lowest id)
+    val codeCols = (0 until m).map { s =>
+      graft.functions.VectorExpressions.nearestCentroidCol(
+        slice(col("embedding"), s * sub + 1, sub),
+        cb.map(_._1),
+        cb.map { case (_, v, _) => subVec(v, s).map(_.toDouble) })
+    }
+    val codes = emb
+      .select(col("vec_id").as("c_id"),
+        posexplode(array(codeCols: _*)).as(Seq("s", "code")))
+    // the query-side lookup table: |queries| · m · C rows, broadcast
+    val lutStructs: Seq[Column] =
+      for (s <- 0 until m; (id, v, _) <- cb) yield struct(
+        lit(s).as("s"), lit(id).as("code"),
+        round(dot(slice(col("q_emb"), s * sub + 1, sub),
+          lit(subVec(v, s))) * lit(1000000.0), 0).cast("long").as("pdot_u"))
+    val lut = emb.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("q_id"), explode(array(lutStructs: _*)).as("e"))
+      .select(col("q_id"), col("e.s").as("s"), col("e.code").as("code"),
+        col("e.pdot_u").as("pdot_u"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_u").desc, col("c_id").asc)
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("c_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("pdot_u")).as("score_u"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"),
+        round(col("score_u").cast("double") / 1000000.0, 6)
+          .as("approx_score"),
+        col("rn"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
   /** `ann_recall` — the ANN quality report (VERDICT r5 #4 + r7 #7):
     * per-query recall of the approximate searchers against the exact
     * brute-force top-k, labeled by (method, codebook) — lsh/none,

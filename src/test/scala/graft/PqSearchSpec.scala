@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SimSearch
+
+/** `simsearch_pq` — product-quantized ANN. A literal Scala reference
+  * model (explicit per-subspace argmax + lookup-table sums, lowest-id
+  * ties) pins the distributed formulation on deterministic pseudo-
+  * random vectors; a codebook-aligned planted corpus pins exactness
+  * when quantization is lossless; the fixture test pins the output
+  * contract.
+  */
+class PqSearchSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def refPq(vecs: Seq[(Long, Array[Float])], k: Int, nQ: Int,
+      stride: Long, m: Int): Seq[(Long, Long, Double, Int)] = {
+    val cb = vecs.filter(_._1 % stride == 0).sortBy(_._1)
+    val dim = cb.head._2.length
+    val sub = dim / m
+    def sdot(a: Array[Float], b: Array[Float], s: Int): Double = {
+      var acc = 0.0
+      var i = s * sub
+      while (i < (s + 1) * sub) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def assign(v: Array[Float], s: Int): Long = {
+      var best = Double.NegativeInfinity
+      var bestId = -1L
+      cb.foreach { case (id, c) =>
+        val d = sdot(v, c, s)
+        if (d > best) { best = d; bestId = id } // first wins: lowest id
+      }
+      bestId
+    }
+    val queries = vecs.filter(_._1 < nQ)
+    queries.flatMap { case (qId, q) =>
+      val lut = (for (s <- 0 until m; (id, c) <- cb)
+        yield (s, id) -> math.round(sdot(q, c, s) * 1e6)).toMap
+      vecs.filter(_._1 != qId)
+        .map { case (cId, v) =>
+          val scoreU = (0 until m).map(s => lut((s, assign(v, s)))).sum
+          (cId, scoreU)
+        }
+        .sortBy { case (cId, s) => (-s, cId) }
+        .take(k).zipWithIndex
+        .map { case ((cId, s), i) =>
+          (qId, cId, BigDecimal(s / 1e6)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1)
+        }
+    }.sortBy(r => (r._1, r._4))
+  }
+
+  test("pq equals the literal reference model on pseudo-random vectors") {
+    // deterministic "random" vectors from an integer mix — no RNG state
+    val vecs = (0L until 60L).map { id =>
+      id -> Array.tabulate(8)(d =>
+        (((id * 31 + d * 17 + 7) % 19).toFloat - 9f) / 9f)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = SimSearch.pqOver(df, k = 4, nQueries = 3,
+      centroidStride = 13, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got === refPq(vecs, 4, 3, 13, 4))
+    assert(got.size === 12)
+  }
+
+  test("pq is exact on a codebook-aligned corpus (lossless quantization)") {
+    // 4 centroids with per-subspace patterns whose self-dot dominates
+    // (1,0) / (0,1) / (-1,0) / (0,-1): every clone assigns to its own
+    // centroid, so the PQ score IS the exact dot product
+    val pat = Array(Array(1f, 0f), Array(0f, 1f), Array(-1f, 0f),
+      Array(0f, -1f))
+    def vecOf(j: Int): Array[Float] = Array.fill(4)(pat(j)).flatten
+    // ids 0..3 are the codebook (stride 1 would also include clones —
+    // use stride 1 so corpus == codebook ∪ clones, all codebook-valued)
+    val vecs = (0L until 20L).map(id => id -> vecOf((id % 4).toInt))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = SimSearch.pqOver(df, k = 19, nQueries = 1,
+      centroidStride = 1, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // query 0 has pattern 0: exact dot = +4 for same-pattern clones,
+    // 0 for orthogonal (patterns 1/3), -4 for opposite (pattern 2)
+    val expected = vecs.drop(1)
+      .map { case (cId, v) =>
+        (cId, (0 until 8).map(i => vecOf(0)(i).toDouble * v(i)).sum)
+      }
+      .sortBy { case (cId, d) => (-d, cId) }
+      .zipWithIndex.map { case ((cId, d), i) => (0L, cId, d, i + 1) }
+    assert(got === expected)
+  }
+
+  test("fixture output contract (sf0.001): 10 queries x top-5, no self-hits") {
+    val rows = SimSearch.simsearchPq(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.length === 50)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toList === (1 to 5).toList)
+      assert(rs.forall(_._2 != q), s"query $q retrieved itself")
+    }
+  }
+}

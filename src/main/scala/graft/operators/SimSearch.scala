@@ -274,6 +274,16 @@ object SimSearch {
     * cannot flip a rank); assignment argmaxes tie-break to the LOWEST
     * code id in both engines (kernel keeps the first of the
     * ascending-sorted ids on strict ties; oracle orders `code ASC`).
+    *
+    * Quality note (measured, not hidden): with the 4-entry stride
+    * codebook on the fixture's RANDOM vectors, recall@5 vs cosine-exact
+    * is ~0.08 at sf0.001 — random high-dim vectors are PQ's worst case
+    * (no cluster structure to quantize onto) and PQ ranks by dot while
+    * the baseline ranks by cosine. The operator's correctness story is
+    * the reference-model and lossless-quantization specs; its QUALITY
+    * tracks codebook quality — a production pipeline k-means each
+    * subspace offline (the [[ivfCodebookKmeans]] analog) and pairs PQ
+    * with IVF pruning.
     */
   def simsearchPq(spark: SparkSession, sfDir: String, k: Int = 5,
       nQueries: Int = 10, centroidStride: Long = 127,

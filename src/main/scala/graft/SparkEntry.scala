@@ -3433,9 +3433,12 @@ object SparkEntry {
         |codes AS (SELECT c_id, s, code FROM (
         |  SELECT e.vec_id AS c_id, r.s, cb.code,
         |    row_number() OVER (PARTITION BY e.vec_id, r.s ORDER BY
-        |      list_sum(list_transform(range(1, 17),
-        |        i -> e.embedding[r.s * 16 + i]::DOUBLE
-        |           * cb.cv[r.s * 16 + i]::DOUBLE)) DESC,
+        |      (list_sum(list_transform(range(1, 17),
+        |         i -> e.embedding[r.s * 16 + i]::DOUBLE
+        |            * cb.cv[r.s * 16 + i]::DOUBLE))
+        |       - list_sum(list_transform(range(1, 17),
+        |         i -> cb.cv[r.s * 16 + i]::DOUBLE
+        |            * cb.cv[r.s * 16 + i]::DOUBLE)) / 2) DESC,
         |      cb.code ASC) AS rn
         |  FROM embeddings e CROSS JOIN ss r CROSS JOIN cb) WHERE rn = 1),
         |lut AS (SELECT q.vec_id AS q_id, r.s, cb.code,

@@ -250,10 +250,12 @@ object SimSearch {
   /** `simsearch_pq` — product-quantized ANN (Jégou et al.'s PQ, the
     * compression every production vector index ships): the 64-dim
     * space splits into `m` = 4 subspaces of 16 dims; each corpus
-    * vector is stored as m CODES (nearest codebook entry per
-    * subspace — here the stride-sampled codebook, the simsearch_ivf
-    * determinism choice, where a real pipeline k-means per subspace
-    * offline); a query builds a tiny LOOKUP TABLE of partial dots
+    * vector is stored as m CODES (min-L2 codebook entry per subspace —
+    * canonical PQ assignment; here the stride-sampled codebook, the
+    * simsearch_ivf determinism choice, where a real pipeline k-means
+    * per subspace offline — [[pqCodebookKmeans]] is that quality path,
+    * recall-gated in PqSearchSpec); a query builds a tiny LOOKUP TABLE
+    * of partial dots
     * (query-subvector · centroid-subvector, |queries|·m·C rows) and
     * every candidate's approximate score is the SUM OF m TABLE LOOKUPS
     * — the corpus's full vectors are never touched at query time,
@@ -277,7 +279,7 @@ object SimSearch {
     *
     * Quality note (measured, not hidden): with the 4-entry stride
     * codebook on the fixture's RANDOM vectors, recall@5 vs cosine-exact
-    * is ~0.08 at sf0.001 — random high-dim vectors are PQ's worst case
+    * is ~0.06 at sf0.001 — random high-dim vectors are PQ's worst case
     * (no cluster structure to quantize onto) and PQ ranks by dot while
     * the baseline ranks by cosine. The operator's correctness story is
     * the reference-model and lossless-quantization specs; its QUALITY
@@ -290,24 +292,73 @@ object SimSearch {
       m: Int = 4): DataFrame =
     pqOver(Tables.embeddings(spark, sfDir), k, nQueries, centroidStride, m)
 
+  /** The learned PQ codebook (the [[ivfCodebookKmeans]] analog, per
+    * subspace): k-means|| over each subspace's subvectors, reassembled
+    * into full-width vectors in the [[pqOver]] codebook shape — cent i
+    * carries subspace s's i-th learned centroid in its s-th block, so
+    * the per-subspace argmax sees exactly the learned subspace
+    * codebook. The library's QUALITY path (engine-seeded: spec-gated,
+    * not oracled — the declared query keeps the stride codebook for
+    * bit-determinism, the simsearch_ivf precedent).
+    */
+  def pqCodebookKmeans(emb: DataFrame, kCents: Int, m: Int,
+      maxIter: Int = 10, seed: Long = 42L)
+      : Array[(Long, Array[Float], Double)] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val perSub = (0 until m).map { s =>
+      val feat = emb.select(array_to_vector(
+        slice(col("embedding"), s * sub + 1, sub).cast("array<double>"))
+        .as("features"))
+      new KMeans().setK(kCents).setMaxIter(maxIter).setSeed(seed)
+        .setInitMode("k-means||").fit(feat)
+        .clusterCenters.map(_.toArray.map(_.toFloat))
+    }
+    (0 until kCents).toArray.map { i =>
+      val full = (0 until m).flatMap(s => perSub(s)(i).toSeq).toArray
+      val nrm = math.sqrt(full.map(v => v.toDouble * v.toDouble).sum)
+      (i.toLong, full, nrm)
+    }
+  }
+
   /** Core of [[simsearchPq]] over any (vec_id, embedding) frame. */
   def pqOver(emb: DataFrame, k: Int, nQueries: Int, centroidStride: Long,
+      m: Int): DataFrame =
+    pqOverCodebook(emb, ivfCodebook(emb, centroidStride), k, nQueries, m)
+
+  /** [[pqOver]] with an explicit codebook — the learned-codebook entry
+    * point ([[pqCodebookKmeans]] plugs in here).
+    */
+  def pqOverCodebook(emb: DataFrame,
+      cb: Array[(Long, Array[Float], Double)], k: Int, nQueries: Int,
       m: Int): DataFrame = {
-    val cb = ivfCodebook(emb, centroidStride) // (id, vector, ‖·‖); sorted
     require(cb.nonEmpty, "empty PQ codebook — raise the corpus or lower the stride")
     val dim = cb.head._2.length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val sub = dim / m
     def subVec(v: Array[Float], s: Int): Array[Float] =
       v.slice(s * sub, (s + 1) * sub)
-    // m codes per corpus vector: per-subspace argmax of the RAW dot
-    // against the inlined codebook subvectors (narrow compute, the
-    // ivfAssignCorpus treatment — ties resolve to the lowest id)
+    // m codes per corpus vector: per-subspace argmin L2 distance to the
+    // inlined codebook subvectors — canonical PQ assignment (max-dot
+    // would bias toward large-norm centroids; the learned-codebook
+    // recall spec caught exactly that). Implemented on the same argmax
+    // kernel via the augmented-vector identity
+    // argmin‖x−c‖² = argmax(dot(x,c) − ‖c‖²/2): the input grows a
+    // constant 1f element and each centroid a −‖c_s‖²/2 bias term, so
+    // the kernel's left-to-right accumulation ends with the bias —
+    // mirrored op for op in the oracle. Ties resolve to the lowest id.
     val codeCols = (0 until m).map { s =>
       graft.functions.VectorExpressions.nearestCentroidCol(
-        slice(col("embedding"), s * sub + 1, sub),
+        concat(slice(col("embedding"), s * sub + 1, sub),
+          array(lit(1.0f))),
         cb.map(_._1),
-        cb.map { case (_, v, _) => subVec(v, s).map(_.toDouble) })
+        cb.map { case (_, v, _) =>
+          val sv = subVec(v, s).map(_.toDouble)
+          sv :+ (-sv.map(x => x * x).sum / 2)
+        })
     }
     val codes = emb
       .select(col("vec_id").as("c_id"),

@@ -30,7 +30,8 @@ class PqSearchSpec extends AnyFunSuite {
       var best = Double.NegativeInfinity
       var bestId = -1L
       cb.foreach { case (id, c) =>
-        val d = sdot(v, c, s)
+        // min L2 via the dot − ‖c‖²/2 identity (canonical PQ assignment)
+        val d = sdot(v, c, s) - sdot(c, c, s) / 2
         if (d > best) { best = d; bestId = id } // first wins: lowest id
       }
       bestId
@@ -90,6 +91,53 @@ class PqSearchSpec extends AnyFunSuite {
       .sortBy { case (cId, d) => (-d, cId) }
       .zipWithIndex.map { case ((cId, d), i) => (0L, cId, d, i + 1) }
     assert(got === expected)
+  }
+
+  test("learned per-subspace codebook lifts recall on clusterable data (quality path)") {
+    // 8 cluster prototypes; corpus = prototypes under small deterministic
+    // perturbation — the structure PQ is built for. The stride codebook
+    // picks arbitrary members; k-means per subspace recovers the
+    // prototypes, so the learned recall vs exact-dot must dominate.
+    // 10 members per cluster and k = 9 (own cluster minus self): within
+    // a cluster every member shares the same codes, so PQ cannot rank
+    // INSIDE a cluster — sizing top-k to the cluster makes recall
+    // measure cluster RETRIEVAL (what PQ is for), not tie-break luck
+    val protos = (0 until 8).map { g =>
+      Array.tabulate(8)(d => if (d == g) 4f else (if ((d + g) % 3 == 0) 1f else -1f))
+    }
+    val vecs = (0L until 80L).map { id =>
+      val p = protos((id % 8).toInt)
+      id -> p.zipWithIndex.map { case (v, d) =>
+        v + 0.01f * (((id * 7 + d * 3) % 5).toInt - 2)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def exactTop(qId: Long, k: Int): Set[Long] = {
+      val q = vecs(qId.toInt)._2
+      vecs.filter(_._1 != qId)
+        .map { case (cId, v) =>
+          (cId, (0 until 8).map(i => q(i).toDouble * v(i)).sum)
+        }
+        .sortBy { case (cId, d) => (-d, cId) }.take(k).map(_._1).toSet
+    }
+    def recall(res: Seq[(Long, Long, Double, Int)], k: Int): Double = {
+      val byQ = res.groupBy(_._1)
+      byQ.map { case (q, rs) =>
+        rs.map(_._2).toSet.intersect(exactTop(q, k)).size.toDouble / k
+      }.sum / byQ.size
+    }
+    val k = 9
+    val stride = SimSearch.pqOver(df, k, nQueries = 4,
+      centroidStride = 37, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val learned = SimSearch.pqOverCodebook(df,
+      SimSearch.pqCodebookKmeans(df, kCents = 8, m = 4), k, nQueries = 4,
+      m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val (rs, rl) = (recall(stride, k), recall(learned, k))
+    assert(rl >= rs - 1e-9,
+      s"learned codebook must not lose to the stride sample: $rl vs $rs")
+    assert(rl >= 0.8, s"learned recall floor on clusterable data: $rl")
   }
 
   test("fixture output contract (sf0.001): 10 queries x top-5, no self-hits") {

@@ -335,48 +335,75 @@ object SimSearch {
   def pqOverCodebook(emb: DataFrame,
       cb: Array[(Long, Array[Float], Double)], k: Int, nQueries: Int,
       m: Int): DataFrame = {
-    require(cb.nonEmpty, "empty PQ codebook — raise the corpus or lower the stride")
+    val sub = pqSubDim(cb, m)
+    val codes = emb
+      .select(col("vec_id").as("c_id"),
+        posexplode(array(pqCodeCols(cb, m, sub, col("embedding")): _*))
+          .as(Seq("s", "code")))
+    val lut = pqLutFrame(emb.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      cb, m, sub)
+    pqTopK(codes.join(broadcast(lut), Seq("s", "code")), k)
+  }
+
+  private def pqSubDim(cb: Array[(Long, Array[Float], Double)],
+      m: Int): Int = {
+    require(cb.nonEmpty,
+      "empty PQ codebook — raise the corpus or lower the stride")
     val dim = cb.head._2.length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
-    val sub = dim / m
-    def subVec(v: Array[Float], s: Int): Array[Float] =
-      v.slice(s * sub, (s + 1) * sub)
-    // m codes per corpus vector: per-subspace argmin L2 distance to the
-    // inlined codebook subvectors — canonical PQ assignment (max-dot
-    // would bias toward large-norm centroids; the learned-codebook
-    // recall spec caught exactly that). Implemented on the same argmax
-    // kernel via the augmented-vector identity
-    // argmin‖x−c‖² = argmax(dot(x,c) − ‖c‖²/2): the input grows a
-    // constant 1f element and each centroid a −‖c_s‖²/2 bias term, so
-    // the kernel's left-to-right accumulation ends with the bias —
-    // mirrored op for op in the oracle. Ties resolve to the lowest id.
-    val codeCols = (0 until m).map { s =>
+    dim / m
+  }
+
+  private def pqSubVec(v: Array[Float], s: Int, sub: Int): Array[Float] =
+    v.slice(s * sub, (s + 1) * sub)
+
+  /** m code columns per vector: per-subspace argmin L2 distance to the
+    * inlined codebook subvectors — canonical PQ assignment (max-dot
+    * would bias toward large-norm centroids; the learned-codebook
+    * recall spec caught exactly that). Implemented on the same argmax
+    * kernel via the augmented-vector identity
+    * argmin‖x−c‖² = argmax(dot(x,c) − ‖c‖²/2): the input grows a
+    * constant 1f element and each centroid a −‖c_s‖²/2 bias term, so
+    * the kernel's left-to-right accumulation ends with the bias —
+    * mirrored op for op in the oracle. Ties resolve to the lowest id.
+    */
+  private def pqCodeCols(cb: Array[(Long, Array[Float], Double)], m: Int,
+      sub: Int, embCol: Column): Seq[Column] =
+    (0 until m).map { s =>
       graft.functions.VectorExpressions.nearestCentroidCol(
-        concat(slice(col("embedding"), s * sub + 1, sub),
-          array(lit(1.0f))),
+        concat(slice(embCol, s * sub + 1, sub), array(lit(1.0f))),
         cb.map(_._1),
         cb.map { case (_, v, _) =>
-          val sv = subVec(v, s).map(_.toDouble)
+          val sv = pqSubVec(v, s, sub).map(_.toDouble)
           sv :+ (-sv.map(x => x * x).sum / 2)
         })
     }
-    val codes = emb
-      .select(col("vec_id").as("c_id"),
-        posexplode(array(codeCols: _*)).as(Seq("s", "code")))
-    // the query-side lookup table: |queries| · m · C rows, broadcast
+
+  /** The query-side lookup table over a (q_id, q_emb) frame:
+    * |queries| · m · C rows of 1e-6-unit partial dots — broadcast-sized.
+    */
+  private def pqLutFrame(queries: DataFrame,
+      cb: Array[(Long, Array[Float], Double)], m: Int,
+      sub: Int): DataFrame = {
     val lutStructs: Seq[Column] =
       for (s <- 0 until m; (id, v, _) <- cb) yield struct(
         lit(s).as("s"), lit(id).as("code"),
         round(dot(slice(col("q_emb"), s * sub + 1, sub),
-          lit(subVec(v, s))) * lit(1000000.0), 0).cast("long").as("pdot_u"))
-    val lut = emb.filter(col("vec_id") < nQueries.toLong)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .select(col("q_id"), explode(array(lutStructs: _*)).as("e"))
+          lit(pqSubVec(v, s, sub))) * lit(1000000.0), 0).cast("long")
+          .as("pdot_u"))
+    queries.select(col("q_id"), explode(array(lutStructs: _*)).as("e"))
       .select(col("q_id"), col("e.s").as("s"), col("e.code").as("code"),
         col("e.pdot_u").as("pdot_u"))
+  }
+
+  /** Shared PQ tail: sum the per-subspace lookups per candidate, rank,
+    * keep top-k. Expects (q_id, c_id, pdot_u) rows (m per candidate).
+    */
+  private def pqTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score_u").desc, col("c_id").asc)
-    codes.join(broadcast(lut), Seq("s", "code"))
+    scored
       .filter(col("c_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("pdot_u")).as("score_u"))
@@ -387,6 +414,58 @@ object SimSearch {
           .as("approx_score"),
         col("rn"))
       .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  /** `simsearch_ivfpq` — the canonical production ANN read path
+    * (FAISS's IVFPQ structure; OPQ rotation and residual encoding
+    * elided — quality refinements orthogonal to the plan shape): the
+    * IVF coarse quantizer prunes candidates to the query's `nProbe`
+    * nearest cells, and PQ lookup tables score ONLY the survivors —
+    * closing `simsearch_pq`'s documented corpus-sized rank window.
+    * ONE corpus scan emits (cent_id, s, code) per vector (both
+    * quantizers are inlined narrow compute); the cell join prunes to
+    * ~|corpus|·nProbe/nCells candidates per query BEFORE the lookup
+    * join and the rank window, so every post-prune stage is
+    * candidate-sized. Same fixed-point discipline as `simsearch_pq`
+    * (1e-6-unit lookups, lowest-id assignment ties in both engines).
+    */
+  def simsearchIvfPq(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 10, coarseStride: Long = 127, pqStride: Long = 61,
+      m: Int = 4, nProbe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    ivfPqOver(emb, ivfCodebook(emb, coarseStride),
+      ivfCodebook(emb, pqStride), k, nQueries, m, nProbe)
+  }
+
+  /** Core of [[simsearchIvfPq]] over any (vec_id, embedding) frame with
+    * explicit coarse and PQ codebooks (the learned k-means codebooks
+    * plug into either slot).
+    */
+  def ivfPqOver(emb: DataFrame,
+      coarse: Array[(Long, Array[Float], Double)],
+      pqCb: Array[(Long, Array[Float], Double)], k: Int, nQueries: Int,
+      m: Int, nProbe: Int): DataFrame = {
+    val sub = pqSubDim(pqCb, m)
+    // one corpus scan: coarse cell + m PQ codes, all narrow compute
+    val corpus = ivfAssignCorpus(emb, coarse)
+      .select(col("c_id"), col("cent_id"),
+        posexplode(array(pqCodeCols(pqCb, m, sub, col("c_emb")): _*))
+          .as(Seq("s", "code")))
+    val queryCells = emb
+      .filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"))
+      .withColumn("cell", explode(slice(reverse(
+        array_sort(array(ivfCellStructs(coarse, col("q_emb"),
+          col("q_nrm")): _*))),
+        1, nProbe)))
+      .select(col("q_id"), (-col("cell").getField("negid")).as("cent_id"))
+    val lut = pqLutFrame(emb.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      pqCb, m, sub)
+    pqTopK(corpus
+      .join(broadcast(queryCells), Seq("cent_id"))
+      .join(broadcast(lut), Seq("q_id", "s", "code")), k)
   }
 
   /** `ann_recall` — the ANN quality report (VERDICT r5 #4 + r7 #7):

@@ -140,6 +140,50 @@ class PqSearchSpec extends AnyFunSuite {
     assert(rl >= 0.8, s"learned recall floor on clusterable data: $rl")
   }
 
+  test("ivfpq: cell pruning keeps cluster recall and bounds the scored candidates") {
+    // same clusterable corpus as the learned-codebook test; LEARNED
+    // coarse + PQ codebooks, nProbe=1: the probe selects the query's
+    // own cell, candidates are cluster-sized — and recall stays high
+    // because the pruned-away vectors were never the true neighbors
+    val protos = (0 until 8).map { g =>
+      Array.tabulate(8)(d => if (d == g) 4f else (if ((d + g) % 3 == 0) 1f else -1f))
+    }
+    val vecs = (0L until 80L).map { id =>
+      val p = protos((id % 8).toInt)
+      id -> p.zipWithIndex.map { case (v, d) =>
+        v + 0.01f * (((id * 7 + d * 3) % 5).toInt - 2)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val coarse = SimSearch.ivfCodebookKmeans(df, kCents = 8)
+    val pqCb = SimSearch.pqCodebookKmeans(df, kCents = 8, m = 4)
+    val res = SimSearch.ivfPqOver(df, coarse, pqCb, k = 9, nQueries = 4,
+      m = 4, nProbe = 1)
+    val rows = res.as[(Long, Long, Double, Int)].collect().toSeq
+    def exactTop(qId: Long, k: Int): Set[Long] = {
+      val q = vecs(qId.toInt)._2
+      vecs.filter(_._1 != qId)
+        .map { case (cId, v) =>
+          (cId, (0 until 8).map(i => q(i).toDouble * v(i)).sum)
+        }
+        .sortBy { case (cId, d) => (-d, cId) }.take(k).map(_._1).toSet
+    }
+    val recall = rows.groupBy(_._1).map { case (q, rs) =>
+      rs.map(_._2).toSet.intersect(exactTop(q, 9)).size.toDouble / 9
+    }.sum / 4
+    assert(recall >= 0.8, s"ivfpq recall under nProbe=1 pruning: $recall")
+    // executed-metric prune pin: the cent_id cell join's output is
+    // candidate-sized (m * ~cluster), never corpus-sized (m * 80 * 4)
+    val cellJoinOut = SpecUtil.collectPlan(res.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if (j.leftKeys ++ j.rightKeys)
+            .exists(_.references.exists(_.name == "cent_id")) =>
+        j.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+    }
+    assert(cellJoinOut.nonEmpty && cellJoinOut.forall(_ <= 4L * 4 * 12),
+      s"cell join must prune to ~cluster-sized candidates: $cellJoinOut")
+  }
+
   test("fixture output contract (sf0.001): 10 queries x top-5, no self-hits") {
     val rows = SimSearch.simsearchPq(spark, TestSpark.sf)
       .as[(Long, Long, Double, Int)].collect()

@@ -91,7 +91,53 @@ object GraftExtensions {
       (es: Seq[Expression]) => ThetaIntersectEstimate(es(0), es(1))),
     (FunctionIdentifier("theta_union"),
       new ExpressionInfo(classOf[ThetaUnionEstimate].getName, "theta_union"),
-      (es: Seq[Expression]) => ThetaUnionEstimate(es(0), es(1))))
+      (es: Seq[Expression]) => ThetaUnionEstimate(es(0), es(1))),
+    // ---- Presto/Athena compat pack (round 12) ----
+    // novlake's Lake.query passed raw Presto SQL to Athena; these shims
+    // let the COMMON Presto-only function names keep working through
+    // the Spark session — each resolves to the exact built-in Catalyst
+    // tree (no UDFs, fully codegen'd). Only names Spark does NOT
+    // define are shimmed: replacing a built-in (e.g. Presto's 3-arg
+    // date_diff vs Spark's 2-arg) would silently change existing Spark
+    // SQL, so conflicting names are deliberately left to their Spark
+    // spellings (timestampdiff covers that one).
+    (FunctionIdentifier("strpos"),
+      new ExpressionInfo(classOf[StringLocate].getName, "strpos"),
+      // Presto strpos(string, substring) — StringLocate takes
+      // (substr, str): the argument order SWAPS
+      (es: Seq[Expression]) => new StringLocate(es(1), es(0))),
+    (FunctionIdentifier("to_unixtime"),
+      new ExpressionInfo(classOf[Cast].getName, "to_unixtime"),
+      // epoch seconds as DOUBLE (micros / 1e6), Presto semantics
+      (es: Seq[Expression]) => Cast(es.head, DoubleType)),
+    (FunctionIdentifier("json_extract_scalar"),
+      new ExpressionInfo(classOf[GetJsonObject].getName,
+        "json_extract_scalar"),
+      (es: Seq[Expression]) => GetJsonObject(es(0), es(1))),
+    (FunctionIdentifier("arbitrary"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.First]
+          .getName, "arbitrary"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .First(es.head, ignoreNulls = true)),
+    (FunctionIdentifier("approx_distinct"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .HyperLogLogPlusPlus].getName, "approx_distinct"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .HyperLogLogPlusPlus(es.head)),
+    (FunctionIdentifier("map_agg"),
+      new ExpressionInfo(classOf[MapFromEntries].getName, "map_agg"),
+      // Presto map_agg(k, v) ≡ map_from_entries(collect_list(struct));
+      // the inner aggregate must be wrapped explicitly — the analyzer
+      // only auto-wraps an AggregateFunction returned at the TOP of a
+      // registry builder
+      (es: Seq[Expression]) => MapFromEntries(
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .CollectList(CreateStruct(Seq(es(0), es(1))))
+          .toAggregateExpression())))
 
   /** Install on an already-running session (tests, notebooks). */
   def install(spark: SparkSession): Unit = {

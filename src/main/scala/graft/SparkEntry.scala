@@ -195,6 +195,9 @@ object SparkEntry {
     "fn_explode_outer" -> (ScalarFns.fnExplodeOuter _),
     "fn_tz" -> (ScalarFns.fnTz _),
     "fn_try" -> (ScalarFns.fnTry _),
+    // Presto/Athena function-name shims, exercised through raw SQL —
+    // the novlake Lake.query migration surface (round 12)
+    "fn_presto_compat" -> (ScalarFns.fnPrestoCompat _),
     "fn_pad_trim" -> (ScalarFns.fnPadTrim _),
     "fn_date" -> (ScalarFns.fnDate _),
     "fn_math" -> (ScalarFns.fnMath _),
@@ -2158,6 +2161,13 @@ object SparkEntry {
         |  (CASE WHEN s_suppkey = 0 THEN 9223372036854775807
         |        ELSE NULL END)::BIGINT AS overflow_add
         |FROM supplier ORDER BY s_suppkey ASC""".stripMargin,
+    "fn_presto_compat" ->
+      """SELECT event_id,
+        |  strpos(props, 'k')::BIGINT AS kpos,
+        |  epoch_us(ts)::DOUBLE / 1000000.0 AS epoch_s,
+        |  json_extract_string(props, '$.k') AS k_str
+        |FROM events WHERE event_id < 50
+        |ORDER BY event_id ASC""".stripMargin,
     "fn_date" ->
       """SELECT o_orderkey,
         |  year(o_orderdate)::INT AS yr,

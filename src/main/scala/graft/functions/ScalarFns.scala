@@ -114,6 +114,29 @@ object ScalarFns {
         expr("try_add(s_suppkey, 9223372036854775807L)").as("overflow_add"))
       .orderBy(col("s_suppkey").asc)
 
+  /** `fn_presto_compat` — the Presto/Athena migration shims exercised
+    * end-to-end through SQL (novlake's `Lake.query` passed raw Presto
+    * SQL to Athena; GraftExtensions registers the Presto-only names so
+    * that SQL keeps working here): `strpos` (argument order SWAPS onto
+    * locate), `to_unixtime` (epoch seconds as DOUBLE), and
+    * `json_extract_scalar` (get_json_object). The aggregate shims
+    * (`arbitrary`, `approx_distinct`, `map_agg`) are partition-order-
+    * or engine-dependent and are pinned by ExtensionsSpec instead of
+    * the value oracle. All shims resolve to built-in Catalyst trees —
+    * no UDFs, fully codegen'd.
+    */
+  def fnPrestoCompat(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftExtensions.install(spark)
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT event_id,
+        |  CAST(strpos(props, 'k') AS BIGINT) AS kpos,
+        |  to_unixtime(ts) AS epoch_s,
+        |  json_extract_scalar(props, '$.k') AS k_str
+        |FROM events WHERE event_id < 50
+        |ORDER BY event_id ASC""".stripMargin)
+  }
+
   /** `fn_pad_trim` — fixed-width formatting family: lpad/rpad with fill
     * chars, trim of injected padding, split_part-style extraction.
     */

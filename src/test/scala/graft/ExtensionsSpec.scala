@@ -135,6 +135,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.isNullAt(3)) // the lambda form agrees
   }
 
+  test("Presto compat pack: scalar shims resolve to the built-in semantics") {
+    val r = spark.sql(
+      """SELECT strpos('hello world', 'world') AS p1,
+        |  strpos('hello', 'zz') AS p0,
+        |  to_unixtime(TIMESTAMP '1970-01-01 00:00:01.5') AS es,
+        |  json_extract_scalar('{"a": {"b": 7}}', '$.a.b') AS jb""".stripMargin)
+      .head()
+    assert(r.getInt(0) === 7)   // 1-based, Presto semantics
+    assert(r.getInt(1) === 0)   // absent → 0, not -1 / null
+    assert(r.getDouble(2) === 1.5)
+    assert(r.getString(3) === "7")
+  }
+
+  test("Presto compat pack: aggregate shims (arbitrary / approx_distinct / map_agg)") {
+    // single partition → arbitrary (= first, ignore nulls) deterministic
+    Seq((1, Option.empty[String], "x"), (1, Some("a"), "y"),
+      (1, Some("b"), "z"), (2, Some("c"), "w"))
+      .toDF("g", "v", "k").coalesce(1).createOrReplaceTempView("pc_agg")
+    val r = spark.sql(
+      """SELECT g, arbitrary(v) AS a, approx_distinct(k) AS ad,
+        |  map_agg(k, coalesce(v, '-')) AS m
+        |FROM pc_agg GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(r(0).getString(1) === "a") // first non-null in order
+    // HLL++ is exact at these cardinalities
+    assert(r(0).getLong(2) === 3L && r(1).getLong(2) === 1L)
+    assert(r(0).getMap[String, String](3).toList.toMap ===
+      Map("x" -> "-", "y" -> "a", "z" -> "b"))
+    assert(r(1).getMap[String, String](3).toList.toMap === Map("w" -> "c"))
+  }
+
   test("Lake.query sees the SQL kernels (user-facing path)") {
     val lake = Lake(spark, java.nio.file.Files
       .createTempDirectory("graft_ext").toString)

@@ -3464,7 +3464,8 @@ object SparkEntry {
         |  FROM embeddings e CROSS JOIN cbc WHERE e.vec_id < 10)
         |  WHERE rn <= 2),
         |cbp AS (SELECT vec_id AS code, embedding AS cv
-        |  FROM embeddings WHERE vec_id % 61 = 0),
+        |  FROM embeddings WHERE vec_id % 61 = 0
+        |  ORDER BY vec_id LIMIT 256),
         |ss AS (SELECT unnest(range(0, 4)) AS s),
         |codes AS (SELECT c_id, s, code FROM (
         |  SELECT e.vec_id AS c_id, r.s, cbp.code,
@@ -3502,7 +3503,8 @@ object SparkEntry {
     // mirrors pqOver's kernel arithmetic element for element
     "simsearch_pq" ->
       """WITH cb AS (SELECT vec_id AS code, embedding AS cv
-        |  FROM embeddings WHERE vec_id % 127 = 0),
+        |  FROM embeddings WHERE vec_id % 127 = 0
+        |  ORDER BY vec_id LIMIT 256),
         |ss AS (SELECT unnest(range(0, 4)) AS s),
         |codes AS (SELECT c_id, s, code FROM (
         |  SELECT e.vec_id AS c_id, r.s, cb.code,

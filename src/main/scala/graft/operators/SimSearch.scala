@@ -324,10 +324,21 @@ object SimSearch {
     }
   }
 
+  /** PQ codebooks are 8-BIT by definition (256 codes per subspace —
+    * that's the compression): the stride sample caps at the first 256
+    * entries so the per-row assignment cost is a CONSTANT 256·(sub+1)·m
+    * flops at any corpus size (an uncapped stride codebook grew with
+    * the corpus and made the index build superlinear — Round12Probe).
+    * A no-op at the fixture sizes (C ≤ 16), mirrored as ORDER BY/LIMIT
+    * in the oracle CTEs.
+    */
+  private val MaxPqCodebook = 256
+
   /** Core of [[simsearchPq]] over any (vec_id, embedding) frame. */
   def pqOver(emb: DataFrame, k: Int, nQueries: Int, centroidStride: Long,
       m: Int): DataFrame =
-    pqOverCodebook(emb, ivfCodebook(emb, centroidStride), k, nQueries, m)
+    pqOverCodebook(emb,
+      ivfCodebook(emb, centroidStride).take(MaxPqCodebook), k, nQueries, m)
 
   /** [[pqOver]] with an explicit codebook — the learned-codebook entry
     * point ([[pqCodebookKmeans]] plugs in here).
@@ -382,19 +393,29 @@ object SimSearch {
 
   /** The query-side lookup table over a (q_id, q_emb) frame:
     * |queries| · m · C rows of 1e-6-unit partial dots — broadcast-sized.
+    * The codebook side is a LOCAL RELATION (m·C data rows), not inlined
+    * literals: the first cut exploded an array of m·C struct literals
+    * each carrying a 16-float array literal, and at C≈1600 (a 200k-vec
+    * corpus at stride 127) that ~100k-node expression tree blew up
+    * planning/codegen memory — data belongs in rows, not in the plan.
+    * The queries × codebook product is the documented bounded × bounded
+    * class (|queries| · m·C rows total).
     */
   private def pqLutFrame(queries: DataFrame,
       cb: Array[(Long, Array[Float], Double)], m: Int,
       sub: Int): DataFrame = {
-    val lutStructs: Seq[Column] =
-      for (s <- 0 until m; (id, v, _) <- cb) yield struct(
-        lit(s).as("s"), lit(id).as("code"),
-        round(dot(slice(col("q_emb"), s * sub + 1, sub),
-          lit(pqSubVec(v, s, sub))) * lit(1000000.0), 0).cast("long")
-          .as("pdot_u"))
-    queries.select(col("q_id"), explode(array(lutStructs: _*)).as("e"))
-      .select(col("q_id"), col("e.s").as("s"), col("e.code").as("code"),
-        col("e.pdot_u").as("pdot_u"))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cbDf = cb.toSeq
+      .flatMap { case (id, v, _) =>
+        (0 until m).map(s => (s, id, pqSubVec(v, s, sub)))
+      }
+      .toDF("s", "code", "subvec")
+    queries.crossJoin(broadcast(cbDf))
+      .select(col("q_id"), col("s"), col("code"),
+        round(dot(slice(col("q_emb"),
+          col("s") * lit(sub) + lit(1), lit(sub)), col("subvec"))
+          * lit(1000000.0), 0).cast("long").as("pdot_u"))
   }
 
   /** Shared PQ tail: sum the per-subspace lookups per candidate, rank,
@@ -434,7 +455,8 @@ object SimSearch {
       m: Int = 4, nProbe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     ivfPqOver(emb, ivfCodebook(emb, coarseStride),
-      ivfCodebook(emb, pqStride), k, nQueries, m, nProbe)
+      ivfCodebook(emb, pqStride).take(MaxPqCodebook), k, nQueries, m,
+      nProbe)
   }
 
   /** Core of [[simsearchIvfPq]] over any (vec_id, embedding) frame with

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{BpeTrain, TextOps}
+import graft.operators.{BpeTrain, SimSearch, TextOps}
 
 /** Round-12 synthetic stress probe (results in SCALE.md), same
   * key-derived corpora as Round11cProbe (40 tokens/doc, 2,000-word
@@ -61,6 +61,34 @@ object Round12Probe {
           val t3 = System.nanoTime()
           println(f"R12PROBE $tag bpe_train ${(t3 - t2) / 1e9}%.2f s merges=$merges docs=$n")
         }
+    }
+
+    // PQ vs IVFPQ at growing vector-corpus sizes: the cell prune should
+    // hold ivfpq's post-prune work ~cell-bounded while plain pq's score
+    // aggregate + rank window track the corpus
+    def vecCorpus(n: Long): DataFrame = {
+      val dir = s"$base/v$n"
+      if (!new java.io.File(dir).exists()) {
+        spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            d => ((((col("id") * 1315423911L + d * 2654435761L) % 1999)
+              .cast("float") - 999f) / 999f).cast("float")).as("embedding"))
+          .write.parquet(dir)
+      }
+      spark.read.parquet(dir)
+    }
+    SimSearch.pqOver(vecCorpus(5000L), 5, 10, 127, 4).count() // warm
+    Seq(("1x", 20000L), ("10x", 200000L)).foreach { case (tag, n) =>
+      val v = vecCorpus(n)
+      val t0 = System.nanoTime()
+      val pqN = SimSearch.pqOver(v, 5, 10, 127, 4).count()
+      val t1 = System.nanoTime()
+      val ipqN = SimSearch.ivfPqOver(v,
+        SimSearch.ivfCodebook(v, 997), SimSearch.ivfCodebook(v, 127),
+        5, 10, 4, 2).count()
+      val t2 = System.nanoTime()
+      println(f"R12PROBE $tag simsearch_pq ${(t1 - t0) / 1e9}%.2f s rows=$pqN vecs=$n")
+      println(f"R12PROBE $tag simsearch_ivfpq ${(t2 - t1) / 1e9}%.2f s rows=$ipqN vecs=$n")
     }
     spark.stop()
   }

@@ -37,6 +37,12 @@ object VectorExpressions {
     ColumnBridge.column(
       NearestCentroid(ColumnBridge.expression(a), ids, cents))
 
+  def nearestCentroidSliceCol(a: Column, ids: Array[Long],
+      cents: Array[Array[Double]], biases: Array[Double],
+      offset: Int): Column =
+    ColumnBridge.column(NearestCentroidSlice(
+      ColumnBridge.expression(a), ids, cents, biases, offset))
+
   private[functions] def checkFloatArray(dt: DataType,
       side: String): TypeCheckResult = dt match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -244,6 +250,81 @@ case class FloatVecLshBits(child: Expression, nBits: Int)
   * WordShingleHashes' k): it is broadcast-sized by definition and ships
   * to executors inside the serialized plan.
   */
+/** Per-SUBRANGE argmax-with-bias nearest-centroid: over elements
+  * [offset, offset+len) of the input float vector, pick the id whose
+  * `dot(x[offset:offset+len], cent) + bias` is largest (strict `>`, so
+  * ties keep the FIRST = lowest of the ascending-sorted ids). With
+  * bias = −‖cent‖²/2 this is min-L2 PQ code assignment reading the
+  * subvector IN PLACE — the slice+concat formulation allocated two
+  * arrays per row per subspace and dominated the 200k-vector probe
+  * (Round12Probe: 4.7 s of a 4.9 s assignment was allocation).
+  * Arithmetic is bit-identical to that formulation: products
+  * accumulate left-to-right over the subrange, the bias adds LAST —
+  * exactly the oracle's `list_sum(products) - ‖c‖²/2`.
+  */
+case class NearestCentroidSlice(child: Expression, ids: Array[Long],
+    cents: Array[Array[Double]], biases: Array[Double], offset: Int)
+    extends UnaryExpression {
+
+  require(ids.nonEmpty && ids.length == cents.length &&
+    ids.length == biases.length,
+    s"codebook mismatch: ${ids.length} ids vs ${cents.length} centroids" +
+      s" vs ${biases.length} biases")
+  require(offset >= 0, s"negative offset $offset")
+
+  private val len = cents.head.length
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkFloatArray(child.dataType, "input")
+
+  private def bestOf(x: ArrayData): Any = {
+    if (x.numElements() < offset + len) return null
+    var best = Double.NegativeInfinity
+    var bestId = -1L
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var s = 0.0
+      var d = 0
+      while (d < len) {
+        if (x.isNullAt(offset + d)) return null
+        s += x.getFloat(offset + d).toDouble * cent(d)
+        d += 1
+      }
+      s += biases(c)
+      if (s > best) { best = s; bestId = ids(c) }
+      c += 1
+    }
+    if (bestId < 0) null else bestId
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    bestOf(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCentroidSlice", this,
+      classOf[NearestCentroidSlice].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val res = ctx.freshName("res")
+      s"""
+         |Object $res = $self.bestOfJava($a);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $res).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  /** Java-callable entry for generated code. */
+  def bestOfJava(x: ArrayData): Any = bestOf(x)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidSlice =
+    copy(child = newChild)
+}
+
 case class NearestCentroid(child: Expression, ids: Array[Long],
     cents: Array[Array[Double]]) extends UnaryExpression {
 

@@ -136,20 +136,9 @@ object SimSearch {
     */
   def ivfSearch(emb: DataFrame, codebook: Array[(Long, Array[Float], Double)],
       k: Int, nQueries: Int, nProbe: Int): DataFrame = {
-    // keep=1: array_max over the C structs — a scan→project plan
+    // keep=1: one compiled argmax loop per row — a scan→project plan
     val corpusCells = ivfAssignCorpus(emb, codebook)
-    // keep=nProbe: sort the struct array, take the top nProbe, explode
-    // (query side is a bounded set; still zero-shuffle per row)
-    val queryCells = emb
-      .filter(col("vec_id") < nQueries.toLong)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        l2norm(col("embedding")).as("q_nrm"))
-      .withColumn("cell", explode(slice(reverse(
-        array_sort(array(ivfCellStructs(codebook, col("q_emb"),
-          col("q_nrm")): _*))),
-        1, nProbe)))
-      .withColumn("cent_id", -col("cell").getField("negid"))
-      .drop("cell")
+    val queryCells = ivfQueryCells(emb, codebook, nQueries, nProbe)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id").asc)
     corpusCells.join(broadcast(queryCells), "cent_id")
@@ -221,13 +210,35 @@ object SimSearch {
     * the same ranking as a (cell_sim DESC, cent_id ASC) sort, computed
     * per row with codegen'd FloatVecDot against literal centroid vectors.
     */
-  def ivfCellStructs(codebook: Array[(Long, Array[Float], Double)],
-      embCol: Column, nrmCol: Column): Seq[Column] =
-    codebook.toSeq.map { case (id, cemb, cnrm) =>
-      struct(
-        (dot(embCol, lit(cemb)) / (nrmCol * lit(cnrm))).as("s"),
-        lit(-id).as("negid"))
-    }
+  /** Query→probe-cell assignment: top-`nProbe` cells per query by
+    * cosine, via a BROADCAST LOCAL-RELATION codebook join + a keyed
+    * row_number — |queries|·C rows total, both sides bounded. The
+    * first cut sorted an ARRAY of C inlined struct expressions per
+    * row; each struct carried a 64-float literal, and at C≈200 the
+    * ~13k-literal tree took seconds of whole-stage-codegen compile
+    * (the pqLutFrame lesson on the query side: data belongs in rows,
+    * not the plan). Same cosine expression and (cos DESC, cent ASC)
+    * order as the struct form — bit-identical, oracle unchanged.
+    */
+  private def ivfQueryCells(emb: DataFrame,
+      codebook: Array[(Long, Array[Float], Double)], nQueries: Int,
+      nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cbDf = codebook.toSeq.map { case (id, v, nrm) => (id, v, nrm) }
+      .toDF("cent_id", "c_v", "cnrm")
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_cos").desc, col("cent_id").asc)
+    emb.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"))
+      .crossJoin(broadcast(cbDf))
+      .withColumn("cell_cos",
+        dot(col("q_emb"), col("c_v")) / (col("q_nrm") * col("cnrm")))
+      .withColumn("cell_rn", row_number().over(wq))
+      .filter(col("cell_rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cent_id"))
+  }
 
   /** Corpus→cell assignment: argmax cosine over the inlined codebook via
     * the NearestCentroid kernel (centroids pre-normalized driver-side;
@@ -382,13 +393,18 @@ object SimSearch {
   private def pqCodeCols(cb: Array[(Long, Array[Float], Double)], m: Int,
       sub: Int, embCol: Column): Seq[Column] =
     (0 until m).map { s =>
-      graft.functions.VectorExpressions.nearestCentroidCol(
-        concat(slice(embCol, s * sub + 1, sub), array(lit(1.0f))),
+      // in-place subrange kernel (no per-row slice/concat allocation —
+      // Round12Probe measured those dominating the assignment); bias
+      // −‖c_s‖²/2 adds last, same arithmetic as the oracle
+      graft.functions.VectorExpressions.nearestCentroidSliceCol(
+        embCol,
         cb.map(_._1),
+        cb.map { case (_, v, _) => pqSubVec(v, s, sub).map(_.toDouble) },
         cb.map { case (_, v, _) =>
           val sv = pqSubVec(v, s, sub).map(_.toDouble)
-          sv :+ (-sv.map(x => x * x).sum / 2)
-        })
+          -sv.map(x => x * x).sum / 2
+        },
+        s * sub)
     }
 
   /** The query-side lookup table over a (q_id, q_emb) frame:
@@ -416,6 +432,15 @@ object SimSearch {
         round(dot(slice(col("q_emb"),
           col("s") * lit(sub) + lit(1), lit(sub)), col("subvec"))
           * lit(1000000.0), 0).cast("long").as("pdot_u"))
+  }
+
+  /** Probe-only: the bare code-assignment pipeline (c_id, s, code). */
+  private[graft] def pqCodesDebug(emb: DataFrame,
+      cb: Array[(Long, Array[Float], Double)], m: Int): DataFrame = {
+    val sub = pqSubDim(cb, m)
+    emb.select(col("vec_id").as("c_id"),
+      posexplode(array(pqCodeCols(cb, m, sub, col("embedding")): _*))
+        .as(Seq("s", "code")))
   }
 
   /** Shared PQ tail: sum the per-subspace lookups per candidate, rank,
@@ -473,15 +498,8 @@ object SimSearch {
       .select(col("c_id"), col("cent_id"),
         posexplode(array(pqCodeCols(pqCb, m, sub, col("c_emb")): _*))
           .as(Seq("s", "code")))
-    val queryCells = emb
-      .filter(col("vec_id") < nQueries.toLong)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        l2norm(col("embedding")).as("q_nrm"))
-      .withColumn("cell", explode(slice(reverse(
-        array_sort(array(ivfCellStructs(coarse, col("q_emb"),
-          col("q_nrm")): _*))),
-        1, nProbe)))
-      .select(col("q_id"), (-col("cell").getField("negid")).as("cent_id"))
+    val queryCells = ivfQueryCells(emb, coarse, nQueries, nProbe)
+      .select(col("q_id"), col("cent_id"))
     val lut = pqLutFrame(emb.filter(col("vec_id") < nQueries.toLong)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       pqCb, m, sub)

@@ -130,6 +130,11 @@ object SparkEntry {
     "q_shaped_q10" -> (MacroQueries.qShapedQ10 _),
     "q_shaped_q18" -> (MacroQueries.qShapedQ18 _),
     "q_shaped_q21" -> (MacroQueries.qShapedQ21 _),
+    "q_shaped_q8" -> (MacroQueries.qShapedQ8 _),
+    "q_shaped_q13" -> (MacroQueries.qShapedQ13 _),
+    "q_shaped_q15" -> (MacroQueries.qShapedQ15 _),
+    "q_shaped_q17" -> (MacroQueries.qShapedQ17 _),
+    "q_shaped_q19" -> (MacroQueries.qShapedQ19 _),
     // §2.D aggregations
     "agg_group_sum" -> (Aggregates.aggGroupSum _),
     "agg_count_distinct" -> (Aggregates.aggCountDistinct _),
@@ -1544,6 +1549,74 @@ object SparkEntry {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name ASC
         |LIMIT 20""".stripMargin,
+    "q_shaped_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_10'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS nation_revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region   ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'ECONOMY'
+        |  AND r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY o_year
+        |ORDER BY o_year ASC""".stripMargin,
+    "q_shaped_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_shaped_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |      AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
+        |ORDER BY s_suppkey ASC""".stripMargin,
+    "q_shaped_q17" ->
+      """WITH b AS (
+        |  SELECT l_quantity, l_extendedprice,
+        |    SUM(CAST(l_quantity AS BIGINT))
+        |      OVER (PARTITION BY l_partkey) AS sum_qty,
+        |    COUNT(*) OVER (PARTITION BY l_partkey) AS cnt_qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#23')
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price,
+        |  COUNT(1) AS n_small
+        |FROM b
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_qty < sum_qty""".stripMargin,
+    "q_shaped_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(1) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |         AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |         AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |         AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
     "q_shaped_q10" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

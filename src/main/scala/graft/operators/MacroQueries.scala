@@ -288,6 +288,166 @@ object MacroQueries {
         |ORDER BY code ASC""".stripMargin)
   }
 
+  /** `q_shaped_q8` — national-market-share skeleton: for one region's
+    * customers and one part type over two order years, the share of
+    * revenue supplied by one nation, per year. The longest dimension
+    * chain in the composite set (part, orders, customer, nation×2,
+    * region, supplier around one fact scan) with a conditional
+    * aggregate on top. Plan intent: the part-type filter is the most
+    * selective — it joins FIRST so the fact stream shrinks before the
+    * orders shuffle; every dimension (part, supplier, both nation
+    * roles, region) broadcasts; the share is emitted as its two exact
+    * decimal sums (numerator + denominator), never a double division
+    * at the output boundary (the q14 discipline).
+    */
+  def qShapedQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    val prt = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_type") === "ECONOMY").select("p_partkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val natC = broadcast(Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey")))
+    val reg = broadcast(Tables.region(spark, sfDir)
+      .filter(col("r_name") === "AMERICA"))
+    val supp = broadcast(Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey"))
+    val natS = broadcast(Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(natC, col("c_nationkey") === col("cn_key"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(natS, col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(dec(when(col("supp_nation") === "NATION_10",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0)))).cast("double").as("nation_revenue"),
+        sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("total_revenue"))
+      .orderBy(col("o_year").asc)
+  }
+
+  /** `q_shaped_q13` — customer-distribution skeleton: how many customers
+    * placed 0, 1, 2, … qualifying orders (the priority filter stands in
+    * for Q13's comment NOT LIKE — no comment column here). The one
+    * composite shape the rest of the set lacks: a LEFT OUTER join whose
+    * NULL side must survive into the aggregate (zero-order customers are
+    * the point of the query), then an aggregate OF an aggregate. Both
+    * aggregations are keyed: the first on c_custkey (corpus-scale,
+    * map-side partial collapses to one row per customer), the second on
+    * the order count (domain-sized — at 100 TB the second exchange
+    * carries at most a few hundred distinct counts).
+    */
+  def qShapedQ13(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(spark, sfDir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** `q_shaped_q15` — top-supplier skeleton: the supplier(s) whose
+    * three-month revenue equals the maximum over all suppliers. The
+    * classic view-used-twice shape; here the per-supplier aggregate runs
+    * ONCE and the max attaches via rank() over the AGGREGATED frame —
+    * an unpartitioned window, but its input is supplier-cardinality
+    * (dimension-sized: the corpus-scale work is the keyed aggregate
+    * below it), so the single-partition window is bounded by the
+    * supplier dim, not the fact. Ranking on the EXACT decimal sum keeps
+    * max-ties engine-agnostic; the oracle's `= (SELECT max(..))` form
+    * selects the same tie set.
+    */
+  def qShapedQ15(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev_dec"))
+    rev.withColumn("rk",
+        rank().over(Window.orderBy(col("rev_dec").desc)))
+      .filter(col("rk") === 1)
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select("s_suppkey", "s_name")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
+  /** `q_shaped_q17` — small-quantity-order skeleton: revenue from brand
+    * lineitems whose quantity is below 20% of that part's average
+    * quantity. The correlated scalar-AVG subquery decorrelates to a
+    * window KEYED on l_partkey over the brand-filtered fact (one scan,
+    * one keyed shuffle — the per-part average over all of lineitem
+    * equals the average over the brand slice because the part key
+    * determines the brand). The 0.2·avg comparison runs in pure BIGINT
+    * (`qty·5·cnt < sum_qty` — fixture quantities are integral), so the
+    * threshold can never diverge between engines at a ulp boundary.
+    */
+  def qShapedQ17(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prt = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#23").select("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .withColumn("sum_qty",
+        sum(col("l_quantity").cast("bigint")).over(w))
+      .withColumn("cnt_qty", count(lit(1)).over(w))
+      .filter(col("l_quantity").cast("bigint") * lit(5L) * col("cnt_qty") <
+        col("sum_qty"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("total_price"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** `q_shaped_q19` — discounted-revenue skeleton: three brand/size/
+    * quantity disjuncts OR-ed over one part join. The planner lesson
+    * this composite exists to pin: the equi key (l_partkey = p_partkey)
+    * is FACTORED OUT of the disjunction so the join stays a hash join
+    * (a naive OR-of-conjunctions-with-the-key-inside plans a nested
+    * loop), the union-of-ranges quantity bound (1–30) pushes to the
+    * lineitem scan, the brand IN-list prunes the broadcast part dim,
+    * and only the residual cross-side disjunction evaluates post-join.
+    */
+  def qShapedQ19(spark: SparkSession, sfDir: String): DataFrame = {
+    val brands = Seq("Brand#12", "Brand#23", "Brand#34")
+    val prt = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_brand").isin(brands: _*))
+      .select("p_partkey", "p_brand", "p_size"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === brands(0) && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === brands(1) && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === brands(2) && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** `q_shaped_q14` — promotion-effect skeleton: one month of lineitem
     * joined to the part dim, conditional aggregation splitting promo
     * revenue from total. Part is explicitly broadcast (the dim is

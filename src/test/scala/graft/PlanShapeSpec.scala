@@ -163,6 +163,81 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q22 premium filter must be pushed to the orders scan:\n$p22")
   }
 
+  test("q8/q13/q15/q17/q19 composites: broadcast dims, pushed disjunct bounds, keyed windows, no products") {
+    import graft.operators.MacroQueries
+    // q8: the longest dim chain — part/nation×2/region/supplier all
+    // broadcast, the type filter pushed to the part scan, no products
+    val p8 = plan(MacroQueries.qShapedQ8(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p8).length >= 4,
+      s"q8 expected ≥4 broadcast dim joins:\n$p8")
+    assert(p8.contains("EqualTo(p_type,ECONOMY)"),
+      s"q8 type filter must be pushed to the part scan:\n$p8")
+    assert(!p8.contains("CartesianProduct") &&
+      !p8.contains("BroadcastNestedLoopJoin"),
+      s"q8 must not plan a product join:\n$p8")
+    assert("HashAggregate".r.findAllIn(p8).length >= 2,
+      s"q8 expected partial+final agg:\n$p8")
+    // q13: the LEFT OUTER join must survive planning (zero-order
+    // customers are the point), and no product sneaks in
+    val p13 = plan(MacroQueries.qShapedQ13(spark, sf))
+    assert(p13.contains("LeftOuter"), s"q13 expected a left outer join:\n$p13")
+    assert(!p13.contains("CartesianProduct") &&
+      !p13.contains("BroadcastNestedLoopJoin"),
+      s"q13 must not plan a product join:\n$p13")
+    // q15: the rank window runs over the AGGREGATED per-supplier frame —
+    // lineitem scans exactly once (structural identity count, AQE-final)
+    // and a Window exec exists above the agg
+    val q15 = MacroQueries.qShapedQ15(spark, sf)
+    q15.collect()
+    val ep15 = q15.queryExecution.executedPlan
+    val liScans15 = SpecUtil.collectPlan(ep15) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("lineitem")) =>
+        System.identityHashCode(f)
+    }.toSet
+    assert(liScans15.size == 1,
+      s"q15 must scan lineitem exactly once:\n${ep15.toString}")
+    assert(SpecUtil.collectPlan(ep15) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.nonEmpty, s"q15 expected the rank window:\n${ep15.toString}")
+    // q17: the correlated AVG decorrelates to a window KEYED on
+    // l_partkey over ONE brand-filtered scan — never a second lineitem
+    // pass, never a product
+    val q17 = MacroQueries.qShapedQ17(spark, sf)
+    q17.collect()
+    val ep17 = q17.queryExecution.executedPlan
+    val liScans17 = SpecUtil.collectPlan(ep17) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("lineitem")) =>
+        System.identityHashCode(f)
+    }.toSet
+    assert(liScans17.size == 1,
+      s"q17 must scan lineitem exactly once:\n${ep17.toString}")
+    val wins17 = SpecUtil.collectPlan(ep17) {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.map(_.sql).mkString(",")
+    }
+    assert(wins17.nonEmpty && wins17.forall(_.contains("l_partkey")),
+      s"q17 window must be KEYED on l_partkey, got $wins17:\n${ep17.toString}")
+    val p17 = ep17.toString
+    assert(!p17.contains("CartesianProduct") &&
+      !p17.contains("BroadcastNestedLoopJoin"),
+      s"q17 must not plan a product join:\n$p17")
+    // q19: the equi key is factored out of the disjunction so the join
+    // stays a broadcast HASH join; the union-of-ranges quantity bound
+    // reaches the lineitem scan and the brand IN-list the part scan
+    val p19 = plan(MacroQueries.qShapedQ19(spark, sf))
+    assert(p19.contains("BroadcastHashJoin") &&
+      !p19.contains("BroadcastNestedLoopJoin") &&
+      !p19.contains("CartesianProduct"),
+      s"q19 must plan a hash join, not a product:\n$p19")
+    assert(p19.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p19.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"q19 quantity range must be pushed to the lineitem scan:\n$p19")
+    assert(p19.contains("In(p_brand"),
+      s"q19 brand IN-list must be pushed to the part scan:\n$p19")
+  }
+
   test("decontaminate_bloom: might_contain prefilter sits under the confirm join") {
     val df = graft.operators.TextOps.decontaminateBloom(spark, sf)
     val p = plan(df)

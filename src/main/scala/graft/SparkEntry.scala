@@ -162,6 +162,7 @@ object SparkEntry {
     "table_stats" -> (Aggregates.tableStats _),
     "table_stats_approx" -> (Aggregates.tableStatsApprox _),
     "dq_checks" -> (Aggregates.dqChecks _),
+    "dq_drift" -> (Aggregates.dqDrift _),
     "agg_corr" -> (Aggregates.aggCorr _),
     "agg_filter_clause" -> (Aggregates.aggFilterClause _),
     "sample_weighted" -> ((s: SparkSession, d: String) =>
@@ -1927,6 +1928,34 @@ object SparkEntry {
         |                     THEN 1 END)::BIGINT FROM lineitem)
         |) t
         |ORDER BY check_name ASC, target ASC""".stripMargin,
+    // exact-integer KS: cum·tot products in BIGINT; the ks double is
+    // one IEEE division of two exactly-representable integers
+    "dq_drift" ->
+      """WITH c AS (
+        |  SELECT lang, n_chars,
+        |    SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+        |        THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+        |        THEN 0 ELSE 1 END)::BIGINT AS cb
+        |  FROM documents GROUP BY lang, n_chars),
+        |w AS (
+        |  SELECT lang,
+        |    SUM(ca) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cuma,
+        |    SUM(cb) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cumb,
+        |    SUM(ca) OVER (PARTITION BY lang)::BIGINT AS ta,
+        |    SUM(cb) OVER (PARTITION BY lang)::BIGINT AS tb
+        |  FROM c)
+        |SELECT lang,
+        |  MAX(ABS(cuma*tb - cumb*ta))::BIGINT AS ks_num,
+        |  MAX(ta)::BIGINT AS n_a, MAX(tb)::BIGINT AS n_b,
+        |  CAST(MAX(ABS(cuma*tb - cumb*ta)) AS DOUBLE)
+        |    / (CAST(MAX(ta) AS DOUBLE) * CAST(MAX(tb) AS DOUBLE)) AS ks
+        |FROM w GROUP BY lang
+        |ORDER BY lang ASC""".stripMargin,
     // sketch-NDV form: estimates are engine-specific, so the oracle
     // pins the exact stats plus the Spark-side within-5% contract bool
     "table_stats_approx" ->

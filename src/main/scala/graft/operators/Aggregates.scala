@@ -421,6 +421,61 @@ object Aggregates {
       .orderBy(col("check_name").asc, col("target").asc)
   }
 
+  /** `dq_drift` — two-sample Kolmogorov–Smirnov distribution drift
+    * between ingestion cohorts, per language: did the length
+    * distribution of documents from sources src0–src3 (cohort A —
+    * e.g. last month's crawl) shift against the rest (cohort B)? The
+    * standing data-quality question for a training corpus that
+    * `dq_checks`'s row-level predicates cannot ask — a distributional
+    * check, not a constraint check.
+    *
+    * KS statistic = max over x of |ecdfA(x) − ecdfB(x)|. Computed
+    * EXACTLY: pre-aggregate to per-(lang, value) cohort counts, then
+    * one per-language cumulative window over the aggregated frame and
+    * max |cumA·totB − cumB·totA| as pure BIGINT — the double `ks`
+    * emitted at the output boundary is a single IEEE division of two
+    * exactly-representable integers, identical in any engine. Integer
+    * headroom: cum·tot products stay inside int64 for cohorts up to
+    * ~3·10⁹ docs per language; past that, widen to DECIMAL(38,0)
+    * (the ts_anomaly precedent).
+    *
+    * 100 TB shape: the corpus-scale work is ONE keyed partial+final
+    * aggregate on (lang, n_chars); the cumulative window runs over the
+    * AGGREGATED frame, whose per-language partition is value-DOMAIN-
+    * sized (distinct lengths), not corpus-sized — the same
+    * pre-aggregate-then-window discipline as mix_budget's bucket
+    * rollup. Nothing collects; the report is language-count-sized.
+    */
+  def dqDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cohortA = Seq("src0", "src1", "src2", "src3")
+    val isA = col("source").isin(cohortA: _*)
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"),
+        when(isA, lit(1L)).otherwise(lit(0L)).as("ia"),
+        when(isA, lit(0L)).otherwise(lit(1L)).as("ib"))
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+    val cum = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("lang"))
+    counts
+      .withColumn("cuma", sum(col("ca")).over(cum))
+      .withColumn("cumb", sum(col("cb")).over(cum))
+      .withColumn("ta", sum(col("ca")).over(tot))
+      .withColumn("tb", sum(col("cb")).over(tot))
+      .withColumn("d",
+        abs(col("cuma") * col("tb") - col("cumb") * col("ta")))
+      .groupBy(col("lang"))
+      .agg(max(col("d")).as("ks_num"),
+        max(col("ta")).as("n_a"), max(col("tb")).as("n_b"))
+      .select(col("lang"), col("ks_num"), col("n_a"), col("n_b"),
+        (col("ks_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("ks"))
+      .orderBy(col("lang").asc)
+  }
+
   def tableStatsApprox(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val apx = li.agg(

@@ -390,6 +390,9 @@ object SparkEntry {
     // table (shares ONE memoized training with bpe_train)
     "bpe_encode" -> ((s: SparkSession, d: String) =>
       BpeTrain.bpeEncode(s, d)),
+    // per-language fertility report: third view of the one training
+    "bpe_fertility" -> ((s: SparkSession, d: String) =>
+      BpeTrain.bpeFertility(s, d)),
     "lm_doc_score" -> (TextOps.lmDocScore _),
     "quality_lm_bucket" -> (TextOps.qualityLmBucket _),
     // the approx-cutoff SCALE variant of quality_lm_bucket (no ntile
@@ -672,6 +675,28 @@ object SparkEntry {
       |FROM (SELECT doc_id, list_filter(string_split(s, '$S'),
       |      x -> x <> '') AS t FROM it$bpeK)
       |ORDER BY doc_id ASC""".stripMargin
+  }
+
+  /** The `bpe_fertility` oracle: per-language aggregate over the same
+    * final it_k state the `bpe_encode` oracle projects — the third
+    * consumer of [[bpeCtes]], mirroring the third memo view Spark-side.
+    */
+  private lazy val bpeFertilitySql: String = {
+    val S = graft.operators.BpeTrain.Sep
+    val M = graft.operators.BpeTrain.MergeJ
+    bpeCtes + "\n" +
+    raw"""SELECT lang, count(*)::BIGINT AS n_docs,
+      |  SUM(len(t))::BIGINT AS total_units,
+      |  SUM(len(list_filter(t, x -> contains(x, '$M'))))::BIGINT
+      |    AS merged_units,
+      |  SUM(n_chars)::BIGINT AS total_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(len(t)) AS DOUBLE)
+      |    AS chars_per_unit
+      |FROM (SELECT doc_id, list_filter(string_split(s, '$S'),
+      |      x -> x <> '') AS t FROM it$bpeK) e
+      |JOIN documents USING (doc_id)
+      |GROUP BY lang
+      |ORDER BY lang ASC""".stripMargin
   }
 
   /** The df-capped ngram-Jaccard pair pipeline as CTEs ending in `p`
@@ -3097,6 +3122,7 @@ object SparkEntry {
     "graph_pagerank_dist" -> pagerankSql,
     "bpe_train" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_fertility" -> bpeFertilitySql,
     // per-bigram ln rounded to 6dp and summed as DECIMAL on both sides
     // — double sums are addition-order-dependent, decimal sums are
     // exact, so the 4dp hash-match is deterministic (SURVEY §5.3)

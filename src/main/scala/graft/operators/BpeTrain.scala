@@ -122,6 +122,41 @@ object BpeTrain {
       .orderBy(col("doc_id").asc)
   }
 
+  /** `bpe_fertility` — per-language tokenizer fertility from the SAME
+    * memoized training: docs, post-merge unit totals, and the
+    * chars-per-unit compression ratio (the dashboard number a tokenizer
+    * team watches per language — a language whose fertility stays near
+    * 1 char/unit is under-served by the learned vocabulary). Third view
+    * of the one training (after `bpe_train`/`bpe_encode`): a row-local
+    * unit count over the checkpointed state, one keyed join to the
+    * documents dim for lang/n_chars, one language-keyed aggregate —
+    * report is language-count-sized. All sums are exact BIGINT; the
+    * ratio is a single IEEE division at the output boundary.
+    */
+  def bpeFertility(spark: SparkSession, sfDir: String,
+      k: Int = 8): DataFrame = {
+    val (_, state) = cachedTraining(spark, sfDir, k)
+    val units = filter(split(col("s"), Sep), x => x =!= lit(""))
+    val perDoc = state.select(col("doc_id"), units.as("u"))
+      .select(col("doc_id"),
+        size(col("u")).cast("long").as("nu"),
+        size(filter(col("u"), x => x.contains(MergeJ)))
+          .cast("long").as("nm"))
+    perDoc
+      .join(Tables.documents(spark, sfDir)
+        .select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nu")).as("total_units"),
+        sum(col("nm")).as("merged_units"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("lang"), col("n_docs"), col("total_units"),
+        col("merged_units"), col("total_chars"),
+        (col("total_chars").cast("double") /
+          col("total_units").cast("double")).as("chars_per_unit"))
+      .orderBy(col("lang").asc)
+  }
+
   private def mergeTable(spark: SparkSession,
       merges: Seq[(Int, String, String, Long)]): DataFrame = {
     import spark.implicits._

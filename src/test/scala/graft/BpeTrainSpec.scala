@@ -131,6 +131,34 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(graft.operators.BpeTrain.clearBpeCache() >= 1)
   }
 
+  test("bpe_fertility equals the per-language aggregate of bpe_encode (third memo view)") {
+    val enc = graft.operators.BpeTrain.bpeEncode(spark, TestSpark.sf)
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> (r._2.toLong, r._3.toLong)).toMap
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+      .filter(d => enc.contains(d._1)) // zero-token docs drop from both
+    val expect = docs.groupBy(_._2).map { case (lang, rows) =>
+      lang -> (rows.size.toLong,
+        rows.map(r => enc(r._1)._2).sum, // total_units
+        rows.map(r => enc(r._1)._1).sum, // merged_units
+        rows.map(_._3).sum)              // total_chars
+    }
+    val got = graft.operators.BpeTrain.bpeFertility(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === expect)
+    got.foreach { case (lang, (_, units, _, chars)) =>
+      // the emitted ratio is exactly the one IEEE division of the sums
+      val ratio = graft.operators.BpeTrain.bpeFertility(spark, TestSpark.sf)
+        .filter(col("lang") === lang).select(col("chars_per_unit"))
+        .as[Double].head()
+      assert(ratio == chars.toDouble / units.toDouble, s"lang=$lang ratio")
+    }
+    assert(graft.operators.BpeTrain.clearBpeCache() >= 1)
+  }
+
   test("bpe_train equals the literal greedy merger on random corpora") {
     val genCase = for {
       vocab <- Gen.choose(2, 5)

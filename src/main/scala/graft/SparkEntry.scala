@@ -373,6 +373,10 @@ object SparkEntry {
       TextOps.mixBudgetApprox(s, d)),
     "mix_weighted" -> ((s: SparkSession, d: String) =>
       TextOps.mixWeighted(s, d)),
+    // mixture weights derived from the corpus (n^0.5 smoothing), same
+    // bucket-pruned prefix selection
+    "mix_temperature" -> ((s: SparkSession, d: String) =>
+      TextOps.mixTemperature(s, d)),
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
       GraphOps.graphPagerank(s, d)),
     // the DISTRIBUTED formulation of the same arithmetic (unrolled keyed
@@ -569,6 +573,35 @@ object SparkEntry {
       |FROM c WHERE before_toks < (CASE $cases ELSE 0 END)
       |ORDER BY doc_id ASC""".stripMargin
   }
+
+  /** The `mix_temperature` oracle: per-language budgets derived in SQL
+    * (⌊√Σtokens⌋ smoothed weights, integer shares of the 10000 total —
+    * IEEE sqrt/floor and `//`-on-non-negatives agree with the
+    * operator's driver-side arithmetic), then [[mixBudgetSql]]'s
+    * selection against the joined budget.
+    */
+  private lazy val mixTemperatureSql: String =
+    raw"""WITH t AS (SELECT doc_id, lang,
+      |    len(string_split($normT, ' '))::BIGINT AS n_tokens,
+      |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS rk
+      |  FROM documents),
+      |w AS (SELECT lang,
+      |    FLOOR(SQRT(CAST(SUM(n_tokens) AS DOUBLE)))::BIGINT AS w
+      |  FROM t GROUP BY lang),
+      |b AS (SELECT lang,
+      |    ((10000 * w) // (SELECT SUM(w) FROM w))::BIGINT AS budget
+      |  FROM w),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY lang
+      |      ORDER BY rk ASC, doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0)::BIGINT AS before_toks
+      |  FROM t)
+      |SELECT doc_id, c.lang AS lang, n_tokens,
+      |  (before_toks + n_tokens)::BIGINT AS cum_tokens
+      |FROM c JOIN b ON c.lang = b.lang
+      |WHERE before_toks < budget
+      |ORDER BY doc_id ASC""".stripMargin
 
   /** The `graph_pagerank` oracle: the nation-trade edge aggregation,
     * then the 5 power iterations UNROLLED as chained CTEs — the same
@@ -3112,6 +3145,7 @@ object SparkEntry {
     // operator consumes (TextOps.DefaultMixWeights) — one source of
     // truth for the mixture spec on both engines
     "mix_weighted" -> mixWeightedSql,
+    "mix_temperature" -> mixTemperatureSql,
     // 5 unrolled power iterations in pure 1e12-scaled integer
     // arithmetic (HUGEINT products mirror Spark's DECIMAL(38,0)) — no
     // floating point until the final display division of an exact int

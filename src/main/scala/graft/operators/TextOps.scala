@@ -1229,4 +1229,51 @@ object TextOps {
         size(split(normText(col("text")), " ")).cast("long")
           .as("n_tokens")),
       weightBudget(totalBudget, weights), buckets)
+
+  /** `mix_temperature` — exponent-smoothed multilingual sampling: the
+    * mixture WEIGHTS are derived from the corpus itself as
+    * w_l ∝ n_l^α with α = 1/2 (the mBERT/XLM-R smoothing that
+    * up-samples tail languages relative to their raw share), then the
+    * per-language budgets (totalBudget·w_l ÷ Σw) feed the SAME
+    * bucket-pruned hash-prefix selection as [[mixWeighted]]. Where
+    * `mix_weighted` takes the mixture as a given spec, this derives it
+    * — the curation pipeline's "balance the crawl" step.
+    *
+    * Determinism: w_l = ⌊√n_l⌋ — IEEE-754 sqrt and floor are exactly
+    * specified, so both engines integer-floor the SAME double (exact
+    * for n_l < 2^53; a corpus past 9·10¹⁵ tokens per language would
+    * widen to isqrt over DECIMAL); budgets are pure integer shares
+    * from there. The per-language raw totals are a language-count-sized
+    * aggregate COLLECTED to the driver (the IVF-codebook
+    * bounded-collect class: |langs| rows, never corpus rows) because
+    * the budget column must be a lang-functional CASE for
+    * [[budgetPrefixPruned]]'s crossing-bucket rule.
+    *
+    * Scale shape: three fully-parallel passes over the token frame
+    * (lang totals, bucket rollup, pruned probe) and never a
+    * corpus-sized sort — the [[budgetPrefixPruned]] guarantee.
+    */
+  def mixTemperature(spark: SparkSession, sfDir: String,
+      totalBudget: Long = 10000L): DataFrame =
+    mixTemperatureDocs(Tables.documents(spark, sfDir), totalBudget)
+
+  /** Core of [[mixTemperature]] over any (doc_id, lang, text) frame. */
+  def mixTemperatureDocs(docs: DataFrame, totalBudget: Long,
+      buckets: Int = 256): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"),
+      size(split(normText(col("text")), " ")).cast("long").as("n_tokens"))
+    val langTotals = t.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val ws = langTotals.map { case (lg, n) =>
+      (lg, math.floor(math.sqrt(n.toDouble)).toLong)
+    }
+    val sumW = ws.map(_._2).sum
+    val budgetCol = ws.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (lg, w)) =>
+        acc.when(col("lang") === lg, lit(totalBudget * w / sumW))
+    }.otherwise(lit(0L))
+    budgetPrefixPruned(t, budgetCol, buckets)
+  }
 }

@@ -93,6 +93,48 @@ class MixPmiProperties extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("mix_temperature == the smoothed-weight per-language model on random corpora") {
+    val genCase = for {
+      n <- Gen.choose(1, 70)
+      docs <- Gen.listOfN(n, for {
+        lang <- Gen.oneOf("en", "de", "zh")
+        ntok <- Gen.choose(0, 12)
+      } yield (lang, ntok))
+      total <- Gen.choose(1L, 300L)
+      buckets <- Gen.oneOf(1, 4, 16, 64)
+    } yield (docs, total, buckets)
+
+    val prop = Prop.forAll(genCase) { case (docs, total, buckets) =>
+      val rows = docs.zipWithIndex.map { case ((lang, ntok), i) =>
+        (i.toLong, lang, (1 to ntok).map(j => s"w$j").mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "lang", "text")
+      val got = TextOps.mixTemperatureDocs(df, total, buckets)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      // independent model: ⌊√n_l⌋ weights, integer shares, hash prefix
+      val toks = rows.map { case (id, lang, text) =>
+        (id, lang, math.max(1L, text.split(" ").count(_.nonEmpty).toLong))
+      }
+      val totals = toks.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val ws = totals.map { case (lg, t) =>
+        lg -> math.floor(math.sqrt(t.toDouble)).toLong }
+      val sumW = ws.values.sum
+      val budgets = ws.map { case (lg, w) => lg -> total * w / sumW }
+        .withDefaultValue(0L)
+      val ref = toks.groupBy(_._2).toSeq.flatMap { case (lg, ds) =>
+        val ordered = ds.sortBy(d => (SpecUtil.md5Rank(d._1), d._1))
+        val cums = ordered.scanLeft(0L)(_ + _._3)
+        ordered.zip(cums).collect { case ((id, lgg, nt), before)
+          if before < budgets(lg) => (id, lgg, nt, before + nt) }
+      }.sortBy(_._1)
+      got == ref
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("ngram_pmi equals a brute-force local calculator on random corpora") {
     val genCase = for {
       vocab <- Gen.choose(2, 6)

@@ -235,6 +235,9 @@ object SparkEntry {
     "stream_join_full" -> (EventWindows.streamJoinFullBatch _),
     "stream_join_semi" -> (EventWindows.streamJoinSemiBatch _),
     "ts_anomaly" -> (EventWindows.tsAnomaly _),
+    // day-over-day binned-histogram KS per event series (dq_drift made
+    // prequential); streaming form in Streams.driftScores
+    "ts_drift" -> (EventWindows.tsDrift _),
     "ts_gapfill" -> (EventWindows.tsGapfill _),
     "ts_resample" -> (EventWindows.tsResample _),
     "ts_interpolate" -> (EventWindows.tsInterpolate _),
@@ -2826,6 +2829,37 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM ev GROUP BY 1, 2
         |ORDER BY event_type ASC, bucket ASC""".stripMargin,
+    // day-over-day binned KS in pure BIGINT (the dq_drift discipline);
+    // day+1 routes each histogram into the next day's comparison
+    "ts_drift" ->
+      raw"""WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(FLOOR(value) AS BIGINT) AS bin, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |u AS (SELECT event_type, pair_day, bin,
+        |    SUM(cc)::BIGINT AS cc, SUM(cp)::BIGINT AS cp FROM (
+        |      SELECT event_type, day AS pair_day, bin, cnt AS cc, 0 AS cp
+        |      FROM c
+        |      UNION ALL
+        |      SELECT event_type, day + 1, bin, 0, cnt FROM c)
+        |  GROUP BY 1, 2, 3),
+        |w AS (SELECT event_type, pair_day,
+        |    SUM(cc) OVER (PARTITION BY event_type, pair_day ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cumc,
+        |    SUM(cp) OVER (PARTITION BY event_type, pair_day ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cump,
+        |    SUM(cc) OVER (PARTITION BY event_type, pair_day)::BIGINT AS tc,
+        |    SUM(cp) OVER (PARTITION BY event_type, pair_day)::BIGINT AS tp
+        |  FROM u)
+        |SELECT event_type, strftime(pair_day, '%Y-%m-%d') AS day,
+        |  MAX(ABS(cumc*tp - cump*tc))::BIGINT AS ks_num,
+        |  MAX(tc)::BIGINT AS n_cur, MAX(tp)::BIGINT AS n_prev,
+        |  CAST(MAX(ABS(cumc*tp - cump*tc)) AS DOUBLE)
+        |    / (CAST(MAX(tc) AS DOUBLE) * CAST(MAX(tp) AS DOUBLE)) AS ks
+        |FROM w GROUP BY event_type, pair_day
+        |HAVING MAX(tc) > 0 AND MAX(tp) > 0
+        |ORDER BY event_type ASC, day ASC""".stripMargin,
     // z from exact decimal moment sums, SAME IEEE tree both engines,
     // flag compares the ROUNDED z (agg_corr discipline)
     "ts_anomaly" ->

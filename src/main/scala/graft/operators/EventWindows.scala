@@ -501,6 +501,68 @@ object EventWindows {
       .orderBy(col("event_type").asc, col("bucket").asc)
   }
 
+  /** `ts_drift` — day-over-day distribution drift per event series: for
+    * each (event_type, day), the two-sample KS statistic between that
+    * day's value HISTOGRAM and the previous calendar day's (the
+    * histogram-vs-histogram comparison a production drift monitor
+    * actually runs — `dq_drift`'s cohort KS turned prequential). Values
+    * bin at unit width (`floor(value)` — exact on doubles), so the
+    * per-(type, day) comparison frame is value-DOMAIN-sized at any
+    * corpus size, the lesson dq_drift's pre-aggregation encodes: KS
+    * over raw continuous values would sort a corpus-day of distinct
+    * doubles; KS over the binned ecdf is what monitors compare anyway.
+    *
+    * Shape: one keyed (type, day, bin) count, a union routing each
+    * day's histogram into its own and the NEXT day's comparison (each
+    * bin row feeds ≤2 pairs — linear, no product), one cumulative
+    * window per (type, pair-day) over bins, one keyed max. First days
+    * (no previous calendar day) drop via the n_prev > 0 filter — same
+    * rule the streaming form's adjacency check applies. Exactness: the
+    * dq_drift discipline — |cumC·totP − cumP·totC| in pure BIGINT, the
+    * ks double one IEEE division at the boundary; day emits as a
+    * yyyy-MM-dd STRING (the ts_anomaly DATE round-trip rule).
+    * [[graft.streaming.Streams.driftScores]] is the streaming form
+    * (transformWithState: per-type open-day histograms in MapState,
+    * event-time timers close days in order at the watermark, last
+    * closed histogram is the comparison state); StreamingSpec asserts
+    * file-replay equality.
+    */
+  def tsDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value")).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val cur = c.select(col("event_type"), col("day").as("pair_day"),
+      col("bin"), col("cnt").as("cc"), lit(0L).as("cp"))
+    val prev = c.select(col("event_type"),
+      date_add(col("day"), 1).as("pair_day"),
+      col("bin"), lit(0L).as("cc"), col("cnt").as("cp"))
+    val u = cur.unionByName(prev)
+      .groupBy(col("event_type"), col("pair_day"), col("bin"))
+      .agg(sum(col("cc")).as("cc"), sum(col("cp")).as("cp"))
+    val wv = Window.partitionBy(col("event_type"), col("pair_day"))
+      .orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("event_type"), col("pair_day"))
+    u.withColumn("cumc", sum(col("cc")).over(wv))
+      .withColumn("cump", sum(col("cp")).over(wv))
+      .withColumn("tc", sum(col("cc")).over(wt))
+      .withColumn("tp", sum(col("cp")).over(wt))
+      .withColumn("d",
+        abs(col("cumc") * col("tp") - col("cump") * col("tc")))
+      .groupBy(col("event_type"), col("pair_day"))
+      .agg(max(col("d")).as("ks_num"), max(col("tc")).as("n_cur"),
+        max(col("tp")).as("n_prev"))
+      .filter(col("n_cur") > 0 && col("n_prev") > 0)
+      .select(col("event_type"),
+        date_format(col("pair_day"), "yyyy-MM-dd").as("day"),
+        col("ks_num"), col("n_cur"), col("n_prev"),
+        (col("ks_num").cast("double") /
+          (col("n_cur").cast("double") * col("n_prev").cast("double")))
+          .as("ks"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   def tsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
     def dec28(c: org.apache.spark.sql.Column) =
       c.cast(org.apache.spark.sql.types.DecimalType(28, 4))

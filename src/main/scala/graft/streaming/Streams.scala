@@ -292,6 +292,114 @@ class AnomalyProcessor(bucketUs: Long)
   }
 }
 
+/** `ts_drift` streaming form — day-over-day binned-histogram KS as a
+  * live drift monitor: per event type, unit-width value bins accumulate
+  * per OPEN day in MapState; EVENT-TIME TIMERS close days in time order
+  * once the watermark passes their end, each closed day scoring against
+  * the LAST closed day's histogram iff the two are calendar-adjacent
+  * (the batch twin's n_prev > 0 rule falls out of the adjacency check:
+  * an empty day breaks the chain in both forms). Comparison state per
+  * key = ONE value-domain-sized histogram + the open days within the
+  * watermark lag — bounded at any corpus size, exactly the state a
+  * production monitor holds. Late rows whose day already closed drop
+  * (the append-mode windowed-agg policy).
+  *
+  * Exactness: the dq_drift/ts_drift integer discipline — bins are
+  * `floor(value)` longs, counts exact, the KS numerator
+  * max |cumC·totP − cumP·totC| folds in pure Long over the sorted bin
+  * union, and the emitted ks double is the same single IEEE division
+  * the batch twin performs. [[graft.operators.EventWindows.tsDrift]]
+  * is the declared oracled twin; StreamingSpec asserts file-replay
+  * equality.
+  *
+  * Input: (event_type, ts_us, value); output: (event_type, day_us,
+  * ks_num, n_cur, n_prev, ks).
+  */
+class DriftProcessor(dayUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long, Double),
+      (String, Long, Long, Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState,
+    TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  // (dayStartUs, bin) -> count, every OPEN day's histogram
+  @transient private var open: MapState[(Long, Long), Long] = _
+  // open-day registry (dayStartUs -> 1), so timers arm once per day
+  @transient private var days: MapState[Long, Long] = _
+  // LAST closed day's histogram + its start: the comparison state
+  @transient private var prevHist: MapState[Long, Long] = _
+  @transient private var prevDay: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    open = getHandle.getMapState[(Long, Long), Long]("open",
+      Encoders.product[(Long, Long)], Encoders.scalaLong, TTLConfig.NONE)
+    days = getHandle.getMapState[Long, Long]("days",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    prevHist = getHandle.getMapState[Long, Long]("prevHist",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    prevDay = getHandle.getValueState[Long]("prevDay",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Long, Double)], timerValues: TimerValues)
+      : Iterator[(String, Long, Long, Long, Long, Double)] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    rows.foreach { case (_, tsUs, v) =>
+      val d = tsUs - java.lang.Math.floorMod(tsUs, dayUs)
+      if (d + dayUs > wmUs) { // a closed day cannot reopen
+        val bin = math.floor(v).toLong
+        val k = (d, bin)
+        open.updateValue(k,
+          (if (open.containsKey(k)) open.getValue(k) else 0L) + 1L)
+        if (!days.containsKey(d)) {
+          days.updateValue(d, 1L)
+          getHandle.registerTimer((d + dayUs) / 1000L)
+        }
+      }
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo)
+      : Iterator[(String, Long, Long, Long, Long, Double)] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    val closable = days.keys().toSeq
+      .filter(d => d + dayUs <= wmUs).sorted // close in TIME order
+    val out = Seq.newBuilder[(String, Long, Long, Long, Long, Double)]
+    closable.foreach { d =>
+      val hist = open.iterator().filter(_._1._1 == d)
+        .map { case ((_, b), c) => (b, c) }.toMap
+      val pd = if (prevDay.exists()) prevDay.get() else Long.MinValue
+      if (pd == d - dayUs) { // calendar-adjacent previous day exists
+        val ph = prevHist.iterator().toMap
+        val bins = (hist.keySet ++ ph.keySet).toSeq.sorted
+        val tc = hist.valuesIterator.sum
+        val tp = ph.valuesIterator.sum
+        var cumc = 0L; var cump = 0L; var num = 0L
+        bins.foreach { b =>
+          cumc += hist.getOrElse(b, 0L)
+          cump += ph.getOrElse(b, 0L)
+          val dd = math.abs(cumc * tp - cump * tc)
+          if (dd > num) num = dd
+        }
+        out += ((key, d, num, tc, tp,
+          num.toDouble / (tc.toDouble * tp.toDouble)))
+      }
+      // rotate: this day becomes the comparison histogram
+      prevHist.clear()
+      hist.foreach { case (b, c) => prevHist.updateValue(b, c) }
+      prevDay.update(d)
+      hist.keysIterator.foreach(b => open.removeKey((d, b)))
+      days.removeKey(d)
+    }
+    out.result().iterator
+  }
+}
+
 object Streams {
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -627,6 +735,29 @@ object Streams {
       .select(col("event_type"),
         timestamp_micros(col("bucket_us")).as("bucket"),
         col("bucket_value"), col("z"), col("anomaly"))
+  }
+
+  /** Streaming form of `ts_drift` (see [[DriftProcessor]]):
+    * watermarked events → per-type daily histograms closed by
+    * event-time timers → day-over-day KS against the last closed
+    * adjacent day.
+    */
+  def driftScores(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.TimeMode
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_type").as[String],
+        unix_micros(col("ts")).as[Long], col("value").as[Double])
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new DriftProcessor(86400L * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("event_type", "day_us", "ks_num", "n_cur", "n_prev", "ks")
+      .select(col("event_type"),
+        timestamp_micros(col("day_us")).as("day"),
+        col("ks_num"), col("n_cur"), col("n_prev"), col("ks"))
   }
 
   /** `stream_sink` — checkpointed parquet sink (exactly-once into the

@@ -117,6 +117,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "replay must finalize real buckets")
   }
 
+  test("streaming day-over-day drift equals the batch twin (file replay + sentinel)") {
+    // ts_drift: daily histograms close via EVENT-TIME TIMERS; each
+    // closed day KS-scores against the last closed adjacent day. The
+    // sentinel sits 72h past max(ts) so the watermark clears every real
+    // DAY end (the hourly test's 24h margin is too tight for daily
+    // buckets).
+    val sfd = TestSpark.sf
+    val ev = graft.sources.Tables.events(spark, sfd)
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
+    ev.coalesce(1).write.parquet(s"$dir/b1")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelTs = new Timestamp(maxTs.getTime + 72L * 3600 * 1000)
+    spark.range(1).select(lit(-1L).as("event_id"),
+      lit(sentinelTs).as("ts"), lit(-1L).as("user_id"),
+      lit("__sentinel").as("event_type"), lit(0.0).as("value"),
+      lit("{}").as("props")).write.parquet(s"$dir/b2")
+    def deliver(batch: String): Unit =
+      new java.io.File(s"$dir/$batch").listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(feed, s"$batch-$i.parquet").toPath)
+        }
+    val stream = spark.readStream.schema(ev.schema).parquet(feed.toString)
+    val prev = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streams.driftScores(stream).writeStream.format("memory")
+        .queryName("drift").outputMode("append").start()
+      try Seq("b1", "b2").foreach { b => deliver(b); q.processAllAvailable() }
+      finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val streamed = spark.table("drift")
+      .filter(col("event_type") =!= "__sentinel")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("ks_num"), col("n_cur"), col("n_prev"), col("ks"))
+      .orderBy("event_type", "day").collect().toSeq
+    val batch = EventWindows.tsDrift(spark, sfd)
+      .select("event_type", "day", "ks_num", "n_cur", "n_prev", "ks")
+      .collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "replay must finalize real day pairs")
+  }
+
   test("stream-stream interval join equals the batch attribution join") {
     val sfd = TestSpark.sf
     val ev = Streams.eventsFileStream(spark, sfd)

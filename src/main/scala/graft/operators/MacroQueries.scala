@@ -362,17 +362,17 @@ object MacroQueries {
 
   /** `q_shaped_q15` — top-supplier skeleton: the supplier(s) whose
     * three-month revenue equals the maximum over all suppliers. The
-    * classic view-used-twice shape; here the per-supplier aggregate runs
-    * ONCE and the max attaches via rank() over the AGGREGATED frame —
-    * an unpartitioned window, but its input is supplier-cardinality
-    * (dimension-sized: the corpus-scale work is the keyed aggregate
-    * below it), so the single-partition window is bounded by the
-    * supplier dim, not the fact. Ranking on the EXACT decimal sum keeps
-    * max-ties engine-agnostic; the oracle's `= (SELECT max(..))` form
-    * selects the same tie set.
+    * classic view-used-twice shape: the per-supplier revenue aggregate
+    * feeds BOTH the global max (one further aggregate over the
+    * supplier-cardinality frame) and the selection, and the max
+    * attaches back as a ONE-ROW broadcast EQUI-join on the exact
+    * decimal value — keyed, so no unpartitioned window ever exists in
+    * the plan (a rank()-over-all formulation funnels the frame through
+    * one task; the contract walk bans it even dimension-sized).
+    * Equality on the EXACT decimal sum keeps max-ties engine-agnostic;
+    * the oracle's `= (SELECT max(..))` form selects the same tie set.
     */
   def qShapedQ15(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rev = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
@@ -380,9 +380,8 @@ object MacroQueries {
       .groupBy(col("l_suppkey"))
       .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("rev_dec"))
-    rev.withColumn("rk",
-        rank().over(Window.orderBy(col("rev_dec").desc)))
-      .filter(col("rk") === 1)
+    val maxRev = rev.agg(max(col("rev_dec")).as("max_rev"))
+    rev.join(broadcast(maxRev), col("rev_dec") === col("max_rev"))
       .join(broadcast(Tables.supplier(spark, sfDir)
         .select("s_suppkey", "s_name")),
         col("s_suppkey") === col("l_suppkey"))

@@ -184,22 +184,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p13.contains("CartesianProduct") &&
       !p13.contains("BroadcastNestedLoopJoin"),
       s"q13 must not plan a product join:\n$p13")
-    // q15: the rank window runs over the AGGREGATED per-supplier frame —
-    // lineitem scans exactly once (structural identity count, AQE-final)
-    // and a Window exec exists above the agg
+    // q15: the max attaches as a ONE-ROW broadcast EQUI-join on the
+    // exact decimal — NO window anywhere (an unpartitioned rank would
+    // funnel the frame through one task), and no product: the 1-row
+    // attach is a hash join on the value
     val q15 = MacroQueries.qShapedQ15(spark, sf)
     q15.collect()
     val ep15 = q15.queryExecution.executedPlan
-    val liScans15 = SpecUtil.collectPlan(ep15) {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.metadata.get("Location").exists(_.contains("lineitem")) =>
-        System.identityHashCode(f)
-    }.toSet
-    assert(liScans15.size == 1,
-      s"q15 must scan lineitem exactly once:\n${ep15.toString}")
     assert(SpecUtil.collectPlan(ep15) {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }.nonEmpty, s"q15 expected the rank window:\n${ep15.toString}")
+    }.isEmpty, s"q15 must not plan any window:\n${ep15.toString}")
+    val p15 = ep15.toString
+    assert(!p15.contains("CartesianProduct") &&
+      !p15.contains("BroadcastNestedLoopJoin"),
+      s"q15's max attach must be a keyed hash join, not a product:\n$p15")
+    assert(p15.contains("BroadcastHashJoin"),
+      s"q15 expected broadcast joins (max attach + supplier dim):\n$p15")
     // q17: the correlated AVG decorrelates to a window KEYED on
     // l_partkey over ONE brand-filtered scan — never a second lineitem
     // pass, never a product

@@ -352,6 +352,10 @@ object SparkEntry {
     "pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     "doc_chunking" -> ((s: SparkSession, d: String) => TextOps.docChunk(s, d)),
     "embedding_quantize" -> (SimSearch.embeddingQuantize _),
+    // one-pass d×d covariance via the custom TypedImperativeAggregate
+    // (the distributed-PCA moments step)
+    "embedding_covariance" -> ((s: SparkSession, d: String) =>
+      SimSearch.embeddingCovariance(s, d)),
     "sample_stratified" -> (TextOps.sampleStratified _),
     // round-3 pipeline additions
     "decontaminate" -> ((s: SparkSession, d: String) =>
@@ -3394,6 +3398,27 @@ object SparkEntry {
         |    toks[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, n_tok)],
         |    ' ') AS chunk_text
         |FROM c ORDER BY doc_id ASC, chunk_id ASC""".stripMargin,
+    // exact scaled-long moments (DECIMAL(18,4) element snap → exact
+    // scale-8 products), then the same IEEE tree per covariance; the
+    // oracle's pair frame mirrors the aggregate's upper triangle.
+    // The snap casts through DOUBLE first (the embedding_quantize
+    // pin-to-DOUBLE rule): DuckDB's direct FLOAT→DECIMAL rounds the
+    // float's own repr and flipped one fixture element a half-step
+    // against the aggregate's double-based snap
+    "embedding_covariance" ->
+      raw"""WITH x AS (SELECT vec_id, CAST(t.i AS INT) AS i,
+        |    CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(18,4)) AS xd
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+        |s AS (SELECT a.i AS i, b.i AS j,
+        |    COUNT(*)::BIGINT AS n,
+        |    SUM(a.xd * b.xd) AS sxy,
+        |    SUM(a.xd) AS sxi, SUM(b.xd) AS sxj
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT i - 1 AS i, j - 1 AS j,
+        |  CAST(sxy AS DOUBLE) / n
+        |    - (CAST(sxi AS DOUBLE) / n) * (CAST(sxj AS DOUBLE) / n) AS cov
+        |FROM s ORDER BY i ASC, j ASC""".stripMargin,
     // all arithmetic pinned to DOUBLE on both sides (FLOAT/FLOAT stays
     // FLOAT in DuckDB but widens to DOUBLE in Spark); round() is
     // half-away-from-zero for doubles in both engines

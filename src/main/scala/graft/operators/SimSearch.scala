@@ -629,6 +629,39 @@ object SimSearch {
           .as("max_abs_err"))
       .orderBy(col("vec_id").asc)
 
+  /** `embedding_covariance` — the distributed-PCA covariance pass: the
+    * full d×d second-moment matrix of the embedding corpus in ONE
+    * aggregation, via the
+    * [[graft.functions.VectorMomentsImperative]] custom
+    * TypedImperativeAggregate (map-side partial merge of a
+    * (1 + d + d(d+1)/2)-long buffer — the shuffle carries one buffer
+    * per partition at any corpus size, where the explode+self-join
+    * formulation shuffles corpus·d²/2 rows). Whitening / eigensolving
+    * then operates on the d×d result — driver-trivial, out of scope
+    * here (the report IS the distributed step).
+    *
+    * The single buffer row posexplodes and joins KEYED on the
+    * triangle position to a broadcast (pos, i, j) literal — never a
+    * 1-row product attach. Exactness: the aggregate's scaled-long
+    * moment discipline (see its scaladoc); each covariance is one
+    * fixed IEEE tree over exact integers, mirrored verbatim by the
+    * oracle's DECIMAL-cast formulation.
+    */
+  def embeddingCovariance(spark: SparkSession, sfDir: String,
+      d: Int = 64): DataFrame = {
+    import spark.implicits._
+    val pairs = for { i <- 0 until d; j <- i until d } yield (i, j)
+    val pairsDf = broadcast(pairs.zipWithIndex
+      .map { case ((i, j), k) => (k, i, j) }.toDF("pos", "i", "j"))
+    Tables.embeddings(spark, sfDir)
+      .agg(graft.functions.ImperativeAggs
+        .vectorMoments(col("embedding"), d).as("c"))
+      .select(posexplode(col("c")).as(Seq("pos", "cov")))
+      .join(pairsDf, Seq("pos"))
+      .select(col("i"), col("j"), col("cov"))
+      .orderBy(col("i").asc, col("j").asc)
+  }
+
   /** `expr_custom` — the custom-Catalyst-Expression surface (SURVEY.md
     * §2.J), exercised directly: per-vector L2 norm and self-dot via the
     * codegen'd FloatVecNorm/FloatVecDot kernels.

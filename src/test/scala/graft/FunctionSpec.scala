@@ -527,4 +527,37 @@ class FunctionSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("embedding_covariance equals the exact scaled-long model and is partitioning-invariant") {
+    import graft.operators.SimSearch
+    val d = 64
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    def snap4(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValue()
+    val l = vecs.map(_.map(f => snap4(f.toDouble)))
+    val n = l.length
+    val sums = Array.tabulate(d)(i => l.map(_(i)).sum)
+    val got = SimSearch.embeddingCovariance(spark, sf, d).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(got.size == d * (d + 1) / 2)
+    for (i <- 0 until d; j <- i until d) {
+      val sxy = l.map(v => v(i) * v(j)).sum
+      val expect = (sxy.toDouble / 1e8) / n -
+        ((sums(i).toDouble / 1e4) / n) * ((sums(j).toDouble / 1e4) / n)
+      assert(got((i, j)) == expect, s"cov($i,$j)")
+      if (i == j) assert(got((i, j)) >= -1e-12, s"var($i) negative")
+    }
+    // merge associativity: 1-partition and 7-partition runs bit-agree
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    def run(parts: Int) = emb.repartition(parts)
+      .agg(graft.functions.ImperativeAggs
+        .vectorMoments(col("embedding"), d).as("c"))
+      .select(explode(col("c")).as("v")).collect().map(_.getDouble(0)).toSeq
+    assert(run(1) == run(7))
+  }
 }

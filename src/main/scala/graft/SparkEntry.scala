@@ -356,6 +356,10 @@ object SparkEntry {
     // (the distributed-PCA moments step)
     "embedding_covariance" -> ((s: SparkSession, d: String) =>
       SimSearch.embeddingCovariance(s, d)),
+    // top principal direction: same moments pass + exact fixed-point
+    // power iteration solved in-task (graph_pagerank discipline)
+    "embedding_pca" -> ((s: SparkSession, d: String) =>
+      SimSearch.embeddingPca(s, d)),
     "sample_stratified" -> (TextOps.sampleStratified _),
     // round-3 pipeline additions
     "decontaminate" -> ((s: SparkSession, d: String) =>
@@ -609,6 +613,46 @@ object SparkEntry {
       |FROM c JOIN b ON c.lang = b.lang
       |WHERE before_toks < budget
       |ORDER BY doc_id ASC""".stripMargin
+
+  /** The `embedding_pca` oracle: the covariance-numerator integer
+    * matrix N = n·P − S·Sᵀ from the same DOUBLE-snapped DECIMAL(18,4)
+    * element frame as the `embedding_covariance` oracle, then the 20
+    * power iterations UNROLLED as chained MATERIALIZED CTEs in
+    * HUGEINT (the pagerank technique — MATERIALIZED is load-bearing:
+    * plain CTEs re-inline the chain exponentially and K=20 never
+    * finishes). HUGEINT `//` and Scala BigInt `/` both truncate toward
+    * zero (verified on negatives), so the fixed-point vector is
+    * bit-identical at every step.
+    */
+  private lazy val embeddingPcaSql: String = {
+    val F = "1000000000000"
+    val iterCtes = (1 to 20).map { k =>
+      raw"""w$k AS MATERIALIZED (SELECT nm.i AS i, SUM(nm.nv * v.v) AS w
+        |  FROM nm JOIN v${k - 1} v ON nm.j = v.i GROUP BY 1),
+        |m$k AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)) // $F, 1) AS m2
+        |  FROM w$k),
+        |v$k AS MATERIALIZED (SELECT i, w // (SELECT m2 FROM m$k) AS v
+        |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    raw"""WITH x AS MATERIALIZED (SELECT vec_id, CAST(t.i AS INT) AS i,
+      |    CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(18,4)) AS xd
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+      |cnt AS MATERIALIZED (SELECT COUNT(*)::HUGEINT AS n FROM embeddings),
+      |s AS MATERIALIZED (SELECT i, CAST(SUM(xd) * 10000 AS HUGEINT) AS si
+      |  FROM x GROUP BY i),
+      |p AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+      |    CAST(SUM(a.xd * b.xd) * 100000000 AS HUGEINT) AS pij
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      |nm AS MATERIALIZED (SELECT p.i, p.j,
+      |    (SELECT n FROM cnt) * pij - sa.si * sb.si AS nv
+      |  FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i),
+      |v0 AS MATERIALIZED (SELECT CAST(r.range AS INT) AS i,
+      |    CAST($F AS HUGEINT) AS v FROM range(1, 65) r),
+      |""".stripMargin + iterCtes + "\n" +
+    raw"""SELECT i - 1 AS dim, v::BIGINT AS v_fp,
+      |  CAST(v AS DOUBLE) / 1e12 AS loading
+      |FROM v20 ORDER BY dim ASC""".stripMargin
+  }
 
   /** The `graph_pagerank` oracle: the nation-trade edge aggregation,
     * then the 5 power iterations UNROLLED as chained CTEs — the same
@@ -3405,6 +3449,7 @@ object SparkEntry {
     // pin-to-DOUBLE rule): DuckDB's direct FLOAT→DECIMAL rounds the
     // float's own repr and flipped one fixture element a half-step
     // against the aggregate's double-based snap
+    "embedding_pca" -> embeddingPcaSql,
     "embedding_covariance" ->
       raw"""WITH x AS (SELECT vec_id, CAST(t.i AS INT) AS i,
         |    CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(18,4)) AS xd

@@ -117,6 +117,7 @@ case class MinSigImperative(
 case class VectorMomentsImperative(
     child: Expression,
     d: Int,
+    raw: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
@@ -126,7 +127,9 @@ case class VectorMomentsImperative(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType =
+    if (raw) ArrayType(LongType, containsNull = false)
+    else ArrayType(DoubleType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -170,6 +173,10 @@ case class VectorMomentsImperative(
   }
 
   override def eval(buf: Array[Long]): Any = {
+    // raw mode: the exact moment buffer itself — the PCA solve's input
+    // ([[graft.operators.SimSearch.embeddingPca]] needs the integers,
+    // not the derived covariances)
+    if (raw) return new GenericArrayData(buf.clone())
     val out = new Array[Double](nPairs)
     val n = buf(0)
     if (n > 0L) {
@@ -224,5 +231,11 @@ object ImperativeAggs {
   def vectorMoments(c: Column, d: Int): Column =
     ColumnBridge.column(
       VectorMomentsImperative(ColumnBridge.expression(c), d)
+        .toAggregateExpression())
+
+  /** Raw-buffer variant: the exact scaled-long moment buffer. */
+  def vectorMomentsRaw(c: Column, d: Int): Column =
+    ColumnBridge.column(
+      VectorMomentsImperative(ColumnBridge.expression(c), d, raw = true)
         .toAggregateExpression())
 }

@@ -662,6 +662,66 @@ object SimSearch {
       .orderBy(col("i").asc, col("j").asc)
   }
 
+  /** `embedding_pca` — the top principal direction of the embedding
+    * corpus: [[embeddingCovariance]]'s ONE distributed moments pass,
+    * then an EXACT fixed-point power iteration solved in-task over the
+    * collected 2145-long buffer (the graph_pagerank discipline: the
+    * corpus-sized work is the keyed/mergeable aggregate; the solve is
+    * d²-bounded and runs in exact BigInt, so the oracle — the same 20
+    * iterations unrolled as chained MATERIALIZED CTEs in HUGEINT — is
+    * bit-identical, no eigensolver float drift to paper over).
+    *
+    * The iteration runs on the integer matrix N = n·P − S·Sᵀ (= n²·1e8
+    * × the covariance — same eigenvectors, PSD, so power iteration
+    * converges to the top principal axis with an all-ones start).
+    * Per-step renormalization divides by max(⌊max|w|/F⌋, 1) with
+    * TRUNCATING division — BigInt `/` and DuckDB HUGEINT `//` both
+    * truncate toward zero (verified on negatives), so every entry is
+    * engine-exact at every step. Output: the direction as scale-1e12
+    * fixed-point longs plus the double loading (one exact conversion +
+    * one IEEE division). Un-normalized on purpose: length is
+    * arbitrary for a direction, and normalizing would reintroduce a
+    * sqrt at the boundary.
+    *
+    * 100 TB: identical to embedding_covariance — one buffer per
+    * partition crosses the shuffle; the collect is the fixed-size
+    * moment buffer (bounded-collect class), the solve microseconds.
+    */
+  def embeddingPca(spark: SparkSession, sfDir: String, d: Int = 64,
+      iters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val buf = Tables.embeddings(spark, sfDir)
+      .agg(graft.functions.ImperativeAggs
+        .vectorMomentsRaw(col("embedding"), d).as("b"))
+      .head().getSeq[Long](0).toArray
+    val n = BigInt(buf(0))
+    val s = Array.tabulate(d)(i => BigInt(buf(1 + i)))
+    val p = Array.ofDim[BigInt](d, d)
+    var k = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        p(i)(j) = BigInt(buf(k)); p(j)(i) = p(i)(j); k += 1; j += 1
+      }
+      i += 1
+    }
+    val nMat = Array.tabulate(d, d)((a, b) => n * p(a)(b) - s(a) * s(b))
+    val F = BigInt(1000000000000L)
+    var v = Array.fill(d)(F)
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(d)(a =>
+        (0 until d).foldLeft(BigInt(0))((acc, b) => acc + nMat(a)(b) * v(b)))
+      val m2 = (w.map(_.abs).max / F).max(BigInt(1))
+      v = w.map(_ / m2) // BigInt / truncates toward zero, like DuckDB //
+      it += 1
+    }
+    (0 until d).map(a => (a, v(a).toLong, v(a).toLong.toDouble / 1e12))
+      .toDF("dim", "v_fp", "loading")
+      .orderBy(col("dim").asc)
+  }
+
   /** `expr_custom` — the custom-Catalyst-Expression surface (SURVEY.md
     * §2.J), exercised directly: per-vector L2 norm and self-dot via the
     * codegen'd FloatVecNorm/FloatVecDot kernels.

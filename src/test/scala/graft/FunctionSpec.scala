@@ -560,4 +560,36 @@ class FunctionSpec extends AnyFunSuite {
       .select(explode(col("c")).as("v")).collect().map(_.getDouble(0)).toSeq
     assert(run(1) == run(7))
   }
+
+  test("embedding_pca direction maximizes variance vs axes and random directions") {
+    import graft.operators.SimSearch
+    val d = 64
+    val v = SimSearch.embeddingPca(spark, sf, d).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(2))
+    assert(v.length == d && v.exists(_ != 0.0))
+    // empirical covariance from the oracled covariance query
+    val cov = Array.ofDim[Double](d, d)
+    SimSearch.embeddingCovariance(spark, sf, d).collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    def rayleigh(u: Array[Double]): Double = {
+      var num = 0.0; var den = 0.0
+      for (i <- 0 until d; j <- 0 until d) num += u(i) * cov(i)(j) * u(j)
+      for (i <- 0 until d) den += u(i) * u(i)
+      num / den
+    }
+    val rv = rayleigh(v)
+    // beats every coordinate axis (= every single dimension's variance)
+    for (i <- 0 until d) {
+      val e = Array.fill(d)(0.0); e(i) = 1.0
+      assert(rv >= rayleigh(e) - 1e-12, s"axis $i beats the PC direction")
+    }
+    // beats 20 seeded random directions
+    val rnd = new scala.util.Random(11)
+    (1 to 20).foreach { t =>
+      val u = Array.fill(d)(rnd.nextGaussian())
+      assert(rv >= rayleigh(u) - 1e-12, s"random dir $t beats the PC")
+    }
+  }
 }

@@ -360,6 +360,9 @@ object SparkEntry {
     // power iteration solved in-task (graph_pagerank discipline)
     "embedding_pca" -> ((s: SparkSession, d: String) =>
       SimSearch.embeddingPca(s, d)),
+    // row-local exact projection onto the learned direction
+    "embedding_pca_project" -> ((s: SparkSession, d: String) =>
+      SimSearch.embeddingPcaProject(s, d)),
     "sample_stratified" -> (TextOps.sampleStratified _),
     // round-3 pipeline additions
     "decontaminate" -> ((s: SparkSession, d: String) =>
@@ -3450,6 +3453,23 @@ object SparkEntry {
     // float's own repr and flipped one fixture element a half-step
     // against the aggregate's double-based snap
     "embedding_pca" -> embeddingPcaSql,
+    // the same CTE chain, consumed by a per-vector exact dot: snap
+    // each element to its scale-4 long, multiply the scale-12
+    // direction, sum in HUGEINT → the scale-16 integer score
+    "embedding_pca_project" -> (embeddingPcaSql
+      .replaceFirst("(?s)\nSELECT i - 1 AS dim.*$", "") + "\n" +
+      raw"""SELECT vec_id,
+        |  SUM(CAST(CAST(CAST(embedding[t.i] AS DOUBLE)
+        |        AS DECIMAL(18,4)) * 10000 AS BIGINT) * v.v)::BIGINT
+        |    AS score_fp,
+        |  CAST(SUM(CAST(CAST(CAST(embedding[t.i] AS DOUBLE)
+        |        AS DECIMAL(18,4)) * 10000 AS BIGINT) * v.v)::BIGINT
+        |      AS DOUBLE)
+        |    / 1e16 AS score
+        |FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |JOIN v20 v ON v.i = CAST(t.i AS INT)
+        |GROUP BY vec_id
+        |ORDER BY vec_id ASC""".stripMargin),
     "embedding_covariance" ->
       raw"""WITH x AS (SELECT vec_id, CAST(t.i AS INT) AS i,
         |    CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(18,4)) AS xd

@@ -690,6 +690,18 @@ object SimSearch {
   def embeddingPca(spark: SparkSession, sfDir: String, d: Int = 64,
       iters: Int = 20): DataFrame = {
     import spark.implicits._
+    val v = pcaDirection(spark, sfDir, d, iters)
+    (0 until d).map(a => (a, v(a), v(a).toDouble / 1e12))
+      .toDF("dim", "v_fp", "loading")
+      .orderBy(col("dim").asc)
+  }
+
+  /** The fixed-point solve shared by [[embeddingPca]] and
+    * [[embeddingPcaProject]]: scale-1e12 longs of the top principal
+    * direction.
+    */
+  private def pcaDirection(spark: SparkSession, sfDir: String, d: Int,
+      iters: Int): Array[Long] = {
     val buf = Tables.embeddings(spark, sfDir)
       .agg(graft.functions.ImperativeAggs
         .vectorMomentsRaw(col("embedding"), d).as("b"))
@@ -717,9 +729,41 @@ object SimSearch {
       v = w.map(_ / m2) // BigInt / truncates toward zero, like DuckDB //
       it += 1
     }
-    (0 until d).map(a => (a, v(a).toLong, v(a).toLong.toDouble / 1e12))
-      .toDF("dim", "v_fp", "loading")
-      .orderBy(col("dim").asc)
+    v.map(_.toLong)
+  }
+
+  /** `embedding_pca_project` — the corpus projected onto the learned
+    * principal direction: the dimensionality-reduction SCORE each
+    * pipeline actually consumes (1-D here; components 2..k deflate and
+    * repeat). The projection is row-local and EXACT: each element
+    * snaps to its scale-4 long (Spark's double→DECIMAL(18,4) cast —
+    * the same snap the moments aggregate applies), multiplies the
+    * scale-12 direction long, and the 64 products sum in BIGINT via a
+    * zip_with + aggregate HOF pipeline (codegen, no UDF, no shuffle —
+    * the only exchange is the final vec_id sort). score_fp is the
+    * scale-1e16 integer; the double `score` is the same
+    * conversion+division in both engines — with the conversion pinned
+    * to the INT64 path on both sides: |score_fp| exceeds 2^53 on real
+    * vectors, and DuckDB's HUGEINT→DOUBLE conversion rounds a last
+    * ulp differently than long→double, so the oracle casts the sum
+    * ::BIGINT before ::DOUBLE (a 1-ulp mismatch the sf sweep caught). Headroom: |li·v_i| ≤ 2e16, ×64 terms < 9.2e18 — inside
+    * int64 for unit-scale elements at any corpus size (per-row bound,
+    * corpus-independent).
+    */
+  def embeddingPcaProject(spark: SparkSession, sfDir: String,
+      d: Int = 64, iters: Int = 20): DataFrame = {
+    val v = pcaDirection(spark, sfDir, d, iters)
+    val vlit = typedLit(v.toSeq)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("embedding"), vlit, (x, w) =>
+            (x.cast("double")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 4)) *
+              lit(10000)).cast("long") * w),
+          lit(0L), (acc, e) => acc + e).as("score_fp"))
+      .withColumn("score", col("score_fp").cast("double") / lit(1e16))
+      .orderBy(col("vec_id").asc)
   }
 
   /** `expr_custom` — the custom-Catalyst-Expression surface (SURVEY.md

@@ -592,4 +592,29 @@ class FunctionSpec extends AnyFunSuite {
       assert(rv >= rayleigh(u) - 1e-12, s"random dir $t beats the PC")
     }
   }
+
+  test("embedding_pca_project equals the driver-side exact dot with the direction") {
+    import graft.operators.SimSearch
+    val d = 64
+    val vfp = SimSearch.embeddingPca(spark, sf, d).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1))
+    def snap4(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValue()
+    val expect = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        r.getLong(0) ->
+          (0 until d).map(i => snap4(e(i).toDouble) * vfp(i)).sum
+      }.toMap
+    val got = SimSearch.embeddingPcaProject(spark, sf, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    assert(got.length == expect.size)
+    got.foreach { case (id, (fp, s)) =>
+      assert(fp == expect(id), s"vec $id score_fp")
+      assert(s == fp.toDouble / 1e16, s"vec $id score")
+    }
+  }
 }

@@ -238,6 +238,9 @@ object SparkEntry {
     // day-over-day binned-histogram KS per event series (dq_drift made
     // prequential); streaming form in Streams.driftScores
     "ts_drift" -> (EventWindows.tsDrift _),
+    // the streaming form as a declared hash-gated row (real
+    // transformWithState replay + sentinel; shares ts_drift's oracle)
+    "stream_drift_ok" -> (graft.streaming.Streams.streamDriftOk _),
     "ts_gapfill" -> (EventWindows.tsGapfill _),
     "ts_resample" -> (EventWindows.tsResample _),
     "ts_interpolate" -> (EventWindows.tsInterpolate _),
@@ -616,6 +619,42 @@ object SparkEntry {
       |FROM c JOIN b ON c.lang = b.lang
       |WHERE before_toks < budget
       |ORDER BY doc_id ASC""".stripMargin
+
+  /** The `ts_drift` oracle — shared VERBATIM by `stream_drift_ok`
+    * (the streaming replay emits the identical rows; the
+    * join_asof_split shared-oracle precedent). Day-over-day binned KS
+    * in pure BIGINT; `day + 1` routes each histogram into the next
+    * day's comparison.
+    */
+  private lazy val tsDriftSql: String =
+    raw"""WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(FLOOR(value) AS BIGINT) AS bin, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |u AS (SELECT event_type, pair_day, bin,
+      |    SUM(cc)::BIGINT AS cc, SUM(cp)::BIGINT AS cp FROM (
+      |      SELECT event_type, day AS pair_day, bin, cnt AS cc, 0 AS cp
+      |      FROM c
+      |      UNION ALL
+      |      SELECT event_type, day + 1, bin, 0, cnt FROM c)
+      |  GROUP BY 1, 2, 3),
+      |w AS (SELECT event_type, pair_day,
+      |    SUM(cc) OVER (PARTITION BY event_type, pair_day ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |      AS cumc,
+      |    SUM(cp) OVER (PARTITION BY event_type, pair_day ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |      AS cump,
+      |    SUM(cc) OVER (PARTITION BY event_type, pair_day)::BIGINT AS tc,
+      |    SUM(cp) OVER (PARTITION BY event_type, pair_day)::BIGINT AS tp
+      |  FROM u)
+      |SELECT event_type, strftime(pair_day, '%Y-%m-%d') AS day,
+      |  MAX(ABS(cumc*tp - cump*tc))::BIGINT AS ks_num,
+      |  MAX(tc)::BIGINT AS n_cur, MAX(tp)::BIGINT AS n_prev,
+      |  CAST(MAX(ABS(cumc*tp - cump*tc)) AS DOUBLE)
+      |    / (CAST(MAX(tc) AS DOUBLE) * CAST(MAX(tp) AS DOUBLE)) AS ks
+      |FROM w GROUP BY event_type, pair_day
+      |HAVING MAX(tc) > 0 AND MAX(tp) > 0
+      |ORDER BY event_type ASC, day ASC""".stripMargin
 
   /** The `embedding_pca` oracle: the covariance-numerator integer
     * matrix N = n·P − S·Sᵀ from the same DOUBLE-snapped DECIMAL(18,4)
@@ -2882,35 +2921,10 @@ object SparkEntry {
         |ORDER BY event_type ASC, bucket ASC""".stripMargin,
     // day-over-day binned KS in pure BIGINT (the dq_drift discipline);
     // day+1 routes each histogram into the next day's comparison
-    "ts_drift" ->
-      raw"""WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
-        |    CAST(FLOOR(value) AS BIGINT) AS bin, count(*) AS cnt
-        |  FROM events GROUP BY 1, 2, 3),
-        |u AS (SELECT event_type, pair_day, bin,
-        |    SUM(cc)::BIGINT AS cc, SUM(cp)::BIGINT AS cp FROM (
-        |      SELECT event_type, day AS pair_day, bin, cnt AS cc, 0 AS cp
-        |      FROM c
-        |      UNION ALL
-        |      SELECT event_type, day + 1, bin, 0, cnt FROM c)
-        |  GROUP BY 1, 2, 3),
-        |w AS (SELECT event_type, pair_day,
-        |    SUM(cc) OVER (PARTITION BY event_type, pair_day ORDER BY bin
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
-        |      AS cumc,
-        |    SUM(cp) OVER (PARTITION BY event_type, pair_day ORDER BY bin
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
-        |      AS cump,
-        |    SUM(cc) OVER (PARTITION BY event_type, pair_day)::BIGINT AS tc,
-        |    SUM(cp) OVER (PARTITION BY event_type, pair_day)::BIGINT AS tp
-        |  FROM u)
-        |SELECT event_type, strftime(pair_day, '%Y-%m-%d') AS day,
-        |  MAX(ABS(cumc*tp - cump*tc))::BIGINT AS ks_num,
-        |  MAX(tc)::BIGINT AS n_cur, MAX(tp)::BIGINT AS n_prev,
-        |  CAST(MAX(ABS(cumc*tp - cump*tc)) AS DOUBLE)
-        |    / (CAST(MAX(tc) AS DOUBLE) * CAST(MAX(tp) AS DOUBLE)) AS ks
-        |FROM w GROUP BY event_type, pair_day
-        |HAVING MAX(tc) > 0 AND MAX(tp) > 0
-        |ORDER BY event_type ASC, day ASC""".stripMargin,
+    "ts_drift" -> tsDriftSql,
+    // the STREAMING form replays to the identical rows — shared oracle
+    // verbatim (the join_asof_split precedent)
+    "stream_drift_ok" -> tsDriftSql,
     // z from exact decimal moment sums, SAME IEEE tree both engines,
     // flag compares the ROUNDED z (agg_corr discipline)
     "ts_anomaly" ->

@@ -760,6 +760,70 @@ object Streams {
         col("ks_num"), col("n_cur"), col("n_prev"), col("ks"))
   }
 
+  /** `stream_drift_ok` — the STREAMING drift monitor as a hash-gated
+    * declared query (the `stream_watermark_late_ok` technique): the
+    * events table file-replays through [[driftScores]]'s REAL
+    * transformWithState pipeline (RocksDB state store — MapState needs
+    * the multi-column-family store), a 72-hour far-future sentinel
+    * pushes the watermark past every day end so all day pairs close,
+    * and the emitted rows convert to `ts_drift`'s exact schema — so
+    * the oracle is the ts_drift SQL VERBATIM (the join_asof_split
+    * shared-oracle precedent): an engine whose timers close days out
+    * of order, whose adjacency rotation drifts, or whose late policy
+    * changes hash-mismatches against the batch formulation computed
+    * independently by DuckDB.
+    */
+  def streamDriftOk(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelTs =
+      new java.sql.Timestamp(maxTs.getTime + 72L * 3600 * 1000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_driftok").toString
+    val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
+    ev.coalesce(1).write.parquet(s"$dir/b1")
+    spark.range(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+      lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+      .write.parquet(s"$dir/b2")
+    def deliver(batch: String): Unit =
+      new java.io.File(s"$dir/$batch").listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(feed, s"$batch-$i.parquet").toPath)
+        }
+    val stream = spark.readStream.schema(ev.schema).parquet(feed.toString)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val oldProv = spark.conf.getOption(provKey)
+    val oldShuf = spark.conf.get(shufKey)
+    val q =
+      try {
+        spark.conf.set(provKey, "org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider")
+        spark.conf.set(shufKey, "8") // keyed on 5 event types
+        driftScores(stream).writeStream
+          .format("memory").queryName("stream_drift_ok")
+          .outputMode(OutputMode.Append).start()
+      } finally {
+        spark.conf.set(shufKey, oldShuf)
+        oldProv match {
+          case Some(v) => spark.conf.set(provKey, v)
+          case None => spark.conf.unset(provKey)
+        }
+      }
+    try Seq("b1", "b2").foreach { b => deliver(b); q.processAllAvailable() }
+    finally { q.stop(); deleteRec(new java.io.File(dir)) }
+    spark.table("stream_drift_ok")
+      .filter(col("event_type") =!= "__sentinel")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("ks_num"), col("n_cur"), col("n_prev"), col("ks"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   /** `stream_sink` — checkpointed parquet sink (exactly-once into the
     * lake); foreachBatch variant for lake-maintenance writes (dynamic
     * partition overwrite per micro-batch).

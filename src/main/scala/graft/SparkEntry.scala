@@ -168,6 +168,9 @@ object SparkEntry {
     "sample_weighted" -> ((s: SparkSession, d: String) =>
       Aggregates.sampleWeighted(s, d)),
     "event_path" -> (EventWindows.eventPath _),
+    // MATCH_RECOGNIZE-style pattern counts over per-user code strings
+    // (lazy-regex automaton scan, identical Java/RE2 semantics)
+    "event_pattern" -> (EventWindows.eventPattern _),
     "agg_collect" -> (Aggregates.aggCollect _),
     "agg_listagg" -> (Aggregates.aggListagg _),
     "agg_sortagg" -> (Aggregates.aggSortAgg _),
@@ -235,6 +238,9 @@ object SparkEntry {
     "stream_join_full" -> (EventWindows.streamJoinFullBatch _),
     "stream_join_semi" -> (EventWindows.streamJoinSemiBatch _),
     "ts_anomaly" -> (EventWindows.tsAnomaly _),
+    // day-of-week seasonal means + deseasonalized residuals (STL-style
+    // seasonal step; three keyed aggs/joins, no window)
+    "ts_seasonal" -> (EventWindows.tsSeasonal _),
     // day-over-day binned-histogram KS per event series (dq_drift made
     // prequential); streaming form in Streams.driftScores
     "ts_drift" -> (EventWindows.tsDrift _),
@@ -315,6 +321,10 @@ object SparkEntry {
     "dedup_embedding" -> ((s: SparkSession, d: String) =>
       SimSearch.dedupEmbeddingLsh(s, d, threshold = 0.95,
         nBits = 48, nBands = 12, carryVectors = false)),
+    // SemDeDup: k-means-bucketed semantic dedup — cell-local pair
+    // search + keep-lowest-id survivors (stride codebook, oracled)
+    "dedup_semantic" -> ((s: SparkSession, d: String) =>
+      SimSearch.semDedup(s, d)),
     // production-default banding (deeper bands → ~linear candidate set;
     // recall tunes per corpus); no oracle (xxhash64-derived hyperplanes
     // aren't DuckDB-expressible) — agreement with the exact operator is
@@ -2018,6 +2028,23 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM events GROUP BY user_id
         |ORDER BY user_id ASC""".stripMargin,
+    // lazy (leftmost-first) regex counts — identical semantics in
+    // java.util.regex and DuckDB's RE2, verified on boundary cases
+    "event_pattern" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    string_agg(CASE event_type WHEN 'view' THEN 'v'
+        |        WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+        |        WHEN 'signup' THEN 's' ELSE 'e' END,
+        |      '' ORDER BY epoch_ms(ts), event_id) AS codes
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(length(codes) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(codes, 'v.*?c.*?p')) AS BIGINT)
+        |    AS n_conv,
+        |  CAST(len(regexp_extract_all(codes, 'v[^e]*?c[^e]*?p'))
+        |    AS BIGINT) AS n_clean_conv
+        |FROM p ORDER BY user_id ASC""".stripMargin,
     // SHOW STATS surface: per-column stats rows from one aggregation
     "table_stats" ->
       """WITH a AS (SELECT count(*) AS n_rows,
@@ -2951,6 +2978,28 @@ object SparkEntry {
         |    END AS z
         |  FROM d2 JOIN st USING (o_orderpriority)) q
         |ORDER BY o_orderpriority ASC, day ASC""".stripMargin,
+    // weekday = days-since-Monday-epoch mod 7 (engine-neutral; the
+    // builtins disagree on week start); ts_anomaly decimal discipline
+    "ts_seasonal" ->
+      raw"""WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS rev
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day, CAST(rev AS DOUBLE) AS x, rev,
+        |    ((datediff('day', DATE '1970-01-05', day) % 7) + 7) % 7
+        |      AS dow
+        |  FROM daily),
+        |s AS (SELECT event_type, dow,
+        |    CAST(SUM(CAST(rev AS DECIMAL(28,4))) AS DOUBLE) AS sxd,
+        |    count(*)::DOUBLE AS n
+        |  FROM d2 GROUP BY 1, 2)
+        |SELECT d2.event_type, strftime(d2.day, '%Y-%m-%d') AS day,
+        |  round(d2.x, 4) AS day_value,
+        |  round(s.sxd / s.n, 6) AS seasonal,
+        |  round(d2.x - s.sxd / s.n, 6) AS residual
+        |FROM d2 JOIN s ON d2.event_type = s.event_type
+        |  AND d2.dow = s.dow
+        |ORDER BY d2.event_type ASC, d2.day ASC""".stripMargin,
     "ts_gapfill" ->
       """WITH agg AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bucket,
@@ -3727,6 +3776,38 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT a_id, b_id, cos_sim FROM p WHERE cos_sim >= 0.95
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    // SemDeDup: the ivfpq oracle's stride-codebook + argmax-assignment
+    // CTEs feeding dedup_embedding's exact-cosine pair predicate,
+    // restricted to same-cell pairs; keep-lowest-id survivors
+    "dedup_semantic" ->
+      """WITH cbc AS (SELECT vec_id AS cent_id, embedding AS c_v,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+        |  FROM embeddings WHERE vec_id % 127 = 0),
+        |asg AS (SELECT c_id, cent_id FROM (
+        |  SELECT e.vec_id AS c_id, cbc.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE
+        |           * (cbc.c_v[i]::DOUBLE / cbc.cnrm))) DESC,
+        |      cbc.cent_id ASC) AS rn
+        |  FROM embeddings e CROSS JOIN cbc) WHERE rn = 1),
+        |dropped AS (SELECT DISTINCT bb.c_id AS b_id
+        |  FROM asg aa JOIN asg bb
+        |    ON aa.cent_id = bb.cent_id AND aa.c_id < bb.c_id
+        |  JOIN embeddings a ON a.vec_id = aa.c_id
+        |  JOIN embeddings b ON b.vec_id = bb.c_id
+        |  WHERE round(
+        |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |           x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |           x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.40)
+        |SELECT asg.c_id AS vec_id, asg.cent_id
+        |FROM asg LEFT JOIN dropped ON asg.c_id = dropped.b_id
+        |WHERE dropped.b_id IS NULL
+        |ORDER BY vec_id ASC""".stripMargin,
     "simsearch_knn" -> knnOracleSql,
     // the LSH hyperplanes are replicated bit-exactly in SQL
     // (lshWeightCtes), so the bucketed search is a full hash-match

@@ -236,6 +236,47 @@ object EventWindows {
         count(col("t3")).as("n_view_click_purchase"))
   }
 
+  /** `event_pattern` — MATCH_RECOGNIZE-style sequence-pattern matching
+    * over each user's ordered event stream (the CEP surface Flink and
+    * Oracle expose as SQL MATCH_RECOGNIZE; Spark has no native form).
+    * Each user's events collapse to one code string in total
+    * (epoch-millis, event_id) order — [[eventPath]]'s keyed
+    * collect+sort shape — and the PATTERN clause becomes a row-local
+    * LAZY regex over it: `v.*?c.*?p` counts non-overlapping
+    * view→click→purchase conversions (lazy quantifiers = earliest
+    * completion, the leftmost-match automaton scan), and
+    * `v[^e]*?c[^e]*?p` the conversions with no error event anywhere
+    * inside the matched span. Lazy leftmost semantics are identical
+    * between java.util.regex and DuckDB's RE2 (both Perl-style
+    * leftmost-first; verified on the boundary cases — greedy
+    * quantifiers would also agree but count fewer, longer matches).
+    *
+    * Shape: ONE keyed partial+final aggregation; the sort and both
+    * regex scans are row-local, bounded by a user's own event count.
+    * No window over raw events, no self-join — at 100 TB this is one
+    * shuffle of (user, code-char) pairs.
+    */
+  def eventPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    val code = expr("""CASE event_type WHEN 'view' THEN 'v'
+      WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+      WHEN 'signup' THEN 's' ELSE 'e' END""")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), code.as("code"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ms"), col("event_id"),
+          col("code")))),
+        s => s.getField("code")), "").as("codes"))
+      .select(col("user_id"),
+        length(col("codes")).cast("long").as("n_events"),
+        regexp_count(col("codes"), lit("v.*?c.*?p")).cast("long")
+          .as("n_conv"),
+        regexp_count(col("codes"), lit("v[^e]*?c[^e]*?p")).cast("long")
+          .as("n_clean_conv"))
+      .orderBy(col("user_id").asc)
+  }
+
   /** `retention_cohort` — classic cohort retention: users grouped by the
     * day of their first event; for each (cohort day, day offset), how
     * many distinct cohort users were active. Two keyed aggs + one join
@@ -499,6 +540,45 @@ object EventWindows {
             6)).as("z"))
       .withColumn("anomaly", when(abs(col("z")) > 2.0, 1).otherwise(0))
       .orderBy(col("event_type").asc, col("bucket").asc)
+  }
+
+  /** `ts_seasonal` — seasonal decomposition of each event series: daily
+    * revenue splits into a day-of-week SEASONAL component (the mean of
+    * that series' same-weekday days — the seasonal-means step of an
+    * STL-style decomposition) and a RESIDUAL (day minus its weekday
+    * mean), the deseasonalized signal `ts_anomaly` would rather score.
+    *
+    * Shape: one keyed daily aggregate, one (series, weekday) aggregate
+    * over it (≤ 7 rows per series), one keyed join back — day-count-
+    * sized after the first agg at any corpus size, no window at all.
+    *
+    * Determinism (the ts_anomaly discipline): day revenue is an exact
+    * DECIMAL(18,4) sum; weekday sums snap to DECIMAL(28,4); the mean
+    * and residual run ONE IEEE double tree in both engines and round
+    * at 4/6dp. Weekday is engine-neutral arithmetic — days since
+    * Monday 1970-01-05 mod 7 (0 = Monday) — not the engines'
+    * off-by-one `dayofweek` builtins.
+    */
+  def tsSeasonal(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec28(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(28, 4))
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(dec(col("value"))).as("rev"))
+      .withColumn("x", col("rev").cast("double"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-05").cast("date")), lit(7)))
+    val seasonal = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(dec28(col("rev"))).cast("double").as("sxd"),
+        count(lit(1)).cast("double").as("n"))
+    daily.join(seasonal, Seq("event_type", "dow"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("x"), 4).as("day_value"),
+        round(col("sxd") / col("n"), 6).as("seasonal"),
+        round(col("x") - col("sxd") / col("n"), 6).as("residual"))
+      .orderBy(col("event_type").asc, col("day").asc)
   }
 
   /** `ts_drift` — day-over-day distribution drift per event series: for

@@ -1095,4 +1095,60 @@ object SimSearch {
       .select(col("a_id"), col("b_id"), col("cos_sim"))
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
+
+  /** `dedup_semantic` — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with a broadcast codebook, then search
+    * for near-duplicate pairs ONLY within a cluster — the k-means-bucket
+    * analogue of `dedup_embedding_lsh`'s hyperplane buckets, and the
+    * published recipe for semantic dedup of web-scale training corpora
+    * (they run it on LAION/C4 with FAISS cluster assignment; the Spark
+    * form is the same math as one broadcast join + a keyed self-join).
+    * A vector is DROPPED when some smaller-id vector in its cell is
+    * within the cosine threshold (deterministic keep-lowest-id rule —
+    * SemDeDup keeps one representative per ε-ball; lowest id makes the
+    * choice engine-reproducible); survivors emit with their cell.
+    *
+    * Shape: cell assignment is scan→project per-row argmax against the
+    * broadcast codebook ([[ivfAssignCorpus]]'s NearestCentroid kernel —
+    * no shuffle); the pair search shuffles once on cent_id and pairs
+    * bucket-locally; the survivor filter is a keyed LEFT ANTI join.
+    * With C = N/stride cells the expected cell is stride-sized, so pair
+    * work is O(N·stride) — LINEAR in the corpus, never all-pairs. Skew:
+    * a dense semantic region concentrates one cell (the spatial
+    * hot-cell hazard); the learned [[ivfCodebookKmeans]] codebook is
+    * the drop-in equalizer (identical plan — only centroid quality
+    * differs), and AQE skew-split applies to the cent_id equi-join.
+    * Declared with the stride codebook (bit-deterministic, the
+    * simsearch_ivf oracle precedent) so DuckDB replicates assignment.
+    *
+    * The declared threshold is 0.40: the fixture's embeddings are
+    * near-orthogonal random vectors (max same-cell cosine ≈ 0.48–0.55
+    * across SFs, no true near-duplicates), so a production-style 0.95
+    * would make the drop path vacuous at every SF — 0.40 sits inside
+    * the observed range and drops real rows at sf0.001/0.01/0.1. The
+    * machinery is threshold-agnostic; PatternSeasonalSpec runs planted
+    * 0.95+ near-duplicates through the same [[semDedupDocs]] path.
+    */
+  def semDedup(spark: SparkSession, sfDir: String,
+      centroidStride: Long = 127, threshold: Double = 0.40): DataFrame =
+    semDedupDocs(Tables.embeddings(spark, sfDir), centroidStride, threshold)
+
+  /** Core of `dedup_semantic` over any (vec_id, embedding) frame. */
+  def semDedupDocs(emb: DataFrame, centroidStride: Long,
+      threshold: Double): DataFrame = {
+    val cells = ivfAssignCorpus(emb, ivfCodebook(emb, centroidStride))
+    val a = cells.select(col("cent_id"), col("c_id").as("a_id"),
+      col("c_emb").as("a_emb"), col("c_nrm").as("a_nrm"))
+    val b = cells.select(col("cent_id"), col("c_id").as("b_id"),
+      col("c_emb").as("b_emb"), col("c_nrm").as("b_nrm"))
+    val dropped = a.join(b, Seq("cent_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", round(
+        dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("b_id")).distinct()
+    cells.join(dropped, cells("c_id") === dropped("b_id"), "left_anti")
+      .select(col("c_id").as("vec_id"), col("cent_id"))
+      .orderBy(col("vec_id").asc)
+  }
 }

@@ -782,8 +782,12 @@ object Streams {
       new java.sql.Timestamp(maxTs.getTime + 72L * 3600 * 1000)
     val dir = java.nio.file.Files.createTempDirectory("graft_driftok").toString
     val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
-    ev.coalesce(1).write.parquet(s"$dir/b1")
-    spark.range(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+    // 4 writer tasks (deliver() moves every file before the first
+    // processAllAvailable, so b1 still arrives as ONE micro-batch);
+    // the sentinel is a 1-partition range (range(1) defaults to 32
+    // tasks for one row — measured 1.2 s of pure task setup).
+    ev.coalesce(4).write.parquet(s"$dir/b1")
+    spark.range(0L, 1L, 1L, 1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
       lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
       lit(0.0).as("value"), lit("{}").as("props"))
       .write.parquet(s"$dir/b2")

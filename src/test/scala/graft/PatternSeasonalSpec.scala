@@ -1,0 +1,165 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{EventWindows, SimSearch}
+
+/** Contracts for the round-12 additions `event_pattern`, `ts_seasonal`
+  * and `dedup_semantic`: each is re-derived on the driver by an
+  * INDEPENDENT formulation (an explicit automaton scan, java.time
+  * weekday arithmetic, a brute-force cell model) and compared row for
+  * row against the operator at sf0.001.
+  */
+class PatternSeasonalSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def hu(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Leftmost-lazy v→c→p automaton: count++ at earliest completion,
+    * resume AFTER the match; `resetOnE` models the [^e] guards (any
+    * in-progress match crossing an 'e' is impossible, and every
+    * completable match before it was already counted lazily).
+    */
+  private def automaton(s: String, resetOnE: Boolean): Int = {
+    var st = 0; var n = 0
+    s.foreach { ch =>
+      if (resetOnE && ch == 'e' && st > 0) st = 0
+      else ch match {
+        case 'v' if st == 0 => st = 1
+        case 'c' if st == 1 => st = 2
+        case 'p' if st == 2 => n += 1; st = 0
+        case _ => ()
+      }
+    }
+    n
+  }
+
+  test("lazy-regex counts equal the automaton scan (semantics pin)") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "vcpse"
+    val cases = Seq("vcp", "vvcpcp", "vecp", "vcecp", "vcpvcp",
+      "vvvcccppp", "vpc", "", "e", "vcpe") ++
+      Seq.fill(200)((0 until (1 + rnd.nextInt(40)))
+        .map(_ => alphabet(rnd.nextInt(5))).mkString)
+    cases.foreach { s =>
+      val conv = "v.*?c.*?p".r.findAllIn(s).length
+      val clean = "v[^e]*?c[^e]*?p".r.findAllIn(s).length
+      assert(conv === automaton(s, resetOnE = false), s"conv on '$s'")
+      assert(clean === automaton(s, resetOnE = true), s"clean on '$s'")
+    }
+  }
+
+  test("event_pattern equals the per-user automaton reference") {
+    import scala.jdk.CollectionConverters._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .collectAsList().asScala
+    val codeOf = Map("view" -> 'v', "click" -> 'c', "purchase" -> 'p',
+      "signup" -> 's').withDefaultValue('e')
+    val ref = ev.groupBy(_.getLong(0)).map { case (u, rows) =>
+      val codes = rows.sortBy(r => (r.getLong(1), r.getLong(2)))
+        .map(r => codeOf(r.getString(3))).mkString
+      u -> (codes.length.toLong, automaton(codes, false).toLong,
+        automaton(codes, true).toLong)
+    }
+    val got = EventWindows.eventPattern(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === ref.toMap)
+    assert(got.values.map(_._2).sum > 0, "fixture has no conversions")
+  }
+
+  test("ts_seasonal: weekday grouping + mean + residual re-derived") {
+    val rows = EventWindows.tsSeasonal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // day_value carries the exact DECIMAL(18,4) day sum (scale-4 cast
+    // of a scale-4 decimal is lossless), so the reference rebuilds the
+    // weekday means from the output frame itself with java.time dow
+    val byKey = rows.groupBy { r =>
+      val d = java.time.LocalDate.parse(r.getString(1))
+      (r.getString(0), d.getDayOfWeek.getValue - 1) // 0 = Monday
+    }
+    byKey.foreach { case ((typ, _), grp) =>
+      val sx = grp.map(r => java.math.BigDecimal.valueOf(r.getDouble(2)))
+        .reduce(_.add(_))
+      val mean = sx.doubleValue() / grp.length
+      grp.foreach { r =>
+        assert(r.getDouble(3) === hu(mean, 6),
+          s"seasonal mismatch $typ ${r.getString(1)}")
+        assert(r.getDouble(4) === hu(r.getDouble(2) - mean, 6),
+          s"residual mismatch $typ ${r.getString(1)}")
+      }
+    }
+    // seasonality is non-trivial: some weekday differs from the mean
+    assert(rows.exists(r => math.abs(r.getDouble(4)) > 0.0))
+  }
+
+  test("dedup_semantic equals the brute-force cell model") {
+    import scala.jdk.CollectionConverters._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .collectAsList().asScala
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    // centroids normalize in DOUBLE (the kernel's pre-normalization)
+    val cents = emb.keys.filter(_ % 127 == 0).toSeq.sorted
+      .map(id => id -> emb(id).map(_.toDouble / nrm(emb(id))))
+    def dotD(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * c(i); i += 1 }
+      s
+    }
+    // argmax of dot(x, ĉ), ties to the smaller cent_id (scan order)
+    val cellOf = emb.map { case (id, v) =>
+      id -> cents.maxBy { case (cid, cv) => (dotD(v, cv), -cid) }._1
+    }
+    val dropped = emb.keys.filter { b =>
+      emb.keys.exists { a =>
+        a < b && cellOf(a) == cellOf(b) &&
+          hu(dot(emb(a), emb(b)) / (nrm(emb(a)) * nrm(emb(b))), 4) >= 0.40
+      }
+    }.toSet
+    val ref = emb.keys.filterNot(dropped).toSeq.sorted
+      .map(id => (id, cellOf(id)))
+    val got = SimSearch.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === ref)
+    assert(dropped.nonEmpty,
+      "declared threshold drops nothing — vacuous drop path")
+  }
+
+  test("dedup_semantic drops planted 0.95+ near-duplicates, keeps " +
+      "the lowest id, and never drops across cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = (0L until 40L).map(id => (id, vec()))
+    // ids 100/101: near-copies of 3 and 17 (tiny perturbation keeps
+    // the cell assignment and cosine > 0.99); id 102: a near-copy of
+    // 5 NEGATED — cosine ≈ −1, must never be dropped
+    def near(v: Array[Float]): Array[Float] =
+      v.map(x => x + 1e-3f * rnd.nextGaussian().toFloat)
+    val planted = base ++ Seq(
+      (100L, near(base(3)._2)), (101L, near(base(17)._2)),
+      (102L, near(base(5)._2).map(-_)))
+    val df = planted.toDF("vec_id", "embedding")
+    val got = SimSearch.semDedupDocs(df, centroidStride = 7,
+      threshold = 0.95).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = got.map(_._1).toSet
+    assert(!ids.contains(100L) && !ids.contains(101L),
+      "planted near-duplicates survived")
+    assert(ids.contains(3L) && ids.contains(17L),
+      "the lowest-id representative must survive")
+    assert(ids.contains(102L), "anti-parallel vector wrongly dropped")
+    assert(got.length === planted.length - 2)
+  }
+}

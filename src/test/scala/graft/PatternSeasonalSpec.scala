@@ -162,4 +162,42 @@ class PatternSeasonalSpec extends AnyFunSuite {
     assert(ids.contains(102L), "anti-parallel vector wrongly dropped")
     assert(got.length === planted.length - 2)
   }
+
+  test("dedup_semantic pair work scales LINEARLY with the corpus " +
+      "(executed-metric pin: cell-local pairs, never all-pairs)") {
+    import spark.implicits._
+    val dim = 16
+    // gaussian base + 1% planted near-copies: `dropped` must be
+    // non-empty, else AQE's empty-relation propagation folds the anti
+    // join (and with it the pair-join stage) out of the final tree
+    def corpus(n: Int) = {
+      val rnd = new scala.util.Random(77)
+      val base = (0L until n.toLong).map(id =>
+        (id, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      val copies = (0 until n / 100).map { i =>
+        (n + i.toLong, base(i * 97 % n)._2.map(x => x + 1e-4f))
+      }
+      (base ++ copies).toDF("vec_id", "embedding")
+    }
+    // fixed stride ⇒ cell count grows with N, expected cell size stays
+    // ~stride ⇒ Σ cell² grows ~linearly; all-pairs would quadruple 1×→2×
+    def pairRows(n: Int): Long = {
+      val res = SimSearch.semDedupDocs(corpus(n), centroidStride = 50,
+        threshold = 0.95)
+      assert(res.collect().length < n + n / 100,
+        "planted copies not dropped — pair stage may be folded away")
+      SpecUtil.collectPlan(res.queryExecution.executedPlan) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j.metrics.get("numOutputRows").map(_.value)
+      }.flatten.max // the cent_id pair join dominates every other join
+    }
+    val (p1, p2) = (pairRows(3000), pairRows(6000))
+    assert(p1 > 0)
+    val ratio = p2.toDouble / p1
+    assert(ratio < 3.0,
+      s"pair stage grew ${ratio}x on 2x data — super-linear (all-pairs " +
+        s"would be 4x): $p1 -> $p2")
+    assert(p1 < 3000L * 3000 / 8,
+      s"pair stage is corpus-quadratic at 1x: $p1 rows")
+  }
 }

@@ -241,6 +241,9 @@ object SparkEntry {
     // day-of-week seasonal means + deseasonalized residuals (STL-style
     // seasonal step; three keyed aggs/joins, no window)
     "ts_seasonal" -> (EventWindows.tsSeasonal _),
+    // Holt linear-trend smoothing: exact BIGINT fixed-point fold per
+    // series (aggregate HOF), one-step-ahead prequential forecasts
+    "ts_forecast" -> (EventWindows.tsForecast _),
     // day-over-day binned-histogram KS per event series (dq_drift made
     // prequential); streaming form in Streams.driftScores
     "ts_drift" -> (EventWindows.tsDrift _),
@@ -404,8 +407,15 @@ object SparkEntry {
     // bucket-pruned prefix selection
     "mix_temperature" -> ((s: SparkSession, d: String) =>
       TextOps.mixTemperature(s, d)),
+    // curriculum schedule: CCNet tercile phase + md5-prefix within-
+    // phase order, riding the memoized lm-score pass
+    "mix_curriculum" -> (TextOps.mixCurriculum _),
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
       GraphOps.graphPagerank(s, d)),
+    // degree-oriented wedge triangle enumeration over the part
+    // co-purchase graph (Suri & Vassilvitskii WWW'11 formulation)
+    "graph_triangles" -> ((s: SparkSession, d: String) =>
+      GraphOps.graphTriangles(s, d)),
     // the DISTRIBUTED formulation of the same arithmetic (unrolled keyed
     // joins over the cached edge aggregate) — the scale path for graphs
     // too large for one task, driver-gated on the same oracle (the
@@ -2978,6 +2988,34 @@ object SparkEntry {
         |    END AS z
         |  FROM d2 JOIN st USING (o_orderpriority)) q
         |ORDER BY o_orderpriority ASC, day ASC""".stripMargin,
+    // the SAME integer Holt recursion as a recursive CTE: BIGINT
+    // fixed-point at 1e4, '//' and Spark's 'div' both truncate toward
+    // zero (verified on negatives — falling series ⇒ negative trend)
+    "ts_forecast" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    (SUM(CAST(value AS DECIMAL(18,4))) * 10000)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (SELECT event_type, day, x,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day ASC) AS rn
+        |  FROM daily),
+        |f AS (
+        |  SELECT event_type, day, x, rn, x AS l,
+        |    CAST(0 AS BIGINT) AS b, x AS fc
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.day, s.x, s.rn,
+        |    (s.x + f.l + f.b) // 2 AS l,
+        |    (((s.x + f.l + f.b) // 2) - f.l + f.b) // 2 AS b,
+        |    (f.l + f.b) AS fc
+        |  FROM f JOIN seq s ON s.event_type = f.event_type
+        |    AND s.rn = f.rn + 1)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  round(x / 10000.0, 4) AS actual,
+        |  round(fc / 10000.0, 4) AS forecast,
+        |  round((x - fc) / 10000.0, 4) AS err
+        |FROM f ORDER BY event_type ASC, day ASC""".stripMargin,
     // weekday = days-since-Monday-epoch mod 7 (engine-neutral; the
     // builtins disagree on week start); ts_anomaly decimal discipline
     "ts_seasonal" ->
@@ -3302,6 +3340,31 @@ object SparkEntry {
     // join_asof_split precedent: a scale-path rewrite earns its own
     // driver gate against the identical SQL)
     "graph_pagerank_dist" -> pagerankSql,
+    // the ORACLE is the naive id-ordered 3-way self-join (exact at
+    // fixture edge counts); the operator is the degree-oriented wedge
+    // formulation — same triangle set by the orientation theorem
+    "graph_triangles" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT e1.u AS t1, e1.v AS t2, e2.v AS t3
+        |FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |ORDER BY t1 ASC, t2 ASC, t3 ASC""".stripMargin,
+    // phase = quality_lm_bucket's ntile verbatim; rank = sample_hash's
+    // 8-hex md5 prefix verbatim — the schedule composes two green rows
+    "mix_curriculum" ->
+      raw"""WITH $lmScoreCtes,
+        |j AS (SELECT lm.doc_id AS doc_id, documents.lang AS lang,
+        |        ntile(3) OVER (PARTITION BY documents.lang
+        |          ORDER BY lm.avg_logp DESC, lm.doc_id ASC) AS phase
+        |      FROM lm JOIN documents ON lm.doc_id = documents.doc_id)
+        |SELECT doc_id, lang, phase,
+        |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |    AS rank
+        |FROM j ORDER BY phase ASC, rank ASC, doc_id ASC""".stripMargin,
     "bpe_train" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
     "bpe_fertility" -> bpeFertilitySql,

@@ -581,6 +581,63 @@ object EventWindows {
       .orderBy(col("event_type").asc, col("day").asc)
   }
 
+  /** `ts_forecast` — Holt's linear-trend exponential smoothing (the
+    * two-parameter workhorse of classical forecasting) per event
+    * series, with one-step-ahead forecasts: level and trend update as
+    * l_t = (x_t + l + b) / 2, b_t = ((l_t − l) + b) / 2 (α = β = ½),
+    * and day t's forecast is the PRIOR state's l + b — history only,
+    * the prequential discipline `stream_anomaly` set. The recursion is
+    * inherently sequential per series, so it runs as a row-local fold:
+    * one keyed collect+sort (the event_path shape, bounded by a
+    * series' own day count — never corpus-sized) and a codegen'd
+    * `aggregate` HOF whose accumulator carries (l, b, emitted steps).
+    *
+    * Determinism: pure BIGINT fixed-point at scale 1e4 (the exact
+    * DECIMAL(18,4) day sum ×10⁴) with `div 2` truncating toward zero —
+    * Spark's `div` and DuckDB's `//` agree on negatives (verified; a
+    * falling series makes b negative) — so every forecast is
+    * bit-exact in both engines; the oracle replays the same integer
+    * recursion as a recursive CTE. Day gaps are treated as adjacent
+    * observations (the observed-sequence convention; `ts_gapfill` is
+    * the regularization step a calendar-spaced forecast would compose).
+    */
+  def tsForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(dec(col("value"))) * 10000).cast("long").as("x"))
+    daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+        .as("arr"))
+      .withColumn("steps", expr("""
+        aggregate(arr,
+          named_struct('l', cast(0 as bigint), 'b', cast(0 as bigint),
+            'out',
+            cast(array() as array<struct<day:date,x:bigint,f:bigint>>),
+            'init', false),
+          (acc, e) -> CASE WHEN NOT acc.init THEN named_struct(
+              'l', e.x, 'b', cast(0 as bigint),
+              'out',
+              array(named_struct('day', e.day, 'x', e.x, 'f', e.x)),
+              'init', true)
+            ELSE named_struct(
+              'l', (e.x + acc.l + acc.b) div 2,
+              'b', (((e.x + acc.l + acc.b) div 2) - acc.l + acc.b)
+                div 2,
+              'out', array_append(acc.out, named_struct('day', e.day,
+                'x', e.x, 'f', acc.l + acc.b)),
+              'init', true) END,
+          acc -> acc.out)"""))
+      .select(col("event_type"), explode(col("steps")).as("s"))
+      .select(col("event_type"),
+        date_format(col("s.day"), "yyyy-MM-dd").as("day"),
+        round(col("s.x").cast("double") / 10000.0, 4).as("actual"),
+        round(col("s.f").cast("double") / 10000.0, 4).as("forecast"),
+        round((col("s.x") - col("s.f")).cast("double") / 10000.0, 4)
+          .as("err"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   /** `ts_drift` — day-over-day distribution drift per event series: for
     * each (event_type, day), the two-sample KS statistic between that
     * day's value HISTOGRAM and the previous calendar day's (the

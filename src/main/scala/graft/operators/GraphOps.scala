@@ -237,4 +237,73 @@ object GraphOps {
           .as("pagerank"))
       .orderBy(col("pr_fp").desc, col("nation").asc)
   }
+
+  /** `graph_triangles` — triangle enumeration over the part
+    * CO-PURCHASE graph (parts co-ordered in ≥ `minCo` lineitem pairs —
+    * the market-basket graph; triangles are its clustering signal),
+    * via DEGREE-ORIENTED wedge counting: the MapReduce triangle
+    * algorithm of Suri & Vassilvitskii (WWW'11) / Cohen's graph-twiddling
+    * family. Each undirected edge orients from its lower-(degree, id)
+    * endpoint to the higher; wedges form by self-joining oriented
+    * edges on their SOURCE, and a wedge closes into a triangle iff its
+    * two endpoints are themselves an edge — a keyed equi-join against
+    * the undirected edge set. Every triangle is found exactly once (at
+    * its lowest-degree corner) and emitted with its ids sorted.
+    *
+    * Why orientation matters at 100 TB: wedge count under degree
+    * orientation is Σ outdeg² ≤ O(m^1.5) — a hub of degree d generates
+    * ZERO wedges at the hub (all its edges point outward-by-degree
+    * elsewhere... inward), vs d²/2 for the naive u<v orientation. The
+    * oracle runs the naive 3-way self-join (fine at fixture edge
+    * counts); the Spark side is the formulation that survives skew.
+    * Every stage is a keyed shuffle: same-order pairs key on
+    * l_orderkey (≤7 lineitems per TPC-H order → ≤21 pairs per key),
+    * edge agg on (u,v), degrees on endpoint, wedge join on the source,
+    * closing join on the endpoint pair.
+    */
+  def graphTriangles(spark: SparkSession, sfDir: String,
+      minCo: Long = 2L): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+      .select(col("u"), col("v"))
+    triangleEnum(edges)
+  }
+
+  /** Degree-oriented triangle enumeration over any id-ordered
+    * (u < v) undirected edge frame — [[graphTriangles]]'s core,
+    * property-tested against a literal triple scan on random graphs.
+    */
+  def triangleEnum(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient low-(degree, id) → high; (degree, id) is a total order
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), Seq("src"))
+      .filter(col("e1.dst") < col("e2.dst"))
+      .select(col("src"), col("e1.dst").as("w1"), col("e2.dst").as("w2"))
+    // closing-edge lookup on the undirected (id-ordered) edge set —
+    // the wedge endpoint pair is id-ordered to match
+    wedges.join(edges,
+        col("w1") === col("u") && col("w2") === col("v"))
+      .select(sort_array(array(col("src"), col("w1"), col("w2"))).as("t"))
+      .select(col("t").getItem(0).as("t1"), col("t").getItem(1).as("t2"),
+        col("t").getItem(2).as("t3"))
+      .orderBy(col("t1").asc, col("t2").asc, col("t3").asc)
+  }
 }

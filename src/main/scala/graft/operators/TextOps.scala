@@ -1276,4 +1276,33 @@ object TextOps {
     }.otherwise(lit(0L))
     budgetPrefixPruned(t, budgetCol, buckets)
   }
+
+  /** `mix_curriculum` — the curriculum SCHEDULE a pretraining pipeline
+    * emits (curriculum learning: present fluent text first, noisy text
+    * last): phase = the CCNet per-language perplexity tercile
+    * (`quality_lm_bucket`'s keyed ntile, 1 = head → 3 = tail), and
+    * within a phase documents take the deterministic md5-prefix
+    * [[hashRank]] order — the reproducible "shuffled within phase"
+    * order a curriculum dataloader consumes, a pure key function with
+    * no RNG state. Total order: (phase, rank, doc_id).
+    *
+    * Shape: rides the memoized lm-score pass (one corpus scan shared
+    * with the lm family), one language-keyed ntile window (the
+    * dominant-language funnel has the declared
+    * `quality_lm_bucket_approx` cutoff treatment — identical here),
+    * and a row-local rank; the terminal sort is presentation, the
+    * schedule itself is the (phase, rank) KEY — a consumer range-reads
+    * it without ever re-sorting the corpus.
+    */
+  def mixCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logp").desc, col("doc_id").asc)
+    cachedLmScores(spark, sfDir)
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("phase", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("phase"),
+        hashRank(col("doc_id")).as("rank"))
+      .orderBy(col("phase").asc, col("rank").asc, col("doc_id").asc)
+  }
 }

@@ -98,6 +98,47 @@ class PatternSeasonalSpec extends AnyFunSuite {
     assert(rows.exists(r => math.abs(r.getDouble(4)) > 0.0))
   }
 
+  test("ts_forecast equals a literal Holt fold (and the fixture " +
+      "exercises the negative-dividend div path)") {
+    import scala.jdk.CollectionConverters._
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(col("value").cast(
+        org.apache.spark.sql.types.DecimalType(18, 4))) * 10000)
+        .cast("long").as("x"))
+      .collectAsList().asScala
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    var negDividends = 0
+    val ref = daily.groupBy(_._1).flatMap { case (typ, rows) =>
+      val days = rows.sortBy(_._2)
+      var l = 0L; var b = 0L
+      days.zipWithIndex.map { case ((_, day, x), i) =>
+        val f = if (i == 0) x else l + b
+        if (i == 0) { l = x; b = 0L }
+        else {
+          val l2 = (x + l + b) / 2 // Long '/': toward zero, = div, = //
+          val bNum = (l2 - l) + b
+          if (bNum < 0) negDividends += 1
+          b = bNum / 2; l = l2
+        }
+        (typ, day) -> ((x, f))
+      }
+    }.toMap
+    val got = EventWindows.tsForecast(spark, sf).collect()
+    assert(got.length === ref.size)
+    got.foreach { r =>
+      val (x, f) = ref((r.getString(0), r.getString(1)))
+      assert(r.getDouble(2) === hu(x / 10000.0, 4))
+      assert(r.getDouble(3) === hu(f / 10000.0, 4),
+        s"forecast mismatch ${r.getString(0)} ${r.getString(1)}")
+      assert(r.getDouble(4) === hu((x - f) / 10000.0, 4))
+    }
+    assert(negDividends > 0,
+      "fixture never hits a negative trend numerator — the " +
+        "div-toward-zero claim is untested by this data")
+  }
+
   test("dedup_semantic equals the brute-force cell model") {
     import scala.jdk.CollectionConverters._
     val emb = graft.sources.Tables.embeddings(spark, sf)

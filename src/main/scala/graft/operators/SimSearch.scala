@@ -1135,8 +1135,18 @@ object SimSearch {
 
   /** Core of `dedup_semantic` over any (vec_id, embedding) frame. */
   def semDedupDocs(emb: DataFrame, centroidStride: Long,
+      threshold: Double): DataFrame =
+    semDedupWithCodebook(emb, ivfCodebook(emb, centroidStride), threshold)
+
+  /** [[semDedupDocs]] with an explicit codebook — the learned
+    * [[ivfCodebookKmeans]] drop-in (SemDeDup's actual configuration:
+    * k-means cells, not stride samples). Same plan; only centroid
+    * quality — cell balance under clustered data — differs.
+    */
+  def semDedupWithCodebook(emb: DataFrame,
+      codebook: Array[(Long, Array[Float], Double)],
       threshold: Double): DataFrame = {
-    val cells = ivfAssignCorpus(emb, ivfCodebook(emb, centroidStride))
+    val cells = ivfAssignCorpus(emb, codebook)
     val a = cells.select(col("cent_id"), col("c_id").as("a_id"),
       col("c_emb").as("a_emb"), col("c_nrm").as("a_nrm"))
     val b = cells.select(col("cent_id"), col("c_id").as("b_id"),

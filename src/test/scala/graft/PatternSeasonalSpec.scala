@@ -204,6 +204,63 @@ class PatternSeasonalSpec extends AnyFunSuite {
     assert(got.length === planted.length - 2)
   }
 
+  test("dedup_semantic with the LEARNED k-means codebook still drops " +
+      "every planted near-duplicate (the SemDeDup production config)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    // 4 well-separated gaussian clusters + near-copies: k-means cells
+    // recover the clusters, and a near-copy shares its twin's cell
+    // under ANY sane codebook (tiny perturbation, argmax unchanged)
+    // spread σ=3 vs center norm ≈20: cluster-mates land at cos ≈0.7
+    // (below τ — tighter spreads make REAL mates cross 0.95 and the
+    // keep-all-base assertion would be wrong, not the operator)
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    val base = (0L until 200L).map { id =>
+      val c = centers((id % 4).toInt)
+      (id, c.zip(Array.fill(dim)(rnd.nextGaussian() * 3.0))
+        .map { case (m, e) => (m + e).toFloat })
+    }
+    val planted = base ++ (0 until 5).map { i =>
+      (300L + i, base(i * 37)._2.map(x => x + 1e-4f))
+    }
+    val df = planted.toDF("vec_id", "embedding")
+    val cb = SimSearch.ivfCodebookKmeans(df, kCents = 4)
+    val got = SimSearch.semDedupWithCodebook(df, cb, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    (0 until 5).foreach(i => assert(!got.contains(300L + i),
+      s"planted near-duplicate ${300 + i} survived the k-means cells"))
+    // exact-model equality with THIS codebook's cells (a handful of
+    // true cluster-mates may legitimately sit above τ — the model,
+    // not a keep-everything guess, decides)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def dotD(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * c(i); i += 1 }
+      s
+    }
+    val cents = cb.map { case (cid, v, nrm) =>
+      (cid, v.map(_.toDouble / nrm)) }
+    val embMap = planted.toMap
+    val cellOf = planted.map { case (id, v) =>
+      id -> cents.maxBy { case (cid, cv) => (dotD(v, cv), -cid) }._1
+    }.toMap
+    val expect = planted.map(_._1).filterNot { b =>
+      planted.map(_._1).exists { a =>
+        a < b && cellOf(a) == cellOf(b) && {
+          val (va, vb) = (embMap(a), embMap(b))
+          hu(dot(va, vb) / (math.sqrt(dot(va, va)) *
+            math.sqrt(dot(vb, vb))), 4) >= 0.95
+        }
+      }
+    }.toSet
+    assert(got === expect)
+  }
+
   test("dedup_semantic pair work scales LINEARLY with the corpus " +
       "(executed-metric pin: cell-local pairs, never all-pairs)") {
     import spark.implicits._

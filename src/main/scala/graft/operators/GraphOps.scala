@@ -256,21 +256,38 @@ object GraphOps {
     * elsewhere... inward), vs d²/2 for the naive u<v orientation. The
     * oracle runs the naive 3-way self-join (fine at fixture edge
     * counts); the Spark side is the formulation that survives skew.
-    * Every stage is a keyed shuffle: same-order pairs key on
-    * l_orderkey (≤7 lineitems per TPC-H order → ≤21 pairs per key),
-    * edge agg on (u,v), degrees on endpoint, wedge join on the source,
-    * closing join on the endpoint pair.
+    * Every stage is a keyed shuffle: same-order pairs come from ONE
+    * l_orderkey-keyed collect (≤7 lineitems per TPC-H order → ≤21
+    * row-local pairs per key — one scan + one exchange, vs the
+    * self-join formulation's two scans and two sort-merge sides,
+    * measured 2× the task time at sf0.1), edge agg on (u,v), degrees
+    * on endpoint, wedge join on the source, closing join on the
+    * endpoint pair.
     */
   def graphTriangles(spark: SparkSession, sfDir: String,
       minCo: Long = 2L): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+    // positional i<j pairs over the sorted per-order part list = the
+    // a.pk < b.pk row-pair multiset (equal-part pairs filtered)
+    val edges = li.groupBy(col("ok"))
+      .agg(sort_array(collect_list(col("pk"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> named_struct('u', x, 'v', y))))""".stripMargin))
+        .as("p"))
+      .filter(col("p.u") < col("p.v"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
       .select(col("u"), col("v"))
+      // the edge set is graph-sized (thousands of rows) but its
+      // lineage is a corpus pass, and triangleEnum consumes it FOUR
+      // times (degrees, two orientation sides, the closing join) — an
+      // eager cut makes the corpus pay once (the pagerank_dist lesson:
+      // 4 recomputations measured as 3.4 s wall / 19 s task time here)
+      .localCheckpoint(true)
     triangleEnum(edges)
   }
 

@@ -1146,7 +1146,16 @@ object SimSearch {
   def semDedupWithCodebook(emb: DataFrame,
       codebook: Array[(Long, Array[Float], Double)],
       threshold: Double): DataFrame = {
+    // ONE cent_id Exchange reused by both pair-join sides (the
+    // dedupEmbeddingLsh banded-Exchange pattern) — without it the plan
+    // scanned AND argmax-assigned the corpus 3×. The anti-join left
+    // keeps its own narrow (c_id, cent_id) scan: column pruning
+    // specializes its subtree below the exchange, and a narrow
+    // re-scan beats forcing unpruned columns through the shuffle — a
+    // production SemDeDup materializes the assignment as an index
+    // artifact and pays it once regardless
     val cells = ivfAssignCorpus(emb, codebook)
+      .repartition(col("cent_id"))
     val a = cells.select(col("cent_id"), col("c_id").as("a_id"),
       col("c_emb").as("a_emb"), col("c_nrm").as("a_nrm"))
     val b = cells.select(col("cent_id"), col("c_id").as("b_id"),

@@ -410,6 +410,8 @@ object SparkEntry {
     // curriculum schedule: CCNet tercile phase + md5-prefix within-
     // phase order, riding the memoized lm-score pass
     "mix_curriculum" -> (TextOps.mixCurriculum _),
+    // dataset-card rollup: one GROUPING SETS pass over the corpus
+    "corpus_report" -> (TextOps.corpusReport _),
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
       GraphOps.graphPagerank(s, d)),
     // degree-oriented wedge triangle enumeration over the part
@@ -3353,6 +3355,25 @@ object SparkEntry {
         |FROM e e1 JOIN e e2 ON e2.u = e1.v
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
         |ORDER BY t1 ASC, t2 ASC, t3 ASC""".stripMargin,
+    "corpus_report" ->
+      raw"""WITH d AS (SELECT lang, source, n_chars,
+        |    len(string_split($normT, ' '))::BIGINT AS n_tokens
+        |  FROM documents)
+        |SELECT CASE WHEN grouping(lang) = 0 AND grouping(source) = 0
+        |              THEN 'cell'
+        |            WHEN grouping(lang) = 0 THEN 'lang'
+        |            WHEN grouping(source) = 0 THEN 'source'
+        |            ELSE 'corpus' END AS level,
+        |  coalesce(lang, '(all)') AS lang,
+        |  coalesce(source, '(all)') AS source,
+        |  COUNT(1) AS n_docs,
+        |  SUM(n_tokens) AS n_tokens,
+        |  SUM(n_chars) AS n_chars,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(1), 4)
+        |    AS avg_chars
+        |FROM d
+        |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        |ORDER BY level ASC, lang ASC, source ASC""".stripMargin,
     // phase = quality_lm_bucket's ntile verbatim; rank = sample_hash's
     // 8-hex md5 prefix verbatim — the schedule composes two green rows
     "mix_curriculum" ->

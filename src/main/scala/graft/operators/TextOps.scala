@@ -1277,6 +1277,38 @@ object TextOps {
     budgetPrefixPruned(t, budgetCol, buckets)
   }
 
+  /** `corpus_report` — the dataset-card rollup every released corpus
+    * ships (docs / tokens / chars per language, per source, per cell,
+    * and overall): ONE scan through GROUPING SETS — the multi-level
+    * report is a single aggregation, not four (Catalyst expands the
+    * sets in the same hash-agg pass; grouped nulls label their level).
+    * Whitespace tokens use `token_count`'s normalization so the card's
+    * token column reconciles with the per-doc query.
+    */
+  def corpusReport(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.Tables.registerAll(spark, sfDir)
+    spark.sql(
+      raw"""WITH d AS (SELECT lang, source, n_chars,
+        |    CAST(size(split(trim(regexp_replace(lower(text),
+        |      '\\s+', ' ')), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT CASE WHEN grouping(lang) = 0 AND grouping(source) = 0
+        |              THEN 'cell'
+        |            WHEN grouping(lang) = 0 THEN 'lang'
+        |            WHEN grouping(source) = 0 THEN 'source'
+        |            ELSE 'corpus' END AS level,
+        |  coalesce(lang, '(all)') AS lang,
+        |  coalesce(source, '(all)') AS source,
+        |  COUNT(1) AS n_docs,
+        |  SUM(n_tokens) AS n_tokens,
+        |  SUM(n_chars) AS n_chars,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(1), 4)
+        |    AS avg_chars
+        |FROM d
+        |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        |ORDER BY level ASC, lang ASC, source ASC""".stripMargin)
+  }
+
   /** `mix_curriculum` — the curriculum SCHEDULE a pretraining pipeline
     * emits (curriculum learning: present fluent text first, noisy text
     * last): phase = the CCNet per-language perplexity tercile

@@ -78,6 +78,41 @@ class TriangleCurriculumSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture co-purchase graph has no triangles")
   }
 
+  test("plan pins: triangle edge lineage is cut once; dedup_semantic " +
+      "pair sides share one Exchange; event_pattern scans events once") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan,
+        table: String): Int =
+      SpecUtil.collectPlan(p) {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains(table)) => 1
+      }.sum
+    val tri = graft.operators.GraphOps.graphTriangles(spark, sf)
+    tri.collect()
+    // the eager edge cut means the four edge consumers replay NOTHING:
+    // the returned plan reads the checkpoint, not lineitem
+    assert(scans(tri.queryExecution.executedPlan, "lineitem") === 0,
+      "triangleEnum recomputed the corpus edge pass")
+    val sem = graft.operators.SimSearch.semDedup(spark, sf)
+    sem.collect()
+    val semPlan = sem.queryExecution.executedPlan
+    assert(SpecUtil.collectPlan(semPlan) {
+      case _: ReusedExchangeExec => 1 }.sum >= 1,
+      "dedup_semantic pair sides no longer share the cent_id Exchange")
+    assert(scans(semPlan, "embeddings") <= 2,
+      "dedup_semantic re-scans the corpus per consumer again")
+    val pat = graft.operators.EventWindows.eventPattern(spark, sf)
+    pat.collect()
+    assert(scans(pat.queryExecution.executedPlan, "events") === 1)
+    // the 4-level dataset card is ONE aggregation pass, not four
+    val rep = graft.operators.TextOps.corpusReport(spark, sf)
+    rep.collect()
+    assert(scans(rep.queryExecution.executedPlan, "documents") === 1,
+      "corpus_report re-scans the corpus per grouping level")
+  }
+
   test("mix_curriculum: phases are quality_lm_bucket's terciles and " +
       "rank is the md5-prefix hash") {
     val buckets = TextOps.qualityLmBucket(spark, sf).collect()

@@ -265,9 +265,13 @@ object GraphOps {
     * endpoint pair.
     */
   def graphTriangles(spark: SparkSession, sfDir: String,
-      minCo: Long = 2L): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      minCo: Long = 2L): DataFrame =
+    triangleCoPurchase(Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+      minCo)
+
+  /** [[graphTriangles]] over any (ok, pk) basket frame. */
+  def triangleCoPurchase(li: DataFrame, minCo: Long): DataFrame = {
     // positional i<j pairs over the sorted per-order part list = the
     // a.pk < b.pk row-pair multiset (equal-part pairs filtered)
     val edges = li.groupBy(col("ok"))

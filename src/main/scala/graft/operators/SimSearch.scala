@@ -1112,8 +1112,17 @@ object SimSearch {
     * broadcast codebook ([[ivfAssignCorpus]]'s NearestCentroid kernel —
     * no shuffle); the pair search shuffles once on cent_id and pairs
     * bucket-locally; the survivor filter is a keyed LEFT ANTI join.
-    * With C = N/stride cells the expected cell is stride-sized, so pair
-    * work is O(N·stride) — LINEAR in the corpus, never all-pairs. Skew:
+    *
+    * The codebook SIZE is the scaling knob, and it cuts both ways
+    * (Round12cProbe, measured at 20k→200k vectors): a fixed STRIDE
+    * keeps pair work linear (expected cell = stride) but grows C with
+    * N, so the O(C·d)-per-row assignment goes quadratic in total
+    * (cells 160→1,591, wall 3→22 s); fixed C keeps assignment linear
+    * but cell size grows with N, so pair work goes quadratic
+    * (0.8M→79M pairs); C ≈ √N balances both stages at O(N^1.5) — the
+    * classic IVF balance, and why SemDeDup scales its cluster count
+    * with the corpus. Every regime catches every planted duplicate —
+    * the knob trades cost, not recall, on near-identical pairs. Skew:
     * a dense semantic region concentrates one cell (the spatial
     * hot-cell hazard); the learned [[ivfCodebookKmeans]] codebook is
     * the drop-in equalizer (identical plan — only centroid quality

@@ -221,6 +221,48 @@ class Lake(val spark: SparkSession, val warehouse: String) {
       .orderBy(col("check_name").asc, col("target").asc)
   }
 
+  /** Generic dataset-card rollup of any lake table (the
+    * `corpus_report` surface as a facade method): row counts and
+    * numeric sums per single dimension, per full dimension cell, and
+    * overall — ONE GROUPING SETS aggregation pass regardless of level
+    * count. Dimension values render as strings with grouped-out
+    * levels as '(all)'; `level` names the dims that are live in the
+    * row (or 'all' for the grand total). Column names are
+    * backtick-escaped (the audit discipline).
+    */
+  def report(name: String, dims: Seq[String],
+      sums: Seq[String] = Seq()): DataFrame = {
+    require(dims.nonEmpty, "report needs at least one dimension")
+    def esc(n: String) = "`" + n.replace("`", "``") + "`"
+    val v = "__graft_report"
+    // catalog-registered tables (attachFixtures / external) first,
+    // warehouse datasets otherwise — the preview/meta resolution order
+    val src = if (spark.catalog.tableExists(name)) spark.table(name)
+      else load(name)
+    src.createOrReplaceTempView(v)
+    val setList = (Seq(dims) ++ dims.map(Seq(_)) ++ Seq(Seq.empty))
+      .map(_.map(esc).mkString("(", ", ", ")")).distinct.mkString(", ")
+    val levelExpr = "coalesce(nullif(concat_ws('+', " + dims.map(d =>
+      s"CASE WHEN grouping(${esc(d)}) = 0 THEN '$d' END")
+      .mkString(", ") + "), ''), 'all') AS level"
+    // grouping() distinguishes a rolled-up level from a real NULL
+    // dimension value (coalesce alone would conflate them)
+    val dimExprs = dims.map(d =>
+      s"CASE WHEN grouping(${esc(d)}) = 1 THEN '(all)' ELSE " +
+        s"coalesce(CAST(${esc(d)} AS STRING), '(null)') END AS ${esc(d)}")
+    val sumExprs = sums.map(s =>
+      s"SUM(${esc(s)}) AS ${esc("sum_" + s)}")
+    val df = spark.sql(
+      s"""SELECT $levelExpr, ${dimExprs.mkString(", ")},
+         |  COUNT(1) AS n_rows${if (sums.nonEmpty) "," else ""}
+         |  ${sumExprs.mkString(", ")}
+         |FROM $v
+         |GROUP BY GROUPING SETS ($setList)
+         |ORDER BY level ASC, ${dims.map(esc).mkString(", ")}""".stripMargin)
+    spark.catalog.dropTempView(v)
+    df
+  }
+
   private def escCol(n: String): Column =
     col("`" + n.replace("`", "``") + "`")
 

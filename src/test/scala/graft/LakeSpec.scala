@@ -436,4 +436,36 @@ class LakeSpec extends AnyFunSuite {
       eDelta.getMessage.contains("Failed to find the data source: delta"),
       eDelta.getMessage)
   }
+
+  test("Lake.report: one-pass grouping-sets card matches direct groupBy") {
+    import org.apache.spark.sql.functions._
+    val lake = newLake()
+    val rep = lake.report("documents", Seq("lang", "source"),
+      Seq("n_chars"))
+    rep.collect() // drive the plan for the scan pin below
+    val docs = spark.table("documents")
+    // grand total
+    val all = rep.filter(col("level") === "all").collect()
+    assert(all.length === 1)
+    assert(all.head.getAs[Long]("n_rows") === docs.count())
+    assert(all.head.getAs[Long]("sum_n_chars") ===
+      docs.agg(sum(col("n_chars"))).head().getLong(0))
+    // per-lang level equals a direct groupBy
+    val perLang = rep.filter(col("level") === "lang")
+      .collect().map(r => r.getString(1) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_n_chars"))).toMap
+    val direct = docs.groupBy(col("lang"))
+      .agg(count(lit(1)), sum(col("n_chars"))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(perLang === direct)
+    // cell level: every (lang, source) present, level label composite
+    val cells = rep.filter(col("level") === "lang+source").count()
+    assert(cells === docs.select(col("lang"), col("source"))
+      .distinct().count())
+    // the 4-level card is ONE scan of the table
+    val scans = SpecUtil.collectPlan(rep.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => 1
+    }.sum
+    assert(scans === 1, s"report scanned the table $scans times")
+  }
 }

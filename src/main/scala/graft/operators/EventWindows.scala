@@ -256,11 +256,16 @@ object EventWindows {
     * No window over raw events, no self-join — at 100 TB this is one
     * shuffle of (user, code-char) pairs.
     */
-  def eventPattern(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventPattern(spark: SparkSession, sfDir: String): DataFrame =
+    eventPatternEvents(Tables.events(spark, sfDir))
+
+  /** Core of `event_pattern` over any (user_id, ts, event_id,
+    * event_type) frame. */
+  def eventPatternEvents(events: DataFrame): DataFrame = {
     val code = expr("""CASE event_type WHEN 'view' THEN 'v'
       WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
       WHEN 'signup' THEN 's' ELSE 'e' END""")
-    Tables.events(spark, sfDir)
+    events
       .select(col("user_id"), unix_millis(col("ts")).as("ms"),
         col("event_id"), code.as("code"))
       .groupBy(col("user_id"))
@@ -601,8 +606,12 @@ object EventWindows {
     * observations (the observed-sequence convention; `ts_gapfill` is
     * the regularization step a calendar-spaced forecast would compose).
     */
-  def tsForecast(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.events(spark, sfDir)
+  def tsForecast(spark: SparkSession, sfDir: String): DataFrame =
+    tsForecastEvents(Tables.events(spark, sfDir))
+
+  /** Core of `ts_forecast` over any (event_type, ts, value) frame. */
+  def tsForecastEvents(events: DataFrame): DataFrame = {
+    val daily = events
       .groupBy(col("event_type"),
         date_trunc("day", col("ts")).cast("date").as("day"))
       .agg((sum(dec(col("value"))) * 10000).cast("long").as("x"))

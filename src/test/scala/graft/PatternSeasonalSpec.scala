@@ -139,6 +139,63 @@ class PatternSeasonalSpec extends AnyFunSuite {
         "div-toward-zero claim is untested by this data")
   }
 
+  test("ts_forecast equals the literal fold on randomized series " +
+      "(falling trends force negative-dividend divisions)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    (1 to 5).foreach { trial =>
+      val rows = (for {
+        t <- Seq("up", "down", "noisy")
+        d <- 0 until (20 + rnd.nextInt(30))
+        _ <- 0 until (1 + rnd.nextInt(3))
+      } yield {
+        val base = t match {
+          case "up" => 10.0 + d * 7.3
+          case "down" => 500.0 - d * 9.1 // falling ⇒ negative trend
+          case _ => 100.0 + rnd.nextGaussian() * 80.0
+        }
+        (t, java.sql.Timestamp.valueOf(
+          f"2024-03-${d % 28 + 1}%02d ${d / 28 + 1}%02d:00:00"),
+          base + rnd.nextGaussian())
+      })
+      val df = rows.toDF("event_type", "ts", "value")
+      // literal reference on the same generated rows
+      val daily = rows.groupBy(r => (r._1,
+        r._2.toLocalDateTime.toLocalDate)).map { case ((t, day), rs) =>
+        val sum = rs.map(r => java.math.BigDecimal.valueOf(r._3)
+          .setScale(4, java.math.RoundingMode.HALF_UP))
+          .reduce(_.add(_))
+        (t, day.toString,
+          sum.movePointRight(4).longValueExact())
+      }.toSeq
+      var neg = 0
+      val ref = daily.groupBy(_._1).flatMap { case (_, ds) =>
+        val seq = ds.sortBy(_._2)
+        var l = 0L; var b = 0L
+        seq.zipWithIndex.map { case ((t, day, x), i) =>
+          val f = if (i == 0) x else l + b
+          if (i == 0) { l = x; b = 0L }
+          else {
+            val l2 = (x + l + b) / 2
+            val bn = (l2 - l) + b
+            if (bn < 0) neg += 1
+            b = bn / 2; l = l2
+          }
+          (t, day) -> ((x, f))
+        }
+      }.toMap
+      val got = EventWindows.tsForecastEvents(df).collect()
+      assert(got.length === ref.size, s"trial $trial row count")
+      got.foreach { r =>
+        val (x, f) = ref((r.getString(0), r.getString(1)))
+        assert(r.getDouble(3) === hu(f / 10000.0, 4),
+          s"trial $trial forecast ${r.getString(0)} ${r.getString(1)}")
+        assert(r.getDouble(4) === hu((x - f) / 10000.0, 4))
+      }
+      assert(neg > 0, s"trial $trial never hit a negative dividend")
+    }
+  }
+
   test("dedup_semantic equals the brute-force cell model") {
     import scala.jdk.CollectionConverters._
     val emb = graft.sources.Tables.embeddings(spark, sf)
@@ -202,6 +259,48 @@ class PatternSeasonalSpec extends AnyFunSuite {
       "the lowest-id representative must survive")
     assert(ids.contains(102L), "anti-parallel vector wrongly dropped")
     assert(got.length === planted.length - 2)
+  }
+
+  test("dedup_semantic equals the brute-force model on randomized " +
+      "frames across strides and thresholds (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    (1 to 5).foreach { trial =>
+      val dim = 4 + rnd.nextInt(12)
+      val n = 40 + rnd.nextInt(120)
+      val stride = Seq(7L, 13L, 31L)(rnd.nextInt(3))
+      val tau = 0.3 + rnd.nextDouble() * 0.5
+      val emb = (0L until n.toLong).map(id =>
+        (id, Array.fill(dim)(rnd.nextGaussian().toFloat))).toMap
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }
+      def dotD(a: Array[Float], c: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * c(i); i += 1 }
+        s
+      }
+      def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+      val cents = emb.keys.filter(_ % stride == 0).toSeq.sorted
+        .map(id => id -> emb(id).map(_.toDouble / nrm(emb(id))))
+      val cellOf = emb.map { case (id, v) =>
+        id -> cents.maxBy { case (cid, cv) => (dotD(v, cv), -cid) }._1
+      }
+      val expect = emb.keys.toSeq.filterNot { b =>
+        emb.keys.exists { a =>
+          a < b && cellOf(a) == cellOf(b) &&
+            hu(dot(emb(a), emb(b)) / (nrm(emb(a)) * nrm(emb(b))),
+              4) >= tau
+        }
+      }.sorted.map(id => (id, cellOf(id)))
+      val got = SimSearch.semDedupDocs(
+        emb.toSeq.toDF("vec_id", "embedding"), stride, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === expect,
+        s"trial $trial (dim=$dim n=$n stride=$stride tau=$tau)")
+    }
   }
 
   test("dedup_semantic with the LEARNED k-means codebook still drops " +

@@ -103,6 +103,42 @@ object Round12cProbe {
       }
       spark.read.parquet(dir)
     }
+    // event_pattern heavy-user stress: the scaladoc claims the
+    // collect+sort is bounded by a USER's own event count — pin that
+    // one pathological 100k/500k-event user neither fails nor drags
+    // the keyed agg (the single heavy task holds ~N structs in memory;
+    // that IS the operator's documented per-key bound)
+    def heavyEvents(nHeavy: Long): DataFrame = {
+      val dir = s"$base/e$nHeavy"
+      if (!new java.io.File(dir).exists()) {
+        val types = array(lit("view"), lit("click"), lit("purchase"),
+          lit("signup"), lit("error"))
+        spark.range(nHeavy + 100000L).select(
+          when(col("id") < nHeavy, 0L)
+            .otherwise(((col("id") - nHeavy) / 100).cast("long") + 1)
+            .as("user_id"),
+          timestamp_micros(col("id") * 1000000L).as("ts"),
+          col("id").as("event_id"),
+          element_at(types, (pmod(hash(col("id")), lit(5)) + 1)
+            .cast("int")).as("event_type"))
+          .write.parquet(dir)
+      }
+      spark.read.parquet(dir)
+    }
+    graft.operators.EventWindows.eventPatternEvents(heavyEvents(10000L))
+      .count() // warm
+    Seq(("100k", 100000L), ("500k", 500000L)).foreach { case (tag, h) =>
+      val t0 = System.nanoTime()
+      val rows = graft.operators.EventWindows
+        .eventPatternEvents(heavyEvents(h)).collect()
+      val t1 = System.nanoTime()
+      val heavy = rows.find(_.getLong(0) == 0L).get
+      println(f"R12CPROBE $tag event_pattern ${(t1 - t0) / 1e9}%.2f s" +
+        f" users=${rows.length} heavy_events=${heavy.getLong(1)}" +
+        f" heavy_conv=${heavy.getLong(2)}")
+      assert(heavy.getLong(1) == h && heavy.getLong(2) > 0)
+    }
+
     GraphOps.triangleCoPurchase(baskets(3000L), 2L).count() // warm
     Seq(("1x", 15000L), ("5x", 75000L), ("25x", 375000L)).foreach {
       case (tag, n) =>

@@ -244,6 +244,9 @@ object SparkEntry {
     // Holt linear-trend smoothing: exact BIGINT fixed-point fold per
     // series (aggregate HOF), one-step-ahead prequential forecasts
     "ts_forecast" -> (EventWindows.tsForecast _),
+    // Page's CUSUM level-shift detection: one keyed shuffle, the
+    // mu/MAD/CUSUM recursion as three row-local integer HOF passes
+    "ts_changepoint" -> (EventWindows.tsChangepoint _),
     // day-over-day binned-histogram KS per event series (dq_drift made
     // prequential); streaming form in Streams.driftScores
     "ts_drift" -> (EventWindows.tsDrift _),
@@ -2990,6 +2993,49 @@ object SparkEntry {
         |    END AS z
         |  FROM d2 JOIN st USING (o_orderpriority)) q
         |ORDER BY o_orderpriority ASC, day ASC""".stripMargin,
+    // the SAME integer CUSUM recursion as a recursive CTE: mu/MAD by
+    // truncating integer division, greatest/add in pure BIGINT
+    "ts_changepoint" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    (SUM(CAST(value AS DECIMAL(18,4))) * 10000)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (SELECT event_type, day, x,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day ASC) AS rn
+        |  FROM daily),
+        |p0 AS (SELECT event_type, greatest(7, count(*) // 4) AS w
+        |  FROM daily GROUP BY 1),
+        |p1 AS (SELECT s.event_type, SUM(s.x) // count(*) AS mu
+        |  FROM seq s JOIN p0 USING (event_type)
+        |  WHERE s.rn <= p0.w GROUP BY s.event_type),
+        |p2 AS (SELECT s.event_type,
+        |    SUM(abs(s.x - p1.mu)) // count(*) AS mad
+        |  FROM seq s JOIN p0 USING (event_type)
+        |    JOIN p1 ON p1.event_type = s.event_type
+        |  WHERE s.rn <= p0.w GROUP BY s.event_type),
+        |p3 AS (SELECT p1.event_type, p1.mu, p2.mad, p2.mad // 2 AS k
+        |  FROM p1 JOIN p2 USING (event_type)),
+        |f AS (
+        |  SELECT s.event_type, s.day, s.x, s.rn,
+        |    greatest(0, (s.x - p3.mu) - p3.k) AS sp,
+        |    greatest(0, -(s.x - p3.mu) - p3.k) AS sn
+        |  FROM seq s JOIN p3 USING (event_type) WHERE s.rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.day, s.x, s.rn,
+        |    greatest(0, f.sp + (s.x - p3.mu) - p3.k),
+        |    greatest(0, f.sn - (s.x - p3.mu) - p3.k)
+        |  FROM f JOIN seq s ON s.event_type = f.event_type
+        |    AND s.rn = f.rn + 1
+        |  JOIN p3 ON p3.event_type = s.event_type)
+        |SELECT f.event_type, strftime(f.day, '%Y-%m-%d') AS day,
+        |  round(f.x / 10000.0, 4) AS day_value,
+        |  round(f.sp / 10000.0, 4) AS cusum_pos,
+        |  round(f.sn / 10000.0, 4) AS cusum_neg,
+        |  (CASE WHEN f.sp > p3.mad * 5 OR f.sn > p3.mad * 5
+        |        THEN 1 ELSE 0 END)::INT AS changepoint
+        |FROM f JOIN p3 USING (event_type)
+        |ORDER BY event_type ASC, day ASC""".stripMargin,
     // the SAME integer Holt recursion as a recursive CTE: BIGINT
     // fixed-point at 1e4, '//' and Spark's 'div' both truncate toward
     // zero (verified on negatives — falling series ⇒ negative trend)

@@ -647,6 +647,73 @@ object EventWindows {
       .orderBy(col("event_type").asc, col("day").asc)
   }
 
+  /** `ts_changepoint` — Page's CUSUM change-point detection per event
+    * series (the sequential level-shift test a production monitor runs
+    * beside the z-score and the KS drift check — this completes the
+    * monitoring family: anomaly → drift → seasonal → forecast →
+    * changepoint). Two one-sided statistics accumulate deviation from
+    * the series mean beyond a slack k: S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ−μ)−k)
+    * and S⁻ₜ = max(0, S⁻ₜ₋₁ − (xₜ−μ)−k), flagging when either exceeds
+    * h. μ, the slack, and the threshold come from a REFERENCE window —
+    * the series' first max(7, n/4) days — as in the operational form
+    * of the test (k = MAD/2, h = 5·MAD, MAD = mean absolute deviation
+    * about μ over the window): a GLOBAL mean would smear a level shift
+    * into both segments and fire on the steady prefix too (the first
+    * cut did exactly that — caught by the planted-shift spec).
+    *
+    * Shape: ONE keyed shuffle (the ts_forecast discipline) — the
+    * series collects and sorts row-locally, and μ, MAD, and the CUSUM
+    * recursion are three `aggregate` HOF passes over the in-task
+    * array, bounded by the series' own day count. Determinism: pure
+    * BIGINT fixed-point at scale 1e4 end to end — μ and MAD use the
+    * truncating integer division both engines share, the recursion is
+    * integer add/max — so the statistic (and the flag comparison) is
+    * bit-exact; the oracle replays it as a recursive CTE.
+    */
+  def tsChangepoint(spark: SparkSession, sfDir: String): DataFrame =
+    tsChangepointEvents(Tables.events(spark, sfDir))
+
+  /** Core of `ts_changepoint` over any (event_type, ts, value) frame. */
+  def tsChangepointEvents(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(dec(col("value"))) * 10000).cast("long").as("x"))
+    daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+        .as("arr"))
+      .withColumn("n", size(col("arr")).cast("long"))
+      .withColumn("w", greatest(lit(7L), expr("n div 4")))
+      .withColumn("ref", expr("slice(arr, 1, int(w))"))
+      .withColumn("mu", expr(
+        "aggregate(ref, 0L, (a, e) -> a + e.x) div size(ref)"))
+      .withColumn("mad", expr(
+        "aggregate(ref, 0L, (a, e) -> a + abs(e.x - mu)) div size(ref)"))
+      .withColumn("k", expr("mad div 2"))
+      .withColumn("steps", expr("""
+        aggregate(arr,
+          named_struct('sp', 0L, 'sn', 0L,
+            'out', cast(array() as
+              array<struct<day:date,x:bigint,sp:bigint,sn:bigint>>)),
+          (acc, e) -> named_struct(
+            'sp', greatest(0L, acc.sp + (e.x - mu) - k),
+            'sn', greatest(0L, acc.sn - (e.x - mu) - k),
+            'out', array_append(acc.out, named_struct('day', e.day,
+              'x', e.x,
+              'sp', greatest(0L, acc.sp + (e.x - mu) - k),
+              'sn', greatest(0L, acc.sn - (e.x - mu) - k)))),
+          acc -> acc.out)"""))
+      .select(col("event_type"), col("mad"), explode(col("steps")).as("s"))
+      .select(col("event_type"),
+        date_format(col("s.day"), "yyyy-MM-dd").as("day"),
+        round(col("s.x").cast("double") / 10000.0, 4).as("day_value"),
+        round(col("s.sp").cast("double") / 10000.0, 4).as("cusum_pos"),
+        round(col("s.sn").cast("double") / 10000.0, 4).as("cusum_neg"),
+        when(col("s.sp") > col("mad") * 5 ||
+          col("s.sn") > col("mad") * 5, 1).otherwise(0).as("changepoint"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   /** `ts_drift` — day-over-day distribution drift per event series: for
     * each (event_type, day), the two-sample KS statistic between that
     * day's value HISTOGRAM and the previous calendar day's (the

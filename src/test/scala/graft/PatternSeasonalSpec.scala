@@ -196,6 +196,63 @@ class PatternSeasonalSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_changepoint equals the literal CUSUM fold and fires on a " +
+      "planted level shift (not before it)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    // steady level 100 for 30 days, then a +60 shift for 20 days —
+    // plus a falling series exercising the negative-side statistic
+    val rows = (for (d <- 0 until 50) yield {
+      val v = (if (d < 30) 100.0 else 160.0) + rnd.nextGaussian() * 3
+      ("shift_up", java.sql.Timestamp.valueOf(
+        f"2024-0${d / 28 + 1}%d-${d % 28 + 1}%02d 10:00:00"), v)
+    }) ++ (for (d <- 0 until 50) yield {
+      val v = (if (d < 30) 200.0 else 90.0) + rnd.nextGaussian() * 3
+      ("shift_down", java.sql.Timestamp.valueOf(
+        f"2024-0${d / 28 + 1}%d-${d % 28 + 1}%02d 10:00:00"), v)
+    })
+    val got = EventWindows.tsChangepointEvents(
+      rows.toDF("event_type", "ts", "value")).collect()
+    // literal reference
+    val ref = rows.groupBy(_._1).flatMap { case (t, rs) =>
+      val daily = rs.groupBy(_._2.toLocalDateTime.toLocalDate)
+        .map { case (day, vs) =>
+          (day.toString, vs.map(v => java.math.BigDecimal.valueOf(v._3)
+            .setScale(4, java.math.RoundingMode.HALF_UP))
+            .reduce(_.add(_)).movePointRight(4).longValueExact())
+        }.toSeq.sortBy(_._1)
+      val n = daily.length
+      val ref0 = daily.take(math.max(7, n / 4)) // reference window
+      val mu = ref0.map(_._2).sum / ref0.length
+      val mad = ref0.map(d => math.abs(d._2 - mu)).sum / ref0.length
+      val k = mad / 2
+      var sp = 0L; var sn = 0L
+      daily.map { case (day, x) =>
+        sp = math.max(0L, sp + (x - mu) - k)
+        sn = math.max(0L, sn - (x - mu) - k)
+        (t, day) -> ((x, sp, sn, if (sp > mad * 5 || sn > mad * 5) 1
+          else 0))
+      }
+    }
+    got.foreach { r =>
+      val (x, sp, sn, flag) = ref((r.getString(0), r.getString(1)))
+      assert(r.getDouble(3) === hu(sp / 10000.0, 4), s"sp ${r.getString(1)}")
+      assert(r.getDouble(4) === hu(sn / 10000.0, 4), s"sn ${r.getString(1)}")
+      assert(r.getInt(5) === flag, s"flag ${r.getString(0)} ${r.getString(1)}")
+    }
+    // detection semantics: no flag in the steady prefix, flags after
+    // the shift, and the down-shift fires the NEGATIVE statistic
+    def flags(t: String) = got.filter(_.getString(0) == t)
+      .sortBy(_.getString(1)).map(_.getInt(5)).toSeq
+    Seq("shift_up", "shift_down").foreach { t =>
+      val f = flags(t)
+      assert(f.take(25).forall(_ == 0), s"$t flagged before the shift")
+      assert(f.drop(32).exists(_ == 1), s"$t never detected the shift")
+    }
+    assert(got.filter(_.getString(0) == "shift_down")
+      .exists(r => r.getDouble(4) > 0), "negative CUSUM never rose")
+  }
+
   test("dedup_semantic equals the brute-force cell model") {
     import scala.jdk.CollectionConverters._
     val emb = graft.sources.Tables.embeddings(spark, sf)

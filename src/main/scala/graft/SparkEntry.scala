@@ -415,6 +415,9 @@ object SparkEntry {
     "mix_curriculum" -> (TextOps.mixCurriculum _),
     // dataset-card rollup: one GROUPING SETS pass over the corpus
     "corpus_report" -> (TextOps.corpusReport _),
+    // the windowless scale sibling: cutoff phases on boundary-safe
+    // docs (quality_lm_bucket_approx precedent), same schedule shape
+    "mix_curriculum_approx" -> (TextOps.mixCurriculumApprox _),
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
       GraphOps.graphPagerank(s, d)),
     // degree-oriented wedge triangle enumeration over the part
@@ -546,6 +549,46 @@ object SparkEntry {
   )
 
   // DuckDB-dialect equivalents. Shared SQL fragments:
+  /** The quality_lm_bucket_approx oracle (boundary-safe approx
+    * terciles) — shared verbatim by its own row and the
+    * mix_curriculum_approx wrapper. */
+  private lazy val qlbApproxSql: String =
+    raw"""WITH $lmScoreCtes,
+        |sc AS (SELECT lm.doc_id AS doc_id, documents.lang AS lang,
+        |         lm.avg_logp AS avg_logp
+        |       FROM lm JOIN documents ON lm.doc_id = documents.doc_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |           ORDER BY avg_logp ASC, doc_id ASC) AS rk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |       FROM sc),
+        |bounds AS (SELECT lang, max(n) AS n,
+        |    (3 + (max(n) // 10000))::INT AS w,
+        |    round(max(n) / 3.0)::INT AS r1,
+        |    round(max(n) * 2.0 / 3.0)::INT AS r2
+        |  FROM rk GROUP BY lang),
+        |iv AS (SELECT r.lang,
+        |    min(CASE WHEN r.rk = greatest(1, b.r1 - b.w)
+        |        THEN r.avg_logp END) AS lo1,
+        |    min(CASE WHEN r.rk = least(b.n, b.r1 + b.w)
+        |        THEN r.avg_logp END) AS hi1,
+        |    min(CASE WHEN r.rk = greatest(1, b.r2 - b.w)
+        |        THEN r.avg_logp END) AS lo2,
+        |    min(CASE WHEN r.rk = least(b.n, b.r2 + b.w)
+        |        THEN r.avg_logp END) AS hi2
+        |  FROM rk r JOIN bounds b ON r.lang = b.lang GROUP BY r.lang),
+        |cuts AS (SELECT lang, quantile_disc(avg_logp, 1.0/3) AS c1,
+        |           quantile_disc(avg_logp, 2.0/3) AS c2
+        |         FROM sc GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.avg_logp,
+        |  CASE WHEN s.avg_logp >= c.c2 THEN 'head'
+        |       WHEN s.avg_logp >= c.c1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc s JOIN iv i ON s.lang = i.lang
+        |          JOIN cuts c ON s.lang = c.lang
+        |WHERE NOT (s.avg_logp BETWEEN i.lo1 AND i.hi1)
+        |  AND NOT (s.avg_logp BETWEEN i.lo2 AND i.hi2)
+        |ORDER BY s.doc_id ASC""".stripMargin
+
   private val normT =
     raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
@@ -3460,42 +3503,18 @@ object SparkEntry {
     // around each tercile boundary are excluded on BOTH sides (the
     // Spark sketch's cut and DuckDB's quantile_disc both land inside
     // the excluded interval, so kept docs bucket identically)
-    "quality_lm_bucket_approx" ->
-      raw"""WITH $lmScoreCtes,
-        |sc AS (SELECT lm.doc_id AS doc_id, documents.lang AS lang,
-        |         lm.avg_logp AS avg_logp
-        |       FROM lm JOIN documents ON lm.doc_id = documents.doc_id),
-        |rk AS (SELECT *, row_number() OVER (PARTITION BY lang
-        |           ORDER BY avg_logp ASC, doc_id ASC) AS rk,
-        |         count(*) OVER (PARTITION BY lang) AS n
-        |       FROM sc),
-        |bounds AS (SELECT lang, max(n) AS n,
-        |    (3 + (max(n) // 10000))::INT AS w,
-        |    round(max(n) / 3.0)::INT AS r1,
-        |    round(max(n) * 2.0 / 3.0)::INT AS r2
-        |  FROM rk GROUP BY lang),
-        |iv AS (SELECT r.lang,
-        |    min(CASE WHEN r.rk = greatest(1, b.r1 - b.w)
-        |        THEN r.avg_logp END) AS lo1,
-        |    min(CASE WHEN r.rk = least(b.n, b.r1 + b.w)
-        |        THEN r.avg_logp END) AS hi1,
-        |    min(CASE WHEN r.rk = greatest(1, b.r2 - b.w)
-        |        THEN r.avg_logp END) AS lo2,
-        |    min(CASE WHEN r.rk = least(b.n, b.r2 + b.w)
-        |        THEN r.avg_logp END) AS hi2
-        |  FROM rk r JOIN bounds b ON r.lang = b.lang GROUP BY r.lang),
-        |cuts AS (SELECT lang, quantile_disc(avg_logp, 1.0/3) AS c1,
-        |           quantile_disc(avg_logp, 2.0/3) AS c2
-        |         FROM sc GROUP BY lang)
-        |SELECT s.doc_id, s.lang, s.avg_logp,
-        |  CASE WHEN s.avg_logp >= c.c2 THEN 'head'
-        |       WHEN s.avg_logp >= c.c1 THEN 'middle'
-        |       ELSE 'tail' END AS bucket
-        |FROM sc s JOIN iv i ON s.lang = i.lang
-        |          JOIN cuts c ON s.lang = c.lang
-        |WHERE NOT (s.avg_logp BETWEEN i.lo1 AND i.hi1)
-        |  AND NOT (s.avg_logp BETWEEN i.lo2 AND i.hi2)
-        |ORDER BY s.doc_id ASC""".stripMargin,
+    "quality_lm_bucket_approx" -> qlbApproxSql,
+    // the curriculum schedule over the SAME boundary-safe doc subset:
+    // phase = the approx bucket (1/2/3), rank = the md5 prefix — one
+    // wrapper SELECT over the quality_lm_bucket_approx oracle verbatim
+    "mix_curriculum_approx" ->
+      raw"""SELECT doc_id, lang,
+        |  CASE bucket WHEN 'head' THEN 1 WHEN 'middle' THEN 2
+        |    ELSE 3 END AS phase,
+        |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |    AS rank
+        |FROM ($qlbApproxSql) q
+        |ORDER BY phase ASC, rank ASC, doc_id ASC""".stripMargin,
     // docs that produce a simhash = docs with at least one token; the
     // kernel tokenizes on whitespace runs, so \S+ run-count is exact
     "dedup_simhash_ids" ->

@@ -1337,4 +1337,32 @@ object TextOps {
         hashRank(col("doc_id")).as("rank"))
       .orderBy(col("phase").asc, col("rank").asc, col("doc_id").asc)
   }
+
+  /** A bucketed frame (head/middle/tail) turned into the curriculum
+    * schedule — shared by the exact, cutoff, and approx forms. */
+  private def curriculumOf(bucketed: DataFrame): DataFrame =
+    bucketed.select(col("doc_id"), col("lang"),
+      when(col("bucket") === "head", 1)
+        .when(col("bucket") === "middle", 2).otherwise(3).as("phase"),
+      hashRank(col("doc_id")).as("rank"))
+      .orderBy(col("phase").asc, col("rank").asc, col("doc_id").asc)
+
+  /** The library's 100 TB curriculum path: sketch-cutoff phases (NO
+    * per-language ntile window — [[qualityLmBucketCutoff]]'s shape) +
+    * the row-local hash rank. Not oracle-able (sketch cuts aren't
+    * bit-reproducible cross-engine); [[mixCurriculumApprox]] is the
+    * DECLARED boundary-safe verification of the same composition.
+    */
+  def mixCurriculumCutoff(spark: SparkSession, sfDir: String): DataFrame =
+    curriculumOf(qualityLmBucketCutoff(spark, sfDir))
+
+  /** `mix_curriculum_approx` — the cutoff curriculum restricted to
+    * docs provably away from the tercile boundaries (the
+    * quality_lm_bucket_approx scaffolding verbatim), so every kept
+    * doc's phase — and the schedule hash — is engine-independent.
+    * This is `mix_curriculum`'s driver-gated scale sibling: the
+    * dominant-language ntile funnel disappears with the window.
+    */
+  def mixCurriculumApprox(spark: SparkSession, sfDir: String): DataFrame =
+    curriculumOf(qualityLmBucketApprox(spark, sfDir))
 }

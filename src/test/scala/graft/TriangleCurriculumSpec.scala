@@ -113,6 +113,27 @@ class TriangleCurriculumSpec extends AnyFunSuite {
       "corpus_report re-scans the corpus per grouping level")
   }
 
+  test("mix_curriculum_approx: a boundary-safe SUBSET of the exact " +
+      "schedule — phases and ranks agree on every kept doc") {
+    val exact = TextOps.mixCurriculum(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+    val approx = TextOps.mixCurriculumApprox(spark, sf).collect()
+    assert(approx.nonEmpty && approx.length < exact.size,
+      "approx must drop the boundary interval (and only that)")
+    approx.foreach { r =>
+      assert(exact(r.getLong(0)) === ((r.getInt(2), r.getLong(3))),
+        s"doc ${r.getLong(0)} disagrees with the exact schedule")
+    }
+    // the cutoff path (the actual 100 TB form) covers the FULL corpus
+    // and agrees with the exact phases away from boundaries too
+    val cutoff = TextOps.mixCurriculumCutoff(spark, sf).collect()
+    assert(cutoff.length === exact.size)
+    val approxIds = approx.map(_.getLong(0)).toSet
+    cutoff.filter(r => approxIds(r.getLong(0))).foreach { r =>
+      assert(exact(r.getLong(0)) === ((r.getInt(2), r.getLong(3))))
+    }
+  }
+
   test("mix_curriculum: phases are quality_lm_bucket's terciles and " +
       "rank is the md5-prefix hash") {
     val buckets = TextOps.qualityLmBucket(spark, sf).collect()

@@ -564,10 +564,14 @@ object EventWindows {
     * Monday 1970-01-05 mod 7 (0 = Monday) — not the engines'
     * off-by-one `dayofweek` builtins.
     */
-  def tsSeasonal(spark: SparkSession, sfDir: String): DataFrame = {
+  def tsSeasonal(spark: SparkSession, sfDir: String): DataFrame =
+    tsSeasonalEvents(Tables.events(spark, sfDir))
+
+  /** Core of `ts_seasonal` over any (event_type, ts, value) frame. */
+  def tsSeasonalEvents(events: DataFrame): DataFrame = {
     def dec28(c: org.apache.spark.sql.Column) =
       c.cast(org.apache.spark.sql.types.DecimalType(28, 4))
-    val daily = Tables.events(spark, sfDir)
+    val daily = events
       .groupBy(col("event_type"),
         date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(sum(dec(col("value"))).as("rev"))

@@ -196,6 +196,46 @@ class PatternSeasonalSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_seasonal equals a literal weekday-mean model on randomized " +
+      "frames (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    (1 to 4).foreach { trial =>
+      val rows = (for {
+        t <- Seq("a", "b")
+        d <- 0 until (25 + rnd.nextInt(40))
+        _ <- 0 until (1 + rnd.nextInt(2))
+      } yield (t, java.sql.Timestamp.valueOf(
+        f"2024-0${d / 28 + 1}%d-${d % 28 + 1}%02d 09:30:00"),
+        50.0 + (d % 7) * 20 + rnd.nextGaussian() * 5))
+      val got = EventWindows.tsSeasonalEvents(
+        rows.toDF("event_type", "ts", "value")).collect()
+      val daily = rows.groupBy(r =>
+        (r._1, r._2.toLocalDateTime.toLocalDate)).map { case ((t, d), vs) =>
+        (t, d, vs.map(v => java.math.BigDecimal.valueOf(v._3)
+          .setScale(4, java.math.RoundingMode.HALF_UP)).reduce(_.add(_)))
+      }.toSeq
+      val byDow = daily.groupBy(r =>
+        (r._1, r._2.getDayOfWeek.getValue - 1))
+      val ref = daily.map { case (t, d, rev) =>
+        val grp = byDow((t, d.getDayOfWeek.getValue - 1))
+        val mean = grp.map(_._3).reduce(_.add(_)).doubleValue() /
+          grp.length
+        (t, d.toString) ->
+          ((hu(rev.doubleValue(), 4), hu(mean, 6),
+            hu(rev.doubleValue() - mean, 6)))
+      }.toMap
+      assert(got.length === ref.size, s"trial $trial")
+      got.foreach { r =>
+        val (x, seas, res) = ref((r.getString(0), r.getString(1)))
+        assert(r.getDouble(2) === x, s"trial $trial day_value")
+        assert(r.getDouble(3) === seas,
+          s"trial $trial seasonal ${r.getString(1)}")
+        assert(r.getDouble(4) === res, s"trial $trial residual")
+      }
+    }
+  }
+
   test("ts_changepoint equals the literal CUSUM fold and fires on a " +
       "planted level shift (not before it)") {
     import spark.implicits._

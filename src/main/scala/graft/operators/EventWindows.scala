@@ -677,8 +677,13 @@ object EventWindows {
   def tsChangepoint(spark: SparkSession, sfDir: String): DataFrame =
     tsChangepointEvents(Tables.events(spark, sfDir))
 
-  /** Core of `ts_changepoint` over any (event_type, ts, value) frame. */
-  def tsChangepointEvents(events: DataFrame): DataFrame = {
+  /** Core of `ts_changepoint` over any (event_type, ts, value) frame.
+    * `refDays = Some(d)` pins the reference window to a FIXED length
+    * (the form an online monitor runs — `Streams.changepointScores`'s
+    * batch twin); the declared query keeps the adaptive max(7, n/4).
+    */
+  def tsChangepointEvents(events: DataFrame,
+      refDays: Option[Int] = None): DataFrame = {
     val daily = events
       .groupBy(col("event_type"),
         date_trunc("day", col("ts")).cast("date").as("day"))
@@ -687,7 +692,8 @@ object EventWindows {
       .agg(array_sort(collect_list(struct(col("day"), col("x"))))
         .as("arr"))
       .withColumn("n", size(col("arr")).cast("long"))
-      .withColumn("w", greatest(lit(7L), expr("n div 4")))
+      .withColumn("w", refDays.map(d => lit(d.toLong))
+        .getOrElse(greatest(lit(7L), expr("n div 4"))))
       .withColumn("ref", expr("slice(arr, 1, int(w))"))
       .withColumn("mu", expr(
         "aggregate(ref, 0L, (a, e) -> a + e.x) div size(ref)"))

@@ -400,6 +400,105 @@ class DriftProcessor(dayUs: Long)
   }
 }
 
+/** Streaming Page-CUSUM — the ONLINE form of `ts_changepoint`: per
+  * event type, daily value sums accumulate in MapState (snap-to-4dp
+  * per event, the batch twin's exact decimal discipline) and
+  * EVENT-TIME TIMERS close days in time order. The FIRST `refDays`
+  * closed days buffer as the reference window; when it fills, μ, MAD,
+  * the slack k = MAD/2 and threshold 5·MAD derive in the same
+  * truncating integer arithmetic as the batch form, the buffered days
+  * replay through the two-sided integer CUSUM in order, and every
+  * later closed day scores incrementally — state per key is ONE open
+  * window of days plus five longs. Replay-equal to
+  * [[graft.operators.EventWindows.tsChangepointEvents]] with
+  * `refDays = Some(d)` (StreamingSpec) for series with ≥ refDays
+  * days; a series still inside its learning window emits nothing yet
+  * — the honest online semantics (the batch form shrinks the window
+  * for short series instead, which an online monitor cannot know to
+  * do).
+  */
+class ChangepointProcessor(dayUs: Long, refDays: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long, Double),
+      (String, Long, Long, Long, Long, Int)] {
+  import org.apache.spark.sql.streaming.{MapState, TimerValues,
+    TTLConfig, ValueState, ExpiredTimerInfo}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var open: MapState[Long, Long] = _
+  // reference-window buffer: dayStart -> day sum, until refDays close
+  @transient private var ref: MapState[Long, Long] = _
+  // (n_closed, mu, mad, sp, sn) — all 1e-4 fixed-point longs
+  @transient private var st: ValueState[(Long, Long, Long, Long, Long)] = _
+
+  private def snap4(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).unscaledValue().longValue()
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    open = getHandle.getMapState[Long, Long]("open",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    ref = getHandle.getMapState[Long, Long]("ref",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    st = getHandle.getValueState[(Long, Long, Long, Long, Long)]("st",
+      Encoders.product[(Long, Long, Long, Long, Long)], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Long, Double)], timerValues: TimerValues)
+      : Iterator[(String, Long, Long, Long, Long, Int)] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    rows.foreach { case (_, tsUs, v) =>
+      val b = tsUs - java.lang.Math.floorMod(tsUs, dayUs)
+      if (b + dayUs > wmUs) { // closed days cannot reopen (late drop)
+        val fresh = !open.containsKey(b)
+        val cur = if (fresh) 0L else open.getValue(b)
+        open.updateValue(b, cur + snap4(v))
+        if (fresh) getHandle.registerTimer((b + dayUs) / 1000L)
+      }
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo)
+      : Iterator[(String, Long, Long, Long, Long, Int)] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    val closable = open.iterator().map(p => (p._1, p._2)).toSeq
+      .filter { case (b, _) => b + dayUs <= wmUs }
+      .sortBy(_._1) // the CUSUM folds in day order
+    var (n, mu, mad, sp, sn) =
+      if (st.exists()) st.get() else (0L, 0L, 0L, 0L, 0L)
+    val out =
+      scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, Long, Int)]()
+    def score(b: Long, x: Long): Unit = {
+      val k = mad / 2 // Long '/': toward zero, = the batch div
+      sp = math.max(0L, sp + (x - mu) - k)
+      sn = math.max(0L, sn - (x - mu) - k)
+      out += ((key, b, x, sp, sn,
+        if (sp > mad * 5 || sn > mad * 5) 1 else 0))
+    }
+    closable.foreach { case (b, x) =>
+      open.removeKey(b)
+      if (n < refDays) {
+        ref.updateValue(b, x)
+        n += 1
+        if (n == refDays) { // window filled: learn, then replay it
+          val refs = ref.iterator().map(p => (p._1, p._2)).toSeq
+            .sortBy(_._1)
+          mu = refs.map(_._2).sum / refDays
+          mad = refs.map(r => math.abs(r._2 - mu)).sum / refDays
+          refs.foreach { case (rb, rx) => score(rb, rx) }
+          refs.foreach { case (rb, _) => ref.removeKey(rb) }
+        }
+      } else score(b, x)
+    }
+    st.update((n, mu, mad, sp, sn))
+    out.iterator
+  }
+}
+
 object Streams {
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -758,6 +857,33 @@ object Streams {
       .select(col("event_type"),
         timestamp_micros(col("day_us")).as("day"),
         col("ks_num"), col("n_cur"), col("n_prev"), col("ks"))
+  }
+
+  /** Streaming form of `ts_changepoint` (see [[ChangepointProcessor]]):
+    * watermarked events → per-type daily sums closed by event-time
+    * timers → reference-window Page CUSUM, emitted in the batch twin's
+    * display schema.
+    */
+  def changepointScores(events: DataFrame, refDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.streaming.TimeMode
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_type").as[String],
+        unix_micros(col("ts")).as[Long], col("value").as[Double])
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new ChangepointProcessor(86400L * 1000000L, refDays),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("event_type", "day_us", "x_fp", "sp", "sn", "changepoint")
+      .select(col("event_type"),
+        timestamp_micros(col("day_us")).as("day"),
+        round(col("x_fp").cast("double") / 10000.0, 4).as("day_value"),
+        round(col("sp").cast("double") / 10000.0, 4).as("cusum_pos"),
+        round(col("sn").cast("double") / 10000.0, 4).as("cusum_neg"),
+        col("changepoint"))
   }
 
   /** `stream_drift_ok` — the STREAMING drift monitor as a hash-gated

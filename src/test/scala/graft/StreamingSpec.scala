@@ -170,6 +170,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "replay must finalize real day pairs")
   }
 
+  test("streaming Page-CUSUM equals the fixed-window batch twin " +
+      "(file replay + sentinel)") {
+    // ts_changepoint online form: daily sums close via EVENT-TIME
+    // TIMERS; the first 7 closed days learn mu/MAD, then every closed
+    // day scores the two-sided integer CUSUM. The batch twin pins the
+    // SAME fixed window (refDays = Some(7)).
+    val sfd = TestSpark.sf
+    val ev = graft.sources.Tables.events(spark, sfd)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
+    ev.coalesce(1).write.parquet(s"$dir/b1")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelTs = new Timestamp(maxTs.getTime + 72L * 3600 * 1000)
+    spark.range(1).select(lit(-1L).as("event_id"),
+      lit(sentinelTs).as("ts"), lit(-1L).as("user_id"),
+      lit("__sentinel").as("event_type"), lit(0.0).as("value"),
+      lit("{}").as("props")).write.parquet(s"$dir/b2")
+    def deliver(batch: String): Unit =
+      new java.io.File(s"$dir/$batch").listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(feed, s"$batch-$i.parquet").toPath)
+        }
+    val stream = spark.readStream.schema(ev.schema).parquet(feed.toString)
+    val prev = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streams.changepointScores(stream, refDays = 7)
+        .writeStream.format("memory")
+        .queryName("cpoint").outputMode("append").start()
+      try Seq("b1", "b2").foreach { b => deliver(b); q.processAllAvailable() }
+      finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val streamed = spark.table("cpoint")
+      .filter(col("event_type") =!= "__sentinel")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("day_value"), col("cusum_pos"), col("cusum_neg"),
+        col("changepoint"))
+      .orderBy("event_type", "day").collect().toSeq
+    val batch = EventWindows.tsChangepointEvents(ev, refDays = Some(7))
+      .select("event_type", "day", "day_value", "cusum_pos",
+        "cusum_neg", "changepoint")
+      .collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "replay must finalize real days")
+    assert(streamed.exists(_.getInt(5) == 1) ||
+      streamed.forall(_.getInt(5) == 0)) // flags consistent by equality
+  }
+
   test("stream-stream interval join equals the batch attribution join") {
     val sfd = TestSpark.sf
     val ev = Streams.eventsFileStream(spark, sfd)

@@ -253,6 +253,11 @@ object SparkEntry {
     // the streaming form as a declared hash-gated row (real
     // transformWithState replay + sentinel; shares ts_drift's oracle)
     "stream_drift_ok" -> (graft.streaming.Streams.streamDriftOk _),
+    // the streaming Page-CUSUM monitor, driver-gated: real replay
+    // through ChangepointProcessor, oracle = the recursive CTE with
+    // the reference window pinned to the online refDays = 7
+    "stream_changepoint_ok" ->
+      (graft.streaming.Streams.streamChangepointOk _),
     "ts_gapfill" -> (EventWindows.tsGapfill _),
     "ts_resample" -> (EventWindows.tsResample _),
     "ts_interpolate" -> (EventWindows.tsInterpolate _),
@@ -588,6 +593,51 @@ object SparkEntry {
         |WHERE NOT (s.avg_logp BETWEEN i.lo1 AND i.hi1)
         |  AND NOT (s.avg_logp BETWEEN i.lo2 AND i.hi2)
         |ORDER BY s.doc_id ASC""".stripMargin
+
+  /** The ts_changepoint oracle, parameterized on the reference-window
+    * expression: the declared batch row uses the adaptive
+    * greatest(7, n/4); stream_changepoint_ok pins the online w = 7. */
+  private def tsChangepointSql(wExpr: String): String =
+    raw"""WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    (SUM(CAST(value AS DECIMAL(18,4))) * 10000)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (SELECT event_type, day, x,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day ASC) AS rn
+        |  FROM daily),
+        |p0 AS (SELECT event_type, $wExpr AS w
+        |  FROM daily GROUP BY 1),
+        |p1 AS (SELECT s.event_type, SUM(s.x) // count(*) AS mu
+        |  FROM seq s JOIN p0 USING (event_type)
+        |  WHERE s.rn <= p0.w GROUP BY s.event_type),
+        |p2 AS (SELECT s.event_type,
+        |    SUM(abs(s.x - p1.mu)) // count(*) AS mad
+        |  FROM seq s JOIN p0 USING (event_type)
+        |    JOIN p1 ON p1.event_type = s.event_type
+        |  WHERE s.rn <= p0.w GROUP BY s.event_type),
+        |p3 AS (SELECT p1.event_type, p1.mu, p2.mad, p2.mad // 2 AS k
+        |  FROM p1 JOIN p2 USING (event_type)),
+        |f AS (
+        |  SELECT s.event_type, s.day, s.x, s.rn,
+        |    greatest(0, (s.x - p3.mu) - p3.k) AS sp,
+        |    greatest(0, -(s.x - p3.mu) - p3.k) AS sn
+        |  FROM seq s JOIN p3 USING (event_type) WHERE s.rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.day, s.x, s.rn,
+        |    greatest(0, f.sp + (s.x - p3.mu) - p3.k),
+        |    greatest(0, f.sn - (s.x - p3.mu) - p3.k)
+        |  FROM f JOIN seq s ON s.event_type = f.event_type
+        |    AND s.rn = f.rn + 1
+        |  JOIN p3 ON p3.event_type = s.event_type)
+        |SELECT f.event_type, strftime(f.day, '%Y-%m-%d') AS day,
+        |  round(f.x / 10000.0, 4) AS day_value,
+        |  round(f.sp / 10000.0, 4) AS cusum_pos,
+        |  round(f.sn / 10000.0, 4) AS cusum_neg,
+        |  (CASE WHEN f.sp > p3.mad * 5 OR f.sn > p3.mad * 5
+        |        THEN 1 ELSE 0 END)::INT AS changepoint
+        |FROM f JOIN p3 USING (event_type)
+        |ORDER BY event_type ASC, day ASC""".stripMargin
 
   private val normT =
     raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
@@ -3039,46 +3089,10 @@ object SparkEntry {
     // the SAME integer CUSUM recursion as a recursive CTE: mu/MAD by
     // truncating integer division, greatest/add in pure BIGINT
     "ts_changepoint" ->
-      """WITH RECURSIVE daily AS (SELECT event_type,
-        |    CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    (SUM(CAST(value AS DECIMAL(18,4))) * 10000)::BIGINT AS x
-        |  FROM events GROUP BY 1, 2),
-        |seq AS (SELECT event_type, day, x,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY day ASC) AS rn
-        |  FROM daily),
-        |p0 AS (SELECT event_type, greatest(7, count(*) // 4) AS w
-        |  FROM daily GROUP BY 1),
-        |p1 AS (SELECT s.event_type, SUM(s.x) // count(*) AS mu
-        |  FROM seq s JOIN p0 USING (event_type)
-        |  WHERE s.rn <= p0.w GROUP BY s.event_type),
-        |p2 AS (SELECT s.event_type,
-        |    SUM(abs(s.x - p1.mu)) // count(*) AS mad
-        |  FROM seq s JOIN p0 USING (event_type)
-        |    JOIN p1 ON p1.event_type = s.event_type
-        |  WHERE s.rn <= p0.w GROUP BY s.event_type),
-        |p3 AS (SELECT p1.event_type, p1.mu, p2.mad, p2.mad // 2 AS k
-        |  FROM p1 JOIN p2 USING (event_type)),
-        |f AS (
-        |  SELECT s.event_type, s.day, s.x, s.rn,
-        |    greatest(0, (s.x - p3.mu) - p3.k) AS sp,
-        |    greatest(0, -(s.x - p3.mu) - p3.k) AS sn
-        |  FROM seq s JOIN p3 USING (event_type) WHERE s.rn = 1
-        |  UNION ALL
-        |  SELECT s.event_type, s.day, s.x, s.rn,
-        |    greatest(0, f.sp + (s.x - p3.mu) - p3.k),
-        |    greatest(0, f.sn - (s.x - p3.mu) - p3.k)
-        |  FROM f JOIN seq s ON s.event_type = f.event_type
-        |    AND s.rn = f.rn + 1
-        |  JOIN p3 ON p3.event_type = s.event_type)
-        |SELECT f.event_type, strftime(f.day, '%Y-%m-%d') AS day,
-        |  round(f.x / 10000.0, 4) AS day_value,
-        |  round(f.sp / 10000.0, 4) AS cusum_pos,
-        |  round(f.sn / 10000.0, 4) AS cusum_neg,
-        |  (CASE WHEN f.sp > p3.mad * 5 OR f.sn > p3.mad * 5
-        |        THEN 1 ELSE 0 END)::INT AS changepoint
-        |FROM f JOIN p3 USING (event_type)
-        |ORDER BY event_type ASC, day ASC""".stripMargin,
+      tsChangepointSql("greatest(7, count(*) // 4)"),
+    // the streaming monitor's oracle: the SAME recursion with the
+    // online fixed window (every fixture series has >= 7 days)
+    "stream_changepoint_ok" -> tsChangepointSql("7"),
     // the SAME integer Holt recursion as a recursive CTE: BIGINT
     // fixed-point at 1e4, '//' and Spark's 'div' both truncate toward
     // zero (verified on negatives — falling series ⇒ negative trend)

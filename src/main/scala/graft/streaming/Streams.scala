@@ -899,19 +899,56 @@ object Streams {
     * changes hash-mismatches against the batch formulation computed
     * independently by DuckDB.
     */
-  def streamDriftOk(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamDriftOk(spark: SparkSession, sfDir: String): DataFrame =
+    replayMonitor(spark, sfDir, "stream_drift_ok", driftScores(_))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("ks_num"), col("n_cur"), col("n_prev"), col("ks"))
+      .orderBy(col("event_type").asc, col("day").asc)
+
+  /** `stream_changepoint_ok` — the STREAMING Page-CUSUM monitor as a
+    * hash-gated declared query (the stream_drift_ok technique): the
+    * events table file-replays through [[changepointScores]]'s REAL
+    * transformWithState pipeline with refDays = 7, and the oracle is
+    * `ts_changepoint`'s recursive CTE with the reference window
+    * PINNED to 7 days — an engine whose timers close days out of
+    * order, whose reference window drifts, or whose learned μ/MAD/k
+    * arithmetic differs hash-mismatches against DuckDB's independent
+    * recursion. (Every fixture series has ≥ 7 days; a shorter series
+    * would stay in the learning window online while the batch form
+    * shrinks the window — documented in [[ChangepointProcessor]].)
+    */
+  def streamChangepointOk(spark: SparkSession, sfDir: String): DataFrame =
+    replayMonitor(spark, sfDir, "stream_changepoint_ok",
+      changepointScores(_, refDays = 7))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("day_value"), col("cusum_pos"), col("cusum_neg"),
+        col("changepoint"))
+      .orderBy(col("event_type").asc, col("day").asc)
+
+  /** Shared replay harness for the declared streaming-monitor rows:
+    * events file-replay into a RocksDB-backed transformWithState
+    * pipeline (MapState needs the multi-column-family store), then a
+    * 72-hour far-future sentinel pushes the watermark past every day
+    * end so all days close. Returns the memory-sink table with the
+    * sentinel series filtered; the caller projects its monitor's
+    * schema. Harness economics (measured): b1 writes with 4 tasks
+    * (deliver() moves every file before the first
+    * processAllAvailable, so it still arrives as ONE micro-batch) and
+    * the sentinel is a 1-partition range — range(1)'s default 32
+    * tasks for one row cost 1.2 s of pure setup.
+    */
+  private def replayMonitor(spark: SparkSession, sfDir: String,
+      name: String, build: DataFrame => DataFrame): DataFrame = {
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
     val sentinelTs =
       new java.sql.Timestamp(maxTs.getTime + 72L * 3600 * 1000)
-    val dir = java.nio.file.Files.createTempDirectory("graft_driftok").toString
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$name").toString
     val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
-    // 4 writer tasks (deliver() moves every file before the first
-    // processAllAvailable, so b1 still arrives as ONE micro-batch);
-    // the sentinel is a 1-partition range (range(1) defaults to 32
-    // tasks for one row — measured 1.2 s of pure task setup).
     ev.coalesce(4).write.parquet(s"$dir/b1")
     spark.range(0L, 1L, 1L, 1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
       lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
@@ -934,8 +971,8 @@ object Streams {
         spark.conf.set(provKey, "org.apache.spark.sql.execution." +
           "streaming.state.RocksDBStateStoreProvider")
         spark.conf.set(shufKey, "8") // keyed on 5 event types
-        driftScores(stream).writeStream
-          .format("memory").queryName("stream_drift_ok")
+        build(stream).writeStream
+          .format("memory").queryName(name)
           .outputMode(OutputMode.Append).start()
       } finally {
         spark.conf.set(shufKey, oldShuf)
@@ -946,12 +983,7 @@ object Streams {
       }
     try Seq("b1", "b2").foreach { b => deliver(b); q.processAllAvailable() }
     finally { q.stop(); deleteRec(new java.io.File(dir)) }
-    spark.table("stream_drift_ok")
-      .filter(col("event_type") =!= "__sentinel")
-      .select(col("event_type"),
-        date_format(col("day"), "yyyy-MM-dd").as("day"),
-        col("ks_num"), col("n_cur"), col("n_prev"), col("ks"))
-      .orderBy(col("event_type").asc, col("day").asc)
+    spark.table(name).filter(col("event_type") =!= "__sentinel")
   }
 
   /** `stream_sink` — checkpointed parquet sink (exactly-once into the

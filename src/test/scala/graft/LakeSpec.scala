@@ -467,5 +467,9 @@ class LakeSpec extends AnyFunSuite {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => 1
     }.sum
     assert(scans === 1, s"report scanned the table $scans times")
+    // counts-only form (no sum columns) must also be well-formed SQL
+    val plain = lake.report("documents", Seq("lang"))
+    assert(plain.columns.toSeq === Seq("level", "lang", "n_rows"))
+    assert(plain.filter(col("level") === "all").count() === 1)
   }
 }

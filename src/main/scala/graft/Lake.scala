@@ -234,7 +234,14 @@ class Lake(val spark: SparkSession, val warehouse: String) {
       sums: Seq[String] = Seq()): DataFrame = {
     require(dims.nonEmpty, "report needs at least one dimension")
     def esc(n: String) = "`" + n.replace("`", "``") + "`"
-    val v = "__graft_report"
+    // identifier positions backtick-escape; the level-label LITERAL
+    // positions quote-escape (a dim named "it's" must neither break
+    // nor inject into the generated SQL)
+    def escLit(n: String) = "'" + n.replace("'", "''") + "'"
+    // per-call view name: a fixed name would race concurrent report()
+    // calls on a shared session and clobber a user view of that name
+    val v = "__graft_report_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     // catalog-registered tables (attachFixtures / external) first,
     // warehouse datasets otherwise — the preview/meta resolution order
     val src = if (spark.catalog.tableExists(name)) spark.table(name)
@@ -243,7 +250,7 @@ class Lake(val spark: SparkSession, val warehouse: String) {
     val setList = (Seq(dims) ++ dims.map(Seq(_)) ++ Seq(Seq.empty))
       .map(_.map(esc).mkString("(", ", ", ")")).distinct.mkString(", ")
     val levelExpr = "coalesce(nullif(concat_ws('+', " + dims.map(d =>
-      s"CASE WHEN grouping(${esc(d)}) = 0 THEN '$d' END")
+      s"CASE WHEN grouping(${esc(d)}) = 0 THEN ${escLit(d)} END")
       .mkString(", ") + "), ''), 'all') AS level"
     // grouping() distinguishes a rolled-up level from a real NULL
     // dimension value (coalesce alone would conflate them)

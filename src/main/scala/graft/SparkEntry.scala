@@ -597,11 +597,16 @@ object SparkEntry {
   /** The ts_changepoint oracle, parameterized on the reference-window
     * expression: the declared batch row uses the adaptive
     * greatest(7, n/4); stream_changepoint_ok pins the online w = 7. */
-  private def tsChangepointSql(wExpr: String): String =
+  private def tsChangepointSql(wExpr: String,
+      minDays: Int = 0): String =
     raw"""WITH RECURSIVE daily AS (SELECT event_type,
         |    CAST(date_trunc('day', ts) AS DATE) AS day,
         |    (SUM(CAST(value AS DECIMAL(18,4))) * 10000)::BIGINT AS x
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events d0
+        |  WHERE (SELECT count(DISTINCT date_trunc('day', e2.ts))
+        |         FROM events e2
+        |         WHERE e2.event_type = d0.event_type) >= $minDays
+        |  GROUP BY 1, 2),
         |seq AS (SELECT event_type, day, x,
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY day ASC) AS rn
@@ -3091,8 +3096,12 @@ object SparkEntry {
     "ts_changepoint" ->
       tsChangepointSql("greatest(7, count(*) // 4)"),
     // the streaming monitor's oracle: the SAME recursion with the
-    // online fixed window (every fixture series has >= 7 days)
-    "stream_changepoint_ok" -> tsChangepointSql("7"),
+    // online fixed window, restricted to series with >= 7 days — a
+    // shorter series stays in the stream's learning window and emits
+    // nothing, so the oracle must exclude it too (review finding: the
+    // fixture happens to have none, but the gate must not depend on
+    // that staying true)
+    "stream_changepoint_ok" -> tsChangepointSql("7", minDays = 7),
     // the SAME integer Holt recursion as a recursive CTE: BIGINT
     // fixed-point at 1e4, '//' and Spark's 'div' both truncate toward
     // zero (verified on negatives — falling series ⇒ negative trend)

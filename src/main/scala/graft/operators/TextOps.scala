@@ -1286,13 +1286,20 @@ object TextOps {
     * token column reconciles with the per-doc query.
     */
   def corpusReport(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.sources.Tables.registerAll(spark, sfDir)
-    spark.sql(
-      raw"""WITH d AS (SELECT lang, source, n_chars,
-        |    CAST(size(split(trim(regexp_replace(lower(text),
-        |      '\\s+', ' ')), ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents)
-        |SELECT CASE WHEN grouping(lang) = 0 AND grouping(source) = 0
+    // tokenization goes through the ONE shared normText definition
+    // (an inline SQL copy of the regex was a review finding: any
+    // future normalization change would silently desynchronize the
+    // card's token column from token_count's) — the normalized frame
+    // registers under a per-call view the GROUPING SETS SQL reads
+    val v = "__graft_corpus_report_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(split(normText(col("text")), " ")).cast("long")
+          .as("n_tokens"))
+      .createOrReplaceTempView(v)
+    val df = spark.sql(
+      raw"""SELECT CASE WHEN grouping(lang) = 0 AND grouping(source) = 0
         |              THEN 'cell'
         |            WHEN grouping(lang) = 0 THEN 'lang'
         |            WHEN grouping(source) = 0 THEN 'source'
@@ -1304,9 +1311,11 @@ object TextOps {
         |  SUM(n_chars) AS n_chars,
         |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(1), 4)
         |    AS avg_chars
-        |FROM d
+        |FROM $v
         |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
         |ORDER BY level ASC, lang ASC, source ASC""".stripMargin)
+    spark.catalog.dropTempView(v) // plan already analyzed
+    df
   }
 
   /** `mix_curriculum` — the curriculum SCHEDULE a pretraining pipeline

@@ -218,9 +218,18 @@ class StreamingSpec extends AnyFunSuite {
         col("day_value"), col("cusum_pos"), col("cusum_neg"),
         col("changepoint"))
       .orderBy("event_type", "day").collect().toSeq
+    // restrict the batch twin to series with >= 7 days: a shorter
+    // series stays inside the stream's learning window and emits
+    // nothing (the fixture has none today, but the equality must not
+    // depend on that staying true)
+    val qual = ev.groupBy(col("event_type"))
+      .agg(countDistinct(date_trunc("day", col("ts"))).as("nd"))
+      .filter(col("nd") >= 7).select("event_type")
     val batch = EventWindows.tsChangepointEvents(ev, refDays = Some(7))
+      .join(qual, "event_type")
       .select("event_type", "day", "day_value", "cusum_pos",
         "cusum_neg", "changepoint")
+      .orderBy("event_type", "day")
       .collect().toSeq
     assert(streamed === batch)
     assert(streamed.nonEmpty, "replay must finalize real days")

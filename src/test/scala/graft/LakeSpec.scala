@@ -472,4 +472,20 @@ class LakeSpec extends AnyFunSuite {
     assert(plain.columns.toSeq === Seq("level", "lang", "n_rows"))
     assert(plain.filter(col("level") === "all").count() === 1)
   }
+
+  test("Lake.report survives hostile column names (quotes, dots, backticks)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lake = newLake()
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L))
+      .toDF("it's.dim", "the`sum")
+    lake.saveDataset(df, "hostile")
+    val rep = lake.report("hostile", Seq("it's.dim"), Seq("the`sum"))
+    val all = rep.filter(col("level") === "all").collect()
+    assert(all.length === 1 && all.head.getAs[Long]("n_rows") === 3L)
+    assert(all.head.getAs[Long]("sum_the`sum") === 6L)
+    val perDim = rep.filter(col("level") === "it's.dim").collect()
+      .map(r => r.getString(1) -> r.getAs[Long]("n_rows")).toMap
+    assert(perDim === Map("a" -> 2L, "b" -> 1L))
+  }
 }

@@ -3479,10 +3479,10 @@ object SparkEntry {
         |  coalesce(lang, '(all)') AS lang,
         |  coalesce(source, '(all)') AS source,
         |  COUNT(1) AS n_docs,
-        |  SUM(n_tokens) AS n_tokens,
-        |  SUM(n_chars) AS n_chars,
-        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(1), 4)
-        |    AS avg_chars
+        |  SUM(n_tokens)::BIGINT AS n_tokens,
+        |  SUM(n_chars)::BIGINT AS n_chars,
+        |  ((SUM(n_chars)::BIGINT * 20000 + COUNT(1))
+        |    // (2 * COUNT(1)))::DOUBLE / 10000 AS avg_chars
         |FROM d
         |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
         |ORDER BY level ASC, lang ASC, source ASC""".stripMargin,

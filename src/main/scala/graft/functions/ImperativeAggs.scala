@@ -109,10 +109,14 @@ case class MinSigImperative(
   * accumulators widen (the documented DECIMAL(38,·) escalation).
   *
   * Buffer layout: [0] = n, [1..d] = Σ snap4(x_i), then Σ l_i·l_j for
-  * upper-triangle pairs (i ≤ j) in row-major order. Rows whose vector
-  * is null or not exactly `d` long are skipped (counted by neither n
-  * nor the sums). eval returns the d(d+1)/2 covariances as doubles in
-  * the same pair order.
+  * upper-triangle pairs (i ≤ j) in row-major order. NULL vectors are
+  * skipped (SQL aggregate null semantics — the oracle's
+  * `embedding[t.i]` indexing NULL-propagates into a NULL the SUM also
+  * skips); a NON-null vector of the wrong length RAISES instead of
+  * being silently dropped: the oracle would diverge invisibly on a
+  * malformed corpus (an advisor finding), so the engine surfaces the
+  * bad row. eval returns the d(d+1)/2 covariances as doubles in the
+  * same pair order.
   */
 case class VectorMomentsImperative(
     child: Expression,
@@ -147,20 +151,24 @@ case class VectorMomentsImperative(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      if (arr.numElements() == d) {
-        val l = new Array[Long](d)
-        var i = 0
-        while (i < d) { l(i) = snap4(arr.getFloat(i).toDouble); i += 1 }
-        buf(0) += 1L
-        i = 0
-        while (i < d) { buf(1 + i) += l(i); i += 1 }
-        var k = 1 + d
-        i = 0
-        while (i < d) {
-          var j = i
-          while (j < d) { buf(k) += l(i) * l(j); k += 1; j += 1 }
-          i += 1
-        }
+      if (arr.numElements() != d) {
+        throw new IllegalArgumentException(
+          s"vector_moments(d=$d) got a ${arr.numElements()}-element " +
+            "vector — malformed embedding row (silent skip would " +
+            "diverge from the oracle invisibly)")
+      }
+      val l = new Array[Long](d)
+      var i = 0
+      while (i < d) { l(i) = snap4(arr.getFloat(i).toDouble); i += 1 }
+      buf(0) += 1L
+      i = 0
+      while (i < d) { buf(1 + i) += l(i); i += 1 }
+      var k = 1 + d
+      i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { buf(k) += l(i) * l(j); k += 1; j += 1 }
+        i += 1
       }
     }
     buf

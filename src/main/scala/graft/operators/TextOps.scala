@@ -1270,6 +1270,13 @@ object TextOps {
       (lg, math.floor(math.sqrt(n.toDouble)).toLong)
     }
     val sumW = ws.map(_._2).sum
+    // Σ⌊√n_l⌋ = 0 ⟺ every language's token total is 0 (or the corpus
+    // is empty): no document can be selected, so return the empty
+    // schedule (the selection's output shape) instead of dividing by
+    // zero in the budget shares
+    if (sumW == 0L)
+      return t.select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("n_tokens").as("cum_tokens")).limit(0)
     val budgetCol = ws.foldLeft(when(lit(false), lit(0L))) {
       case (acc, (lg, w)) =>
         acc.when(col("lang") === lg, lit(totalBudget * w / sumW))
@@ -1284,6 +1291,13 @@ object TextOps {
     * sets in the same hash-agg pass; grouped nulls label their level).
     * Whitespace tokens use `token_count`'s normalization so the card's
     * token column reconciles with the per-doc query.
+    *
+    * avg_chars is EXACT HALF-UP to 4 dp in integer arithmetic —
+    * `(sum*20000 + n) div (2n)` then ONE IEEE division by 10000 — so
+    * both engines land on the same bits even when a group's mean sits
+    * on an exact .5 ten-thousandth boundary (two sf0.1 groups do).
+    * Headroom: sum*20000 fits a BIGINT while Σn_chars < 4.6e14
+    * (~460 TB of text per report cell).
     */
   def corpusReport(spark: SparkSession, sfDir: String): DataFrame = {
     // tokenization goes through the ONE shared normText definition
@@ -1309,8 +1323,8 @@ object TextOps {
         |  COUNT(1) AS n_docs,
         |  SUM(n_tokens) AS n_tokens,
         |  SUM(n_chars) AS n_chars,
-        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(1), 4)
-        |    AS avg_chars
+        |  CAST((SUM(n_chars) * 20000 + COUNT(1)) div (2 * COUNT(1))
+        |    AS DOUBLE) / 10000 AS avg_chars
         |FROM $v
         |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
         |ORDER BY level ASC, lang ASC, source ASC""".stripMargin)

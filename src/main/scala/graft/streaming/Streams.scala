@@ -961,29 +961,31 @@ object Streams {
           java.nio.file.Files.move(f.toPath,
             new java.io.File(feed, s"$batch-$i.parquet").toPath)
         }
-    val stream = spark.readStream.schema(ev.schema).parquet(feed.toString)
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val shufKey = "spark.sql.shuffle.partitions"
-    val oldProv = spark.conf.getOption(provKey)
-    val oldShuf = spark.conf.get(shufKey)
-    val q =
-      try {
-        spark.conf.set(provKey, "org.apache.spark.sql.execution." +
-          "streaming.state.RocksDBStateStoreProvider")
-        spark.conf.set(shufKey, "8") // keyed on 5 event types
-        build(stream).writeStream
-          .format("memory").queryName(name)
-          .outputMode(OutputMode.Append).start()
-      } finally {
-        spark.conf.set(shufKey, oldShuf)
-        oldProv match {
-          case Some(v) => spark.conf.set(provKey, v)
-          case None => spark.conf.unset(provKey)
-        }
-      }
+    // the replay plans on a CLONED session: the two conf overrides
+    // (RocksDB state store for MapState's column families, 8 shuffle
+    // partitions for the 5-key stream) were previously set-then-
+    // restored on the SHARED session, and any query planned
+    // concurrently during the start() window silently inherited them
+    // (an advisor finding) — newSession() shares the SparkContext and
+    // catalog but owns its SQLConf, so nothing leaks and nothing needs
+    // restoring
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = s2.readStream.schema(ev.schema).parquet(feed.toString)
+    val q = build(stream).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
     try Seq("b1", "b2").foreach { b => deliver(b); q.processAllAvailable() }
     finally { q.stop(); deleteRec(new java.io.File(dir)) }
-    spark.table(name).filter(col("event_type") =!= "__sentinel")
+    // the memory sink registers its table in the session that started
+    // the query; re-bind the rows to the CALLER's session so the
+    // returned frame composes with its other frames
+    spark.createDataFrame(s2.table(name)
+      .filter(col("event_type") =!= "__sentinel").collectAsList(),
+      s2.table(name).schema)
   }
 
   /** `stream_sink` — checkpointed parquet sink (exactly-once into the

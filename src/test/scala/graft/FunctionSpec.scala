@@ -561,6 +561,29 @@ class FunctionSpec extends AnyFunSuite {
     assert(run(1) == run(7))
   }
 
+  test("vector_moments: NULL vectors skip (SQL agg semantics); a " +
+      "wrong-length vector RAISES instead of silently diverging") {
+    import graft.functions.ImperativeAggs
+    val ok = spark.createDataFrame(Seq(
+        (1L, Array(1.0f, 2.0f)),
+        (2L, null.asInstanceOf[Array[Float]]),
+        (3L, Array(3.0f, 4.0f)))).toDF("id", "v")
+      .agg(ImperativeAggs.vectorMoments(col("v"), 2).as("c"))
+      .select(explode(col("c")).as("x")).collect().map(_.getDouble(0))
+    // null skipped ⇒ n = 2 over {1,3}: var = (1+9)/2 − 2² = 1 exactly
+    assert(ok(0) == 1.0, s"null row leaked into the moments: ${ok(0)}")
+    val ex = intercept[Exception] {
+      spark.createDataFrame(Seq(
+          (1L, Array(1.0f, 2.0f)), (2L, Array(9.0f)))).toDF("id", "v")
+        .agg(ImperativeAggs.vectorMoments(col("v"), 2).as("c")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(ex).exists(m =>
+      m != null && m.contains("malformed embedding row")),
+      s"expected the vector_moments length raise, got: ${chain(ex)}")
+  }
+
   test("embedding_pca direction maximizes variance vs axes and random directions") {
     import graft.operators.SimSearch
     val d = 64

@@ -135,6 +135,16 @@ class MixPmiProperties extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("mix_temperature on an EMPTY corpus returns the empty schedule " +
+      "instead of dividing by zero (advisor finding: sumW == 0)") {
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.mixTemperatureDocs(empty, 10000L)
+    assert(got.columns.toSeq ===
+      Seq("doc_id", "lang", "n_tokens", "cum_tokens"))
+    assert(got.count() === 0L)
+  }
+
   test("ngram_pmi equals a brute-force local calculator on random corpora") {
     val genCase = for {
       vocab <- Gen.choose(2, 6)

@@ -71,7 +71,22 @@ def main():
                 break
         if diff_msg:
             bad.append((name, diff_msg)); continue
-        # dtype advisory (driver may or may not care)
+        # Dtype gate (r12's one red row): Python compares 10275.0 ==
+        # 10275 as equal, but the DRIVER's value hash is dtype-sensitive
+        # — DuckDB SUM(BIGINT)→HUGEINT lands as float64 while Spark
+        # emits int64, and the hash mismatches on bit-identical values.
+        # An int-vs-float dtype split is therefore a HARD FAIL here
+        # (cast the oracle ::BIGINT); other dtype drifts stay advisory.
+        hard = [f'{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}'
+                for c in odf.columns
+                if (pd.api.types.is_integer_dtype(sdf[c].dtype)
+                    != pd.api.types.is_integer_dtype(odf[c].dtype))
+                and pd.api.types.is_numeric_dtype(sdf[c].dtype)
+                and pd.api.types.is_numeric_dtype(odf[c].dtype)]
+        if hard:
+            bad.append((name, 'DTYPE (driver hash is dtype-sensitive; '
+                              'cast the oracle) ' + ','.join(hard)))
+            continue
         dts = [f'{c}:{sdf[c].dtype}!={odf[c].dtype}' for c in odf.columns
                if str(sdf[c].dtype) != str(odf[c].dtype)]
         ok.append((name, ('dtypes: ' + ','.join(dts)) if dts else ''))

@@ -49,10 +49,25 @@ object MinHashDedup {
   def minhashSignature(sh: Column, nPerm: Int): Column =
     minhashFromHashes(hashShingles(sh), nPerm)
 
-  /** Candidate pairs via LSH banding of the signature: docs sharing any
-    * band hash collide. bands × rowsPerBand = nPerm.
+  /** The banded MinHash SIGNATURE STORE over any (doc_id, text) frame —
+    * the state an incremental dedup persists between crawls, and the
+    * first half of [[candidatePairs]]. Returns
+    * `(shingles, bands)`: `shingles` = (doc_id, sh: array<long>) — the
+    * exact-verify payload — and `bands` = (doc_id, band, bhash), the
+    * LSH bucket keys.
+    *
+    * Shape: signature via explode + nPerm codegen'd MIN aggregates —
+    * the higher-order-function formulation (minhashFromHashes)
+    * evaluates interpreted lambdas, and CollapseProject re-inlines the
+    * signature into every band expression — this keeps the whole hot
+    * path in whole-stage codegen and computes each permutation min
+    * exactly once. Partial aggregation collapses per-doc map-side, so
+    * the shuffle carries one nPerm-column row per doc. Docs with no
+    * shingles (empty text) have no signature and never band — they can
+    * never be dropped as near-dups, matching the oracle's token gate.
     */
-  def candidatePairs(docs: DataFrame, nPerm: Int, bands: Int): DataFrame = {
+  private[operators] def sigStore(docs: DataFrame, nPerm: Int,
+      bands: Int): (DataFrame, DataFrame) = {
     require(nPerm % bands == 0,
       s"bands ($bands) must divide nPerm ($nPerm) — trailing permutations " +
         "would be computed but never banded, silently lowering recall")
@@ -61,13 +76,7 @@ object MinHashDedup {
       .withColumn("sh",
         graft.functions.ShingleKernel.shingleHashes(col("text"), 3))
       .filter(size(col("sh")) > 0)
-    // Signature via explode + nPerm codegen'd MIN aggregates: the
-    // higher-order-function formulation (minhashFromHashes) evaluates
-    // interpreted lambdas, and CollapseProject re-inlines the signature
-    // into every band expression — this shape keeps the whole hot path
-    // in whole-stage codegen and computes each permutation min exactly
-    // once. Partial aggregation collapses per-doc map-side, so the
-    // shuffle carries one nPerm-column row per doc.
+      .select(col("doc_id"), col("sh"))
     val hashes = withSh.select(col("doc_id"), explode(col("sh")).as("h"))
     val mins = (0 until nPerm).map(p =>
       min(xxhash64(lit(p), col("h"))).as(s"m$p"))
@@ -79,12 +88,21 @@ object MinHashDedup {
         .map(i => col(s"m$i"))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("bhash"))
     }
-    // band-join and pair-dedup on bare (doc_id) keys: the shingle arrays
-    // never ride through the join shuffle or the distinct — they are
-    // attached to the (much smaller) deduped pair set afterwards
     val banded = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bhash"))
+    (withSh, banded)
+  }
+
+  /** Candidate pairs via LSH banding of the signature: docs sharing any
+    * band hash collide. bands × rowsPerBand = nPerm.
+    */
+  def candidatePairs(docs: DataFrame, nPerm: Int, bands: Int): DataFrame = {
+    val (withSh, bandedRaw) = sigStore(docs, nPerm, bands)
+    // band-join and pair-dedup on bare (doc_id) keys: the shingle arrays
+    // never ride through the join shuffle or the distinct — they are
+    // attached to the (much smaller) deduped pair set afterwards
+    val banded = bandedRaw
       // one Exchange both self-join sides reuse: the final signature
       // aggregation + band projection run once, and the (band,bhash)
       // join shuffles nothing further
@@ -134,6 +152,107 @@ object MinHashDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id").asc, col("b_id").asc)
+  }
+
+  /** `dedup_minhash_incremental` — the daily-crawl production shape of
+    * near-dup dedup: yesterday's corpus already has a persisted banded
+    * signature STORE ([[sigStore]]'s two frames); today's delta batch
+    * computes ITS signatures (delta-sized shingle/minhash work only),
+    * anti-joins the store's band buckets, and keeps the survivors.
+    *
+    * Semantics are SEEN-STORE, the same contract as `dedup_exact`'s
+    * incremental twin (`dedup_incremental`): a delta doc is dropped iff
+    * its exact 3-shingle Jaccard clears `threshold` against ANY store
+    * doc or any SMALLER-id delta doc, and every delta doc's signature
+    * enters the store regardless of survival (the store records what
+    * was SEEN, not what was kept). Seen-store makes batching
+    * associative: processing the delta in two ordered batches — the
+    * second against store ∪ batch-1 signatures — gives exactly the
+    * one-batch answer (spec-asserted), so the daily pipeline can cut
+    * batches anywhere without changing the corpus it produces. (A
+    * kept-only store is the other production choice; it is sequential
+    * — survivors depend on survivors — and not declaratively
+    * oracle-expressible, so the declared row pins the associative
+    * contract.)
+    *
+    * Scale shape (100 TB store, crawl-sized delta): the store side
+    * reads the PERSISTED (band, bhash)-bucketed signature frames — no
+    * store text is ever re-shingled; with the store laid out bucketed
+    * on (band, bhash) the candidate equi-join prunes to exactly the
+    * buckets the delta touches (bucket-join, no store-side shuffle),
+    * and the exact-verify join touches only candidate store docs'
+    * shingle rows. Delta-sized work everywhere else: signatures are
+    * one keyed agg over delta shingles, the intra-delta self-join runs
+    * on the delta's own (band, bhash) Exchange (reused across both
+    * candidate joins), and survivors come from one doc_id anti-join.
+    * Banding-miss caveat: same as `dedup_minhash` (fixture near-dups
+    * at J ≥ 0.9; 8×4 banding miss ≈ 2e-4 and deterministic).
+    */
+  def dedupMinhashIncremental(spark: SparkSession, sfDir: String,
+      nPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    // the dedup_incremental split: 80% existing corpus, 20% today's crawl
+    dedupMinhashIncrementalDocs(
+      docs.filter(col("doc_id") % 10 < 8),
+      docs.filter(col("doc_id") % 10 >= 8), nPerm, bands, threshold)
+  }
+
+  /** Core of [[dedupMinhashIncremental]] over explicit store/delta
+    * (doc_id, …, text) frames with disjoint doc_ids. In production the
+    * two [[sigStore]] frames of `store` are read from the lake, not
+    * recomputed — use [[dedupMinhashIncrementalFrom]] with persisted
+    * frames for that path; this overload derives them for callers that
+    * hold raw text (and for the fixture oracle).
+    */
+  def dedupMinhashIncrementalDocs(store: DataFrame, delta: DataFrame,
+      nPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val (storeSh, storeBands) = sigStore(store, nPerm, bands)
+    dedupMinhashIncrementalFrom(storeSh, storeBands, delta,
+      nPerm, bands, threshold)
+  }
+
+  /** The store-consuming form: `storeSh` = (doc_id, sh: array<long>),
+    * `storeBands` = (doc_id, band, bhash) — [[sigStore]]'s layout, read
+    * from wherever the pipeline persists it. The updated seen-store is
+    * the trivial append of the delta's own [[sigStore]] frames (no
+    * read-modify-write — signatures are immutable facts of a doc).
+    */
+  def dedupMinhashIncrementalFrom(storeSh: DataFrame,
+      storeBands: DataFrame, delta: DataFrame,
+      nPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val (deltaSh, deltaBandsRaw) = sigStore(delta, nPerm, bands)
+    // ONE Exchange for the delta's band keys, reused by the store join
+    // AND both sides of the intra-delta self-join
+    val deltaBands = deltaBandsRaw.repartition(col("band"), col("bhash"))
+    def nSide = deltaBands.select(col("band"), col("bhash"),
+      col("doc_id").as("n_id"))
+    val candStore = nSide
+      .join(storeBands.select(col("band"), col("bhash"),
+        col("doc_id").as("o_id")), Seq("band", "bhash"))
+    val candIntra = nSide
+      .join(deltaBands.select(col("band"), col("bhash"),
+        col("doc_id").as("o_id")), Seq("band", "bhash"))
+      .filter(col("o_id") < col("n_id")) // only EARLIER delta docs drop
+    val cands = candStore.select(col("n_id"), col("o_id"))
+      .union(candIntra.select(col("n_id"), col("o_id")))
+      .distinct()
+    // exact-verify on the candidate set only; the o-side shingles come
+    // from store ∪ delta (an earlier delta doc is a seen doc too)
+    val seenSh = storeSh.union(deltaSh)
+    val dropped = cands
+      .join(deltaSh.select(col("doc_id").as("n_id"), col("sh").as("n_sh")),
+        "n_id")
+      .join(seenSh.select(col("doc_id").as("o_id"), col("sh").as("o_sh")),
+        "o_id")
+      .filter(round(jaccard(col("n_sh"), col("o_sh")), 4) >= threshold)
+      .select(col("n_id").as("doc_id")).distinct()
+    delta.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id").asc)
   }
 
   /** `dedup_ngram_jaccard` — exact n-gram Jaccard similarity for a

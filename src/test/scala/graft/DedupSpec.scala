@@ -583,6 +583,77 @@ class DedupSpec extends AnyFunSuite {
     assert(out(6L)._1 === 1)       // 3 tokens, k=3 → 1 shingle, padding ignored
   }
 
+  test("dedup_minhash_incremental == the seen-store rule applied to the " +
+      "batch pipeline's pairs over the union (same banding, same verify)") {
+    // the incremental orchestration must add NOTHING to the batch
+    // machinery's similarity decisions: take dedup_minhash's verified
+    // pairs over ALL docs, apply the seen-store keep rule locally, and
+    // the survivor set must match exactly (banding misses included —
+    // both sides band identically, so they miss identically)
+    val sf = TestSpark.sf
+    val pairs = MinHashDedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deltaIds = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    def similar(a: Long, b: Long) =
+      pairs.contains((math.min(a, b), math.max(a, b)))
+    val allIds = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expect = deltaIds.filter { n =>
+      !allIds.exists(o => o != n && similar(o, n) &&
+        (!deltaIds.contains(o) || o < n))
+    }
+    val got = MinHashDedup.dedupMinhashIncremental(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    assert(deltaIds.size > got.size, "fixture planted no near-dups " +
+      "across the split — the spec is vacuous")
+  }
+
+  test("dedup_minhash_incremental is batch-associative: two ordered " +
+      "batches equal the one-batch answer (the seen-store contract)") {
+    val sf = TestSpark.sf
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val store = docs.filter(col("doc_id") % 10 < 8)
+    val delta = docs.filter(col("doc_id") % 10 >= 8)
+    val cut = delta.agg(
+      percentile_approx(col("doc_id"), lit(0.5), lit(10000)))
+      .head().getLong(0)
+    val d1 = delta.filter(col("doc_id") < cut)
+    val d2 = delta.filter(col("doc_id") >= cut)
+    val oneBatch = MinHashDedup.dedupMinhashIncrementalDocs(store, delta)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // batch 2 sees store ∪ ALL of batch 1 (seen-store: dropped docs'
+    // signatures stay in the store)
+    val s1 = MinHashDedup.dedupMinhashIncrementalDocs(store, d1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val s2 = MinHashDedup.dedupMinhashIncrementalDocs(store.union(d1), d2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert((s1 ++ s2) === oneBatch)
+    assert(s1.nonEmpty && s2.nonEmpty, "degenerate split")
+  }
+
+  test("dedup_minhash_incremental planted semantics: store dup drops, " +
+      "keep-first within the delta, empty text always survives") {
+    val mk = (id: Long, t: String) => (id, "en", "crawl", t)
+    val store = Seq(mk(1L, base), mk(2L, unrelated))
+      .toDF("doc_id", "lang", "source", "text")
+    val delta = Seq(
+      mk(10L, base),              // exact dup of store doc 1 → drops
+      mk(11L, nearDup),           // near-dup of store doc 1 → drops
+      mk(12L, "totally fresh content nobody wrote before in this corpus today agreed"),
+      mk(13L, "totally fresh content nobody wrote before in this corpus today agreed"),
+      // ^ exact dup of EARLIER delta doc 12 → 12 kept, 13 drops
+      mk(14L, ""),                // empty: no shingles → survives
+      mk(15L, "   \t  "))         // whitespace-only → survives
+      .toDF("doc_id", "lang", "source", "text")
+    val got = MinHashDedup.dedupMinhashIncrementalDocs(store, delta)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got === Set(12L, 14L, 15L))
+  }
+
   test("dedup_embedding_lsh agrees with the exact operator on planted near-dups") {
     // deterministic pseudo-random base vectors + planted near-dups
     // (tiny perturbation → cos ≈ 0.9999, band-miss probability < 1e-3;

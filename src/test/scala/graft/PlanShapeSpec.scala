@@ -597,6 +597,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the output sort may shuffle:\n$p")
   }
 
+  test("dedup_minhash_incremental: delta band Exchange shared, no products") {
+    import graft.operators.MinHashDedup
+    val df = MinHashDedup.dedupMinhashIncremental(spark, sf)
+    df.collect() // AQE resolves ReusedExchange only in the final plan
+    val p = plan(df)
+    // the delta's (band,bhash) repartition feeds the store join AND
+    // both intra-delta self-join sides — at least one reuse must hold
+    // (AQE may broadcast-convert some sides at fixture scale)
+    assert("ReusedExchange".r.findAllIn(p).length >= 1,
+      s"delta band keys must shuffle once, not per consumer:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must stay keyed:\n$p")
+  }
+
   test("simsearch_hybrid: fusion joins keyed, token exchange shared (3 reused)") {
     import graft.operators.SimSearch
     val df = SimSearch.simsearchHybrid(spark, sf)

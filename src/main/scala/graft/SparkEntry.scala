@@ -47,6 +47,8 @@ object SparkEntry {
     "sink_zorder" -> (SinkQueries.sinkZorder _),
     "sink_compact" -> (SinkQueries.sinkCompact _),
     "lake_history" -> (SinkQueries.lakeHistory _),
+    "lake_report" -> (SinkQueries.lakeReport _),
+    "lake_report_counts" -> (SinkQueries.lakeReportCounts _),
     "lake_time_travel" -> (SinkQueries.lakeTimeTravel _),
     "lake_vacuum" -> (SinkQueries.lakeVacuum _),
     "merge_upsert" -> (SinkQueries.mergeUpsert _),
@@ -171,6 +173,8 @@ object SparkEntry {
     // MATCH_RECOGNIZE-style pattern counts over per-user code strings
     // (lazy-regex automaton scan, identical Java/RE2 semantics)
     "event_pattern" -> (EventWindows.eventPattern _),
+    "event_pattern_sessioned" -> ((s: SparkSession, d: String) =>
+      EventWindows.eventPatternSessioned(s, d)),
     "agg_collect" -> (Aggregates.aggCollect _),
     "agg_listagg" -> (Aggregates.aggListagg _),
     "agg_sortagg" -> (Aggregates.aggSortAgg _),
@@ -1294,6 +1298,35 @@ object SparkEntry {
         |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |   FROM orders WHERE o_totalprice > 400000.0)
         |ORDER BY version ASC""".stripMargin,
+    // Lake.report's generated GROUPING SETS card, replicated literally:
+    // level = '+'-joined live dims ('all' for the grand total), grouped-
+    // out dims render '(all)', real NULLs '(null)'; SUMs cast ::BIGINT
+    // (the corpus_report dtype class — DuckDB HUGEINT would land float64)
+    "lake_report" ->
+      raw"""SELECT coalesce(nullif(concat_ws('+',
+        |    CASE WHEN grouping(lang) = 0 THEN 'lang' END,
+        |    CASE WHEN grouping(source) = 0 THEN 'source' END), ''),
+        |    'all') AS level,
+        |  CASE WHEN grouping(lang) = 1 THEN '(all)'
+        |       ELSE coalesce(CAST(lang AS VARCHAR), '(null)') END AS lang,
+        |  CASE WHEN grouping(source) = 1 THEN '(all)'
+        |       ELSE coalesce(CAST(source AS VARCHAR), '(null)') END
+        |    AS source,
+        |  COUNT(1) AS n_rows,
+        |  SUM(n_chars)::BIGINT AS sum_n_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        |ORDER BY level ASC, lang ASC, source ASC""".stripMargin,
+    "lake_report_counts" ->
+      raw"""SELECT coalesce(nullif(concat_ws('+',
+        |    CASE WHEN grouping(lang) = 0 THEN 'lang' END), ''),
+        |    'all') AS level,
+        |  CASE WHEN grouping(lang) = 1 THEN '(all)'
+        |       ELSE coalesce(CAST(lang AS VARCHAR), '(null)') END AS lang,
+        |  COUNT(1) AS n_rows
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), ())
+        |ORDER BY level ASC, lang ASC""".stripMargin,
     "lake_vacuum" ->
       """SELECT 2 AS version, 8 AS n_files, FALSE AS is_latest,
         |  (SELECT count(*) FROM orders WHERE o_totalprice > 200000.0) AS n_rows,
@@ -2160,6 +2193,34 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(codes, 'v[^e]*?c[^e]*?p'))
         |    AS BIGINT) AS n_clean_conv
         |FROM p ORDER BY user_id ASC""".stripMargin,
+    // gaps-and-islands sessionization (>= gap starts a session —
+    // Spark's session_window merges [ts, ts+gap) windows on OVERLAP,
+    // so an exactly-gap difference is a new session on both sides)
+    "event_pattern_sessioned" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE event_type WHEN 'view' THEN 'v'
+        |      WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+        |      WHEN 'signup' THEN 's' ELSE 'e' END AS code,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e),
+        |g AS (SELECT user_id, sess, min(ts) AS session_start,
+        |    string_agg(code, '' ORDER BY epoch_ms(ts), event_id) AS codes
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT user_id,
+        |  strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(length(codes) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(codes, 'v.*?c.*?p')) AS BIGINT)
+        |    AS n_conv,
+        |  CAST(len(regexp_extract_all(codes, 'v[^e]*?c[^e]*?p'))
+        |    AS BIGINT) AS n_clean_conv
+        |FROM g ORDER BY user_id ASC, session_start ASC""".stripMargin,
     // SHOW STATS surface: per-column stats rows from one aggregation
     "table_stats" ->
       """WITH a AS (SELECT count(*) AS n_rows,

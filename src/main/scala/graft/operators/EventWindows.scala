@@ -282,6 +282,61 @@ object EventWindows {
       .orderBy(col("user_id").asc)
   }
 
+  /** `event_pattern_sessioned` — the CEP funnel bounded to SESSION
+    * windows (r12 verdict #7): `event_pattern` concatenates each
+    * user's WHOLE history, which is the right declared semantics for a
+    * batch funnel report but unbounded per-key state in a true stream
+    * (and a conversion funnel spanning weeks is rarely one funnel).
+    * This variant scopes the v→c→p matching to 30-min-inactivity
+    * sessions via Spark's native `session_window` aggregation — the
+    * SAME expression works under `readStream` + watermark, where the
+    * state store holds only open sessions and the watermark closes and
+    * EVICTS them (the stream_session treatment); per-group work is
+    * session-sized, not history-sized, at any corpus age.
+    */
+  def eventPatternSessioned(spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30): DataFrame =
+    eventPatternSessionedEvents(Tables.events(spark, sfDir), gapMinutes)
+
+  /** Core of [[eventPatternSessioned]] over any (user_id, ts, event_id,
+    * event_type) frame. Session bound: windows [ts, ts+gap) merge on
+    * overlap, so a gap of EXACTLY `gapMinutes` starts a new session —
+    * replicated in the oracle's gaps-and-islands as `diff >= gap`.
+    */
+  def eventPatternSessionedEvents(events: DataFrame,
+      gapMinutes: Int = 30): DataFrame =
+    sessionFunnelAgg(events, gapMinutes)
+      .orderBy(col("user_id").asc, col("session_start").asc)
+
+  /** The un-sorted session-funnel aggregation — IDENTICAL under batch
+    * and `readStream` (StreamingSpec runs it both ways); the declared
+    * batch query adds only the presentation sort, which streaming
+    * append mode forbids.
+    */
+  private[graft] def sessionFunnelAgg(events: DataFrame,
+      gapMinutes: Int): DataFrame = {
+    val code = expr("""CASE event_type WHEN 'view' THEN 'v'
+      WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+      WHEN 'signup' THEN 's' ELSE 'e' END""")
+    events
+      .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), code.as("code"))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ms"), col("event_id"),
+          col("code")))),
+        s => s.getField("code")), "").as("codes"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        length(col("codes")).cast("long").as("n_events"),
+        regexp_count(col("codes"), lit("v.*?c.*?p")).cast("long")
+          .as("n_conv"),
+        regexp_count(col("codes"), lit("v[^e]*?c[^e]*?p")).cast("long")
+          .as("n_clean_conv"))
+  }
+
   /** `retention_cohort` — classic cohort retention: users grouped by the
     * day of their first event; for each (cohort day, day offset), how
     * many distinct cohort users were active. Two keyed aggs + one join

@@ -1342,12 +1342,23 @@ object TextOps {
     * no RNG state. Total order: (phase, rank, doc_id).
     *
     * Shape: rides the memoized lm-score pass (one corpus scan shared
-    * with the lm family), one language-keyed ntile window (the
-    * dominant-language funnel has the declared
-    * `quality_lm_bucket_approx` cutoff treatment — identical here),
-    * and a row-local rank; the terminal sort is presentation, the
-    * schedule itself is the (phase, rank) KEY — a consumer range-reads
-    * it without ever re-sorting the corpus.
+    * with the lm family), one language-keyed ntile window, and a
+    * row-local rank; the terminal sort is presentation, the schedule
+    * itself is the (phase, rank) KEY — a consumer range-reads it
+    * without ever re-sorting the corpus.
+    *
+    * Scale bound (the [[qualityLmBucketCutoff]] statement, verbatim
+    * for this operator): a window partition cannot be split across
+    * tasks, so at 100 TB a dominant language would funnel its whole
+    * score set through ONE ntile sort task — this exact form is
+    * bounded by the largest single language's row count, not the
+    * corpus. The library's 100 TB path is [[mixCurriculumCutoff]]
+    * (sketch-cutoff phases, no window — per-task work is sort-free
+    * and keyed), with [[mixCurriculumApprox]] as its driver-gated
+    * boundary-safe verification; this exact ntile form is the
+    * fixture-scale declared row, the same exact-declared /
+    * approximate-at-scale pairing as quality_lm_bucket vs its
+    * cutoff/approx pair.
     */
   def mixCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("lang"))

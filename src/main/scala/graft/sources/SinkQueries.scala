@@ -410,6 +410,27 @@ object SinkQueries {
       .orderBy(col("table_name").asc)
   }
 
+  /** `lake_report` — the generic `Lake.report` facade (the dataset-card
+    * rollup over ANY lake table) exercised as a declared query in its
+    * SUMS form: dims (lang, source) + Σn_chars over the registered
+    * documents fixture. One GROUPING SETS pass (the corpus_report
+    * shape), catalog-resolved table, backtick-escaped identifiers.
+    */
+  def lakeReport(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    new graft.Lake(spark, tmpBase(sfDir) + "/report_wh")
+      .report("documents", Seq("lang", "source"), Seq("n_chars"))
+  }
+
+  /** `lake_report_counts` — `Lake.report`'s COUNTS-ONLY form (no sum
+    * columns; the trailing-comma-free SQL branch) as a declared query.
+    */
+  def lakeReportCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    new graft.Lake(spark, tmpBase(sfDir) + "/report_wh")
+      .report("documents", Seq("lang"))
+  }
+
   /** `merge_upsert` — Delta MERGE (WHEN MATCHED UPDATE / NOT MATCHED
     * INSERT) through the `Lake.upsert` facade, the last Level-1 "Delta
     * ops" surface to get a declared oracle: seed the warehouse with the

@@ -613,6 +613,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("event_pattern_sessioned: the SAME aggregation streams (session " +
+      "funnel under watermark matches the batch operator)") {
+    val sfd = TestSpark.sf
+    val stream = EventWindows.sessionFunnelAgg(
+      Streams.eventsFileStream(spark, sfd)
+        .withWatermark("ts", "10 minutes"), gapMinutes = 30)
+    val q = stream.writeStream.format("memory").queryName("sess_funnel")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // append mode emits only watermark-CLOSED sessions; the file replay
+    // ends with the watermark at max(ts) − 10 min, so compare on the
+    // sessions the batch form also closes before that point
+    val cutoff = graft.sources.Tables.events(spark, sfd)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val streamed = spark.table("sess_funnel")
+      .collect().map(_.toSeq).toSet
+    val batch = EventWindows.eventPatternSessioned(spark, sfd)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "no session closed — watermark never advanced")
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions diverge from batch: ${streamed -- batch}")
+    // closed-session completeness (not just soundness): a session's
+    // close time is <= the same user's NEXT session start (the >= gap
+    // island rule), so any non-final session whose successor started
+    // before the final watermark must have been emitted
+    val wmMs = cutoff.getTime - 11L * 60 * 1000 // 10-min delay + margin
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val mustClose = batch.groupBy(_.head).values.flatMap { rows =>
+      val ordered = rows.toSeq.sortBy(_(1).toString)
+      ordered.zip(ordered.drop(1)).collect {
+        case (a, b) if fmt.parse(b(1).toString).getTime < wmMs => a
+      }
+    }.toSet
+    assert(mustClose.subsetOf(streamed),
+      s"a provably-closed session was never emitted: ${mustClose -- streamed}")
+  }
+
   test("timer-based sessions close when the watermark passes the gap deadline") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -370,6 +370,11 @@ object SparkEntry {
     // closes simsearch_pq's corpus-sized rank window
     "simsearch_ivfpq" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchIvfPq(s, d)),
+    // residual encoding (FAISS's default): PQ codes quantize
+    // x − coarse(cell) via the ResidualNearestCentroidSlice kernel;
+    // score = per-(q,cell) coarse dot + m residual lookups
+    "simsearch_ivfpq_residual" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchIvfPqResidual(s, d)),
     "simsearch_hybrid_lsh" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchHybridLsh(s, d)),
     "text_stats" -> (TextOps.textStats _),
@@ -4113,6 +4118,86 @@ object SparkEntry {
         |  rn::INT AS rn
         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY score_u DESC, c_id ASC) AS rn FROM sc)
+        |WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
+    // residual IVFPQ: same asg/qc as simsearch_ivfpq; the PQ codebook
+    // becomes each pq sample's residual against ITS OWN coarse cell
+    // (rcb), corpus codes argmax over (x − coarse(cell))·rv − ‖rv‖²/2,
+    // and the score adds the per-(query, cell) coarse dot to the m
+    // residual lookups — every double op mirrored from the kernel
+    "simsearch_ivfpq_residual" ->
+      """WITH cbc AS (SELECT vec_id AS cent_id, embedding AS c_v,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+        |  FROM embeddings WHERE vec_id % 127 = 0),
+        |asg AS (SELECT c_id, cent_id FROM (
+        |  SELECT e.vec_id AS c_id, cbc.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE
+        |           * (cbc.c_v[i]::DOUBLE / cbc.cnrm))) DESC,
+        |      cbc.cent_id ASC) AS rn
+        |  FROM embeddings e CROSS JOIN cbc) WHERE rn = 1),
+        |qc AS (SELECT q_id, cent_id FROM (
+        |  SELECT e.vec_id AS q_id, cbc.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE * cbc.c_v[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> x::DOUBLE * x::DOUBLE))) * cbc.cnrm) DESC,
+        |      cbc.cent_id ASC) AS rn
+        |  FROM embeddings e CROSS JOIN cbc WHERE e.vec_id < 10)
+        |  WHERE rn <= 2),
+        |pqs AS (SELECT vec_id AS code, embedding AS pv
+        |  FROM embeddings WHERE vec_id % 61 = 0
+        |  ORDER BY vec_id LIMIT 256),
+        |rcb AS (SELECT pqs.code,
+        |    list_transform(range(1, len(pqs.pv) + 1),
+        |      i -> pqs.pv[i]::DOUBLE - cbc.c_v[i]::DOUBLE) AS rv
+        |  FROM pqs JOIN asg ON asg.c_id = pqs.code
+        |  JOIN cbc ON cbc.cent_id = asg.cent_id),
+        |ss AS (SELECT unnest(range(0, 4)) AS s),
+        |codes AS (SELECT c_id, s, code FROM (
+        |  SELECT e.vec_id AS c_id, r.s, rcb.code,
+        |    row_number() OVER (PARTITION BY e.vec_id, r.s ORDER BY
+        |      (list_sum(list_transform(range(1, 17),
+        |         i -> (e.embedding[r.s * 16 + i]::DOUBLE
+        |               - cc.c_v[r.s * 16 + i]::DOUBLE)
+        |            * rcb.rv[r.s * 16 + i]))
+        |       - list_sum(list_transform(range(1, 17),
+        |         i -> rcb.rv[r.s * 16 + i]
+        |            * rcb.rv[r.s * 16 + i])) / 2) DESC,
+        |      rcb.code ASC) AS rn
+        |  FROM embeddings e JOIN asg a ON a.c_id = e.vec_id
+        |  JOIN cbc cc ON cc.cent_id = a.cent_id
+        |  CROSS JOIN ss r CROSS JOIN rcb) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS q_id, r.s, rcb.code,
+        |    round(list_sum(list_transform(range(1, 17),
+        |      i -> q.embedding[r.s * 16 + i]::DOUBLE
+        |         * rcb.rv[r.s * 16 + i])) * 1000000.0, 0)::BIGINT
+        |      AS pdot_u
+        |  FROM embeddings q CROSS JOIN ss r CROSS JOIN rcb
+        |  WHERE q.vec_id < 10),
+        |cd AS (SELECT q.vec_id AS q_id, cbc.cent_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> q.embedding[i]::DOUBLE * cbc.c_v[i]::DOUBLE))
+        |      * 1000000.0, 0)::BIGINT AS cdot_u
+        |  FROM embeddings q CROSS JOIN cbc WHERE q.vec_id < 10),
+        |cand AS (SELECT q.q_id, a.c_id, a.cent_id FROM asg a
+        |  JOIN qc q USING (cent_id) WHERE a.c_id <> q.q_id),
+        |sc AS (SELECT cand.q_id, cand.c_id, cand.cent_id,
+        |    sum(l.pdot_u) AS res_u
+        |  FROM cand JOIN codes c ON c.c_id = cand.c_id
+        |  JOIN lut l ON l.q_id = cand.q_id AND l.s = c.s
+        |    AND l.code = c.code
+        |  GROUP BY 1, 2, 3),
+        |sc2 AS (SELECT sc.q_id, sc.c_id, sc.res_u + cd.cdot_u AS score_u
+        |  FROM sc JOIN cd ON cd.q_id = sc.q_id
+        |    AND cd.cent_id = sc.cent_id)
+        |SELECT q_id, c_id,
+        |  round(score_u::DOUBLE / 1000000.0, 6) AS approx_score,
+        |  rn::INT AS rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score_u DESC, c_id ASC) AS rn FROM sc2)
         |WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
     // PQ: per-subspace code assignment (argmax raw dot, code-ASC ties)
     // + 1e-6-unit partial-dot lookup table, summed per candidate —

@@ -43,6 +43,14 @@ object VectorExpressions {
     ColumnBridge.column(NearestCentroidSlice(
       ColumnBridge.expression(a), ids, cents, biases, offset))
 
+  def residualNearestCentroidSliceCol(a: Column, centId: Column,
+      coarseIds: Array[Long], coarseVecs: Array[Array[Double]],
+      ids: Array[Long], cents: Array[Array[Double]],
+      biases: Array[Double], offset: Int): Column =
+    ColumnBridge.column(ResidualNearestCentroidSlice(
+      ColumnBridge.expression(a), ColumnBridge.expression(centId),
+      coarseIds, coarseVecs, ids, cents, biases, offset))
+
   private[functions] def checkFloatArray(dt: DataType,
       side: String): TypeCheckResult = dt match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -380,4 +388,107 @@ case class NearestCentroid(child: Expression, ids: Array[Long],
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
+}
+
+/** Residual-space per-subspace PQ assignment (FAISS IVFPQ's "encode
+  * the residual" refinement): for a row's (embedding, cent_id), the
+  * codeword argmax runs over r = x − coarse(cent_id) WITHOUT ever
+  * materializing the residual vector — the subtraction folds into the
+  * same compiled C×sub argmax loop as [[NearestCentroidSlice]]
+  * (argmin‖r−w‖² = argmax(dot(r,w) − ‖w‖²/2), bias precomputed
+  * driver-side). Arithmetic per element:
+  * (x[d]::double − coarse[d]) · w[d], accumulated left-to-right, bias
+  * added last — mirrored op for op in the DuckDB oracle. Ties resolve
+  * to the lowest codeword id (first of the ascending ids on strict
+  * ties, the NearestCentroid convention). A cent_id absent from the
+  * coarse codebook yields NULL (it cannot happen on rows the coarse
+  * assignment itself produced).
+  */
+case class ResidualNearestCentroidSlice(left: Expression,
+    right: Expression, coarseIds: Array[Long],
+    coarseVecs: Array[Array[Double]], ids: Array[Long],
+    cents: Array[Array[Double]], biases: Array[Double], offset: Int)
+    extends BinaryExpression {
+
+  require(coarseIds.nonEmpty && coarseIds.length == coarseVecs.length,
+    s"coarse codebook mismatch: ${coarseIds.length} ids vs " +
+      s"${coarseVecs.length} vectors")
+  require(ids.nonEmpty && ids.length == cents.length &&
+    ids.length == biases.length,
+    s"codebook mismatch: ${ids.length} ids vs ${cents.length} centroids" +
+      s" vs ${biases.length} biases")
+  require(offset >= 0, s"negative offset $offset")
+
+  private val len = cents.head.length
+  @transient private lazy val coarseById: java.util.HashMap[Long,
+      Array[Double]] = {
+    val m = new java.util.HashMap[Long, Array[Double]]()
+    var i = 0
+    while (i < coarseIds.length) {
+      m.put(coarseIds(i), coarseVecs(i)); i += 1
+    }
+    m
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkFloatArray(left.dataType, "embedding") match {
+      case TypeCheckResult.TypeCheckSuccess => right.dataType match {
+        case LongType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"cent_id must be bigint, got ${other.catalogString}")
+      }
+      case f => f
+    }
+
+  private def bestOf(x: ArrayData, centId: Long): Any = {
+    val coarse = coarseById.get(centId)
+    if (coarse == null) return null
+    if (x.numElements() < offset + len ||
+      coarse.length < offset + len) return null
+    var best = Double.NegativeInfinity
+    var bestId = -1L
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var s = 0.0
+      var d = 0
+      while (d < len) {
+        if (x.isNullAt(offset + d)) return null
+        s += (x.getFloat(offset + d).toDouble - coarse(offset + d)) *
+          cent(d)
+        d += 1
+      }
+      s += biases(c)
+      if (s > best) { best = s; bestId = ids(c) }
+      c += 1
+    }
+    if (bestId < 0) null else bestId
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    bestOf(a.asInstanceOf[ArrayData], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("residualNearestSlice", this,
+      classOf[ResidualNearestCentroidSlice].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("res")
+      s"""
+         |Object $res = $self.bestOfJava($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $res).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  /** Java-callable entry for generated code. */
+  def bestOfJava(x: ArrayData, centId: Long): Any = bestOf(x, centId)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ResidualNearestCentroidSlice =
+    copy(left = newLeft, right = newRight)
 }

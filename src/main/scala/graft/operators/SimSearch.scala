@@ -508,6 +508,149 @@ object SimSearch {
       .join(broadcast(lut), Seq("q_id", "s", "code")), k)
   }
 
+  /** `simsearch_ivfpq_residual` — IVFPQ with RESIDUAL ENCODING, the
+    * first of the two refinements `simsearch_ivfpq`'s docstring elides
+    * (the other, OPQ's learned rotation, is not deterministically
+    * oracle-replicable): PQ codes quantize r = x − coarse(cell(x))
+    * instead of x, so the codebook spends its 256 codes on the
+    * WITHIN-CELL geometry — residuals are centered near zero and far
+    * lower-variance than raw vectors, which is why FAISS encodes them
+    * by default. Scoring decomposes exactly:
+    * dot(q,x) = dot(q, c_cell) + dot(q, r) ≈ cdot(q,cell) + Σ_s LUT_s —
+    * the coarse term is ONE scalar per (query, probed cell), added to
+    * the same m-lookup sum as plain PQ.
+    *
+    * Plan shape is `simsearch_ivfpq`'s with three deltas, none of them
+    * a new shuffle: (1) the residual codes come from the
+    * [[graft.functions.VectorExpressions.ResidualNearestCentroidSlice]]
+    * kernel — the coarse subtraction folds into the same compiled
+    * scan→project argmax loop, the residual vector is NEVER
+    * materialized or shuffled; (2) the residual CODEBOOK is derived on
+    * the driver from the two bounded stride samples (each pq sample's
+    * residual against its own coarse cell — the FAISS construction);
+    * (3) the LUT and per-(query, cell) coarse dots are driver-computed
+    * local relations (|q|·m·C and |q|·C rows — both bounded by
+    * construction, the ivf-codebook collect class) broadcast into the
+    * candidate-sized joins. Fixed-point discipline unchanged: 1e-6
+    * integer units snapped BEFORE summation, integer adds associative,
+    * ties to lowest id.
+    */
+  def simsearchIvfPqResidual(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10, coarseStride: Long = 127,
+      pqStride: Long = 61, m: Int = 4, nProbe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    ivfPqResidualOver(emb, ivfCodebook(emb, coarseStride),
+      ivfCodebook(emb, pqStride).take(MaxPqCodebook), k, nQueries, m,
+      nProbe)
+  }
+
+  /** Spark `round(v·1e6, 0)` replicated driver-side (BigDecimal
+    * HALF_UP on the canonical decimal rendering — Round's own
+    * arithmetic) for the bounded local-relation LUT rows.
+    */
+  private def units6(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 1000000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** The coarse assignment rule replicated on the driver for the
+    * bounded pq SAMPLE rows (argmax Σ x[i]·(c[i]/‖c‖), ties to lowest
+    * cent_id — op for op what [[ivfAssignCorpus]]'s kernel computes).
+    */
+  private def coarseAssignLocal(x: Array[Float],
+      coarse: Array[(Long, Array[Float], Double)]): Long = {
+    var best = Double.NegativeInfinity
+    var bestId = Long.MaxValue
+    coarse.foreach { case (id, c, nrm) =>
+      var s = 0.0
+      var d = 0
+      while (d < x.length) {
+        s += x(d).toDouble * (c(d).toDouble / nrm); d += 1
+      }
+      if (s > best || (s == best && id < bestId)) { best = s; bestId = id }
+    }
+    bestId
+  }
+
+  /** Core of [[simsearchIvfPqResidual]] with explicit codebooks. */
+  def ivfPqResidualOver(emb: DataFrame,
+      coarse: Array[(Long, Array[Float], Double)],
+      pqSamples: Array[(Long, Array[Float], Double)], k: Int,
+      nQueries: Int, m: Int, nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = coarse.head._2.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val coarseById = coarse.map { case (id, v, _) =>
+      id -> v.map(_.toDouble)
+    }.toMap
+    // residual codewords: each pq sample minus ITS coarse centroid
+    val resCb: Array[(Long, Array[Double])] = pqSamples.map {
+      case (id, v, _) =>
+        val c = coarseById(coarseAssignLocal(v, coarse))
+        (id, Array.tabulate(dim)(i => v(i).toDouble - c(i)))
+    }
+    val coarseIds = coarse.map(_._1)
+    val coarseVecs = coarse.map { case (_, v, _) => v.map(_.toDouble) }
+    // one corpus scan: coarse cell + m residual codes, narrow compute
+    val codeCols = (0 until m).map { s =>
+      graft.functions.VectorExpressions.residualNearestCentroidSliceCol(
+        col("c_emb"), col("cent_id"), coarseIds, coarseVecs,
+        resCb.map(_._1),
+        resCb.map { case (_, r) => r.slice(s * sub, (s + 1) * sub) },
+        resCb.map { case (_, r) =>
+          val rs = r.slice(s * sub, (s + 1) * sub)
+          -rs.map(x => x * x).sum / 2
+        },
+        s * sub)
+    }
+    val corpus = ivfAssignCorpus(emb, coarse)
+      .select(col("c_id"), col("cent_id"),
+        posexplode(array(codeCols: _*)).as(Seq("s", "code")))
+    val queryCells = ivfQueryCells(emb, coarse, nQueries, nProbe)
+      .select(col("q_id"), col("cent_id"))
+    // bounded collect: the nQueries query vectors (the codebook class)
+    val qRows = emb.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def ldot(q: Array[Float], v: Array[Double], off: Int,
+        n: Int): Double = {
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += q(off + d).toDouble * v(off + d); d += 1 }
+      s
+    }
+    val lut = (for {
+      (qid, q) <- qRows.toSeq
+      s <- 0 until m
+      (code, rv) <- resCb
+    } yield (qid, s, code, units6(ldot(q, rv, s * sub, sub))))
+      .toDF("q_id", "s", "code", "pdot_u")
+    val cdot = (for {
+      (qid, q) <- qRows.toSeq
+      (cid, cv, _) <- coarse
+    } yield (qid, cid,
+      units6(ldot(q, cv.map(_.toDouble), 0, dim))))
+      .toDF("q_id", "cent_id", "cdot_u")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_u").desc, col("c_id").asc)
+    corpus
+      .join(broadcast(queryCells), Seq("cent_id"))
+      .join(broadcast(lut), Seq("q_id", "s", "code"))
+      .filter(col("c_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("c_id"), col("cent_id"))
+      .agg(sum(col("pdot_u")).as("res_u"))
+      .join(broadcast(cdot), Seq("q_id", "cent_id"))
+      .withColumn("score_u", col("res_u") + col("cdot_u"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"),
+        round(col("score_u").cast("double") / 1000000.0, 6)
+          .as("approx_score"),
+        col("rn"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
   /** `ann_recall` — the ANN quality report (VERDICT r5 #4 + r7 #7):
     * per-query recall of the approximate searchers against the exact
     * brute-force top-k, labeled by (method, codebook) — lsh/none,

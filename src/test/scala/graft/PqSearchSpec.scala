@@ -184,6 +184,52 @@ class PqSearchSpec extends AnyFunSuite {
       s"cell join must prune to ~cluster-sized candidates: $cellJoinOut")
   }
 
+  test("residual encoding cuts PQ score distortion on clustered data " +
+      "(same codebook budget, same candidates)") {
+    // 4 far-apart cluster centers, members = center + small shared
+    // offset patterns: plain PQ's codewords must encode ABSOLUTE
+    // positions (4 clusters × offsets >> codebook), residual PQ only
+    // the offsets — the exact situation FAISS encodes residuals for.
+    // Both searchers use the SAME stride codebooks and nProbe=1, so
+    // candidate sets are identical and the comparison is pure scoring.
+    val centers = (0 until 4).map { g =>
+      Array.tabulate(8)(d => if (d == 2 * (g % 4) || d == (g + 5) % 8)
+        10f * (if (g % 2 == 0) 1 else -1) else 0f)
+    }
+    val vecs = (0L until 40L).map { id =>
+      val c = centers((id % 4).toInt)
+      val pat = ((id / 4) % 5).toInt
+      id -> c.zipWithIndex.map { case (v, d) =>
+        v + 0.5f * (((pat * 7 + d * 3) % 5) - 2)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // stride 11 lands one coarse centroid per cluster (ids 0,11,22,33)
+    val coarse = SimSearch.ivfCodebook(df, 11L)
+    val pqCb = SimSearch.ivfCodebook(df, 7L)
+    assert(coarse.map(_._1 % 4).toSet.size === 4, "coarse must cover all clusters")
+    def exactDot(q: Long, c: Long): Double = {
+      val (qa, ca) = (vecs(q.toInt)._2, vecs(c.toInt)._2)
+      (0 until 8).map(i => qa(i).toDouble * ca(i)).sum
+    }
+    def meanErr(res: Seq[(Long, Long, Double, Int)]): Double =
+      res.map { case (q, c, s, _) => math.abs(s - exactDot(q, c)) }
+        .sum / res.size
+    val plain = SimSearch.ivfPqOver(df, coarse, pqCb, k = 9,
+      nQueries = 4, m = 4, nProbe = 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val resid = SimSearch.ivfPqResidualOver(df, coarse, pqCb, k = 9,
+      nQueries = 4, m = 4, nProbe = 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // k=9 = the whole probed cell minus self → identical pair sets
+    assert(plain.map(r => (r._1, r._2)).toSet ===
+      resid.map(r => (r._1, r._2)).toSet)
+    val (ep, er) = (meanErr(plain), meanErr(resid))
+    assert(er < ep / 2,
+      s"residual encoding must at least halve the score distortion " +
+        s"here: residual=$er plain=$ep")
+  }
+
   test("fixture output contract (sf0.001): 10 queries x top-5, no self-hits") {
     val rows = SimSearch.simsearchPq(spark, TestSpark.sf)
       .as[(Long, Long, Double, Int)].collect()

@@ -305,6 +305,11 @@ object SparkEntry {
     "dedup_minhash" -> ((s: SparkSession, d: String) => MinHashDedup.dedupMinhash(s, d)),
     "dedup_minhash_incremental" -> ((s: SparkSession, d: String) =>
       MinHashDedup.dedupMinhashIncremental(s, d)),
+    // the STREAMING twin: 2-micro-batch file replay through the
+    // band-bucket-keyed BandDedupProcessor (RocksDB ListState), gated
+    // on the SAME oracle as the batch operator
+    "stream_dedup_minhash_ok" -> ((s: SparkSession, d: String) =>
+      graft.streaming.Streams.streamDedupMinhashOk(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => MinHashDedup.ngramJaccard(s, d)),
     "dedup_span" -> ((s: SparkSession, d: String) =>
       MinHashDedup.dedupSpan(s, d)),
@@ -662,6 +667,34 @@ object SparkEntry {
     * (doc_id, n_bigrams, avg_logp) — shared by the lm_doc_score oracle
     * and the quality_lm_bucket tercile oracle.
     */
+  /** Shared by `dedup_minhash_incremental` and its streaming twin
+    * `stream_dedup_minhash_ok` (same declared semantics, two engines).
+    */
+  private val minhashIncrementalSql: String =
+    raw"""WITH d AS (SELECT doc_id,
+        |    string_split($normT, ' ') AS toks
+        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM d),
+        |tok AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (SELECT n.doc_id AS n_id, o.doc_id AS o_id, count(*) AS ni
+        |  FROM tok n JOIN tok o ON n.g = o.g
+        |  WHERE n.doc_id % 10 >= 8
+        |    AND (o.doc_id % 10 < 8
+        |         OR (o.doc_id % 10 >= 8 AND o.doc_id < n.doc_id))
+        |  GROUP BY 1, 2),
+        |dropped AS (SELECT DISTINCT n_id FROM inter
+        |  JOIN sizes sn ON n_id = sn.doc_id
+        |  JOIN sizes so ON o_id = so.doc_id
+        |  WHERE round(ni::DOUBLE / (sn.n::DOUBLE + so.n::DOUBLE
+        |      - ni::DOUBLE), 4) >= 0.5)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 10 >= 8
+        |  AND doc_id NOT IN (SELECT n_id FROM dropped)
+        |ORDER BY doc_id ASC""".stripMargin
+
   private val lmScoreCtes: String =
     raw"""d AS (SELECT doc_id, string_split($normT, ' ') AS toks
         |           FROM documents
@@ -4408,30 +4441,11 @@ object SparkEntry {
     // (doc_id%10<8) or any SMALLER-id delta doc; empty-token docs never
     // pair (same gate as dedup_minhash) and therefore always survive.
     // Same banding-miss caveat as dedup_minhash (fixture dups at J>=0.9)
-    "dedup_minhash_incremental" ->
-      raw"""WITH d AS (SELECT doc_id,
-        |    string_split($normT, ' ') AS toks
-        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
-        |s AS (SELECT doc_id, list_distinct(list_transform(
-        |    range(0, greatest(len(toks) - 3, 0) + 1),
-        |    i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM d),
-        |tok AS (SELECT doc_id, unnest(sh) AS g FROM s),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-        |inter AS (SELECT n.doc_id AS n_id, o.doc_id AS o_id, count(*) AS ni
-        |  FROM tok n JOIN tok o ON n.g = o.g
-        |  WHERE n.doc_id % 10 >= 8
-        |    AND (o.doc_id % 10 < 8
-        |         OR (o.doc_id % 10 >= 8 AND o.doc_id < n.doc_id))
-        |  GROUP BY 1, 2),
-        |dropped AS (SELECT DISTINCT n_id FROM inter
-        |  JOIN sizes sn ON n_id = sn.doc_id
-        |  JOIN sizes so ON o_id = so.doc_id
-        |  WHERE round(ni::DOUBLE / (sn.n::DOUBLE + so.n::DOUBLE
-        |      - ni::DOUBLE), 4) >= 0.5)
-        |SELECT doc_id, lang, source FROM documents
-        |WHERE doc_id % 10 >= 8
-        |  AND doc_id NOT IN (SELECT n_id FROM dropped)
-        |ORDER BY doc_id ASC""".stripMargin,
+    "dedup_minhash_incremental" -> minhashIncrementalSql,
+    // the streaming twin is gated on the SAME SQL (the stream_drift_ok
+    // shared-oracle precedent): bucket-state loss across micro-batches,
+    // order drift, or in-processor Jaccard drift all hash-mismatch
+    "stream_dedup_minhash_ok" -> minhashIncrementalSql,
     "multimodal_stats" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |            WHEN doc_id % 3 = 1 THEN 'audio/wav'

@@ -292,6 +292,66 @@ class AnomalyProcessor(bucketUs: Long)
   }
 }
 
+/** `stream_dedup_minhash_ok`'s processor — the SEEN-STORE near-dup
+  * rule as live per-bucket state: keyed by LSH band bucket
+  * (band, bhash), ListState holds every (doc_id, shingle-hash set)
+  * ever seen in the bucket (the persisted signature store of
+  * [[graft.operators.MinHashDedup.dedupMinhashIncremental]], keyed
+  * out by bucket); each arriving doc compares against ALL state
+  * entries plus same-batch rows with smaller doc_id (rows sort by
+  * doc_id — batch order is the stream's arrival order, doc_id the
+  * within-batch order, exactly the batch operator's "earlier" rule),
+  * emits a (n_id, o_id) match for every exact-Jaccard hit, and
+  * appends itself to the bucket regardless of matching (seen-store:
+  * dropped docs still drop later dups). Exact verify in-processor:
+  * round₄(|A∩B| / (|A|+|B|−|A∩B|)) ≥ threshold over the distinct
+  * shingle-hash sets — the batch jaccard() column op for op.
+  * State per bucket = its occupancy; buckets are the unit of scale-out.
+  */
+class BandDedupProcessor(threshold: Double)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (Int, Long), (Int, Long, Long, Seq[Long]), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{ListState, TimerValues,
+    TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var seen: ListState[(Long, Array[Long])] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    seen = getHandle.getListState[(Long, Array[Long])]("seen",
+      org.apache.spark.sql.Encoders.product[(Long, Array[Long])],
+      TTLConfig.NONE)
+
+  private def roundedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    val sa = a.toSet
+    var inter = 0
+    b.foreach(h => if (sa.contains(h)) inter += 1)
+    val j = inter.toDouble /
+      (a.length.toDouble + b.length.toDouble - inter.toDouble)
+    java.math.BigDecimal.valueOf(j)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  override def handleInputRows(key: (Int, Long),
+      rows: Iterator[(Int, Long, Long, Seq[Long])],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val prior = seen.get().toArray
+    val batch = rows.toSeq.sortBy(_._3)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val appended = scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]()
+    batch.foreach { case (_, _, nId, shSeq) =>
+      val sh = shSeq.toArray
+      (prior.iterator ++ appended.iterator).foreach { case (oId, osh) =>
+        if (roundedJaccard(sh, osh) >= threshold) out += ((nId, oId))
+      }
+      appended += ((nId, sh))
+    }
+    appended.foreach(e => seen.appendValue(e))
+    out.iterator
+  }
+}
+
 /** `ts_drift` streaming form — day-over-day binned-histogram KS as a
   * live drift monitor: per event type, unit-width value bins accumulate
   * per OPEN day in MapState; EVENT-TIME TIMERS close days in time order
@@ -926,6 +986,89 @@ object Streams {
         col("day_value"), col("cusum_pos"), col("cusum_neg"),
         col("changepoint"))
       .orderBy(col("event_type").asc, col("day").asc)
+
+  /** `stream_dedup_minhash_ok` — the STREAMING twin of
+    * `dedup_minhash_incremental` as a hash-gated declared query (the
+    * stream_drift_ok technique): the documents table file-replays in
+    * TWO micro-batches — yesterday's corpus, then today's crawl — into
+    * a RocksDB-backed [[BandDedupProcessor]] keyed by LSH band bucket;
+    * the emitted match stream is post-filtered to delta docs and
+    * anti-joined batch-side (the _ok harness pattern: the STREAM is
+    * the system under test, the survivor projection is presentation).
+    * The oracle is `dedup_minhash_incremental`'s SQL VERBATIM (the
+    * shared-oracle precedent) — an engine whose bucket state loses
+    * entries across micro-batches, whose within-batch order drifts
+    * from doc_id, or whose in-processor Jaccard differs from the
+    * batch column hash-mismatches against DuckDB's independent
+    * all-pairs computation.
+    *
+    * Signature derivation here is the ROW-LOCAL form
+    * ([[graft.operators.MinHashDedup.minhashFromHashes]] + band-slice
+    * hashes): same xxhash64 arithmetic as the batch explode+agg shape,
+    * no pre-shuffle aggregation — the only stateful operator is the
+    * processor itself, and bucket state is the unit of scale-out.
+    */
+  def streamDedupMinhashOk(spark: SparkSession, sfDir: String,
+      nPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val store = docs.filter(col("doc_id") % 10 < 8)
+    val delta = docs.filter(col("doc_id") % 10 >= 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_dedup").toString
+    val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
+    store.coalesce(2).write.parquet(s"$dir/b1")
+    delta.coalesce(2).write.parquet(s"$dir/b2")
+    def deliver(batch: String): Unit =
+      new java.io.File(s"$dir/$batch").listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(feed, s"$batch-$i.parquet").toPath)
+        }
+    // cloned session: RocksDB provider + small shuffle, nothing leaks
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import s2.implicits._
+    val rowsPerBand = nPerm / bands
+    val stream = s2.readStream.schema(docs.schema).parquet(feed.toString)
+      .withColumn("sh", graft.functions.ShingleKernel
+        .shingleHashes(col("text"), 3))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig",
+        graft.operators.MinHashDedup.minhashFromHashes(col("sh"), nPerm))
+      .select(col("doc_id"), col("sh"), posexplode(array(
+        (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+              .map(i => element_at(col("sig"), i + 1)): _*).as("bhash"))
+        }: _*)).as(Seq("pos", "bk")))
+      .select(col("bk.band").as[Int], col("bk.bhash").as[Long],
+        col("doc_id").as[Long], col("sh").as[Seq[Long]])
+      .as[(Int, Long, Long, Seq[Long])]
+    val name = "stream_dedup_minhash_ok"
+    val q = stream
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new BandDedupProcessor(threshold),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF("n_id", "o_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try Seq("b1", "b2").foreach { b => deliver(b); q.processAllAvailable() }
+    finally { q.stop(); deleteRec(new java.io.File(dir)) }
+    // batch-side presentation: survivors = delta minus matched delta ids
+    val matches = spark.createDataFrame(
+      s2.table(name).collectAsList(), s2.table(name).schema)
+    delta.join(matches.select(col("n_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id").asc)
+  }
 
   /** Shared replay harness for the declared streaming-monitor rows:
     * events file-replay into a RocksDB-backed transformWithState

@@ -651,6 +651,21 @@ class StreamingSpec extends AnyFunSuite {
       s"a provably-closed session was never emitted: ${mustClose -- streamed}")
   }
 
+  test("stream_dedup_minhash_ok: RocksDB bucket state carries the seen-" +
+      "store across micro-batches (equals the batch incremental op)") {
+    val sfd = TestSpark.sf
+    val got = Streams.streamDedupMinhashOk(spark, sfd)
+      .collect().map(_.getLong(0)).toSeq
+    val want = graft.operators.MinHashDedup
+      .dedupMinhashIncremental(spark, sfd)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+    // non-vacuous: the fixture plants near-dups across the batch split
+    val deltaN = graft.sources.Tables.documents(spark, sfd)
+      .filter(col("doc_id") % 10 >= 8).count()
+    assert(got.size < deltaN, "no doc was dropped — vacuous replay")
+  }
+
   test("timer-based sessions close when the watermark passes the gap deadline") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

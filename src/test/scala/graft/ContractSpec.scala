@@ -143,12 +143,15 @@ class ContractSpec extends AnyFunSuite {
     //   simsearch_hybrid_ivf — dense side is the KEYED ivf cell-probe
     //                    join (inlined codebook, no corpus product);
     //                    same ONE-ROW stats scalar attach as _lsh
-    //   simsearch_pq / simsearch_ivfpq / simsearch_ivf — the PQ lookup
+    //   simsearch_pq / simsearch_ivfpq / simsearch_ivfpq_residual /
+    //   simsearch_ivf — the PQ lookup
     //                    table and the query→probe-cell assignment are
     //                    bounded-queries × broadcast codebook rows
     //                    (both sides bounded by construction; the
     //                    CORPUS side joins keyed on (s, code) / cent_id
-    //                    and never products)
+    //                    and never products; the residual form's LUT
+    //                    and coarse-dot sides are bounded local
+    //                    relations computed on the driver)
     //   ngram_pmi        — VOCAB-sized surviving-pair stream × broadcast
     //                    ONE-ROW (n1, n2) totals (the text_tfidf
     //                    scalar-attach shape; corpus never products)
@@ -163,8 +166,8 @@ class ContractSpec extends AnyFunSuite {
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
         "ann_recall", "stream_watermark_late_ok", "simsearch_hybrid",
         "simsearch_hybrid_lsh", "simsearch_hybrid_ivf", "simsearch_pq",
-        "simsearch_ivfpq", "simsearch_ivf", "ngram_pmi", "graph_pagerank",
-        "graph_pagerank_dist")
+        "simsearch_ivfpq", "simsearch_ivfpq_residual", "simsearch_ivf",
+        "ngram_pmi", "graph_pagerank", "graph_pagerank_dist")
     walk { (name, df) =>
       if (allowProduct(name)) None
       else {

@@ -663,10 +663,6 @@ object SparkEntry {
   private val normT =
     raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
-  /** The MLE-bigram LM scoring pipeline as CTEs ending in `lm`
-    * (doc_id, n_bigrams, avg_logp) — shared by the lm_doc_score oracle
-    * and the quality_lm_bucket tercile oracle.
-    */
   /** Shared by `dedup_minhash_incremental` and its streaming twin
     * `stream_dedup_minhash_ok` (same declared semantics, two engines).
     */
@@ -695,6 +691,10 @@ object SparkEntry {
         |  AND doc_id NOT IN (SELECT n_id FROM dropped)
         |ORDER BY doc_id ASC""".stripMargin
 
+  /** The MLE-bigram LM scoring pipeline as CTEs ending in `lm`
+    * (doc_id, n_bigrams, avg_logp) — shared by the lm_doc_score oracle
+    * and the quality_lm_bucket tercile oracle.
+    */
   private val lmScoreCtes: String =
     raw"""d AS (SELECT doc_id, string_split($normT, ' ') AS toks
         |           FROM documents

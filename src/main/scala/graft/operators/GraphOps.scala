@@ -188,6 +188,22 @@ object GraphOps {
     */
   def graphPagerankUnrolled(spark: SparkSession, sfDir: String,
       iters: Int = 5): DataFrame = {
+    // Execute under the clone, hand back a CALLER-session local
+    // relation (review finding r13): Dataset ops execute under the
+    // LEFT frame's session, so returning the clone-bound frame would
+    // silently plan a consumer's downstream join with AQE off and one
+    // shuffle partition. The result is |nations| rows — the rebind is
+    // the stream_*_ok collect class. Plan-shape specs read the
+    // clone-bound frame via [[graphPagerankUnrolledPlan]].
+    val p = graphPagerankUnrolledPlan(spark, sfDir, iters)
+    spark.createDataFrame(p.collectAsList(), p.schema)
+  }
+
+  /** The clone-bound executable plan behind [[graphPagerankUnrolled]]
+    * (GraphMixSpec pins its one-cached-edge-aggregate shape here).
+    */
+  private[graft] def graphPagerankUnrolledPlan(spark: SparkSession,
+      sfDir: String, iters: Int = 5): DataFrame = {
     val s = spark.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s.conf.set("spark.sql.shuffle.partitions", "1")

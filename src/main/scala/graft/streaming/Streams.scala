@@ -1015,72 +1015,113 @@ object Streams {
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
     val store = docs.filter(col("doc_id") % 10 < 8)
     val delta = docs.filter(col("doc_id") % 10 >= 8)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_stream_dedup").toString
-    val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
-    store.coalesce(2).write.parquet(s"$dir/b1")
-    delta.coalesce(2).write.parquet(s"$dir/b2")
-    def deliver(batch: String): Unit =
-      new java.io.File(s"$dir/$batch").listFiles()
-        .filter(_.getName.endsWith(".parquet")).zipWithIndex
-        .foreach { case (f, i) =>
-          java.nio.file.Files.move(f.toPath,
-            new java.io.File(feed, s"$batch-$i.parquet").toPath)
-        }
-    // cloned session: RocksDB provider + small shuffle, nothing leaks
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution." +
-        "streaming.state.RocksDBStateStoreProvider")
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
-    import s2.implicits._
     val rowsPerBand = nPerm / bands
-    val stream = s2.readStream.schema(docs.schema).parquet(feed.toString)
-      .withColumn("sh", graft.functions.ShingleKernel
-        .shingleHashes(col("text"), 3))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig",
-        graft.operators.MinHashDedup.minhashFromHashes(col("sh"), nPerm))
-      .select(col("doc_id"), col("sh"), posexplode(array(
-        (0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-              .map(i => element_at(col("sig"), i + 1)): _*).as("bhash"))
-        }: _*)).as(Seq("pos", "bk")))
-      .select(col("bk.band").as[Int], col("bk.bhash").as[Long],
-        col("doc_id").as[Long], col("sh").as[Seq[Long]])
-      .as[(Int, Long, Long, Seq[Long])]
-    val name = "stream_dedup_minhash_ok"
-    val q = stream
-      .groupByKey(r => (r._1, r._2))
-      .transformWithState(new BandDedupProcessor(threshold),
-        org.apache.spark.sql.streaming.TimeMode.None(),
-        OutputMode.Append())
-      .toDF("n_id", "o_id")
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
-    try Seq("b1", "b2").foreach { b => deliver(b); q.processAllAvailable() }
-    finally { q.stop(); deleteRec(new java.io.File(dir)) }
+    val matches = fileReplay(spark, "stream_dedup_minhash_ok",
+      Seq(store, delta), Seq(2, 1), { stream =>
+        val s2 = stream.sparkSession
+        import s2.implicits._
+        stream
+          .withColumn("sh", graft.functions.ShingleKernel
+            .shingleHashes(col("text"), 3))
+          .filter(size(col("sh")) > 0)
+          .withColumn("sig", graft.operators.MinHashDedup
+            .minhashFromHashes(col("sh"), nPerm))
+          .select(col("doc_id"), col("sh"), posexplode(array(
+            (0 until bands).map { b =>
+              struct(lit(b).as("band"),
+                xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+                  .map(i => element_at(col("sig"), i + 1)): _*)
+                  .as("bhash"))
+            }: _*)).as(Seq("pos", "bk")))
+          .select(col("bk.band").as[Int], col("bk.bhash").as[Long],
+            col("doc_id").as[Long], col("sh").as[Seq[Long]])
+          .as[(Int, Long, Long, Seq[Long])]
+          .groupByKey(r => (r._1, r._2))
+          .transformWithState(new BandDedupProcessor(threshold),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Append())
+          .toDF("n_id", "o_id")
+      })
     // batch-side presentation: survivors = delta minus matched delta ids
-    val matches = spark.createDataFrame(
-      s2.table(name).collectAsList(), s2.table(name).schema)
     delta.join(matches.select(col("n_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id").asc)
   }
 
-  /** Shared replay harness for the declared streaming-monitor rows:
-    * events file-replay into a RocksDB-backed transformWithState
-    * pipeline (MapState needs the multi-column-family store), then a
-    * 72-hour far-future sentinel pushes the watermark past every day
-    * end so all days close. Returns the memory-sink table with the
-    * sentinel series filtered; the caller projects its monitor's
-    * schema. Harness economics (measured): b1 writes with 4 tasks
-    * (deliver() moves every file before the first
-    * processAllAvailable, so it still arrives as ONE micro-batch) and
-    * the sentinel is a 1-partition range — range(1)'s default 32
-    * tasks for one row cost 1.2 s of pure setup.
+  /** Shared file-replay harness for every declared `stream_*_ok` row:
+    * the batch frames replay as SEQUENTIAL micro-batches into a
+    * RocksDB-backed pipeline (MapState needs the multi-column-family
+    * store) on a CLONED session — the conf overrides were previously
+    * set-then-restored on the SHARED session and leaked to anything
+    * planned concurrently (an advisor finding); newSession() shares
+    * the SparkContext and catalog but owns its SQLConf. Returns the
+    * memory-sink rows RE-BOUND to the caller's session.
+    *
+    * Micro-batch ATOMICITY contract (review finding r13): the first
+    * batch moves into the feed BEFORE the query starts — the file
+    * source's initial listing takes every pre-existing file as ONE
+    * micro-batch regardless of file count (so it may write with
+    * several tasks) — and every LATER batch must be a SINGLE parquet
+    * file (writeTasks enforced 1), because the running query can
+    * trigger between two Files.move calls and split a multi-file
+    * batch, which breaks order-sensitive state (a split events batch
+    * can advance the watermark mid-batch and drop the remainder as
+    * late; a split delta batch flips the dedup keep-first rule).
+    */
+  private def fileReplay(spark: SparkSession, name: String,
+      batches: Seq[DataFrame], writeTasks: Seq[Int],
+      build: DataFrame => DataFrame): DataFrame = {
+    require(batches.nonEmpty && batches.size == writeTasks.size,
+      "one writeTasks entry per batch")
+    require(writeTasks.drop(1).forall(_ == 1),
+      "later batches must be single-file — a running query can split " +
+        "a multi-file move across micro-batches")
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$name")
+      .toString
+    val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
+    batches.zip(writeTasks).zipWithIndex.foreach { case ((df, t), i) =>
+      df.coalesce(t).write.parquet(s"$dir/b$i")
+    }
+    def deliver(i: Int): Unit =
+      new java.io.File(s"$dir/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, j) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(feed, s"b$i-$j.parquet").toPath)
+        }
+    deliver(0) // pre-start: the initial listing is one micro-batch
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = s2.readStream.schema(batches.head.schema)
+      .parquet(feed.toString)
+    val q = build(stream).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      (1 until batches.size).foreach { i =>
+        deliver(i); q.processAllAvailable()
+      }
+    } finally { q.stop(); deleteRec(new java.io.File(dir)) }
+    // the memory sink registers its table in the session that started
+    // the query; re-bind the rows to the CALLER's session so the
+    // returned frame composes with its other frames
+    spark.createDataFrame(s2.table(name).collectAsList(),
+      s2.table(name).schema)
+  }
+
+  /** Events-table replay for the declared streaming-monitor rows: the
+    * whole events table as micro-batch 1 (4 write tasks — pre-start
+    * delivery keeps it one batch), then a 72-hour far-future sentinel
+    * pushes the watermark past every day end so all days close; the
+    * sentinel series is filtered from the returned rows and the caller
+    * projects its monitor's schema. (The sentinel is a 1-partition
+    * range — range(1)'s default 32 tasks for one row cost 1.2 s of
+    * pure setup, measured.)
     */
   private def replayMonitor(spark: SparkSession, sfDir: String,
       name: String, build: DataFrame => DataFrame): DataFrame = {
@@ -1090,45 +1131,12 @@ object Streams {
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
     val sentinelTs =
       new java.sql.Timestamp(maxTs.getTime + 72L * 3600 * 1000)
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_$name").toString
-    val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
-    ev.coalesce(4).write.parquet(s"$dir/b1")
-    spark.range(0L, 1L, 1L, 1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
-      lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
-      lit(0.0).as("value"), lit("{}").as("props"))
-      .write.parquet(s"$dir/b2")
-    def deliver(batch: String): Unit =
-      new java.io.File(s"$dir/$batch").listFiles()
-        .filter(_.getName.endsWith(".parquet")).zipWithIndex
-        .foreach { case (f, i) =>
-          java.nio.file.Files.move(f.toPath,
-            new java.io.File(feed, s"$batch-$i.parquet").toPath)
-        }
-    // the replay plans on a CLONED session: the two conf overrides
-    // (RocksDB state store for MapState's column families, 8 shuffle
-    // partitions for the 5-key stream) were previously set-then-
-    // restored on the SHARED session, and any query planned
-    // concurrently during the start() window silently inherited them
-    // (an advisor finding) — newSession() shares the SparkContext and
-    // catalog but owns its SQLConf, so nothing leaks and nothing needs
-    // restoring
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution." +
-        "streaming.state.RocksDBStateStoreProvider")
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
-    val stream = s2.readStream.schema(ev.schema).parquet(feed.toString)
-    val q = build(stream).writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
-    try Seq("b1", "b2").foreach { b => deliver(b); q.processAllAvailable() }
-    finally { q.stop(); deleteRec(new java.io.File(dir)) }
-    // the memory sink registers its table in the session that started
-    // the query; re-bind the rows to the CALLER's session so the
-    // returned frame composes with its other frames
-    spark.createDataFrame(s2.table(name)
-      .filter(col("event_type") =!= "__sentinel").collectAsList(),
-      s2.table(name).schema)
+    val sentinel = spark.range(0L, 1L, 1L, 1)
+      .select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+        lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    fileReplay(spark, name, Seq(ev, sentinel), Seq(4, 1), build)
+      .filter(col("event_type") =!= "__sentinel")
   }
 
   /** `stream_sink` — checkpointed parquet sink (exactly-once into the

@@ -92,7 +92,9 @@ class GraphMixSpec extends AnyFunSuite {
 
   test("unrolled pagerank iterates over ONE cached edge aggregate (fact not re-scanned)") {
     try {
-      val df = GraphOps.graphPagerankUnrolled(spark, sf)
+      // the PUBLIC operator returns a caller-session local relation
+      // (review r13); the executable plan lives behind the _Plan form
+      val df = GraphOps.graphPagerankUnrolledPlan(spark, sf)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       // every iteration's edge subtree must resolve to the in-memory

@@ -369,6 +369,10 @@ object SparkEntry {
       SimSearch.simsearchHybridIvf(s, d)),
     // product-quantized ANN: per-subspace codes + broadcast lookup
     // table — the vector-compression half of a production index
+    // two-stage retrieval: PQ shortlist (nCand=20) -> keyed full-vector
+    // fetch -> exact-cosine re-rank (ADC + refine)
+    "simsearch_rerank" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchRerank(s, d)),
     "simsearch_pq" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchPq(s, d)),
     // IVF cell pruning + PQ lookup scoring — the FAISS IVFPQ read path;
@@ -4232,6 +4236,54 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY score_u DESC, c_id ASC) AS rn FROM sc2)
         |WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
+    // ADC + refine: simsearch_pq's CTEs select the top-20 shortlist by
+    // approximate score, then exact cosine (the simsearch_knn
+    // expression verbatim) re-ranks the shortlist to top-5
+    "simsearch_rerank" ->
+      """WITH cb AS (SELECT vec_id AS code, embedding AS cv
+        |  FROM embeddings WHERE vec_id % 127 = 0
+        |  ORDER BY vec_id LIMIT 256),
+        |ss AS (SELECT unnest(range(0, 4)) AS s),
+        |codes AS (SELECT c_id, s, code FROM (
+        |  SELECT e.vec_id AS c_id, r.s, cb.code,
+        |    row_number() OVER (PARTITION BY e.vec_id, r.s ORDER BY
+        |      (list_sum(list_transform(range(1, 17),
+        |         i -> e.embedding[r.s * 16 + i]::DOUBLE
+        |            * cb.cv[r.s * 16 + i]::DOUBLE))
+        |       - list_sum(list_transform(range(1, 17),
+        |         i -> cb.cv[r.s * 16 + i]::DOUBLE
+        |            * cb.cv[r.s * 16 + i]::DOUBLE)) / 2) DESC,
+        |      cb.code ASC) AS rn
+        |  FROM embeddings e CROSS JOIN ss r CROSS JOIN cb) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS q_id, r.s, cb.code,
+        |    round(list_sum(list_transform(range(1, 17),
+        |      i -> q.embedding[r.s * 16 + i]::DOUBLE
+        |         * cb.cv[r.s * 16 + i]::DOUBLE)) * 1000000.0, 0)::BIGINT
+        |      AS pdot_u
+        |  FROM embeddings q CROSS JOIN ss r CROSS JOIN cb
+        |  WHERE q.vec_id < 10),
+        |sc AS (SELECT l.q_id, c.c_id, sum(l.pdot_u) AS score_u
+        |  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+        |  WHERE c.c_id <> l.q_id GROUP BY 1, 2),
+        |cand AS (SELECT q_id, c_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score_u DESC, c_id ASC) AS arn FROM sc)
+        |  WHERE arn <= 20),
+        |rr AS (SELECT cand.q_id, cand.c_id,
+        |  round(
+        |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(q.embedding,
+        |         x -> x::DOUBLE * x::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(c.embedding,
+        |         x -> x::DOUBLE * x::DOUBLE)))),
+        |    4) AS cos_sim
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+        |  JOIN embeddings c ON c.vec_id = cand.c_id)
+        |SELECT q_id, c_id, cos_sim, rn::INT AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM rr
+        |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
     // PQ: per-subspace code assignment (argmax raw dot, code-ASC ties)
     // + 1e-6-unit partial-dot lookup table, summed per candidate —
     // mirrors pqOver's kernel arithmetic element for element

@@ -508,6 +508,49 @@ object SimSearch {
       .join(broadcast(lut), Seq("q_id", "s", "code")), k)
   }
 
+  /** `simsearch_rerank` — two-stage retrieval (FAISS's ADC + refine;
+    * what a production vector store actually serves): the PQ
+    * approximate scores select `nCand` candidates per query (cheap —
+    * m table lookups per candidate, full vectors untouched), then ONLY
+    * those candidates' full vectors are fetched by a KEYED point-
+    * lookup join and re-ranked by exact cosine. Recovers exact-metric
+    * ordering among the shortlist while paying full-vector cost on
+    * |q|·nCand rows instead of the corpus — the standard
+    * accuracy-recovery step every ANN deployment layers on PQ.
+    *
+    * Scale shape: stage 1 is `simsearch_pq`'s audited pipeline; the
+    * candidate set is |queries|·nCand (bounded) and the re-rank fetch
+    * is a c_id-keyed equi-join against the corpus (a point-lookup
+    * pattern — at 100 TB the store side is id-bucketed and the join
+    * prunes to candidate buckets), never a second corpus product. The
+    * exact stage reuses `simsearch_knn`'s cosine discipline (4dp
+    * round, id tie-break).
+    */
+  def simsearchRerank(spark: SparkSession, sfDir: String, k: Int = 5,
+      nCand: Int = 20, nQueries: Int = 10, centroidStride: Long = 127,
+      m: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cand = pqOver(emb, nCand, nQueries, centroidStride, m)
+      .select(col("q_id"), col("c_id"))
+    val queries = emb.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), l2norm(col("embedding")).as("c_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    cand
+      .join(corpus, Seq("c_id")) // keyed candidate-vector fetch
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos_sim", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")),
+        4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos_sim"), col("rn"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
   /** `simsearch_ivfpq_residual` — IVFPQ with RESIDUAL ENCODING, the
     * first of the two refinements `simsearch_ivfpq`'s docstring elides
     * (the other, OPQ's learned rotation, is not deterministically

@@ -230,6 +230,31 @@ class PqSearchSpec extends AnyFunSuite {
         s"here: residual=$er plain=$ep")
   }
 
+  test("rerank recall dominates plain PQ (exact re-rank of a superset " +
+      "shortlist can only surface more true neighbors)") {
+    val sf = TestSpark.sf
+    val exact = SimSearch.knnBruteForce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(rows: Array[(Long, Long)]): Double = {
+      val byQ = rows.groupBy(_._1)
+      byQ.map { case (q, rs) =>
+        rs.map(_._2).toSet.intersect(exact(q)).size.toDouble /
+          exact(q).size
+      }.sum / byQ.size
+    }
+    val pq = SimSearch.simsearchPq(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rr = SimSearch.simsearchRerank(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (rp, rrr) = (recall(pq), recall(rr))
+    // every true neighbor the 20-candidate shortlist contains beats
+    // every non-neighbor under the exact metric, so rerank's top-5
+    // holds at least the shortlist's true hits — and pq's top-5 is a
+    // subset of that shortlist: recall(rerank) >= recall(pq), always
+    assert(rrr >= rp - 1e-9, s"rerank lost recall: $rrr vs pq $rp")
+  }
+
   test("fixture output contract (sf0.001): 10 queries x top-5, no self-hits") {
     val rows = SimSearch.simsearchPq(spark, TestSpark.sf)
       .as[(Long, Long, Double, Int)].collect()

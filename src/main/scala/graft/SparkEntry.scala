@@ -245,6 +245,11 @@ object SparkEntry {
     // day-of-week seasonal means + deseasonalized residuals (STL-style
     // seasonal step; three keyed aggs/joins, no window)
     "ts_seasonal" -> (EventWindows.tsSeasonal _),
+    // full additive decomposition (classical decompose / STL-lite):
+    // trend = centered 7-day moving mean kept RATIONAL, seasonal =
+    // weekday mean of exactly-detrended days (420 = lcm(1..7) clears
+    // the denominators), residual = the rest; no mid-pipeline division
+    "ts_stl" -> (EventWindows.tsStl _),
     // Holt linear-trend smoothing: exact BIGINT fixed-point fold per
     // series (aggregate HOF), one-step-ahead prequential forecasts
     "ts_forecast" -> (EventWindows.tsForecast _),
@@ -3257,6 +3262,35 @@ object SparkEntry {
         |FROM d2 JOIN s ON d2.event_type = s.event_type
         |  AND d2.dow = s.dow
         |ORDER BY d2.event_type ASC, d2.day ASC""".stripMargin,
+    // mirrored integer decomposition: window sums stay (num, cnt)
+    // rationals, detrended = xu*tc − tn exactly, weekday means clear
+    // denominators via 420 // tc (every 7-day-window count divides
+    // 420); one IEEE tree per output component
+    "ts_stl" ->
+      raw"""WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    (SUM(CAST(value AS DECIMAL(18,4))) * 10000)::BIGINT AS xu
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (SELECT *, SUM(xu) OVER w AS tn, COUNT(*) OVER w AS tc,
+        |    ((datediff('day', DATE '1970-01-05', day) % 7) + 7) % 7
+        |      AS dow
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT *, xu * tc - tn AS dn FROM tr),
+        |se AS (SELECT event_type, dow,
+        |    SUM(dn * (420 // tc)) AS sn, COUNT(*) AS n
+        |  FROM dt GROUP BY 1, 2)
+        |SELECT dt.event_type, strftime(dt.day, '%Y-%m-%d') AS day,
+        |  round(xu::DOUBLE / 10000.0, 4) AS day_value,
+        |  round(tn::DOUBLE / tc::DOUBLE / 10000.0, 6) AS trend,
+        |  round(sn::DOUBLE / (420.0 * n::DOUBLE) / 10000.0, 6)
+        |    AS seasonal,
+        |  round(xu::DOUBLE / 10000.0
+        |    - tn::DOUBLE / tc::DOUBLE / 10000.0
+        |    - sn::DOUBLE / (420.0 * n::DOUBLE) / 10000.0, 6) AS residual
+        |FROM dt JOIN se ON se.event_type = dt.event_type
+        |  AND se.dow = dt.dow
+        |ORDER BY dt.event_type ASC, dt.day ASC""".stripMargin,
     "ts_gapfill" ->
       """WITH agg AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bucket,

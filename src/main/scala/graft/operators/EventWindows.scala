@@ -645,6 +645,68 @@ object EventWindows {
       .orderBy(col("event_type").asc, col("day").asc)
   }
 
+  /** `ts_stl` — full additive decomposition of each event series
+    * (classical decompose / STL-lite; completes `ts_seasonal`, which
+    * extracts seasonality only): day_value = TREND (centered 7-day
+    * moving mean — the moving-average trend step classical decompose
+    * uses where STL fits loess) + SEASONAL (weekday mean of the
+    * DEtrended days, so a rising series doesn't contaminate the
+    * weekday profile — the exact flaw of seasonal-means-on-raw) +
+    * RESIDUAL.
+    *
+    * Shape: one keyed daily aggregate, one 7-row window per series
+    * (day-count-sized input — the monitors' post-first-agg bound), one
+    * ≤7-rows-per-series weekday aggregate, one keyed join back.
+    *
+    * Exactness (SURVEY §5.3, the ts-family discipline, with NO
+    * mid-pipeline division): day revenue snaps to scale-4 BIGINT; the
+    * trend stays a RATIONAL (trend_num = Σ±3 window, trend_cnt) so
+    * detrending is the exact integer x·cnt − num; weekday means of
+    * those rationals clear denominators through 420 = lcm(1..7)
+    * (window counts are 4..7 — edges keep partial windows — and every
+    * count divides 420), so the seasonal numerator is again an exact
+    * BIGINT. The three output components are each ONE mirrored IEEE
+    * double tree over exact integers, rounded at 4/6dp. Headroom:
+    * |seasonal_num| ≤ 420·7·maxday·1e4·|days| ≲ 10¹⁶ on fixtures 10³×
+    * larger than sf0.1.
+    */
+  def tsStl(spark: SparkSession, sfDir: String): DataFrame =
+    tsStlEvents(Tables.events(spark, sfDir))
+
+  /** Core of `ts_stl` over any (event_type, ts, value) frame. */
+  def tsStlEvents(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(dec(col("value"))) * 10000).cast("long").as("xu"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      .rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("tn", sum(col("xu")).over(w))
+      .withColumn("tc", count(lit(1)).over(w))
+      .withColumn("dn", col("xu") * col("tc") - col("tn"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-05").cast("date")), lit(7)))
+    val se = tr.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("dn") * (lit(420L) / col("tc")).cast("long")).as("sn"),
+        count(lit(1)).as("n"))
+    tr.join(se, Seq("event_type", "dow"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("xu").cast("double") / 10000.0, 4).as("day_value"),
+        round(col("tn").cast("double") / col("tc").cast("double")
+          / 10000.0, 6).as("trend"),
+        round(col("sn").cast("double")
+          / (lit(420.0) * col("n").cast("double")) / 10000.0, 6)
+          .as("seasonal"),
+        round(col("xu").cast("double") / 10000.0
+          - col("tn").cast("double") / col("tc").cast("double") / 10000.0
+          - col("sn").cast("double")
+            / (lit(420.0) * col("n").cast("double")) / 10000.0, 6)
+          .as("residual"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   /** `ts_forecast` — Holt's linear-trend exponential smoothing (the
     * two-parameter workhorse of classical forecasting) per event
     * series, with one-step-ahead forecasts: level and trend update as

@@ -98,6 +98,40 @@ class PatternSeasonalSpec extends AnyFunSuite {
     assert(rows.exists(r => math.abs(r.getDouble(4)) > 0.0))
   }
 
+  test("ts_stl: components reconstruct the day (identity) and a planted " +
+      "weekday effect is recovered under a trend that fools raw means") {
+    import spark.implicits._
+    // identity on the fixture: value == trend + seasonal + residual
+    // up to the rounding slack (4dp value, 6dp components)
+    EventWindows.tsStl(spark, sf).collect().foreach { r =>
+      val recon = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(r.getDouble(2) - recon) < 1.1e-4,
+        s"decomposition identity broke at ${r.getString(0)} ${r.getString(1)}")
+    }
+    // planted series: strong linear trend (+100/day) + weekday effect
+    // (+50 on dow 2 only). Weekday means of RAW values absorb the
+    // trend (each weekday class sits at a different trend level by
+    // construction when the span isn't a whole number of weeks);
+    // detrending first must recover dow 2 as the clear maximum.
+    val days = 0 until 24 // 3.4 weeks — misaligned on purpose
+    val ev = days.map { d =>
+      val dow = (3 + d) % 7 // 1970-01-08 is a Thursday offset
+      val v = 1000.0 + 100.0 * d + (if (dow == 2) 50.0 else 0.0)
+      (1L + d, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(1970, 1, 8).plusDays(d).atStartOfDay()),
+        1L, "planted", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val stl = EventWindows.tsStlEvents(ev).collect()
+    val byDow = stl.groupBy { r =>
+      java.time.LocalDate.parse(r.getString(1)).getDayOfWeek.getValue - 1
+    }.map { case (dw, rs) =>
+      dw -> rs.map(_.getDouble(4)).sum / rs.length
+    }
+    val best = byDow.maxBy(_._2)._1
+    assert(best === 2,
+      s"detrended weekday profile must peak at the planted dow 2: $byDow")
+  }
+
   test("ts_forecast equals a literal Holt fold (and the fixture " +
       "exercises the negative-dividend div path)") {
     import scala.jdk.CollectionConverters._

@@ -378,6 +378,10 @@ object SparkEntry {
     // fetch -> exact-cosine re-rank (ADC + refine)
     "simsearch_rerank" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchRerank(s, d)),
+    // OPQ-family deterministic rotation: exact permutation 27i mod 64
+    // spreads subspace energy; everything downstream is simsearch_pq
+    "simsearch_pq_rotated" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchPqRotated(s, d)),
     "simsearch_pq" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchPq(s, d)),
     // IVF cell pruning + PQ lookup scoring — the FAISS IVFPQ read path;
@@ -4269,6 +4273,44 @@ object SparkEntry {
         |  rn::INT AS rn
         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY score_u DESC, c_id ASC) AS rn FROM sc2)
+        |WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
+    // the permutation rotation as one CTE (1-based lists: slot j reads
+    // emb[((j-1)*27 % 64) + 1]), then simsearch_pq's CTEs verbatim
+    // over the rotated frame (codebook samples rotate with it)
+    "simsearch_pq_rotated" ->
+      """WITH re AS (SELECT vec_id, list_transform(range(0, 64),
+        |    i -> embedding[(i * 27) % 64 + 1]) AS embedding
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS code, embedding AS cv
+        |  FROM re WHERE vec_id % 127 = 0
+        |  ORDER BY vec_id LIMIT 256),
+        |ss AS (SELECT unnest(range(0, 4)) AS s),
+        |codes AS (SELECT c_id, s, code FROM (
+        |  SELECT e.vec_id AS c_id, r.s, cb.code,
+        |    row_number() OVER (PARTITION BY e.vec_id, r.s ORDER BY
+        |      (list_sum(list_transform(range(1, 17),
+        |         i -> e.embedding[r.s * 16 + i]::DOUBLE
+        |            * cb.cv[r.s * 16 + i]::DOUBLE))
+        |       - list_sum(list_transform(range(1, 17),
+        |         i -> cb.cv[r.s * 16 + i]::DOUBLE
+        |            * cb.cv[r.s * 16 + i]::DOUBLE)) / 2) DESC,
+        |      cb.code ASC) AS rn
+        |  FROM re e CROSS JOIN ss r CROSS JOIN cb) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS q_id, r.s, cb.code,
+        |    round(list_sum(list_transform(range(1, 17),
+        |      i -> q.embedding[r.s * 16 + i]::DOUBLE
+        |         * cb.cv[r.s * 16 + i]::DOUBLE)) * 1000000.0, 0)::BIGINT
+        |      AS pdot_u
+        |  FROM re q CROSS JOIN ss r CROSS JOIN cb
+        |  WHERE q.vec_id < 10),
+        |sc AS (SELECT l.q_id, c.c_id, sum(l.pdot_u) AS score_u
+        |  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+        |  WHERE c.c_id <> l.q_id GROUP BY 1, 2)
+        |SELECT q_id, c_id,
+        |  round(score_u::DOUBLE / 1000000.0, 6) AS approx_score,
+        |  rn::INT AS rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score_u DESC, c_id ASC) AS rn FROM sc)
         |WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
     // ADC + refine: simsearch_pq's CTEs select the top-20 shortlist by
     // approximate score, then exact cosine (the simsearch_knn

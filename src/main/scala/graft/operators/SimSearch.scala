@@ -508,6 +508,54 @@ object SimSearch {
       .join(broadcast(lut), Seq("q_id", "s", "code")), k)
   }
 
+  /** `simsearch_pq_rotated` — PQ under a DETERMINISTIC coordinate
+    * rotation, the energy-balancing step of the OPQ family (Ge et al.
+    * OPQ / Jégou's random-rotation baseline): PQ's independence
+    * assumption fails when a few subspaces carry most of the variance
+    * — those subspaces exhaust their 8-bit codebooks while the rest
+    * encode noise. A rotation spreads the energy so every subspace's
+    * codes work. OPQ LEARNS its rotation (not deterministically
+    * oracle-replicable); the declared form uses the classic fixed
+    * alternative — a PERMUTATION matrix π(i) = 27·i mod 64
+    * (gcd(27, 64) = 1, so it's a bijection that scatters any
+    * contiguous energy block across all m subspaces). A permutation
+    * is orthogonal and EXACT: coordinates are moved, never combined,
+    * so there is no float arithmetic in the rotation at all and inner
+    * products are preserved bit-for-bit — approx scores stay directly
+    * comparable to `simsearch_pq`'s.
+    *
+    * Plan shape: identical to `simsearch_pq` — the rotation is a
+    * row-local 64-element projection (element_at reindexing, codegen;
+    * no HOF lambda), the codebook rotates driver-side, and everything
+    * downstream IS pqOverCodebook. PqSearchSpec plants a corpus with
+    * all its energy in one subspace and pins that rotation cuts the
+    * score distortion at the same codebook budget.
+    */
+  def simsearchPqRotated(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 10, centroidStride: Long = 127, m: Int = 4,
+      mult: Int = 27): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb0 = ivfCodebook(emb, centroidStride).take(MaxPqCodebook)
+    pqOverCodebook(rotate(emb, cb0.head._2.length, mult),
+      cb0.map { case (id, v, nrm) =>
+        (id, Array.tabulate(v.length)(i => v((i * mult) % v.length)), nrm)
+      }, k, nQueries, m)
+  }
+
+  /** The exact permutation rotation: out[i] = in[(27·i) mod d] — a
+    * row-local reindexing projection (one element_at per output slot,
+    * whole-stage codegen; no arithmetic, no HOF).
+    */
+  private[graft] def rotate(emb: DataFrame, dim: Int,
+      mult: Int): DataFrame = {
+    require(BigInt(mult).gcd(BigInt(dim)) == BigInt(1),
+      s"mult=$mult must be coprime with dim=$dim for a bijection")
+    emb.select(col("vec_id"),
+      array((0 until dim).map(i =>
+        element_at(col("embedding"), (i * mult) % dim + 1)): _*)
+        .as("embedding"))
+  }
+
   /** `simsearch_rerank` — two-stage retrieval (FAISS's ADC + refine;
     * what a production vector store actually serves): the PQ
     * approximate scores select `nCand` candidates per query (cheap —

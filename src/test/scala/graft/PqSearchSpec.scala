@@ -230,6 +230,44 @@ class PqSearchSpec extends AnyFunSuite {
         s"here: residual=$er plain=$ep")
   }
 
+  test("rotation cuts PQ distortion when one subspace hogs the energy " +
+      "(the OPQ failure mode, planted)") {
+    // all variance in dims 0..15 = subspace 0: plain PQ must encode
+    // every distinction with ONE subspace's codes while three encode
+    // zeros; the 27i mod 64 permutation scatters those 16 live dims
+    // across all four subspaces, whose codes then compose (product
+    // quantization's entire premise)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L).map { id =>
+      id -> Array.tabulate(64)(d =>
+        if (d < 16) rnd.nextFloat() * 4 - 2 else 0f)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = SimSearch.ivfCodebook(df, 7L)
+    def exactDot(q: Long, c: Long): Double = {
+      val (qa, ca) = (vecs(q.toInt)._2, vecs(c.toInt)._2)
+      (0 until 64).map(i => qa(i).toDouble * ca(i)).sum
+    }
+    def meanErr(res: Seq[(Long, Long, Double, Int)]): Double =
+      res.map { case (q, c, s, _) => math.abs(s - exactDot(q, c)) }
+        .sum / res.size
+    val k = 59 // the whole corpus minus self: same pair set both ways
+    val plain = SimSearch.pqOverCodebook(df, cb, k, nQueries = 4, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val rot = SimSearch.pqOverCodebook(
+      SimSearch.rotate(df, 64, 27),
+      cb.map { case (id, v, nrm) =>
+        (id, Array.tabulate(64)(i => v((i * 27) % 64)), nrm)
+      }, k, nQueries = 4, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(plain.map(r => (r._1, r._2)).toSet ===
+      rot.map(r => (r._1, r._2)).toSet)
+    val (ep, er) = (meanErr(plain), meanErr(rot))
+    assert(er < ep,
+      s"rotation must cut distortion on subspace-concentrated energy: " +
+        s"rotated=$er plain=$ep")
+  }
+
   test("rerank recall dominates plain PQ (exact re-rank of a superset " +
       "shortlist can only surface more true neighbors)") {
     val sf = TestSpark.sf

@@ -427,6 +427,10 @@ object SparkEntry {
       TextOps.pipelineCurateV2(s, d)),
     "pipeline_curate_v3" -> ((s: SparkSession, d: String) =>
       TextOps.pipelineCurateV3(s, d)),
+    // the daily-update capstone: near-dup incremental dedup against the
+    // signature store, then the standing curation chain on the delta
+    "pipeline_curate_v4" -> ((s: SparkSession, d: String) =>
+      TextOps.pipelineCurateV4(s, d)),
     "repetition_score" -> (TextOps.repetitionScore _),
     "quality_classifier" -> (TextOps.qualityClassifier _),
     "vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopk(s, d)),
@@ -3130,6 +3134,69 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens,
         |  (before_toks + n_tokens)::BIGINT AS cum_tokens
         |FROM p WHERE before_toks < 3000
+        |ORDER BY doc_id ASC""".stripMargin,
+    // the daily-update capstone: the minhash-incremental CTE chain
+    // (m-prefixed — v3's decontamination CTEs keep their d/s/g names)
+    // gates which delta docs enter v3's curation chain; quality gate /
+    // exact dedup / decontaminate / budget-mix fragments are v3's
+    // verbatim over the restricted candidate set
+    "pipeline_curate_v4" ->
+      raw"""WITH md AS (SELECT doc_id, string_split($normT, ' ') AS toks
+        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |ms AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM md),
+        |mtok AS (SELECT doc_id, unnest(sh) AS g FROM ms),
+        |msz AS (SELECT doc_id, count(*) AS n FROM mtok GROUP BY doc_id),
+        |mint AS (SELECT n.doc_id AS n_id, o.doc_id AS o_id,
+        |    count(*) AS ni
+        |  FROM mtok n JOIN mtok o ON n.g = o.g
+        |  WHERE n.doc_id % 10 >= 8
+        |    AND (o.doc_id % 10 < 8
+        |         OR (o.doc_id % 10 >= 8 AND o.doc_id < n.doc_id))
+        |  GROUP BY 1, 2),
+        |mdrop AS (SELECT DISTINCT n_id FROM mint
+        |  JOIN msz sn ON n_id = sn.doc_id
+        |  JOIN msz so ON o_id = so.doc_id
+        |  WHERE round(ni::DOUBLE / (sn.n::DOUBLE + so.n::DOUBLE
+        |      - ni::DOUBLE), 4) >= 0.5),
+        |msurv AS (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8
+        |  AND doc_id NOT IN (SELECT n_id FROM mdrop)),
+        |q0 AS (SELECT doc_id, source, lang, n_chars, text,
+        |        $normT AS t FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM msurv)),
+        |m AS (SELECT doc_id, source, lang, t,
+        |    len(string_split(t, ' '))::INT AS n_tokens, n_chars,
+        |    round(length(replace(t, ' ', ''))::DOUBLE
+        |          / len(string_split(t, ' ')), 4) AS mwl
+        |  FROM q0),
+        |keepq AS (SELECT * FROM m
+        |  WHERE lang IN ('en','de','es','fr')
+        |    AND n_tokens BETWEEN 3 AND 10000
+        |    AND n_chars BETWEEN 20 AND 100000
+        |    AND mwl BETWEEN 2.0 AND 12.0),
+        |ded AS (SELECT *, row_number() OVER (
+        |    PARTITION BY md5(t) ORDER BY doc_id ASC) AS rn FROM keepq),
+        |surv AS (SELECT doc_id, lang, n_tokens FROM ded
+        |  WHERE rn = 1 AND doc_id % 97 <> 0),
+        |g AS (SELECT doc_id, unnest(sh) AS h FROM ms),
+        |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (h)
+        |  WHERE g.doc_id % 97 <> 0),
+        |fin AS (SELECT sv.* FROM surv sv LEFT JOIN cont c
+        |  ON sv.doc_id = c.doc_id WHERE c.doc_id IS NULL),
+        |mx AS (SELECT doc_id, lang, n_tokens,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS rk
+        |  FROM fin),
+        |p AS (SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY rk ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS before_toks
+        |  FROM mx)
+        |SELECT doc_id, lang, n_tokens,
+        |  (before_toks + n_tokens)::BIGINT AS cum_tokens
+        |FROM p WHERE before_toks < 1500
         |ORDER BY doc_id ASC""".stripMargin,
     // blob = utf-8 bytes of text, so DuckDB's md5(text) hashes the
     // identical byte string; octet_length = blob length

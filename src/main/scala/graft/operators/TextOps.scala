@@ -870,7 +870,19 @@ object TextOps {
   private def curatedSurvivors(spark: SparkSession, sfDir: String,
       benchMod: Int): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val quality = docs
+    curatedSurvivorsOf(docs, docs, benchMod)
+  }
+
+  /** [[curatedSurvivors]] with the candidate stream decoupled from the
+    * full corpus: `candidates` is the frame the gate/dedup run over
+    * (the whole corpus for the from-scratch capstones; today's
+    * near-dup-surviving delta for [[pipelineCurateV4]]), while
+    * decontamination always derives its benchmark split from `docs` —
+    * contamination doesn't care which batch a document arrived in.
+    */
+  private def curatedSurvivorsOf(docs: DataFrame, candidates: DataFrame,
+      benchMod: Int): DataFrame = {
+    val quality = candidates
       .withColumn("t", normText(col("text")))
       .withColumn("n_tokens", size(split(col("t"), " ")))
       .withColumn("mean_word_len",
@@ -951,6 +963,34 @@ object TextOps {
     budgetPrefixPruned(curatedSurvivors(spark, sfDir, benchMod)
       .select(col("doc_id"), col("lang"), col("n_tokens")),
       lit(budget), buckets = 256)
+
+  /** `pipeline_curate_v4` — the round-13 capstone: the DAILY-UPDATE
+    * cut. The earlier capstones curate a full corpus from scratch;
+    * what a production pipeline runs every day is the DELTA: today's
+    * crawl first near-dup-dedups against yesterday's persisted
+    * signature store (`dedup_minhash_incremental`'s seen-store — a
+    * delta doc similar to anything already seen never enters
+    * curation), and only the survivors run the standing chain —
+    * quality gate → exact dedup within the batch → decontaminate
+    * (benchmark split from the WHOLE corpus) → per-language
+    * token-budget mix of the delta. One lazy DAG; everything after
+    * the store's band join is delta-sized, which is the entire
+    * economics of incremental curation at 100 TB: the full corpus is
+    * touched only through the (band, bhash)-bucketed signature store
+    * and the decontamination gram index.
+    */
+  def pipelineCurateV4(spark: SparkSession, sfDir: String,
+      budget: Long = 1500L, benchMod: Int = 97): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val survivors = graft.operators.MinHashDedup
+      .dedupMinhashIncremental(spark, sfDir)
+      .select(col("doc_id"))
+    budgetPrefixPruned(
+      curatedSurvivorsOf(docs, docs.join(survivors, Seq("doc_id")),
+        benchMod)
+        .select(col("doc_id"), col("lang"), col("n_tokens")),
+      lit(budget), buckets = 256)
+  }
 
   /** `doc_fingerprint` — rolling/content-defined fingerprinting: per-doc
     * polynomial rolling hash over word 3-grams, plus the minimum 3-gram

@@ -3139,7 +3139,12 @@ object SparkEntry {
     // (m-prefixed — v3's decontamination CTEs keep their d/s/g names)
     // gates which delta docs enter v3's curation chain; quality gate /
     // exact dedup / decontaminate / budget-mix fragments are v3's
-    // verbatim over the restricted candidate set
+    // verbatim over the restricted candidate set. Inherits
+    // dedup_minhash_incremental's banding-miss caveat: the oracle's
+    // m-chain is all-pairs exact Jaccard while the engine gates through
+    // 8x4 banding — the match is a fixed fact of fixtures whose
+    // near-dups sit at J >= 0.9 (miss ~ 2e-4), not a guarantee for
+    // corpora with pairs near the 0.5 threshold
     "pipeline_curate_v4" ->
       raw"""WITH md AS (SELECT doc_id, string_split($normT, ' ') AS toks
         |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),

@@ -519,10 +519,13 @@ object SimSearch {
     * alternative — a PERMUTATION matrix π(i) = 27·i mod 64
     * (gcd(27, 64) = 1, so it's a bijection that scatters any
     * contiguous energy block across all m subspaces). A permutation
-    * is orthogonal and EXACT: coordinates are moved, never combined,
-    * so there is no float arithmetic in the rotation at all and inner
-    * products are preserved bit-for-bit — approx scores stay directly
-    * comparable to `simsearch_pq`'s.
+    * is orthogonal and EXACT as a transform: coordinates are moved,
+    * never combined, so the rotation itself performs no float
+    * arithmetic and inner products are preserved MATHEMATICALLY. (The
+    * computed dots are NOT bit-equal to `simsearch_pq`'s — summation
+    * order changes under the permutation, so the last ulps can differ;
+    * scores are comparable, and the oracle mirrors the rotated order,
+    * but no spec may assert cross-operator score equality.)
     *
     * Plan shape: identical to `simsearch_pq` — the rotation is a
     * row-local 64-element projection (element_at reindexing, codegen;
@@ -583,15 +586,20 @@ object SimSearch {
     val queries = emb.filter(col("vec_id") < nQueries.toLong)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         l2norm(col("embedding")).as("q_nrm"))
+    // corpus side ships ONLY (c_id, c_emb): the candidate norm is
+    // computed AFTER the cand join, on |q|·nCand rows — computing it
+    // here would burn O(|corpus|·dim) flops for rows the shortlist
+    // never touches (review finding r13)
     val corpus = emb.select(col("vec_id").as("c_id"),
-      col("embedding").as("c_emb"), l2norm(col("embedding")).as("c_nrm"))
+      col("embedding").as("c_emb"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id").asc)
     cand
       .join(corpus, Seq("c_id")) // keyed candidate-vector fetch
       .join(broadcast(queries), Seq("q_id"))
       .withColumn("cos_sim", round(
-        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")),
+        dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * l2norm(col("c_emb"))),
         4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -219,6 +219,9 @@ object SparkEntry {
     "fn_regex" -> (ScalarFns.fnRegex _),
     "fn_interval" -> (ScalarFns.fnInterval _),
     "sample_hash" -> ((s: SparkSession, d: String) => ScalarFns.sampleHash(s, d)),
+    // leakage-free train/val/test: split key = md5 of NORMALIZED
+    // CONTENT, so exact dups can never straddle a split boundary
+    "sample_split" -> (ScalarFns.sampleSplit _),
     "fn_array" -> (ScalarFns.fnArray _),
     "fn_json" -> (ScalarFns.fnJson _),
     "fn_variant" -> (ScalarFns.fnVariant _),
@@ -2735,6 +2738,15 @@ object SparkEntry {
         |  s_suppkey >> 2 AS shr2,
         |  ~s_suppkey AS inv
         |FROM supplier ORDER BY s_suppkey ASC""".stripMargin,
+    // same 4-hex md5-prefix bucket arithmetic as sample_hash, keyed on
+    // the NORMALIZED TEXT (both engines md5 the identical string)
+    "sample_split" ->
+      raw"""SELECT doc_id, lang, source,
+        |  CASE (('0x' || substring(md5($normT), 1, 4))::BIGINT % 100)
+        |    WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END
+        |    AS split
+        |FROM documents
+        |ORDER BY doc_id ASC""".stripMargin,
     "sample_hash" ->
       """SELECT doc_id, lang, source,
         |  (('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT

@@ -286,6 +286,33 @@ object ScalarFns {
       .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
       .orderBy(col("doc_id").asc)
 
+  /** `sample_split` — LEAKAGE-FREE train/val/test assignment (the
+    * universal last step before a corpus ships): the split key is the
+    * md5 of the NORMALIZED CONTENT, not the doc id, so exact
+    * duplicates land in the same split BY CONSTRUCTION — id-keyed
+    * splits leak duplicated text from train into test, the classic
+    * eval bug the dedup literature (Lee et al. 2022) opens with.
+    * 98/1/1 by content-hash bucket (0 = test, 1 = val, rest train);
+    * a key-pure row-local function — partition-layout- and
+    * cluster-size-independent, the sample_hash discipline.
+    */
+  def sampleSplit(spark: SparkSession, sfDir: String): DataFrame =
+    sampleSplitDocs(Tables.documents(spark, sfDir))
+
+  /** Core of [[sampleSplit]] over any (doc_id, lang, source, text)
+    * frame (the spec plants duplicate content here).
+    */
+  def sampleSplitDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket",
+        (conv(substring(md5(graft.operators.TextOps.normText(col("text"))),
+          1, 4), 16, 10).cast("long") % 100).cast("int"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("bucket") === 0, lit("test"))
+          .when(col("bucket") === 1, lit("val"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy(col("doc_id").asc)
+
   /** `fn_cond` — CASE WHEN / coalesce / nullif. */
   def fnCond(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

@@ -14,6 +14,34 @@ class FunctionSpec extends AnyFunSuite {
   val sf = TestSpark.sf
   import spark.implicits._
 
+  test("sample_split is leakage-free: equal normalized content never " +
+      "straddles a split boundary (planted dups + whitespace variants)") {
+    import graft.functions.ScalarFns
+    // 300 base texts, each also present as a whitespace/case variant
+    // that normText collapses to the same content — an id-keyed split
+    // would scatter ~2% of these pairs across split boundaries
+    val docs = (0L until 300L).flatMap { i =>
+      val base = s"document $i with some body text token${i % 7} end"
+      Seq((i * 2, "en", "a", base),
+        (i * 2 + 1, "en", "b", "  " + base.toUpperCase + "  "))
+    }.toDF("doc_id", "lang", "source", "text")
+    val split = ScalarFns.sampleSplitDocs(docs)
+    val joined = split.join(
+      docs.select(col("doc_id"),
+        graft.operators.TextOps.normText(col("text")).as("t")),
+      Seq("doc_id"))
+    val violations = joined.groupBy(col("t"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(violations === 0L, "a duplicated text landed in two splits")
+    // non-vacuous: every content value occurs twice, and the corpus is
+    // big enough that all three splits are populated
+    assert(joined.groupBy(col("t")).count()
+      .filter(col("count") =!= 2).count() === 0L)
+    assert(split.select(col("split")).distinct().count() === 3L,
+      "expected train, val and test all populated at n=600")
+  }
+
   test("sample_weighted equals the driver-computed systematic sample") {
     val step = 100000000000L // 1e7 price in 1e-4 units
     val rows = graft.sources.Tables.orders(spark, sf)

@@ -412,6 +412,10 @@ object SparkEntry {
     // (the distributed-PCA moments step)
     "embedding_covariance" -> ((s: SparkSession, d: String) =>
       SimSearch.embeddingCovariance(s, d)),
+    // the embeddings dataset card: counts, zero vectors, norm stats,
+    // extreme-variance dims — one pass through the moments aggregate
+    "embedding_report" -> ((s: SparkSession, d: String) =>
+      SimSearch.embeddingReport(s, d)),
     // top principal direction: same moments pass + exact fixed-point
     // power iteration solved in-task (graph_pagerank discipline)
     "embedding_pca" -> ((s: SparkSession, d: String) =>
@@ -3946,6 +3950,41 @@ object SparkEntry {
         |  CAST(sxy AS DOUBLE) / n
         |    - (CAST(sxi AS DOUBLE) / n) * (CAST(sxj AS DOUBLE) / n) AS cov
         |FROM s ORDER BY i ASC, j ASC""".stripMargin,
+    // norms snap to 6dp per row then SUM exactly as DECIMAL(28,6);
+    // the per-dim variances are the covariance oracle's diagonal tree
+    // verbatim; extremes rank on those doubles with lowest-dim ties
+    "embedding_report" ->
+      raw"""WITH nr AS (SELECT vec_id,
+        |    round(sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))), 6) AS nrm,
+        |    CASE WHEN len(list_filter(embedding, x -> x != 0)) = 0
+        |         THEN 1 ELSE 0 END AS z
+        |  FROM embeddings),
+        |b AS (SELECT COUNT(*) AS n_vecs, SUM(z)::BIGINT AS n_zero,
+        |    MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+        |    round(CAST(SUM(CAST(nrm AS DECIMAL(28,6))) AS DOUBLE)
+        |      / COUNT(*)::DOUBLE, 6) AS mean_norm
+        |  FROM nr),
+        |x AS (SELECT vec_id, CAST(t.i AS INT) AS i,
+        |    CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(18,4)) AS xd
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+        |s AS (SELECT i, COUNT(*)::BIGINT AS n,
+        |    SUM(xd * xd) AS sxx, SUM(xd) AS sx
+        |  FROM x GROUP BY 1),
+        |v AS (SELECT i - 1 AS dim,
+        |    CAST(sxx AS DOUBLE) / n
+        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+        |      AS var FROM s),
+        |vv AS (SELECT
+        |    (SELECT dim FROM v ORDER BY var DESC, dim ASC LIMIT 1)::INT
+        |      AS top_var_dim,
+        |    round((SELECT var FROM v ORDER BY var DESC, dim ASC
+        |      LIMIT 1), 6) AS top_var,
+        |    (SELECT dim FROM v ORDER BY var ASC, dim ASC LIMIT 1)::INT
+        |      AS min_var_dim,
+        |    round((SELECT var FROM v ORDER BY var ASC, dim ASC
+        |      LIMIT 1), 6) AS min_var)
+        |SELECT b.*, vv.* FROM b, vv""".stripMargin,
     // all arithmetic pinned to DOUBLE on both sides (FLOAT/FLOAT stays
     // FLOAT in DuckDB but widens to DOUBLE in Spark); round() is
     // half-away-from-zero for doubles in both engines

@@ -904,6 +904,71 @@ object SimSearch {
       .orderBy(col("i").asc, col("j").asc)
   }
 
+  /** `embedding_report` — the embeddings DATASET CARD (corpus_report's
+    * sibling for the vector table; what an embedding-store audit
+    * prints before an index build): vector count, all-zero-vector
+    * count (they poison cosine math downstream), L2-norm min/max/mean,
+    * and the highest- and lowest-variance dimensions (a dead dimension
+    * flags a truncated or mis-exported model; a runaway one dominates
+    * unnormalized dots). ONE corpus pass: every statistic folds into a
+    * single aggregate row — the norm stats directly, the per-dim
+    * variances through the same exact TypedImperativeAggregate moments
+    * buffer `embedding_covariance` uses (its diagonal, read by a keyed
+    * broadcast join on buffer position).
+    *
+    * Exactness: norms snap to 6dp per row and SUM as DECIMAL(28,6)
+    * (double summation is order-dependent; decimal is exact), one IEEE
+    * division for the mean; variances come out of the moments buffer
+    * through the SAME IEEE tree the green covariance oracle mirrors,
+    * so ranking them is engine-deterministic (ties to the lowest dim
+    * via lexicographic struct min/max).
+    */
+  def embeddingReport(spark: SparkSession, sfDir: String,
+      d: Int = 64): DataFrame =
+    embeddingReportOf(Tables.embeddings(spark, sfDir), d)
+
+  /** Core of [[embeddingReport]] over any (vec_id, embedding) frame. */
+  def embeddingReportOf(emb: DataFrame, d: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val normSnap = round(l2norm(col("embedding")), 6)
+    val base = emb.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(expr("size(filter(embedding, x -> x <> 0)) = 0"), 1L)
+        .otherwise(0L)).as("n_zero"),
+      min(normSnap).as("min_norm"),
+      max(normSnap).as("max_norm"),
+      round(sum(normSnap
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double") / count(lit(1)).cast("double"), 6)
+        .as("mean_norm"),
+      graft.functions.ImperativeAggs.vectorMoments(col("embedding"), d)
+        .as("c"))
+    // diagonal positions of the upper-triangle row-major buffer:
+    // pos(i,i) = i·d − i(i−1)/2
+    val diagPos = broadcast(
+      (0 until d).map(i => (i * d - i * (i - 1) / 2, i))
+        .toDF("pos", "dim"))
+    val vars = base
+      .select(col("n_vecs"), col("n_zero"), col("min_norm"),
+        col("max_norm"), col("mean_norm"),
+        posexplode(col("c")).as(Seq("pos", "cov")))
+      .join(diagPos, Seq("pos"))
+    vars.groupBy(col("n_vecs"), col("n_zero"), col("min_norm"),
+        col("max_norm"), col("mean_norm"))
+      .agg(
+        max(struct(col("cov").as("v"),
+          (-col("dim")).cast("long").as("ni"))).as("mx"),
+        min(struct(col("cov").as("v"),
+          col("dim").cast("long").as("pi"))).as("mn"))
+      .select(col("n_vecs"), col("n_zero"), col("min_norm"),
+        col("max_norm"), col("mean_norm"),
+        (-col("mx.ni")).cast("int").as("top_var_dim"),
+        round(col("mx.v"), 6).as("top_var"),
+        col("mn.pi").cast("int").as("min_var_dim"),
+        round(col("mn.v"), 6).as("min_var"))
+  }
+
   /** `embedding_pca` — the top principal direction of the embedding
     * corpus: [[embeddingCovariance]]'s ONE distributed moments pass,
     * then an EXACT fixed-point power iteration solved in-task over the

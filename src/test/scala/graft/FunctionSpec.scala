@@ -589,6 +589,36 @@ class FunctionSpec extends AnyFunSuite {
     assert(run(1) == run(7))
   }
 
+  test("embedding_report: zero vectors counted, planted extreme-" +
+      "variance dims surfaced, norm stats exact") {
+    import graft.operators.SimSearch
+    // dim 4: dim 2 has the only variance; dim 0 is constant-nonzero
+    // (zero variance); one all-zero vector
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 5f, 0.5f)),
+      (2L, Array(1f, 0f, -5f, 0.5f)),
+      (3L, Array(1f, 0f, 9f, 0.5f)),
+      (4L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val r = SimSearch.embeddingReportOf(vecs, 4).collect().head
+    assert(r.getAs[Long]("n_vecs") === 4L)
+    assert(r.getAs[Long]("n_zero") === 1L)
+    assert(r.getAs[Double]("min_norm") === 0.0)
+    assert(r.getAs[Int]("top_var_dim") === 2)
+    assert(r.getAs[Double]("top_var") > 1.0)
+    // zero-variance tie between dims 1 and 3 (dim 0 varies via the
+    // zero row): lowest dim wins
+    assert(r.getAs[Int]("min_var_dim") === 1)
+    assert(r.getAs[Double]("min_var") === 0.0)
+    val norms = Seq(math.sqrt(1 + 25 + 0.25), math.sqrt(1 + 25 + 0.25),
+      math.sqrt(1 + 81 + 0.25), 0.0)
+      .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    val mean = BigDecimal(norms.sum / 4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("mean_norm") - mean) < 2e-6)
+    assert(r.getAs[Double]("max_norm") === norms.max)
+  }
+
   test("vector_moments: NULL vectors skip (SQL agg semantics); a " +
       "wrong-length vector RAISES instead of silently diverging") {
     import graft.functions.ImperativeAggs

@@ -355,6 +355,10 @@ object SparkEntry {
     // search + keep-lowest-id survivors (stride codebook, oracled)
     "dedup_semantic" -> ((s: SparkSession, d: String) =>
       SimSearch.semDedup(s, d)),
+    // SemDeDup's daily-crawl form: yesterday's codebook + persisted
+    // cell index, delta-only assignment, seen-store drop rule
+    "dedup_semantic_incremental" -> ((s: SparkSession, d: String) =>
+      SimSearch.semDedupIncremental(s, d)),
     // production-default banding (deeper bands → ~linear candidate set;
     // recall tunes per corpus); no oracle (xxhash64-derived hyperplanes
     // aren't DuckDB-expressible) — agreement with the exact operator is
@@ -4245,6 +4249,40 @@ object SparkEntry {
         |SELECT asg.c_id AS vec_id, asg.cent_id
         |FROM asg LEFT JOIN dropped ON asg.c_id = dropped.b_id
         |WHERE dropped.b_id IS NULL
+        |ORDER BY vec_id ASC""".stripMargin,
+    // incremental SemDeDup: store-side codebook (vec_id%10<8 AND the
+    // stride), assignment over everyone, drop rule = same cell AND
+    // (o in store OR earlier delta) AND 4dp cosine >= 0.40
+    "dedup_semantic_incremental" ->
+      """WITH cbc AS (SELECT vec_id AS cent_id, embedding AS c_v,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+        |  FROM embeddings WHERE vec_id % 10 < 8 AND vec_id % 127 = 0),
+        |asg AS (SELECT c_id, cent_id FROM (
+        |  SELECT e.vec_id AS c_id, cbc.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE
+        |           * (cbc.c_v[i]::DOUBLE / cbc.cnrm))) DESC,
+        |      cbc.cent_id ASC) AS rn
+        |  FROM embeddings e CROSS JOIN cbc) WHERE rn = 1),
+        |dropped AS (SELECT DISTINCT nn.c_id AS n_id
+        |  FROM asg nn JOIN asg oo
+        |    ON nn.cent_id = oo.cent_id AND nn.c_id <> oo.c_id
+        |  JOIN embeddings n ON n.vec_id = nn.c_id
+        |  JOIN embeddings o ON o.vec_id = oo.c_id
+        |  WHERE nn.c_id % 10 >= 8
+        |    AND (oo.c_id % 10 < 8 OR oo.c_id < nn.c_id)
+        |    AND round(
+        |      list_sum(list_transform(range(1, len(n.embedding) + 1),
+        |        i -> n.embedding[i]::DOUBLE * o.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(n.embedding,
+        |           x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(o.embedding,
+        |           x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.40)
+        |SELECT asg.c_id AS vec_id, asg.cent_id
+        |FROM asg LEFT JOIN dropped ON asg.c_id = dropped.n_id
+        |WHERE dropped.n_id IS NULL AND asg.c_id % 10 >= 8
         |ORDER BY vec_id ASC""".stripMargin,
     "simsearch_knn" -> knnOracleSql,
     // the LSH hyperplanes are replicated bit-exactly in SQL

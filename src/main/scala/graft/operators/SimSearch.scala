@@ -1454,6 +1454,80 @@ object SimSearch {
       threshold: Double): DataFrame =
     semDedupWithCodebook(emb, ivfCodebook(emb, centroidStride), threshold)
 
+  /** `dedup_semantic_incremental` — SemDeDup's daily-crawl form,
+    * completing the incremental family (exact `dedup_incremental` →
+    * near-dup `dedup_minhash_incremental` → semantic): the codebook is
+    * YESTERDAY's (learned on the existing corpus and persisted — here
+    * the store-side stride sample, the deterministic declared choice),
+    * the store's cell assignments are the persisted index, and only
+    * the DELTA pays assignment compute. Seen-store semantics
+    * throughout (the family contract): a delta vector drops iff its
+    * 4dp cosine clears `threshold` against ANY same-cell store vector
+    * or any SMALLER-id same-cell delta vector, and every delta
+    * assignment enters the store regardless of survival — so batching
+    * is associative UNDER THE PINNED QUANTIZER (the minhash twin's
+    * contract; here the codebook is the extra piece of state a batch
+    * must not silently re-learn — see
+    * [[semDedupIncrementalWithCodebook]]).
+    *
+    * Scale shape: delta-sized assignment (broadcast codebook argmax,
+    * narrow compute), ONE cent_id exchange on the delta reused by the
+    * store join and the intra-delta self-join, pairs form cell-locally
+    * — never all-pairs; at 100 TB the store side reads the persisted
+    * (cent_id)-bucketed assignment and prunes to cells the delta
+    * touches.
+    */
+  def semDedupIncremental(spark: SparkSession, sfDir: String,
+      centroidStride: Long = 127, threshold: Double = 0.40): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    semDedupIncrementalDocs(emb.filter(col("vec_id") % 10 < 8),
+      emb.filter(col("vec_id") % 10 >= 8), centroidStride, threshold)
+  }
+
+  /** Core of [[semDedupIncremental]] over explicit store/delta
+    * (vec_id, embedding) frames with disjoint ids; the codebook is the
+    * STORE's stride sample (yesterday's persisted quantizer).
+    */
+  def semDedupIncrementalDocs(store: DataFrame, delta: DataFrame,
+      centroidStride: Long = 127, threshold: Double = 0.40): DataFrame =
+    semDedupIncrementalWithCodebook(store, delta,
+      ivfCodebook(store, centroidStride), threshold)
+
+  /** [[semDedupIncrementalDocs]] with the quantizer pinned explicitly.
+    * Batch-associativity holds GIVEN a fixed codebook (two ordered
+    * batches against the same quantizer equal one batch — the
+    * DedupSpec contract); re-learning the codebook is a REINDEX event
+    * that re-cells the store, not something a daily batch does.
+    */
+  def semDedupIncrementalWithCodebook(store: DataFrame, delta: DataFrame,
+      cb: Array[(Long, Array[Float], Double)],
+      threshold: Double): DataFrame = {
+    val storeCells = ivfAssignCorpus(store, cb)
+    val deltaCells = ivfAssignCorpus(delta, cb)
+      .repartition(col("cent_id"))
+    def side(cells: DataFrame, p: String, isStore: Boolean) =
+      cells.select(col("cent_id"),
+        col("c_id").as(s"${p}_id"), col("c_emb").as(s"${p}_emb"),
+        col("c_nrm").as(s"${p}_nrm"),
+        lit(isStore).as(s"${p}_store"))
+    val seen = side(storeCells, "o", isStore = true)
+      .union(side(deltaCells, "o", isStore = false))
+    val dropped = side(deltaCells, "n", isStore = false)
+      .join(seen, Seq("cent_id"))
+      // o is seen for n iff o is in the store (any id) or an EARLIER
+      // delta vector
+      .filter(col("o_store") || col("o_id") < col("n_id"))
+      .withColumn("cos_sim", round(
+        dot(col("n_emb"), col("o_emb")) / (col("n_nrm") * col("o_nrm")),
+        4))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("n_id")).distinct()
+    deltaCells.join(dropped, deltaCells("c_id") === dropped("n_id"),
+        "left_anti")
+      .select(col("c_id").as("vec_id"), col("cent_id"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** [[semDedupDocs]] with an explicit codebook — the learned
     * [[ivfCodebookKmeans]] drop-in (SemDeDup's actual configuration:
     * k-means cells, not stride samples). Same plan; only centroid

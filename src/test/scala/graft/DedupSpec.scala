@@ -654,6 +654,47 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Set(12L, 14L, 15L))
   }
 
+  test("dedup_semantic_incremental: planted semantics + the family's " +
+      "batch-associativity contract") {
+    import graft.operators.SimSearch
+    val rnd = new scala.util.Random(13)
+    def unit(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(16)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n).toSeq
+    }
+    def near(v: Seq[Float]): Seq[Float] = v.updated(0, v(0) + 0.02f)
+    val base = unit(1); val other = unit(2)
+    // vec 0 is the stride-sample codebook seed; delta ids 100+
+    val store = Seq((0L, unit(3)), (1L, base), (2L, other))
+      .toDF("vec_id", "embedding")
+    val delta = Seq(
+      (100L, near(base)),   // ~dup of store vec 1 → drops
+      (101L, unit(4)),      // fresh → survives
+      (102L, near(unit(4))),// ~dup of EARLIER delta 101 → drops
+      (103L, unit(5)))      // fresh → survives
+      .toDF("vec_id", "embedding")
+    val got = SimSearch
+      .semDedupIncrementalDocs(store, delta, 1L, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(101L, 103L), s"got $got")
+    // associativity (the incremental family contract): two ordered
+    // batches — the second against store ∪ batch 1, both against the
+    // SAME pinned quantizer (re-learning the codebook is a reindex
+    // event, not a batch event) — equal one batch
+    val cb = SimSearch.ivfCodebook(store, 1L)
+    val d1 = delta.filter(col("vec_id") < 102L)
+    val d2 = delta.filter(col("vec_id") >= 102L)
+    val s1 = SimSearch
+      .semDedupIncrementalWithCodebook(store, d1, cb, 0.95)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = SimSearch
+      .semDedupIncrementalWithCodebook(store.union(d1), d2, cb, 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert((s1 ++ s2) === got)
+  }
+
   test("dedup_embedding_lsh agrees with the exact operator on planted near-dups") {
     // deterministic pseudo-random base vectors + planted near-dups
     // (tiny perturbation → cos ≈ 0.9999, band-miss probability < 1e-3;

@@ -165,6 +165,10 @@ object SparkEntry {
     "table_stats_approx" -> (Aggregates.tableStatsApprox _),
     "dq_checks" -> (Aggregates.dqChecks _),
     "dq_drift" -> (Aggregates.dqDrift _),
+    // the freshness pillar: per-series last event + whole-hour lag
+    // behind the corpus max, stale flag past 48h
+    "dq_freshness" -> ((s: SparkSession, d: String) =>
+      Aggregates.dqFreshness(s, d)),
     "agg_corr" -> (Aggregates.aggCorr _),
     "agg_filter_clause" -> (Aggregates.aggFilterClause _),
     "sample_weighted" -> ((s: SparkSession, d: String) =>
@@ -2313,6 +2317,19 @@ object SparkEntry {
         |FROM a
         |ORDER BY column_name ASC""".stripMargin,
     // exact violation counts; pass = (violations == 0) as INT
+    "dq_freshness" ->
+      """WITH per AS (SELECT event_type, COUNT(*) AS n_events,
+        |    max(ts) AS last_ts
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT max(last_ts) AS gmax FROM per)
+        |SELECT event_type, n_events,
+        |  strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+        |  ((epoch_ms(gmax) - epoch_ms(last_ts)) // 3600000)::BIGINT
+        |    AS lag_hours,
+        |  CASE WHEN (epoch_ms(gmax) - epoch_ms(last_ts)) // 3600000
+        |            >= 48 THEN 1 ELSE 0 END AS stale
+        |FROM per, g
+        |ORDER BY event_type ASC""".stripMargin,
     "dq_checks" ->
       """SELECT check_name, target, violations,
         |  (CASE WHEN violations = 0 THEN 1 ELSE 0 END)::INT AS pass

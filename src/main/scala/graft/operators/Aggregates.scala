@@ -377,6 +377,38 @@ object Aggregates {
     * three times (PK agg + both FK sides). Nothing funnels; every
     * probe is a scan-side aggregate or keyed anti-join.
     */
+  /** `dq_freshness` — the data-FRESHNESS monitor, the third standard
+    * DQ pillar next to `dq_checks` (completeness/validity) and
+    * `dq_drift` (distribution): per event series, event count, last
+    * event time, and the lag in whole hours behind the corpus's
+    * newest event, flagged stale past `staleHours` — the "did source X
+    * stop delivering" page every ingestion pipeline wires first.
+    *
+    * Shape: ONE keyed aggregate (series-sized after it at any corpus
+    * size); the global max attaches as a broadcast ONE-ROW scalar
+    * (the agg_histogram shape — bounded × 1, allowlisted in
+    * ContractSpec; a constant-key equi-join folds to the same plan).
+    * Exactness: lag = integer millis difference DIV 3600000 — both
+    * engines truncate identically on the non-negative diff; no float
+    * anywhere.
+    */
+  def dqFreshness(spark: SparkSession, sfDir: String,
+      staleHours: Long = 48L): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+    val global = per.agg(max(col("last_ts")).as("gmax"))
+    per.crossJoin(broadcast(global))
+      .withColumn("lag_hours",
+        expr("(unix_millis(gmax) - unix_millis(last_ts)) div 3600000"))
+      .select(col("event_type"), col("n_events"),
+        date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("last_seen"),
+        col("lag_hours"),
+        when(col("lag_hours") >= staleHours, 1).otherwise(0).as("stale"))
+      .orderBy(col("event_type").asc)
+  }
+
   def dqChecks(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)

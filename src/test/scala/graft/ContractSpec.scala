@@ -123,6 +123,9 @@ class ContractSpec extends AnyFunSuite {
     //                    standard scalar-attach shape; O(|corpus|·1))
     //   agg_histogram  — corpus × broadcast ONE-ROW min/max bounds (same
     //                    scalar-attach shape)
+    //   dq_freshness   — SERIES-SIZED rollup × broadcast ONE-ROW global
+    //                    max (both sides bounded; the same scalar
+    //                    attach — the lit-key equi-join folds to BNLJ)
     //   ann_recall     — scores the approximate searchers AGAINST the
     //                    exact KNN baseline, so it necessarily contains
     //                    simsearch_knn's documented corpus × bounded
@@ -165,6 +168,7 @@ class ContractSpec extends AnyFunSuite {
     //                    is keyed and cached once
     val allowProduct =
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
+        "dq_freshness",
         "ann_recall", "stream_watermark_late_ok", "simsearch_hybrid",
         "simsearch_hybrid_lsh", "simsearch_hybrid_ivf", "simsearch_pq",
         "simsearch_ivfpq", "simsearch_ivfpq_residual", "simsearch_ivf",

@@ -389,6 +389,15 @@ object SparkEntry {
     // fetch -> exact-cosine re-rank (ADC + refine)
     "simsearch_rerank" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchRerank(s, d)),
+    // metadata-filtered ANN, PRE-filter order: the attribute predicate
+    // (candidate label = query label) is a join key, pruning candidates
+    // before any distance math — exact over the qualifying subset
+    "simsearch_filtered" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchFiltered(s, d)),
+    // filtered search at ANN scale: (cent_id, label) as a compound
+    // broadcast-hash-join key — IVF cell prune × attribute prune in one
+    "simsearch_filtered_ivf" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchFilteredIvf(s, d)),
     // OPQ-family deterministic rotation: exact permutation 27i mod 64
     // spreads subspace energy; everything downstream is simsearch_pq
     "simsearch_pq_rotated" -> ((s: SparkSession, d: String) =>
@@ -4302,6 +4311,65 @@ object SparkEntry {
         |WHERE dropped.n_id IS NULL AND asg.c_id % 10 >= 8
         |ORDER BY vec_id ASC""".stripMargin,
     "simsearch_knn" -> knnOracleSql,
+    // pre-filter exact: knn's CTEs with the label predicate as the join
+    // condition — the top-k ranks only label-matching candidates
+    "simsearch_filtered" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+        |           label AS q_label FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_emb,
+        |      label AS c_label FROM embeddings),
+        |p AS (SELECT q_id, c_id,
+        |  round(
+        |    list_sum(list_transform(range(1, len(q_emb) + 1),
+        |      i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(c_emb, x -> x::DOUBLE * x::DOUBLE)))),
+        |    4) AS cos_sim
+        |  FROM c JOIN q ON c_label = q_label AND q_id <> c_id)
+        |SELECT q_id, c_id, cos_sim, rn::INT AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p
+        |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
+    // filtered IVF: simsearch_ivf's asg/qc CTEs carrying label; the
+    // candidate join adds the label-match predicate (IDSelector point)
+    "simsearch_filtered_ivf" ->
+      """WITH cb AS (SELECT vec_id AS cent_id, embedding AS c_v,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+        |  FROM embeddings WHERE vec_id % 127 = 0),
+        |asg AS (SELECT c_id, c_emb, c_nrm, c_label, cent_id FROM (
+        |  SELECT e.vec_id AS c_id, e.embedding AS c_emb,
+        |    sqrt(list_sum(list_transform(e.embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS c_nrm,
+        |    e.label AS c_label, cb.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE * (cb.c_v[i]::DOUBLE / cb.cnrm))) DESC,
+        |      cb.cent_id ASC) AS rn
+        |  FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+        |qc AS (SELECT q_id, q_emb, q_nrm, q_label, cent_id FROM (
+        |  SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+        |    sqrt(list_sum(list_transform(e.embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS q_nrm,
+        |    e.label AS q_label, cb.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE * cb.c_v[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> x::DOUBLE * x::DOUBLE))) * cb.cnrm) DESC,
+        |      cb.cent_id ASC) AS rn
+        |  FROM embeddings e CROSS JOIN cb WHERE e.vec_id < 10) WHERE rn <= 2),
+        |p3 AS (SELECT q.q_id, a.c_id,
+        |  round(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |      i -> q.q_emb[i]::DOUBLE * a.c_emb[i]::DOUBLE))
+        |    / (q.q_nrm * a.c_nrm), 4) AS cos_sim
+        |  FROM qc q JOIN asg a
+        |    ON q.cent_id = a.cent_id AND q.q_label = a.c_label
+        |  WHERE q.q_id <> a.c_id)
+        |SELECT q_id, c_id, cos_sim, rn::INT AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p3
+        |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
     // the LSH hyperplanes are replicated bit-exactly in SQL
     // (lshWeightCtes), so the bucketed search is a full hash-match
     // rather than spec-only: bucket → same-bucket candidates → top-5

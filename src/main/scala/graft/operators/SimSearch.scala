@@ -607,6 +607,150 @@ object SimSearch {
       .orderBy(col("q_id").asc, col("rn").asc)
   }
 
+  /** `simsearch_filtered` — METADATA-FILTERED exact ANN: top-k cosine
+    * neighbors restricted to candidates satisfying an attribute
+    * predicate (here: same `label` as the query — the "same language /
+    * same tenant / same licence" shape every production vector store
+    * serves via an IDSelector or filter pushdown). This is the
+    * PRE-FILTER order: the predicate prunes the candidate set BEFORE
+    * any distance is computed, so the top-k is exact over the
+    * qualifying subset — no refill risk.
+    *
+    * Scale shape: the per-query predicate is an EQUI-join key, so the
+    * candidate generation is a broadcast hash join keyed on the
+    * attribute — only label-matching (query, corpus) pairs are ever
+    * materialized (≈ selectivity·|corpus|·|queries| rows, here ~10%),
+    * vs the brute-force cross product. At 100 TB the corpus side is
+    * additionally partitioned by the attribute, so the join prunes
+    * whole partitions (see `scan_partition_prune`). The POST-FILTER
+    * order ([[filteredPostOver]]) is kept as the contrast: ANN top-k
+    * first, predicate after — cheaper per query but returns ≤ k rows
+    * and misses qualifying neighbors ranked below the unfiltered top-k
+    * (recall ≤ pre-filter at equal k, pinned in DedupSpec).
+    */
+  def simsearchFiltered(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 10): DataFrame =
+    filteredKnnOver(Tables.embeddings(spark, sfDir), k, nQueries)
+
+  /** Pre-filter exact top-k over any (vec_id, embedding, label) frame:
+    * candidates restricted to `label = query.label` by the join itself.
+    */
+  def filteredKnnOver(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"), col("label").as("q_label"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), l2norm(col("embedding")).as("c_nrm"),
+      col("label").as("c_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    corpus
+      .join(broadcast(queries),
+        col("c_label") === col("q_label") && col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos_sim"), col("rn"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  /** POST-filter order (the contrast case, library-only): unfiltered
+    * exact top-k FIRST, attribute predicate AFTER. Cheaper when the
+    * predicate is not indexable, but the result has ≤ k rows per query
+    * and silently drops qualifying neighbors that ranked below the
+    * unfiltered top-k — the documented refill risk. DedupSpec pins
+    * recall(pre) ≥ recall(post) at equal k on a skewed-attribute
+    * corpus where the gap is strict.
+    */
+  def filteredPostOver(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    knnOver(emb, k, nQueries)
+      .join(broadcast(labels.select(col("vec_id").as("q_id"),
+        col("label").as("q_label"))), Seq("q_id"))
+      .join(broadcast(labels.select(col("vec_id").as("c_id"),
+        col("label").as("c_label"))), Seq("c_id"))
+      .filter(col("c_label") === col("q_label"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("q_id"), col("c_id"), col("cos_sim"), col("rn"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  /** `simsearch_filtered_ivf` — the filtered search at ANN scale:
+    * IVF coarse quantization prunes to `nProbe` cells per query
+    * (index-side prune), the attribute predicate prunes candidates
+    * WITHIN the probed cells (FAISS's IDSelector evaluation point —
+    * the index is built once over the full corpus; the filter applies
+    * at scan time, so any predicate works against the same index).
+    * Both prunes land in ONE broadcast hash join: keys (cent_id,
+    * label), so a candidate row is materialized only if it is in a
+    * probed cell AND label-matches the query.
+    *
+    * vs [[simsearchFiltered]]: same predicate semantics, candidate
+    * cost |probed cells ∩ label|·|queries| instead of
+    * selectivity·|corpus|·|queries| — the product of both selectivities.
+    * Results may have < k rows per query when the probed cells hold
+    * fewer than k qualifying vectors (the recall/probe trade-off,
+    * tunable via nProbe); the DuckDB oracle replicates cell
+    * assignment + filter exactly, so this is hash-gated, not spec-only.
+    */
+  def simsearchFilteredIvf(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 10, centroidStride: Long = 127,
+      nProbe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val codebook = ivfCodebook(emb, centroidStride)
+    // corpus assignment: same scan→project kernel as ivfAssignCorpus,
+    // carrying the filter attribute through
+    val corpusCells = emb
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        l2norm(col("embedding")).as("c_nrm"), col("label").as("c_label"))
+      .withColumn("cent_id",
+        graft.functions.VectorExpressions.nearestCentroidCol(col("c_emb"),
+          codebook.map(_._1),
+          codebook.map { case (_, v, nrm) => v.map(_.toDouble / nrm) }))
+    val queryCells = ivfQueryCellsWithLabel(emb, codebook, nQueries, nProbe)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    corpusCells
+      .join(broadcast(queryCells),
+        col("cent_id") === col("q_cent") &&
+          col("c_label") === col("q_label") &&
+          col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos_sim"), col("rn"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  /** [[ivfQueryCells]] carrying the query's filter attribute (and with
+    * the probe-cell id renamed so the downstream join can name both
+    * sides). Same ranking arithmetic — bit-identical probe selection.
+    */
+  private def ivfQueryCellsWithLabel(emb: DataFrame,
+      codebook: Array[(Long, Array[Float], Double)], nQueries: Int,
+      nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cbDf = codebook.toSeq.map { case (id, v, nrm) => (id, v, nrm) }
+      .toDF("cent_id", "c_v", "cnrm")
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_cos").desc, col("cent_id").asc)
+    emb.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"), col("label").as("q_label"))
+      .crossJoin(broadcast(cbDf))
+      .withColumn("cell_cos",
+        dot(col("q_emb"), col("c_v")) / (col("q_nrm") * col("cnrm")))
+      .withColumn("cell_rn", row_number().over(wq))
+      .filter(col("cell_rn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("q_label"),
+        col("cent_id").as("q_cent"))
+  }
+
   /** `simsearch_ivfpq_residual` — IVFPQ with RESIDUAL ENCODING, the
     * first of the two refinements `simsearch_ivfpq`'s docstring elides
     * (the other, OPQ's learned rotation, is not deterministically

@@ -398,6 +398,11 @@ object SparkEntry {
     // broadcast-hash-join key — IVF cell prune × attribute prune in one
     "simsearch_filtered_ivf" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchFilteredIvf(s, d)),
+    // LEARNED codebook as a declared path: deterministic integer Lloyd
+    // (1e-6-unit quantization, exact Long argmin-L2, floorDiv updates)
+    // — the oracle recomputes the same 5 iterations in unrolled CTEs
+    "simsearch_ivf_kmeans" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchIvfKmeans(s, d)),
     // OPQ-family deterministic rotation: exact permutation 27i mod 64
     // spreads subspace energy; everything downstream is simsearch_pq
     "simsearch_pq_rotated" -> ((s: SparkSession, d: String) =>
@@ -1262,6 +1267,48 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY q_id
       |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p2
       |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin
+
+  /** Unrolled integer-Lloyd CTE chain for the `simsearch_ivf_kmeans`
+    * oracle: quantize the stride sample to 1e-6 BIGINT units, init from
+    * the first kCents sample vectors, then nIter exact iterations —
+    * assignment by argmax(2·dot − ‖c‖², integer, ties to lowest cent),
+    * update by floor-division means (DuckDB `//` = Math.floorDiv),
+    * empty cells keeping their centroid. Integer sums are associative,
+    * so both engines agree bit-for-bit regardless of aggregation order.
+    * MATERIALIZED per the chained-CTE discipline (SURVEY §5.3). Yields
+    * `c{nIter}` (cent, i, v) — the learned codebook in long form.
+    */
+  private def lloydCtes(kCents: Int, nIter: Int,
+      sampleStride: Long): String = {
+    val init =
+      s"""dims AS (SELECT unnest(range(1, 65)) AS i),
+         |sl AS MATERIALIZED (
+         |  SELECT e.vec_id AS s_id, d.i,
+         |    floor(e.embedding[d.i]::DOUBLE * 1000000 + 0.5)::BIGINT AS v
+         |  FROM embeddings e CROSS JOIN dims d
+         |  WHERE e.vec_id % $sampleStride = 0),
+         |c0 AS MATERIALIZED (
+         |  SELECT dense_rank() OVER (ORDER BY s_id) - 1 AS cent, i, v
+         |  FROM sl WHERE s_id IN (SELECT s_id FROM (
+         |    SELECT DISTINCT s_id FROM sl ORDER BY s_id LIMIT $kCents)))"""
+        .stripMargin
+    val iters = (0 until nIter).map { n =>
+      s"""a$n AS MATERIALIZED (SELECT s_id, cent FROM (
+         |  SELECT d.s_id, d.cent, row_number() OVER (PARTITION BY d.s_id
+         |    ORDER BY d.dot2 - n.nsq DESC, d.cent ASC) AS rn
+         |  FROM (SELECT s.s_id, c.cent, 2 * sum(s.v * c.v) AS dot2
+         |        FROM sl s JOIN c$n c USING (i) GROUP BY 1, 2) d
+         |  JOIN (SELECT cent, sum(v * v) AS nsq FROM c$n GROUP BY 1) n
+         |    USING (cent)) WHERE rn = 1),
+         |c${n + 1} AS MATERIALIZED (
+         |  SELECT p.cent, p.i, coalesce(u.nv, p.v) AS v
+         |  FROM c$n p LEFT JOIN (
+         |    SELECT a.cent, s.i, sum(s.v) // count(*) AS nv
+         |    FROM a$n a JOIN sl s ON a.s_id = s.s_id GROUP BY 1, 2) u
+         |  ON p.cent = u.cent AND p.i = u.i)""".stripMargin
+    }
+    (init +: iters).mkString(",\n")
+  }
 
   private lazy val ivfOracleSql: String =
     """WITH cb AS (SELECT vec_id AS cent_id, embedding AS c_v,
@@ -4379,6 +4426,44 @@ object SparkEntry {
     // smaller cent_id (the kernel's strict-> scan order), query side
     // ranks cosine like the struct sort
     "simsearch_ivf" -> ivfOracleSql,
+    // learned-codebook IVF: the full 5-iteration integer Lloyd
+    // recomputed in unrolled CTEs (lloydCtes), then assignment/probing
+    // by the same exact integer-L2 score and the family's 4dp cosine
+    "simsearch_ivf_kmeans" ->
+      raw"""WITH ${lloydCtes(kCents = 8, nIter = 5, sampleStride = 5)},
+        |xl AS MATERIALIZED (SELECT e.vec_id, d.i,
+        |    floor(e.embedding[d.i]::DOUBLE * 1000000 + 0.5)::BIGINT AS v
+        |  FROM embeddings e CROSS JOIN dims d),
+        |cnrm AS (SELECT cent, sum(v * v) AS nsq FROM c5 GROUP BY 1),
+        |casg AS MATERIALIZED (SELECT vec_id AS c_id, cent AS cent_id FROM (
+        |  SELECT d.vec_id, d.cent, row_number() OVER (PARTITION BY d.vec_id
+        |    ORDER BY d.dot2 - n.nsq DESC, d.cent ASC) AS rn
+        |  FROM (SELECT x.vec_id, c.cent, 2 * sum(x.v * c.v) AS dot2
+        |        FROM xl x JOIN c5 c USING (i) GROUP BY 1, 2) d
+        |  JOIN cnrm n USING (cent)) WHERE rn = 1),
+        |qcell AS (SELECT vec_id AS q_id, cent AS cent_id FROM (
+        |  SELECT d.vec_id, d.cent, row_number() OVER (PARTITION BY d.vec_id
+        |    ORDER BY d.dot2 - n.nsq DESC, d.cent ASC) AS rn
+        |  FROM (SELECT x.vec_id, c.cent, 2 * sum(x.v * c.v) AS dot2
+        |        FROM xl x JOIN c5 c USING (i) WHERE x.vec_id < 10
+        |        GROUP BY 1, 2) d
+        |  JOIN cnrm n USING (cent)) WHERE rn <= 2),
+        |p3 AS (SELECT q.q_id, a.c_id,
+        |  round(
+        |    list_sum(list_transform(range(1, len(eq.embedding) + 1),
+        |      i -> eq.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(eq.embedding,
+        |         x -> x::DOUBLE * x::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(ec.embedding,
+        |         x -> x::DOUBLE * x::DOUBLE)))), 4) AS cos_sim
+        |  FROM qcell q JOIN casg a USING (cent_id)
+        |  JOIN embeddings eq ON eq.vec_id = q.q_id
+        |  JOIN embeddings ec ON ec.vec_id = a.c_id
+        |  WHERE q.q_id <> a.c_id)
+        |SELECT q_id, c_id, cos_sim, rn::INT AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p3
+        |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
     // IVFPQ: the coarse-cell prune (simsearch_ivf's asg/qc CTEs) feeding
     // the PQ lookup scoring (simsearch_pq's codes/lut CTEs on a finer
     // stride-61 codebook) — candidates only, never the corpus

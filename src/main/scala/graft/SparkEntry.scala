@@ -41,6 +41,10 @@ object SparkEntry {
     "preview" -> (Relational.preview _),
     "sink_parquet" -> (SinkQueries.sinkParquet _),
     "sink_partitioned" -> (SinkQueries.sinkPartitioned _),
+    // read-side partition pruning: the predicate resolves against
+    // directory names at planning time (PartitionFilters, plan-pinned
+    // in PlanShapeSpec) — the #1 cost lever on a partitioned lake
+    "scan_partition_prune" -> (SinkQueries.scanPartitionPrune _),
     "sink_append" -> (SinkQueries.sinkAppend _),
     "sink_replace_partition" -> (SinkQueries.sinkReplacePartition _),
     "sink_schema_evolution" -> (SinkQueries.sinkSchemaEvolution _),
@@ -363,6 +367,11 @@ object SparkEntry {
     // cell index, delta-only assignment, seen-store drop rule
     "dedup_semantic_incremental" -> ((s: SparkSession, d: String) =>
       SimSearch.semDedupIncremental(s, d)),
+    // the STREAMING twin: 2-micro-batch file replay through the
+    // cent_id-keyed SemanticDedupProcessor (RocksDB ListState, pinned
+    // store codebook), gated on the SAME oracle as the batch operator
+    "stream_dedup_semantic_ok" -> ((s: SparkSession, d: String) =>
+      graft.streaming.Streams.streamDedupSemanticOk(s, d)),
     // production-default banding (deeper bands → ~linear candidate set;
     // recall tunes per corpus); no oracle (xxhash64-derived hyperplanes
     // aren't DuckDB-expressible) — agreement with the exact operator is
@@ -509,6 +518,11 @@ object SparkEntry {
     // per-language fertility report: third view of the one training
     "bpe_fertility" -> ((s: SparkSession, d: String) =>
       BpeTrain.bpeFertility(s, d)),
+    // the tokenize-and-pack capstone: the SAME memoized training →
+    // per-doc BPE unit counts → pack_sequences' budget packing over
+    // TOKENIZER units (the composition a real pipeline ships)
+    "pipeline_tokenize" -> ((s: SparkSession, d: String) =>
+      BpeTrain.pipelineTokenize(s, d)),
     "lm_doc_score" -> (TextOps.lmDocScore _),
     "quality_lm_bucket" -> (TextOps.qualityLmBucket _),
     // the approx-cutoff SCALE variant of quality_lm_bucket (no ntile
@@ -736,6 +750,42 @@ object SparkEntry {
         |WHERE doc_id % 10 >= 8
         |  AND doc_id NOT IN (SELECT n_id FROM dropped)
         |ORDER BY doc_id ASC""".stripMargin
+
+  /** Shared by `dedup_semantic_incremental` and its streaming twin
+    * `stream_dedup_semantic_ok` (same declared semantics, two engines —
+    * the minhashIncrementalSql precedent).
+    */
+  private val semanticIncrementalSql: String =
+    """WITH cbc AS (SELECT vec_id AS cent_id, embedding AS c_v,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+      |  FROM embeddings WHERE vec_id % 10 < 8 AND vec_id % 127 = 0),
+      |asg AS (SELECT c_id, cent_id FROM (
+      |  SELECT e.vec_id AS c_id, cbc.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> e.embedding[i]::DOUBLE
+      |           * (cbc.c_v[i]::DOUBLE / cbc.cnrm))) DESC,
+      |      cbc.cent_id ASC) AS rn
+      |  FROM embeddings e CROSS JOIN cbc) WHERE rn = 1),
+      |dropped AS (SELECT DISTINCT nn.c_id AS n_id
+      |  FROM asg nn JOIN asg oo
+      |    ON nn.cent_id = oo.cent_id AND nn.c_id <> oo.c_id
+      |  JOIN embeddings n ON n.vec_id = nn.c_id
+      |  JOIN embeddings o ON o.vec_id = oo.c_id
+      |  WHERE nn.c_id % 10 >= 8
+      |    AND (oo.c_id % 10 < 8 OR oo.c_id < nn.c_id)
+      |    AND round(
+      |      list_sum(list_transform(range(1, len(n.embedding) + 1),
+      |        i -> n.embedding[i]::DOUBLE * o.embedding[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(n.embedding,
+      |           x -> x::DOUBLE * x::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(o.embedding,
+      |           x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.40)
+      |SELECT asg.c_id AS vec_id, asg.cent_id
+      |FROM asg LEFT JOIN dropped ON asg.c_id = dropped.n_id
+      |WHERE dropped.n_id IS NULL AND asg.c_id % 10 >= 8
+      |ORDER BY vec_id ASC""".stripMargin
 
   /** The MLE-bigram LM scoring pipeline as CTEs ending in `lm`
     * (doc_id, n_bigrams, avg_logp) — shared by the lm_doc_score oracle
@@ -1036,6 +1086,30 @@ object SparkEntry {
       |JOIN documents USING (doc_id)
       |GROUP BY lang
       |ORDER BY lang ASC""".stripMargin
+  }
+
+  /** The `pipeline_tokenize` oracle: the fourth consumer of
+    * [[bpeCtes]] (mirroring the fourth memo view Spark-side) — the
+    * final it_k segmentation's unit counts fed through the
+    * pack_sequences window verbatim.
+    */
+  private lazy val pipelineTokenizeSql: String = {
+    val S = graft.operators.BpeTrain.Sep
+    bpeCtes + ",\n" +
+    raw"""enc AS (SELECT doc_id,
+      |    len(list_filter(string_split(s, '$S'), x -> x <> ''))::INT
+      |      AS n_tok FROM it$bpeK),
+      |tt AS (SELECT d.source, e.doc_id, e.n_tok
+      |       FROM enc e JOIN documents d USING (doc_id)),
+      |cc AS (SELECT source, doc_id, n_tok,
+      |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before
+      |  FROM tt)
+      |SELECT source, doc_id, n_tok,
+      |  (cum_before // 512)::BIGINT AS pack_id,
+      |  (cum_before % 512)::BIGINT AS pack_offset
+      |FROM cc ORDER BY source ASC, doc_id ASC""".stripMargin
   }
 
   /** The df-capped ngram-Jaccard pair pipeline as CTEs ending in `p`
@@ -1366,6 +1440,12 @@ object SparkEntry {
         |WHERE o_totalprice > 400000.0 ORDER BY o_orderkey ASC""".stripMargin,
     "sink_partitioned" ->
       "SELECT p_partkey, p_brand, p_size FROM part ORDER BY p_partkey ASC",
+    // the pruning itself is a plan property (PlanShapeSpec pins
+    // PartitionFilters + files-read); the oracle gates the VALUES the
+    // pruned read returns, incl. the '#'→'%23' dir-name round-trip
+    "scan_partition_prune" ->
+      """SELECT p_partkey, p_brand, p_size FROM part
+        |WHERE p_brand = 'Brand#13' ORDER BY p_partkey ASC""".stripMargin,
     "sink_append" ->
       """SELECT o_orderstatus, count(*) AS cnt FROM orders
         |WHERE o_orderstatus IN ('F','O')
@@ -3809,6 +3889,7 @@ object SparkEntry {
     "bpe_train" -> bpeTrainSql,
     "bpe_encode" -> bpeEncodeSql,
     "bpe_fertility" -> bpeFertilitySql,
+    "pipeline_tokenize" -> pipelineTokenizeSql,
     // per-bigram ln rounded to 6dp and summed as DECIMAL on both sides
     // — double sums are addition-order-dependent, decimal sums are
     // exact, so the 4dp hash-match is deterministic (SURVEY §5.3)
@@ -4326,37 +4407,12 @@ object SparkEntry {
     // incremental SemDeDup: store-side codebook (vec_id%10<8 AND the
     // stride), assignment over everyone, drop rule = same cell AND
     // (o in store OR earlier delta) AND 4dp cosine >= 0.40
-    "dedup_semantic_incremental" ->
-      """WITH cbc AS (SELECT vec_id AS cent_id, embedding AS c_v,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
-        |  FROM embeddings WHERE vec_id % 10 < 8 AND vec_id % 127 = 0),
-        |asg AS (SELECT c_id, cent_id FROM (
-        |  SELECT e.vec_id AS c_id, cbc.cent_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |        i -> e.embedding[i]::DOUBLE
-        |           * (cbc.c_v[i]::DOUBLE / cbc.cnrm))) DESC,
-        |      cbc.cent_id ASC) AS rn
-        |  FROM embeddings e CROSS JOIN cbc) WHERE rn = 1),
-        |dropped AS (SELECT DISTINCT nn.c_id AS n_id
-        |  FROM asg nn JOIN asg oo
-        |    ON nn.cent_id = oo.cent_id AND nn.c_id <> oo.c_id
-        |  JOIN embeddings n ON n.vec_id = nn.c_id
-        |  JOIN embeddings o ON o.vec_id = oo.c_id
-        |  WHERE nn.c_id % 10 >= 8
-        |    AND (oo.c_id % 10 < 8 OR oo.c_id < nn.c_id)
-        |    AND round(
-        |      list_sum(list_transform(range(1, len(n.embedding) + 1),
-        |        i -> n.embedding[i]::DOUBLE * o.embedding[i]::DOUBLE))
-        |      / (sqrt(list_sum(list_transform(n.embedding,
-        |           x -> x::DOUBLE * x::DOUBLE)))
-        |       * sqrt(list_sum(list_transform(o.embedding,
-        |           x -> x::DOUBLE * x::DOUBLE)))), 4) >= 0.40)
-        |SELECT asg.c_id AS vec_id, asg.cent_id
-        |FROM asg LEFT JOIN dropped ON asg.c_id = dropped.n_id
-        |WHERE dropped.n_id IS NULL AND asg.c_id % 10 >= 8
-        |ORDER BY vec_id ASC""".stripMargin,
+    "dedup_semantic_incremental" -> semanticIncrementalSql,
+    // the streaming twin is gated on the SAME SQL (the
+    // stream_dedup_minhash_ok shared-oracle precedent): cell-state loss
+    // across micro-batches, vec_id order drift, or in-processor cosine
+    // drift all hash-mismatch
+    "stream_dedup_semantic_ok" -> semanticIncrementalSql,
     "simsearch_knn" -> knnOracleSql,
     // pre-filter exact: knn's CTEs with the label predicate as the join
     // condition — the top-k ranks only label-matching candidates

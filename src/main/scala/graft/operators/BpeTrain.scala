@@ -168,6 +168,45 @@ object BpeTrain {
       .orderBy(col("lang").asc)
   }
 
+  /** `pipeline_tokenize` — the tokenize-and-pack capstone composing
+    * the three individually-declared steps into the production shape:
+    * `bpe_train` (the SAME memoized k-iteration training — this query
+    * adds zero training passes, the fourth view of one memo),
+    * `bpe_encode`'s post-merge unit counts per document, and
+    * `pack_sequences`' fixed-budget greedy packing — but packing BPE
+    * UNITS, not whitespace tokens. That swap is the composition point
+    * a real pipeline cares about: sequence budgets are TOKENIZER
+    * units, and a whitespace-packed corpus mis-sizes every sequence by
+    * the merge rate. Boundary rule is pack_sequences' documented one
+    * (a document belongs to floor(cum_before / budget) — the pack its
+    * first unit falls in; a straddling doc is not split).
+    *
+    * Scale shape: after the memoized training this is ONE row-local
+    * unit-count projection + a doc_id-keyed join + the per-source
+    * cumulative window — the pack_sequences plan with n_tok swapped.
+    * The window partitions by source (pack streams are per-source at
+    * 100 TB; a global pack would single-task the sort — the
+    * pack_sequences scale note applies unchanged).
+    */
+  def pipelineTokenize(spark: SparkSession, sfDir: String, k: Int = 8,
+      budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, state) = cachedTraining(spark, sfDir, k)
+    val units = filter(split(col("s"), Sep), x => x =!= lit(""))
+    val perDoc = state.select(col("doc_id"), size(units).as("n_tok"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDoc
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"),
+        Seq("doc_id"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        floor(col("cum_before") / budget).as("pack_id"),
+        (col("cum_before") % budget).as("pack_offset"))
+      .orderBy(col("source").asc, col("doc_id").asc)
+  }
+
   private def mergeTable(spark: SparkSession,
       merges: Seq[(Int, String, String, Long)]): DataFrame = {
     import spark.implicits._

@@ -65,6 +65,30 @@ object SinkQueries {
       .orderBy(col("p_partkey").asc)
   }
 
+  /** `scan_partition_prune` — read-side partition pruning, declared:
+    * write a Hive-partitioned layout (the `sink_partitioned` path),
+    * read it back with a predicate on the PARTITION column, and return
+    * the qualifying rows. The predicate must resolve at PLANNING time
+    * against directory names (`PartitionFilters` on the scan — zero
+    * data files outside `p_brand=Brand%2313` are opened; PlanShapeSpec
+    * pins the filter and the files-read count), which is the #1 cost
+    * lever at 100 TB: a date/tenant-partitioned lake turns a full scan
+    * into a single-directory read before any I/O happens. The value
+    * `Brand#13` also exercises the URL-escaping round-trip ('#' →
+    * `%23` in the directory name, un-escaped by the reader back into
+    * the column).
+    */
+  def scanPartitionPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/scan_partition_prune"
+    LakeIO.savePartitioned(
+      Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_size"),
+      out, Seq("p_brand"))
+    spark.read.parquet(out)
+      .filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .orderBy(col("p_partkey").asc)
+  }
+
   /** `sink_append` — overwrite one slice then append a disjoint one;
     * read-back must contain exactly both.
     */

@@ -352,6 +352,78 @@ class BandDedupProcessor(threshold: Double)
   }
 }
 
+/** `stream_dedup_semantic_ok`'s processor — SemDeDup's seen-store rule
+  * as live per-cell state, completing the streaming-twin symmetry
+  * across the incremental family (exact `stream_dedup` → near-dup
+  * [[BandDedupProcessor]] → semantic): keyed by cent_id under the
+  * PINNED store codebook (assignment is a row-local argmax upstream —
+  * re-learning the quantizer is a reindex event, never a micro-batch
+  * event), ListState holds every (vec_id, embedding, ‖·‖) ever seen in
+  * the cell; each arriving vector compares against ALL state entries
+  * plus same-batch rows with smaller vec_id (rows sort by vec_id —
+  * batch order is arrival order, vec_id the within-batch order,
+  * exactly the batch operator's `o_store || o_id < n_id` rule once the
+  * store replays as micro-batch 1), emits an (n_id, o_id) match per
+  * cosine hit, and appends itself regardless of matching (seen-store:
+  * dropped vectors still drop later dups).
+  *
+  * Exactness: the in-processor cosine is the batch column arithmetic
+  * verbatim — left-to-right float→double dot
+  * ([[graft.functions.FloatVecDot]]'s loop), norms computed ONCE by
+  * the same [[graft.functions.FloatVecNorm]] expression upstream and
+  * carried into state, one IEEE division, HALF_UP 4dp snap — so the
+  * declared query hash-gates against `dedup_semantic_incremental`'s
+  * DuckDB oracle verbatim. State per cell = its occupancy; cells are
+  * the unit of scale-out (C ≈ √N balances assignment vs pair work —
+  * the [[graft.operators.SimSearch.semDedup]] knob analysis).
+  */
+class SemanticDedupProcessor(threshold: Double)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Seq[Float], Double), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig}
+
+  @transient private var seen: ListState[(Long, Array[Float], Double)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    seen = getHandle.getListState[(Long, Array[Float], Double)]("seen",
+      org.apache.spark.sql.Encoders.product[(Long, Array[Float], Double)],
+      TTLConfig.NONE)
+
+  private def cos4(a: Array[Float], aNrm: Double,
+      b: Array[Float], bNrm: Double): Double = {
+    if (a.length != b.length) return -2.0 // dim mismatch: batch dot is null
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      s += a(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    java.math.BigDecimal.valueOf(s / (aNrm * bNrm))
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Seq[Float], Double)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val prior = seen.get().toArray
+    val batch = rows.toSeq.sortBy(_._2)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val appended =
+      scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double)]()
+    batch.foreach { case (_, nId, embSeq, nNrm) =>
+      val emb = embSeq.toArray
+      (prior.iterator ++ appended.iterator).foreach {
+        case (oId, oEmb, oNrm) =>
+          if (cos4(emb, nNrm, oEmb, oNrm) >= threshold) out += ((nId, oId))
+      }
+      appended += ((nId, emb, nNrm))
+    }
+    appended.foreach(e => seen.appendValue(e))
+    out.iterator
+  }
+}
+
 /** `ts_drift` streaming form — day-over-day binned-histogram KS as a
   * live drift monitor: per event type, unit-width value bins accumulate
   * per OPEN day in MapState; EVENT-TIME TIMERS close days in time order
@@ -1047,6 +1119,68 @@ object Streams {
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** `stream_dedup_semantic_ok` — the STREAMING twin of
+    * `dedup_semantic_incremental`, completing the streaming-twin
+    * symmetry across all three dedup tiers (exact / minhash /
+    * semantic): the embeddings table file-replays in TWO micro-batches
+    * — yesterday's corpus, then today's crawl — into a RocksDB-backed
+    * [[SemanticDedupProcessor]] keyed by cent_id; cell assignment is
+    * the row-local [[graft.functions.NearestCentroid]] argmax against
+    * the PINNED store codebook (computed batch-side and embedded in
+    * the expression — the quantizer is state a stream must not
+    * re-learn, see [[graft.operators.SimSearch.semDedupIncrementalWithCodebook]]).
+    * The emitted match stream anti-joins batch-side against the delta
+    * (the _ok harness pattern: the STREAM is the system under test,
+    * the survivor projection is presentation), and the oracle is
+    * `dedup_semantic_incremental`'s SQL VERBATIM (the shared-oracle
+    * precedent) — an engine whose cell state loses entries across
+    * micro-batches, whose within-batch order drifts from vec_id, or
+    * whose in-processor cosine differs from the batch column
+    * hash-mismatches against DuckDB's independent all-pairs
+    * computation.
+    */
+  def streamDedupSemanticOk(spark: SparkSession, sfDir: String,
+      centroidStride: Long = 127, threshold: Double = 0.40): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    streamDedupSemanticCore(spark, "stream_dedup_semantic_ok",
+      emb.filter(col("vec_id") % 10 < 8),
+      emb.filter(col("vec_id") % 10 >= 8), centroidStride, threshold)
+  }
+
+  /** Core of [[streamDedupSemanticOk]] over explicit store/delta
+    * (vec_id, embedding) frames — the planted-corpus harness for
+    * StreamingSpec's twin-equivalence tests. The codebook is the
+    * STORE's stride sample (yesterday's persisted quantizer).
+    */
+  private[graft] def streamDedupSemanticCore(spark: SparkSession,
+      name: String, store: DataFrame, delta: DataFrame,
+      centroidStride: Long, threshold: Double): DataFrame = {
+    val cb = graft.operators.SimSearch.ivfCodebook(store, centroidStride)
+    val matches = fileReplay(spark, name,
+      Seq(store, delta), Seq(2, 1), { stream =>
+        val s2 = stream.sparkSession
+        import s2.implicits._
+        graft.operators.SimSearch.ivfAssignCorpus(stream, cb)
+          .select(col("cent_id").as[Long], col("c_id").as[Long],
+            col("c_emb").as[Seq[Float]], col("c_nrm").as[Double])
+          .as[(Long, Long, Seq[Float], Double)]
+          .groupByKey(_._1)
+          .transformWithState(new SemanticDedupProcessor(threshold),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Append())
+          .toDF("n_id", "o_id")
+      })
+    // batch-side presentation: delta survivors with their cell (store
+    // n_ids in the match stream never hit a delta c_id — the anti-join
+    // key is the post-filter)
+    val deltaCells = graft.operators.SimSearch.ivfAssignCorpus(delta, cb)
+    deltaCells.join(matches.select(col("n_id")).distinct(),
+        deltaCells("c_id") === col("n_id"), "left_anti")
+      .select(col("c_id").as("vec_id"), col("cent_id"))
+      .orderBy(col("vec_id").asc)
   }
 
   /** Shared file-replay harness for every declared `stream_*_ok` row:

@@ -159,6 +159,37 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(graft.operators.BpeTrain.clearBpeCache() >= 1)
   }
 
+  test("pipeline_tokenize packs BPE units under pack_sequences' " +
+      "boundary rule (fourth memo view, one training)") {
+    val enc = graft.operators.BpeTrain.bpeEncode(spark, TestSpark.sf)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r._3).toMap
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect()
+      .filter(d => enc.contains(d._1)) // zero-token docs drop from both
+    // literal greedy packing: per source in doc_id order, a doc goes to
+    // the pack its first unit falls in
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).toSeq.map { case (id, _) =>
+        val n = enc(id)
+        val row = (src, id, n, cum / 512L, cum % 512L)
+        cum += n
+        row
+      }
+    }.toSet
+    val got = graft.operators.BpeTrain.pipelineTokenize(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === expect)
+    // non-vacuous: the budget binds (every source fills >1 pack) and
+    // some doc straddles a boundary (nonzero offset exists)
+    val packsPerSrc = got.groupBy(_._1).map(_._2.map(_._4).max)
+    assert(packsPerSrc.forall(_ >= 1L), s"budget never bound: $packsPerSrc")
+    assert(got.exists(_._5 > 0L), "no doc ever started mid-pack")
+    // encode + tokenize rode ONE memoized training
+    assert(graft.operators.BpeTrain.clearBpeCache() >= 1)
+  }
+
   test("bpe_train equals the literal greedy merger on random corpora") {
     val genCase = for {
       vocab <- Gen.choose(2, 5)

@@ -28,6 +28,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected pushed filter, got:\n$p")
   }
 
+  test("scan_partition_prune: the partition predicate resolves against " +
+      "directory names — only the matching partition's files are read") {
+    val df = graft.sources.SinkQueries.scanPartitionPrune(spark, sf)
+    df.collect() // materialize so the scan's numFiles metric is final
+    val ep = df.queryExecution.executedPlan
+    val scans = SpecUtil.collectPlan(ep) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected one file scan:\n$ep")
+    val f = scans.head
+    // the predicate is a PARTITION filter (planning-time directory
+    // prune), not a data filter evaluated per row group
+    assert(f.partitionFilters.exists(_.toString.contains("p_brand")),
+      s"expected a p_brand PartitionFilter, got ${f.partitionFilters}:\n$ep")
+    // files actually opened = the one matching brand directory, out of
+    // 25 brand partitions on disk ('#' URL-escapes to %23 in the path)
+    val out = new java.io.File(
+      graft.sources.SinkQueries.tmpBase(sf) + "/scan_partition_prune")
+    def parquets(d: java.io.File): Int =
+      d.listFiles().map(c => if (c.isDirectory) parquets(c)
+        else if (c.getName.endsWith(".parquet")) 1 else 0).sum
+    val total = parquets(out)
+    val matching = parquets(new java.io.File(out, "p_brand=Brand%2313"))
+    assert(matching >= 1 && total > matching,
+      s"fixture must have >1 brand dir: total=$total matching=$matching")
+    val numFiles = f.metrics("numFiles").value
+    assert(numFiles == matching,
+      s"scan must open ONLY the matching partition's files: " +
+        s"read $numFiles of $total (matching dir has $matching)")
+  }
+
   test("dim join is a broadcast hash join (no fact-side shuffle)") {
     val p = plan(Joins.joinBroadcast(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin:\n$p")

@@ -666,6 +666,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size < deltaN, "no doc was dropped — vacuous replay")
   }
 
+  test("stream_dedup_semantic_ok: RocksDB cell state carries the seen-" +
+      "store across micro-batches (2-batch replay equals the batch op)") {
+    // planted corpus — the DedupSpec semantic-incremental fixture: a
+    // delta near-dup of a STORE vector drops (state survived the batch
+    // boundary), a near-dup of an EARLIER delta vector drops
+    // (within-batch vec_id order), fresh vectors survive
+    def unit(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(16)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n).toSeq
+    }
+    def near(v: Seq[Float]): Seq[Float] = v.updated(0, v(0) + 0.02f)
+    val store = Seq((0L, unit(3)), (1L, unit(1)), (2L, unit(2)))
+      .toDF("vec_id", "embedding")
+    val delta = Seq(
+      (100L, near(unit(1))), // ~dup of store vec 1 → drops
+      (101L, unit(4)),       // fresh → survives
+      (102L, near(unit(4))), // ~dup of EARLIER delta 101 → drops
+      (103L, unit(5)))       // fresh → survives
+      .toDF("vec_id", "embedding")
+    val planted = Streams.streamDedupSemanticCore(spark,
+        "sem_twin_planted", store, delta, 1L, 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(planted === Set(101L, 103L), s"got $planted")
+    // fixture: full-row equality (vec_id AND cent_id) with the batch
+    // incremental operator — the declared query's shared-oracle claim
+    val sfd = TestSpark.sf
+    val got = Streams.streamDedupSemanticOk(spark, sfd)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = graft.operators.SimSearch.semDedupIncremental(spark, sfd)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+  }
+
   test("timer-based sessions close when the watermark passes the gap deadline") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -2899,11 +2899,12 @@ object SparkEntry {
         |  s_suppkey >> 2 AS shr2,
         |  ~s_suppkey AS inv
         |FROM supplier ORDER BY s_suppkey ASC""".stripMargin,
-    // same 4-hex md5-prefix bucket arithmetic as sample_hash, keyed on
-    // the NORMALIZED TEXT (both engines md5 the identical string)
+    // md5-prefix bucket arithmetic keyed on the NORMALIZED TEXT (both
+    // engines md5 the identical string); 8 hex chars = 32 bits, so the
+    // modulo-100 bias is ~2.3e-8 per bucket (VERDICT r13 #2)
     "sample_split" ->
       raw"""SELECT doc_id, lang, source,
-        |  CASE (('0x' || substring(md5($normT), 1, 4))::BIGINT % 100)
+        |  CASE (('0x' || substring(md5($normT), 1, 8))::BIGINT % 100)
         |    WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END
         |    AS split
         |FROM documents

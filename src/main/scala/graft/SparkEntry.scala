@@ -385,6 +385,15 @@ object SparkEntry {
     "dedup_embedding_lsh_cand" -> ((s: SparkSession, d: String) =>
       SimSearch.dedupEmbeddingLsh(s, d, threshold = -1.0)),
     "simsearch_knn" -> ((s: SparkSession, d: String) => SimSearch.knnBruteForce(s, d)),
+    // radius (range) search — the other half of the vector-store read
+    // API (FAISS range_search): every neighbor above minSim, no rank
+    // window at all (the radius test is a row-local filter)
+    "simsearch_range" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchRange(s, d)),
+    // range search at ANN scale: IVF cell probe bounds candidates,
+    // radius filters them — always a subset of the exact operator
+    "simsearch_range_ivf" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchRangeIvf(s, d)),
     "simsearch_lsh" -> ((s: SparkSession, d: String) => SimSearch.simsearchLsh(s, d)),
     "simsearch_ivf" -> ((s: SparkSession, d: String) => SimSearch.simsearchIvf(s, d)),
     "ann_recall" -> ((s: SparkSession, d: String) => SimSearch.annRecall(s, d)),
@@ -482,6 +491,12 @@ object SparkEntry {
       TextOps.mixBudgetApprox(s, d)),
     "mix_weighted" -> ((s: SparkSession, d: String) =>
       TextOps.mixWeighted(s, d)),
+    // fractional-epoch UP-sampling (the GPT-3/LLaMA mixture-table
+    // form): floor(e) copies per doc + one more on an id-keyed md5
+    // coin under frac(e) — the only mix op that repeats rather than
+    // subsets; row-local explode, no shuffle
+    "mix_epochs" -> ((s: SparkSession, d: String) =>
+      TextOps.mixEpochs(s, d)),
     // mixture weights derived from the corpus (n^0.5 smoothing), same
     // bucket-pruned prefix selection
     "mix_temperature" -> ((s: SparkSession, d: String) =>
@@ -1384,7 +1399,12 @@ object SparkEntry {
     (init +: iters).mkString(",\n")
   }
 
-  private lazy val ivfOracleSql: String =
+  /** The IVF probe pipeline as CTEs ending in `p3` (q_id, c_id,
+    * cos_sim over the nProbe=2 probed cells) — shared by the
+    * `simsearch_ivf` top-k oracle and the `simsearch_range_ivf`
+    * radius oracle (same index read path, two query shapes).
+    */
+  private lazy val ivfProbeCtes: String =
     """WITH cb AS (SELECT vec_id AS cent_id, embedding AS c_v,
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
@@ -1416,11 +1436,45 @@ object SparkEntry {
       |      i -> q.q_emb[i]::DOUBLE * a.c_emb[i]::DOUBLE))
       |    / (q.q_nrm * a.c_nrm), 4) AS cos_sim
       |  FROM qc q JOIN asg a USING (cent_id)
-      |  WHERE q.q_id <> a.c_id)
-      |SELECT q_id, c_id, cos_sim, rn::INT AS rn FROM (
+      |  WHERE q.q_id <> a.c_id)""".stripMargin
+
+  private lazy val ivfOracleSql: String =
+    ivfProbeCtes + "\n" +
+    """SELECT q_id, c_id, cos_sim, rn::INT AS rn FROM (
       |  SELECT *, row_number() OVER (PARTITION BY q_id
       |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p3
       |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin
+
+  /** The `simsearch_range_ivf` oracle: the same probe CTEs, radius
+    * filter instead of top-k.
+    */
+  private lazy val rangeIvfOracleSql: String =
+    ivfProbeCtes + "\n" +
+    """SELECT q_id, c_id, cos_sim FROM p3 WHERE cos_sim >= 0.30
+      |ORDER BY q_id ASC, c_id ASC""".stripMargin
+
+  /** The `mix_epochs` oracle: the epoch table inlined as a VALUES CTE
+    * from the SAME spec-as-data list the operator consumes
+    * ([[graft.operators.TextOps.DefaultEpochs]]), the md5 coin, and
+    * range-unnest for the copies.
+    */
+  private lazy val mixEpochsSql: String = {
+    val vals = graft.operators.TextOps.DefaultEpochs
+      .map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+    raw"""WITH ep(source, e_pct) AS (VALUES $vals),
+      |t AS (SELECT d.doc_id, d.lang, d.source, ep.e_pct,
+      |    (('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+      |      % 100) AS coin
+      |  FROM documents d JOIN ep USING (source)),
+      |n AS (SELECT doc_id, lang, source,
+      |    (e_pct // 100
+      |     + CASE WHEN coin < e_pct % 100 THEN 1 ELSE 0 END) AS n_copies
+      |  FROM t)
+      |SELECT doc_id, lang, source,
+      |  unnest(range(0, n_copies))::INT AS copy_id
+      |FROM n WHERE n_copies > 0
+      |ORDER BY doc_id ASC, copy_id ASC""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3834,6 +3888,7 @@ object SparkEntry {
     // operator consumes (TextOps.DefaultMixWeights) — one source of
     // truth for the mixture spec on both engines
     "mix_weighted" -> mixWeightedSql,
+    "mix_epochs" -> mixEpochsSql,
     "mix_temperature" -> mixTemperatureSql,
     // 5 unrolled power iterations in pure 1e12-scaled integer
     // arithmetic (HUGEINT products mirror Spark's DECIMAL(38,0)) — no
@@ -4415,6 +4470,25 @@ object SparkEntry {
     // drift all hash-mismatch
     "stream_dedup_semantic_ok" -> semanticIncrementalSql,
     "simsearch_knn" -> knnOracleSql,
+    // radius search: the knn product with the rank window replaced by
+    // the row-local cos_sim >= 0.30 filter
+    "simsearch_range" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+        |p AS (SELECT q_id, c_id,
+        |  round(
+        |    list_sum(list_transform(range(1, len(q_emb) + 1),
+        |      i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(q_emb, x -> x::DOUBLE * x::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(c_emb, x -> x::DOUBLE * x::DOUBLE)))),
+        |    4) AS cos_sim
+        |  FROM c CROSS JOIN q WHERE q_id <> c_id)
+        |SELECT q_id, c_id, cos_sim FROM p WHERE cos_sim >= 0.30
+        |ORDER BY q_id ASC, c_id ASC""".stripMargin,
+    // IVF radius search: simsearch_ivf's probe CTEs, radius filter
+    // instead of top-k
+    "simsearch_range_ivf" -> rangeIvfOracleSql,
     // pre-filter exact: knn's CTEs with the label predicate as the join
     // condition — the top-k ranks only label-matching candidates
     "simsearch_filtered" ->

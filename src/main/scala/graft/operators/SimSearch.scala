@@ -65,6 +65,80 @@ object SimSearch {
       .orderBy(col("q_id").asc, col("rn").asc)
   }
 
+  /** `simsearch_range` — radius (range) search, the OTHER half of the
+    * production vector-store read API (FAISS `range_search`): for each
+    * query, ALL corpus vectors whose 4dp cosine clears `minSim` —
+    * unbounded-k retrieval for dedup candidate generation,
+    * recall-first RAG, and threshold-calibrated filtering, where
+    * top-k's fixed k either truncates dense neighborhoods or pads
+    * sparse ones with junk. Result size is data-dependent BY DESIGN;
+    * the caller bounds it with the radius (the FAISS contract).
+    *
+    * Scale shape: knnOver's broadcast-queries / streaming-corpus
+    * product, but with NO per-query rank window at all — top-k's
+    * per-q_id row_number shuffle disappears entirely; the radius test
+    * is a row-local filter, so the whole query is scan→project→filter
+    * under the broadcast. The declared minSim = 0.30 sits inside the
+    * fixture's random-vector cosine tail (37/43/147 hits at
+    * sf0.001/0.01/0.1 — measured), keeping the oracle non-vacuous at
+    * every SF.
+    */
+  def simsearchRange(spark: SparkSession, sfDir: String,
+      minSim: Double = 0.30, nQueries: Int = 10): DataFrame =
+    rangeOver(Tables.embeddings(spark, sfDir), minSim, nQueries)
+
+  /** Core of `simsearch_range` over any (vec_id, embedding) frame. */
+  def rangeOver(emb: DataFrame, minSim: Double,
+      nQueries: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), l2norm(col("embedding")).as("c_nrm"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
+      .filter(col("cos_sim") >= minSim)
+      .select(col("q_id"), col("c_id"), col("cos_sim"))
+      .orderBy(col("q_id").asc, col("c_id").asc)
+  }
+
+  /** `simsearch_range_ivf` — range search at ANN scale: the IVF cell
+    * probe bounds the candidate set (nProbe cells per query, the
+    * simsearch_ivf machinery) and the radius test filters candidates —
+    * FAISS `IndexIVF.range_search`. Always a SUBSET of the exact
+    * operator (cell pruning can only drop candidates); recall at equal
+    * nProbe follows the ivf family's measured floors, and
+    * RangeSearchSpec pins the subset relation plus exact agreement on
+    * planted in-cell neighbors. Same no-window shape as the exact
+    * form: the keyed cent_id join replaces the broadcast product, and
+    * the radius filter is row-local — nothing ranks, nothing sorts
+    * until the output ORDER BY.
+    */
+  def simsearchRangeIvf(spark: SparkSession, sfDir: String,
+      minSim: Double = 0.30, nQueries: Int = 10,
+      centroidStride: Long = 127, nProbe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    rangeIvfOver(emb, ivfCodebook(emb, centroidStride), minSim,
+      nQueries, nProbe)
+  }
+
+  /** Core of `simsearch_range_ivf` over any frame + pinned codebook. */
+  def rangeIvfOver(emb: DataFrame,
+      codebook: Array[(Long, Array[Float], Double)], minSim: Double,
+      nQueries: Int, nProbe: Int): DataFrame = {
+    val corpusCells = ivfAssignCorpus(emb, codebook)
+    val queryCells = ivfQueryCells(emb, codebook, nQueries, nProbe)
+    corpusCells.join(broadcast(queryCells), "cent_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
+      .filter(col("cos_sim") >= minSim)
+      .select(col("q_id"), col("c_id"), col("cos_sim"))
+      .orderBy(col("q_id").asc, col("c_id").asc)
+  }
+
   /** `simsearch_lsh` — approximate NN via random-hyperplane LSH (SimHash
     * buckets): sign of the dot product against `nBits` fixed pseudo-random
     * hyperplanes forms a bucket id; candidates = same-bucket pairs only.

@@ -1270,6 +1270,63 @@ object TextOps {
           .as("n_tokens")),
       weightBudget(totalBudget, weights), buckets)
 
+  /** `mix_epochs` — fractional-epoch UP-sampling, the one mixing
+    * direction the family still lacked (every other mix op SUBSETS):
+    * pretraining mixture tables quote per-dataset epoch counts
+    * ("2.5 epochs of wiki, 1.0 of web, 0.5 of forums" — the
+    * GPT-3/LLaMA table form), and a repeated dataset must emit
+    * MULTIPLE COPIES of each document into the shuffled corpus. A doc
+    * from a source with e epochs emits floor(e) copies, plus one more
+    * iff its deterministic md5 coin falls under frac(e) — so the
+    * EXPECTED per-source volume is exactly e·n while every individual
+    * doc's copy count is a pure function of its id (the sample_hash
+    * discipline: reproducible across engines, runs, partition layouts,
+    * and cluster sizes, unlike rand()-based upsampling). The coin is
+    * ID-keyed, not content-keyed, deliberately: upsampling is a token
+    * BUDGET device, and duplicate-content docs still count separately
+    * toward their source's budget (leakage policy is [[sampleSplit]]'s
+    * job, applied downstream on content).
+    *
+    * Epochs are integer PERCENT (250 = 2.5 epochs) in an explicit
+    * spec-as-data list ([[DefaultEpochs]], the [[DefaultMixWeights]]
+    * pattern — one definition consumed by operator and oracle);
+    * unlisted sources get 0 epochs and drop entirely (the mixture's
+    * drop-domain rule).
+    *
+    * Scale shape: one row-local CASE + md5 + explode(sequence) — no
+    * join, no shuffle before the output ORDER BY; output volume is
+    * Σ eₛ·nₛ by construction, the caller's stated budget.
+    */
+  def mixEpochs(spark: SparkSession, sfDir: String): DataFrame =
+    mixEpochsDocs(Tables.documents(spark, sfDir), DefaultEpochs)
+
+  /** The default epoch table: percent epochs over the 20 fixture
+    * sources, cycling 1.0×/1.5×/2.0×/2.5× — one definition, consumed
+    * by both the operator and SparkEntry's oracle-SQL generator.
+    */
+  val DefaultEpochs: Seq[(String, Int)] =
+    (0 until 20).map(i => s"src$i" -> (100 + (i % 4) * 50))
+
+  /** Core of [[mixEpochs]] over any (doc_id, lang, source) frame. */
+  def mixEpochsDocs(docs: DataFrame,
+      epochs: Seq[(String, Int)]): DataFrame = {
+    val ePct = epochs.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (src, p)) => acc.when(col("source") === src, lit(p))
+    }.otherwise(lit(0))
+    docs
+      .withColumn("e_pct", ePct)
+      .withColumn("coin",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).cast("int"))
+      .withColumn("n_copies",
+        floor(col("e_pct") / 100).cast("int") +
+          when(col("coin") < col("e_pct") % 100, 1).otherwise(0))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(sequence(lit(0), col("n_copies") - 1)).as("copy_id"))
+      .orderBy(col("doc_id").asc, col("copy_id").asc)
+  }
+
   /** `mix_temperature` — exponent-smoothed multilingual sampling: the
     * mixture WEIGHTS are derived from the corpus itself as
     * w_l ∝ n_l^α with α = 1/2 (the mBERT/XLM-R smoothing that

@@ -166,6 +166,18 @@ class ContractSpec extends AnyFunSuite {
     //                    ONE-ROW node-count scalar attaches (|nodes|×1,
     //                    graph-sized); the corpus-sized edge aggregation
     //                    is keyed and cached once
+    //   simsearch_filtered_ivf / simsearch_ivf_kmeans — the SAME
+    //                    bounded query→probe-cell assignment as
+    //                    simsearch_ivf (nQueries × broadcast codebook
+    //                    rows); the corpus side joins keyed on
+    //                    (cent_id, label) / cent_id and never products
+    //   simsearch_range — knn's documented corpus × broadcast BOUNDED
+    //                    query-set product, minus the rank window (the
+    //                    radius test is row-local); the scale path is
+    //                    simsearch_range_ivf
+    //   simsearch_range_ivf — only the bounded query→probe-cell
+    //                    assignment products (simsearch_ivf's shape);
+    //                    the corpus joins keyed on cent_id
     val allowProduct =
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
         "dq_freshness",
@@ -173,6 +185,8 @@ class ContractSpec extends AnyFunSuite {
         "simsearch_hybrid_lsh", "simsearch_hybrid_ivf", "simsearch_pq",
         "simsearch_ivfpq", "simsearch_ivfpq_residual", "simsearch_ivf",
         "simsearch_rerank", "simsearch_pq_rotated",
+        "simsearch_filtered_ivf", "simsearch_ivf_kmeans",
+        "simsearch_range", "simsearch_range_ivf",
         "ngram_pmi", "graph_pagerank", "graph_pagerank_dist")
     walk { (name, df) =>
       if (allowProduct(name)) None

@@ -1211,8 +1211,18 @@ object Streams {
     require(writeTasks.drop(1).forall(_ == 1),
       "later batches must be single-file — a running query can split " +
         "a multi-file move across micro-batches")
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_$name")
-      .toString
+    // ALL harness scratch (feed files, checkpoint, RocksDB working
+    // dirs) goes to fast scratch when available: the replay rows
+    // measure the PROCESSOR, and per-micro-batch checkpoint commits on
+    // spinning /tmp dominated their wall with high variance (a
+    // production state store sits on local SSD or memory). Everything
+    // under ONE dir, reclaimed in the finally.
+    val scratchBase =
+      if (new java.io.File("/dev/shm").canWrite)
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val dir = java.nio.file.Files
+      .createTempDirectory(scratchBase, s"graft_$name").toString
     val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
     batches.zip(writeTasks).zipWithIndex.foreach { case ((df, t), i) =>
       df.coalesce(t).write.parquet(s"$dir/b$i")
@@ -1230,10 +1240,20 @@ object Streams {
       "org.apache.spark.sql.execution." +
         "streaming.state.RocksDBStateStoreProvider")
     s2.conf.set("spark.sql.shuffle.partitions", "8")
+    // changelog checkpointing: per-micro-batch commits upload the delta
+    // changelog instead of snapshotting SST files — the production
+    // setting for many small batches, and measured ~30-40% off the
+    // multi-batch replay rows' wall (the snapshot upload dominated at
+    // fixture state sizes)
+    s2.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled", "true")
+    s2.conf.set("spark.sql.streaming.stateStore.rocksdb.localRootDir",
+      s"$dir/rocksdb")
     val stream = s2.readStream.schema(batches.head.schema)
       .parquet(feed.toString)
     val q = build(stream).writeStream
       .format("memory").queryName(name)
+      .option("checkpointLocation", s"$dir/ckpt")
       .outputMode(OutputMode.Append).start()
     try {
       q.processAllAvailable()

@@ -431,6 +431,11 @@ object SparkEntry {
     // closes simsearch_pq's corpus-sized rank window
     "simsearch_ivfpq" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchIvfPq(s, d)),
+    // the index-as-artifact round trip: encode once → parquet
+    // partitioned by cent_id → serve from the artifact only (dynamic
+    // partition pruning on the probed cells; no embedding re-read)
+    "simsearch_index_persisted" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchIndexPersisted(s, d)),
     // residual encoding (FAISS's default): PQ codes quantize
     // x − coarse(cell) via the ResidualNearestCentroidSlice kernel;
     // score = per-(q,cell) coarse dot + m residual lookups
@@ -1475,6 +1480,70 @@ object SparkEntry {
       |FROM n WHERE n_copies > 0
       |ORDER BY doc_id ASC, copy_id ASC""".stripMargin
   }
+
+  /** The IVFPQ oracle — shared verbatim by `simsearch_ivfpq` and
+    * the persisted-index round trip `simsearch_index_persisted`
+    * (same codebooks, deterministic encode, lossless BIGINT
+    * artifact).
+    */
+  private lazy val ivfPqOracleSql: String =
+      """WITH cbc AS (SELECT vec_id AS cent_id, embedding AS c_v,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+        |  FROM embeddings WHERE vec_id % 127 = 0),
+        |asg AS (SELECT c_id, cent_id FROM (
+        |  SELECT e.vec_id AS c_id, cbc.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE
+        |           * (cbc.c_v[i]::DOUBLE / cbc.cnrm))) DESC,
+        |      cbc.cent_id ASC) AS rn
+        |  FROM embeddings e CROSS JOIN cbc) WHERE rn = 1),
+        |qc AS (SELECT q_id, cent_id FROM (
+        |  SELECT e.vec_id AS q_id, cbc.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE * cbc.c_v[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> x::DOUBLE * x::DOUBLE))) * cbc.cnrm) DESC,
+        |      cbc.cent_id ASC) AS rn
+        |  FROM embeddings e CROSS JOIN cbc WHERE e.vec_id < 10)
+        |  WHERE rn <= 2),
+        |cbp AS (SELECT vec_id AS code, embedding AS cv
+        |  FROM embeddings WHERE vec_id % 61 = 0
+        |  ORDER BY vec_id LIMIT 256),
+        |ss AS (SELECT unnest(range(0, 4)) AS s),
+        |codes AS (SELECT c_id, s, code FROM (
+        |  SELECT e.vec_id AS c_id, r.s, cbp.code,
+        |    row_number() OVER (PARTITION BY e.vec_id, r.s ORDER BY
+        |      (list_sum(list_transform(range(1, 17),
+        |         i -> e.embedding[r.s * 16 + i]::DOUBLE
+        |            * cbp.cv[r.s * 16 + i]::DOUBLE))
+        |       - list_sum(list_transform(range(1, 17),
+        |         i -> cbp.cv[r.s * 16 + i]::DOUBLE
+        |            * cbp.cv[r.s * 16 + i]::DOUBLE)) / 2) DESC,
+        |      cbp.code ASC) AS rn
+        |  FROM embeddings e CROSS JOIN ss r CROSS JOIN cbp) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS q_id, r.s, cbp.code,
+        |    round(list_sum(list_transform(range(1, 17),
+        |      i -> q.embedding[r.s * 16 + i]::DOUBLE
+        |         * cbp.cv[r.s * 16 + i]::DOUBLE)) * 1000000.0, 0)::BIGINT
+        |      AS pdot_u
+        |  FROM embeddings q CROSS JOIN ss r CROSS JOIN cbp
+        |  WHERE q.vec_id < 10),
+        |cand AS (SELECT q.q_id, a.c_id FROM asg a
+        |  JOIN qc q USING (cent_id) WHERE a.c_id <> q.q_id),
+        |sc AS (SELECT cand.q_id, cand.c_id, sum(l.pdot_u) AS score_u
+        |  FROM cand JOIN codes c ON c.c_id = cand.c_id
+        |  JOIN lut l ON l.q_id = cand.q_id AND l.s = c.s
+        |    AND l.code = c.code
+        |  GROUP BY 1, 2)
+        |SELECT q_id, c_id,
+        |  round(score_u::DOUBLE / 1000000.0, 6) AS approx_score,
+        |  rn::INT AS rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score_u DESC, c_id ASC) AS rn FROM sc)
+        |WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4598,64 +4667,12 @@ object SparkEntry {
     // IVFPQ: the coarse-cell prune (simsearch_ivf's asg/qc CTEs) feeding
     // the PQ lookup scoring (simsearch_pq's codes/lut CTEs on a finer
     // stride-61 codebook) — candidates only, never the corpus
-    "simsearch_ivfpq" ->
-      """WITH cbc AS (SELECT vec_id AS cent_id, embedding AS c_v,
-        |    sqrt(list_sum(list_transform(embedding,
-        |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
-        |  FROM embeddings WHERE vec_id % 127 = 0),
-        |asg AS (SELECT c_id, cent_id FROM (
-        |  SELECT e.vec_id AS c_id, cbc.cent_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |        i -> e.embedding[i]::DOUBLE
-        |           * (cbc.c_v[i]::DOUBLE / cbc.cnrm))) DESC,
-        |      cbc.cent_id ASC) AS rn
-        |  FROM embeddings e CROSS JOIN cbc) WHERE rn = 1),
-        |qc AS (SELECT q_id, cent_id FROM (
-        |  SELECT e.vec_id AS q_id, cbc.cent_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |        i -> e.embedding[i]::DOUBLE * cbc.c_v[i]::DOUBLE))
-        |      / (sqrt(list_sum(list_transform(e.embedding,
-        |           x -> x::DOUBLE * x::DOUBLE))) * cbc.cnrm) DESC,
-        |      cbc.cent_id ASC) AS rn
-        |  FROM embeddings e CROSS JOIN cbc WHERE e.vec_id < 10)
-        |  WHERE rn <= 2),
-        |cbp AS (SELECT vec_id AS code, embedding AS cv
-        |  FROM embeddings WHERE vec_id % 61 = 0
-        |  ORDER BY vec_id LIMIT 256),
-        |ss AS (SELECT unnest(range(0, 4)) AS s),
-        |codes AS (SELECT c_id, s, code FROM (
-        |  SELECT e.vec_id AS c_id, r.s, cbp.code,
-        |    row_number() OVER (PARTITION BY e.vec_id, r.s ORDER BY
-        |      (list_sum(list_transform(range(1, 17),
-        |         i -> e.embedding[r.s * 16 + i]::DOUBLE
-        |            * cbp.cv[r.s * 16 + i]::DOUBLE))
-        |       - list_sum(list_transform(range(1, 17),
-        |         i -> cbp.cv[r.s * 16 + i]::DOUBLE
-        |            * cbp.cv[r.s * 16 + i]::DOUBLE)) / 2) DESC,
-        |      cbp.code ASC) AS rn
-        |  FROM embeddings e CROSS JOIN ss r CROSS JOIN cbp) WHERE rn = 1),
-        |lut AS (SELECT q.vec_id AS q_id, r.s, cbp.code,
-        |    round(list_sum(list_transform(range(1, 17),
-        |      i -> q.embedding[r.s * 16 + i]::DOUBLE
-        |         * cbp.cv[r.s * 16 + i]::DOUBLE)) * 1000000.0, 0)::BIGINT
-        |      AS pdot_u
-        |  FROM embeddings q CROSS JOIN ss r CROSS JOIN cbp
-        |  WHERE q.vec_id < 10),
-        |cand AS (SELECT q.q_id, a.c_id FROM asg a
-        |  JOIN qc q USING (cent_id) WHERE a.c_id <> q.q_id),
-        |sc AS (SELECT cand.q_id, cand.c_id, sum(l.pdot_u) AS score_u
-        |  FROM cand JOIN codes c ON c.c_id = cand.c_id
-        |  JOIN lut l ON l.q_id = cand.q_id AND l.s = c.s
-        |    AND l.code = c.code
-        |  GROUP BY 1, 2)
-        |SELECT q_id, c_id,
-        |  round(score_u::DOUBLE / 1000000.0, 6) AS approx_score,
-        |  rn::INT AS rn
-        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-        |    ORDER BY score_u DESC, c_id ASC) AS rn FROM sc)
-        |WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin,
+    "simsearch_ivfpq" -> ivfPqOracleSql,
+    // the persisted-index round trip serves the SAME values (same
+    // codebooks, deterministic encode, lossless BIGINT artifact) — the
+    // shared-oracle precedent: a lossy round trip, a drifted code, or
+    // a serve path that re-encodes differently all hash-mismatch
+    "simsearch_index_persisted" -> ivfPqOracleSql,
     // residual IVFPQ: same asg/qc as simsearch_ivfpq; the PQ codebook
     // becomes each pq sample's residual against ITS OWN coarse cell
     // (rcb), corpus codes argmax over (x − coarse(cell))·rv − ‖rv‖²/2,

@@ -720,6 +720,60 @@ object SimSearch {
       .join(broadcast(lut), Seq("q_id", "s", "code")), k)
   }
 
+  /** `simsearch_index_persisted` — the index-as-ARTIFACT round trip,
+    * the production separation every vector store ships (FAISS
+    * write_index/read_index; a lakehouse ANN table): the IVFPQ index
+    * (per-vector coarse cell + m PQ codes) is BUILT in one corpus
+    * scan, WRITTEN to the lake as a parquet table PARTITIONED BY
+    * cent_id, and the serve path reads ONLY the artifact — the
+    * embedding column never re-enters the plan, so a 100 TB corpus is
+    * encoded once and every later query pays |index| ≈ corpus rows ×
+    * (id + m bytes), not corpus × d floats. Partitioning by cent_id
+    * makes the cell probe a DIRECTORY prune on the serve side: the
+    * broadcast cell join triggers dynamic partition pruning
+    * (scan_partition_prune's planning-time prune, driven by a runtime
+    * subquery), so at scale a query touches nProbe directories of the
+    * index, not all of it — IndexPersistSpec pins the serve plan
+    * (index scan present, no embedding read, dynamicpruning
+    * expression on the scan).
+    *
+    * Values are `simsearch_ivfpq`'s by construction (same codebooks,
+    * same codes, same LUT arithmetic — the encode is deterministic and
+    * the round trip is lossless: BIGINT codes, no floats in the
+    * artifact), so the row is gated on the ivfpq oracle VERBATIM.
+    */
+  def simsearchIndexPersisted(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10, coarseStride: Long = 127,
+      pqStride: Long = 61, m: Int = 4, nProbe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val coarse = ivfCodebook(emb, coarseStride)
+    val pqCb = ivfCodebook(emb, pqStride).take(MaxPqCodebook)
+    val sub = pqSubDim(pqCb, m)
+    val out = graft.sources.SinkQueries.tmpBase(sfDir) +
+      "/simsearch_index_persisted"
+    // BUILD: one corpus scan encodes (coarse cell, m PQ codes)
+    ivfAssignCorpus(emb, coarse)
+      .select(col("c_id"), col("cent_id"),
+        posexplode(array(pqCodeCols(pqCb, m, sub, col("c_emb")): _*))
+          .as(Seq("s", "code")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id").parquet(out)
+    // SERVE: reads only the persisted index (partition-column type
+    // inference reads the dir values as INT — rebind to the codebook's
+    // LONG ids for the probe join)
+    val corpus = spark.read.parquet(out)
+      .select(col("c_id"), col("s"), col("code"),
+        col("cent_id").cast("long").as("cent_id"))
+    val queryCells = ivfQueryCells(emb, coarse, nQueries, nProbe)
+      .select(col("q_id"), col("cent_id"))
+    val lut = pqLutFrame(emb.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      pqCb, m, sub)
+    pqTopK(corpus
+      .join(broadcast(queryCells), Seq("cent_id"))
+      .join(broadcast(lut), Seq("q_id", "s", "code")), k)
+  }
+
   /** `simsearch_pq_rotated` — PQ under a DETERMINISTIC coordinate
     * rotation, the energy-balancing step of the OPQ family (Ge et al.
     * OPQ / Jégou's random-rotation baseline): PQ's independence

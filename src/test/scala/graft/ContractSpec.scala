@@ -178,6 +178,10 @@ class ContractSpec extends AnyFunSuite {
     //   simsearch_range_ivf — only the bounded query→probe-cell
     //                    assignment products (simsearch_ivf's shape);
     //                    the corpus joins keyed on cent_id
+    //   simsearch_index_persisted — simsearch_ivfpq's bounded LUT and
+    //                    probe-cell products on the QUERY side; the
+    //                    index scan joins keyed on cent_id with
+    //                    dynamic partition pruning (IndexPersistSpec)
     val allowProduct =
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
         "dq_freshness",
@@ -187,6 +191,7 @@ class ContractSpec extends AnyFunSuite {
         "simsearch_rerank", "simsearch_pq_rotated",
         "simsearch_filtered_ivf", "simsearch_ivf_kmeans",
         "simsearch_range", "simsearch_range_ivf",
+        "simsearch_index_persisted",
         "ngram_pmi", "graph_pagerank", "graph_pagerank_dist")
     walk { (name, df) =>
       if (allowProduct(name)) None

@@ -436,6 +436,11 @@ object SparkEntry {
     // partition pruning on the probed cells; no embedding re-read)
     "simsearch_index_persisted" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchIndexPersisted(s, d)),
+    // daily-delta index maintenance: yesterday's pinned codebooks,
+    // delta-only encode, pure APPEND into the partitioned artifact
+    // (re-learning the quantizers = a reindex event, never a batch)
+    "simsearch_index_incremental" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchIndexIncremental(s, d)),
     // residual encoding (FAISS's default): PQ codes quantize
     // x − coarse(cell) via the ResidualNearestCentroidSlice kernel;
     // score = per-(q,cell) coarse dot + m residual lookups
@@ -1484,13 +1489,17 @@ object SparkEntry {
   /** The IVFPQ oracle — shared verbatim by `simsearch_ivfpq` and
     * the persisted-index round trip `simsearch_index_persisted`
     * (same codebooks, deterministic encode, lossless BIGINT
-    * artifact).
+    * artifact). `simsearch_index_incremental` consumes the SAME
+    * template with the codebook CTEs restricted to the STORE
+    * (yesterday's pinned quantizers): encode is row-local and
+    * deterministic, so store-encode ∪ delta-encode ≡ the full-corpus
+    * encode this SQL computes under those codebooks.
     */
-  private lazy val ivfPqOracleSql: String =
-      """WITH cbc AS (SELECT vec_id AS cent_id, embedding AS c_v,
+  private def ivfPqOracle(cbFilter: String): String =
+      s"""WITH cbc AS (SELECT vec_id AS cent_id, embedding AS c_v,
         |    sqrt(list_sum(list_transform(embedding,
         |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
-        |  FROM embeddings WHERE vec_id % 127 = 0),
+        |  FROM embeddings WHERE ${cbFilter}vec_id % 127 = 0),
         |asg AS (SELECT c_id, cent_id FROM (
         |  SELECT e.vec_id AS c_id, cbc.cent_id,
         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1510,7 +1519,7 @@ object SparkEntry {
         |  FROM embeddings e CROSS JOIN cbc WHERE e.vec_id < 10)
         |  WHERE rn <= 2),
         |cbp AS (SELECT vec_id AS code, embedding AS cv
-        |  FROM embeddings WHERE vec_id % 61 = 0
+        |  FROM embeddings WHERE ${cbFilter}vec_id % 61 = 0
         |  ORDER BY vec_id LIMIT 256),
         |ss AS (SELECT unnest(range(0, 4)) AS s),
         |codes AS (SELECT c_id, s, code FROM (
@@ -1544,6 +1553,8 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
         |    ORDER BY score_u DESC, c_id ASC) AS rn FROM sc)
         |WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin
+
+  private lazy val ivfPqOracleSql: String = ivfPqOracle("")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4673,6 +4684,12 @@ object SparkEntry {
     // shared-oracle precedent: a lossy round trip, a drifted code, or
     // a serve path that re-encodes differently all hash-mismatch
     "simsearch_index_persisted" -> ivfPqOracleSql,
+    // the incremental index serves the same template under YESTERDAY's
+    // codebooks (store-side samples): store-encode ∪ delta-encode must
+    // equal the full encode the oracle recomputes — a delta encoded
+    // against drifted codebooks, or a store rewrite, hash-mismatches
+    "simsearch_index_incremental" ->
+      ivfPqOracle("vec_id % 10 < 8 AND "),
     // residual IVFPQ: same asg/qc as simsearch_ivfpq; the PQ codebook
     // becomes each pq sample's residual against ITS OWN coarse cell
     // (rcb), corpus codes argmax over (x − coarse(cell))·rv − ‖rv‖²/2,

@@ -774,6 +774,62 @@ object SimSearch {
       .join(broadcast(lut), Seq("q_id", "s", "code")), k)
   }
 
+  /** `simsearch_index_incremental` — daily-delta maintenance of the
+    * persisted index, the incremental family's contract
+    * ([[semDedupIncrementalWithCodebook]]) applied to the index
+    * artifact: the codebooks are YESTERDAY's (learned on the store and
+    * persisted — here the store-side stride samples, the deterministic
+    * declared choice), the store's codes are the persisted artifact,
+    * and only the DELTA pays encode compute before APPENDING to the
+    * same cent_id-partitioned layout (codes are immutable under a
+    * pinned quantizer, so maintenance is pure append — re-learning the
+    * codebooks is a REINDEX event that re-encodes the store, never a
+    * daily batch). The serve path then reads the merged artifact
+    * exactly as [[simsearchIndexPersisted]] does. Encode is row-local
+    * and deterministic, so store-encode ∪ delta-encode ≡ full-corpus
+    * encode under the pinned codebooks — the oracle recomputes the
+    * full encode with the store-side codebooks and must hash-match.
+    *
+    * 100 TB economics: the daily marginal cost is |delta| encode + an
+    * append of |delta| × (id + m codes) bytes; the store is never
+    * rewritten, and serve cost is unchanged (DPP still prunes to the
+    * probed cells across old and new files alike).
+    */
+  def simsearchIndexIncremental(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10, coarseStride: Long = 127,
+      pqStride: Long = 61, m: Int = 4, nProbe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val store = emb.filter(col("vec_id") % 10 < 8)
+    val delta = emb.filter(col("vec_id") % 10 >= 8)
+    // yesterday's pinned quantizers: store-side samples only
+    val coarse = ivfCodebook(store, coarseStride)
+    val pqCb = ivfCodebook(store, pqStride).take(MaxPqCodebook)
+    val sub = pqSubDim(pqCb, m)
+    val out = graft.sources.SinkQueries.tmpBase(sfDir) +
+      "/simsearch_index_incremental"
+    def encode(part: DataFrame) = ivfAssignCorpus(part, coarse)
+      .select(col("c_id"), col("cent_id"),
+        posexplode(array(pqCodeCols(pqCb, m, sub, col("c_emb")): _*))
+          .as(Seq("s", "code")))
+    // day 0: the store's index (the persisted artifact)
+    encode(store).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id").parquet(out)
+    // day 1: ONLY the delta encodes; append into the same layout
+    encode(delta).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cent_id").parquet(out)
+    val corpus = spark.read.parquet(out)
+      .select(col("c_id"), col("s"), col("code"),
+        col("cent_id").cast("long").as("cent_id"))
+    val queryCells = ivfQueryCells(emb, coarse, nQueries, nProbe)
+      .select(col("q_id"), col("cent_id"))
+    val lut = pqLutFrame(emb.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      pqCb, m, sub)
+    pqTopK(corpus
+      .join(broadcast(queryCells), Seq("cent_id"))
+      .join(broadcast(lut), Seq("q_id", "s", "code")), k)
+  }
+
   /** `simsearch_pq_rotated` — PQ under a DETERMINISTIC coordinate
     * rotation, the energy-balancing step of the OPQ family (Ge et al.
     * OPQ / Jégou's random-rotation baseline): PQ's independence

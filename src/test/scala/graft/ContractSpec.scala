@@ -178,10 +178,11 @@ class ContractSpec extends AnyFunSuite {
     //   simsearch_range_ivf — only the bounded query→probe-cell
     //                    assignment products (simsearch_ivf's shape);
     //                    the corpus joins keyed on cent_id
-    //   simsearch_index_persisted — simsearch_ivfpq's bounded LUT and
-    //                    probe-cell products on the QUERY side; the
-    //                    index scan joins keyed on cent_id with
-    //                    dynamic partition pruning (IndexPersistSpec)
+    //   simsearch_index_persisted / simsearch_index_incremental —
+    //                    simsearch_ivfpq's bounded LUT and probe-cell
+    //                    products on the QUERY side; the index scan
+    //                    joins keyed on cent_id with dynamic partition
+    //                    pruning (IndexPersistSpec)
     val allowProduct =
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
         "dq_freshness",
@@ -191,7 +192,7 @@ class ContractSpec extends AnyFunSuite {
         "simsearch_rerank", "simsearch_pq_rotated",
         "simsearch_filtered_ivf", "simsearch_ivf_kmeans",
         "simsearch_range", "simsearch_range_ivf",
-        "simsearch_index_persisted",
+        "simsearch_index_persisted", "simsearch_index_incremental",
         "ngram_pmi", "graph_pagerank", "graph_pagerank_dist")
     walk { (name, df) =>
       if (allowProduct(name)) None

@@ -48,4 +48,30 @@ class IndexPersistSpec extends AnyFunSuite {
       s"expected dynamic partition pruning on the index scan, got " +
         s"${idx.map(_.partitionFilters)}:\n$ep")
   }
+
+  test("incremental index: delta append under yesterday's codebooks " +
+      "equals the full-corpus encode (batch-associativity contract)") {
+    val inc = SimSearch.simsearchIndexIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    // the full rebuild under the SAME pinned (store-side) codebooks:
+    // ivfPqOver with store-derived codebooks over the whole corpus
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val store = emb.filter(org.apache.spark.sql.functions
+      .col("vec_id") % 10 < 8)
+    val full = SimSearch.ivfPqOver(emb,
+        SimSearch.ivfCodebook(store, 127),
+        SimSearch.ivfCodebook(store, 61).take(256),
+        k = 5, nQueries = 10, m = 4, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(inc === full,
+      "append maintenance must equal a full rebuild under the pinned quantizers")
+    assert(inc.nonEmpty)
+    // non-vacuous: some delta vector (vec_id % 10 >= 8) surfaced as a
+    // result candidate — the appended files are actually served
+    assert(inc.exists(_._2 % 10 >= 8),
+      "no delta vector ever surfaced — the append was never read")
+  }
 }

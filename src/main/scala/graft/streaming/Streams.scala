@@ -479,17 +479,27 @@ class DriftProcessor(dayUs: Long)
       rows: Iterator[(String, Long, Double)], timerValues: TimerValues)
       : Iterator[(String, Long, Long, Long, Long, Double)] = {
     val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    // batch-local pre-aggregation (map-side combine for the STATE
+    // STORE): counts are order-free integer adds, so the batch's
+    // increments fold in a local map first — ONE RocksDB
+    // read-modify-write per TOUCHED (day, bin) instead of three state
+    // ops per event (measured: the per-row form dominated the replay
+    // rows' task time at 100k events/batch)
+    val acc = scala.collection.mutable.LinkedHashMap[(Long, Long), Long]()
     rows.foreach { case (_, tsUs, v) =>
       val d = tsUs - java.lang.Math.floorMod(tsUs, dayUs)
       if (d + dayUs > wmUs) { // a closed day cannot reopen
-        val bin = math.floor(v).toLong
-        val k = (d, bin)
-        open.updateValue(k,
-          (if (open.containsKey(k)) open.getValue(k) else 0L) + 1L)
-        if (!days.containsKey(d)) {
-          days.updateValue(d, 1L)
-          getHandle.registerTimer((d + dayUs) / 1000L)
-        }
+        val k = (d, math.floor(v).toLong)
+        acc.update(k, acc.getOrElse(k, 0L) + 1L)
+      }
+    }
+    acc.foreach { case (k, c) =>
+      open.updateValue(k,
+        (if (open.containsKey(k)) open.getValue(k) else 0L) + c)
+      val d = k._1
+      if (!days.containsKey(d)) {
+        days.updateValue(d, 1L)
+        getHandle.registerTimer((d + dayUs) / 1000L)
       }
     }
     Iterator.empty
@@ -581,14 +591,20 @@ class ChangepointProcessor(dayUs: Long, refDays: Int)
       rows: Iterator[(String, Long, Double)], timerValues: TimerValues)
       : Iterator[(String, Long, Long, Long, Long, Int)] = {
     val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    // batch-local pre-aggregation (the DriftProcessor treatment):
+    // snap4 applies PER EVENT and the snapped longs add order-free,
+    // so the batch folds locally first — ONE RocksDB
+    // read-modify-write per touched day instead of three per event
+    val acc = scala.collection.mutable.LinkedHashMap[Long, Long]()
     rows.foreach { case (_, tsUs, v) =>
       val b = tsUs - java.lang.Math.floorMod(tsUs, dayUs)
-      if (b + dayUs > wmUs) { // closed days cannot reopen (late drop)
-        val fresh = !open.containsKey(b)
-        val cur = if (fresh) 0L else open.getValue(b)
-        open.updateValue(b, cur + snap4(v))
-        if (fresh) getHandle.registerTimer((b + dayUs) / 1000L)
-      }
+      if (b + dayUs > wmUs) // closed days cannot reopen (late drop)
+        acc.update(b, acc.getOrElse(b, 0L) + snap4(v))
+    }
+    acc.foreach { case (b, s) =>
+      val fresh = !open.containsKey(b)
+      open.updateValue(b, (if (fresh) 0L else open.getValue(b)) + s)
+      if (fresh) getHandle.registerTimer((b + dayUs) / 1000L)
     }
     Iterator.empty
   }
@@ -1239,7 +1255,7 @@ object Streams {
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution." +
         "streaming.state.RocksDBStateStoreProvider")
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
     // changelog checkpointing: per-micro-batch commits upload the delta
     // changelog instead of snapshotting SST files — the production
     // setting for many small batches, and measured ~30-40% off the

@@ -168,6 +168,9 @@ object SparkEntry {
     "table_stats" -> (Aggregates.tableStats _),
     "table_stats_approx" -> (Aggregates.tableStatsApprox _),
     "dq_checks" -> (Aggregates.dqChecks _),
+    // row-level expectations with quarantine (the DLT/GE shape): the
+    // violating ROWS with sorted violated-rule labels, one scan
+    "dq_quarantine" -> (Aggregates.dqQuarantine _),
     "dq_drift" -> (Aggregates.dqDrift _),
     // the freshness pillar: per-series last event + whole-hour lag
     // behind the corpus max, stale flag past 48h
@@ -2600,6 +2603,24 @@ object SparkEntry {
         |            >= 48 THEN 1 ELSE 0 END AS stale
         |FROM per, g
         |ORDER BY event_type ASC""".stripMargin,
+    // row-level quarantine: the same rule expressions evaluated per
+    // row; the label is the sorted comma-join of failed names — both
+    // engines sort the identical string set, so the hash is exact
+    "dq_quarantine" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        |       violated
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        |  array_to_string(list_sort(list_filter(
+        |    [CASE WHEN NOT (l_discount <= 0.05)
+        |          THEN 'discount_le_05' END,
+        |     CASE WHEN NOT (l_extendedprice > 0.0)
+        |          THEN 'price_pos' END,
+        |     CASE WHEN NOT (l_quantity >= 1.0) THEN 'qty_ge_1' END,
+        |     CASE WHEN NOT (l_quantity <= 25.0) THEN 'qty_le_25' END],
+        |    x -> x IS NOT NULL)), ',') AS violated
+        |  FROM lineitem) t
+        |WHERE violated <> ''
+        |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
     "dq_checks" ->
       """SELECT check_name, target, violations,
         |  (CASE WHEN violations = 0 THEN 1 ELSE 0 END)::INT AS pass

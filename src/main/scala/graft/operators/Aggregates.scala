@@ -409,6 +409,41 @@ object Aggregates {
       .orderBy(col("event_type").asc)
   }
 
+  /** `dq_quarantine` — ROW-LEVEL expectations, the fourth DQ surface
+    * (`dq_checks` counts violations per rule; this one emits the
+    * violating ROWS with their violated-rule labels — the Delta Live
+    * Tables / Great Expectations "expectations with quarantine" shape,
+    * where failing rows route to a quarantine table for triage instead
+    * of silently dropping). Each row evaluates every named rule
+    * row-locally; the label column is the comma-joined SORTED list of
+    * failed rule names (sorted so the label is deterministic under any
+    * evaluation order; a string, not an array — the driver-comparator
+    * contract bans collection outputs).
+    *
+    * Shape: pure scan→project→filter — zero shuffles before the output
+    * ORDER BY; at 100 TB the quarantine write is a partitioned sink of
+    * the filter's survivors and the pass-through table is the
+    * complement, both from ONE scan.
+    */
+  def dqQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("discount_le_05", col("l_discount") <= 0.05),
+      ("price_pos", col("l_extendedprice") > 0.0),
+      ("qty_ge_1", col("l_quantity") >= 1.0),
+      ("qty_le_25", col("l_quantity") <= 25.0))
+    val violated = concat_ws(",", array_sort(filter(
+      array(rules.map { case (n, c) =>
+        when(!c, lit(n)).otherwise(lit(null).cast("string"))
+      }: _*),
+      x => x.isNotNull)))
+    Tables.lineitem(spark, sfDir)
+      .withColumn("violated", violated)
+      .filter(col("violated") =!= "")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("violated"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+  }
+
   def dqChecks(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)

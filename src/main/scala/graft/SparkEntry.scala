@@ -329,6 +329,11 @@ object SparkEntry {
     // on the SAME oracle as the batch operator
     "stream_dedup_minhash_ok" -> ((s: SparkSession, d: String) =>
       graft.streaming.Streams.streamDedupMinhashOk(s, d)),
+    // NEAR-DUP decontamination: corpus bands join BROADCAST benchmark
+    // bands cross-set (no self-join anywhere); exact-Jaccard verify on
+    // candidates; benchMod=19 so planted dups cross the split at all SFs
+    "decontaminate_minhash" -> ((s: SparkSession, d: String) =>
+      MinHashDedup.decontaminateMinhash(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => MinHashDedup.ngramJaccard(s, d)),
     "dedup_span" -> ((s: SparkSession, d: String) =>
       MinHashDedup.dedupSpan(s, d)),
@@ -5087,6 +5092,32 @@ object SparkEntry {
     // pair (same gate as dedup_minhash) and therefore always survive.
     // Same banding-miss caveat as dedup_minhash (fixture dups at J>=0.9)
     "dedup_minhash_incremental" -> minhashIncrementalSql,
+    // near-dup decontamination: exact cross-set all-pairs Jaccard
+    // (corpus %19<>0 vs benchmark %19=0) — same banding-miss caveat as
+    // dedup_minhash (fixture dups at J>=0.9, miss prob ~2e-4)
+    "decontaminate_minhash" ->
+      raw"""WITH d AS (SELECT doc_id,
+        |    string_split($normT, ' ') AS toks
+        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+        |s AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM d),
+        |tok AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (SELECT c.doc_id AS c_id, b.doc_id AS b_id,
+        |    count(*) AS ni
+        |  FROM tok c JOIN tok b ON c.g = b.g
+        |  WHERE c.doc_id % 19 <> 0 AND b.doc_id % 19 = 0
+        |  GROUP BY 1, 2),
+        |j AS (SELECT c_id, b_id,
+        |    round(ni::DOUBLE / (sc.n::DOUBLE + sb.n::DOUBLE
+        |      - ni::DOUBLE), 4) AS j
+        |  FROM inter JOIN sizes sc ON c_id = sc.doc_id
+        |  JOIN sizes sb ON b_id = sb.doc_id)
+        |SELECT c_id AS doc_id, max(j) AS max_jaccard,
+        |  count(*)::BIGINT AS n_bench_hits
+        |FROM j WHERE j >= 0.5
+        |GROUP BY c_id ORDER BY doc_id ASC""".stripMargin,
     // the streaming twin is gated on the SAME SQL (the stream_drift_ok
     // shared-oracle precedent): bucket-state loss across micro-batches,
     // order drift, or in-processor Jaccard drift all hash-mismatch

@@ -154,6 +154,72 @@ object MinHashDedup {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** `decontaminate_minhash` — NEAR-DUP decontamination, completing
+    * the family (exact shared-grams `decontaminate` → bloom-prefiltered
+    * `decontaminate_bloom` → paraphrase-robust near-dup): exact n-gram
+    * overlap misses a contaminated document the moment the benchmark
+    * text is lightly edited, so production pipelines run a fuzzy pass
+    * too (the standard eval-contamination recipe pairs n-gram overlap
+    * with near-dup similarity). A corpus doc is contaminated iff its
+    * exact 3-shingle Jaccard against ANY benchmark doc clears
+    * `threshold`; candidates come from the SAME banded-signature
+    * machinery as `dedup_minhash`, but CROSS-SET: corpus bands join
+    * BENCHMARK bands on (band, bhash), and the benchmark side is
+    * eval-suite-sized by definition — it broadcasts, so at 100 TB the
+    * corpus streams through one banding pass and NOTHING self-joins
+    * (the all-pairs hazard never exists here). Output: contaminated
+    * docs with their worst benchmark Jaccard and hit count — the
+    * triage report an eval-hygiene audit publishes.
+    *
+    * `benchMod = 19`: the fixture's planted near-dups must CROSS the
+    * corpus/benchmark split for the verify arithmetic to be
+    * non-vacuously gated — measured 3/3/26 contaminated docs at
+    * sf0.001/0.01/0.1 (the exact family's %97 split yields ZERO
+    * near-dup hits at sf0.01). Same banding-miss caveat as
+    * `dedup_minhash`: fixture dups sit at J ≥ 0.9, far above the
+    * 0.5 threshold, where the 8-band miss probability is ~2e-4.
+    */
+  def decontaminateMinhash(spark: SparkSession, sfDir: String,
+      nPerm: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      benchMod: Int = 19): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    decontaminateMinhashDocs(
+      docs.filter(col("doc_id") % benchMod =!= 0),
+      docs.filter(col("doc_id") % benchMod === 0),
+      nPerm, bands, threshold)
+  }
+
+  /** Core of [[decontaminateMinhash]] over explicit corpus/benchmark
+    * (doc_id, text) frames — the planted-corpus harness for DedupSpec.
+    */
+  def decontaminateMinhashDocs(corpus: DataFrame, bench: DataFrame,
+      nPerm: Int, bands: Int, threshold: Double): DataFrame = {
+    val (cSh, cBand) = sigStore(corpus, nPerm, bands)
+    val (bSh, bBand) = sigStore(bench, nPerm, bands)
+    // cross-set band join: the benchmark side broadcasts (eval-suite-
+    // sized); candidate dedup on bare id pairs, shingles re-attach
+    // after (the candidatePairs shuffle discipline)
+    val cand = cBand
+      .select(col("band"), col("bhash"), col("doc_id").as("c_id"))
+      .join(broadcast(bBand
+        .select(col("band"), col("bhash"), col("doc_id").as("b_id"))),
+        Seq("band", "bhash"))
+      .select(col("c_id"), col("b_id")).distinct()
+    cand
+      .join(cSh.select(col("doc_id").as("c_id"), col("sh").as("c_sh")),
+        "c_id")
+      .join(broadcast(bSh
+        .select(col("doc_id").as("b_id"), col("sh").as("b_sh"))), "b_id")
+      .withColumn("j", round(jaccard(col("c_sh"), col("b_sh")), 4))
+      .filter(col("j") >= threshold)
+      .groupBy(col("c_id"))
+      .agg(max(col("j")).as("max_jaccard"),
+        count(lit(1)).as("n_bench_hits"))
+      .select(col("c_id").as("doc_id"), col("max_jaccard"),
+        col("n_bench_hits"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** `dedup_minhash_incremental` — the daily-crawl production shape of
     * near-dup dedup: yesterday's corpus already has a persisted banded
     * signature STORE ([[sigStore]]'s two frames); today's delta batch

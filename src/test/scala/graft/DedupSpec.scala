@@ -654,6 +654,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Set(12L, 14L, 15L))
   }
 
+  test("decontaminate_minhash: a lightly-edited benchmark doc is caught " +
+      "(near-dup), a fresh doc is not, and exact-equality still scores 1") {
+    import graft.operators.MinHashDedup
+    val benchText = "the quick brown fox jumps over the lazy dog near " +
+      "the old river bank every single morning without fail"
+    val editedText = benchText.replace("morning", "evening") // near-dup
+    val bench = Seq((0L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, editedText),                    // paraphrase → contaminated
+      (2L, benchText),                     // verbatim → contaminated, j=1
+      (3L, "completely unrelated content about distributed query " +
+        "engines and columnar storage formats"))
+      .toDF("doc_id", "text")
+    val got = MinHashDedup
+      .decontaminateMinhashDocs(corpus, bench, 32, 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet === Set(1L, 2L), s"got $got")
+    assert(got(2L) === 1.0)
+    assert(got(1L) >= 0.5 && got(1L) < 1.0)
+  }
+
   test("dedup_semantic_incremental: planted semantics + the family's " +
       "batch-associativity contract") {
     import graft.operators.SimSearch

@@ -496,6 +496,11 @@ object SparkEntry {
     // signature store, then the standing curation chain on the delta
     "pipeline_curate_v4" -> ((s: SparkSession, d: String) =>
       TextOps.pipelineCurateV4(s, d)),
+    // the RELEASE-PREP capstone: quality gate → exact dedup → NEAR-DUP
+    // decontamination → content-keyed split → train-only epoch
+    // upsampling — one row per shipped sequence source
+    "pipeline_curate_v5" -> ((s: SparkSession, d: String) =>
+      TextOps.pipelineCurateV5(s, d)),
     "repetition_score" -> (TextOps.repetitionScore _),
     "quality_classifier" -> (TextOps.qualityClassifier _),
     "vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopk(s, d)),
@@ -1489,6 +1494,68 @@ object SparkEntry {
       |     + CASE WHEN coin < e_pct % 100 THEN 1 ELSE 0 END) AS n_copies
       |  FROM t)
       |SELECT doc_id, lang, source,
+      |  unnest(range(0, n_copies))::INT AS copy_id
+      |FROM n WHERE n_copies > 0
+      |ORDER BY doc_id ASC, copy_id ASC""".stripMargin
+  }
+
+  /** The `pipeline_curate_v5` oracle: the release-prep composition —
+    * quality gate + exact dedup (the v4 keepq/ded CTEs), near-dup
+    * decontamination (the decontaminate_minhash CTEs with the %19
+    * split), the content-keyed split bucket, and train-only epoch
+    * upsampling from the SAME spec-as-data epoch table the operator
+    * consumes.
+    */
+  private lazy val pipelineCurateV5Sql: String = {
+    val vals = graft.operators.TextOps.DefaultEpochs
+      .map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+    raw"""WITH ep(source, e_pct) AS (VALUES $vals),
+      |d0 AS (SELECT doc_id, string_split($normT, ' ') AS toks
+      |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+      |s0 AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(toks) - 3, 0) + 1),
+      |    i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM d0),
+      |tok AS (SELECT doc_id, unnest(sh) AS g FROM s0),
+      |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (SELECT c.doc_id AS c_id, b.doc_id AS b_id,
+      |    count(*) AS ni
+      |  FROM tok c JOIN tok b ON c.g = b.g
+      |  WHERE c.doc_id % 19 <> 0 AND b.doc_id % 19 = 0
+      |  GROUP BY 1, 2),
+      |cont AS (SELECT DISTINCT c_id AS doc_id FROM inter
+      |  JOIN sz sc ON c_id = sc.doc_id
+      |  JOIN sz sb ON b_id = sb.doc_id
+      |  WHERE round(ni::DOUBLE / (sc.n::DOUBLE + sb.n::DOUBLE
+      |      - ni::DOUBLE), 4) >= 0.5),
+      |m AS (SELECT doc_id, source, lang, $normT AS t,
+      |    len(string_split($normT, ' '))::INT AS n_tokens, n_chars,
+      |    round(length(replace($normT, ' ', ''))::DOUBLE
+      |          / len(string_split($normT, ' ')), 4) AS mwl
+      |  FROM documents),
+      |keepq AS (SELECT * FROM m
+      |  WHERE lang IN ('en','de','es','fr')
+      |    AND n_tokens BETWEEN 3 AND 10000
+      |    AND n_chars BETWEEN 20 AND 100000
+      |    AND mwl BETWEEN 2.0 AND 12.0),
+      |ded AS (SELECT *, row_number() OVER (
+      |    PARTITION BY md5(t) ORDER BY doc_id ASC) AS rn FROM keepq),
+      |clean AS (SELECT dd.doc_id, dd.lang, dd.source, dd.t FROM ded dd
+      |  LEFT JOIN cont c ON dd.doc_id = c.doc_id
+      |  WHERE dd.rn = 1 AND dd.doc_id % 19 <> 0 AND c.doc_id IS NULL),
+      |ws AS (SELECT doc_id, lang, source,
+      |    CASE (('0x' || substring(md5(t), 1, 8))::BIGINT % 100)
+      |      WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END
+      |      AS split
+      |  FROM clean),
+      |n AS (SELECT ws.doc_id, ws.lang, ws.source, ws.split,
+      |    CASE WHEN ws.split <> 'train' THEN 1
+      |         ELSE (ep.e_pct // 100
+      |           + CASE WHEN ('0x' || substring(
+      |               md5(ws.doc_id::VARCHAR), 1, 8))::BIGINT % 100
+      |               < ep.e_pct % 100 THEN 1 ELSE 0 END)
+      |    END AS n_copies
+      |  FROM ws JOIN ep USING (source))
+      |SELECT doc_id, lang, source, split,
       |  unnest(range(0, n_copies))::INT AS copy_id
       |FROM n WHERE n_copies > 0
       |ORDER BY doc_id ASC, copy_id ASC""".stripMargin
@@ -3537,6 +3604,11 @@ object SparkEntry {
         |  (before_toks + n_tokens)::BIGINT AS cum_tokens
         |FROM p WHERE before_toks < 1500
         |ORDER BY doc_id ASC""".stripMargin,
+    // v5 = quality gate + exact dedup (the v4 CTEs), near-dup
+    // decontamination (the decontaminate_minhash CTEs, %19 split),
+    // content-keyed split, train-only epoch upsampling (mix_epochs'
+    // VALUES table + coin)
+    "pipeline_curate_v5" -> pipelineCurateV5Sql,
     // blob = utf-8 bytes of text, so DuckDB's md5(text) hashes the
     // identical byte string; octet_length = blob length
     "multimodal_dedup" ->

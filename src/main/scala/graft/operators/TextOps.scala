@@ -992,6 +992,81 @@ object TextOps {
       lit(budget), buckets = 256)
   }
 
+  /** `pipeline_curate_v5` — the RELEASE-PREP capstone composing the
+    * round-14 pieces into the step that actually ships a training
+    * corpus: quality gate → exact content dedup → NEAR-DUP
+    * decontamination ([[graft.operators.MinHashDedup.decontaminateMinhash]]
+    * — paraphrased benchmark text drops too, not just verbatim
+    * copies) → leakage-free train/val/test assignment
+    * ([[graft.functions.ScalarFns.sampleSplitDocs]]'s content-hash
+    * rule, so exact dups that survived as one representative still
+    * split deterministically) → fractional-epoch UP-sampling of the
+    * TRAIN split only ([[mixEpochs]]'s table; val/test always emit
+    * exactly one copy — upsampling an eval split would double-count
+    * evaluation, the production rule this composition exists to
+    * encode). Output: one row per SHIPPED sequence source
+    * (doc_id, lang, source, split, copy_id).
+    *
+    * Scale shape: every stage is row-local or keyed — quality gate
+    * row-local, exact dedup one content-hash window, decontamination
+    * the cross-set broadcast band join (corpus never self-joins),
+    * split + epochs row-local CASE/md5/explode. One lazy DAG,
+    * Catalyst plans it end-to-end.
+    */
+  def pipelineCurateV5(spark: SparkSession, sfDir: String,
+      benchMod: Int = 19): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val contaminated = graft.operators.MinHashDedup
+      .decontaminateMinhash(spark, sfDir, benchMod = benchMod)
+      .select(col("doc_id"))
+    val quality = docs
+      .withColumn("t", normText(col("text")))
+      .withColumn("n_tokens", size(split(col("t"), " ")))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(col("t"), " ", "")).cast("double") /
+          size(split(col("t"), " ")), 4))
+      .filter(col("lang").isin("en", "de", "es", "fr") &&
+        col("n_tokens").between(3, 10000) &&
+        col("n_chars").between(20, 100000) &&
+        col("mean_word_len").between(2.0, 12.0))
+    val wDedup = Window.partitionBy(col("h")).orderBy(col("doc_id").asc)
+    val clean = quality
+      .withColumn("h", sha2(col("t"), 256))
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1 && col("doc_id") % benchMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // content-keyed split BEFORE upsampling (a doc's copies must all
+    // land in one split; the key survives the dedup representative)
+    val withSplit = clean
+      .withColumn("bucket",
+        (conv(substring(md5(col("t")), 1, 8), 16, 10)
+          .cast("long") % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") === 0, lit("test"))
+          .when(col("bucket") === 1, lit("val"))
+          .otherwise(lit("train")))
+    val ePct = DefaultEpochs.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (src, p)) => acc.when(col("source") === src, lit(p))
+    }.otherwise(lit(0))
+    withSplit
+      .withColumn("e_pct", ePct)
+      // a source absent from the epoch table is dropped ENTIRELY
+      // (mixEpochs' drop-domain rule — val/test rows of a dropped
+      // domain must not ship either)
+      .filter(col("e_pct") > 0)
+      .withColumn("coin",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).cast("int"))
+      .withColumn("n_copies",
+        when(col("split") =!= "train", lit(1)).otherwise(
+          floor(col("e_pct") / 100).cast("int") +
+            when(col("coin") < col("e_pct") % 100, 1).otherwise(0)))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("split"),
+        explode(sequence(lit(0), col("n_copies") - 1)).as("copy_id"))
+      .orderBy(col("doc_id").asc, col("copy_id").asc)
+  }
+
   /** `doc_fingerprint` — rolling/content-defined fingerprinting: per-doc
     * polynomial rolling hash over word 3-grams, plus the minimum 3-gram
     * hash (a 1-permutation MinHash — the dedup_minhash building block).

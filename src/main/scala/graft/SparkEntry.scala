@@ -538,6 +538,12 @@ object SparkEntry {
     // co-purchase graph (Suri & Vassilvitskii WWW'11 formulation)
     "graph_triangles" -> ((s: SparkSession, d: String) =>
       GraphOps.graphTriangles(s, d)),
+    // connected components: hash-min label propagation to the FIXPOINT
+    // (schedule-independent, so the oracle's transitive closure
+    // computes the identical labels); corpus pays once, rounds are
+    // graph-sized
+    "graph_cc" -> ((s: SparkSession, d: String) =>
+      GraphOps.graphCc(s, d)),
     // the DISTRIBUTED formulation of the same arithmetic (unrolled keyed
     // joins over the cached edge aggregate) — the scale path for graphs
     // too large for one task, driver-gated on the same oracle (the
@@ -4089,6 +4095,21 @@ object SparkEntry {
         |FROM e e1 JOIN e e2 ON e2.u = e1.v
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
         |ORDER BY t1 ASC, t2 ASC, t3 ASC""".stripMargin,
+    // components via recursive transitive closure: min reachable id =
+    // the label-propagation fixpoint, schedule-independent
+    "graph_cc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |r(x, y) AS (
+        |  SELECT u AS x, v AS y FROM und
+        |  UNION
+        |  SELECT r.x, und.v AS y FROM r JOIN und ON r.y = und.u)
+        |SELECT x AS part, least(x, min(y))::BIGINT AS component
+        |FROM r GROUP BY x ORDER BY part ASC""".stripMargin,
     "corpus_report" ->
       raw"""WITH d AS (SELECT lang, source, n_chars,
         |    len(string_split($normT, ' '))::BIGINT AS n_tokens

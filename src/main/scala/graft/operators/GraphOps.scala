@@ -320,10 +320,22 @@ object GraphOps {
       minCo)
 
   /** [[graphTriangles]] over any (ok, pk) basket frame. */
-  def triangleCoPurchase(li: DataFrame, minCo: Long): DataFrame = {
-    // positional i<j pairs over the sorted per-order part list = the
-    // a.pk < b.pk row-pair multiset (equal-part pairs filtered)
-    val edges = li.groupBy(col("ok"))
+  def triangleCoPurchase(li: DataFrame, minCo: Long): DataFrame =
+    triangleEnum(coPurchaseEdges(li, minCo))
+
+  /** The co-purchase edge aggregation shared by `graph_triangles` and
+    * `graph_cc` — positional i<j pairs over the sorted per-order part
+    * list = the a.pk < b.pk row-pair multiset (equal-part pairs
+    * filtered), kept iff co-purchased in ≥ minCo orders. The edge set
+    * is graph-sized (thousands of rows) but its lineage is a corpus
+    * pass, and the consumers read it repeatedly (triangleEnum four
+    * times; ccEnum once per propagation round) — an eager cut makes
+    * the corpus pay once (the pagerank_dist lesson: 4 recomputations
+    * measured as 3.4 s wall / 19 s task time here).
+    */
+  private[graft] def coPurchaseEdges(li: DataFrame,
+      minCo: Long): DataFrame =
+    li.groupBy(col("ok"))
       .agg(sort_array(collect_list(col("pk"))).as("ps"))
       .select(explode(expr(
         """flatten(transform(ps, (x, i) ->
@@ -335,13 +347,56 @@ object GraphOps {
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
       .select(col("u"), col("v"))
-      // the edge set is graph-sized (thousands of rows) but its
-      // lineage is a corpus pass, and triangleEnum consumes it FOUR
-      // times (degrees, two orientation sides, the closing join) — an
-      // eager cut makes the corpus pay once (the pagerank_dist lesson:
-      // 4 recomputations measured as 3.4 s wall / 19 s task time here)
       .localCheckpoint(true)
-    triangleEnum(edges)
+
+  /** `graph_cc` — connected components of the co-purchase graph,
+    * completing the graph trio (centrality `graph_pagerank`, local
+    * structure `graph_triangles`, global structure: which parts form
+    * one co-purchase market): hash-min label propagation to the
+    * FIXPOINT — every vertex ends labeled with the MINIMUM part id
+    * reachable from it. The fixpoint is a graph property independent
+    * of iteration schedule, so the oracle computes the SAME labels by
+    * recursive transitive closure and the hash compare is exact
+    * without pinning a round count.
+    *
+    * Scale shape: the corpus pays ONCE (the shared
+    * [[coPurchaseEdges]] aggregation); every propagation round is one
+    * keyed join + min-aggregate over GRAPH-sized frames, labels
+    * localCheckpoint per round (lineage one round deep), and the
+    * convergence check is a 1-row count (the bounded-collect class).
+    * Rounds = graph diameter — small-world co-purchase graphs converge
+    * in a handful; for planetary graphs the alternating
+    * large-star/small-star contraction (Kiveris et al. 2014) is the
+    * drop-in round-compressor with the same per-round join shape.
+    */
+  def graphCc(spark: SparkSession, sfDir: String,
+      minCo: Long = 2L): DataFrame =
+    ccEnum(coPurchaseEdges(Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+      minCo))
+
+  /** Hash-min label propagation over an undirected (u, v) edge frame. */
+  private[graft] def ccEnum(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = und.select(col("u")).distinct()
+      .select(col("u").as("x"), col("u").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = und
+        .join(labels.select(col("x").as("u"), col("lbl").as("nl")), "u")
+        .groupBy(col("v").as("x")).agg(min(col("nl")).as("mn"))
+      val stepped = labels.join(nbrMin, Seq("x"), "left")
+        .select(col("x"), col("lbl"),
+          least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("nl"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("nl") < col("lbl")).count()
+      labels = stepped.select(col("x"), col("nl").as("lbl"))
+    }
+    labels.select(col("x").as("part"), col("lbl").as("component"))
+      .orderBy(col("part").asc)
   }
 
   /** Degree-oriented triangle enumeration over any id-ordered

@@ -359,4 +359,35 @@ class GraphMixSpec extends AnyFunSuite {
           s"$lang: budget must actually exclude docs (non-vacuous)")
     }
   }
+
+  test("graph_cc: hash-min propagation converges on multi-round chains " +
+      "and keeps components separate") {
+    // component {1,2,3} (min 1), component {10,11} (min 10), and a
+    // 4-vertex chain 5-6-7-8 whose far end needs THREE propagation
+    // rounds to learn the minimum — the convergence loop, not a
+    // single-hop pass, is what's under test
+    val edges = Seq((2L, 3L), (1L, 2L), (10L, 11L),
+      (5L, 6L), (6L, 7L), (7L, 8L)).toDF("u", "v")
+    val got = graft.operators.GraphOps.ccEnum(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L), s"got $got")
+    // fixture: labels are a partition refinement of the planted-free
+    // co-purchase graph — every edge's endpoints share a component
+    val sf = TestSpark.sf
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val fedges = graft.operators.GraphOps.coPurchaseEdges(li, 2L)
+    val lbl = graft.operators.GraphOps.graphCc(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    fedges.collect().foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      assert(lbl(u) === lbl(v), s"edge ($u,$v) straddles components")
+    }
+    // and every component is labeled by its own minimum member
+    lbl.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min === c, s"component $c not min-labeled")
+    }
+  }
 }

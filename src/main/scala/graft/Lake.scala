@@ -353,6 +353,7 @@ object Lake {
       graft.sources.SinkQueries.clearBucketedMemo() +
       graft.operators.TextOps.clearLmCache() +
       graft.operators.GraphOps.clearUnrolledEdgeCache() +
+      graft.operators.GraphOps.clearCoEdgeCache() +
       graft.operators.BpeTrain.clearBpeCache()
 
   /** novlake `Lake(user)` — the per-user convenience constructor: each

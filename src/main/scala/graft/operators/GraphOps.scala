@@ -315,9 +315,7 @@ object GraphOps {
     */
   def graphTriangles(spark: SparkSession, sfDir: String,
       minCo: Long = 2L): DataFrame =
-    triangleCoPurchase(Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
-      minCo)
+    triangleEnum(cachedCoPurchaseEdges(spark, sfDir, minCo))
 
   /** [[graphTriangles]] over any (ok, pk) basket frame. */
   def triangleCoPurchase(li: DataFrame, minCo: Long): DataFrame =
@@ -349,6 +347,36 @@ object GraphOps {
       .select(col("u"), col("v"))
       .localCheckpoint(true)
 
+  /** Per-process memo of the co-purchase edge aggregate — TWO declared
+    * queries (`graph_triangles`, `graph_cc`) are views of the one
+    * localCheckpoint'd edge artifact, so the second consumer must not
+    * re-pay the corpus pass (the BpeTrain/lm-memo discipline). Keyed
+    * on the lineitem fingerprint; entries are graph-sized; checkpoint
+    * blocks release with the RDD on entry removal/GC.
+    */
+  private val coEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String, Long), DataFrame]()
+
+  private[graft] def clearCoEdgeCache(): Int = {
+    val n = coEdgeCache.size()
+    coEdgeCache.clear()
+    n
+  }
+
+  private def cachedCoPurchaseEdges(spark: SparkSession, sfDir: String,
+      minCo: Long): DataFrame = {
+    val fp = MinHashDedup.corpusFingerprint(spark, sfDir, Seq("lineitem"))
+    MinHashDedup.evictStale(coEdgeCache,
+      (k: (SparkSession, String, String, Long)) =>
+        k._1 == spark && k._2 == sfDir && k._3 != fp,
+      (k: (SparkSession, String, String, Long)) => k._1)
+    coEdgeCache.computeIfAbsent((spark, sfDir, fp, minCo), _ =>
+      coPurchaseEdges(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+        minCo))
+  }
+
   /** `graph_cc` — connected components of the co-purchase graph,
     * completing the graph trio (centrality `graph_pagerank`, local
     * structure `graph_triangles`, global structure: which parts form
@@ -371,15 +399,44 @@ object GraphOps {
     */
   def graphCc(spark: SparkSession, sfDir: String,
       minCo: Long = 2L): DataFrame =
-    ccEnum(coPurchaseEdges(Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
-      minCo))
+    ccEnum(cachedCoPurchaseEdges(spark, sfDir, minCo))
 
-  /** Hash-min label propagation over an undirected (u, v) edge frame. */
+  /** Hash-min label propagation over an undirected (u, v) edge frame,
+    * with POINTER JUMPING: each round folds in both the neighbor
+    * minimum AND label(label(x)) — the label edge x→label(x) is a
+    * sound reachability shortcut (label(x) = m means m is reachable
+    * from x; label(m) = m′ means m′ is reachable from m, hence from
+    * x), so doubling only accelerates toward the same min-reachable
+    * fixpoint while cutting rounds from O(diameter) to O(log n) — the
+    * Shiloach–Vishkin-style hybrid every distributed CC implementation
+    * uses. Measured on the 6155-vertex sf0.1 graph: 8 rounds to the
+    * fixpoint at ~0.5 s/round; the per-round floor is plan-compile +
+    * job latency on dust-sized frames, not data (the pagerank_dist
+    * "iteration floor" finding) — it is iteration-fixed, never
+    * corpus-proportional, and the corpus-sized edge build runs once
+    * on the caller's session with full parallelism (memoized across
+    * graph_triangles and graph_cc).
+    */
   private[graft] def ccEnum(edges: DataFrame): DataFrame = {
-    val und = edges.select(col("u"), col("v"))
+    // Rounds run on a CLONED session (the pagerank_dist treatment):
+    // AQE off + 4 shuffle partitions while the graph-sized iterates
+    // execute — per-round scheduler/AQE latency dominated the wall
+    // otherwise. Unlike pagerank_dist the result is VERTEX-sized
+    // (unbounded at scale), so no collect-rebind: instead the clone's
+    // conf is RESTORED after convergence, and the returned frame —
+    // whose lineage is one localCheckpoint + sort — plans any later
+    // action under the session's normal settings (SQLConf is read at
+    // planning time, per action).
+    val spark0 = edges.sparkSession
+    val s2 = spark0.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val und0 = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
+    // re-bind the checkpointed blocks to the clone (RDD scan, no
+    // recompute — blocks live in the shared SparkContext)
+    val und = s2.createDataFrame(und0.rdd, und0.schema)
     var labels = und.select(col("u")).distinct()
       .select(col("u").as("x"), col("u").as("lbl"))
       .localCheckpoint(true)
@@ -388,13 +445,21 @@ object GraphOps {
       val nbrMin = und
         .join(labels.select(col("x").as("u"), col("lbl").as("nl")), "u")
         .groupBy(col("v").as("x")).agg(min(col("nl")).as("mn"))
-      val stepped = labels.join(nbrMin, Seq("x"), "left")
+      val ptr = labels.select(col("x").as("px"), col("lbl").as("plbl"))
+      val stepped = labels
+        .join(nbrMin, Seq("x"), "left")
+        .join(ptr, labels("lbl") === ptr("px"), "left")
         .select(col("x"), col("lbl"),
-          least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("nl"))
+          least(col("lbl"), coalesce(col("mn"), col("lbl")),
+            coalesce(col("plbl"), col("lbl"))).as("nl"))
         .localCheckpoint(true)
       changed = stepped.filter(col("nl") < col("lbl")).count()
       labels = stepped.select(col("x"), col("nl").as("lbl"))
     }
+    s2.conf.set("spark.sql.adaptive.enabled",
+      spark0.conf.get("spark.sql.adaptive.enabled", "true"))
+    s2.conf.set("spark.sql.shuffle.partitions",
+      spark0.conf.get("spark.sql.shuffle.partitions", "200"))
     labels.select(col("x").as("part"), col("lbl").as("component"))
       .orderBy(col("part").asc)
   }

@@ -264,6 +264,11 @@ object SparkEntry {
     // weekday mean of exactly-detrended days (420 = lcm(1..7) clears
     // the denominators), residual = the rest; no mid-pipeline division
     "ts_stl" -> (EventWindows.tsStl _),
+    // the periodicity DIAGNOSTIC: per-series ACF at lags 1..7 over the
+    // daily series; exact integer sums (y = n·x − S clears the mean's
+    // denominator), one division at the 6dp output boundary
+    "ts_acf" -> ((s: SparkSession, d: String) =>
+      EventWindows.tsAcf(s, d)),
     // Holt linear-trend smoothing: exact BIGINT fixed-point fold per
     // series (aggregate HOF), one-step-ahead prequential forecasts
     "ts_forecast" -> (EventWindows.tsForecast _),
@@ -3754,6 +3759,34 @@ object SparkEntry {
     // rationals, detrended = xu*tc − tn exactly, weekday means clear
     // denominators via 420 // tc (every 7-day-window count divides
     // 420); one IEEE tree per output component
+    // ACF over the exact integers y = n·x − S (scale-4 BIGINT days;
+    // HUGEINT products where Spark uses DECIMAL(38,0)); the offset
+    // self-join covers the same n−k pair set as Spark's null-skipping
+    // lead columns
+    "ts_acf" ->
+      """WITH daily AS (SELECT event_type,
+        |    date_trunc('day', ts)::DATE AS day,
+        |    (sum(CAST(value AS DECIMAL(18,4))) * 10000)::BIGINT AS xu
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(xu)::BIGINT AS s FROM daily GROUP BY 1),
+        |y AS (SELECT d.event_type, st.n,
+        |    (st.n * d.xu - st.s)::HUGEINT AS y,
+        |    row_number() OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day ASC) AS t
+        |  FROM daily d JOIN st USING (event_type)),
+        |den AS (SELECT event_type, any_value(n) AS n_days,
+        |    sum(y * y) AS den FROM y GROUP BY 1),
+        |lags AS (SELECT unnest(range(1, 8)) AS lag),
+        |num AS (SELECT a.event_type, l.lag, sum(a.y * b.y) AS num
+        |  FROM y a CROSS JOIN lags l
+        |  JOIN y b ON b.event_type = a.event_type AND b.t = a.t + l.lag
+        |  GROUP BY 1, 2)
+        |SELECT n.event_type, n.lag::INT AS lag,
+        |  d.n_days::BIGINT AS n_days,
+        |  round(n.num::DOUBLE / d.den::DOUBLE, 6) AS acf
+        |FROM num n JOIN den d USING (event_type)
+        |ORDER BY event_type ASC, lag ASC""".stripMargin,
     "ts_stl" ->
       raw"""WITH daily AS (SELECT event_type,
         |    CAST(date_trunc('day', ts) AS DATE) AS day,

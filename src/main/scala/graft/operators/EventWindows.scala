@@ -645,6 +645,64 @@ object EventWindows {
       .orderBy(col("event_type").asc, col("day").asc)
   }
 
+  /** `ts_acf` — the autocorrelation function by lag, the classic
+    * seasonality/periodicity DIAGNOSTIC that precedes `ts_seasonal`/
+    * `ts_stl` in a real pipeline (a weekly cycle shows as an ACF peak
+    * at lag 7 BEFORE anyone commits to a decomposition period): per
+    * event series, acf(k) = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)² for
+    * k = 1..maxLag over the daily revenue series.
+    *
+    * Exactness (SURVEY §5.3 rule 8 — clear the denominator): the mean
+    * μ = S/n is rational, so both sums are computed over the exact
+    * integers y_t = n·x_t − S (x in scale-4 BIGINT units; the common
+    * 1/n² factor cancels in the ratio). y ≲ n·x ~ 1.5e11 fits a Long;
+    * the PRODUCTS y·y ~ 2e22 do not — they accumulate in
+    * DECIMAL(38,0) (HUGEINT in the oracle; exact integer sums are
+    * order-free). The ONLY division is the final num/den at 6 dp.
+    *
+    * Shape: one keyed daily aggregate, a 5-row broadcast (n, S)
+    * attach, ONE window pass producing all maxLag lead columns
+    * (series-sized partitions after the first agg — the ts-family
+    * bound), one keyed aggregate; the lag unpivot is row-local.
+    * A lead past the series end is NULL, so num_k sums exactly the
+    * n−k overlapping pairs — the same pair set as the oracle's
+    * offset self-join.
+    */
+  def tsAcf(spark: SparkSession, sfDir: String,
+      maxLag: Int = 7): DataFrame =
+    tsAcfEvents(Tables.events(spark, sfDir), maxLag)
+
+  /** Core of `ts_acf` over any (event_type, ts, value) frame. */
+  def tsAcfEvents(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(dec(col("value"))).as("rev"))
+      .select(col("event_type"), col("day"),
+        (col("rev") * 10000).cast("long").as("xu"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("xu")).as("s"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    val y = daily.join(broadcast(stats), "event_type")
+      .withColumn("y",
+        (col("n") * col("xu") - col("s")).cast("decimal(19,0)"))
+    val withLeads = (1 to maxLag).foldLeft(y)((df, k) =>
+      df.withColumn(s"y$k", lead(col("y"), k).over(w)))
+    val aggCols = sum(col("y") * col("y")).as("den") +:
+      (1 to maxLag).map(k => sum(col("y") * col(s"y$k")).as(s"num$k"))
+    withLeads.groupBy(col("event_type"), col("n"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("event_type"), col("n").as("n_days"), col("den"),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k).as("lag"), col(s"num$k").as("num"))): _*)).as("e"))
+      // a series shorter than the lag has no pairs (num NULL) — no row
+      .filter(col("e.num").isNotNull)
+      .select(col("event_type"), col("e.lag").as("lag"), col("n_days"),
+        round(col("e.num").cast("double") / col("den").cast("double"), 6)
+          .as("acf"))
+      .orderBy(col("event_type").asc, col("lag").asc)
+  }
+
   /** `ts_stl` — full additive decomposition of each event series
     * (classical decompose / STL-lite; completes `ts_seasonal`, which
     * extracts seasonality only): day_value = TREND (centered 7-day

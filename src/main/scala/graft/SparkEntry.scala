@@ -55,6 +55,7 @@ object SparkEntry {
     "lake_report_counts" -> (SinkQueries.lakeReportCounts _),
     "lake_time_travel" -> (SinkQueries.lakeTimeTravel _),
     "lake_vacuum" -> (SinkQueries.lakeVacuum _),
+    "lake_changes" -> (SinkQueries.lakeChanges _),
     "merge_upsert" -> (SinkQueries.mergeUpsert _),
     "merge_scd2" -> (SinkQueries.mergeScd2 _),
     "join_bucketed" -> (SinkQueries.joinBucketed _),
@@ -1761,6 +1762,37 @@ object SparkEntry {
         |SELECT 3, 8, TRUE,
         |  (SELECT count(*) FROM orders WHERE o_totalprice > 100000.0), 2
         |ORDER BY version ASC""".stripMargin,
+    // CDF between pinned versions: the oracle recomputes both snapshot
+    // definitions directly from orders and diffs them — inserts/deletes
+    // via NOT EXISTS, updates via value inequality (+1000.0 is exact in
+    // binary, so repriced rows differ deterministically in both engines)
+    "lake_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |s0 AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+        |s1 AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 19 <> 0),
+        |upd AS (SELECT s0.o_orderkey FROM s0 JOIN s1 USING (o_orderkey)
+        |  WHERE s0.o_totalprice <> s1.o_totalprice
+        |     OR s0.o_orderstatus <> s1.o_orderstatus)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, _change_type,
+        |  CAST(1 AS INTEGER) AS _commit_version FROM (
+        |  SELECT s1.*, 'insert' AS _change_type FROM s1
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM s0 WHERE s0.o_orderkey = s1.o_orderkey)
+        |  UNION ALL
+        |  SELECT s0.*, 'delete' FROM s0
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM s1 WHERE s1.o_orderkey = s0.o_orderkey)
+        |  UNION ALL
+        |  SELECT s0.*, 'update_preimage' FROM s0
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT s1.*, 'update_postimage' FROM s1
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM upd))
+        |ORDER BY o_orderkey ASC, _change_type ASC""".stripMargin,
     // z-order clustering changes file LAYOUT only — content round-trips
     "sink_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -5188,11 +5220,12 @@ object SparkEntry {
         |SELECT a_id, b_id, cos_sim FROM ver WHERE cos_sim >= -1.0
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     // exact corpus-wide 3-shingle Jaccard ≥ 0.5 — equals the banded
-    // pipeline's output because every fixture pair at the threshold
-    // sits at J ≥ 0.9, where the 8×4 banding's per-pair miss
-    // probability is ≈2e-4 (and the hashing is deterministic, so the
-    // match is a fixed fact of the fixture, not a coin flip; the
-    // planted-dup recall property is additionally DedupSpec-asserted)
+    // pipeline's output because the 16×2 banding's candidate recall is
+    // ~0.99 AT the threshold and the fixture's pairs sit at J ≥ 0.9
+    // where the per-pair miss probability is 0.19^16 ≈ 3e-12 (and the
+    // hashing is deterministic, so the match is a fixed fact of the
+    // fixture, not a coin flip; the planted-dup recall property is
+    // additionally DedupSpec-asserted)
     "dedup_minhash" ->
       raw"""WITH d AS (SELECT doc_id,
         |    string_split($normT, ' ') AS toks

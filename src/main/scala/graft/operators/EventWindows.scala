@@ -12,9 +12,9 @@ import Relational.dec
   * incremental forms live in graft.streaming.Streams and share these
   * window semantics).
   *
-  * ts hazard: events.ts is parquet timestamp[ns]; Spark truncates to µs
-  * while DuckDB reads TIMESTAMP_NS — fixture data is µs-resolution
-  * (verified, FIXTURES.md) and all bucket edges here are ≥1 minute, so
+  * ts note: since the 2026-08-13 fixture regeneration, events.ts is
+  * parquet timestamp[us] (FIXTURES.md) — Spark and DuckDB read the same
+  * µs values directly, and all bucket edges here are ≥1 minute, so
   * bucketing is precision-safe (SURVEY.md §5.3.4).
   */
 object EventWindows {

@@ -401,6 +401,21 @@ object GraphOps {
       minCo: Long = 2L): DataFrame =
     ccEnum(cachedCoPurchaseEdges(spark, sfDir, minCo))
 
+  /** Releases the block-manager memory behind a localCheckpoint'd frame
+    * that a fixpoint loop has superseded (ADVICE r14: without this,
+    * every propagation round leaves its checkpoint blocks pinned until
+    * GC, accumulating across rounds and invocations). `Dataset
+    * .localCheckpoint` wraps the materialized RDD in a `LogicalRDD`
+    * leaf — unpersisting THAT rdd (not a freshly-derived `df.rdd`,
+    * which is a new lineage-mapped RDD with no blocks of its own) is
+    * what frees the storage. Only ever called on frames the loop has
+    * already replaced, so nothing downstream can recompute from them.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Hash-min label propagation over an undirected (u, v) edge frame,
     * with POINTER JUMPING: each round folds in both the neighbor
     * minimum AND label(label(x)) — the label edge x→label(x) is a
@@ -440,26 +455,34 @@ object GraphOps {
     var labels = und.select(col("u")).distinct()
       .select(col("u").as("x"), col("u").as("lbl"))
       .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = und
-        .join(labels.select(col("x").as("u"), col("lbl").as("nl")), "u")
-        .groupBy(col("v").as("x")).agg(min(col("nl")).as("mn"))
-      val ptr = labels.select(col("x").as("px"), col("lbl").as("plbl"))
-      val stepped = labels
-        .join(nbrMin, Seq("x"), "left")
-        .join(ptr, labels("lbl") === ptr("px"), "left")
-        .select(col("x"), col("lbl"),
-          least(col("lbl"), coalesce(col("mn"), col("lbl")),
-            coalesce(col("plbl"), col("lbl"))).as("nl"))
-        .localCheckpoint(true)
-      changed = stepped.filter(col("nl") < col("lbl")).count()
-      labels = stepped.select(col("x"), col("nl").as("lbl"))
+    // conf restore + superseded-checkpoint reclamation in try/finally:
+    // an exception mid-loop must not leave the clone mis-configured or
+    // prior rounds' checkpointed blocks pinned in the block manager.
+    try {
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = und
+          .join(labels.select(col("x").as("u"), col("lbl").as("nl")), "u")
+          .groupBy(col("v").as("x")).agg(min(col("nl")).as("mn"))
+        val ptr = labels.select(col("x").as("px"), col("lbl").as("plbl"))
+        val stepped = labels
+          .join(nbrMin, Seq("x"), "left")
+          .join(ptr, labels("lbl") === ptr("px"), "left")
+          .select(col("x"), col("lbl"),
+            least(col("lbl"), coalesce(col("mn"), col("lbl")),
+              coalesce(col("plbl"), col("lbl"))).as("nl"))
+          .localCheckpoint(true)
+        changed = stepped.filter(col("nl") < col("lbl")).count()
+        val prev = labels
+        labels = stepped.select(col("x"), col("nl").as("lbl"))
+        unpersistCheckpoint(prev)
+      }
+    } finally {
+      s2.conf.set("spark.sql.adaptive.enabled",
+        spark0.conf.get("spark.sql.adaptive.enabled", "true"))
+      s2.conf.set("spark.sql.shuffle.partitions",
+        spark0.conf.get("spark.sql.shuffle.partitions", "200"))
     }
-    s2.conf.set("spark.sql.adaptive.enabled",
-      spark0.conf.get("spark.sql.adaptive.enabled", "true"))
-    s2.conf.set("spark.sql.shuffle.partitions",
-      spark0.conf.get("spark.sql.shuffle.partitions", "200"))
     labels.select(col("x").as("part"), col("lbl").as("component"))
       .orderBy(col("part").asc)
   }

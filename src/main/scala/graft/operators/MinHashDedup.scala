@@ -134,17 +134,19 @@ object MinHashDedup {
   /** `dedup_minhash` — full pipeline: candidate pairs whose exact
     * shingle-Jaccard clears the threshold. Oracled since r5 against
     * exact corpus-wide 3-shingle Jaccard in DuckDB: the oracle computes
-    * ALL pairs with J >= threshold, so the hash-match holds only
-    * because every fixture near-dup pair sits at J >= 0.9 — far above
-    * the 0.5 threshold, where the 8-band/4-row banding miss probability
-    * is ~2e-4 per pair. A corpus with pairs near the threshold could
-    * produce a legitimate banding miss and a false oracle mismatch
-    * (the same caveat is noted on the oracle SQL in SparkEntry).
-    * Banding itself is additionally property-tested in DedupSpec
+    * ALL pairs with J >= threshold. Banding is 16 bands × 2 rows
+    * (ADVICE r15: derive (bands, rows) from the threshold — at rows=2,
+    * P(candidate | J=0.5) = 1−(1−0.5²)^16 ≈ 0.99, vs ~0.40 for the
+    * old 8×4 scheme whose gate only held because fixture dups sit at
+    * J ≥ 0.9; at J=0.9 the 16×2 miss probability is 0.19^16 ≈ 3e-12).
+    * The recall floor AT the threshold is therefore ~1%, documented
+    * here and on the oracle SQL in SparkEntry — a corpus with pairs
+    * exactly at J=0.5 can still produce a rare legitimate banding
+    * miss. Banding itself is additionally property-tested in DedupSpec
     * (planted near-dups found; estimate within ε of exact Jaccard).
     */
   def dedupMinhash(spark: SparkSession, sfDir: String,
-      nPerm: Int = 32, bands: Int = 8,
+      nPerm: Int = 32, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     candidatePairs(docs, nPerm, bands)
@@ -175,12 +177,15 @@ object MinHashDedup {
     * corpus/benchmark split for the verify arithmetic to be
     * non-vacuously gated — measured 3/3/26 contaminated docs at
     * sf0.001/0.01/0.1 (the exact family's %97 split yields ZERO
-    * near-dup hits at sf0.01). Same banding-miss caveat as
-    * `dedup_minhash`: fixture dups sit at J ≥ 0.9, far above the
-    * 0.5 threshold, where the 8-band miss probability is ~2e-4.
+    * near-dup hits at sf0.01). Banding is 16 bands × 2 rows so that
+    * candidate recall is high AT the declared threshold, not just at
+    * the fixture's J ≥ 0.9 (ADVICE r15: an eval-decontamination
+    * operator that misses 60% of true J=0.5 contamination — the old
+    * 8×4 scheme — is a safety gap; at 16×2, P(candidate | J=0.5)
+    * ≈ 0.99 and the fixture-J miss probability is ~3e-12).
     */
   def decontaminateMinhash(spark: SparkSession, sfDir: String,
-      nPerm: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      nPerm: Int = 32, bands: Int = 16, threshold: Double = 0.5,
       benchMod: Int = 19): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     decontaminateMinhashDocs(
@@ -251,11 +256,11 @@ object MinHashDedup {
     * one keyed agg over delta shingles, the intra-delta self-join runs
     * on the delta's own (band, bhash) Exchange (reused across both
     * candidate joins), and survivors come from one doc_id anti-join.
-    * Banding-miss caveat: same as `dedup_minhash` (fixture near-dups
-    * at J ≥ 0.9; 8×4 banding miss ≈ 2e-4 and deterministic).
+    * Banding-miss caveat: same as `dedup_minhash` (16×2 banding;
+    * P(candidate | J=0.5) ≈ 0.99, fixture-J miss ≈ 3e-12).
     */
   def dedupMinhashIncremental(spark: SparkSession, sfDir: String,
-      nPerm: Int = 32, bands: Int = 8,
+      nPerm: Int = 32, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
@@ -273,7 +278,7 @@ object MinHashDedup {
     * hold raw text (and for the fixture oracle).
     */
   def dedupMinhashIncrementalDocs(store: DataFrame, delta: DataFrame,
-      nPerm: Int = 32, bands: Int = 8,
+      nPerm: Int = 32, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val (storeSh, storeBands) = sigStore(store, nPerm, bands)
     dedupMinhashIncrementalFrom(storeSh, storeBands, delta,
@@ -288,7 +293,7 @@ object MinHashDedup {
     */
   def dedupMinhashIncrementalFrom(storeSh: DataFrame,
       storeBands: DataFrame, delta: DataFrame,
-      nPerm: Int = 32, bands: Int = 8,
+      nPerm: Int = 32, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val (deltaSh, deltaBandsRaw) = sigStore(delta, nPerm, bands)
     // ONE Exchange for the delta's band keys, reused by the store join
@@ -376,7 +381,7 @@ object MinHashDedup {
     * storage-release lever). A live lake would use its
     * snapshot/version id — this is the parquet-dir equivalent.
     */
-  private[operators] def corpusFingerprint(spark: SparkSession, sfDir: String,
+  private[graft] def corpusFingerprint(spark: SparkSession, sfDir: String,
       tables: Seq[String] = Seq("documents")): String = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     tables.foreach { t =>

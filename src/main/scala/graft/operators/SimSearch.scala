@@ -557,6 +557,34 @@ object SimSearch {
     */
   private val MaxPqCodebook = 256
 
+  /** Per-invocation artifact directory for the persisted-index rows
+    * (ADVICE r14: a FIXED path races under concurrent invocations —
+    * one run's Overwrite/Append can interleave with another's read,
+    * serving a half-written or doubly-appended index). Each call gets
+    * a UUID-suffixed subdir; accumulation is bounded by an entry-time
+    * sweep of sibling dirs idle >30 min (live concurrent runs finish
+    * well inside that, so the sweep can't yank a dir a running query
+    * still reads). Values are unaffected — the path never feeds the
+    * oracle hash.
+    */
+  private def uniqueArtifactDir(sfDir: String, name: String): String = {
+    val parent = new java.io.File(
+      graft.sources.SinkQueries.tmpBase(sfDir) + s"/${name}_runs")
+    parent.mkdirs()
+    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.lastModified() < cutoff)
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        try rm(d) catch { case _: Exception => () }
+      }
+    new java.io.File(parent,
+      java.util.UUID.randomUUID().toString).toString
+  }
+
   /** Core of [[simsearchPq]] over any (vec_id, embedding) frame. */
   def pqOver(emb: DataFrame, k: Int, nQueries: Int, centroidStride: Long,
       m: Int): DataFrame =
@@ -749,8 +777,7 @@ object SimSearch {
     val coarse = ivfCodebook(emb, coarseStride)
     val pqCb = ivfCodebook(emb, pqStride).take(MaxPqCodebook)
     val sub = pqSubDim(pqCb, m)
-    val out = graft.sources.SinkQueries.tmpBase(sfDir) +
-      "/simsearch_index_persisted"
+    val out = uniqueArtifactDir(sfDir, "simsearch_index_persisted")
     // BUILD: one corpus scan encodes (coarse cell, m PQ codes)
     ivfAssignCorpus(emb, coarse)
       .select(col("c_id"), col("cent_id"),
@@ -805,8 +832,7 @@ object SimSearch {
     val coarse = ivfCodebook(store, coarseStride)
     val pqCb = ivfCodebook(store, pqStride).take(MaxPqCodebook)
     val sub = pqSubDim(pqCb, m)
-    val out = graft.sources.SinkQueries.tmpBase(sfDir) +
-      "/simsearch_index_incremental"
+    val out = uniqueArtifactDir(sfDir, "simsearch_index_incremental")
     def encode(part: DataFrame) = ivfAssignCorpus(part, coarse)
       .select(col("c_id"), col("cent_id"),
         posexplode(array(pqCodeCols(pqCb, m, sub, col("c_emb")): _*))

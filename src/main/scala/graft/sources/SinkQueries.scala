@@ -626,6 +626,41 @@ object SinkQueries {
     perVersion.reduce(_ unionByName _).orderBy(col("version").asc)
   }
 
+  /** `lake_changes` — row-level change-data-feed between two pinned
+    * versions ([[LakeIO.changes]]; VERDICT r14 #2 — the consumer side
+    * of `lake_history`/`lake_time_travel` and the one Delta surface
+    * with no analogue here until now; every incremental downstream,
+    * including this engine's own `*_incremental` family, wants the
+    * delta AS DATA rather than a hand-cut filter). Two snapshots of
+    * orders land in v=0/v=1 with planted churn — v1 drops every
+    * key % 19 = 0 row (deletes), admits the key % 3 = 0 rows v0
+    * excluded (inserts), and reprices every key % 7 = 0 survivor
+    * (updates) — then the CDF between the pins must emit exactly the
+    * planted insert/delete/update_preimage/update_postimage rows. The
+    * oracle recomputes both snapshot definitions directly from orders
+    * and diffs them in SQL: a CDF that misses a churn class, emits
+    * phantom updates (e.g. non-null-safe compares), or mis-stamps
+    * sides hash-mismatches.
+    */
+  def lakeChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/lake_changes"
+    rmDir(spark, out)
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    LakeIO.saveVersion(
+      base.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+        .repartition(writerTasks), out)
+    LakeIO.saveVersion(
+      base.filter(pmod(col("o_orderkey"), lit(19)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(7)) === 0,
+            col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+        .repartition(writerTasks), out)
+    LakeIO.changes(spark, out, 0, 1, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey").asc, col("_change_type").asc)
+  }
+
   /** `lake_vacuum` — snapshot retention (`Lake.vacuum` /
     * LakeIO.vacuumVersions) declared as a query (VERDICT r7 #5): four
     * snapshots, keep the newest two; the post-vacuum history must show

@@ -1097,7 +1097,7 @@ object Streams {
     * processor itself, and bucket state is the unit of scale-out.
     */
   def streamDedupMinhashOk(spark: SparkSession, sfDir: String,
-      nPerm: Int = 32, bands: Int = 8,
+      nPerm: Int = 32, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
@@ -1105,7 +1105,7 @@ object Streams {
     val delta = docs.filter(col("doc_id") % 10 >= 8)
     val rowsPerBand = nPerm / bands
     val matches = fileReplay(spark, "stream_dedup_minhash_ok",
-      Seq(store, delta), Seq(2, 1), { stream =>
+      Seq(store, delta), Seq(8, 1), { stream =>
         val s2 = stream.sparkSession
         import s2.implicits._
         stream
@@ -1176,7 +1176,7 @@ object Streams {
       centroidStride: Long, threshold: Double): DataFrame = {
     val cb = graft.operators.SimSearch.ivfCodebook(store, centroidStride)
     val matches = fileReplay(spark, name,
-      Seq(store, delta), Seq(2, 1), { stream =>
+      Seq(store, delta), Seq(8, 1), { stream =>
         val s2 = stream.sparkSession
         import s2.implicits._
         graft.operators.SimSearch.ivfAssignCorpus(stream, cb)
@@ -1221,7 +1221,8 @@ object Streams {
     */
   private def fileReplay(spark: SparkSession, name: String,
       batches: Seq[DataFrame], writeTasks: Seq[Int],
-      build: DataFrame => DataFrame): DataFrame = {
+      build: DataFrame => DataFrame,
+      batch0Dir: Option[String] = None): DataFrame = {
     require(batches.nonEmpty && batches.size == writeTasks.size,
       "one writeTasks entry per batch")
     require(writeTasks.drop(1).forall(_ == 1),
@@ -1233,15 +1234,25 @@ object Streams {
     // spinning /tmp dominated their wall with high variance (a
     // production state store sits on local SSD or memory). Everything
     // under ONE dir, reclaimed in the finally.
-    val scratchBase =
-      if (new java.io.File("/dev/shm").canWrite)
-        java.nio.file.Paths.get("/dev/shm")
-      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
     val dir = java.nio.file.Files
       .createTempDirectory(scratchBase, s"graft_$name").toString
     val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
     batches.zip(writeTasks).zipWithIndex.foreach { case ((df, t), i) =>
-      df.coalesce(t).write.parquet(s"$dir/b$i")
+      // batch 0 may come pre-written from the shared feed cache — the
+      // harness then only LINKS its files (b0 is materialized by
+      // deliver(0) below, not a Spark write)
+      if (i != 0 || batch0Dir.isEmpty)
+        df.coalesce(t).write.parquet(s"$dir/b$i")
+    }
+    batch0Dir.foreach { src =>
+      val b0 = new java.io.File(s"$dir/b0"); b0.mkdirs()
+      new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val tgt = new java.io.File(b0, f.getName).toPath
+          try java.nio.file.Files.createLink(tgt, f.toPath)
+          catch { case _: Exception =>
+            java.nio.file.Files.copy(f.toPath, tgt): Unit }
+        }
     }
     def deliver(i: Int): Unit =
       new java.io.File(s"$dir/b$i").listFiles()
@@ -1298,15 +1309,68 @@ object Streams {
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val (feedDir, maxTs, _) = cachedEventsFeed(spark, sfDir, ev)
     val sentinelTs =
       new java.sql.Timestamp(maxTs.getTime + 72L * 3600 * 1000)
     val sentinel = spark.range(0L, 1L, 1L, 1)
       .select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
         lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
-    fileReplay(spark, name, Seq(ev, sentinel), Seq(4, 1), build)
+    fileReplay(spark, name, Seq(ev, sentinel), Seq(8, 1), build,
+      batch0Dir = Some(feedDir))
       .filter(col("event_type") =!= "__sentinel")
+  }
+
+  /** Scratch filesystem for the replay harnesses: /dev/shm only when it
+    * has real headroom (ADVICE r14: containers commonly cap it at
+    * 64 MB — canWrite alone would pick a tmpfs too small for the feed
+    * parquet + RocksDB working set and fail with ENOSPC where
+    * java.io.tmpdir worked). 1 GiB covers the largest replay (full
+    * events table + state + changelog) with slack.
+    */
+  private def scratchBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val shmUsable =
+      try {
+        new java.io.File("/dev/shm").canWrite &&
+          java.nio.file.Files.getFileStore(shm)
+            .getUsableSpace >= (1L << 30)
+      } catch { case _: java.io.IOException => false }
+    if (shmUsable) shm
+    else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+  }
+
+  /** Per-fixture MEMOIZED events feed for the monitor replays (VERDICT
+    * r14 #1: the session/feed cost was re-paid per `stream_*_ok` row —
+    * drift and changepoint each scanned events for max(ts) and wrote
+    * the identical 8-file feed). First caller writes the feed + scans
+    * max(ts) once; later callers HARDLINK the files into their own
+    * feed dir (same tmpfs, so links are free; fileReplay's deliver
+    * MOVES them, hence per-invocation links rather than a shared feed
+    * dir). Keyed by the events fixture's file listing fingerprint (the
+    * corpusFingerprint discipline — a regenerated fixture gets a fresh
+    * feed); the cache dir is reclaimed by a JVM shutdown hook, not
+    * per-invocation (it is the cache's lifetime).
+    */
+  private val monitorFeedCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, java.sql.Timestamp, Long)]()
+
+  private def cachedEventsFeed(spark: SparkSession, sfDir: String,
+      ev: DataFrame): (String, java.sql.Timestamp, Long) = {
+    val key = graft.operators.MinHashDedup
+      .corpusFingerprint(spark, sfDir, Seq("events"))
+    monitorFeedCache.computeIfAbsent(key, _ => {
+      val head = ev.agg(max(col("ts")), count(lit(1))).head()
+      val dir = java.nio.file.Files
+        .createTempDirectory(scratchBase, "graft_evfeed").toString
+      ev.coalesce(8).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try deleteRec(new java.io.File(dir))
+        catch { case _: Exception => () }))
+      (dir, head.getTimestamp(0), head.getLong(1))
+    })
   }
 
   /** `stream_sink` — checkpointed parquet sink (exactly-once into the
@@ -1328,9 +1392,12 @@ object Streams {
     * technique that retires the spec-only `stream_watermark_late` row):
     * the events table is replayed through a REAL three-micro-batch
     * append-mode streaming aggregation —
-    *  1. every ON-TIME row in one batch (single coalesced file: a split
-    *     batch could let the mid-run watermark drop rows the contract
-    *     calls on-time), parking the watermark at max(ts) − 10 min;
+    *  1. every ON-TIME row in one batch, delivered BEFORE the query
+    *     starts (the initial listing is one micro-batch regardless of
+    *     file count, so it writes and reads in parallel; a post-start
+    *     multi-file batch could split and let the mid-run watermark
+    *     drop rows the contract calls on-time), parking the watermark
+    *     at max(ts) − 10 min;
     *  2. the designated LATE set (rows older than max(ts) − 2 h with
     *     event_id % 7 = 0): every window they belong to ended ≥ 50 min
     *     below the watermark, so the streaming agg must drop ALL of
@@ -1351,13 +1418,21 @@ object Streams {
     val ev = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // max(ts) comes from the shared monitor-feed memo (one scan per
+    // fixture per JVM, not one per harness row)
+    val (_, maxTs, evCount) = cachedEventsFeed(spark, sfDir, ev)
     val lateCut = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)
     val isLate = col("ts") < lit(lateCut) && pmod(col("event_id"), lit(7)) === 0
-    val dir = java.nio.file.Files.createTempDirectory("graft_wmk").toString
+    val dir = java.nio.file.Files
+      .createTempDirectory(scratchBase, "graft_wmk").toString
     val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
-    ev.filter(!isLate).coalesce(1).write.parquet(s"$dir/b1")
+    // b1 is delivered BEFORE the query starts (the fileReplay batch-0
+    // rule: the initial listing takes every pre-existing file as ONE
+    // micro-batch), so it may write and read with several tasks — the
+    // old post-start coalesce(1) paid a single-threaded parquet encode
+    // of the whole on-time table
+    ev.filter(!isLate).coalesce(4).write.parquet(s"$dir/b1")
     ev.filter(isLate).coalesce(1).write.parquet(s"$dir/b2")
     spark.range(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
       lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
@@ -1370,6 +1445,14 @@ object Streams {
           java.nio.file.Files.move(f.toPath,
             new java.io.File(feed, s"$batch-$i.parquet").toPath)
         }
+    def deliverPre(batch: String): Unit =
+      new java.io.File(s"$dir/$batch").listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(feed, s"$batch-$i.parquet").toPath)
+        }
+    deliverPre("b1") // pre-start: one micro-batch regardless of files
     val stream = spark.readStream.schema(ev.schema).parquet(feed.toString)
     // the streaming agg state is window×type-sized (~3.6k groups at
     // sf0.1): at the session's 32 shuffle partitions the HDFS state
@@ -1386,7 +1469,8 @@ object Streams {
           .outputMode(OutputMode.Append).start()
       } finally spark.conf.set(shufKey, oldShuf)
     try {
-      Seq("b1", "b2", "b3").foreach { b =>
+      q.processAllAvailable() // b1: the pre-start initial listing
+      Seq("b2", "b3").foreach { b =>
         deliver(b); q.processAllAvailable()
       }
     } finally {
@@ -1397,7 +1481,7 @@ object Streams {
     }
     val result = spark.table("wmk_late_ok")
       .filter(col("event_type") =!= "__sentinel")
-    val summary = result.agg((lit(ev.count()) - sum(col("n_events")))
+    val summary = result.agg((lit(evCount) - sum(col("n_events")))
       .cast("long").as("late_dropped"))
     result.crossJoin(broadcast(summary))
       .orderBy(col("win_start").asc, col("event_type").asc)

@@ -3,9 +3,15 @@ import org.apache.spark.sql.SparkSession
 object BenchSome {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // mirror the real harness session (UTC, NTZ-inference off,
+    // extensions): without these, ad-hoc row values of tz-sensitive or
+    // extension-dependent queries diverge from Verify/Bench (VERDICT r14)
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
+    GraftExtensions.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
       val t0 = System.nanoTime()

@@ -205,6 +205,55 @@ class LakeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](lake.vacuum("snaps", keep = 0))
   }
 
+  test("changes: CDF between pinned versions classifies churn; applying it to v0 reconstructs v1") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdf").toString
+    val v0 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "x")
+    // v1: key 2 deleted, key 3 repriced, key 5 inserted, 1/4 unchanged
+    val v1 = Seq((1L, "a", 10.0), (3L, "c", 33.0), (4L, "d", 40.0),
+      (5L, "e", 50.0)).toDF("k", "s", "x")
+    graft.sources.LakeIO.saveVersion(v0, root)
+    graft.sources.LakeIO.saveVersion(v1, root)
+    val cdf = graft.sources.LakeIO.changes(spark, root, 0, 1, Seq("k"))
+    val byType = cdf.collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byType("insert") === Set(5L))
+    assert(byType("delete") === Set(2L))
+    assert(byType("update_preimage") === Set(3L))
+    assert(byType("update_postimage") === Set(3L))
+    assert(cdf.count() === 4) // unchanged keys emit nothing
+    assert(cdf.select("_commit_version").distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(1))
+    // the CDF is a complete delta: v0 + CDF ≡ v1 (the incremental-
+    // consumer contract — delete removals, postimage upserts, inserts)
+    val post = cdf.filter(col("_change_type")
+      .isin("insert", "update_postimage")).select("k", "s", "x")
+    val removedOrChanged = cdf.filter(col("_change_type")
+      .isin("delete", "update_preimage")).select("k")
+    val rebuilt = graft.sources.LakeIO.loadVersion(spark, root, Some(0))
+      .join(removedOrChanged, Seq("k"), "left_anti")
+      .unionByName(post)
+    assert(rebuilt.exceptAll(v1).count() === 0)
+    assert(v1.exceptAll(rebuilt).count() === 0)
+  }
+
+  test("changes: null-safe value compare emits no phantom updates") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdf_null").toString
+    val v0 = Seq((1L, Option.empty[String]), (2L, Some("b")))
+      .toDF("k", "s")
+    val v1 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "s")
+    graft.sources.LakeIO.saveVersion(v0, root)
+    graft.sources.LakeIO.saveVersion(v1, root)
+    val cdf = graft.sources.LakeIO.changes(spark, root, 0, 1, Seq("k"))
+    // key 1: null == null → unchanged, no rows; key 2: b → null update
+    assert(cdf.filter(col("k") === 1L).count() === 0)
+    assert(cdf.filter(col("k") === 2L).count() === 2)
+  }
+
   test("append with mergeSchema evolves the dataset schema (drifted batch)") {
     val lake = newLake()
     import spark.implicits._

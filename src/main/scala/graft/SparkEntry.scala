@@ -113,6 +113,8 @@ object SparkEntry {
     // generation means the DuckDB oracle regenerates the identical
     // corpus from range() — the connector's output is hash-matched
     "multimodal_dedup" -> (Multimodal.dedupAssets _),
+    "multimodal_phash" -> ((s: SparkSession, d: String) =>
+      Multimodal.phashPairs(s, d)),
     "pipeline_curate" -> ((s: SparkSession, d: String) =>
       TextOps.pipelineCurate(s, d)),
     "win_range_interval" -> (Windows.winRangeInterval _),
@@ -3666,6 +3668,33 @@ object SparkEntry {
         |        PARTITION BY blob_hash ORDER BY asset_id ASC) AS rn FROM h)
         |SELECT asset_id, mime, blob_hash, n_bytes FROM r WHERE rn = 1
         |ORDER BY asset_id ASC""".stripMargin,
+    // perceptual near-dup: the oracle recomputes the dHash from the
+    // SAME integer codepoint arithmetic (blob = utf-8 of text, so text
+    // chars ARE the stub "pixels") and verifies with an EXACT all-pairs
+    // Hamming join — safe because the Spark side's 4×16-bit banding is
+    // lossless for hamming <= 3 by pigeonhole (no recall caveat)
+    "multimodal_phash" ->
+      """WITH px AS (
+        |  SELECT doc_id AS asset_id,
+        |    list_transform(range(1, 253),
+        |      j -> ord(substr(text, CAST(j AS INT), 1))) AS p
+        |  FROM documents WHERE length(text) >= 252),
+        |seg AS (
+        |  SELECT asset_id,
+        |    list_transform(range(0, 63), b -> CAST(list_sum(
+        |      p[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)]) AS BIGINT)) AS s
+        |  FROM px),
+        |ph AS (
+        |  SELECT asset_id, CAST(list_sum(list_transform(range(0, 62),
+        |      i -> CASE WHEN s[CAST(i+1 AS INT)] > s[CAST(i+2 AS INT)]
+        |                THEN CAST(2 AS BIGINT)**CAST(i AS INT)
+        |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+        |  FROM seg)
+        |SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+        |  bit_count(xor(a.phash, b.phash)) AS hamming
+        |FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     "source_custom" ->
       """SELECT i AS doc_id,
         |  ['en','de','es','fr'][(i % 4)::INT + 1] AS lang,

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** Perceptual near-dup (`multimodal_phash`): planted near-identical
+  * assets are found, unrelated assets are not, and the 16-bit band
+  * blocking is LOSSLESS for Hamming <= 3 (pigeonhole) — asserted
+  * against a literal all-pairs Hamming scan on randomized corpora.
+  */
+class PhashSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def assetsOf(rows: Seq[(Long, String)]) =
+    rows.toDF("asset_id", "s")
+      .select(col("asset_id"), encode(col("s"), "UTF-8").as("blob"))
+
+  // deterministic pseudo-random printable text, seeded per asset
+  private def randText(seed: Long, n: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+  }
+
+  test("planted near-identical asset pairs are found; unrelated are not") {
+    val base = randText(42L, 300)
+    // near-dup: flip a handful of chars INSIDE the 252-char window —
+    // a localized edit moves only the adjacent dHash gradient bits
+    val nearDup = base.updated(40, 'z').updated(41, 'z')
+    val rows = Seq(
+      (1L, base), (2L, nearDup), (3L, base), // 3 = exact dup of 1
+      (10L, randText(7L, 300)), (11L, randText(13L, 300)))
+    val got = Multimodal.phashPairsAssets(assetsOf(rows), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 3L)), "exact dup must be hamming 0")
+    assert(got.contains((1L, 2L)) && got.contains((2L, 3L)),
+      "localized edit must stay within the hamming budget")
+    assert(!got.exists(p => p._1 >= 10L || p._2 >= 10L),
+      "unrelated random assets must not pair")
+  }
+
+  test("short assets (< 252 decoded chars) are out of scope") {
+    val s = randText(5L, 200)
+    val got = Multimodal.phashPairsAssets(
+      assetsOf(Seq((1L, s), (2L, s))), maxHamming = 3)
+    assert(got.count() === 0)
+  }
+
+  test("banding is lossless: banded pairs equal literal all-pairs hamming <= 3 (randomized)") {
+    // corpus with planted bit-level variety: clusters of near-identical
+    // texts (0-3 scattered single-char edits) + unrelated fillers
+    val rnd = new scala.util.Random(99L)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    (0 until 8).foreach { c =>
+      val base = randText(1000L + c, 280)
+      (0 until 4).foreach { _ =>
+        var s = base
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          val pos = rnd.nextInt(252)
+          s = s.updated(pos, ('a' + rnd.nextInt(26)).toChar)
+        }
+        rows += ((id, s)); id += 1
+      }
+    }
+    (0 until 20).foreach { i => rows += ((id, randText(2000L + i, 280))); id += 1 }
+    val assets = assetsOf(rows.toSeq)
+    val banded = Multimodal.phashPairsAssets(assets, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // literal reference: all-pairs popcount over the same phash column
+    val ph = assets
+      .select(col("asset_id"),
+        Multimodal.phashExpr(decode(col("blob"), "UTF-8")).as("ph"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (for {
+      (a, pa) <- ph; (b, pb) <- ph if a < b
+      h = java.lang.Long.bitCount(pa ^ pb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(banded === expect,
+      "banded candidate generation must be exactly lossless at hamming <= 3")
+    assert(expect.nonEmpty, "fixture must exercise at least one pair")
+  }
+}

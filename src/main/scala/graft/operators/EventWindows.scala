@@ -826,6 +826,93 @@ object EventWindows {
       .orderBy(col("event_type").asc, col("day").asc)
   }
 
+  /** `ts_forecast_seasonal` — Holt-Winters ADDITIVE exponential
+    * smoothing per event series (VERDICT r14 #3: `ts_forecast` is Holt
+    * linear; a monitor watching the fixture's weekly-periodic series —
+    * the day-of-week structure `ts_seasonal` extracts — wants the
+    * seasonal term too). α = β = γ = ½ in the same truncating BIGINT
+    * fixed-point (scale 1e4) as `ts_forecast`:
+    *   f_t = l + b + s[i]           (forecast BEFORE seeing x_t)
+    *   l'  = (x_t − s[i] + l + b) div 2
+    *   b'  = ((l' − l) + b) div 2
+    *   s[i]' = ((x_t − l') + s[i]) div 2
+    * with i = (rn−1) mod 7 — the OBSERVED-sequence seasonal index (the
+    * ts_forecast gap convention; for the daily-complete fixture this
+    * is day-of-week up to rotation). The first 7 observed days SEED
+    * the state — l₀ = (Σ seed) div 7, b₀ = 0, s = seed − l₀ — and
+    * emission starts at day 8 (a series with ≤ 7 days emits nothing:
+    * the honest online semantics, the ChangepointProcessor learning-
+    * window precedent). Oracle = the identical integer recursion as a
+    * recursive CTE carrying the 7-slot list through the recursion.
+    *
+    * Shape: ONE keyed shuffle (the ts_forecast discipline) — per-series
+    * day rows collect+sort row-locally (bounded by the series' own day
+    * count) and the recursion folds in a single `aggregate` HOF whose
+    * accumulator carries (n, seed, l, b, s[7], out).
+    */
+  def tsForecastSeasonal(spark: SparkSession, sfDir: String): DataFrame =
+    tsForecastSeasonalEvents(Tables.events(spark, sfDir))
+
+  /** Core of `ts_forecast_seasonal` over any (event_type, ts, value)
+    * frame — the planted-seasonality harness for PatternSeasonalSpec.
+    */
+  def tsForecastSeasonalEvents(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(dec(col("value"))) * 10000).cast("long").as("x"))
+    daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+        .as("arr"))
+      .withColumn("steps", expr("""
+        aggregate(arr,
+          named_struct('n', 0,
+            'seed', cast(array() as array<bigint>),
+            'l', cast(0 as bigint), 'b', cast(0 as bigint),
+            's', cast(array() as array<bigint>),
+            'out',
+            cast(array() as array<struct<day:date,x:bigint,f:bigint>>)),
+          (acc, e) -> CASE
+            WHEN acc.n < 6 THEN named_struct('n', acc.n + 1,
+              'seed', array_append(acc.seed, e.x), 'l', acc.l,
+              'b', acc.b, 's', acc.s, 'out', acc.out)
+            WHEN acc.n = 6 THEN named_struct('n', 7,
+              'seed', array_append(acc.seed, e.x),
+              'l', aggregate(array_append(acc.seed, e.x),
+                cast(0 as bigint), (a, v) -> a + v) div 7,
+              'b', cast(0 as bigint),
+              's', transform(array_append(acc.seed, e.x),
+                v -> v - (aggregate(array_append(acc.seed, e.x),
+                  cast(0 as bigint), (a, v2) -> a + v2) div 7)),
+              'out', acc.out)
+            ELSE named_struct('n', acc.n + 1,
+              'seed', acc.seed,
+              'l', (e.x - element_at(acc.s, acc.n % 7 + 1)
+                    + acc.l + acc.b) div 2,
+              'b', (((e.x - element_at(acc.s, acc.n % 7 + 1)
+                    + acc.l + acc.b) div 2) - acc.l + acc.b) div 2,
+              's', transform(acc.s, (v, i) ->
+                CASE WHEN i = acc.n % 7 THEN
+                  ((e.x - ((e.x - element_at(acc.s, acc.n % 7 + 1)
+                      + acc.l + acc.b) div 2))
+                    + element_at(acc.s, acc.n % 7 + 1)) div 2
+                ELSE v END),
+              'out', array_append(acc.out, named_struct(
+                'day', e.day, 'x', e.x,
+                'f', acc.l + acc.b
+                     + element_at(acc.s, acc.n % 7 + 1))))
+          END,
+          acc -> acc.out)"""))
+      .select(col("event_type"), explode(col("steps")).as("s"))
+      .select(col("event_type"),
+        date_format(col("s.day"), "yyyy-MM-dd").as("day"),
+        round(col("s.x").cast("double") / 10000.0, 4).as("actual"),
+        round(col("s.f").cast("double") / 10000.0, 4).as("forecast"),
+        round((col("s.x") - col("s.f")).cast("double") / 10000.0, 4)
+          .as("err"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   /** `ts_changepoint` — Page's CUSUM change-point detection per event
     * series (the sequential level-shift test a production monitor runs
     * beside the z-score and the KS drift check — this completes the

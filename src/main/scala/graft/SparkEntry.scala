@@ -578,6 +578,15 @@ object SparkEntry {
     // TOKENIZER units (the composition a real pipeline ships)
     "pipeline_tokenize" -> ((s: SparkSession, d: String) =>
       BpeTrain.pipelineTokenize(s, d)),
+    // unigram-LM (SentencePiece-family) trainer: seeded candidates →
+    // integer Viterbi EM → prune; oracle replays the DP as a recursive
+    // CTE carrying (dp, back) lists
+    "unigram_train" -> ((s: SparkSession, d: String) =>
+      UnigramTrain.unigramTrain(s, d)),
+    // per-language fertility under the unigram segmentation: second
+    // view of the one memoized training
+    "unigram_fertility" -> ((s: SparkSession, d: String) =>
+      UnigramTrain.unigramFertility(s, d)),
     "lm_doc_score" -> (TextOps.lmDocScore _),
     "quality_lm_bucket" -> (TextOps.qualityLmBucket _),
     // the approx-cutoff SCALE variant of quality_lm_bucket (no ntile
@@ -1096,6 +1105,100 @@ object SparkEntry {
       |  WHERE len(toks) >= 1),
       |""".stripMargin + iterCtes
   }
+
+  /** Shared CTE chain for the unigram-LM trainer oracles: seed counts
+    * → capped vocab → fixed-point ln scores → Viterbi DP as a
+    * recursive CTE carrying (dp, back) lists (the ts_forecast_seasonal
+    * technique) → back-pointer walk recovering the segmentation.
+    * Mirrors UnigramTrain.trainWords stage for stage, including the
+    * shortest-piece-first strict-improvement tie rule and the len<=24
+    * word qualification.
+    */
+  private lazy val unigramCtes: String =
+    raw"""WITH RECURSIVE w AS (
+      |  SELECT word, count(*)::BIGINT AS wf
+      |  FROM (SELECT unnest(string_split($normT, ' ')) AS word
+      |        FROM documents)
+      |  WHERE word <> '' AND len(word) <= 24
+      |  GROUP BY 1),
+      |lw AS (
+      |  SELECT lang, word, count(*)::BIGINT AS wfl
+      |  FROM (SELECT lang,
+      |      unnest(string_split($normT, ' ')) AS word FROM documents)
+      |  WHERE word <> '' AND len(word) <= 24
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT substr(word, CAST(pos AS INT), CAST(plen AS INT)) AS piece,
+      |    sum(wf)::BIGINT AS c
+      |  FROM w, range(1, 25) r1(pos), range(1, 4) r2(plen)
+      |  WHERE pos + plen - 1 <= len(word)
+      |  GROUP BY 1),
+      |vocab AS (
+      |  SELECT piece, c FROM cand WHERE len(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, c FROM (
+      |    SELECT piece, c FROM cand WHERE len(piece) >= 2
+      |    ORDER BY c DESC, piece ASC LIMIT 64)),
+      |tot AS (SELECT sum(c)::BIGINT AS t FROM vocab),
+      |sc AS (SELECT piece, c,
+      |    CAST(CAST(round(ln(c / t), 6) AS DECIMAL(18,6)) * 1000000
+      |      AS BIGINT) AS s
+      |  FROM vocab, tot),
+      |vit AS (
+      |  SELECT word, wf, 0 AS i,
+      |    [CAST(0 AS BIGINT)] AS dp, [CAST(0 AS INT)] AS back
+      |  FROM w
+      |  UNION ALL
+      |  SELECT word, wf, p,
+      |    list_append(dp,
+      |      CASE WHEN v3 IS NOT NULL AND v3 > b12 THEN v3 ELSE b12 END),
+      |    list_append(back,
+      |      CASE WHEN v3 IS NOT NULL AND v3 > b12 THEN p-3 ELSE j12 END)
+      |  FROM (
+      |    SELECT v.word, v.wf, v.i + 1 AS p, v.dp, v.back,
+      |      v.dp[v.i + 1] + s1.s AS v1,
+      |      CASE WHEN v.i >= 1 AND s2.s IS NOT NULL
+      |        THEN v.dp[v.i] + s2.s END AS v2,
+      |      CASE WHEN v.i >= 2 AND s3.s IS NOT NULL
+      |        THEN v.dp[v.i - 1] + s3.s END AS v3
+      |    FROM vit v
+      |    JOIN sc s1 ON s1.piece = substr(v.word, v.i + 1, 1)
+      |    LEFT JOIN sc s2 ON v.i >= 1
+      |      AND s2.piece = substr(v.word, v.i, 2)
+      |    LEFT JOIN sc s3 ON v.i >= 2
+      |      AND s3.piece = substr(v.word, v.i - 1, 3)
+      |    WHERE v.i < len(v.word)) q0
+      |  CROSS JOIN LATERAL (SELECT
+      |    CASE WHEN v2 IS NOT NULL AND v2 > v1 THEN v2 ELSE v1 END AS b12,
+      |    CASE WHEN v2 IS NOT NULL AND v2 > v1 THEN p-2 ELSE p-1 END
+      |      AS j12) q1),
+      |bt AS (
+      |  SELECT word, wf, CAST(len(word) AS INT) AS i, back
+      |  FROM vit WHERE i = len(word)
+      |  UNION ALL
+      |  SELECT word, wf, back[i + 1] AS i, back FROM bt WHERE i > 0),
+      |pcs AS (
+      |  SELECT word, wf,
+      |    substr(word, back[i + 1] + 1, i - back[i + 1]) AS piece
+      |  FROM bt WHERE i > 0)""".stripMargin
+
+  private lazy val unigramTrainSql: String =
+    unigramCtes + raw""",
+      |em AS (SELECT pcs.piece AS epiece, sum(wf)::BIGINT AS em_count
+      |  FROM pcs GROUP BY 1)
+      |SELECT sc.piece, sc.c AS seed_count, em.em_count, sc.s AS score_fp
+      |FROM sc JOIN em ON em.epiece = sc.piece
+      |ORDER BY em_count DESC, piece ASC""".stripMargin
+
+  private lazy val unigramFertilitySql: String =
+    unigramCtes + raw""",
+      |np AS (SELECT word, count(*)::BIGINT AS np FROM pcs GROUP BY 1)
+      |SELECT lang, sum(wfl)::BIGINT AS n_words,
+      |  sum(np.np * wfl)::BIGINT AS n_pieces,
+      |  ((sum(np.np * wfl)::BIGINT * 20000 + sum(wfl)::BIGINT)
+      |    // (2 * sum(wfl)::BIGINT))::DOUBLE / 10000 AS fertility
+      |FROM lw JOIN np USING (word)
+      |GROUP BY lang ORDER BY lang ASC""".stripMargin
 
   private lazy val bpeTrainSql: String = {
     val M = graft.operators.BpeTrain.MergeJ
@@ -4305,6 +4408,8 @@ object SparkEntry {
         |    AS rank
         |FROM j ORDER BY phase ASC, rank ASC, doc_id ASC""".stripMargin,
     "bpe_train" -> bpeTrainSql,
+    "unigram_train" -> unigramTrainSql,
+    "unigram_fertility" -> unigramFertilitySql,
     "bpe_encode" -> bpeEncodeSql,
     "bpe_fertility" -> bpeFertilitySql,
     "pipeline_tokenize" -> pipelineTokenizeSql,

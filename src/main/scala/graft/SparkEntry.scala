@@ -442,6 +442,8 @@ object SparkEntry {
     // spreads subspace energy; everything downstream is simsearch_pq
     "simsearch_pq_rotated" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchPqRotated(s, d)),
+    "simsearch_opq_pca" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchOpqPca(s, d)),
     "simsearch_pq" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchPq(s, d)),
     // IVF cell pruning + PQ lookup scoring — the FAISS IVFPQ read path;
@@ -993,7 +995,11 @@ object SparkEntry {
     * zero (verified on negatives), so the fixed-point vector is
     * bit-identical at every step.
     */
-  private lazy val embeddingPcaSql: String = {
+  /** The power-iteration CTE chain alone (no WITH/final SELECT), shared
+    * by `embedding_pca`, `embedding_pca_project`, and the
+    * `simsearch_opq_pca` rotation oracle.
+    */
+  private lazy val embeddingPcaCtes: String = {
     val F = "1000000000000"
     val iterCtes = (1 to 20).map { k =>
       raw"""w$k AS MATERIALIZED (SELECT nm.i AS i, SUM(nm.nv * v.v) AS w
@@ -1003,7 +1009,7 @@ object SparkEntry {
         |v$k AS MATERIALIZED (SELECT i, w // (SELECT m2 FROM m$k) AS v
         |  FROM w$k)""".stripMargin
     }.mkString(",\n")
-    raw"""WITH x AS MATERIALIZED (SELECT vec_id, CAST(t.i AS INT) AS i,
+    raw"""x AS MATERIALIZED (SELECT vec_id, CAST(t.i AS INT) AS i,
       |    CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(18,4)) AS xd
       |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
       |cnt AS MATERIALIZED (SELECT COUNT(*)::HUGEINT AS n FROM embeddings),
@@ -1017,11 +1023,61 @@ object SparkEntry {
       |  FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i),
       |v0 AS MATERIALIZED (SELECT CAST(r.range AS INT) AS i,
       |    CAST($F AS HUGEINT) AS v FROM range(1, 65) r),
-      |""".stripMargin + iterCtes + "\n" +
+      |""".stripMargin + iterCtes
+  }
+
+  private lazy val embeddingPcaSql: String =
+    "WITH " + embeddingPcaCtes + "\n" +
     raw"""SELECT i - 1 AS dim, v::BIGINT AS v_fp,
       |  CAST(v AS DOUBLE) / 1e12 AS loading
       |FROM v20 ORDER BY dim ASC""".stripMargin
-  }
+
+  /** The `simsearch_opq_pca` oracle: the PCA chain → |loading| ranking
+    * → round-robin dealing as a permutation list (pl[rr+1] = the dim
+    * ranked rr; output slot j reads rank (j%16)*4 + j//16) → the
+    * simsearch_pq CTEs verbatim over the permuted frame.
+    */
+  private lazy val simsearchOpqPcaSql: String =
+    "WITH " + embeddingPcaCtes + ",\n" +
+    raw"""rankp AS (SELECT i - 1 AS dim,
+      |    row_number() OVER (ORDER BY ABS(v) DESC, i ASC) - 1 AS rr
+      |  FROM v20),
+      |perml AS (SELECT list(dim ORDER BY rr ASC) AS pl FROM rankp),
+      |re AS (SELECT vec_id, list_transform(range(0, 64),
+      |    j -> embedding[pl[CAST((j % 16) * 4 + j // 16 AS INT) + 1]
+      |                   + 1]) AS embedding
+      |  FROM embeddings, perml),
+      |cb AS (SELECT vec_id AS code, embedding AS cv
+      |  FROM re WHERE vec_id % 127 = 0
+      |  ORDER BY vec_id LIMIT 256),
+      |ss AS (SELECT unnest(range(0, 4)) AS s),
+      |codes AS (SELECT c_id, s, code FROM (
+      |  SELECT e.vec_id AS c_id, r.s, cb.code,
+      |    row_number() OVER (PARTITION BY e.vec_id, r.s ORDER BY
+      |      (list_sum(list_transform(range(1, 17),
+      |         i -> e.embedding[r.s * 16 + i]::DOUBLE
+      |            * cb.cv[r.s * 16 + i]::DOUBLE))
+      |       - list_sum(list_transform(range(1, 17),
+      |         i -> cb.cv[r.s * 16 + i]::DOUBLE
+      |            * cb.cv[r.s * 16 + i]::DOUBLE)) / 2) DESC,
+      |      cb.code ASC) AS rn
+      |  FROM re e CROSS JOIN ss r CROSS JOIN cb) WHERE rn = 1),
+      |lut AS (SELECT q.vec_id AS q_id, r.s, cb.code,
+      |    round(list_sum(list_transform(range(1, 17),
+      |      i -> q.embedding[r.s * 16 + i]::DOUBLE
+      |         * cb.cv[r.s * 16 + i]::DOUBLE)) * 1000000.0, 0)::BIGINT
+      |      AS pdot_u
+      |  FROM re q CROSS JOIN ss r CROSS JOIN cb
+      |  WHERE q.vec_id < 10),
+      |sc AS (SELECT l.q_id, c.c_id, sum(l.pdot_u) AS score_u
+      |  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+      |  WHERE c.c_id <> l.q_id GROUP BY 1, 2)
+      |SELECT q_id, c_id,
+      |  round(score_u::DOUBLE / 1000000.0, 6) AS approx_score,
+      |  rn::INT AS rn
+      |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY score_u DESC, c_id ASC) AS rn FROM sc)
+      |WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin
 
   /** The `graph_pagerank` oracle: the nation-trade edge aggregation,
     * then the 5 power iterations UNROLLED as chained CTEs — the same
@@ -4600,6 +4656,7 @@ object SparkEntry {
     // float's own repr and flipped one fixture element a half-step
     // against the aggregate's double-based snap
     "embedding_pca" -> embeddingPcaSql,
+    "simsearch_opq_pca" -> simsearchOpqPcaSql,
     // the same CTE chain, consumed by a per-vector exact dot: snap
     // each element to its scale-4 long, multiply the scale-12
     // direction, sum in HUGEINT → the scale-16 integer score

@@ -893,6 +893,65 @@ object SimSearch {
       }, k, nQueries, m)
   }
 
+  /** `simsearch_opq_pca` — PQ under a LEARNED rotation derived from the
+    * exact-integer PCA (VERDICT r14 #7): OPQ's non-parametric
+    * initialization is "PCA, then allocate dimensions to subspaces
+    * balancing their variance" (Ge et al., eigenvalue allocation);
+    * the declared form is exactly that allocation as a PERMUTATION —
+    * dimensions rank by |loading| on the [[embeddingPca]] principal
+    * direction (fixed-point BIGINTs, no float in the learning path)
+    * and deal ROUND-ROBIN across the m subspaces, so the high-variance
+    * coordinates spread one-per-subspace instead of exhausting one
+    * codebook. A permutation is orthogonal and EXACT (coordinates
+    * move, never combine), so unlike a dense learned rotation the
+    * transform itself is deterministically oracle-replicable: the
+    * oracle re-runs the PCA power iteration (the embedding_pca CTE
+    * chain), re-derives the same ranking/dealing in SQL, and replays
+    * simsearch_pq's CTEs over the permuted frame. Beats the FIXED
+    * π(i) = 27i permutation whenever the corpus' energy layout happens
+    * to collide with it — PqSearchSpec plants exactly that adversarial
+    * corpus (energy in the dims the fixed π gathers into ONE subspace)
+    * and pins lower quantization distortion for the learned dealing.
+    *
+    * Plan shape: identical to `simsearch_pq_rotated` — the learning
+    * side is the bounded vectorMoments collect + a driver-side integer
+    * solve (microseconds), the rotation a row-local element_at
+    * reindex, and everything downstream IS pqOverCodebook.
+    */
+  def simsearchOpqPca(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 10, centroidStride: Long = 127, m: Int = 4,
+      iters: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val d = 64
+    val v = pcaDirection(spark, sfDir, d, iters)
+    val perm = eigenAllocPerm(v, m)
+    val rot = emb.select(col("vec_id"),
+      array((0 until d).map(j =>
+        element_at(col("embedding"), perm(j) + 1)): _*).as("embedding"))
+    val cb0 = ivfCodebook(emb, centroidStride).take(MaxPqCodebook)
+    pqOverCodebook(rot,
+      cb0.map { case (id, vec, nrm) =>
+        (id, Array.tabulate(d)(j => vec(perm(j))), nrm)
+      }, k, nQueries, m)
+  }
+
+  /** Eigenvalue-allocation permutation: output slot j reads the input
+    * dimension ranked ((j mod d/m)·m + j div (d/m)) by (|v_fp| DESC,
+    * dim ASC) — i.e. dims sorted by principal-direction energy, dealt
+    * round-robin across the m subspaces. Integer-exact (the ranking
+    * key is the fixed-point loading itself).
+    */
+  private[graft] def eigenAllocPerm(v: Array[Long], m: Int): Array[Int] = {
+    val d = v.length
+    require(d % m == 0, s"dim=$d not divisible by m=$m")
+    val order = (0 until d).sortBy(i => (-BigInt(v(i)).abs, i))
+    val perm = Array.ofDim[Int](d)
+    order.zipWithIndex.foreach { case (dim, rr) =>
+      perm((rr % m) * (d / m) + rr / m) = dim
+    }
+    perm
+  }
+
   /** The exact permutation rotation: out[i] = in[(27·i) mod d] — a
     * row-local reindexing projection (one element_at per output slot,
     * whole-stage codegen; no arithmetic, no HOF).
@@ -1520,8 +1579,12 @@ object SimSearch {
     * direction.
     */
   private def pcaDirection(spark: SparkSession, sfDir: String, d: Int,
+      iters: Int): Array[Long] =
+    pcaDirectionOf(Tables.embeddings(spark, sfDir), d, iters)
+
+  private[graft] def pcaDirectionOf(emb: DataFrame, d: Int,
       iters: Int): Array[Long] = {
-    val buf = Tables.embeddings(spark, sfDir)
+    val buf = emb
       .agg(graft.functions.ImperativeAggs
         .vectorMomentsRaw(col("embedding"), d).as("b"))
       .head().getSeq[Long](0).toArray

@@ -268,6 +268,54 @@ class PqSearchSpec extends AnyFunSuite {
         s"rotated=$er plain=$ep")
   }
 
+  test("eigen-allocation rotation beats the fixed permutation on an " +
+      "adversarial energy layout (the OPQ-PCA win, planted)") {
+    // plant ALL energy in exactly the input dims the FIXED pi
+    // (out[i] = in[27i mod 64]) gathers into subspace 0 — the layout
+    // where the fixed rotation degenerates back to one-subspace
+    // concentration, while the PCA-learned dealing spreads the live
+    // dims round-robin (4 per subspace) by |loading| rank
+    val liveDims = (0 until 16).map(i => (27 * i) % 64).toSet
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 60L).map { id =>
+      id -> Array.tabulate(64)(d =>
+        if (liveDims(d)) rnd.nextFloat() * 4 - 2 else 0f)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = SimSearch.ivfCodebook(df, 7L)
+    def exactDot(q: Long, c: Long): Double = {
+      val (qa, ca) = (vecs(q.toInt)._2, vecs(c.toInt)._2)
+      (0 until 64).map(i => qa(i).toDouble * ca(i)).sum
+    }
+    def meanErr(res: Seq[(Long, Long, Double, Int)]): Double =
+      res.map { case (q, c, s, _) => math.abs(s - exactDot(q, c)) }
+        .sum / res.size
+    val k = 59
+    def runWithPerm(perm: Array[Int]) = SimSearch.pqOverCodebook(
+      df.select(col("vec_id"), array((0 until 64).map(j =>
+        element_at(col("embedding"), perm(j) + 1)): _*).as("embedding")),
+      cb.map { case (id, v, nrm) =>
+        (id, Array.tabulate(64)(j => v(perm(j))), nrm)
+      }, k, nQueries = 4, m = 4)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val fixedPerm = Array.tabulate(64)(i => (27 * i) % 64)
+    val v = SimSearch.pcaDirectionOf(df, 64, 20)
+    // the learned ranking must identify exactly the live dims
+    val top16 = (0 until 64).sortBy(i => (-BigInt(v(i)).abs, i)).take(16)
+    assert(top16.toSet === liveDims,
+      "PCA |loadings| must rank the live dims first")
+    val eigen = SimSearch.eigenAllocPerm(v, 4)
+    (0 until 4).foreach { g =>
+      val live = (0 until 16).count(t => liveDims(eigen(g * 16 + t)))
+      assert(live === 4, s"subspace $g must get 4 live dims, got $live")
+    }
+    val (eFixed, eEigen) =
+      (meanErr(runWithPerm(fixedPerm)), meanErr(runWithPerm(eigen)))
+    assert(eEigen < eFixed,
+      "the learned dealing must beat the fixed permutation on its " +
+        s"adversarial layout: eigen=$eEigen fixed=$eFixed")
+  }
+
   test("rerank recall dominates plain PQ (exact re-rank of a superset " +
       "shortlist can only surface more true neighbors)") {
     val sf = TestSpark.sf

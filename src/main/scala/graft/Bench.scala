@@ -44,6 +44,7 @@ object Bench {
     warm("memos") { graft.operators.MinHashDedup.warmMemos(spark, sfDir) }
     warm("lm") { graft.operators.TextOps.warmLm(spark, sfDir) }
     warm("bpe") { graft.operators.BpeTrain.warmBpe(spark, sfDir) }
+    warm("unigram") { graft.operators.UnigramTrain.warmUnigram(spark, sfDir) }
     val errors = scala.collection.mutable.ListBuffer[String]()
     // per-query GC + task-time attribution (VERDICT r5 #3): rank driver
     // runs by (wall − gc) to separate VM warmth from real plan cost

@@ -354,7 +354,8 @@ object Lake {
       graft.operators.TextOps.clearLmCache() +
       graft.operators.GraphOps.clearUnrolledEdgeCache() +
       graft.operators.GraphOps.clearCoEdgeCache() +
-      graft.operators.BpeTrain.clearBpeCache()
+      graft.operators.BpeTrain.clearBpeCache() +
+      graft.operators.UnigramTrain.clearUnigramCache()
 
   /** novlake `Lake(user)` — the per-user convenience constructor: each
     * user gets a personal warehouse prefix under a shared root, so

@@ -146,7 +146,8 @@ class ContractSpec extends AnyFunSuite {
     //   simsearch_hybrid_ivf — dense side is the KEYED ivf cell-probe
     //                    join (inlined codebook, no corpus product);
     //                    same ONE-ROW stats scalar attach as _lsh
-    //   simsearch_pq / simsearch_pq_rotated / simsearch_ivfpq /
+    //   simsearch_pq / simsearch_pq_rotated / simsearch_opq_pca /
+    //   simsearch_ivfpq /
     //   simsearch_ivfpq_residual /
     //   simsearch_rerank / simsearch_ivf — the PQ lookup
     //                    table and the query→probe-cell assignment are
@@ -189,7 +190,7 @@ class ContractSpec extends AnyFunSuite {
         "ann_recall", "stream_watermark_late_ok", "simsearch_hybrid",
         "simsearch_hybrid_lsh", "simsearch_hybrid_ivf", "simsearch_pq",
         "simsearch_ivfpq", "simsearch_ivfpq_residual", "simsearch_ivf",
-        "simsearch_rerank", "simsearch_pq_rotated",
+        "simsearch_rerank", "simsearch_pq_rotated", "simsearch_opq_pca",
         "simsearch_filtered_ivf", "simsearch_ivf_kmeans",
         "simsearch_range", "simsearch_range_ivf",
         "simsearch_index_persisted", "simsearch_index_incremental",

@@ -56,6 +56,7 @@ object SparkEntry {
     "lake_time_travel" -> (SinkQueries.lakeTimeTravel _),
     "lake_vacuum" -> (SinkQueries.lakeVacuum _),
     "lake_changes" -> (SinkQueries.lakeChanges _),
+    "dedup_incremental_cdf" -> (SinkQueries.dedupIncrementalCdf _),
     "merge_upsert" -> (SinkQueries.mergeUpsert _),
     "merge_scd2" -> (SinkQueries.mergeScd2 _),
     "join_bucketed" -> (SinkQueries.joinBucketed _),
@@ -115,6 +116,8 @@ object SparkEntry {
     "multimodal_dedup" -> (Multimodal.dedupAssets _),
     "multimodal_phash" -> ((s: SparkSession, d: String) =>
       Multimodal.phashPairs(s, d)),
+    "multimodal_phash_incremental" -> ((s: SparkSession, d: String) =>
+      Multimodal.phashIncremental(s, d)),
     "pipeline_curate" -> ((s: SparkSession, d: String) =>
       TextOps.pipelineCurate(s, d)),
     "win_range_interval" -> (Windows.winRangeInterval _),
@@ -589,6 +592,10 @@ object SparkEntry {
     // view of the one memoized training
     "unigram_fertility" -> ((s: SparkSession, d: String) =>
       UnigramTrain.unigramFertility(s, d)),
+    // the inference half: corpus re-segmented by the trained unigram
+    // vocabulary (third view of the one training)
+    "unigram_encode" -> ((s: SparkSession, d: String) =>
+      UnigramTrain.unigramEncode(s, d)),
     "lm_doc_score" -> (TextOps.lmDocScore _),
     "quality_lm_bucket" -> (TextOps.qualityLmBucket _),
     // the approx-cutoff SCALE variant of quality_lm_bucket (no ntile
@@ -788,6 +795,41 @@ object SparkEntry {
 
   private val normT =
     raw"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+  /** Shared dHash CTE chain (`multimodal_phash` family): stub-decoded
+    * codepoint pixels of qualified (>= 252-char) docs -> 63 segment
+    * sums -> 62 gradient-sign bits packed into one BIGINT.
+    */
+  private lazy val phashCtes: String =
+    """WITH px AS (
+      |  SELECT doc_id AS asset_id,
+      |    list_transform(range(1, 253),
+      |      j -> ord(substr(text, CAST(j AS INT), 1))) AS p
+      |  FROM documents WHERE length(text) >= 252),
+      |seg AS (
+      |  SELECT asset_id,
+      |    list_transform(range(0, 63), b -> CAST(list_sum(
+      |      p[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)]) AS BIGINT)) AS s
+      |  FROM px),
+      |ph AS (
+      |  SELECT asset_id, CAST(list_sum(list_transform(range(0, 62),
+      |      i -> CASE WHEN s[CAST(i+1 AS INT)] > s[CAST(i+2 AS INT)]
+      |                THEN CAST(2 AS BIGINT)**CAST(i AS INT)
+      |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+      |  FROM seg)""".stripMargin
+
+  /** Shared by `dedup_incremental` and `dedup_incremental_cdf` (the
+    * CDF-fed form — same declared semantics, the delta derived from
+    * LakeIO.changes instead of a hand-cut filter).
+    */
+  private lazy val dedupIncrementalSql: String =
+    raw"""WITH e AS (SELECT DISTINCT md5($normT) AS h FROM documents
+      |           WHERE doc_id % 10 < 8),
+      |b AS (SELECT doc_id, lang, source, md5($normT) AS h FROM documents
+      |      WHERE doc_id % 10 >= 8)
+      |SELECT doc_id, lang, source FROM b
+      |WHERE h NOT IN (SELECT h FROM e)
+      |ORDER BY doc_id ASC""".stripMargin
 
   /** Shared by `dedup_minhash_incremental` and its streaming twin
     * `stream_dedup_minhash_ok` (same declared semantics, two engines).
@@ -1234,7 +1276,7 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT word, wf, back[i + 1] AS i, back FROM bt WHERE i > 0),
       |pcs AS (
-      |  SELECT word, wf,
+      |  SELECT word, wf, i,
       |    substr(word, back[i + 1] + 1, i - back[i + 1]) AS piece
       |  FROM bt WHERE i > 0)""".stripMargin
 
@@ -1245,6 +1287,23 @@ object SparkEntry {
       |SELECT sc.piece, sc.c AS seed_count, em.em_count, sc.s AS score_fp
       |FROM sc JOIN em ON em.epiece = sc.piece
       |ORDER BY em_count DESC, piece ASC""".stripMargin
+
+  private lazy val unigramEncodeSql: String =
+    unigramCtes + raw""",
+      |segstr AS (SELECT word, count(*)::BIGINT AS np,
+      |    string_agg(piece, '_' ORDER BY i ASC) AS enc
+      |  FROM pcs GROUP BY word),
+      |dw AS (SELECT doc_id, j, word FROM (
+      |    SELECT doc_id, generate_subscripts(words, 1) AS j,
+      |      unnest(words) AS word
+      |    FROM (SELECT doc_id, string_split($normT, ' ') AS words
+      |          FROM documents) t)
+      |  WHERE word <> '' AND len(word) <= 24)
+      |SELECT doc_id, count(*)::BIGINT AS n_words,
+      |  sum(np)::BIGINT AS n_pieces,
+      |  string_agg(enc, ' ' ORDER BY j ASC) AS encoded
+      |FROM dw JOIN segstr USING (word)
+      |GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
 
   private lazy val unigramFertilitySql: String =
     unigramCtes + raw""",
@@ -3835,28 +3894,36 @@ object SparkEntry {
     // chars ARE the stub "pixels") and verifies with an EXACT all-pairs
     // Hamming join — safe because the Spark side's 4×16-bit banding is
     // lossless for hamming <= 3 by pigeonhole (no recall caveat)
-    "multimodal_phash" ->
-      """WITH px AS (
-        |  SELECT doc_id AS asset_id,
-        |    list_transform(range(1, 253),
-        |      j -> ord(substr(text, CAST(j AS INT), 1))) AS p
-        |  FROM documents WHERE length(text) >= 252),
-        |seg AS (
-        |  SELECT asset_id,
-        |    list_transform(range(0, 63), b -> CAST(list_sum(
-        |      p[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)]) AS BIGINT)) AS s
-        |  FROM px),
-        |ph AS (
-        |  SELECT asset_id, CAST(list_sum(list_transform(range(0, 62),
-        |      i -> CASE WHEN s[CAST(i+1 AS INT)] > s[CAST(i+2 AS INT)]
-        |                THEN CAST(2 AS BIGINT)**CAST(i AS INT)
-        |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
-        |  FROM seg)
+    "multimodal_phash" -> (phashCtes + """
         |SELECT a.asset_id AS a_id, b.asset_id AS b_id,
         |  bit_count(xor(a.phash, b.phash)) AS hamming
         |FROM ph a JOIN ph b ON a.asset_id < b.asset_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
-        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin),
+    // seen-store incremental at the perceptual tier: lossless banding
+    // means the oracle is the EXACT delta-vs-(store + earlier-delta)
+    // Hamming formulation; unqualified (short) delta assets have no
+    // phash and always survive
+    "multimodal_phash_incremental" -> (phashCtes + """,
+        |da AS (SELECT doc_id AS asset_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |         ELSE 'video/mp4' END AS mime
+        |  FROM documents WHERE doc_id % 10 >= 8),
+        |dph AS (SELECT da.asset_id, da.mime, ph.phash
+        |  FROM da LEFT JOIN ph ON ph.asset_id = da.asset_id),
+        |matched AS (SELECT DISTINCT d.asset_id FROM dph d JOIN
+        |    (SELECT asset_id, phash, FALSE AS dd FROM ph
+        |       WHERE asset_id % 10 < 8
+        |     UNION ALL
+        |     SELECT asset_id, phash, TRUE FROM dph
+        |       WHERE phash IS NOT NULL) o
+        |  ON d.phash IS NOT NULL
+        |    AND bit_count(xor(d.phash, o.phash)) <= 3
+        |    AND (NOT o.dd OR o.asset_id < d.asset_id))
+        |SELECT asset_id, mime FROM dph
+        |WHERE asset_id NOT IN (SELECT asset_id FROM matched)
+        |ORDER BY asset_id ASC""".stripMargin),
     "source_custom" ->
       """SELECT i AS doc_id,
         |  ['en','de','es','fr'][(i % 4)::INT + 1] AS lang,
@@ -4321,14 +4388,12 @@ object SparkEntry {
     // membership-by-content-hash: Spark uses sha2, the oracle md5 — both
     // are injective-in-practice keys over the same normalized text, so
     // the anti-join survivor sets agree (same contract as dedup_exact)
-    "dedup_incremental" ->
-      raw"""WITH e AS (SELECT DISTINCT md5($normT) AS h FROM documents
-        |           WHERE doc_id % 10 < 8),
-        |b AS (SELECT doc_id, lang, source, md5($normT) AS h FROM documents
-        |      WHERE doc_id % 10 >= 8)
-        |SELECT doc_id, lang, source FROM b
-        |WHERE h NOT IN (SELECT h FROM e)
-        |ORDER BY doc_id ASC""".stripMargin,
+    // dedup_incremental_cdf shares this oracle VERBATIM: the CDF
+    // between the pinned v0 (%10<8) / v1 (full) snapshots is exactly
+    // the %10>=8 insert set, so both formulations must produce the
+    // same survivors (the join_asof_split shared-oracle precedent)
+    "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_cdf" -> dedupIncrementalSql,
     "ngram_lm" ->
       raw"""WITH d AS (SELECT doc_id, string_split($normT, ' ') AS toks
         |           FROM documents
@@ -4466,6 +4531,7 @@ object SparkEntry {
     "bpe_train" -> bpeTrainSql,
     "unigram_train" -> unigramTrainSql,
     "unigram_fertility" -> unigramFertilitySql,
+    "unigram_encode" -> unigramEncodeSql,
     "bpe_encode" -> bpeEncodeSql,
     "bpe_fertility" -> bpeFertilitySql,
     "pipeline_tokenize" -> pipelineTokenizeSql,

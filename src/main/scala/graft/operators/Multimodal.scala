@@ -196,6 +196,72 @@ object Multimodal {
       .orderBy(col("a_id").asc, col("b_id").asc)
   }
 
+  /** `multimodal_phash_incremental` — the daily-crawl form of
+    * perceptual dedup (the `dedup_minhash_incremental` seen-store
+    * contract at the asset tier): yesterday's corpus has a persisted
+    * phash store (8 bytes/asset — at 100 TB of media this is the ONLY
+    * state the daily job reads; no blob is ever re-decoded); today's
+    * delta batch computes ITS phashes (delta-sized decode+hash work),
+    * joins the store's band buckets + its own smaller-id bands, and
+    * keeps the survivors. A delta asset drops iff its Hamming distance
+    * ≤ `maxHamming` to ANY store asset or any SMALLER-id delta asset —
+    * and because the 4×16-bit banding is LOSSLESS at Hamming ≤ 3
+    * (pigeonhole, see [[phashPairsAssets]]), the oracle is the exact
+    * all-pairs formulation with no recall caveat, and seen-store
+    * batching stays associative exactly (not just with high
+    * probability, as in the MinHash tier).
+    *
+    * Scale: store side is the persisted (band, bval → asset phash)
+    * frame, bucket-pruned by the delta's keys; delta-sized work
+    * everywhere else; one asset_id anti-join emits survivors.
+    */
+  def phashIncremental(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val assets = syntheticAssets(spark, sfDir)
+      .select(col("asset_id"), col("mime"), col("blob"))
+    phashIncrementalAssets(assets.filter(col("asset_id") % 10 < 8),
+      assets.filter(col("asset_id") % 10 >= 8), maxHamming)
+  }
+
+  /** Core of [[phashIncremental]] over explicit store/delta frames with
+    * disjoint asset_ids — the planted-asset harness for PhashSpec.
+    */
+  def phashIncrementalAssets(store: DataFrame, delta: DataFrame,
+      maxHamming: Int): DataFrame = {
+    def ph(assets: DataFrame) = assets
+      .select(col("asset_id"), col("mime"),
+        decode(col("blob"), "UTF-8").as("s"))
+      .select(col("asset_id"), col("mime"),
+        when(length(col("s")) >= PhashMinChars, phashExpr(col("s")))
+          .as("phash"))
+    def bands(px: DataFrame) = px.filter(col("phash").isNotNull)
+      .select(col("asset_id"), col("phash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bval")))
+    val deltaPx = ph(delta)
+    val deltaBands = bands(deltaPx).repartition(col("band"), col("bval"))
+    def nSide = deltaBands.select(col("band"), col("bval"),
+      col("asset_id").as("n_id"), col("phash").as("n_ph"))
+    val candStore = nSide.join(bands(ph(store))
+        .select(col("band"), col("bval"),
+          col("phash").as("o_ph")), Seq("band", "bval"))
+    val candIntra = nSide.join(deltaBands
+        .select(col("band"), col("bval"), col("asset_id").as("o_id"),
+          col("phash").as("o_ph")), Seq("band", "bval"))
+      .filter(col("o_id") < col("n_id")) // only EARLIER delta assets drop
+      .select(col("band"), col("bval"), col("n_id"), col("n_ph"),
+        col("o_ph"))
+    val matched = candStore.unionByName(candIntra)
+      .filter(bit_count(col("n_ph").bitwiseXOR(col("o_ph")))
+        <= maxHamming)
+      .select(col("n_id")).distinct()
+    deltaPx.join(matched, deltaPx("asset_id") === col("n_id"),
+        "left_anti")
+      .select(col("asset_id"), col("mime"))
+      .orderBy(col("asset_id").asc)
+  }
+
   /** STUB decode: a real implementation would decode the image/audio blob
     * (e.g. via a JNI codec or mapInPandas on a Python-enabled cluster)
     * into pixel/sample tensors. Here: a deterministic fake "feature"

@@ -206,6 +206,41 @@ object UnigramTrain {
       .orderBy(col("em_count").desc, col("piece").asc)
   }
 
+  /** `unigram_encode` — the INFERENCE half: the corpus re-segmented by
+    * the trained unigram vocabulary (what the tokenizer does to every
+    * shard after training; `bpe_encode`'s counterpart for this
+    * family). Per doc: qualifying word count, total piece count, and
+    * the encoded surface (pieces joined by `_` within a word, words by
+    * space — reading order restored via a position sort, never
+    * collection order). Third view of the ONE memoized training.
+    *
+    * Scale shape: the corpus explodes to (doc_id, pos, word) rows once,
+    * joins the DISTINCT-WORD segmentation frame KEYED on word
+    * (vocabulary-sized right side — a keyed join, not a broadcast
+    * literal, so an arbitrarily large vocabulary still co-locates), and
+    * one doc_id-keyed aggregate reassembles order with
+    * array_sort(collect_list(struct(pos, enc))).
+    */
+  def unigramEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, seg) = cachedTraining(spark, sfDir)
+    val segStr = seg.select(col("word"),
+      size(col("pieces")).cast("long").as("np"),
+      array_join(col("pieces"), "_").as("enc"))
+    val docWords = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(TextOps.normText(col("text")), " "))
+          .as(Seq("pos", "word")))
+      .filter(col("word") =!= "" && length(col("word")) <= MaxWordLen)
+    docWords.join(segStr, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("np")).as("n_pieces"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("enc")))),
+          s => s.getField("enc")), " ").as("encoded"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** `unigram_fertility` — pieces-per-word under the trained unigram
     * segmentation, per language (the `bpe_fertility` counterpart for
     * the other tokenizer family): how many units the tokenizer spends

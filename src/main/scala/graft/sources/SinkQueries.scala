@@ -661,6 +661,48 @@ object SinkQueries {
       .orderBy(col("o_orderkey").asc, col("_change_type").asc)
   }
 
+  /** `dedup_incremental_cdf` — the change-data-feed CONSUMED by a
+    * declared incremental operator (VERDICT r14 #2's second half: "feed
+    * it to a declared incremental consumer to prove the surface"):
+    * yesterday's corpus snapshot lands in v=0, today's full corpus in
+    * v=1, and the daily dedup job derives its delta FROM THE CDF
+    * (`_change_type = 'insert'` between the pins) instead of a
+    * hand-cut filter — the production wiring, where the lake tells the
+    * pipeline what changed. Survivors = CDF inserts whose normalized
+    * content hash is not in the v0 snapshot (dedup_incremental's exact
+    * seen-store contract, same output schema). The oracle is
+    * `dedup_incremental`'s SQL VERBATIM (the shared-oracle precedent):
+    * v0 ⊂ v1 with identical row values, so the CDF between the pins is
+    * exactly the planted insert set — an engine whose CDF drops
+    * inserts, emits phantom updates (non-null-safe compares), or reads
+    * the wrong pins hash-mismatches.
+    *
+    * Scale: the CDF join is doc_id-keyed (LakeIO.changes); the store
+    * side reduces to a distinct 32-byte hash set before the anti-join
+    * — no text re-shuffles (the dedup_incremental shape).
+    */
+  def dedupIncrementalCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/dedup_incr_cdf"
+    rmDir(spark, out)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    LakeIO.saveVersion(docs.filter(col("doc_id") % 10 < 8)
+      .repartition(writerTasks), out)
+    LakeIO.saveVersion(docs.repartition(writerTasks), out)
+    val delta = LakeIO.changes(spark, out, 0, 1, Seq("doc_id"))
+      .filter(col("_change_type") === "insert")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val existing = LakeIO.loadVersion(spark, out, Some(0))
+      .select(sha2(graft.operators.TextOps.normText(col("text")), 256)
+        .as("h")).distinct()
+    delta
+      .withColumn("h",
+        sha2(graft.operators.TextOps.normText(col("text")), 256))
+      .join(existing, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** `lake_vacuum` — snapshot retention (`Lake.vacuum` /
     * LakeIO.vacuumVersions) declared as a query (VERDICT r7 #5): four
     * snapshots, keep the newest two; the post-vacuum history must show

@@ -47,6 +47,36 @@ class PhashSpec extends AnyFunSuite {
     assert(got.count() === 0)
   }
 
+  test("phash incremental: store dups drop, earlier-delta dups drop, " +
+      "short assets survive, batching is associative") {
+    val base = randText(21L, 300)
+    val other = randText(22L, 300)
+    val store = assetsOf(Seq((1L, base), (2L, other)))
+      .withColumn("mime", lit("image/png"))
+    // delta: 10 dups store's 1; 12 dups earlier-delta 11; 13 is short;
+    // 14 is fresh
+    val delta = assetsOf(Seq(
+      (10L, base.updated(5, 'q')), (11L, randText(30L, 300)),
+      (12L, randText(30L, 300).updated(7, 'z')), (13L, randText(9L, 100)),
+      (14L, randText(31L, 300))))
+      .withColumn("mime", lit("image/png"))
+    val got = Multimodal.phashIncrementalAssets(store, delta, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(11L, 13L, 14L), s"got $got")
+    // seen-store associativity is EXACT here (lossless banding): two
+    // ordered batches equal the one-batch answer
+    val d1 = delta.filter(col("asset_id") <= 11L)
+    val d2 = delta.filter(col("asset_id") > 11L)
+    val batch1 = Multimodal.phashIncrementalAssets(store, d1, 3)
+      .collect().map(_.getLong(0)).toSet
+    // batch 2 runs against store ∪ batch-1 SIGNATURES (all of d1 was
+    // seen, kept or not)
+    val batch2 = Multimodal.phashIncrementalAssets(
+      store.unionByName(d1), d2, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert((batch1 ++ batch2) === got, s"${batch1 ++ batch2}")
+  }
+
   test("banding is lossless: banded pairs equal literal all-pairs hamming <= 3 (randomized)") {
     // corpus with planted bit-level variety: clusters of near-identical
     // texts (0-3 scattered single-char edits) + unrelated fillers

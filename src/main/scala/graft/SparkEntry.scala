@@ -293,6 +293,11 @@ object SparkEntry {
     // the reference window pinned to the online refDays = 7
     "stream_changepoint_ok" ->
       (graft.streaming.Streams.streamChangepointOk _),
+    // the streaming Holt-Winters monitor, driver-gated: real replay
+    // through HoltWintersProcessor, oracle = ts_forecast_seasonal's
+    // recursive CTE verbatim
+    "stream_forecast_ok" ->
+      (graft.streaming.Streams.streamForecastOk _),
     "ts_gapfill" -> (EventWindows.tsGapfill _),
     "ts_resample" -> (EventWindows.tsResample _),
     "ts_interpolate" -> (EventWindows.tsInterpolate _),
@@ -746,6 +751,54 @@ object SparkEntry {
   /** The ts_changepoint oracle, parameterized on the reference-window
     * expression: the declared batch row uses the adaptive
     * greatest(7, n/4); stream_changepoint_ok pins the online w = 7. */
+  /** Shared by `ts_forecast_seasonal` and its streaming twin
+    * `stream_forecast_ok` (same declared semantics, two engines).
+    */
+  private lazy val tsForecastSeasonalSql: String =
+    """WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    (SUM(CAST(value AS DECIMAL(18,4))) * 10000)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (SELECT event_type, day, x,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day ASC) AS rn
+        |  FROM daily),
+        |sd AS (SELECT event_type, rn,
+        |    list(x) OVER (PARTITION BY event_type ORDER BY rn
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS w
+        |  FROM seq),
+        |anchor AS (SELECT event_type, rn,
+        |    CAST(list_sum(w) AS BIGINT) // 7 AS l,
+        |    CAST(0 AS BIGINT) AS b,
+        |    list_transform(w,
+        |      v -> v - CAST(list_sum(w) AS BIGINT) // 7) AS s
+        |  FROM sd WHERE rn = 7),
+        |f AS (
+        |  SELECT event_type, rn, CAST(NULL AS DATE) AS day,
+        |    CAST(NULL AS BIGINT) AS x, l, b, s,
+        |    CAST(NULL AS BIGINT) AS fc
+        |  FROM anchor
+        |  UNION ALL
+        |  SELECT q.event_type, q.rn, q.day, q.x,
+        |    (q.x - f.s[CAST((q.rn-1)%7+1 AS INT)] + f.l + f.b) // 2,
+        |    (((q.x - f.s[CAST((q.rn-1)%7+1 AS INT)] + f.l + f.b) // 2)
+        |      - f.l + f.b) // 2,
+        |    list_transform(range(1, 8), j ->
+        |      CASE WHEN j = (q.rn-1)%7+1
+        |        THEN ((q.x - ((q.x - f.s[CAST((q.rn-1)%7+1 AS INT)]
+        |                + f.l + f.b) // 2))
+        |              + f.s[CAST((q.rn-1)%7+1 AS INT)]) // 2
+        |        ELSE f.s[CAST(j AS INT)] END),
+        |    f.l + f.b + f.s[CAST((q.rn-1)%7+1 AS INT)]
+        |  FROM f JOIN seq q ON q.event_type = f.event_type
+        |    AND q.rn = f.rn + 1)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  round(x / 10000.0, 4) AS actual,
+        |  round(fc / 10000.0, 4) AS forecast,
+        |  round((x - fc) / 10000.0, 4) AS err
+        |FROM f WHERE rn > 7
+        |ORDER BY event_type ASC, day ASC""".stripMargin
+
   private def tsChangepointSql(wExpr: String,
       minDays: Int = 0): String =
     raw"""WITH RECURSIVE daily AS (SELECT event_type,
@@ -4027,50 +4080,9 @@ object SparkEntry {
     // with a 7-slot seasonal LIST carried through the recursive CTE
     // (observed-sequence index (rn-1)%7; seed = first 7 days, l0 =
     // sum//7, b0 = 0; emission from day 8)
-    "ts_forecast_seasonal" ->
-      """WITH RECURSIVE daily AS (SELECT event_type,
-        |    CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    (SUM(CAST(value AS DECIMAL(18,4))) * 10000)::BIGINT AS x
-        |  FROM events GROUP BY 1, 2),
-        |seq AS (SELECT event_type, day, x,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY day ASC) AS rn
-        |  FROM daily),
-        |sd AS (SELECT event_type, rn,
-        |    list(x) OVER (PARTITION BY event_type ORDER BY rn
-        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS w
-        |  FROM seq),
-        |anchor AS (SELECT event_type, rn,
-        |    CAST(list_sum(w) AS BIGINT) // 7 AS l,
-        |    CAST(0 AS BIGINT) AS b,
-        |    list_transform(w,
-        |      v -> v - CAST(list_sum(w) AS BIGINT) // 7) AS s
-        |  FROM sd WHERE rn = 7),
-        |f AS (
-        |  SELECT event_type, rn, CAST(NULL AS DATE) AS day,
-        |    CAST(NULL AS BIGINT) AS x, l, b, s,
-        |    CAST(NULL AS BIGINT) AS fc
-        |  FROM anchor
-        |  UNION ALL
-        |  SELECT q.event_type, q.rn, q.day, q.x,
-        |    (q.x - f.s[CAST((q.rn-1)%7+1 AS INT)] + f.l + f.b) // 2,
-        |    (((q.x - f.s[CAST((q.rn-1)%7+1 AS INT)] + f.l + f.b) // 2)
-        |      - f.l + f.b) // 2,
-        |    list_transform(range(1, 8), j ->
-        |      CASE WHEN j = (q.rn-1)%7+1
-        |        THEN ((q.x - ((q.x - f.s[CAST((q.rn-1)%7+1 AS INT)]
-        |                + f.l + f.b) // 2))
-        |              + f.s[CAST((q.rn-1)%7+1 AS INT)]) // 2
-        |        ELSE f.s[CAST(j AS INT)] END),
-        |    f.l + f.b + f.s[CAST((q.rn-1)%7+1 AS INT)]
-        |  FROM f JOIN seq q ON q.event_type = f.event_type
-        |    AND q.rn = f.rn + 1)
-        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
-        |  round(x / 10000.0, 4) AS actual,
-        |  round(fc / 10000.0, 4) AS forecast,
-        |  round((x - fc) / 10000.0, 4) AS err
-        |FROM f WHERE rn > 7
-        |ORDER BY event_type ASC, day ASC""".stripMargin,
+    "ts_forecast_seasonal" -> tsForecastSeasonalSql,
+    // the streaming Holt-Winters twin is gated on the SAME recursion
+    "stream_forecast_ok" -> tsForecastSeasonalSql,
     // weekday = days-since-Monday-epoch mod 7 (engine-neutral; the
     // builtins disagree on week start); ts_anomaly decimal discipline
     "ts_seasonal" ->

@@ -647,6 +647,112 @@ class ChangepointProcessor(dayUs: Long, refDays: Int)
   }
 }
 
+/** Streaming Holt-Winters additive — the ONLINE form of
+  * `ts_forecast_seasonal`: per event type, daily value sums accumulate
+  * in MapState (snap-to-4dp per event, the batch twin's exact decimal
+  * discipline) and EVENT-TIME TIMERS close days in time order. The
+  * first 7 closed days buffer as the SEED window (emitting nothing —
+  * the batch twin's contract); when it fills, l₀ = Σ div 7, b₀ = 0,
+  * s = seed − l₀ derive in the same truncating integer arithmetic,
+  * and every later closed day emits its PRIOR-state forecast
+  * l + b + s[idx] before updating (l, b, s[idx]) with the α=β=γ=½
+  * div-2 recursion. State per key: one open-day map, the 7-slot
+  * seasonal map, and three longs. Replay-equal to
+  * [[graft.operators.EventWindows.tsForecastSeasonalEvents]]
+  * (StreamingSpec); the declared `stream_forecast_ok` row is gated on
+  * `ts_forecast_seasonal`'s recursive-CTE oracle VERBATIM.
+  */
+class HoltWintersProcessor(dayUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long, Double), (String, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState,
+    TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var open: MapState[Long, Long] = _
+  @transient private var seed: MapState[Long, Long] = _
+  // seasonal slots: idx (0..6) -> s value (1e-4 fixed point)
+  @transient private var seas: MapState[Long, Long] = _
+  // (n_closed, l, b)
+  @transient private var st: ValueState[(Long, Long, Long)] = _
+
+  private def snap4(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValue()
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    open = getHandle.getMapState[Long, Long]("open",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    seed = getHandle.getMapState[Long, Long]("seed",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    seas = getHandle.getMapState[Long, Long]("seas",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    st = getHandle.getValueState[(Long, Long, Long)]("st",
+      Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Long, Double)], timerValues: TimerValues)
+      : Iterator[(String, Long, Long, Long)] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    val acc = scala.collection.mutable.LinkedHashMap[Long, Long]()
+    rows.foreach { case (_, tsUs, v) =>
+      val b = tsUs - java.lang.Math.floorMod(tsUs, dayUs)
+      if (b + dayUs > wmUs) // closed days cannot reopen (late drop)
+        acc.update(b, acc.getOrElse(b, 0L) + snap4(v))
+    }
+    acc.foreach { case (b, s) =>
+      val fresh = !open.containsKey(b)
+      open.updateValue(b, (if (fresh) 0L else open.getValue(b)) + s)
+      if (fresh) getHandle.registerTimer((b + dayUs) / 1000L)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo)
+      : Iterator[(String, Long, Long, Long)] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    val closable = open.iterator().map(p => (p._1, p._2)).toSeq
+      .filter { case (b, _) => b + dayUs <= wmUs }
+      .sortBy(_._1) // the recursion folds in day order
+    var (n, l, b) = if (st.exists()) st.get() else (0L, 0L, 0L)
+    val out =
+      scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
+    closable.foreach { case (day, x) =>
+      open.removeKey(day)
+      if (n < 7) {
+        seed.updateValue(day, x)
+        n += 1
+        if (n == 7) { // seed filled: learn level + seasonal vector
+          val sd = seed.iterator().map(p => (p._1, p._2)).toSeq
+            .sortBy(_._1)
+          l = sd.map(_._2).sum / 7 // Long '/': toward zero, = div
+          b = 0L
+          sd.zipWithIndex.foreach { case ((_, x0), i) =>
+            seas.updateValue(i.toLong, x0 - l)
+          }
+          sd.foreach { case (d0, _) => seed.removeKey(d0) }
+        }
+      } else {
+        val idx = n % 7
+        val si = seas.getValue(idx)
+        val f = l + b + si
+        out += ((key, day, x, f))
+        val l2 = (x - si + l + b) / 2
+        b = ((l2 - l) + b) / 2
+        seas.updateValue(idx, ((x - l2) + si) / 2)
+        l = l2
+        n += 1
+      }
+    }
+    st.update((n, l, b))
+    out.iterator
+  }
+}
+
 object Streams {
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -1033,6 +1139,50 @@ object Streams {
         round(col("sn").cast("double") / 10000.0, 4).as("cusum_neg"),
         col("changepoint"))
   }
+
+  /** Streaming form of `ts_forecast_seasonal` (see
+    * [[HoltWintersProcessor]]): watermarked events → per-type daily
+    * sums closed by event-time timers → 7-day-seeded Holt-Winters
+    * one-step forecasts in the batch twin's display schema.
+    */
+  def forecastScores(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.TimeMode
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_type").as[String],
+        unix_micros(col("ts")).as[Long], col("value").as[Double])
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new HoltWintersProcessor(86400L * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("event_type", "day_us", "x_fp", "f_fp")
+      .select(col("event_type"),
+        timestamp_micros(col("day_us")).as("day"),
+        round(col("x_fp").cast("double") / 10000.0, 4).as("actual"),
+        round(col("f_fp").cast("double") / 10000.0, 4).as("forecast"),
+        round((col("x_fp") - col("f_fp")).cast("double") / 10000.0, 4)
+          .as("err"))
+  }
+
+  /** `stream_forecast_ok` — the STREAMING Holt-Winters monitor as a
+    * hash-gated declared query (the stream_changepoint_ok technique,
+    * completing the monitor-twin symmetry: anomaly / drift /
+    * changepoint / forecast all have online forms): the events table
+    * file-replays through [[forecastScores]]'s REAL transformWithState
+    * pipeline (shared memoized feed — the marginal harness cost is the
+    * stream run only), and the oracle is `ts_forecast_seasonal`'s
+    * recursive CTE VERBATIM — an engine whose timers close days out of
+    * order, whose seed window drifts, or whose integer recursion
+    * differs hash-mismatches against DuckDB's independent recursion.
+    */
+  def streamForecastOk(spark: SparkSession, sfDir: String): DataFrame =
+    replayMonitor(spark, sfDir, "stream_forecast_ok", forecastScores(_))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("actual"), col("forecast"), col("err"))
+      .orderBy(col("event_type").asc, col("day").asc)
 
   /** `stream_drift_ok` — the STREAMING drift monitor as a hash-gated
     * declared query (the `stream_watermark_late_ok` technique): the

@@ -666,6 +666,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size < deltaN, "no doc was dropped — vacuous replay")
   }
 
+  test("stream_forecast_ok: timer-closed Holt-Winters replay equals the " +
+      "batch recursion row-for-row (seed window emits nothing)") {
+    val sfd = TestSpark.sf
+    val got = Streams.streamForecastOk(spark, sfd).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val want = graft.operators.EventWindows
+      .tsForecastSeasonal(spark, sfd).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "no post-seed day emitted — vacuous replay")
+    // seed discipline: per type, the first 7 observed days are absent
+    val emittedDays = got.groupBy(_._1).view.mapValues(_.size).toMap
+    val allDays = graft.sources.Tables.events(spark, sfd)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts"))).count()
+      .groupBy(col("event_type")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    allDays.foreach { case (t, n) =>
+      assert(emittedDays.getOrElse(t, 0) ===
+        math.max(0L, n - 7).toInt, s"type $t")
+    }
+  }
+
   test("stream_dedup_semantic_ok: RocksDB cell state carries the seen-" +
       "store across micro-batches (2-batch replay equals the batch op)") {
     // planted corpus — the DedupSpec semantic-incremental fixture: a

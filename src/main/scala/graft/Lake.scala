@@ -355,7 +355,8 @@ object Lake {
       graft.operators.GraphOps.clearUnrolledEdgeCache() +
       graft.operators.GraphOps.clearCoEdgeCache() +
       graft.operators.BpeTrain.clearBpeCache() +
-      graft.operators.UnigramTrain.clearUnigramCache()
+      graft.operators.UnigramTrain.clearUnigramCache() +
+      graft.operators.Multimodal.clearPhashCache()
 
   /** novlake `Lake(user)` — the per-user convenience constructor: each
     * user gets a personal warehouse prefix under a shared root, so

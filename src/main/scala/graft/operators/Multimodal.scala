@@ -163,19 +163,70 @@ object Multimodal {
     * of blob bytes, so DuckDB recomputes it from the same integer
     * arithmetic and the hash gate is exact.
     */
+  /** Per-fixture memo of the corpus phash frame (asset_id, mime,
+    * phash — null for unqualified short assets): the 62-bit dHash is a
+    * 252-substr codegen tree, and `multimodal_phash` +
+    * `multimodal_phash_incremental` are two views of the SAME
+    * fingerprints (the BpeTrain memo discipline — the second consumer
+    * must not re-pay the scan or a second codegen compile). 8 bytes +
+    * mime per asset, checkpointed; fingerprint-keyed, released by
+    * Lake.clearCaches.
+    */
+  private val phashCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]()
+
+  private[graft] def clearPhashCache(): Int = {
+    val n = phashCache.size()
+    phashCache.values().forEach { df =>
+      try df.unpersist() catch { case _: Throwable => }
+    }
+    phashCache.clear()
+    n
+  }
+
+  private def cachedPhashFrame(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val fp = graft.operators.MinHashDedup
+      .corpusFingerprint(spark, sfDir)
+    val it = phashCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val key = e.getKey
+      if (key._1.sparkContext.isStopped ||
+          (key._1 == spark && key._2 == sfDir && key._3 != fp)) {
+        try e.getValue.unpersist() catch { case _: Throwable => }
+        it.remove()
+      }
+    }
+    phashCache.computeIfAbsent((spark, sfDir, fp), _ =>
+      syntheticAssets(spark, sfDir)
+        .select(col("asset_id"), col("mime"),
+          decode(col("blob"), "UTF-8").as("s"))
+        .select(col("asset_id"), col("mime"),
+          when(length(col("s")) >= PhashMinChars, phashExpr(col("s")))
+            .as("phash"))
+        .localCheckpoint(true))
+  }
+
   def phashPairs(spark: SparkSession, sfDir: String,
       maxHamming: Int = 3): DataFrame =
-    phashPairsAssets(syntheticAssets(spark, sfDir), maxHamming)
+    phashPairsOf(cachedPhashFrame(spark, sfDir)
+      .filter(col("phash").isNotNull)
+      .select(col("asset_id"), col("phash")), maxHamming)
 
   /** Core of [[phashPairs]] over an explicit (asset_id, blob) frame —
     * the planted-asset harness for PhashSpec.
     */
-  def phashPairsAssets(assets: DataFrame, maxHamming: Int): DataFrame = {
-    val px = assets
+  def phashPairsAssets(assets: DataFrame, maxHamming: Int): DataFrame =
+    phashPairsOf(assets
       // STUB decode: utf-8 blob → "pixel" codepoint string
       .select(col("asset_id"), decode(col("blob"), "UTF-8").as("s"))
       .filter(length(col("s")) >= PhashMinChars)
-      .select(col("asset_id"), phashExpr(col("s")).as("phash"))
+      .select(col("asset_id"), phashExpr(col("s")).as("phash")),
+      maxHamming)
+
+  private def phashPairsOf(px: DataFrame, maxHamming: Int): DataFrame = {
     // 4 × 16-bit bands over the 62-bit phash (band 3 carries 14 bits);
     // pigeonhole: hamming <= 3 ⇒ at least one band equal
     val banded = px.select(col("asset_id"), col("phash"),
@@ -217,33 +268,42 @@ object Multimodal {
     */
   def phashIncremental(spark: SparkSession, sfDir: String,
       maxHamming: Int = 3): DataFrame = {
-    val assets = syntheticAssets(spark, sfDir)
-      .select(col("asset_id"), col("mime"), col("blob"))
-    phashIncrementalAssets(assets.filter(col("asset_id") % 10 < 8),
-      assets.filter(col("asset_id") % 10 >= 8), maxHamming)
+    // both sides come from the ONE memoized fingerprint frame — the
+    // daily job reads the persisted store hashes, never re-decodes
+    val px = cachedPhashFrame(spark, sfDir)
+    phashIncrementalHashed(px.filter(col("asset_id") % 10 < 8),
+      px.filter(col("asset_id") % 10 >= 8), maxHamming)
   }
+
+  /** Row-local fingerprint projection shared by the planted-spec
+    * harness and the memo builder.
+    */
+  private def phashOf(assets: DataFrame): DataFrame = assets
+    .select(col("asset_id"), col("mime"),
+      decode(col("blob"), "UTF-8").as("s"))
+    .select(col("asset_id"), col("mime"),
+      when(length(col("s")) >= PhashMinChars, phashExpr(col("s")))
+        .as("phash"))
 
   /** Core of [[phashIncremental]] over explicit store/delta frames with
     * disjoint asset_ids — the planted-asset harness for PhashSpec.
     */
   def phashIncrementalAssets(store: DataFrame, delta: DataFrame,
-      maxHamming: Int): DataFrame = {
-    def ph(assets: DataFrame) = assets
-      .select(col("asset_id"), col("mime"),
-        decode(col("blob"), "UTF-8").as("s"))
-      .select(col("asset_id"), col("mime"),
-        when(length(col("s")) >= PhashMinChars, phashExpr(col("s")))
-          .as("phash"))
+      maxHamming: Int): DataFrame =
+    phashIncrementalHashed(phashOf(store), phashOf(delta), maxHamming)
+
+  private def phashIncrementalHashed(storePx: DataFrame,
+      deltaPx0: DataFrame, maxHamming: Int): DataFrame = {
     def bands(px: DataFrame) = px.filter(col("phash").isNotNull)
       .select(col("asset_id"), col("phash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band", "bval")))
-    val deltaPx = ph(delta)
+    val deltaPx = deltaPx0
     val deltaBands = bands(deltaPx).repartition(col("band"), col("bval"))
     def nSide = deltaBands.select(col("band"), col("bval"),
       col("asset_id").as("n_id"), col("phash").as("n_ph"))
-    val candStore = nSide.join(bands(ph(store))
+    val candStore = nSide.join(bands(storePx)
         .select(col("band"), col("bval"),
           col("phash").as("o_ph")), Seq("band", "bval"))
     val candIntra = nSide.join(deltaBands

@@ -239,6 +239,24 @@ class LakeSpec extends AnyFunSuite {
     assert(v1.exceptAll(rebuilt).count() === 0)
   }
 
+  test("changes: multi-version range diffs ENDPOINTS (flip-flops vanish, version stamps the range end)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdf_mv").toString
+    val v0 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x")
+    val v1 = Seq((1L, 99.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x")
+    val v2 = Seq((1L, 10.0), (2L, 20.0), (3L, 33.0)).toDF("k", "x")
+    Seq(v0, v1, v2).foreach(graft.sources.LakeIO.saveVersion(_, root))
+    val cdf = graft.sources.LakeIO.changes(spark, root, 0, 2, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getAs[String]("_change_type"),
+        r.getAs[Int]("_commit_version")))
+    // key 1 flip-flopped (10 -> 99 -> 10): a snapshot diff sees no
+    // net change — the documented contrast with write-time CDF
+    assert(!cdf.exists(_._1 == 1L), s"flip-flop leaked: ${cdf.toSeq}")
+    assert(!cdf.exists(_._1 == 2L))
+    // key 3 was inserted inside the range: one insert, stamped v2
+    assert(cdf.filter(_._1 == 3L).toSeq === Seq((3L, "insert", 2)))
+  }
+
   test("changes: null-safe value compare emits no phantom updates") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_cdf_null").toString

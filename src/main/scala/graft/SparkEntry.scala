@@ -56,6 +56,7 @@ object SparkEntry {
     "lake_time_travel" -> (SinkQueries.lakeTimeTravel _),
     "lake_vacuum" -> (SinkQueries.lakeVacuum _),
     "lake_changes" -> (SinkQueries.lakeChanges _),
+    "lake_restore" -> (SinkQueries.lakeRestore _),
     "dedup_incremental_cdf" -> (SinkQueries.dedupIncrementalCdf _),
     "merge_upsert" -> (SinkQueries.mergeUpsert _),
     "merge_scd2" -> (SinkQueries.mergeScd2 _),
@@ -2042,6 +2043,22 @@ object SparkEntry {
     // definitions directly from orders and diffs them — inserts/deletes
     // via NOT EXISTS, updates via value inequality (+1000.0 is exact in
     // binary, so repriced rows differ deterministically in both engines)
+    // restore = forward publish of the pinned content: v3 == v0 by
+    // definition, so the oracle recomputes the three filter snapshots
+    // and repeats v0's aggregates as the restored latest
+    "lake_restore" ->
+      """WITH v AS (
+        |  SELECT 0 AS version, 200000.0 AS t UNION ALL
+        |  SELECT 1, 300000.0 UNION ALL SELECT 2, 400000.0 UNION ALL
+        |  SELECT 3, 200000.0)
+        |SELECT v.version,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > v.t)
+        |    AS n_rows,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |      AS DOUBLE) FROM orders WHERE o_totalprice > v.t)
+        |    AS revenue,
+        |  v.version = 3 AS is_latest
+        |FROM v ORDER BY version ASC""".stripMargin,
     "lake_changes" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
@@ -3949,7 +3966,7 @@ object SparkEntry {
     // lossless for hamming <= 3 by pigeonhole (no recall caveat)
     "multimodal_phash" -> (phashCtes + """
         |SELECT a.asset_id AS a_id, b.asset_id AS b_id,
-        |  bit_count(xor(a.phash, b.phash)) AS hamming
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
         |FROM ph a JOIN ph b ON a.asset_id < b.asset_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY a_id ASC, b_id ASC""".stripMargin),

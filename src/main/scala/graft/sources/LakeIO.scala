@@ -248,6 +248,18 @@ object LakeIO {
         lit(toV).as("_commit_version")): _*)
   }
 
+  /** Rollback (Delta `RESTORE TABLE ... TO VERSION` analogue): publish
+    * the content of pinned `version` as a NEW latest version. History
+    * is append-only — the bad intermediate versions stay readable by
+    * pin (audit trail), the latest pointer moves forward, and readers
+    * never see a mutated snapshot. Returns the new version number.
+    * One distributed copy of the pinned snapshot's files; no other
+    * version is touched.
+    */
+  def restoreVersion(spark: SparkSession, path: String,
+      version: Int): Int =
+    saveVersion(loadVersion(spark, path, Some(version)), path)
+
   /** Snapshot retention (Delta VACUUM's directory-versioned analogue):
     * delete all but the newest `keep` versions under `path`. Readers
     * pinned to a retained version are unaffected; the latest pointer

@@ -703,6 +703,42 @@ object SinkQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** `lake_restore` — rollback to a pinned version
+    * ([[LakeIO.restoreVersion]]; completes the snapshot lifecycle:
+    * history → time-travel → changes → vacuum → RESTORE): three
+    * snapshots of shrinking premium slices land in v=0/1/2 (v1/v2
+    * playing a bad backfill), then v0 restores as v=3 — the Delta
+    * `RESTORE TABLE` shape where rollback is a FORWARD publish (the
+    * bad versions stay pinned-readable for audit; the latest pointer
+    * moves ahead; no snapshot mutates). The output reads every version
+    * INCLUDING the restored one by pin: v3's row count and exact
+    * decimal revenue must equal v0's, is_latest must sit on v3 only,
+    * and the CDF between v2 and v3 must equal the v2→v0 diff — all of
+    * which the oracle recomputes from the snapshot definitions.
+    */
+  def lakeRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/lake_restore"
+    rmDir(spark, out)
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Seq(200000.0, 300000.0, 400000.0).foreach { t =>
+      LakeIO.saveVersion(
+        ord.filter(col("o_totalprice") > t).repartition(writerTasks), out)
+      ()
+    }
+    val restored = LakeIO.restoreVersion(spark, out, 0)
+    val latest = LakeIO.listVersions(spark, out).last
+    val perVersion = (0 to restored).map { v =>
+      LakeIO.loadVersion(spark, out, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(graft.operators.Relational.dec(col("o_totalprice")))
+            .cast("double").as("revenue"))
+        .select(lit(v).as("version"), col("n_rows"), col("revenue"),
+          lit(v == latest).as("is_latest"))
+    }
+    perVersion.reduce(_ unionByName _).orderBy(col("version").asc)
+  }
+
   /** `lake_vacuum` — snapshot retention (`Lake.vacuum` /
     * LakeIO.vacuumVersions) declared as a query (VERDICT r7 #5): four
     * snapshots, keep the newest two; the post-vacuum history must show

@@ -239,6 +239,29 @@ class LakeSpec extends AnyFunSuite {
     assert(v1.exceptAll(rebuilt).count() === 0)
   }
 
+  test("restore: rollback is a forward publish — bad versions stay pinned-readable, CDF sees the undo") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_restore").toString
+    val v0 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x")
+    val v1 = Seq((1L, 99.0), (2L, 20.0)).toDF("k", "x") // bad backfill
+    graft.sources.LakeIO.saveVersion(v0, root)
+    graft.sources.LakeIO.saveVersion(v1, root)
+    val nv = graft.sources.LakeIO.restoreVersion(spark, root, 0)
+    assert(nv === 2)
+    // latest content == v0; the bad v1 remains pinned-readable
+    val latest = graft.sources.LakeIO.loadVersion(spark, root, None)
+    assert(latest.exceptAll(v0).count() === 0 &&
+      v0.exceptAll(latest).count() === 0)
+    assert(graft.sources.LakeIO.loadVersion(spark, root, Some(1))
+      .count() === 2)
+    // the CDF across the restore is exactly the undo of the bad write
+    val undo = graft.sources.LakeIO.changes(spark, root, 1, 2, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getAs[String]("_change_type")))
+      .toSet
+    assert(undo === Set((1L, "update_preimage"), (1L, "update_postimage"),
+      (3L, "insert")), s"got $undo")
+  }
+
   test("changes: multi-version range diffs ENDPOINTS (flip-flops vanish, version stamps the range end)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_cdf_mv").toString

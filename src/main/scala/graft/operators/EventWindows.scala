@@ -826,6 +826,58 @@ object EventWindows {
       .orderBy(col("event_type").asc, col("day").asc)
   }
 
+  /** `event_attribution` — LAST-TOUCH marketing attribution: each
+    * purchase attributes to the user's most recent prior `click`
+    * within a 7-day lookback — the fourth classic product-analytics
+    * operator beside funnel / path / retention. NOT a self-join: the
+    * standard single-pass formulation tags clicks and purchases into
+    * ONE stream, sorts per user by (ts, kind, event_id) — clicks
+    * before purchases at equal timestamps, later click ids win equal-
+    * ts ties — and carries the last-seen click via
+    * last_value(ignoreNulls) over an unbounded-preceding frame (the
+    * as-of-join shape on a window instead of a join). The lookback
+    * then filters attributions older than 7 days. One keyed shuffle on
+    * user_id; at 100 TB this is the same partitioning every per-user
+    * sessionization already pays — no pair space, no range join.
+    * Gap is exact integer microseconds (no float on the hash path).
+    */
+  def eventAttribution(spark: SparkSession, sfDir: String,
+      lookbackDays: Int = 7): DataFrame =
+    eventAttributionEvents(Tables.events(spark, sfDir), lookbackDays)
+
+  /** Core of `event_attribution` over any (event_id, user_id, ts,
+    * event_type) frame — the planted-scenario harness.
+    */
+  def eventAttributionEvents(events: DataFrame,
+      lookbackDays: Int): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"),
+        when(col("event_type") === "click", col("event_id"))
+          .as("click_id_tag"),
+        when(col("event_type") === "click", unix_micros(col("ts")))
+          .as("click_ts_tag"),
+        when(col("event_type") === "click", lit(0))
+          .otherwise(lit(1)).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("kind").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("click_id",
+        last(col("click_id_tag"), ignoreNulls = true).over(w))
+      .withColumn("click_us",
+        last(col("click_ts_tag"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("click_id").isNotNull &&
+        unix_micros(col("ts")) - col("click_us") <=
+          lookbackDays.toLong * 86400L * 1000000L)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"),
+        (unix_micros(col("ts")) - col("click_us")).as("gap_us"))
+      .orderBy(col("purchase_id").asc)
+  }
+
   /** `ts_forecast_seasonal` — Holt-Winters ADDITIVE exponential
     * smoothing per event series (VERDICT r14 #3: `ts_forecast` is Holt
     * linear; a monitor watching the fixture's weekly-periodic series —

@@ -230,6 +230,35 @@ class PatternSeasonalSpec extends AnyFunSuite {
     }
   }
 
+  test("event_attribution: last prior click wins, equal-ts tie rules, " +
+      "lookback expiry, and unattributed purchases drop") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: two clicks then a purchase — the LATER click wins
+      (1L, 10L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (2L, 10L, ts("2024-01-01 11:00:00"), "click", 0.0),
+      (3L, 10L, ts("2024-01-01 12:00:00"), "purchase", 5.0),
+      // user 2: click at the SAME ts as the purchase — click sorts
+      // first, so it attributes; a second same-ts click with higher id
+      // wins the tie
+      (4L, 20L, ts("2024-01-02 09:00:00"), "click", 0.0),
+      (5L, 20L, ts("2024-01-02 09:00:00"), "click", 0.0),
+      (6L, 20L, ts("2024-01-02 09:00:00"), "purchase", 1.0),
+      // user 3: the only click is 8 days old — outside the lookback
+      (7L, 30L, ts("2024-01-01 00:00:00"), "click", 0.0),
+      (8L, 30L, ts("2024-01-09 00:00:01"), "purchase", 2.0),
+      // user 4: purchase with no click at all
+      (9L, 40L, ts("2024-01-03 00:00:00"), "purchase", 3.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventWindows.eventAttributionEvents(ev, lookbackDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (3L, 2L, 3600L * 1000000L), // later click, exact 1h gap
+      (6L, 5L, 0L)),              // same-ts: higher click id, zero gap
+      s"got ${got.toSeq}")
+  }
+
   test("ts_forecast_seasonal equals the literal Holt-Winters fold, beats " +
       "Holt linear on planted weekly seasonality, and skips short series") {
     import spark.implicits._

@@ -4544,36 +4544,6 @@ object SparkEntry {
         |WHERE event_type = 'purchase' AND click_id IS NOT NULL
         |  AND epoch_us(ts) - click_us <= 7 * 86400 * 1000000::BIGINT
         |ORDER BY purchase_id ASC""".stripMargin,
-    // last-touch attribution via the SAME single-stream window
-    // formulation (clicks sort before purchases at equal ts; later
-    // click ids win equal-ts ties); gap is exact integer microseconds
-    "event_attribution" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, ts, event_type,
-        |    CASE WHEN event_type = 'click' THEN event_id END AS cid,
-        |    CASE WHEN event_type = 'click'
-        |      THEN epoch_us(ts) END AS cus,
-        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
-        |lv AS (
-        |  SELECT event_id, user_id, ts, event_type,
-        |    last_value(cid IGNORE NULLS) OVER (
-        |      PARTITION BY user_id
-        |      ORDER BY ts ASC, kind ASC, event_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS click_id,
-        |    last_value(cus IGNORE NULLS) OVER (
-        |      PARTITION BY user_id
-        |      ORDER BY ts ASC, kind ASC, event_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS click_us
-        |  FROM ev)
-        |SELECT event_id AS purchase_id, user_id, click_id,
-        |  epoch_us(ts) - click_us AS gap_us
-        |FROM lv
-        |WHERE event_type = 'purchase' AND click_id IS NOT NULL
-        |  AND epoch_us(ts) - click_us <= 7 * 86400 * 1000000::BIGINT
-        |ORDER BY purchase_id ASC""".stripMargin,
     "graph_sssp" ->
       """WITH RECURSIVE e AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v

@@ -57,6 +57,7 @@ object SparkEntry {
     "lake_vacuum" -> (SinkQueries.lakeVacuum _),
     "lake_changes" -> (SinkQueries.lakeChanges _),
     "lake_restore" -> (SinkQueries.lakeRestore _),
+    "lake_apply_changes" -> (SinkQueries.lakeApplyChanges _),
     "dedup_incremental_cdf" -> (SinkQueries.dedupIncrementalCdf _),
     "merge_upsert" -> (SinkQueries.mergeUpsert _),
     "merge_scd2" -> (SinkQueries.mergeScd2 _),
@@ -2061,6 +2062,14 @@ object SparkEntry {
         |    AS revenue,
         |  v.version = 3 AS is_latest
         |FROM v ORDER BY version ASC""".stripMargin,
+    // apply(v0, changes(0,1)) must reconstruct v1: the oracle is the
+    // v1 snapshot definition recomputed directly
+    "lake_apply_changes" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 19 <> 0
+        |ORDER BY o_orderkey ASC""".stripMargin,
     "lake_changes" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

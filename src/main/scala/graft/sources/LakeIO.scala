@@ -248,6 +248,26 @@ object LakeIO {
         lit(toV).as("_commit_version")): _*)
   }
 
+  /** Apply a change-data-feed to a snapshot — the CONSUME side of
+    * [[changes]] (Delta's APPLY CHANGES / streaming-CDF-merge analogue):
+    * rows keyed by a delete or update_preimage entry leave, insert and
+    * update_postimage rows enter. `applyChanges(v_n, changes(n, m)) ≡
+    * v_m` by construction (LakeSpec + the declared
+    * `lake_apply_changes` gate) — the property that lets any downstream
+    * replica advance by shipping ONLY the delta. One keyed anti-join +
+    * a union; at 100 TB with key-bucketed layouts both are co-located.
+    */
+  def applyChanges(target: DataFrame, cdf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val removed = cdf
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(keys.map(col): _*).distinct()
+    val added = cdf
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type", "_commit_version")
+    target.join(removed, keys, "left_anti").unionByName(added)
+  }
+
   /** Rollback (Delta `RESTORE TABLE ... TO VERSION` analogue): publish
     * the content of pinned `version` as a NEW latest version. History
     * is append-only — the bad intermediate versions stay readable by

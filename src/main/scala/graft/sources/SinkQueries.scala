@@ -703,6 +703,38 @@ object SinkQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** `lake_apply_changes` — the CONSUME side of the CDF as a declared
+    * row ([[LakeIO.applyChanges]]): the same planted churn as
+    * `lake_changes` lands in v=0/v=1, the CDF between the pins
+    * computes, and applying it BACK to the v0 snapshot must
+    * reconstruct v1 exactly — the replication contract (a downstream
+    * replica advances by shipping only the delta). The oracle is the
+    * v1 snapshot definition recomputed directly from orders: an apply
+    * that drops preimage keys wrongly, misses inserts, or double-adds
+    * postimages hash-mismatches.
+    */
+  def lakeApplyChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = tmpBase(sfDir) + "/lake_apply_changes"
+    rmDir(spark, out)
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    LakeIO.saveVersion(
+      base.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+        .repartition(writerTasks), out)
+    LakeIO.saveVersion(
+      base.filter(pmod(col("o_orderkey"), lit(19)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(7)) === 0,
+            col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+        .repartition(writerTasks), out)
+    LakeIO.applyChanges(
+      LakeIO.loadVersion(spark, out, Some(0)),
+      LakeIO.changes(spark, out, 0, 1, Seq("o_orderkey")),
+      Seq("o_orderkey"))
+      .orderBy(col("o_orderkey").asc)
+  }
+
   /** `lake_restore` — rollback to a pinned version
     * ([[LakeIO.restoreVersion]]; completes the snapshot lifecycle:
     * history → time-travel → changes → vacuum → RESTORE): three

@@ -226,15 +226,12 @@ class LakeSpec extends AnyFunSuite {
     assert(cdf.count() === 4) // unchanged keys emit nothing
     assert(cdf.select("_commit_version").distinct().collect()
       .map(_.getInt(0)).toSeq === Seq(1))
-    // the CDF is a complete delta: v0 + CDF ≡ v1 (the incremental-
-    // consumer contract — delete removals, postimage upserts, inserts)
-    val post = cdf.filter(col("_change_type")
-      .isin("insert", "update_postimage")).select("k", "s", "x")
-    val removedOrChanged = cdf.filter(col("_change_type")
-      .isin("delete", "update_preimage")).select("k")
-    val rebuilt = graft.sources.LakeIO.loadVersion(spark, root, Some(0))
-      .join(removedOrChanged, Seq("k"), "left_anti")
-      .unionByName(post)
+    // the CDF is a complete delta: applyChanges(v0, CDF) ≡ v1 (the
+    // replication contract, via the library API)
+    val rebuilt = graft.sources.LakeIO.applyChanges(
+      graft.sources.LakeIO.loadVersion(spark, root, Some(0)),
+      graft.sources.LakeIO.changes(spark, root, 0, 1, Seq("k")),
+      Seq("k"))
     assert(rebuilt.exceptAll(v1).count() === 0)
     assert(v1.exceptAll(rebuilt).count() === 0)
   }

@@ -535,26 +535,38 @@ object GraphOps {
     var labels = und.select(col("u")).distinct()
       .select(col("u").as("x"), col("u").as("lbl"))
       .localCheckpoint(true)
+    // One hash-min + pointer-jump application: (x, prev, lbl). The
+    // und/ptr joins use fresh projections so two applications CHAIN
+    // into one plan without attribute ambiguity.
+    def stepOnce(lbls: DataFrame): DataFrame = {
+      val nbrMin = und
+        .join(lbls.select(col("x").as("u"), col("lbl").as("nl")), "u")
+        .groupBy(col("v").as("x")).agg(min(col("nl")).as("mn"))
+      val ptr = lbls.select(col("x").as("px"), col("lbl").as("plbl"))
+      lbls.select(col("x"), col("lbl"))
+        .join(nbrMin, Seq("x"), "left")
+        .join(ptr, col("lbl") === col("px"), "left")
+        .select(col("x"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("mn"), col("lbl")),
+            coalesce(col("plbl"), col("lbl"))).as("lbl"))
+    }
     // conf restore + superseded-checkpoint reclamation in try/finally:
     // an exception mid-loop must not leave the clone mis-configured or
     // prior rounds' checkpointed blocks pinned in the block manager.
     try {
       var changed = 1L
       while (changed > 0) {
-        val nbrMin = und
-          .join(labels.select(col("x").as("u"), col("lbl").as("nl")), "u")
-          .groupBy(col("v").as("x")).agg(min(col("nl")).as("mn"))
-        val ptr = labels.select(col("x").as("px"), col("lbl").as("plbl"))
-        val stepped = labels
-          .join(nbrMin, Seq("x"), "left")
-          .join(ptr, labels("lbl") === ptr("px"), "left")
-          .select(col("x"), col("lbl"),
-            least(col("lbl"), coalesce(col("mn"), col("lbl")),
-              coalesce(col("plbl"), col("lbl"))).as("nl"))
-          .localCheckpoint(true)
-        changed = stepped.filter(col("nl") < col("lbl")).count()
+        // TWO applications per materialization (round 15): the
+        // convergence check and localCheckpoint are the per-round
+        // latency floor on graph-sized iterates, so halving the action
+        // count halves the wall. Stopping is still sound: if the
+        // SECOND application changed nothing, its input was already a
+        // fixpoint of the monotone min-step, and labels holds it.
+        val stepped = stepOnce(stepOnce(labels).select(col("x"),
+          col("lbl"))).localCheckpoint(true)
+        changed = stepped.filter(col("lbl") < col("prev")).count()
         val prev = labels
-        labels = stepped.select(col("x"), col("nl").as("lbl"))
+        labels = stepped.select(col("x"), col("lbl"))
         unpersistCheckpoint(prev)
       }
     } finally {

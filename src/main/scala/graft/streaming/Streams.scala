@@ -1506,7 +1506,7 @@ object Streams {
     new java.util.concurrent.ConcurrentHashMap[String,
       (String, java.sql.Timestamp, Long)]()
 
-  private def cachedEventsFeed(spark: SparkSession, sfDir: String,
+  private[graft] def cachedEventsFeed(spark: SparkSession, sfDir: String,
       ev: DataFrame): (String, java.sql.Timestamp, Long) = {
     val key = graft.operators.MinHashDedup
       .corpusFingerprint(spark, sfDir, Seq("events"))

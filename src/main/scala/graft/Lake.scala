@@ -356,7 +356,8 @@ object Lake {
       graft.operators.GraphOps.clearCoEdgeCache() +
       graft.operators.BpeTrain.clearBpeCache() +
       graft.operators.UnigramTrain.clearUnigramCache() +
-      graft.operators.Multimodal.clearPhashCache()
+      graft.operators.Multimodal.clearPhashCache() +
+      graft.streaming.Streams.clearMonitorMuxCache()
 
   /** novlake `Lake(user)` — the per-user convenience constructor: each
     * user gets a personal warehouse prefix under a shared root, so

@@ -113,6 +113,29 @@ class Lake(val spark: SparkSession, val warehouse: String) {
   def vacuum(name: String, keep: Int): Seq[Int] =
     LakeIO.vacuumVersions(spark, pathOf(name), keep)
 
+  /** Change-data-feed between pinned versions (Delta `table_changes`
+    * analogue): insert / delete / update_preimage / update_postimage
+    * rows keyed by `keys` — LakeIO.changes notes.
+    */
+  def changes(name: String, fromV: Int, toV: Int,
+      keys: Seq[String]): DataFrame =
+    LakeIO.changes(spark, pathOf(name), fromV, toV, keys)
+
+  /** Apply a change-data-feed to any snapshot frame — the consume side
+    * of [[changes]]: applyChanges(loadVersioned(n), changes(n, m)) ≡
+    * loadVersioned(m).
+    */
+  def applyChanges(target: DataFrame, cdf: DataFrame,
+      keys: Seq[String]): DataFrame =
+    LakeIO.applyChanges(target, cdf, keys)
+
+  /** Rollback (Delta RESTORE analogue): republish pinned `version` as
+    * the new latest — history stays append-only; returns the new
+    * version number.
+    */
+  def restore(name: String, version: Int): Int =
+    LakeIO.restoreVersion(spark, pathOf(name), version)
+
   /** Snapshot history (DESCRIBE HISTORY analogue): version, file count,
     * bytes, latest flag — metadata only.
     */

@@ -556,14 +556,12 @@ object GraphOps {
     try {
       var changed = 1L
       while (changed > 0) {
-        // TWO applications per materialization (round 15): the
-        // convergence check and localCheckpoint are the per-round
-        // latency floor on graph-sized iterates, so halving the action
-        // count halves the wall. Stopping is still sound: if the
-        // SECOND application changed nothing, its input was already a
-        // fixpoint of the monotone min-step, and labels holds it.
-        val stepped = stepOnce(stepOnce(labels).select(col("x"),
-          col("lbl"))).localCheckpoint(true)
+        // ONE application per materialization. (A chained double-step
+        // per checkpoint was tried in r15 and REVERTED: without
+        // materializing the inner step, its join+agg subtree re-executes
+        // in each of the outer step's three references — measured 3×
+        // the task time at local[32], a net loss over the extra action.)
+        val stepped = stepOnce(labels).localCheckpoint(true)
         changed = stepped.filter(col("lbl") < col("prev")).count()
         val prev = labels
         labels = stepped.select(col("x"), col("lbl"))

@@ -1499,6 +1499,17 @@ object Streams {
     n
   }
 
+  /** Bench-warmup hook (the warmBpe discipline): run the one
+    * multiplexed replay so the three monitor rows measure their
+    * read-side filters (cost emitted as warm_ms.monitors, never
+    * hidden).
+    */
+  private[graft] def warmMonitors(spark: SparkSession,
+      sfDir: String): Unit = {
+    muxedMonitors(spark, sfDir)
+    ()
+  }
+
   private def muxedMonitors(spark: SparkSession,
       sfDir: String): DataFrame = {
     val fp = graft.operators.MinHashDedup

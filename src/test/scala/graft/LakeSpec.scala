@@ -236,6 +236,24 @@ class LakeSpec extends AnyFunSuite {
     assert(v1.exceptAll(rebuilt).count() === 0)
   }
 
+  test("facade: changes/applyChanges/restore compose through Lake (the user surface)") {
+    import spark.implicits._
+    val lake = newLake()
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val v1 = Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "s")
+    assert(lake.saveVersioned(v0, "t") === 0)
+    assert(lake.saveVersioned(v1, "t") === 1)
+    val cdf = lake.changes("t", 0, 1, Seq("k"))
+    val rebuilt = lake.applyChanges(lake.loadVersioned("t", Some(0)),
+      cdf, Seq("k"))
+    assert(rebuilt.exceptAll(v1).count() === 0 &&
+      v1.exceptAll(rebuilt).count() === 0)
+    assert(lake.restore("t", 0) === 2)
+    val latest = lake.loadVersioned("t", None)
+    assert(latest.exceptAll(v0).count() === 0 &&
+      v0.exceptAll(latest).count() === 0)
+  }
+
   test("restore: rollback is a forward publish — bad versions stay pinned-readable, CDF sees the undo") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_restore").toString

@@ -569,6 +569,8 @@ object SparkEntry {
       GraphOps.graphCc(s, d)),
     "graph_sssp" -> ((s: SparkSession, d: String) =>
       GraphOps.graphSssp(s, d)),
+    "graph_widest" -> ((s: SparkSession, d: String) =>
+      GraphOps.graphWidest(s, d)),
     // the DISTRIBUTED formulation of the same arithmetic (unrolled keyed
     // joins over the cached edge aggregate) — the scale path for graphs
     // too large for one task, driver-gated on the same oracle (the
@@ -4566,6 +4568,46 @@ object SparkEntry {
         |  SELECT und.v AS x, r.d + 1 AS d
         |  FROM r JOIN und ON r.x = und.u WHERE r.d < 12)
         |SELECT x AS part, CAST(min(d) AS INTEGER) AS dist
+        |FROM r GROUP BY x ORDER BY part ASC""".stripMargin,
+    // widest path: capacities only RISE toward the fixpoint and draw
+    // from the finite co-value set, so the UNION recursion terminates
+    // with no depth cap; max(cap) per vertex = the bottleneck optimum
+    "graph_widest" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+        |    count(*)::BIGINT AS co
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u, v, co FROM e
+        |  UNION ALL SELECT v AS u, u AS v, co FROM e),
+        |r(x, cap) AS (
+        |  SELECT DISTINCT u AS x, CAST(1000000000 AS BIGINT) AS cap
+        |  FROM und WHERE u % 17 = 0
+        |  UNION
+        |  SELECT und.v AS x, LEAST(r.cap, und.co) AS cap
+        |  FROM r JOIN und ON r.x = und.u)
+        |SELECT x AS part, CAST(max(cap) AS BIGINT) AS capacity
+        |FROM r GROUP BY x ORDER BY part ASC""".stripMargin,
+    // widest path: capacities only RISE toward the fixpoint and draw
+    // from the finite co-value set, so the UNION recursion terminates
+    // with no depth cap; max(cap) per vertex = the bottleneck optimum
+    "graph_widest" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+        |    count(*)::BIGINT AS co
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u, v, co FROM e
+        |  UNION ALL SELECT v AS u, u AS v, co FROM e),
+        |r(x, cap) AS (
+        |  SELECT DISTINCT u AS x, CAST(1000000000 AS BIGINT) AS cap
+        |  FROM und WHERE u % 17 = 0
+        |  UNION
+        |  SELECT und.v AS x, LEAST(r.cap, und.co) AS cap
+        |  FROM r JOIN und ON r.x = und.u)
+        |SELECT x AS part, CAST(max(cap) AS BIGINT) AS capacity
         |FROM r GROUP BY x ORDER BY part ASC""".stripMargin,
     "corpus_report" ->
       raw"""WITH d AS (SELECT lang, source, n_chars,

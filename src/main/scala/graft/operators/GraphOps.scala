@@ -344,7 +344,7 @@ object GraphOps {
       .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
-      .select(col("u"), col("v"))
+      .select(col("u"), col("v"), col("co"))
       .localCheckpoint(true)
 
   /** Per-process memo of the co-purchase edge aggregate — TWO declared
@@ -427,6 +427,76 @@ object GraphOps {
   def graphSssp(spark: SparkSession, sfDir: String, minCo: Long = 2L,
       seedMod: Long = 17L, maxDepth: Int = 12): DataFrame =
     ssspEnum(cachedCoPurchaseEdges(spark, sfDir, minCo), seedMod, maxDepth)
+
+  /** `graph_widest` — MAXIMUM-CAPACITY (bottleneck / widest) path to
+    * the seed set: for every vertex, the best achievable minimum edge
+    * strength along any path from a % 17 seed, with strength = the
+    * co-purchase count — the reliability metric (how strongly is this
+    * part connected to the seed products?), the classic widest-path
+    * problem and the fourth distance-flavored member of the graph
+    * family (cc = reachability, sssp = hops, pagerank = centrality,
+    * widest = capacity). Seeds carry a pinned sentinel capacity 1e9
+    * (an "infinite" self-strength above any real co count).
+    *
+    * Monotone fixpoint: cap(x) = max(cap(x), max over neighbors
+    * min(cap(n), co(n,x))) — capacities only rise and draw from the
+    * finite co-value set, so BOTH the propagation loop and the
+    * oracle's UNION recursion terminate naturally (no depth cap
+    * needed, unlike hop distances where cycles inflate d forever).
+    * Same per-round shape and session treatment as [[ssspEnum]].
+    */
+  def graphWidest(spark: SparkSession, sfDir: String, minCo: Long = 2L,
+      seedMod: Long = 17L): DataFrame =
+    widestEnum(cachedCoPurchaseEdges(spark, sfDir, minCo), seedMod)
+
+  /** Widest-path fixpoint over an undirected (u, v, co) edge frame —
+    * the planted-graph harness for GraphMixSpec.
+    */
+  private[graft] def widestEnum(edges: DataFrame,
+      seedMod: Long): DataFrame = {
+    val SeedCap = 1000000000L
+    val spark0 = edges.sparkSession
+    val s2 = spark0.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val und0 = edges.select(col("u"), col("v"), col("co"))
+      .union(edges.select(col("v").as("u"), col("u").as("v"), col("co")))
+      .localCheckpoint(true)
+    val und = s2.createDataFrame(und0.rdd, und0.schema)
+    var caps = und.select(col("u").as("x")).distinct()
+      .select(col("x"),
+        when(pmod(col("x"), lit(seedMod)) === 0, lit(SeedCap))
+          .otherwise(lit(0L)).as("cap"))
+      .localCheckpoint(true)
+    try {
+      var changed = 1L
+      while (changed > 0) {
+        val nbrBest = und
+          .join(caps.select(col("x").as("u"), col("cap").as("ncap")), "u")
+          .select(col("v").as("x"),
+            least(col("ncap"), col("co")).as("cand"))
+          .groupBy(col("x")).agg(max(col("cand")).as("mx"))
+        val stepped = caps
+          .join(nbrBest, Seq("x"), "left")
+          .select(col("x"), col("cap"),
+            greatest(col("cap"), coalesce(col("mx"), lit(0L)))
+              .as("ncap"))
+          .localCheckpoint(true)
+        changed = stepped.filter(col("ncap") > col("cap")).count()
+        val prev = caps
+        caps = stepped.select(col("x"), col("ncap").as("cap"))
+        unpersistCheckpoint(prev)
+      }
+    } finally {
+      s2.conf.set("spark.sql.adaptive.enabled",
+        spark0.conf.get("spark.sql.adaptive.enabled", "true"))
+      s2.conf.set("spark.sql.shuffle.partitions",
+        spark0.conf.get("spark.sql.shuffle.partitions", "200"))
+    }
+    caps.filter(col("cap") > 0)
+      .select(col("x").as("part"), col("cap").as("capacity"))
+      .orderBy(col("part").asc)
+  }
 
   /** Multi-source BFS over an undirected (u, v) edge frame — the
     * planted-graph harness for GraphMixSpec.

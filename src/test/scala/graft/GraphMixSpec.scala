@@ -391,6 +391,38 @@ class GraphMixSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_widest: bottleneck capacities maximize the minimum edge " +
+      "strength (wide detour beats the direct weak edge)") {
+    // seed 0. Direct edge 0-2 has strength 2, but the detour
+    // 0-1-2 has min(9, 8) = 8 — widest path must prefer it. Chain
+    // 2-3 (co 5) caps 3 at min(8, 5) = 5; {40,41} unreachable.
+    val edges = Seq((0L, 1L, 9L), (1L, 2L, 8L), (0L, 2L, 2L),
+      (2L, 3L, 5L), (40L, 41L, 7L)).toDF("u", "v", "co")
+    val got = graft.operators.GraphOps.widestEnum(edges, seedMod = 17L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(0L -> 1000000000L, 1L -> 9L, 2L -> 8L, 3L -> 5L),
+      s"got $got")
+    // fixture invariants: every capacity is a real co value (or the
+    // seed sentinel), and each vertex's capacity is at least the
+    // strongest edge to a higher-capacity neighbor (fixpoint property)
+    val sf = TestSpark.sf
+    val caps = graft.operators.GraphOps.graphWidest(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    graft.operators.GraphOps.coPurchaseEdges(li, 2L).collect().foreach { r =>
+      val (u, v, co) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      (caps.get(u), caps.get(v)) match {
+        case (Some(cu), Some(cv)) =>
+          assert(cu >= math.min(cv, co), s"($u,$v,$co): $cu vs $cv")
+          assert(cv >= math.min(cu, co), s"($u,$v,$co): $cv vs $cu")
+        case (Some(_), None) | (None, Some(_)) =>
+          fail(s"edge ($u,$v) straddles reachability")
+        case _ => ()
+      }
+    }
+  }
+
   test("graph_sssp: planted chain distances are exact; seeds at 0; " +
       "unreachable and beyond-cap vertices are absent") {
     // seeds under mod 17: 0 and 17. Chain 0-1-2-3-4 (dists 0..4),

@@ -300,6 +300,11 @@ object SparkEntry {
     // recursive CTE verbatim
     "stream_forecast_ok" ->
       (graft.streaming.Streams.streamForecastOk _),
+    // the streaming temporal (as-of) join, driver-gated: real replay
+    // through AsofProcessor on the shared mux; oracle = the batch
+    // as-of window formulation
+    "stream_join_asof_ok" ->
+      (graft.streaming.Streams.streamJoinAsofOk _),
     "ts_gapfill" -> (EventWindows.tsGapfill _),
     "ts_resample" -> (EventWindows.tsResample _),
     "ts_interpolate" -> (EventWindows.tsInterpolate _),
@@ -4525,6 +4530,28 @@ object SparkEntry {
     // dedups (x, d) pairs so the cap (d < 12) bounds cyclic expansion;
     // min(d) per vertex = the BFS level (every fixture eccentricity
     // <= 10, so the cap is never binding on fixture data)
+    // the temporal join's batch formulation: latest signup at or
+    // before each purchase (same-ts signup matches, higher event_id
+    // wins same-ts ties), unmatched purchases keep NULLs — the
+    // event_attribution window technique carrying the value
+    "stream_join_asof_ok" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type, value,
+        |    CASE WHEN event_type = 'signup' THEN event_id END AS sid,
+        |    CASE WHEN event_type = 'signup' THEN value END AS sval,
+        |    CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |lv AS (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(sid IGNORE NULLS) OVER w AS signup_id,
+        |    last_value(sval IGNORE NULLS) OVER w AS signup_value
+        |  FROM ev WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC, kind ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, user_id, signup_id,
+        |  signup_value
+        |FROM lv WHERE event_type = 'purchase'
+        |ORDER BY purchase_id ASC""".stripMargin,
     // last-touch attribution via the SAME single-stream window
     // formulation (clicks sort before purchases at equal ts; later
     // click ids win equal-ts ties); gap is exact integer microseconds

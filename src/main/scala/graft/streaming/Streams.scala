@@ -753,6 +753,78 @@ class HoltWintersProcessor(dayUs: Long)
   }
 }
 
+/** Streaming TEMPORAL (as-of) join — the online form of `join_asof`
+  * and Flink's temporal-table join: per user, dimension updates
+  * (`signup` events: the user's value-at-time) buffer in MapState,
+  * fact rows (`purchase` events) buffer until the WATERMARK passes
+  * their timestamp (no earlier-or-equal dimension row can still
+  * arrive), then each purchase enriches with the LATEST signup at or
+  * before its event time — ties resolved exactly like the batch
+  * window formulation (same-ts signup matches; among same-ts signups
+  * the highest event_id wins). Purchases with no prior signup emit
+  * unmatched (left-asof semantics). State per key: the signup history
+  * (production bounds it with a TTL/retention horizon) + the pending
+  * purchase buffer, which drains at each watermark advance.
+  */
+class AsofProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, String, Double),
+      (Long, Long, Long, Double, Boolean)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState,
+    TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  // (ts_us, event_id) -> value: the dimension (signup) history
+  @transient private var dim: MapState[(Long, Long), Double] = _
+  // (ts_us, event_id) -> 1: purchases awaiting watermark closure
+  @transient private var pend: MapState[(Long, Long), Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    dim = getHandle.getMapState[(Long, Long), Double]("dim",
+      Encoders.product[(Long, Long)], Encoders.scalaDouble, TTLConfig.NONE)
+    pend = getHandle.getMapState[(Long, Long), Long]("pend",
+      Encoders.product[(Long, Long)], Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long, String, Double)],
+      timerValues: TimerValues)
+      : Iterator[(Long, Long, Long, Double, Boolean)] = {
+    rows.foreach { case (_, eid, tsUs, kind, v) =>
+      // type dispatch lives HERE, not as a stream filter (see
+      // asofScores: a pushed-down filter starves the watermark node)
+      if (kind == "signup") dim.updateValue((tsUs, eid), v)
+      else if (kind == "purchase") {
+        pend.updateValue((tsUs, eid), 1L)
+        getHandle.registerTimer(tsUs / 1000L + 1L)
+      }
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long, Double, Boolean)] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    val due = pend.keys().toSeq.filter(_._1 <= wmUs)
+      .sortBy(identity) // deterministic emission walk
+    val dims = dim.iterator().map(p => (p._1._1, p._1._2, p._2)).toSeq
+    val out = due.map { case (pts, pid) =>
+      pend.removeKey((pts, pid))
+      // latest (ts, eid) at or before the purchase — the batch window
+      // tie rule (same-ts signup matches; higher eid wins same-ts ties)
+      val m = dims.filter(_._1 <= pts)
+        .sortBy(d => (d._1, d._2)).lastOption
+      m match {
+        case Some((_, seid, sval)) => (pid, key, seid, sval, true)
+        case None => (pid, key, -1L, 0.0, false)
+      }
+    }
+    out.iterator
+  }
+}
+
 object Streams {
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -1166,6 +1238,34 @@ object Streams {
           .as("err"))
   }
 
+  /** Streaming form of the temporal join (see [[AsofProcessor]]):
+    * watermarked signup/purchase events → per-user as-of enrichment,
+    * purchases emitted once the watermark closes their timestamp.
+    */
+  def asofScores(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.TimeMode
+    val spark = events.sparkSession
+    import spark.implicits._
+    // NO stream-side type filter: Catalyst pushes a predicate that
+    // does not reference the event-time column BELOW the
+    // EventTimeWatermark node, so the replay sentinel would never
+    // reach the watermark operator and the query-global (min-policy)
+    // watermark would stall one day short — caught by the
+    // shared-oracle gates the moment this branch joined the mux. The
+    // PROCESSOR ignores non-signup/purchase kinds instead.
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as[Long], col("event_id").as[Long],
+        unix_micros(col("ts")).as[Long], col("event_type").as[String],
+        col("value").as[Double])
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new AsofProcessor(),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("purchase_id", "user_id", "signup_id", "signup_value",
+        "matched")
+  }
+
   /** `stream_forecast_ok` — the STREAMING Holt-Winters monitor as a
     * hash-gated declared query (the stream_changepoint_ok technique,
     * completing the monitor-twin symmetry: anomaly / drift /
@@ -1184,6 +1284,27 @@ object Streams {
         col("d1").as("actual"), col("d2").as("forecast"),
         col("d3").as("err"))
       .orderBy(col("event_type").asc, col("day").asc)
+
+  /** `stream_join_asof_ok` — the STREAMING TEMPORAL JOIN as a
+    * hash-gated declared query (completing the streaming join family:
+    * stream-stream equi/outer/semi joins and the stream-static join
+    * are declared; the as-of/temporal join — Flink's temporal table
+    * join, the enrichment every fact stream wants against a
+    * slowly-changing dimension — was the missing member): purchases
+    * enrich with the user's latest prior signup value via
+    * [[AsofProcessor]] on the SHARED multiplexed replay (zero marginal
+    * replay cost), and the oracle is the batch as-of window
+    * formulation computed independently by DuckDB — an engine whose
+    * watermark closes purchases early, whose buffer loses dimension
+    * rows across micro-batches, or whose tie rules drift
+    * hash-mismatches.
+    */
+  def streamJoinAsofOk(spark: SparkSession, sfDir: String): DataFrame =
+    muxedMonitors(spark, sfDir).filter(col("monitor") === "asof")
+      .select(col("l1").as("purchase_id"), col("l2").as("user_id"),
+        when(col("i1") === 1, col("l3")).as("signup_id"),
+        when(col("i1") === 1, col("d1")).as("signup_value"))
+      .orderBy(col("purchase_id").asc)
 
   /** `stream_drift_ok` — the STREAMING drift monitor as a hash-gated
     * declared query (the `stream_watermark_late_ok` technique): the
@@ -1541,6 +1662,17 @@ object Streams {
             col("cusum_neg"), col("changepoint")))
           .unionByName(uni("fc", forecastScores(stream), nl, nl, nl,
             col("actual"), col("forecast"), col("err"), nl))
+          // the temporal-join twin rides the same replay: its rows
+          // normalize as (l1=purchase, l2=user, l3=signup, d1=value,
+          // i1=matched); event_type/day are presentation fillers
+          .unionByName(uni("asof", asofScores(stream)
+              .select(lit("purchase").as("event_type"),
+                timestamp_micros(lit(0L)).as("day"),
+                col("purchase_id"), col("user_id"), col("signup_id"),
+                col("signup_value"), col("matched")),
+            col("purchase_id"), col("user_id"), col("signup_id"),
+            col("signup_value"), nl, nl,
+            col("matched").cast("int")))
       })
     })
   }

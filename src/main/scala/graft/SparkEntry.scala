@@ -862,7 +862,10 @@ object SparkEntry {
 
   /** Shared dHash CTE chain (`multimodal_phash` family): stub-decoded
     * codepoint pixels of qualified (>= 252-char) docs -> 63 segment
-    * sums -> 62 gradient-sign bits packed into one BIGINT.
+    * sums -> 62 gradient-sign bits packed into one BIGINT. Bits are
+    * packed with an integer left shift (`1::BIGINT << i`), never pow():
+    * DuckDB `**` is DOUBLE pow and loses low-bit precision above 2^53,
+    * which would silently corrupt Hamming distances near the top bits.
     */
   private lazy val phashCtes: String =
     """WITH px AS (
@@ -878,7 +881,7 @@ object SparkEntry {
       |ph AS (
       |  SELECT asset_id, CAST(list_sum(list_transform(range(0, 62),
       |      i -> CASE WHEN s[CAST(i+1 AS INT)] > s[CAST(i+2 AS INT)]
-      |                THEN CAST(2 AS BIGINT)**CAST(i AS INT)
+      |                THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
       |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
       |  FROM seg)""".stripMargin
 
@@ -4595,26 +4598,6 @@ object SparkEntry {
         |  SELECT und.v AS x, r.d + 1 AS d
         |  FROM r JOIN und ON r.x = und.u WHERE r.d < 12)
         |SELECT x AS part, CAST(min(d) AS INTEGER) AS dist
-        |FROM r GROUP BY x ORDER BY part ASC""".stripMargin,
-    // widest path: capacities only RISE toward the fixpoint and draw
-    // from the finite co-value set, so the UNION recursion terminates
-    // with no depth cap; max(cap) per vertex = the bottleneck optimum
-    "graph_widest" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v,
-        |    count(*)::BIGINT AS co
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |und AS (SELECT u, v, co FROM e
-        |  UNION ALL SELECT v AS u, u AS v, co FROM e),
-        |r(x, cap) AS (
-        |  SELECT DISTINCT u AS x, CAST(1000000000 AS BIGINT) AS cap
-        |  FROM und WHERE u % 17 = 0
-        |  UNION
-        |  SELECT und.v AS x, LEAST(r.cap, und.co) AS cap
-        |  FROM r JOIN und ON r.x = und.u)
-        |SELECT x AS part, CAST(max(cap) AS BIGINT) AS capacity
         |FROM r GROUP BY x ORDER BY part ASC""".stripMargin,
     // widest path: capacities only RISE toward the fixpoint and draw
     // from the finite co-value set, so the UNION recursion terminates

@@ -561,7 +561,7 @@ object GraphOps {
     * what frees the storage. Only ever called on frames the loop has
     * already replaced, so nothing downstream can recompute from them.
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))

@@ -567,23 +567,8 @@ object SimSearch {
     * still reads). Values are unaffected — the path never feeds the
     * oracle hash.
     */
-  private def uniqueArtifactDir(sfDir: String, name: String): String = {
-    val parent = new java.io.File(
-      graft.sources.SinkQueries.tmpBase(sfDir) + s"/${name}_runs")
-    parent.mkdirs()
-    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
-    Option(parent.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.lastModified() < cutoff)
-      .foreach { d =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
-        try rm(d) catch { case _: Exception => () }
-      }
-    new java.io.File(parent,
-      java.util.UUID.randomUUID().toString).toString
-  }
+  private def uniqueArtifactDir(sfDir: String, name: String): String =
+    graft.sources.SinkQueries.uniqueRunDir(sfDir, name)
 
   /** Core of [[simsearchPq]] over any (vec_id, embedding) frame. */
   def pqOver(emb: DataFrame, k: Int, nQueries: Int, centroidStride: Long,

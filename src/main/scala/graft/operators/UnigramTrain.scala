@@ -177,6 +177,12 @@ object UnigramTrain {
       .withColumn("pieces", pieces)
       .select(col("word"), col("wf"), col("pieces"))
       .localCheckpoint(true)
+    // seg is now an independent LogicalRDD: the intermediate words/vocab
+    // checkpoint blocks are superseded — release them eagerly instead of
+    // pinning two extra block sets per training until GC (ADVICE r15;
+    // the GraphOps fixpoint-loop release discipline).
+    GraphOps.unpersistCheckpoint(words)
+    GraphOps.unpersistCheckpoint(vocab)
     (scored, seg)
   }
 

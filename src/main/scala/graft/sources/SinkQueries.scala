@@ -32,6 +32,32 @@ object SinkQueries {
     s"${sys.props("java.io.tmpdir")}/graft_sinks_${processTag}_$h"
   }
 
+  /** Per-invocation scratch directory (ADVICE r15: the versioned-lake
+    * queries wrote to a FIXED path with rmDir at entry, so two
+    * overlapping invocations could interleave rmDir/saveVersion and
+    * read a half-written version chain — the same race ADVICE r14
+    * flagged for the persisted index). Each call gets a UUID-suffixed
+    * subdir; accumulation is bounded by an entry-time sweep of sibling
+    * dirs idle >30 min (live concurrent runs finish well inside that).
+    * Values are unaffected — the path never feeds the oracle hash.
+    */
+  private[graft] def uniqueRunDir(sfDir: String, name: String): String = {
+    val parent = new java.io.File(tmpBase(sfDir) + s"/${name}_runs")
+    parent.mkdirs()
+    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.lastModified() < cutoff)
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        try rm(d) catch { case _: Exception => () }
+      }
+    new java.io.File(parent,
+      java.util.UUID.randomUUID().toString).toString
+  }
+
   // Fixed writer task count for the scratch-sink queries (VERDICT r2
   // #6): letting the write inherit the scan's split count made file
   // counts — and so bench IO time — vary with AQE coalescing and file
@@ -643,8 +669,7 @@ object SinkQueries {
     * sides hash-mismatches.
     */
   def lakeChanges(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = tmpBase(sfDir) + "/lake_changes"
-    rmDir(spark, out)
+    val out = uniqueRunDir(sfDir, "lake_changes")
     val base = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     LakeIO.saveVersion(
@@ -682,8 +707,7 @@ object SinkQueries {
     * — no text re-shuffles (the dedup_incremental shape).
     */
   def dedupIncrementalCdf(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = tmpBase(sfDir) + "/dedup_incr_cdf"
-    rmDir(spark, out)
+    val out = uniqueRunDir(sfDir, "dedup_incr_cdf")
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
     LakeIO.saveVersion(docs.filter(col("doc_id") % 10 < 8)
@@ -714,8 +738,7 @@ object SinkQueries {
     * postimages hash-mismatches.
     */
   def lakeApplyChanges(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = tmpBase(sfDir) + "/lake_apply_changes"
-    rmDir(spark, out)
+    val out = uniqueRunDir(sfDir, "lake_apply_changes")
     val base = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     LakeIO.saveVersion(
@@ -749,8 +772,7 @@ object SinkQueries {
     * which the oracle recomputes from the snapshot definitions.
     */
   def lakeRestore(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = tmpBase(sfDir) + "/lake_restore"
-    rmDir(spark, out)
+    val out = uniqueRunDir(sfDir, "lake_restore")
     val ord = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"))
     Seq(200000.0, 300000.0, 400000.0).foreach { t =>

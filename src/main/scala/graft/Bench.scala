@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Machine-factor calibration (VERDICT r15): a FIXED amount of
+    * deterministic in-memory work (400M xorshift64 steps, single
+    * thread), timed. Any two bench artifacts are comparable by
+    * arithmetic — machine_factor = calib_ms(run A) / calib_ms(run B) —
+    * so a contention-inflated driver run no longer needs warm_ms-ratio
+    * inference to adjudicate against a quiet run. Measured twice (before
+    * warmup and after the timed loop) so load arriving mid-run shows.
+    */
+  private def calibMs(): Long = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < 400000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    // data-dependent side effect defeats dead-code elimination
+    if (x == 42L) System.err.println("[bench] calib fixpoint")
+    (System.nanoTime() - t0) / 1000000L
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,6 +47,16 @@ object Bench {
     // NonFatal throwables are caught (OOM/interrupt propagate), and the
     // phase name lands in warmup_failed — a timed family member then
     // absorbs the build, and the artifact says exactly why.
+    // WARM-PHASE POLICY (VERDICT r15 #1, one rule applied everywhere):
+    // a build whose result feeds MORE THAN ONE declared query (bucketed
+    // layout, pair-similarity memos, LM model, bpe/unigram trainings,
+    // the multiplexed monitor replay) runs HERE, untimed but reported
+    // per-phase in warm_ms; every timed row then measures only its own
+    // read-side plan. Work consumed by a single row always runs timed
+    // inside that row. The artifact carries warm_total_ms and
+    // total_with_warm_sec so the warm-inclusive cost is a field, not an
+    // inference.
+    val calibPre = calibMs()
     val warmMs = scala.collection.mutable.LinkedHashMap[String, Long]()
     val warmupFailed = scala.collection.mutable.ListBuffer[String]()
     def warm(phase: String)(body: => Unit): Unit = {
@@ -143,12 +173,15 @@ object Bench {
     // whole-JVM collector time during the query's window; task_ms is the
     // summed executorRunTime of its tasks (listener-drained, exact).
     val warmFailedJson = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibPost = calibMs()
+    val warmTotalMs = warmMs.values.sum
+    val totalWithWarm = total + warmTotalMs / 1000.0
     // cpu_ms = summed executorCpuTime: the scheduler/JVM-pause-free
     // compute cost. task_ms − cpu_ms is time tasks sat BLOCKED (codegen
     // compiles, safepoints) — in a 32-thread local JVM one pause charges
     // all 32 concurrent tasks, so dust-sized stages can carry seconds of
     // task_ms at milliseconds of cpu_ms. Read rank_task_ms with cpu_ms.
-    val line = s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"cpu_ms":${msMap(cpuByQ)},"queries":$qs,"rank_task_ms":$rankTask,"warm_ms":${msMap(warmMs)},"warmup_failed":$warmFailedJson,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"failed":${errors.nonEmpty}}"""
+    val line = s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"cpu_ms":${msMap(cpuByQ)},"queries":$qs,"rank_task_ms":$rankTask,"warm_ms":${msMap(warmMs)},"warmup_failed":$warmFailedJson,"warm_total_ms":$warmTotalMs,"total_with_warm_sec":$totalWithWarm,"calib_ms_pre":$calibPre,"calib_ms_post":$calibPost,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"failed":${errors.nonEmpty}}"""
     println(line)
     // the stdout line is ~15 KB and the driver's tail capture truncates
     // it (BENCH_r08/r09 kept ~60 of 217 per-query timings) — persist the

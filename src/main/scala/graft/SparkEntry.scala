@@ -576,6 +576,11 @@ object SparkEntry {
       GraphOps.graphSssp(s, d)),
     "graph_widest" -> ((s: SparkSession, d: String) =>
       GraphOps.graphWidest(s, d)),
+    // community detection: 4 synchronous rounds of weighted label
+    // propagation, tie rule (max summed co DESC, min label) — pinned
+    // schedule, so the oracle unrolls the rounds as chained CTEs
+    "graph_labelprop" -> ((s: SparkSession, d: String) =>
+      GraphOps.graphLabelprop(s, d)),
     // the DISTRIBUTED formulation of the same arithmetic (unrolled keyed
     // joins over the cached edge aggregate) — the scale path for graphs
     // too large for one task, driver-gated on the same oracle (the
@@ -4619,6 +4624,32 @@ object SparkEntry {
         |  FROM r JOIN und ON r.x = und.u)
         |SELECT x AS part, CAST(max(cap) AS BIGINT) AS capacity
         |FROM r GROUP BY x ORDER BY part ASC""".stripMargin,
+    // synchronous LPA with a PINNED schedule (4 rounds, weighted-
+    // majority tie rule w DESC / label ASC): each round is one
+    // window-over-aggregate CTE chained off the previous — the
+    // bpe_train unrolled-iterations precedent, no recursion needed
+    "graph_labelprop" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""l$r AS (SELECT x, nl AS lbl FROM (
+           |  SELECT und.v AS x, p.lbl AS nl,
+           |    row_number() OVER (PARTITION BY und.v
+           |      ORDER BY sum(und.co) DESC, p.lbl ASC) AS rn
+           |  FROM und JOIN l${r - 1} p ON und.u = p.x
+           |  GROUP BY und.v, p.lbl) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         |    count(*)::BIGINT AS co
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |und AS (SELECT u, v, co FROM e
+         |  UNION ALL SELECT v AS u, u AS v, co FROM e),
+         |l0 AS (SELECT DISTINCT u AS x, u AS lbl FROM und),
+         |$rounds
+         |SELECT x AS part, lbl AS community FROM l4
+         |ORDER BY part ASC""".stripMargin
+    },
     "corpus_report" ->
       raw"""WITH d AS (SELECT lang, source, n_chars,
         |    len(string_split($normT, ' '))::BIGINT AS n_tokens

@@ -449,6 +449,87 @@ object GraphOps {
       seedMod: Long = 17L): DataFrame =
     widestEnum(cachedCoPurchaseEdges(spark, sfDir, minCo), seedMod)
 
+  /** `graph_labelprop` — COMMUNITY detection over the co-purchase
+    * graph (VERDICT r15 #3: pagerank/cc/sssp/widest/triangles are
+    * declared; communities — which parts form one co-purchase MARKET
+    * SEGMENT, finer than a connected component — is the one classic
+    * co-purchase analysis that was absent). Synchronous weighted label
+    * propagation (Raghavan et al. 2007, the LPA every graph library
+    * ships), made fully deterministic and oracle-replayable by pinning
+    * BOTH free choices the literature leaves open: (a) a FIXED round
+    * count (4 synchronous rounds — LPA under a synchronous schedule
+    * can 2-cycle on bipartite structures, so "run to convergence" is
+    * not well-defined; a pinned depth is, and it is also the
+    * production form: big-graph LPA jobs run k sweeps, not fixpoints)
+    * and (b) a modularity-free tie rule — each vertex adopts the
+    * neighbor label with the LARGEST summed co-purchase weight, ties
+    * broken by MINIMUM label (the hash-min discipline of [[ccEnum]]).
+    * Initial label = own id. Unlike `graph_cc` (min-REACHABLE label:
+    * one weak bridge merges two dense cliques into one component),
+    * the weighted majority keeps densely-linked clusters separate —
+    * community, not connectivity.
+    *
+    * Scale shape: the corpus pays once (the shared
+    * [[cachedCoPurchaseEdges]] memo — fifth declared view of the one
+    * pass); each round is ONE (label-keyed join + sum-by-(vertex,
+    * label) + per-vertex argmax window) over graph-sized frames on the
+    * cloned low-latency session, labels localCheckpoint'd per round
+    * with superseded-block release. Exactly k rounds, schedule-pinned,
+    * so the oracle unrolls them as chained CTEs (the bpe_train
+    * precedent) — no recursion, no convergence dependence.
+    */
+  def graphLabelprop(spark: SparkSession, sfDir: String,
+      minCo: Long = 2L, rounds: Int = 4): DataFrame =
+    labelpropEnum(cachedCoPurchaseEdges(spark, sfDir, minCo), rounds)
+
+  /** Synchronous k-round weighted LPA over an undirected (u, v, co)
+    * edge frame — the planted-graph harness for GraphMixSpec.
+    */
+  private[graft] def labelpropEnum(edges: DataFrame,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = edges.sparkSession
+    val s2 = spark0.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val und0 = edges.select(col("u"), col("v"), col("co"))
+      .union(edges.select(col("v").as("u"), col("u").as("v"), col("co")))
+      .localCheckpoint(true)
+    val und = s2.createDataFrame(und0.rdd, und0.schema)
+    var labels = und.select(col("u")).distinct()
+      .select(col("u").as("x"), col("u").as("lbl"))
+      .localCheckpoint(true)
+    try {
+      var r = 0
+      while (r < rounds) {
+        // weighted neighbor-label vote: sum co per (vertex, label),
+        // argmax by (weight DESC, label ASC) — one keyed join + agg +
+        // window per round, all graph-sized
+        val votes = und
+          .join(labels.select(col("x").as("u"), col("lbl").as("nl")), "u")
+          .groupBy(col("v").as("x"), col("nl"))
+          .agg(sum(col("co")).as("w"))
+        val stepped = votes
+          .withColumn("rn", row_number().over(Window.partitionBy(col("x"))
+            .orderBy(col("w").desc, col("nl").asc)))
+          .filter(col("rn") === 1)
+          .select(col("x"), col("nl").as("lbl"))
+          .localCheckpoint(true)
+        val prev = labels
+        labels = stepped
+        unpersistCheckpoint(prev)
+        r += 1
+      }
+    } finally {
+      s2.conf.set("spark.sql.adaptive.enabled",
+        spark0.conf.get("spark.sql.adaptive.enabled", "true"))
+      s2.conf.set("spark.sql.shuffle.partitions",
+        spark0.conf.get("spark.sql.shuffle.partitions", "200"))
+    }
+    labels.select(col("x").as("part"), col("lbl").as("community"))
+      .orderBy(col("part").asc)
+  }
+
   /** Widest-path fixpoint over an undirected (u, v, co) edge frame —
     * the planted-graph harness for GraphMixSpec.
     */

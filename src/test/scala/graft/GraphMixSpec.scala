@@ -462,4 +462,39 @@ class GraphMixSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("graph_labelprop: two planted cliques joined by a weak bridge " +
+      "stay separate communities (where graph_cc merges them)") {
+    // Triangle A {1,2,3} (intra weight 5), triangle B {10,11,12}
+    // (intra 5), weak bridge 3-10 (weight 1). Weighted-majority LPA
+    // keeps A labeled 1 and B labeled 10; hash-min CC would label all
+    // six with 1 — the distinction community detection exists for.
+    val edges = Seq(
+      (1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (10L, 11L, 5L), (10L, 12L, 5L), (11L, 12L, 5L),
+      (3L, 10L, 1L)).toDF("u", "v", "co")
+    val got = graft.operators.GraphOps.labelpropEnum(edges, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $got")
+    // ...and CC on the same graph merges everything into component 1
+    val cc = graft.operators.GraphOps
+      .ccEnum(edges.select(col("u"), col("v")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc.values.toSet === Set(1L), s"cc got $cc")
+    // fixture invariants: every community label is a member of its own
+    // community (labels are vertex ids that voted in), and communities
+    // refine components (no community straddles two CC components)
+    val sf = TestSpark.sf
+    val comm = graft.operators.GraphOps.graphLabelprop(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val comp = graft.operators.GraphOps.graphCc(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comm.keySet === comp.keySet, "vertex sets differ")
+    comm.groupBy(_._2).foreach { case (c, members) =>
+      assert(comp.contains(c), s"community label $c is not a vertex")
+      val comps = members.keys.map(comp).toSet
+      assert(comps.size === 1, s"community $c straddles components $comps")
+    }
+  }
 }

@@ -477,6 +477,16 @@ object SparkEntry {
     // (re-learning the quantizers = a reindex event, never a batch)
     "simsearch_index_incremental" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchIndexIncremental(s, d)),
+    // the remove side of the lifecycle: tombstone-mask artifact,
+    // serve-time anti-join after the cell probe — the index files are
+    // never rewritten (FAISS remove_ids' lazy form)
+    "simsearch_index_delete" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchIndexDelete(s, d)),
+    // the rebuild trigger: cell-population drift (exact-integer KS +
+    // total variation) of the current corpus vs the build-time store
+    // under the PINNED quantizer — tv over threshold schedules reindex
+    "simsearch_index_health" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchIndexHealth(s, d)),
     // residual encoding (FAISS's default): PQ codes quantize
     // x − coarse(cell) via the ResidualNearestCentroidSlice kernel;
     // score = per-(q,cell) coarse dot + m residual lookups
@@ -1877,7 +1887,8 @@ object SparkEntry {
     * deterministic, so store-encode ∪ delta-encode ≡ the full-corpus
     * encode this SQL computes under those codebooks.
     */
-  private def ivfPqOracle(cbFilter: String): String =
+  private def ivfPqOracle(cbFilter: String,
+      candFilter: String = ""): String =
       s"""WITH cbc AS (SELECT vec_id AS cent_id, embedding AS c_v,
         |    sqrt(list_sum(list_transform(embedding,
         |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
@@ -1923,7 +1934,7 @@ object SparkEntry {
         |  FROM embeddings q CROSS JOIN ss r CROSS JOIN cbp
         |  WHERE q.vec_id < 10),
         |cand AS (SELECT q.q_id, a.c_id FROM asg a
-        |  JOIN qc q USING (cent_id) WHERE a.c_id <> q.q_id),
+        |  JOIN qc q USING (cent_id) WHERE a.c_id <> q.q_id$candFilter),
         |sc AS (SELECT cand.q_id, cand.c_id, sum(l.pdot_u) AS score_u
         |  FROM cand JOIN codes c ON c.c_id = cand.c_id
         |  JOIN lut l ON l.q_id = cand.q_id AND l.s = c.s
@@ -5353,6 +5364,49 @@ object SparkEntry {
     // against drifted codebooks, or a store rewrite, hash-mismatches
     "simsearch_index_incremental" ->
       ivfPqOracle("vec_id % 10 < 8 AND "),
+    // delete lifecycle: the SAME template with the tombstoned family
+    // excluded from the CANDIDATE side only (queries are serve-time
+    // input, not index rows) — a serve path that ignores the mask, or
+    // one that masks queries too, hash-mismatches
+    "simsearch_index_delete" ->
+      ivfPqOracle("", " AND a.c_id % 13 <> 0"),
+    // rebuild trigger: one assignment pass under the STORE-pinned
+    // codebook; build histogram = the store-flagged subset; exact
+    // integer cross-multiplied KS (cent_id-order cumulative) and
+    // total-variation statistics, 6dp ratios, tv-thresholded decision
+    "simsearch_index_health" ->
+      """WITH cbc AS (SELECT vec_id AS cent_id, embedding AS c_v,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+        |  FROM embeddings WHERE vec_id % 10 < 8 AND vec_id % 127 = 0),
+        |asg AS (SELECT c_id, cent_id FROM (
+        |  SELECT e.vec_id AS c_id, cbc.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE
+        |           * (cbc.c_v[i]::DOUBLE / cbc.cnrm))) DESC,
+        |      cbc.cent_id ASC) AS rn
+        |  FROM embeddings e CROSS JOIN cbc) WHERE rn = 1),
+        |counts AS (SELECT cent_id,
+        |    sum(CASE WHEN c_id % 10 < 8 THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    count(*)::BIGINT AS cb
+        |  FROM asg GROUP BY 1),
+        |tot AS (SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb
+        |  FROM counts),
+        |d AS (SELECT c.ca, c.cb, t.ta, t.tb,
+        |    sum(c.ca) OVER (ORDER BY c.cent_id) AS cuma,
+        |    sum(c.cb) OVER (ORDER BY c.cent_id) AS cumb
+        |  FROM counts c CROSS JOIN tot t)
+        |SELECT count(*)::BIGINT AS n_cells,
+        |  max(ta) AS n_build, max(tb) AS n_now,
+        |  round(max(abs(cuma * tb - cumb * ta))::DOUBLE
+        |    / (max(ta)::DOUBLE * max(tb)::DOUBLE), 6) AS ks,
+        |  round(sum(abs(ca * tb - cb * ta))::DOUBLE
+        |    / (2.0 * max(ta)::DOUBLE * max(tb)::DOUBLE), 6) AS tv,
+        |  round(sum(abs(ca * tb - cb * ta))::DOUBLE
+        |    / (2.0 * max(ta)::DOUBLE * max(tb)::DOUBLE), 6) >= 0.05
+        |    AS rebuild
+        |FROM d""".stripMargin,
     // residual IVFPQ: same asg/qc as simsearch_ivfpq; the PQ codebook
     // becomes each pq sample's residual against ITS OWN coarse cell
     // (rcb), corpus codes argmax over (x − coarse(cell))·rv − ‖rv‖²/2,

@@ -841,6 +841,138 @@ object SimSearch {
       .join(broadcast(lut), Seq("q_id", "s", "code")), k)
   }
 
+  /** `simsearch_index_delete` — the REMOVE side of the index
+    * lifecycle (VERDICT r15 #2: create + append existed; production
+    * vector stores also need delete without rewriting the index —
+    * FAISS `remove_ids`' lazy-tombstone form, the shape every
+    * LSM-flavored store uses): a delete batch lands as a TOMBSTONE
+    * artifact (just the ids — an O(|deletes|) write; the
+    * cent_id-partitioned index files are never touched), and the
+    * serve path honors the mask with one anti-join on c_id BETWEEN
+    * the cell probe and the LUT scoring — candidates are already
+    * cell-pruned when the mask applies, and deleted vectors can never
+    * surface in a top-k. Deletes here are the pinned id family
+    * vec_id % 13 = 0; the oracle replays the full IVFPQ template with
+    * those ids excluded from the candidate side only (queries are
+    * serve-time input, not index rows — a deleted doc can still ASK).
+    *
+    * 100 TB economics: delete cost is |tombstones| bytes; serve adds
+    * one keyed anti-join against a mask that is delta-sized after the
+    * cell prune; compaction (rewriting cells to physically drop
+    * tombstoned rows) is an offline maintenance event, exactly like
+    * the lake_vacuum/compact split.
+    */
+  def simsearchIndexDelete(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10, coarseStride: Long = 127,
+      pqStride: Long = 61, m: Int = 4, nProbe: Int = 2,
+      delMod: Long = 13): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val coarse = ivfCodebook(emb, coarseStride)
+    val pqCb = ivfCodebook(emb, pqStride).take(MaxPqCodebook)
+    val sub = pqSubDim(pqCb, m)
+    val out = uniqueArtifactDir(sfDir, "simsearch_index_delete")
+    // build: the persisted artifact (simsearch_index_persisted's shape)
+    ivfAssignCorpus(emb, coarse)
+      .select(col("c_id"), col("cent_id"),
+        posexplode(array(pqCodeCols(pqCb, m, sub, col("c_emb")): _*))
+          .as(Seq("s", "code")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id").parquet(out + "/index")
+    // delete batch: ids only — the index is immutable under deletes
+    emb.filter(pmod(col("vec_id"), lit(delMod)) === 0)
+      .select(col("vec_id").as("c_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(out + "/tombstones")
+    // serve: index scan -> cell probe (DPP) -> tombstone anti-join ->
+    // LUT scoring -> top-k; the embedding column never re-enters
+    val corpus = spark.read.parquet(out + "/index")
+      .select(col("c_id"), col("s"), col("code"),
+        col("cent_id").cast("long").as("cent_id"))
+    val mask = spark.read.parquet(out + "/tombstones")
+    val queryCells = ivfQueryCells(emb, coarse, nQueries, nProbe)
+      .select(col("q_id"), col("cent_id"))
+    val lut = pqLutFrame(emb.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      pqCb, m, sub)
+    pqTopK(corpus
+      .join(broadcast(queryCells), Seq("cent_id"))
+      .join(mask, Seq("c_id"), "left_anti")
+      .join(broadcast(lut), Seq("q_id", "s", "code")), k)
+  }
+
+  /** `simsearch_index_health` — the "has the quantizer drifted, should
+    * we rebuild?" decision (VERDICT r15 #2's second half), the
+    * dq_drift machinery applied to the index's cell populations: the
+    * build-time histogram is the STORE's per-cell assignment counts
+    * under the pinned build-time codebook, the current histogram is
+    * the full corpus assigned under that SAME codebook (assignment is
+    * deterministic per vector, so ONE corpus pass yields both — the
+    * store rows are a flagged subset), and the report compares the two
+    * distributions with exact-integer cross-multiplied statistics:
+    * KS (max cumulative gap over cent_id order — dq_drift's statistic
+    * verbatim) and TOTAL VARIATION (half the summed share gaps — the
+    * categorical-correct distance for unordered cells; the REBUILD
+    * trigger). A corpus whose new data lands where the old data did
+    * keeps tv ≈ 0; a drifted corpus piles into cells the codebook
+    * under-serves, tv crosses the threshold, and the store schedules a
+    * re-learn + re-encode (the REINDEX event simsearch_index_incremental
+    * documents as out-of-band). Output is one report row — all
+    * integer counts plus 6dp ratios, exactly oracle-replayable.
+    *
+    * Scale: one corpus scan (row-local kernel assignment), one
+    * cell-keyed count; everything after the groupBy is
+    * CODEBOOK-sized (bounded), so the global cumulative window is a
+    * bounded-frame operation, never corpus-sized.
+    */
+  def simsearchIndexHealth(spark: SparkSession, sfDir: String,
+      coarseStride: Long = 127, tvRebuild: Double = 0.05): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val store = emb.filter(col("vec_id") % 10 < 8)
+    indexHealthOver(emb, col("c_id") % 10 < 8,
+      ivfCodebook(store, coarseStride), tvRebuild)
+  }
+
+  /** Core of [[simsearchIndexHealth]] over any corpus frame, build-
+    * membership predicate (on the assigned `c_id`), and pinned
+    * codebook — the planted-drift harness for IndexPersistSpec.
+    */
+  private[graft] def indexHealthOver(corpus: DataFrame,
+      inBuild: org.apache.spark.sql.Column,
+      coarse: Array[(Long, Array[Float], Double)],
+      tvRebuild: Double): DataFrame = {
+    val counts = ivfAssignCorpus(corpus, coarse)
+      .select(col("cent_id"),
+        when(inBuild, lit(1L)).otherwise(lit(0L)).as("ia"))
+      .groupBy(col("cent_id"))
+      .agg(sum(col("ia")).as("ca"), count(lit(1)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    // global (partition-less) window is safe: counts is codebook-sized
+    // by construction (bounded), never corpus-sized
+    val cum = Window.orderBy(col("cent_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("cuma", sum(col("ca")).over(cum))
+      .withColumn("cumb", sum(col("cb")).over(cum))
+      .withColumn("ksd",
+        abs(col("cuma") * col("tb") - col("cumb") * col("ta")))
+      .withColumn("tvd",
+        abs(col("ca") * col("tb") - col("cb") * col("ta")))
+      .agg(count(lit(1)).as("n_cells"),
+        max(col("ta")).as("n_build"), max(col("tb")).as("n_now"),
+        max(col("ksd")).as("ks_num"), sum(col("tvd")).as("tv_num"))
+      .select(col("n_cells"), col("n_build"), col("n_now"),
+        round(col("ks_num").cast("double")
+          / (col("n_build").cast("double") * col("n_now").cast("double")),
+          6).as("ks"),
+        round(col("tv_num").cast("double")
+          / (lit(2.0) * col("n_build").cast("double")
+             * col("n_now").cast("double")), 6).as("tv"),
+        (round(col("tv_num").cast("double")
+          / (lit(2.0) * col("n_build").cast("double")
+             * col("n_now").cast("double")), 6) >= tvRebuild)
+          .as("rebuild"))
+  }
+
   /** `simsearch_pq_rotated` — PQ under a DETERMINISTIC coordinate
     * rotation, the energy-balancing step of the OPQ family (Ge et al.
     * OPQ / Jégou's random-rotation baseline): PQ's independence

@@ -74,4 +74,83 @@ class IndexPersistSpec extends AnyFunSuite {
     assert(inc.exists(_._2 % 10 >= 8),
       "no delta vector ever surfaced — the append was never read")
   }
+
+  test("index delete: tombstoned ids never surface; every non-deleted " +
+      "ivfpq result survives; deletion is non-vacuous") {
+    val del = SimSearch.simsearchIndexDelete(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(del.nonEmpty)
+    // the mask is honored at serve time: no tombstoned candidate
+    assert(del.forall(_._2 % 13 != 0),
+      s"tombstoned id served: ${del.filter(_._2 % 13 == 0)}")
+    // deletes only REMOVE candidates: the surviving ivfpq pairs are a
+    // superset of the masked run's pairs at the same scores, and the
+    // masked run backfills from the same cells (rank k still filled
+    // where candidates remain)
+    val full = SimSearch.simsearchIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    val fullPairs = full.map(r => (r._1, r._2, r._3)).toSet
+    val fullKept = full.filter(_._2 % 13 != 0).map(r => (r._1, r._2)).toSet
+    val delPairs = del.map(r => (r._1, r._2)).toSet
+    assert(fullKept.subsetOf(delPairs),
+      s"masking dropped surviving results: ${fullKept -- delPairs}")
+    // scores of common pairs are identical (mask changes membership,
+    // never arithmetic)
+    del.filter(r => fullKept.contains((r._1, r._2))).foreach { r =>
+      assert(fullPairs.contains((r._1, r._2, r._3)),
+        s"score drifted under deletion for ${(r._1, r._2)}")
+    }
+    // non-vacuous end-to-end: tombstone an id the unmasked run ACTUALLY
+    // serves (delMod = that id, so vec_id % delMod == 0 hits it) and
+    // prove it vanishes from the served top-k while ranks backfill
+    val victim = full.map(_._2).max
+    assert(victim > 10, s"victim $victim must exceed the query-id range")
+    val masked = SimSearch.simsearchIndexDelete(spark, sf, delMod = victim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(masked.nonEmpty)
+    assert(masked.forall(_._2 % victim != 0),
+      s"victim $victim (or a multiple) still served")
+    assert(full.exists(_._2 == victim) && !masked.exists(_._2 == victim),
+      s"deleting served id $victim did not change the served set")
+  }
+
+  test("index health: planted drift flips the rebuild trigger; " +
+      "an undrifted corpus keeps it off") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 3 well-separated axis centroids; build corpus spreads evenly,
+    // drifted corpus piles everything into centroid 0's cell
+    def axisVec(axis: Int, n: Int = 8): Array[Float] =
+      Array.tabulate(n)(i => if (i == axis) 1.0f else 0.01f * (i + 1))
+    val cb = Array(
+      (0L, axisVec(0), math.sqrt(axisVec(0).map(x => x * x.toDouble).sum)),
+      (1L, axisVec(2), math.sqrt(axisVec(2).map(x => x * x.toDouble).sum)),
+      (2L, axisVec(4), math.sqrt(axisVec(4).map(x => x * x.toDouble).sum)))
+    val build = (0L until 30L).map(i =>
+      (i, axisVec((i % 3).toInt * 2).toSeq))
+    // undrifted: the new rows follow the build distribution
+    val steady = build ++ (100L until 130L).map(i =>
+      (i, axisVec((i % 3).toInt * 2).toSeq))
+    val steadyDf = steady.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val ok = SimSearch.indexHealthOver(steadyDf, col("c_id") < 100,
+      cb, tvRebuild = 0.05).collect().head
+    assert(!ok.getBoolean(5), s"undrifted corpus flagged rebuild: $ok")
+    // drifted: every new row lands in centroid 0's cell
+    val drifted = build ++ (100L until 160L).map(i => (i, axisVec(0).toSeq))
+    val driftedDf = drifted.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val bad = SimSearch.indexHealthOver(driftedDf, col("c_id") < 100,
+      cb, tvRebuild = 0.05).collect().head
+    assert(bad.getBoolean(5), s"planted drift not flagged: $bad")
+    assert(bad.getDouble(4) > ok.getDouble(4),
+      s"tv must rise under drift: $bad vs $ok")
+    // counts are exact: build rows 30, steady now 60, drifted now 90
+    assert(ok.getLong(1) === 30L && ok.getLong(2) === 60L)
+    assert(bad.getLong(1) === 30L && bad.getLong(2) === 90L)
+  }
 }

@@ -120,6 +120,11 @@ object SparkEntry {
       Multimodal.phashPairs(s, d)),
     "multimodal_phash_incremental" -> ((s: SparkSession, d: String) =>
       Multimodal.phashIncremental(s, d)),
+    // video-tier near-dup: per-frame dHash signatures (row-local frame
+    // windows — blobs never shuffle), lossless banded frame matching,
+    // exact-integer bidirectional containment >= 1/2
+    "multimodal_video_dedup" -> ((s: SparkSession, d: String) =>
+      Multimodal.multimodalVideoDedup(s, d)),
     "pipeline_curate" -> ((s: SparkSession, d: String) =>
       TextOps.pipelineCurate(s, d)),
     "win_range_interval" -> (Windows.winRangeInterval _),
@@ -4031,6 +4036,50 @@ object SparkEntry {
         |SELECT asset_id, mime FROM dph
         |WHERE asset_id NOT IN (SELECT asset_id FROM matched)
         |ORDER BY asset_id ASC""".stripMargin),
+    // video near-dup: frame windows (252 chars at stride 100) ->
+    // per-frame dHash (the phashCtes integer arithmetic over the
+    // window) -> signature distinct -> the SAME lossless 4x16-bit
+    // banding the engine uses (integer shifts, exact) -> Hamming <= 3
+    // verify -> exact-integer bidirectional containment 2*m >= n
+    "multimodal_video_dedup" ->
+      """WITH vf AS (
+        |  SELECT doc_id AS asset_id,
+        |    unnest(range(0,
+        |      greatest((length(text) - 252) // 100 + 1, 0))) AS k,
+        |    text
+        |  FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 252),
+        |w AS (SELECT asset_id,
+        |    substr(text, CAST(k*100+1 AS INT), 252) AS w FROM vf),
+        |px AS (SELECT asset_id, list_transform(range(1, 253),
+        |    j -> ord(substr(w, CAST(j AS INT), 1))) AS p FROM w),
+        |seg AS (SELECT asset_id,
+        |    list_transform(range(0, 63), b -> CAST(list_sum(
+        |      p[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)]) AS BIGINT)) AS s
+        |  FROM px),
+        |ph AS (SELECT asset_id, CAST(list_sum(list_transform(range(0, 62),
+        |    i -> CASE WHEN s[CAST(i+1 AS INT)] > s[CAST(i+2 AS INT)]
+        |              THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |              ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fph
+        |  FROM seg),
+        |f AS (SELECT DISTINCT asset_id, fph FROM ph),
+        |sz AS (SELECT asset_id, count(*)::BIGINT AS n FROM f GROUP BY 1),
+        |b AS (SELECT asset_id, fph, unnest(range(0, 4)) AS band FROM f),
+        |bb AS (SELECT asset_id, fph, band,
+        |    (fph >> CAST(band*16 AS INT)) & 65535 AS bval FROM b),
+        |m AS (SELECT DISTINCT a.asset_id AS a_id, b2.asset_id AS b_id,
+        |    a.fph AS a_fph, b2.fph AS b_fph
+        |  FROM bb a JOIN bb b2 ON a.band = b2.band AND a.bval = b2.bval
+        |    AND a.asset_id < b2.asset_id
+        |  WHERE bit_count(xor(a.fph, b2.fph)) <= 3),
+        |mm AS (SELECT a_id, b_id,
+        |    count(DISTINCT a_fph)::BIGINT AS m_a,
+        |    count(DISTINCT b_fph)::BIGINT AS m_b
+        |  FROM m GROUP BY 1, 2)
+        |SELECT a_id, b_id, sa.n AS n_a, sb.n AS n_b, m_a, m_b
+        |FROM mm JOIN sz sa ON a_id = sa.asset_id
+        |JOIN sz sb ON b_id = sb.asset_id
+        |WHERE 2*m_a >= sa.n AND 2*m_b >= sb.n
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
     "source_custom" ->
       """SELECT i AS doc_id,
         |  ['en','de','es','fr'][(i % 4)::INT + 1] AS lang,

@@ -111,4 +111,37 @@ class PhashSpec extends AnyFunSuite {
       "banded candidate generation must be exactly lossless at hamming <= 3")
     assert(expect.nonEmpty, "fixture must exercise at least one pair")
   }
+
+  test("video dedup: a re-encoded clip pairs with its original; " +
+      "partial overlap below containment and non-video mimes do not") {
+    def videos(rows: Seq[(Long, String, String)]) =
+      rows.toDF("asset_id", "mime", "s")
+        .select(col("asset_id"), col("mime"),
+          encode(col("s"), "UTF-8").as("blob"))
+    val t = randText(77L, 800) // frames k = 0..5 (stride 100, window 252)
+    // "re-encode": two adjacent flips mid-clip nudge a few gradient
+    // bits in the frames covering position 400 — every frame stays
+    // within the hamming budget
+    val reenc = t.updated(400, 'z').updated(401, 'z')
+    // partial clip: shares only frame 0's window, then diverges —
+    // 1 of 6 frames matches, below the 2*m >= n containment bar
+    val partial = t.substring(0, 300) + randText(88L, 500)
+    val rows = Seq(
+      (1L, "video/mp4", t),
+      (2L, "video/mp4", reenc),
+      (3L, "video/mp4", randText(99L, 800)), // unrelated
+      (4L, "image/png", t),                  // right bytes, wrong modality
+      (5L, "video/mp4", partial))
+    val got = Multimodal.videoDedupAssets(videos(rows), maxHamming = 3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet === Set((1L, 2L)),
+      s"expected exactly the re-encoded pair, got ${got.keySet}")
+    // the full clips share their whole signatures
+    val (na, nb, ma, mb) = got((1L, 2L))
+    assert(na === 6L && nb === 6L && ma === 6L && mb === 6L,
+      s"re-encode must match frame-for-frame: $na $nb $ma $mb")
+  }
 }

@@ -406,6 +406,11 @@ object SparkEntry {
     // cell index, delta-only assignment, seen-store drop rule
     "dedup_semantic_incremental" -> ((s: SparkSession, d: String) =>
       SimSearch.semDedupIncremental(s, d)),
+    // chunk-granular SemDeDup: doc_chunking -> deterministic stub
+    // chunk embeddings -> the doc tier's cent_id-keyed near-dup;
+    // catches copied passages a whole-doc embedding averages away
+    "dedup_semantic_chunk" -> ((s: SparkSession, d: String) =>
+      SimSearch.semDedupChunk(s, d)),
     // the STREAMING twin: 2-micro-batch file replay through the
     // cent_id-keyed SemanticDedupProcessor (RocksDB ListState, pinned
     // store codebook), gated on the SAME oracle as the batch operator
@@ -5267,6 +5272,50 @@ object SparkEntry {
     // stride), assignment over everyone, drop rule = same cell AND
     // (o in store OR earlier delta) AND 4dp cosine >= 0.40
     "dedup_semantic_incremental" -> semanticIncrementalSql,
+    // chunk-granular SemDeDup: the doc_chunking CTEs -> the stub
+    // chunk embedding (md5 4-hex slices, signed, exactly replicated)
+    // -> dedup_semantic's cell/pair/survivor chain on chunk keys
+    "dedup_semantic_chunk" ->
+      raw"""WITH d AS (SELECT doc_id, string_split($normT, ' ') AS toks,
+        |    len(string_split($normT, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, toks, n_tok,
+        |    unnest(range(0,
+        |      CAST(ceil(greatest(n_tok - 64, 0) / 48.0) AS BIGINT) + 1))
+        |      AS chunk_id
+        |  FROM d),
+        |ch AS (SELECT doc_id, chunk_id, array_to_string(
+        |    toks[chunk_id*48+1 : least(chunk_id*48+64, n_tok)], ' ') AS t
+        |  FROM c),
+        |emb AS MATERIALIZED (SELECT doc_id*1000 + chunk_id AS vec_id,
+        |    list_transform(range(0, 8), i ->
+        |      CAST(('0x' || substr(md5(t), CAST(i*4+1 AS INT), 4))::BIGINT
+        |        % 2001 - 1000 AS DOUBLE)) AS v
+        |  FROM ch),
+        |cbc AS (SELECT vec_id AS cent_id, v AS c_v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS cnrm
+        |  FROM emb WHERE vec_id % 127 = 0),
+        |asg AS MATERIALIZED (SELECT c_id, cent_id FROM (
+        |  SELECT e.vec_id AS c_id, cbc.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_sum(list_transform(range(1, 9),
+        |        i -> e.v[i] * (cbc.c_v[i] / cbc.cnrm))) DESC,
+        |      cbc.cent_id ASC) AS rn
+        |  FROM emb e CROSS JOIN cbc) WHERE rn = 1),
+        |dropped AS (SELECT DISTINCT bb.c_id AS b_id
+        |  FROM asg aa JOIN asg bb
+        |    ON aa.cent_id = bb.cent_id AND aa.c_id < bb.c_id
+        |  JOIN emb a ON a.vec_id = aa.c_id
+        |  JOIN emb b ON b.vec_id = bb.c_id
+        |  WHERE round(
+        |      list_sum(list_transform(range(1, 9), i -> a.v[i] * b.v[i]))
+        |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4)
+        |      >= 0.99)
+        |SELECT asg.c_id // 1000 AS doc_id,
+        |  (asg.c_id % 1000)::INT AS chunk_id, asg.cent_id
+        |FROM asg LEFT JOIN dropped ON asg.c_id = dropped.b_id
+        |WHERE dropped.b_id IS NULL
+        |ORDER BY doc_id ASC, chunk_id ASC""".stripMargin,
     // the streaming twin is gated on the SAME SQL (the
     // stream_dedup_minhash_ok shared-oracle precedent): cell-state loss
     // across micro-batches, vec_id order drift, or in-processor cosine

@@ -269,6 +269,15 @@ object TextOps {
   /** Core of `doc_chunking` over any (doc_id, text) frame. */
   def docChunkDocs(documents: DataFrame,
       window: Int = 64, stride: Int = 48): DataFrame =
+    docChunkRaw(documents, window, stride)
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+
+  /** [[docChunkDocs]] without the declared ordering — the composition
+    * entry point (dedup_semantic_chunk keys the chunks downstream; a
+    * global pre-sort would be a wasted corpus shuffle).
+    */
+  def docChunkRaw(documents: DataFrame,
+      window: Int = 64, stride: Int = 48): DataFrame =
     documents
       .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
       .withColumn("n_tok", size(col("toks")))
@@ -282,7 +291,6 @@ object TextOps {
           - col("chunk_id") * stride).as("chunk_len"),
         array_join(slice(col("toks"), col("chunk_id") * stride + 1,
           lit(window)), " ").as("chunk_text"))
-      .orderBy(col("doc_id").asc, col("chunk_id").asc)
 
   /** `sample_stratified` — deterministic per-stratum sampling: each
     * language keeps a different rate via the same md5-prefix bucket as

@@ -1070,4 +1070,36 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b(1L) === b(2L))
   }
+
+  test("dedup_semantic_chunk: a copied passage drops at chunk " +
+      "granularity; doc-level dedup keeps both docs (containment)") {
+    import spark.implicits._
+    // doc 1: 128 tokens; doc 2: doc 1's FIRST 64 TOKENS verbatim (one
+    // full 64-token chunk window) + 64 fresh tokens — the partial-
+    // plagiarism shape chunk-level SemDeDup exists for
+    val w = (0 until 128).map(i => s"tok$i")
+    val d1 = w.mkString(" ")
+    val d2 = (w.take(64) ++ (0 until 64).map(i => s"fresh$i")).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val surv = SimSearch.semDedupChunkDocs(docs, centroidStride = 1,
+        threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // both docs chunk as 0-63 / 48-111 / 96-127; doc 2's chunk 0 is
+    // doc 1's chunk 0 verbatim -> identical stub embedding -> cos 1 ->
+    // the later chunk key drops; every other chunk (including doc 2's
+    // partially-overlapping chunk 1) survives
+    assert(surv === Set((1L, 0), (1L, 1), (1L, 2), (2L, 1), (2L, 2)),
+      s"got $surv")
+    // doc-level contrast: the same stub over WHOLE docs — the copied
+    // passage is averaged away (md5 of the full text differs), both
+    // docs survive, and the plagiarism is invisible
+    val docEmb = docs.select(col("doc_id").as("vec_id"),
+      SimSearch.chunkEmbedding(TextOps.normText(col("text")))
+        .as("embedding"))
+    val docSurv = SimSearch.semDedupWithCodebook(docEmb,
+        SimSearch.ivfCodebook(docEmb, 1), threshold = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(docSurv === Set(1L, 2L),
+      s"doc-level must keep both docs, got $docSurv")
+  }
 }

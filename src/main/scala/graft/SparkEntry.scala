@@ -310,6 +310,11 @@ object SparkEntry {
     // as-of window formulation
     "stream_join_asof_ok" ->
       (graft.streaming.Streams.streamJoinAsofOk _),
+    // the timer-closed sessionizer, driver-gated: real replay through
+    // SessionTimerProcessor on the shared mux; oracle = the batch
+    // gap-and-island islands without the session_id rank
+    "stream_session_ok" ->
+      (graft.streaming.Streams.streamSessionOk _),
     "ts_gapfill" -> (EventWindows.tsGapfill _),
     "ts_resample" -> (EventWindows.tsResample _),
     "ts_interpolate" -> (EventWindows.tsInterpolate _),
@@ -4625,6 +4630,27 @@ object SparkEntry {
         |  signup_value
         |FROM lv WHERE event_type = 'purchase'
         |ORDER BY purchase_id ASC""".stripMargin,
+    // the timer-closed sessionizer's batch formulation: stream_session's
+    // gap-and-island CTEs, islands projected WITHOUT the session_id
+    // rank (the processor emits sessions, not ranks), exact DECIMAL sum
+    "stream_session_ok" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), y AS (
+        |  SELECT *, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM x
+        |)
+        |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        |FROM y GROUP BY user_id, session_id
+        |ORDER BY user_id ASC, session_start ASC""".stripMargin,
     // last-touch attribution via the SAME single-stream window
     // formulation (clicks sort before purchases at equal ts; later
     // click ids win equal-ts ties); gap is exact integer microseconds

@@ -1306,6 +1306,27 @@ object Streams {
         when(col("i1") === 1, col("d1")).as("signup_value"))
       .orderBy(col("purchase_id").asc)
 
+  /** `stream_session_ok` — the timer-closed sessionizer as a
+    * hash-gated declared query (VERDICT r15 #7: `sessionsWithTimers`
+    * was spec-verified but had no file-replay twin like the
+    * watermark/sink/dedup/monitor rows; this closes the last §2.I
+    * evidential asymmetry). Fifth consumer of the ONE multiplexed
+    * monitor replay: batch 0 delivers every event before the query
+    * starts (so each user's rows fold in one micro-batch — the regime
+    * where the processor's gap-and-island fold is EXACTLY
+    * batch-equivalent), and the far-future sentinel fires every
+    * still-armed session timer, flushing open sessions. The emitted
+    * rows must therefore equal the batch gap-and-island oracle
+    * (`stream_session`'s islands projected without the session_id
+    * rank) — a processor that splits an island, mis-sums the scaled
+    * value, or leaks an unflushed session hash-mismatches.
+    */
+  def streamSessionOk(spark: SparkSession, sfDir: String): DataFrame =
+    muxedMonitors(spark, sfDir).filter(col("monitor") === "sess")
+      .select(col("l1").as("user_id"), col("day").as("session_start"),
+        col("l2").as("n_events"), col("d1").as("session_value"))
+      .orderBy(col("user_id").asc, col("session_start").asc)
+
   /** `stream_drift_ok` — the STREAMING drift monitor as a hash-gated
     * declared query (the `stream_watermark_late_ok` technique): the
     * events table file-replays through [[driftScores]]'s REAL
@@ -1673,6 +1694,22 @@ object Streams {
             col("purchase_id"), col("user_id"), col("signup_id"),
             col("signup_value"), nl, nl,
             col("matched").cast("int")))
+          // the timer-closed sessionizer rides the replay too (VERDICT
+          // r15 #7 — the last §2.I streaming form without a hash-gated
+          // twin): (l1=user, l2=n_events, d1=value, day=session_start).
+          // The sentinel row opens a key −1 session whose timer sits
+          // past the final watermark, so it can never emit — the
+          // output-side guard makes that independence explicit rather
+          // than relied on (the filter is POST-processor: an
+          // input-side filter below the watermark node is the
+          // documented pushdown stall)
+          .unionByName(uni("sess", sessionsWithTimers(spark, stream)
+              .filter(col("user_id") =!= -1L)
+              .select(lit("session").as("event_type"),
+                col("session_start").as("day"), col("user_id"),
+                col("n_events"), col("session_value")),
+            col("user_id"), col("n_events"), nl,
+            col("session_value"), nl, nl, nl))
       })
     })
   }

@@ -900,6 +900,71 @@ object SimSearch {
       .join(broadcast(lut), Seq("q_id", "s", "code")), k)
   }
 
+  /** `simsearch_index_compact` — the COMPACTION event the tombstone
+    * design of [[simsearchIndexDelete]] defers ("rewriting cells to
+    * physically drop tombstoned rows is an offline maintenance event,
+    * exactly like the lake_vacuum/compact split" — this is that
+    * event, completing the index lifecycle: create → append → delete
+    * → COMPACT → health-triggered rebuild): the same build + tombstone
+    * batch as the delete row, then a compaction pass rewrites the
+    * index WITH the mask applied (one keyed c_id anti-join, streamed
+    * partition-preserving into the same cent_id layout) and the
+    * tombstone artifact is retired. The serve path then reads the
+    * compacted artifact with NO mask join — and must return exactly
+    * what the masked serve returned, so the row is gated on
+    * `simsearch_index_delete`'s oracle VERBATIM (the shared-oracle
+    * precedent): a compaction that drops a live row, resurrects a
+    * tombstoned one, or breaks the cent_id layout hash-mismatches,
+    * and IndexPersistSpec additionally pins the physical row counts.
+    *
+    * 100 TB economics: compaction cost is one pass over the index
+    * artifact (ids + m codes — never the embeddings), amortized
+    * against every future query dropping its per-candidate anti-join;
+    * cells untouched by tombstones rewrite unchanged (at planetary
+    * scale the pass runs per-cell and skips clean partitions — the
+    * cent_id partitioning makes that a directory-level decision).
+    */
+  def simsearchIndexCompact(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10, coarseStride: Long = 127,
+      pqStride: Long = 61, m: Int = 4, nProbe: Int = 2,
+      delMod: Long = 13): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val coarse = ivfCodebook(emb, coarseStride)
+    val pqCb = ivfCodebook(emb, pqStride).take(MaxPqCodebook)
+    val sub = pqSubDim(pqCb, m)
+    val out = uniqueArtifactDir(sfDir, "simsearch_index_compact")
+    ivfAssignCorpus(emb, coarse)
+      .select(col("c_id"), col("cent_id"),
+        posexplode(array(pqCodeCols(pqCb, m, sub, col("c_emb")): _*))
+          .as(Seq("s", "code")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id").parquet(out + "/index")
+    emb.filter(pmod(col("vec_id"), lit(delMod)) === 0)
+      .select(col("vec_id").as("c_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(out + "/tombstones")
+    // COMPACT: one anti-join pass over the codes, rewritten into the
+    // same cent_id-partitioned layout; the mask then retires
+    spark.read.parquet(out + "/index")
+      .join(spark.read.parquet(out + "/tombstones"), Seq("c_id"),
+        "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id").parquet(out + "/compacted")
+    // serve: the compacted artifact, NO mask join — deletes are now
+    // physical
+    val corpus = spark.read.parquet(out + "/compacted")
+      .select(col("c_id"), col("s"), col("code"),
+        col("cent_id").cast("long").as("cent_id"))
+    val queryCells = ivfQueryCells(emb, coarse, nQueries, nProbe)
+      .select(col("q_id"), col("cent_id"))
+    val lut = pqLutFrame(emb.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      pqCb, m, sub)
+    pqTopK(corpus
+      .join(broadcast(queryCells), Seq("cent_id"))
+      .join(broadcast(lut), Seq("q_id", "s", "code")), k)
+  }
+
   /** `simsearch_index_health` — the "has the quantizer drifted, should
     * we rebuild?" decision (VERDICT r15 #2's second half), the
     * dq_drift machinery applied to the index's cell populations: the
@@ -921,8 +986,12 @@ object SimSearch {
     *
     * Scale: one corpus scan (row-local kernel assignment), one
     * cell-keyed count; everything after the groupBy is
-    * CODEBOOK-sized (bounded), so the global cumulative window is a
-    * bounded-frame operation, never corpus-sized.
+    * CODEBOOK-sized (bounded), so the cumulative pass PACKS the cell
+    * histogram into one row (a two-stage hash agg — map-side partials,
+    * one reduce) and scans it row-locally with `aggregate` — no global
+    * window (ContractSpec invariant: an un-keyed Window funnels a sort
+    * through one task; here the funnel is a bounded array instead) and
+    * no scalar-attach product join.
     */
   def simsearchIndexHealth(spark: SparkSession, sfDir: String,
       coarseStride: Long = 127, tvRebuild: Double = 0.05): DataFrame = {
@@ -945,31 +1014,42 @@ object SimSearch {
         when(inBuild, lit(1L)).otherwise(lit(0L)).as("ia"))
       .groupBy(col("cent_id"))
       .agg(sum(col("ia")).as("ca"), count(lit(1)).as("cb"))
-    val tot = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
-    // global (partition-less) window is safe: counts is codebook-sized
-    // by construction (bounded), never corpus-sized
-    val cum = Window.orderBy(col("cent_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts.crossJoin(broadcast(tot))
-      .withColumn("cuma", sum(col("ca")).over(cum))
-      .withColumn("cumb", sum(col("cb")).over(cum))
-      .withColumn("ksd",
-        abs(col("cuma") * col("tb") - col("cumb") * col("ta")))
-      .withColumn("tvd",
-        abs(col("ca") * col("tb") - col("cb") * col("ta")))
-      .agg(count(lit(1)).as("n_cells"),
-        max(col("ta")).as("n_build"), max(col("tb")).as("n_now"),
-        max(col("ksd")).as("ks_num"), sum(col("tvd")).as("tv_num"))
-      .select(col("n_cells"), col("n_build"), col("n_now"),
-        round(col("ks_num").cast("double")
-          / (col("n_build").cast("double") * col("n_now").cast("double")),
+    // pack the codebook-sized histogram into one row; array_sort on
+    // the struct orders by cent_id (unique), so the scan walks cells
+    // in cent_id order — the KS cumulative's required total order
+    val packed = counts.agg(
+      array_sort(collect_list(
+        struct(col("cent_id"), col("ca"), col("cb")))).as("cells"),
+      count(lit(1)).as("n_cells"),
+      sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    // row-local cumulative scan: state = (cuma, cumb, running KS max,
+    // running TV sum), one fold step per cell — exact integer
+    // cross-multiplied statistics, same values as the windowed form
+    val scan = aggregate(col("cells"),
+      struct(lit(0L).as("cuma"), lit(0L).as("cumb"),
+        lit(0L).as("ks"), lit(0L).as("tv")),
+      (acc, cell) => {
+        val cuma = acc.getField("cuma") + cell.getField("ca")
+        val cumb = acc.getField("cumb") + cell.getField("cb")
+        val ksd = abs(cuma * col("tb") - cumb * col("ta"))
+        val tvd = abs(cell.getField("ca") * col("tb")
+          - cell.getField("cb") * col("ta"))
+        struct(cuma.as("cuma"), cumb.as("cumb"),
+          greatest(acc.getField("ks"), ksd).as("ks"),
+          (acc.getField("tv") + tvd).as("tv"))
+      })
+    packed.withColumn("sc", scan)
+      .select(col("n_cells"), col("ta").as("n_build"),
+        col("tb").as("n_now"),
+        round(col("sc.ks").cast("double")
+          / (col("ta").cast("double") * col("tb").cast("double")),
           6).as("ks"),
-        round(col("tv_num").cast("double")
-          / (lit(2.0) * col("n_build").cast("double")
-             * col("n_now").cast("double")), 6).as("tv"),
-        (round(col("tv_num").cast("double")
-          / (lit(2.0) * col("n_build").cast("double")
-             * col("n_now").cast("double")), 6) >= tvRebuild)
+        round(col("sc.tv").cast("double")
+          / (lit(2.0) * col("ta").cast("double")
+             * col("tb").cast("double")), 6).as("tv"),
+        (round(col("sc.tv").cast("double")
+          / (lit(2.0) * col("ta").cast("double")
+             * col("tb").cast("double")), 6) >= tvRebuild)
           .as("rebuild"))
   }
 

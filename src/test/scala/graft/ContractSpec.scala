@@ -179,11 +179,16 @@ class ContractSpec extends AnyFunSuite {
     //   simsearch_range_ivf — only the bounded query→probe-cell
     //                    assignment products (simsearch_ivf's shape);
     //                    the corpus joins keyed on cent_id
-    //   simsearch_index_persisted / simsearch_index_incremental —
+    //   simsearch_index_persisted / simsearch_index_incremental /
+    //   simsearch_index_delete / simsearch_index_compact —
     //                    simsearch_ivfpq's bounded LUT and probe-cell
     //                    products on the QUERY side; the index scan
     //                    joins keyed on cent_id with dynamic partition
-    //                    pruning (IndexPersistSpec)
+    //                    pruning (IndexPersistSpec); the delete form
+    //                    adds only a KEYED c_id anti-join for the
+    //                    tombstone mask, never a product; the compact
+    //                    form's rewrite pass is the same keyed
+    //                    anti-join and its serve has no mask join
     val allowProduct =
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
         "dq_freshness",
@@ -194,6 +199,7 @@ class ContractSpec extends AnyFunSuite {
         "simsearch_filtered_ivf", "simsearch_ivf_kmeans",
         "simsearch_range", "simsearch_range_ivf",
         "simsearch_index_persisted", "simsearch_index_incremental",
+        "simsearch_index_delete", "simsearch_index_compact",
         "ngram_pmi", "graph_pagerank", "graph_pagerank_dist")
     walk { (name, df) =>
       if (allowProduct(name)) None

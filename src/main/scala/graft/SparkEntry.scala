@@ -57,6 +57,10 @@ object SparkEntry {
     "lake_vacuum" -> (SinkQueries.lakeVacuum _),
     "lake_changes" -> (SinkQueries.lakeChanges _),
     "lake_restore" -> (SinkQueries.lakeRestore _),
+    // write-time CDF capture: per-commit change files land beside each
+    // version; the captured feed attributes rows to THEIR commit —
+    // the fidelity lake_changes' snapshot diff cannot provide
+    "lake_write_cdf" -> (SinkQueries.lakeWriteCdf _),
     "lake_apply_changes" -> (SinkQueries.lakeApplyChanges _),
     "dedup_incremental_cdf" -> (SinkQueries.dedupIncrementalCdf _),
     "merge_upsert" -> (SinkQueries.mergeUpsert _),
@@ -497,6 +501,11 @@ object SparkEntry {
     // never rewritten (FAISS remove_ids' lazy form)
     "simsearch_index_delete" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchIndexDelete(s, d)),
+    // the compaction event the tombstone design defers: rewrite the
+    // index with the mask applied, retire the mask, serve with NO
+    // anti-join — gated on the delete oracle verbatim
+    "simsearch_index_compact" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchIndexCompact(s, d)),
     // the rebuild trigger: cell-population drift (exact-integer KS +
     // total variation) of the current corpus vs the build-time store
     // under the PINNED quantizer — tv over threshold schedules reindex
@@ -606,6 +615,10 @@ object SparkEntry {
     // schedule, so the oracle unrolls the rounds as chained CTEs
     "graph_labelprop" -> ((s: SparkSession, d: String) =>
       GraphOps.graphLabelprop(s, d)),
+    // density: 4 pinned synchronous peel sweeps to the k-core (k=3),
+    // early-exiting at the monotone fixpoint; survivors + core degree
+    "graph_kcore" -> ((s: SparkSession, d: String) =>
+      GraphOps.graphKcore(s, d)),
     // the DISTRIBUTED formulation of the same arithmetic (unrolled keyed
     // joins over the cached edge aggregate) — the scale path for graphs
     // too large for one task, driver-gated on the same oracle (the
@@ -2138,6 +2151,50 @@ object SparkEntry {
         |  SELECT s1.*, 'update_postimage' FROM s1
         |  WHERE o_orderkey IN (SELECT o_orderkey FROM upd))
         |ORDER BY o_orderkey ASC, _change_type ASC""".stripMargin,
+    // write-time capture = two INDEPENDENT snapshot diffs, each row
+    // stamped with ITS commit — the per-commit fidelity the range
+    // read must preserve (and the v0 insert feed must stay pruned out)
+    "lake_write_cdf" -> {
+      def diff(a: String, b: String, v: Int) =
+        s"""  SELECT $b.*, 'insert' AS _change_type,
+           |    $v AS _commit_version FROM $b
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM $a WHERE $a.o_orderkey = $b.o_orderkey)
+           |  UNION ALL
+           |  SELECT $a.*, 'delete', $v FROM $a
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM $b WHERE $b.o_orderkey = $a.o_orderkey)
+           |  UNION ALL
+           |  SELECT $a.*, 'update_preimage', $v FROM $a
+           |  WHERE o_orderkey IN (SELECT o_orderkey FROM upd$v)
+           |  UNION ALL
+           |  SELECT $b.*, 'update_postimage', $v FROM $b
+           |  WHERE o_orderkey IN (SELECT o_orderkey FROM upd$v)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         |s0 AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+         |s1 AS (SELECT o_orderkey, o_orderstatus,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM base WHERE o_orderkey % 19 <> 0),
+         |s2 AS (SELECT o_orderkey, o_orderstatus,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 2000.0
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM s1 WHERE o_orderkey % 23 <> 0),
+         |upd1 AS (SELECT s0.o_orderkey FROM s0 JOIN s1 USING (o_orderkey)
+         |  WHERE s0.o_totalprice <> s1.o_totalprice
+         |     OR s0.o_orderstatus <> s1.o_orderstatus),
+         |upd2 AS (SELECT s1.o_orderkey FROM s1 JOIN s2 USING (o_orderkey)
+         |  WHERE s1.o_totalprice <> s2.o_totalprice
+         |     OR s1.o_orderstatus <> s2.o_orderstatus)
+         |SELECT o_orderkey, o_orderstatus, o_totalprice, _change_type,
+         |  CAST(_commit_version AS INTEGER) AS _commit_version FROM (
+         |${diff("s0", "s1", 1)}
+         |  UNION ALL
+         |${diff("s1", "s2", 2)})
+         |ORDER BY o_orderkey ASC, _commit_version ASC,
+         |  _change_type ASC""".stripMargin
+    },
     // z-order clustering changes file LAYOUT only — content round-trips
     "sink_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -4741,6 +4798,32 @@ object SparkEntry {
          |SELECT x AS part, lbl AS community FROM l4
          |ORDER BY part ASC""".stripMargin
     },
+    // 4 pinned peel sweeps unrolled as chained CTEs (the labelprop
+    // precedent); the engine's early-exit is sound because peeling is
+    // monotone — a no-op sweep is the fixpoint, so pinned == converged
+    "graph_kcore" -> {
+      val sweeps = (1 to 4).map { r =>
+        s"""v$r AS (SELECT und.u AS x FROM und
+           |  JOIN v${r - 1} a ON und.u = a.x
+           |  JOIN v${r - 1} b ON und.v = b.x
+           |  GROUP BY und.u HAVING count(*) >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         |    count(*)::BIGINT AS co
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |und AS (SELECT u, v, co FROM e
+         |  UNION ALL SELECT v AS u, u AS v, co FROM e),
+         |v0 AS (SELECT DISTINCT u AS x FROM und),
+         |$sweeps
+         |SELECT und.u AS part, count(*)::BIGINT AS core_degree
+         |FROM und
+         |  JOIN v4 a ON und.u = a.x
+         |  JOIN v4 b ON und.v = b.x
+         |GROUP BY 1 ORDER BY part ASC""".stripMargin
+    },
     "corpus_report" ->
       raw"""WITH d AS (SELECT lang, source, n_chars,
         |    len(string_split($normT, ' '))::BIGINT AS n_tokens
@@ -5493,6 +5576,10 @@ object SparkEntry {
     // input, not index rows) — a serve path that ignores the mask, or
     // one that masks queries too, hash-mismatches
     "simsearch_index_delete" ->
+      ivfPqOracle("", " AND a.c_id % 13 <> 0"),
+    // compaction must serve exactly what the masked path served: the
+    // delete oracle VERBATIM (the shared-oracle precedent)
+    "simsearch_index_compact" ->
       ivfPqOracle("", " AND a.c_id % 13 <> 0"),
     // rebuild trigger: one assignment pass under the STORE-pinned
     // codebook; build histogram = the store-flagged subset; exact

@@ -497,4 +497,32 @@ class GraphMixSpec extends AnyFunSuite {
       assert(comps.size === 1, s"community $c straddles components $comps")
     }
   }
+
+  test("graph_kcore: a planted K4 survives the peel, a tail and a " +
+      "triangle do not; the pinned 4 sweeps reach the fixture fixpoint") {
+    // K4 {1,2,3,4} is the 3-core; tail 4-20-21 peels in two sweeps
+    // (21 first, then 20); triangle {30,31,32} is only a 2-core and
+    // peels at once. Vertex 4 starts at degree 4 and must survive the
+    // tail's removal (its within-core degree ends at 3).
+    val edges = Seq(
+      (1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L),
+      (4L, 20L, 2L), (20L, 21L, 2L),
+      (30L, 31L, 2L), (31L, 32L, 2L), (30L, 32L, 2L))
+      .toDF("u", "v", "co")
+    val got = GraphOps.kcoreEnum(edges, k = 3, sweeps = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"got $got")
+    // monotone early-exit soundness on the fixtures: a 5th sweep
+    // changes nothing, so the pinned-4 declared result IS the k-core
+    val sfv = TestSpark.sf
+    val s4 = GraphOps.graphKcore(spark, sfv)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s5 = GraphOps.graphKcore(spark, sfv, sweeps = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s4 === s5, "fixture peel not converged within 4 sweeps")
+    // every survivor really has >= k neighbors among survivors
+    assert(s4.forall(_._2 >= 3L), s"survivor below k: $s4")
+  }
 }

@@ -116,6 +116,41 @@ class IndexPersistSpec extends AnyFunSuite {
       s"deleting served id $victim did not change the served set")
   }
 
+  test("index compact: the compacted artifact serves exactly the " +
+      "masked result with no mask join; tombstoned rows are physically gone") {
+    val comp = SimSearch.simsearchIndexCompact(spark, sf)
+    val got = comp.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    val want = SimSearch.simsearchIndexDelete(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(got === want,
+      "compaction must serve exactly what the masked path served")
+    assert(got.nonEmpty)
+    // no mask join survives in the serve plan: compaction made the
+    // deletes physical, so no left-anti remains
+    val ep = comp.queryExecution.executedPlan.toString
+    assert(!ep.contains("LeftAnti"),
+      s"compacted serve still plans the tombstone anti-join:\n$ep")
+    // physical row accounting: compacted = index − tombstoned code rows
+    val scans = SpecUtil.collectPlan(comp.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    val root = scans.flatMap(_.metadata.get("Location"))
+      .find(_.contains("simsearch_index_compact"))
+      .map(_.replaceAll(".*\\[", "").replaceAll("/compacted.*", ""))
+      .getOrElse(fail("no compacted scan in the serve plan"))
+    val idx = spark.read.parquet(s"$root/index")
+    val tomb = spark.read.parquet(s"$root/tombstones")
+    val compRows = spark.read.parquet(s"$root/compacted")
+    val masked = idx.join(tomb, Seq("c_id"), "left_anti")
+    assert(compRows.count() === masked.count(),
+      "compacted row count must equal index minus tombstoned")
+    assert(compRows.count() < idx.count(),
+      "compaction must physically drop rows (non-vacuous)")
+  }
+
   test("index health: planted drift flips the rebuild trigger; " +
       "an undrifted corpus keeps it off") {
     import spark.implicits._

@@ -236,6 +236,55 @@ class LakeSpec extends AnyFunSuite {
     assert(v1.exceptAll(rebuilt).count() === 0)
   }
 
+  test("write-time CDF: per-commit attribution, directory-pruned range " +
+      "read, and commit-ordered replay reconstructs the head") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_wcdf").toString
+    val keys = Seq("k")
+    val v0 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x")
+    // commit 1: key 2 updated; commit 2: key 2 DELETED + key 4 inserted
+    // — the update→delete sequence a single multi-commit applyChanges
+    // pass would corrupt (the commit-1 postimage re-added after the
+    // commit-2 delete removed it), which is why replayChanges folds
+    // commit-by-commit
+    val v1 = Seq((1L, 10.0), (2L, 22.0), (3L, 30.0)).toDF("k", "x")
+    val v2 = Seq((1L, 10.0), (3L, 30.0), (4L, 40.0)).toDF("k", "x")
+    graft.sources.LakeIO.saveVersionCdf(v0, root, keys)
+    graft.sources.LakeIO.saveVersionCdf(v1, root, keys)
+    graft.sources.LakeIO.saveVersionCdf(v2, root, keys)
+    // per-commit attribution: each change row carries ITS commit
+    val feed = graft.sources.LakeIO.capturedChanges(spark, root, 0, 2)
+    val rows = feed.collect().map(r => (r.getAs[Long]("k"),
+      r.getAs[String]("_change_type"), r.getAs[Int]("_commit_version")))
+    assert(rows.toSet === Set(
+      (2L, "update_preimage", 1), (2L, "update_postimage", 1),
+      (2L, "delete", 2), (4L, "insert", 2)), s"got ${rows.toSet}")
+    // the range prunes commit 0's insert feed out (directory prune)
+    assert(!rows.exists(_._3 == 0))
+    // ...and the full range sees it: 3 base inserts stamped 0
+    val all = graft.sources.LakeIO.capturedChanges(spark, root, -1, 2)
+    assert(all.filter(col("_commit_version") === 0)
+      .collect().forall(_.getAs[String]("_change_type") == "insert"))
+    assert(all.count() === 3 + 4)
+    // commit-granularity is REAL: the snapshot diff over the same range
+    // cannot see commit 1 (key 2's update is erased by its deletion)
+    val diff = graft.sources.LakeIO.changes(spark, root, 0, 2, keys)
+    assert(!diff.collect().exists(_.getAs[Long]("k") == 2L)
+      || diff.filter(col("k") === 2L).collect()
+        .forall(_.getAs[String]("_change_type") == "delete"))
+    // replay folds commit-by-commit: v0 + captured(0,2] == v2
+    val rebuilt = graft.sources.LakeIO.replayChanges(
+      graft.sources.LakeIO.loadVersion(spark, root, Some(0)), feed, keys)
+    assert(rebuilt.exceptAll(v2).count() === 0)
+    assert(v2.exceptAll(rebuilt).count() === 0)
+    // ...and a single-pass applyChanges over the same multi-commit feed
+    // really does corrupt (resurrects key 2) — the documented hazard
+    val naive = graft.sources.LakeIO.applyChanges(
+      graft.sources.LakeIO.loadVersion(spark, root, Some(0)), feed, keys)
+    assert(naive.filter(col("k") === 2L).count() > 0,
+      "expected the naive single-pass apply to resurrect the deleted key")
+  }
+
   test("facade: changes/applyChanges/restore compose through Lake (the user surface)") {
     import spark.implicits._
     val lake = newLake()

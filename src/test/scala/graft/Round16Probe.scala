@@ -65,7 +65,7 @@ object Round16Probe {
         encode(concat(lit("deltamark "), col("s")), "UTF-8").as("blob"))
       .localCheckpoint(true)
     println(s"PROBE delta assets = ${delta.count()}")
-    for (mult <- Seq(1, 10)) {
+    val survByMult = (for (mult <- Seq(1, 10)) yield {
       val store = storeOf(mult).localCheckpoint(true)
       println(s"PROBE store assets (${mult}x) = ${store.count()}")
       val survivors = timed(s"phash_incremental store=${mult}x") {
@@ -73,10 +73,17 @@ object Round16Probe {
       }
       println(s"PROBE   survivors = $survivors")
       GraphOps.unpersistCheckpoint(store)
-    }
+      survivors
+    }).toSeq
     GraphOps.unpersistCheckpoint(delta)
+    // the mutated copies share no 252-char prefix with any delta asset,
+    // so the survivor set is decided by the 1x base alone — a store
+    // scale-up that changed it would mean phantom candidates
+    assert(survByMult.distinct.size == 1,
+      s"survivors drifted with store size: $survByMult")
 
     // ---- 2. unigram_train: token volume 10x vs distinct words --------
+    val wordCounts = scala.collection.mutable.Map[String, (Long, Long)]()
     for (sf <- Seq("sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       val tokens = Tables.documents(spark, dir)
@@ -91,9 +98,19 @@ object Round16Probe {
         UnigramTrain.trainWords(lw)
       }
       println(s"PROBE   vocab pieces = ${scored.size}")
+      wordCounts(sf) = (tokens, words)
       GraphOps.unpersistCheckpoint(seg)
       GraphOps.unpersistCheckpoint(lw)
     }
+    // Heaps sublinearity in its extreme form on this fixture: the
+    // synthetic corpus SATURATES its vocabulary, so the distinct-word
+    // frame (the only input every post-pass training stage sees) is
+    // CONSTANT while token volume grows ~10x — natural text would give
+    // V ∝ N^0.4..0.6, still sublinear
+    val (t1, w1) = wordCounts("sf0.01"); val (t10, w10) = wordCounts("sf0.1")
+    assert(t10 > 8 * t1, s"token volume did not scale: $t1 -> $t10")
+    assert(w10 == w1,
+      s"fixture vocab expected saturated: $w1 -> $w10")
 
     // ---- 3. graph_sssp: rounds track eccentricity, not vertex count --
     // planted path graph: edges i—i+1; seeds at multiples of `seedMod`,
@@ -101,16 +118,25 @@ object Round16Probe {
     def pathEdges(n: Long): DataFrame =
       spark.range(n - 1).select(col("id").as("u"), (col("id") + 1).as("v"),
         lit(2L).as("co")).localCheckpoint(true)
-    for ((n, seedMod, cap) <- Seq((10000L, 17L, 12), (100000L, 17L, 12),
-        (10000L, 170L, 120))) {
+    val eccs = (for ((n, seedMod, cap) <- Seq((10000L, 17L, 12),
+        (100000L, 17L, 12), (10000L, 170L, 120))) yield {
       val edges = pathEdges(n)
       val out = timed(s"graph_sssp n=$n seedMod=$seedMod") {
         GraphOps.ssspEnum(edges, seedMod, cap)
           .agg(count(lit(1)).as("n"), max(col("dist")).as("ecc")).head()
       }
-      println(s"PROBE   reached=${out.getLong(0)} rounds(max dist)=${out.getInt(1)}")
+      println(s"PROBE   reached=${out.getLong(0)} " +
+        s"rounds(max dist)=${out.getInt(1)}")
       GraphOps.unpersistCheckpoint(edges)
-    }
+      (n, seedMod, out.getLong(0), out.getInt(1))
+    }).toSeq
+    // rounds = seed-set eccentricity, NOT vertex count: 10x vertices at
+    // the same seed spacing keep the same round count; 10x the spacing
+    // multiplies rounds regardless of n
+    assert(eccs(0)._4 == eccs(1)._4,
+      s"rounds changed with vertex count: $eccs")
+    assert(eccs(2)._4 > 10 * eccs(0)._4,
+      s"rounds did not track seed spacing: $eccs")
     spark.stop()
   }
 }

@@ -75,6 +75,7 @@ object Bench {
     warm("lm") { graft.operators.TextOps.warmLm(spark, sfDir) }
     warm("bpe") { graft.operators.BpeTrain.warmBpe(spark, sfDir) }
     warm("unigram") { graft.operators.UnigramTrain.warmUnigram(spark, sfDir) }
+    warm("wordpiece") { graft.operators.WordpieceTrain.warmWordpiece(spark, sfDir) }
     warm("monitors") { graft.streaming.Streams.warmMonitors(spark, sfDir) }
     val errors = scala.collection.mutable.ListBuffer[String]()
     // per-query GC + task-time attribution (VERDICT r5 #3): rank driver

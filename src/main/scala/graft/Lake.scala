@@ -379,6 +379,7 @@ object Lake {
       graft.operators.GraphOps.clearCoEdgeCache() +
       graft.operators.BpeTrain.clearBpeCache() +
       graft.operators.UnigramTrain.clearUnigramCache() +
+      graft.operators.WordpieceTrain.clearWordpieceCache() +
       graft.operators.Multimodal.clearPhashCache() +
       graft.streaming.Streams.clearMonitorMuxCache()
 

@@ -655,6 +655,21 @@ object SparkEntry {
     // vocabulary (third view of the one training)
     "unigram_encode" -> ((s: SparkSession, d: String) =>
       UnigramTrain.unigramEncode(s, d)),
+    // WordPiece (BERT-family) — the THIRD production tokenizer:
+    // char-level merges over the distinct-word table scored by the
+    // exact fixed-point likelihood ratio c_ab/(c_a*c_b); oracle
+    // unrolls the k argmaxes as chained CTEs
+    "wordpiece_train" -> ((s: SparkSession, d: String) =>
+      WordpieceTrain.wordpieceTrain(s, d)),
+    // the inference half: greedy longest-match-first (maximal munch —
+    // NOT merge replay; WordpieceSpec plants the divergence) with ##
+    // continuation marks
+    "wordpiece_encode" -> ((s: SparkSession, d: String) =>
+      WordpieceTrain.wordpieceEncode(s, d)),
+    // per-language pieces-per-word under the greedy segmentation:
+    // third view of the one memoized training
+    "wordpiece_fertility" -> ((s: SparkSession, d: String) =>
+      WordpieceTrain.wordpieceFertility(s, d)),
     "lm_doc_score" -> (TextOps.lmDocScore _),
     "quality_lm_bucket" -> (TextOps.qualityLmBucket _),
     // the approx-cutoff SCALE variant of quality_lm_bucket (no ntile
@@ -1423,6 +1438,124 @@ object SparkEntry {
       |  ((sum(np.np * wfl)::BIGINT * 20000 + sum(wfl)::BIGINT)
       |    // (2 * sum(wfl)::BIGINT))::DOUBLE / 10000 AS fertility
       |FROM lw JOIN np USING (word)
+      |GROUP BY lang ORDER BY lang ASC""".stripMargin
+
+  /** Shared CTE chain for the WordPiece-family oracles: the
+    * distinct-word frequency table → char-unit state strings → k
+    * unrolled likelihood-merge iterations (each re-deriving the
+    * wf-weighted unit and adjacent-pair counts and the exact
+    * fixed-point score argmax) → the learned vocab → per-position
+    * longest-match lengths → the greedy maximal-munch recursion.
+    * Mirrors WordpieceTrain stage for stage.
+    */
+  private val wpK = 6
+
+  private lazy val wordpieceCtes: String = {
+    val S = graft.operators.WordpieceTrain.Sep
+    val SS = S + S
+    val M = graft.operators.WordpieceTrain.MergeJ
+    val iterCtes = (1 to wpK).map { i =>
+      val prev = s"wst${i - 1}"
+      raw"""wun$i AS MATERIALIZED (SELECT u, sum(wf)::BIGINT AS c FROM (
+        |    SELECT wf, unnest(list_filter(string_split(s, '$S'),
+        |      x -> x <> '')) AS u FROM $prev) GROUP BY 1),
+        |wpc$i AS MATERIALIZED (SELECT p.a AS a, p.b AS b, sum(wf)::BIGINT AS c FROM (
+        |    SELECT wf, unnest(list_transform(range(1, len(t)),
+        |      j -> {'a': t[j], 'b': t[j + 1]})) AS p
+        |    FROM (SELECT wf, list_filter(string_split(s, '$S'),
+        |          x -> x <> '') AS t FROM $prev)) GROUP BY 1, 2),
+        |wm$i AS MATERIALIZED (SELECT wpc$i.a AS a, wpc$i.b AS b, wpc$i.c AS c,
+        |    ua.c AS ua, ub.c AS ub,
+        |    (wpc$i.c * 1000000000000) // (ua.c * ub.c) AS score_fp
+        |  FROM wpc$i
+        |  JOIN wun$i ua ON wpc$i.a = ua.u
+        |  JOIN wun$i ub ON wpc$i.b = ub.u
+        |  ORDER BY score_fp DESC, c DESC, a ASC, b ASC LIMIT 1),
+        |wst$i AS MATERIALIZED (SELECT w.word, w.wf,
+        |    replace(w.s, '$S' || m.a || '$SS' || m.b || '$S',
+        |      '$S' || m.a || '$M' || m.b || '$S') AS s
+        |  FROM $prev w CROSS JOIN wm$i m)""".stripMargin
+    }.mkString(",\n")
+    val vocUnions = (1 to wpK).map(i =>
+      s"SELECT replace(a || b, '$M', '') AS piece FROM wm$i")
+      .mkString("\n  UNION ")
+    raw"""WITH RECURSIVE w AS MATERIALIZED (
+      |  SELECT word, count(*)::BIGINT AS wf
+      |  FROM (SELECT unnest(string_split($normT, ' ')) AS word
+      |        FROM documents)
+      |  WHERE word <> '' AND len(word) <= 24
+      |  GROUP BY 1),
+      |wst0 AS MATERIALIZED (SELECT word, wf,
+      |    '$SS' || array_to_string(list_transform(
+      |      range(1, len(word) + 1),
+      |      j -> substr(word, CAST(j AS INT), 1)), '$SS') || '$SS' AS s
+      |  FROM w),
+      |""".stripMargin + iterCtes + raw""",
+      |voc AS MATERIALIZED (
+      |  SELECT DISTINCT substr(word, CAST(j AS INT), 1) AS piece
+      |  FROM w, range(1, 25) r(j) WHERE j <= len(word)
+      |  UNION $vocUnions),
+      |wlm AS MATERIALIZED (SELECT s.word, s.i, max(len(v.piece)) AS l
+      |  FROM (SELECT word, j - 1 AS i FROM w, range(1, 25) r(j)
+      |        WHERE j <= len(word)) s
+      |  JOIN voc v ON substr(s.word, CAST(s.i + 1 AS INT),
+      |    CAST(len(v.piece) AS INT)) = v.piece
+      |  GROUP BY 1, 2),
+      |genc AS (
+      |  SELECT word, 0 AS i, 0 AS stp FROM w
+      |  UNION ALL
+      |  SELECT e.word, CAST(e.i + wlm.l AS INT) AS i, e.stp + 1 AS stp
+      |  FROM genc e JOIN wlm ON wlm.word = e.word AND wlm.i = e.i
+      |  WHERE e.i < len(e.word)),
+      |wpcs AS MATERIALIZED (SELECT e.word, e.stp,
+      |    substr(e.word, CAST(e.i + 1 AS INT), CAST(wlm.l AS INT))
+      |      AS piece
+      |  FROM genc e JOIN wlm ON wlm.word = e.word AND wlm.i = e.i
+      |  WHERE e.i < len(e.word))""".stripMargin
+  }
+
+  private lazy val wordpieceTrainSql: String = {
+    val M = graft.operators.WordpieceTrain.MergeJ
+    wordpieceCtes + "\n" +
+    (1 to wpK).map(i =>
+      s"SELECT $i AS step, replace(a, '$M', '') AS lhs, " +
+        s"replace(b, '$M', '') AS rhs, c AS pair_count, " +
+        s"ua AS unit_lhs, ub AS unit_rhs, score_fp FROM wm$i")
+      .mkString("", "\nUNION ALL ", "\nORDER BY step ASC")
+  }
+
+  private lazy val wordpieceEncodeSql: String =
+    wordpieceCtes + raw""",
+      |wseg AS (SELECT word, count(*)::BIGINT AS np,
+      |    string_agg(CASE WHEN stp = 0 THEN piece
+      |                    ELSE '##' || piece END, '_'
+      |      ORDER BY stp ASC) AS enc
+      |  FROM wpcs GROUP BY word),
+      |dw AS (SELECT doc_id, j, word FROM (
+      |    SELECT doc_id, generate_subscripts(words, 1) AS j,
+      |      unnest(words) AS word
+      |    FROM (SELECT doc_id, string_split($normT, ' ') AS words
+      |          FROM documents) t)
+      |  WHERE word <> '' AND len(word) <= 24)
+      |SELECT doc_id, count(*)::BIGINT AS n_words,
+      |  sum(np)::BIGINT AS n_pieces,
+      |  string_agg(enc, ' ' ORDER BY j ASC) AS encoded
+      |FROM dw JOIN wseg USING (word)
+      |GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
+
+  private lazy val wordpieceFertilitySql: String =
+    wordpieceCtes + raw""",
+      |wnp AS (SELECT word, count(*)::BIGINT AS np FROM wpcs GROUP BY 1),
+      |wlw AS (SELECT lang, word, count(*)::BIGINT AS wfl
+      |  FROM (SELECT lang,
+      |      unnest(string_split($normT, ' ')) AS word FROM documents)
+      |  WHERE word <> '' AND len(word) <= 24
+      |  GROUP BY 1, 2)
+      |SELECT lang, sum(wfl)::BIGINT AS n_words,
+      |  sum(wnp.np * wfl)::BIGINT AS n_pieces,
+      |  ((sum(wnp.np * wfl)::BIGINT * 20000 + sum(wfl)::BIGINT)
+      |    // (2 * sum(wfl)::BIGINT))::DOUBLE / 10000 AS fertility
+      |FROM wlw JOIN wnp USING (word)
       |GROUP BY lang ORDER BY lang ASC""".stripMargin
 
   private lazy val bpeTrainSql: String = {
@@ -4859,6 +4992,9 @@ object SparkEntry {
     "unigram_train" -> unigramTrainSql,
     "unigram_fertility" -> unigramFertilitySql,
     "unigram_encode" -> unigramEncodeSql,
+    "wordpiece_train" -> wordpieceTrainSql,
+    "wordpiece_encode" -> wordpieceEncodeSql,
+    "wordpiece_fertility" -> wordpieceFertilitySql,
     "bpe_encode" -> bpeEncodeSql,
     "bpe_fertility" -> bpeFertilitySql,
     "pipeline_tokenize" -> pipelineTokenizeSql,

@@ -619,6 +619,10 @@ object SparkEntry {
     // early-exiting at the monotone fixpoint; survivors + core degree
     "graph_kcore" -> ((s: SparkSession, d: String) =>
       GraphOps.graphKcore(s, d)),
+    // item-item similarity: neighbor-set Jaccard via ONE wedge join
+    // keyed on the shared neighbor (pair work bounded by sum deg^2)
+    "graph_jaccard" -> ((s: SparkSession, d: String) =>
+      GraphOps.graphJaccard(s, d)),
     // the DISTRIBUTED formulation of the same arithmetic (unrolled keyed
     // joins over the cached edge aggregate) — the scale path for graphs
     // too large for one task, driver-gated on the same oracle (the
@@ -4957,6 +4961,31 @@ object SparkEntry {
          |  JOIN v4 b ON und.v = b.x
          |GROUP BY 1 ORDER BY part ASC""".stripMargin
     },
+    // neighbor-set Jaccard: wedge self-join on the shared neighbor,
+    // degrees attached keyed, 4dp round BEFORE the threshold compare
+    // (mirrored exactly engine-side so the cut is on identical values)
+    "graph_jaccard" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+        |    count(*)::BIGINT AS co
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u AS x, v AS w FROM e
+        |  UNION ALL SELECT v AS x, u AS w FROM e),
+        |deg AS (SELECT x, count(*)::BIGINT AS d FROM und GROUP BY 1),
+        |inter AS (SELECT a.x AS u, b.x AS v, count(*)::BIGINT AS n_common
+        |  FROM und a JOIN und b ON a.w = b.w AND a.x < b.x
+        |  GROUP BY 1, 2),
+        |j AS (SELECT i.u, i.v, i.n_common,
+        |    round(i.n_common::DOUBLE /
+        |      (du.d + dv.d - i.n_common)::DOUBLE, 4) AS jaccard
+        |  FROM inter i
+        |  JOIN deg du ON i.u = du.x
+        |  JOIN deg dv ON i.v = dv.x)
+        |SELECT u, v, n_common, jaccard FROM j
+        |WHERE jaccard >= 0.25
+        |ORDER BY u ASC, v ASC""".stripMargin,
     "corpus_report" ->
       raw"""WITH d AS (SELECT lang, source, n_chars,
         |    len(string_split($normT, ' '))::BIGINT AS n_tokens

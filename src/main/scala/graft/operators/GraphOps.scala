@@ -514,6 +514,51 @@ object GraphOps {
       k: Int = 3, sweeps: Int = 4): DataFrame =
     kcoreEnum(cachedCoPurchaseEdges(spark, sfDir, minCo), k, sweeps)
 
+  /** `graph_jaccard` — neighbor-set similarity over the co-purchase
+    * graph (the seventh member: item-item similarity, the classic
+    * co-occurrence recommender — "customers whose baskets contain X
+    * also contain Y"-adjacent parts share NEIGHBORS even when never
+    * bought together themselves, which direct co-purchase strength
+    * cannot see): for every part pair with at least one common
+    * co-purchase partner, |N(u) ∩ N(v)| / |N(u) ∪ N(v)|, 4dp,
+    * thresholded.
+    *
+    * Shape: candidates come from ONE wedge join keyed on the shared
+    * neighbor (the graph_triangles wedge — pair work bounded by
+    * Σ deg², never |V|²; the minCo floor on the edge memo is the
+    * neighbor-list cap real recommenders apply), degrees attach by
+    * two keyed joins, and the division is the only float (exact
+    * integer counts upstream). Seventh declared view of the shared
+    * [[cachedCoPurchaseEdges]] corpus pass.
+    */
+  def graphJaccard(spark: SparkSession, sfDir: String,
+      minCo: Long = 2L, minJaccard: Double = 0.25): DataFrame =
+    jaccardEnum(cachedCoPurchaseEdges(spark, sfDir, minCo), minJaccard)
+
+  /** Neighbor-Jaccard over an undirected (u, v, co) edge frame — the
+    * planted-graph harness for GraphMixSpec.
+    */
+  private[graft] def jaccardEnum(edges: DataFrame,
+      minJ: Double): DataFrame = {
+    val und = edges.select(col("u").as("x"), col("v").as("w"))
+      .union(edges.select(col("v").as("x"), col("u").as("w")))
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val inter = und.select(col("x").as("u"), col("w"))
+      .join(und.select(col("x").as("v"), col("w")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("du") + col("dv") - col("n_common")).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+      .orderBy(col("u").asc, col("v").asc)
+  }
+
   /** Bounded-sweep peel over an undirected (u, v, co) edge frame —
     * the planted-graph harness for GraphMixSpec.
     */

@@ -525,4 +525,30 @@ class GraphMixSpec extends AnyFunSuite {
     // every survivor really has >= k neighbors among survivors
     assert(s4.forall(_._2 >= 3L), s"survivor below k: $s4")
   }
+
+  test("graph_jaccard: full neighbor overlap scores 1.0, partial " +
+      "scores the exact set ratio, sub-threshold pairs drop") {
+    // parts 1 and 2 share ALL neighbors {10,11,12} (never co-purchased
+    // with each other — the pair direct co-strength cannot see);
+    // part 3 touches only 10. N(10)={1,2,3}, N(11)=N(12)={1,2}.
+    val edges = Seq(
+      (1L, 10L, 2L), (1L, 11L, 2L), (1L, 12L, 2L),
+      (2L, 10L, 2L), (2L, 11L, 2L), (2L, 12L, 2L),
+      (3L, 10L, 2L)).toDF("u", "v", "co")
+    val all = graft.operators.GraphOps.jaccardEnum(edges, minJ = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(all((1L, 2L)) === ((3L, 1.0)), s"got ${all.get((1L, 2L))}")
+    // jaccard(1,3) = |{10}| / |{10,11,12} ∪ {10}| = 1/3
+    assert(all((1L, 3L)) === ((1L, 0.3333)), s"got ${all.get((1L, 3L))}")
+    // jaccard(11,12) = |{1,2}| / |{1,2}| = 1.0; jaccard(10,11) = 2/3
+    assert(all((11L, 12L)) === ((2L, 1.0)))
+    assert(all((10L, 11L)) === ((2L, 0.6667)))
+    // thresholding drops the 1/3 pair, keeps the rest (the declared
+    // default is 0.25 — non-vacuous at every fixture SF; 0.5 here
+    // exercises the cut itself)
+    val cut = graft.operators.GraphOps.jaccardEnum(edges, minJ = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cut.contains((1L, 3L)) && cut.contains((1L, 2L)), s"$cut")
+  }
 }

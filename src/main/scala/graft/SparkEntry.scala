@@ -61,6 +61,9 @@ object SparkEntry {
     // version; the captured feed attributes rows to THEIR commit —
     // the fidelity lake_changes' snapshot diff cannot provide
     "lake_write_cdf" -> (SinkQueries.lakeWriteCdf _),
+    // zero-copy shallow clone: manifest-only version dir pinning the
+    // source's v0; immune to the source's later writes
+    "lake_clone" -> (SinkQueries.lakeClone _),
     "lake_apply_changes" -> (SinkQueries.lakeApplyChanges _),
     "dedup_incremental_cdf" -> (SinkQueries.dedupIncrementalCdf _),
     "merge_upsert" -> (SinkQueries.mergeUpsert _),
@@ -2288,6 +2291,11 @@ object SparkEntry {
         |  SELECT s1.*, 'update_postimage' FROM s1
         |  WHERE o_orderkey IN (SELECT o_orderkey FROM upd))
         |ORDER BY o_orderkey ASC, _change_type ASC""".stripMargin,
+    // the clone resolves the PINNED v0 slice, not the source's latest
+    "lake_clone" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 200000.0
+        |ORDER BY o_orderkey ASC""".stripMargin,
     // write-time capture = two INDEPENDENT snapshot diffs, each row
     // stamped with ITS commit — the per-commit fidelity the range
     // read must preserve (and the v0 insert feed must stay pruned out)

@@ -194,7 +194,7 @@ object LakeIO {
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(listVersions(spark, path).lastOption)
       .getOrElse(throw new IllegalArgumentException(s"no versions at $path"))
-    spark.read.parquet(s"$path/v=$v")
+    readVersionDir(spark, s"$path/v=$v")
   }
 
   /** Change-data-feed between two pinned versions (Delta
@@ -246,6 +246,67 @@ object LakeIO {
         valCols.map(c => col(s"ch.v.$c").as(c)) ++ Seq(
         col("ch.t").as("_change_type"),
         lit(toV).as("_commit_version")): _*)
+  }
+
+  /** Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`'s
+    * directory-versioned analogue): publish a new version at `dstPath`
+    * whose content is `srcPath`'s pinned `srcVersion` WITHOUT copying
+    * a single data file — the version dir holds only a `_manifest`
+    * (one absolute data-file path per line, written driver-side; a
+    * bounded metadata op, file-count-sized). Readers resolve the
+    * manifest transparently through [[loadVersion]]. The classic uses:
+    * a dev/test fork of a 100 TB table in milliseconds, or a
+    * reproducible-experiment pin that survives the source's forward
+    * writes (source versions are immutable here, so the clone stays
+    * valid — but VACUUMING the source past the cloned version breaks
+    * it, exactly Delta's documented shallow-clone hazard; deep-copy
+    * via `saveVersion(loadVersion(src), dst)` when retention isn't
+    * guaranteed).
+    */
+  def shallowClone(spark: SparkSession, srcPath: String,
+      srcVersion: Int, dstPath: String): Int = {
+    // resolve through loadVersion's file set so cloning a CLONE works
+    // (the manifest chain flattens — each clone lists real data files)
+    val srcDir = s"$srcPath/v=$srcVersion"
+    val p = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no version $srcVersion at $srcPath")
+    val files: Seq[String] = {
+      val mf = new org.apache.hadoop.fs.Path(srcDir, "_manifest")
+      if (fs.exists(mf)) readManifest(fs, mf)
+      else dataFiles(spark, srcDir).map(_.getPath.toString)
+    }
+    val next = listVersions(spark, dstPath).lastOption.getOrElse(-1) + 1
+    val dstDir = new org.apache.hadoop.fs.Path(s"$dstPath/v=$next")
+    fs.mkdirs(dstDir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dstDir, "_manifest"), false)
+    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    next
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      mf: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(mf)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Manifest-aware pinned read: a version dir carrying a `_manifest`
+    * resolves to its listed files (shallow clone); a plain dir reads
+    * its parquet. One driver-side existence check per load.
+    */
+  private def readVersionDir(spark: SparkSession,
+      dir: String): DataFrame = {
+    val mf = new org.apache.hadoop.fs.Path(dir, "_manifest")
+    val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mf)) {
+      val files = readManifest(fs, mf)
+      require(files.nonEmpty, s"empty clone manifest at $dir")
+      spark.read.parquet(files: _*)
+    } else spark.read.parquet(dir)
   }
 
   /** Write-time CDF capture (Delta's `delta.enableChangeDataFeed`

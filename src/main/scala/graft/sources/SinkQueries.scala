@@ -758,6 +758,37 @@ object SinkQueries {
       .orderBy(col("o_orderkey").asc)
   }
 
+  /** `lake_clone` — zero-copy shallow clone
+    * ([[LakeIO.shallowClone]]): the premium-orders slice lands as the
+    * SOURCE's v=0, a shallow clone of that pin publishes at the clone
+    * path (a manifest-only version dir — no data file copies), the
+    * source then moves FORWARD with a v=1 backfill that halves the
+    * slice — and the clone read must still return exactly the v0
+    * content (the reproducible-experiment pin: a clone is immune to
+    * the source's later writes because source versions are immutable).
+    * The oracle recomputes the v0 slice definition from orders; a
+    * clone that reads the wrong pin, loses rows through the manifest,
+    * or resolves the source's LATEST instead of the pinned version
+    * hash-mismatches. LakeSpec additionally proves the zero-copy
+    * property physically (the clone dir holds ONE `_manifest` and no
+    * parquet) and clone-of-clone flattening.
+    */
+  def lakeClone(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = uniqueRunDir(sfDir, "lake_clone")
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    LakeIO.saveVersion(
+      ord.filter(col("o_totalprice") > 200000.0).repartition(writerTasks),
+      s"$out/src")
+    LakeIO.shallowClone(spark, s"$out/src", 0, s"$out/clone")
+    // the source moves forward; the clone must not
+    LakeIO.saveVersion(
+      ord.filter(col("o_totalprice") > 400000.0).repartition(writerTasks),
+      s"$out/src")
+    LakeIO.loadVersion(spark, s"$out/clone", Some(0))
+      .orderBy(col("o_orderkey").asc)
+  }
+
   /** `lake_write_cdf` — WRITE-TIME change-data-feed capture
     * ([[LakeIO.saveVersionCdf]]; VERDICT r15's one documented lake
     * caveat: `lake_changes`' snapshot diff stamps every row with the

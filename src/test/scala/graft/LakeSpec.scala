@@ -236,6 +236,45 @@ class LakeSpec extends AnyFunSuite {
     assert(v1.exceptAll(rebuilt).count() === 0)
   }
 
+  test("shallow clone: zero data-file copies, pins survive source " +
+      "writes, clone-of-clone flattens to real files") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_clone").toString
+    val v0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    graft.sources.LakeIO.saveVersion(v0, s"$root/src")
+    val cv = graft.sources.LakeIO.shallowClone(spark, s"$root/src", 0,
+      s"$root/c1")
+    assert(cv === 0)
+    // zero-copy: the clone version dir holds ONE _manifest, no parquet
+    val cdir = new java.io.File(s"$root/c1/v=0")
+    val names = cdir.listFiles().map(_.getName).toSeq
+    assert(names.count(_ == "_manifest") === 1, s"$names")
+    assert(!names.exists(_.endsWith(".parquet")), s"$names")
+    // content equality through the transparent loadVersion path
+    val got = graft.sources.LakeIO.loadVersion(spark, s"$root/c1", Some(0))
+    assert(got.exceptAll(v0).count() === 0)
+    assert(v0.exceptAll(got).count() === 0)
+    // the source moves forward; the clone pin does not
+    graft.sources.LakeIO.saveVersion(
+      Seq((9L, "z")).toDF("k", "s"), s"$root/src")
+    assert(graft.sources.LakeIO.loadVersion(spark, s"$root/c1", Some(0))
+      .count() === 3)
+    // clone-of-clone: the manifest chain flattens to the REAL files,
+    // so a c1 deletion cannot strand c2 (only source retention can)
+    graft.sources.LakeIO.shallowClone(spark, s"$root/c1", 0, s"$root/c2")
+    val mf2 = scala.io.Source.fromFile(s"$root/c2/v=0/_manifest")
+      .getLines().toList
+    assert(mf2.nonEmpty && mf2.forall(_.contains("/src/v=0/")),
+      s"clone-of-clone must list source data files: $mf2")
+    assert(graft.sources.LakeIO.loadVersion(spark, s"$root/c2", Some(0))
+      .count() === 3)
+    // history sees the clone version as zero data bytes (the point)
+    val h = graft.sources.LakeIO.versionHistory(spark, s"$root/c1")
+      .collect().head
+    assert(h.getInt(1) === 0 && h.getLong(2) === 0L,
+      s"clone history must show zero data files/bytes: $h")
+  }
+
   test("write-time CDF: per-commit attribution, directory-pruned range " +
       "read, and commit-ordered replay reconstructs the head") {
     import spark.implicits._

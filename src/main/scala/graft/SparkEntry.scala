@@ -626,6 +626,10 @@ object SparkEntry {
     // keyed on the shared neighbor (pair work bounded by sum deg^2)
     "graph_jaccard" -> ((s: SparkSession, d: String) =>
       GraphOps.graphJaccard(s, d)),
+    // Watts-Strogatz local clustering coefficient: per-vertex closed
+    // wedge fraction (wedge join keyed on the center + one edge join)
+    "graph_clustcoef" -> ((s: SparkSession, d: String) =>
+      GraphOps.graphClustcoef(s, d)),
     // the DISTRIBUTED formulation of the same arithmetic (unrolled keyed
     // joins over the cached edge aggregate) — the scale path for graphs
     // too large for one task, driver-gated on the same oracle (the
@@ -4969,6 +4973,28 @@ object SparkEntry {
          |  JOIN v4 b ON und.v = b.x
          |GROUP BY 1 ORDER BY part ASC""".stripMargin
     },
+    // per-vertex closed-wedge fraction; deg < 2 excluded (cc undefined)
+    "graph_clustcoef" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+        |    count(*)::BIGINT AS co
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u AS x, v AS w FROM e
+        |  UNION ALL SELECT v AS x, u AS w FROM e),
+        |deg AS (SELECT x, count(*)::BIGINT AS d FROM und GROUP BY 1),
+        |closed AS (SELECT a.x, count(*)::BIGINT AS n_tri
+        |  FROM und a JOIN und b ON a.x = b.x AND a.w < b.w
+        |  JOIN e ON e.u = a.w AND e.v = b.w
+        |  GROUP BY 1)
+        |SELECT deg.x AS part, deg.d AS degree,
+        |  coalesce(closed.n_tri, 0) AS n_triangles,
+        |  round(coalesce(closed.n_tri, 0)::DOUBLE * 2.0
+        |    / (deg.d * (deg.d - 1))::DOUBLE, 4) AS clustcoef
+        |FROM deg LEFT JOIN closed ON deg.x = closed.x
+        |WHERE deg.d >= 2
+        |ORDER BY part ASC""".stripMargin,
     // neighbor-set Jaccard: wedge self-join on the shared neighbor,
     // degrees attached keyed, 4dp round BEFORE the threshold compare
     // (mirrored exactly engine-side so the cut is on identical values)

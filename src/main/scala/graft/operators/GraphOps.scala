@@ -535,6 +535,51 @@ object GraphOps {
       minCo: Long = 2L, minJaccard: Double = 0.25): DataFrame =
     jaccardEnum(cachedCoPurchaseEdges(spark, sfDir, minCo), minJaccard)
 
+  /** `graph_clustcoef` — per-vertex local clustering coefficient
+    * (Watts–Strogatz), the eighth classic: of the pairs of my
+    * co-purchase partners, what fraction are partners of EACH OTHER —
+    * the "tight market niche vs broad hub" discriminator
+    * (graph_triangles counts the closures globally; this attributes
+    * them per vertex and normalizes by the wedge count deg·(deg−1)/2).
+    *
+    * Shape: one wedge join keyed on the CENTER vertex (u < w halves
+    * the wedge set), one keyed join against the normalized edge set to
+    * close wedges, two keyed aggregates — Σ deg²-bounded like
+    * triangles/jaccard, never |V|². Division is the one float, 4dp.
+    * Eighth declared view of the shared [[cachedCoPurchaseEdges]]
+    * corpus pass. Vertices with deg < 2 have no wedges and are
+    * excluded (cc undefined), the standard convention.
+    */
+  def graphClustcoef(spark: SparkSession, sfDir: String,
+      minCo: Long = 2L): DataFrame =
+    clustcoefEnum(cachedCoPurchaseEdges(spark, sfDir, minCo))
+
+  /** Clustering coefficient over an undirected (u, v, co) edge frame —
+    * the planted-graph harness for GraphMixSpec.
+    */
+  private[graft] def clustcoefEnum(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")) // normalized u < v
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("x"), col("v").as("w"))
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // wedges centered at x: unordered neighbor pairs (u < w)
+    val wedges = und.select(col("x"), col("w").as("nu"))
+      .join(und.select(col("x"), col("w").as("nw")), Seq("x"))
+      .filter(col("nu") < col("nw"))
+    val closed = wedges
+      .join(e.select(col("u").as("nu"), col("v").as("nw")),
+        Seq("nu", "nw"))
+      .groupBy(col("x")).agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("d") >= 2)
+      .join(closed, Seq("x"), "left_outer")
+      .select(col("x").as("part"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        round(coalesce(col("n_tri"), lit(0L)).cast("double") * 2.0
+          / (col("d") * (col("d") - 1)).cast("double"), 4)
+          .as("clustcoef"))
+      .orderBy(col("part").asc)
+  }
+
   /** Neighbor-Jaccard over an undirected (u, v, co) edge frame — the
     * planted-graph harness for GraphMixSpec.
     */

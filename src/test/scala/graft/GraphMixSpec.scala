@@ -551,4 +551,26 @@ class GraphMixSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!cut.contains((1L, 3L)) && cut.contains((1L, 2L)), s"$cut")
   }
+
+  test("graph_clustcoef: clique vertices score 1.0, star centers 0.0, " +
+      "partial closure the exact wedge fraction; deg<2 excluded") {
+    // K4 {1,2,3,4}; star 5-(6,7) (open wedge at 5); triangle {10,11,
+    // 12} with tail 10-13 (cc(10) = 1 closed of 3 wedges)
+    val edges = Seq(
+      (1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L),
+      (5L, 6L, 2L), (5L, 7L, 2L),
+      (10L, 11L, 2L), (10L, 12L, 2L), (11L, 12L, 2L), (10L, 13L, 2L))
+      .toDF("u", "v", "co")
+    val got = graft.operators.GraphOps.clustcoefEnum(edges)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach(v =>
+      assert(got(v) === ((3L, 3L, 1.0)), s"clique vertex $v: ${got(v)}"))
+    assert(got(5L) === ((2L, 0L, 0.0)), s"star center: ${got(5L)}")
+    assert(got(10L) === ((3L, 1L, 0.3333)), s"partial: ${got(10L)}")
+    assert(got(11L) === ((2L, 1L, 1.0)) && got(12L) === ((2L, 1L, 1.0)))
+    // degree-1 leaves (6, 7, 13) have no wedges — excluded
+    assert(!got.contains(6L) && !got.contains(7L) && !got.contains(13L))
+  }
 }

@@ -428,6 +428,11 @@ object SparkEntry {
     // store codebook), gated on the SAME oracle as the batch operator
     "stream_dedup_semantic_ok" -> ((s: SparkSession, d: String) =>
       graft.streaming.Streams.streamDedupSemanticOk(s, d)),
+    // the perceptual tier's streaming twin (fourth and last): banded
+    // 8-byte fingerprints into the seen-store bucket processor,
+    // lossless at Hamming<=3 — gated on the exact all-pairs oracle
+    "stream_dedup_phash_ok" -> ((s: SparkSession, d: String) =>
+      graft.streaming.Streams.streamDedupPhashOk(s, d)),
     // production-default banding (deeper bands → ~linear candidate set;
     // recall tunes per corpus); no oracle (xxhash64-derived hyperplanes
     // aren't DuckDB-expressible) — agreement with the exact operator is
@@ -958,6 +963,33 @@ object SparkEntry {
     * CDF-fed form — same declared semantics, the delta derived from
     * LakeIO.changes instead of a hand-cut filter).
     */
+  /** Shared by `multimodal_phash_incremental` and its streaming twin
+    * `stream_dedup_phash_ok` (the minhashIncrementalSql precedent):
+    * delta assets drop iff Hamming ≤ 3 to ANY store asset or a
+    * smaller-id delta asset — the exact all-pairs formulation (the
+    * banding is lossless at this radius, so no recall caveat).
+    */
+  private lazy val phashIncrementalSql: String = phashCtes + """,
+    |da AS (SELECT doc_id AS asset_id,
+    |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+    |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+    |         ELSE 'video/mp4' END AS mime
+    |  FROM documents WHERE doc_id % 10 >= 8),
+    |dph AS (SELECT da.asset_id, da.mime, ph.phash
+    |  FROM da LEFT JOIN ph ON ph.asset_id = da.asset_id),
+    |matched AS (SELECT DISTINCT d.asset_id FROM dph d JOIN
+    |    (SELECT asset_id, phash, FALSE AS dd FROM ph
+    |       WHERE asset_id % 10 < 8
+    |     UNION ALL
+    |     SELECT asset_id, phash, TRUE FROM dph
+    |       WHERE phash IS NOT NULL) o
+    |  ON d.phash IS NOT NULL
+    |    AND bit_count(xor(d.phash, o.phash)) <= 3
+    |    AND (NOT o.dd OR o.asset_id < d.asset_id))
+    |SELECT asset_id, mime FROM dph
+    |WHERE asset_id NOT IN (SELECT asset_id FROM matched)
+    |ORDER BY asset_id ASC""".stripMargin
+
   private lazy val dedupIncrementalSql: String =
     raw"""WITH e AS (SELECT DISTINCT md5($normT) AS h FROM documents
       |           WHERE doc_id % 10 < 8),
@@ -4232,26 +4264,10 @@ object SparkEntry {
     // means the oracle is the EXACT delta-vs-(store + earlier-delta)
     // Hamming formulation; unqualified (short) delta assets have no
     // phash and always survive
-    "multimodal_phash_incremental" -> (phashCtes + """,
-        |da AS (SELECT doc_id AS asset_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-        |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
-        |         ELSE 'video/mp4' END AS mime
-        |  FROM documents WHERE doc_id % 10 >= 8),
-        |dph AS (SELECT da.asset_id, da.mime, ph.phash
-        |  FROM da LEFT JOIN ph ON ph.asset_id = da.asset_id),
-        |matched AS (SELECT DISTINCT d.asset_id FROM dph d JOIN
-        |    (SELECT asset_id, phash, FALSE AS dd FROM ph
-        |       WHERE asset_id % 10 < 8
-        |     UNION ALL
-        |     SELECT asset_id, phash, TRUE FROM dph
-        |       WHERE phash IS NOT NULL) o
-        |  ON d.phash IS NOT NULL
-        |    AND bit_count(xor(d.phash, o.phash)) <= 3
-        |    AND (NOT o.dd OR o.asset_id < d.asset_id))
-        |SELECT asset_id, mime FROM dph
-        |WHERE asset_id NOT IN (SELECT asset_id FROM matched)
-        |ORDER BY asset_id ASC""".stripMargin),
+    "multimodal_phash_incremental" -> phashIncrementalSql,
+    // the streaming twin replays store-then-delta into the banded
+    // seen-store processor; same output contract, same oracle VERBATIM
+    "stream_dedup_phash_ok" -> phashIncrementalSql,
     // video near-dup: frame windows (252 chars at stride 100) ->
     // per-frame dHash (the phashCtes integer arithmetic over the
     // window) -> signature distinct -> the SAME lossless 4x16-bit

@@ -127,7 +127,8 @@ object Multimodal {
     */
   private[operators] val PhashSegs = 63
   private[operators] val PhashSegChars = 4
-  private[operators] val PhashMinChars = PhashSegs * PhashSegChars // 252
+  // private[graft]: the streaming twin qualifies blobs with the same cut
+  private[graft] val PhashMinChars = PhashSegs * PhashSegChars // 252
 
   private[graft] def phashExpr(s: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {

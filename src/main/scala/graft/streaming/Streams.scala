@@ -352,6 +352,57 @@ class BandDedupProcessor(threshold: Double)
   }
 }
 
+/** `stream_dedup_phash_ok`'s processor — the PERCEPTUAL seen-store
+  * rule as live per-bucket state, completing the streaming-twin
+  * symmetry across all FOUR dedup tiers (exact → minhash → semantic →
+  * perceptual): keyed by the phash band bucket (band, bval) — the
+  * lossless 4×16-bit blocking of
+  * [[graft.operators.Multimodal.phashIncremental]] — ListState holds
+  * every (asset_id, phash) ever seen in the bucket (8 B/asset, the
+  * persisted fingerprint store keyed out by bucket); each arriving
+  * asset compares against ALL state entries plus same-batch rows with
+  * smaller asset_id (the batch operator's `o_store || o_id < n_id`
+  * rule once the store replays as micro-batch 1), emits an
+  * (n_id, o_id) match per Hamming ≤ maxHamming hit, and appends
+  * itself regardless (seen-store). Verify is ONE xor+popcount on
+  * BIGINT — pure integer, trivially engine-exact, and the banding is
+  * LOSSLESS at Hamming ≤ 3 by pigeonhole, so the twin gates on the
+  * exact all-pairs oracle with no recall caveat (unlike the MinHash
+  * tier, whose banding is probabilistic).
+  */
+class PhashDedupProcessor(maxHamming: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (Int, Long), (Int, Long, Long, Long), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{ListState, TimerValues,
+    TTLConfig}
+
+  @transient private var seen: ListState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    seen = getHandle.getListState[(Long, Long)]("seen",
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: (Int, Long),
+      rows: Iterator[(Int, Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val prior = seen.get().toArray
+    val batch = rows.toSeq.sortBy(_._3)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val appended = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    batch.foreach { case (_, _, nId, nPh) =>
+      (prior.iterator ++ appended.iterator).foreach { case (oId, oPh) =>
+        if (java.lang.Long.bitCount(nPh ^ oPh) <= maxHamming)
+          out += ((nId, oId))
+      }
+      appended += ((nId, nPh))
+    }
+    appended.foreach(e => seen.appendValue(e))
+    out.iterator
+  }
+}
+
 /** `stream_dedup_semantic_ok`'s processor — SemDeDup's seen-store rule
   * as live per-cell state, completing the streaming-twin symmetry
   * across the incremental family (exact `stream_dedup` → near-dup
@@ -1428,6 +1479,72 @@ object Streams {
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** `stream_dedup_phash_ok` — the STREAMING twin of
+    * `multimodal_phash_incremental` (the fourth and last dedup tier to
+    * get one): synthetic assets file-replay in TWO micro-batches —
+    * yesterday's asset store, then today's ingest — with the dHash
+    * fingerprint and the lossless 4×16-bit banding computed ON the
+    * stream (the ingest-time shape: blobs decode row-locally in the
+    * stateless prefix; only 8-byte hashes + ids reach the stateful
+    * operator), into a RocksDB-backed [[PhashDedupProcessor]] keyed by
+    * band bucket. Survivor projection anti-joins batch-side (the _ok
+    * harness pattern), and the oracle is
+    * `multimodal_phash_incremental`'s exact all-pairs SQL VERBATIM —
+    * an engine whose bucket state loses entries across micro-batches,
+    * whose within-batch order drifts from asset_id, or whose banding
+    * misses a Hamming ≤ 3 pair hash-mismatches.
+    */
+  def streamDedupPhashOk(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val assets = graft.operators.Multimodal.syntheticAssets(spark, sfDir)
+      .select(col("asset_id"), col("mime"), col("blob"))
+    streamDedupPhashCore(spark, "stream_dedup_phash_ok",
+      assets.filter(col("asset_id") % 10 < 8),
+      assets.filter(col("asset_id") % 10 >= 8), maxHamming)
+  }
+
+  /** Core of [[streamDedupPhashOk]] over explicit store/delta
+    * (asset_id, mime, blob) frames — the planted-asset harness for
+    * StreamingSpec's twin-equivalence test.
+    */
+  private[graft] def streamDedupPhashCore(spark: SparkSession,
+      name: String, store: DataFrame, delta: DataFrame,
+      maxHamming: Int): DataFrame = {
+    import graft.operators.Multimodal
+    val matches = fileReplay(spark, name,
+      Seq(store, delta), Seq(8, 1), { stream =>
+        val s2 = stream.sparkSession
+        import s2.implicits._
+        stream
+          .select(col("asset_id"), decode(col("blob"), "UTF-8").as("s"))
+          .select(col("asset_id"),
+            when(length(col("s")) >= Multimodal.PhashMinChars,
+              Multimodal.phashExpr(col("s"))).as("phash"))
+          .filter(col("phash").isNotNull)
+          .select(col("asset_id"), col("phash"),
+            posexplode(array((0 until 4).map(b =>
+              shiftright(col("phash"), b * 16)
+                .bitwiseAND(lit(0xFFFFL))): _*))
+              .as(Seq("band", "bval")))
+          .select(col("band").as[Int], col("bval").as[Long],
+            col("asset_id").as[Long], col("phash").as[Long])
+          .as[(Int, Long, Long, Long)]
+          .groupByKey(r => (r._1, r._2))
+          .transformWithState(new PhashDedupProcessor(maxHamming),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Append())
+          .toDF("n_id", "o_id")
+      })
+    // batch-side presentation: delta survivors (store n_ids in the
+    // match stream never hit a delta asset_id); null-phash delta
+    // assets never entered the stream and survive by construction —
+    // the batch operator's contract
+    delta.join(matches.select(col("n_id").as("asset_id")).distinct(),
+        Seq("asset_id"), "left_anti")
+      .select(col("asset_id"), col("mime"))
+      .orderBy(col("asset_id").asc)
   }
 
   /** `stream_dedup_semantic_ok` — the STREAMING twin of

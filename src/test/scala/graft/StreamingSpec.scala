@@ -746,6 +746,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("stream_dedup_phash_ok: RocksDB bucket state carries the " +
+      "perceptual seen-store across micro-batches (equals the batch op)") {
+    // planted assets: a delta near-dup of a STORE asset drops (state
+    // survived the batch boundary), a near-dup of an EARLIER delta
+    // asset drops (within-batch asset_id order), a fresh asset and a
+    // sub-threshold short blob survive
+    def text(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (1 to 300).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    // one bumped char flips at most 2 adjacent gradient bits — a true
+    // near-dup at Hamming <= 3 but NOT byte-identical
+    def near(s: String): String = {
+      val c = if (s.charAt(120) == 'a') 'c' else 'a'
+      s.updated(120, c)
+    }
+    def blob(s: String) = s.getBytes("UTF-8")
+    import spark.implicits._
+    val store = Seq((0L, "image/png", blob(text(1))),
+      (1L, "image/png", blob(text(2))))
+      .toDF("asset_id", "mime", "blob")
+    val delta = Seq(
+      (100L, "image/png", blob(near(text(1)))), // ~dup of store 0 → drops
+      (101L, "image/png", blob(text(7))),       // fresh → survives
+      (102L, "image/png", blob(near(text(7)))), // ~dup of delta 101 → drops
+      (103L, "image/png", blob("tiny")))        // < 252 chars → survives
+      .toDF("asset_id", "mime", "blob")
+    val planted = Streams.streamDedupPhashCore(spark,
+        "phash_twin_planted", store, delta, maxHamming = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(planted === Set(101L, 103L), s"got $planted")
+    // fixture: full-row equality with the batch incremental operator —
+    // the declared query's shared-oracle claim
+    val sfd = TestSpark.sf
+    val got = Streams.streamDedupPhashOk(spark, sfd)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = graft.operators.Multimodal.phashIncremental(spark, sfd)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === want)
+  }
+
   test("timer-based sessions close when the watermark passes the gap deadline") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

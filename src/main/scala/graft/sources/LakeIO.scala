@@ -278,8 +278,12 @@ object LakeIO {
     }
     val next = listVersions(spark, dstPath).lastOption.getOrElse(-1) + 1
     val dstDir = new org.apache.hadoop.fs.Path(s"$dstPath/v=$next")
-    fs.mkdirs(dstDir)
-    val out = fs.create(
+    // the destination may live on a DIFFERENT filesystem than the
+    // source (clone s3a://prod into file:/dev-scratch) — resolve its
+    // own FS; the manifest's absolute paths keep pointing at the source
+    val dfs = dstDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dfs.mkdirs(dstDir)
+    val out = dfs.create(
       new org.apache.hadoop.fs.Path(dstDir, "_manifest"), false)
     try out.write(files.mkString("\n").getBytes("UTF-8"))
     finally out.close()

@@ -137,6 +137,31 @@ object Round16Probe {
       s"rounds changed with vertex count: $eccs")
     assert(eccs(2)._4 > 10 * eccs(0)._4,
       s"rounds did not track seed spacing: $eccs")
+
+    // ---- 4. wedge family (jaccard / clustcoef) at 1x/5x/25x orders --
+    // the Round12c basket convention: ~5 items/order, pool = orders/25
+    // so popular co-pairs repeat; the wedge join is bounded by the
+    // co-count-floored EDGE graph (grows with the part pool, not the
+    // basket count) — same scaling class as graph_triangles
+    def baskets(nOrders: Long): DataFrame = {
+      val pool = math.max(200L, nOrders / 25L)
+      spark.range(nOrders * 5).select(
+        (col("id") / 5).cast("long").as("ok"),
+        (((col("id") * 2654435761L + (col("id") % 5) * 97L)
+          % pool + pool) % pool).as("pk"))
+    }
+    for (n <- Seq(15000L, 75000L, 375000L)) {
+      val edges = GraphOps.coPurchaseEdges(baskets(n), 2L)
+      val ne = edges.count()
+      val nj = timed(s"graph_jaccard orders=$n") {
+        GraphOps.jaccardEnum(edges, 0.25).count()
+      }
+      val nc = timed(s"graph_clustcoef orders=$n") {
+        GraphOps.clustcoefEnum(edges).count()
+      }
+      println(s"PROBE   edges=$ne jaccard_pairs=$nj cc_vertices=$nc")
+      GraphOps.unpersistCheckpoint(edges)
+    }
     spark.stop()
   }
 }

@@ -573,4 +573,66 @@ class GraphMixSpec extends AnyFunSuite {
     // degree-1 leaves (6, 7, 13) have no wedges — excluded
     assert(!got.contains(6L) && !got.contains(7L) && !got.contains(13L))
   }
+
+  test("randomized reference: kcore, jaccard, clustcoef match " +
+      "brute-force models on random graphs") {
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nV = 12 + rnd.nextInt(8)
+      val es = (for {
+        u <- 0L until nV; v <- (u + 1) until nV
+        if rnd.nextDouble() < 0.3
+      } yield (u, v, 1L + rnd.nextInt(4))).toSeq
+      if (es.nonEmpty) {
+        val edges = es.toDF("u", "v", "co")
+        val adj = scala.collection.mutable
+          .Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+        es.foreach { case (u, v, _) =>
+          adj(u) = adj(u) + v; adj(v) = adj(v) + u
+        }
+        val vs = adj.keySet.toSeq
+
+        // kcore reference: peel to the true fixpoint
+        var core = vs.toSet
+        var changed = true
+        while (changed) {
+          val next = core.filter(v => (adj(v) & core).size >= 3)
+          changed = next != core; core = next
+        }
+        val gotK = GraphOps.kcoreEnum(edges, k = 3, sweeps = nV)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(gotK.keySet === core, s"trial $trial kcore: $gotK vs $core")
+        gotK.foreach { case (v, d) =>
+          assert(d === (adj(v) & core).size.toLong, s"trial $trial deg $v")
+        }
+
+        // jaccard reference over all pairs with >= 1 common neighbor
+        val refJ = (for {
+          u <- vs; v <- vs if u < v
+          inter = (adj(u) & adj(v)).size if inter > 0
+        } yield ((u, v), (inter.toLong,
+          r4(inter.toDouble / (adj(u) | adj(v)).size)))).toMap
+        val gotJ = GraphOps.jaccardEnum(edges, minJ = 0.0)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)),
+            (r.getLong(2), r.getDouble(3)))).toMap
+        assert(gotJ === refJ, s"trial $trial jaccard")
+
+        // clustcoef reference over deg >= 2 vertices
+        val refC = (for {
+          v <- vs if adj(v).size >= 2
+          ns = adj(v).toSeq
+          tri = (for {
+            a <- ns; b <- ns if a < b && adj(a).contains(b)
+          } yield 1).size
+        } yield (v, (adj(v).size.toLong, tri.toLong,
+          r4(tri * 2.0 / (adj(v).size * (adj(v).size - 1)))))).toMap
+        val gotC = GraphOps.clustcoefEnum(edges)
+          .collect().map(r => (r.getLong(0), (r.getLong(1),
+            r.getLong(2), r.getDouble(3)))).toMap
+        assert(gotC === refC, s"trial $trial clustcoef")
+      }
+    }
+  }
 }

@@ -354,7 +354,13 @@ object LakeIO {
   def capturedChanges(spark: SparkSession, path: String,
       fromV: Int, toV: Int): DataFrame = {
     require(fromV < toV, s"fromV ($fromV) must precede toV ($toV)")
-    spark.read.parquet(s"$path/_cdf")
+    val cdfRoot = new org.apache.hadoop.fs.Path(s"$path/_cdf")
+    val fs = cdfRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(cdfRoot),
+      s"no write-time CDF captured at $path — versions written with " +
+        "saveVersion record no changes; use saveVersionCdf at commit " +
+        "time, or the changes() snapshot diff as the backfill")
+    spark.read.parquet(cdfRoot.toString)
       .filter(col("v") > fromV && col("v") <= toV)
       .drop("v")
   }

@@ -322,6 +322,15 @@ class LakeSpec extends AnyFunSuite {
       graft.sources.LakeIO.loadVersion(spark, root, Some(0)), feed, keys)
     assert(naive.filter(col("k") === 2L).count() > 0,
       "expected the naive single-pass apply to resurrect the deleted key")
+    // a saveVersion-only table has no capture — the error says so and
+    // points at both remedies (write-time capture or snapshot diff)
+    val plain = Files.createTempDirectory("graft_nocdf").toString
+    graft.sources.LakeIO.saveVersion(v0, plain)
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.LakeIO.capturedChanges(spark, plain, 0, 1)
+    }
+    assert(err.getMessage.contains("saveVersionCdf")
+      && err.getMessage.contains("changes()"), err.getMessage)
   }
 
   test("facade: changes/applyChanges/restore compose through Lake (the user surface)") {

@@ -55,6 +55,10 @@ object SparkEntry {
     "lake_report_counts" -> (SinkQueries.lakeReportCounts _),
     "lake_time_travel" -> (SinkQueries.lakeTimeTravel _),
     "lake_vacuum" -> (SinkQueries.lakeVacuum _),
+    // clone-aware retention: a vacuum that would delete a version
+    // pinned by a live shallow-clone manifest refuses atomically;
+    // deleting the clone releases the pin and the vacuum proceeds
+    "lake_vacuum_safe" -> (SinkQueries.lakeVacuumSafe _),
     "lake_changes" -> (SinkQueries.lakeChanges _),
     "lake_restore" -> (SinkQueries.lakeRestore _),
     // write-time CDF capture: per-commit change files land beside each
@@ -2272,6 +2276,18 @@ object SparkEntry {
         |SELECT 3, 8, TRUE,
         |  (SELECT count(*) FROM orders WHERE o_totalprice > 100000.0), 2
         |ORDER BY version ASC""".stripMargin,
+    // clone-aware vacuum lifecycle: refusal + atomicity + pin release,
+    // each field an assertion; slice counts recomputed from orders
+    "lake_vacuum_safe" ->
+      """SELECT TRUE AS refused, 3 AS n_versions_on_refusal,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 200000.0)
+        |    AS clone_rows,
+        |  2 AS n_dropped_after_release, TRUE AS final_is_head_only,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 400000.0)
+        |    AS head_rows,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |      AS DOUBLE) FROM orders WHERE o_totalprice > 400000.0)
+        |    AS head_revenue""".stripMargin,
     // CDF between pinned versions: the oracle recomputes both snapshot
     // definitions directly from orders and diffs them — inserts/deletes
     // via NOT EXISTS, updates via value inequality (+1000.0 is exact in

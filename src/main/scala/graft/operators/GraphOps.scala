@@ -620,33 +620,33 @@ object GraphOps {
     var verts = und.select(col("u").as("x")).distinct()
       .localCheckpoint(true)
     var n = verts.count()
-    try {
-      var r = 0
-      var converged = false
-      while (r < sweeps && !converged) {
-        // degree within the surviving set: both endpoints must survive
-        val stepped = und
-          .join(verts.select(col("x").as("u")), "u")
-          .join(verts.select(col("x").as("v")), "v")
-          .groupBy(col("u")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k)
-          .select(col("u").as("x"))
-          .localCheckpoint(true)
-        val m = stepped.count()
-        // monotone: a sweep that drops nothing is the fixpoint — the
-        // remaining pinned sweeps are no-ops, skip them
-        converged = m == n
-        n = m
-        val prev = verts
-        verts = stepped
-        unpersistCheckpoint(prev)
-        r += 1
-      }
-    } finally {
-      s2.conf.set("spark.sql.adaptive.enabled",
-        spark0.conf.get("spark.sql.adaptive.enabled", "true"))
-      s2.conf.set("spark.sql.shuffle.partitions",
-        spark0.conf.get("spark.sql.shuffle.partitions", "200"))
+    // No conf restore here (ADVICE r16): s2 is private to this call and
+    // the returned serve query below is BOUND to s2, so the labelprop-
+    // inherited finally block restored nothing — it only flipped AQE
+    // back ON for the serve join while the sweeps had run without it.
+    // The serve query is the same graph-sized two-semi-join shape as a
+    // sweep; it now runs under the SAME low-latency settings the sweeps
+    // used, so the whole enum executes under one declared conf.
+    var r = 0
+    var converged = false
+    while (r < sweeps && !converged) {
+      // degree within the surviving set: both endpoints must survive
+      val stepped = und
+        .join(verts.select(col("x").as("u")), "u")
+        .join(verts.select(col("x").as("v")), "v")
+        .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("u").as("x"))
+        .localCheckpoint(true)
+      val m = stepped.count()
+      // monotone: a sweep that drops nothing is the fixpoint — the
+      // remaining pinned sweeps are no-ops, skip them
+      converged = m == n
+      n = m
+      val prev = verts
+      verts = stepped
+      unpersistCheckpoint(prev)
+      r += 1
     }
     und
       .join(verts.select(col("x").as("u")), "u")

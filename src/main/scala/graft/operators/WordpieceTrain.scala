@@ -28,10 +28,18 @@ import graft.sources.Tables
   * normText chars can never contain the control-char markers).
   *
   * Determinism (SURVEY §5.3): the score is exact fixed-point —
-  * score_fp = (c_ab · 10¹²) div (c_a · c_b), all BIGINT (c_ab·10¹² ≤
-  * ~1.6e18 < 2⁶³ at sf0.1; both engines floor the positive division)
-  * — ties broken (c DESC, a ASC, b ASC). The oracle unrolls the k
-  * iterations as chained CTEs re-deriving every argmax independently.
+  * score_fp = (c_ab · 10¹²) div (c_a · c_b) — ties broken (c DESC,
+  * a ASC, b ASC). The oracle unrolls the k iterations as chained CTEs
+  * re-deriving every argmax independently. Overflow discipline
+  * (ADVICE r16): the numerator c_ab·10¹² is BIGINT-safe only while
+  * c_ab ≤ ~9.2e6 (true at every fixture SF: ≤1.6e6 at sf0.1), and the
+  * DENOMINATOR c_a·c_b is BIGINT-safe only while unit counts stay
+  * under ~3e9 — on a larger corpus Spark's non-ANSI BIGINT would wrap
+  * SILENTLY and could pick a wrong argmax while DuckDB errors loudly.
+  * So the engine computes the score in DECIMAL(38,0) (exact, same
+  * floored quotient, headroom to ~1e26-weighted pair counts), keeping
+  * the engine/oracle pair either both-correct or loudly divergent,
+  * never silently wrong.
   */
 object WordpieceTrain {
 
@@ -136,7 +144,11 @@ object WordpieceTrain {
         .join(uc.select(col("u").as("a"), col("c").as("ua")), Seq("a"))
         .join(uc.select(col("u").as("b"), col("c").as("ub")), Seq("b"))
         .select(col("a"), col("b"), col("c"), col("ua"), col("ub"),
-          expr(s"(c * $ScoreScale) div (ua * ub)").as("score_fp"))
+          // DECIMAL(38,0) operands: the BIGINT form wraps silently on
+          // corpora past ~3e9 units (header note) — decimal is exact
+          // and div floors identically, so fixture scores are bit-equal
+          expr(s"(CAST(c AS DECIMAL(38,0)) * $ScoreScale) div " +
+            "(CAST(ua AS DECIMAL(38,0)) * ub)").as("score_fp"))
         .orderBy(col("score_fp").desc, col("c").desc,
           col("a").asc, col("b").asc)
         .limit(1).collect()

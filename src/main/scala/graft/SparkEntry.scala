@@ -136,6 +136,17 @@ object SparkEntry {
     // exact-integer bidirectional containment >= 1/2
     "multimodal_video_dedup" -> ((s: SparkSession, d: String) =>
       Multimodal.multimodalVideoDedup(s, d)),
+    // audio-tier near-dup: per-frame Haitsma–Kalker sub-fingerprints
+    // (band-gradient × time-derivative bits across consecutive
+    // overlapping windows — row-local), lossless banded frame
+    // matching, exact-integer bidirectional containment >= 1/2
+    "multimodal_audio_dedup" -> ((s: SparkSession, d: String) =>
+      Multimodal.multimodalAudioDedup(s, d)),
+    // candidates shadow: every band-colliding frame pair with its exact
+    // Hamming distance (no threshold) — non-vacuous at every SF where
+    // the thresholded row legitimately finds nothing
+    "multimodal_audio_dedup_cand" -> ((s: SparkSession, d: String) =>
+      Multimodal.multimodalAudioDedupCand(s, d)),
     "pipeline_curate" -> ((s: SparkSession, d: String) =>
       TextOps.pipelineCurate(s, d)),
     "win_range_interval" -> (Windows.winRangeInterval _),
@@ -967,6 +978,48 @@ object SparkEntry {
     * CDF-fed form — same declared semantics, the delta derived from
     * LakeIO.changes instead of a hand-cut filter).
     */
+  /** Shared CTE chain for the `multimodal_audio_dedup` family: audio
+    * docs (doc_id % 3 = 1, ≥ 352 chars = ≥ 2 frames) → consecutive
+    * (prev, cur) 252-char windows at stride 100 → 63 band energies per
+    * window → Haitsma–Kalker difference-of-differences sign bits (the
+    * band gradient of frame k vs frame k−1) packed with integer left
+    * shifts → the distinct signature set `f` → the 4×16-bit banding
+    * `bb`. Mirrors Multimodal.hkFingerprintExpr/audioFrames stage for
+    * stage in exact integer arithmetic.
+    */
+  private lazy val audioHkCtes: String =
+    """WITH af AS (
+      |  SELECT doc_id AS asset_id,
+      |    unnest(range(1,
+      |      greatest((length(text) - 252) // 100 + 1, 1))) AS k,
+      |    text
+      |  FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 352),
+      |w AS (SELECT asset_id,
+      |    substr(text, CAST((k-1)*100+1 AS INT), 252) AS wp,
+      |    substr(text, CAST(k*100+1 AS INT), 252) AS wc FROM af),
+      |px AS (SELECT asset_id,
+      |    list_transform(range(1, 253),
+      |      j -> ord(substr(wc, CAST(j AS INT), 1))) AS pc,
+      |    list_transform(range(1, 253),
+      |      j -> ord(substr(wp, CAST(j AS INT), 1))) AS pp
+      |  FROM w),
+      |seg AS (SELECT asset_id,
+      |    list_transform(range(0, 63), b -> CAST(list_sum(
+      |      pc[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)]) AS BIGINT)) AS sc,
+      |    list_transform(range(0, 63), b -> CAST(list_sum(
+      |      pp[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)]) AS BIGINT)) AS sp
+      |  FROM px),
+      |ph AS (SELECT asset_id, CAST(list_sum(list_transform(range(0, 62),
+      |    i -> CASE WHEN (sc[CAST(i+1 AS INT)] - sc[CAST(i+2 AS INT)])
+      |                 > (sp[CAST(i+1 AS INT)] - sp[CAST(i+2 AS INT)])
+      |              THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+      |              ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fph
+      |  FROM seg),
+      |f AS (SELECT DISTINCT asset_id, fph FROM ph),
+      |b AS (SELECT asset_id, fph, unnest(range(0, 4)) AS band FROM f),
+      |bb AS (SELECT asset_id, fph, band,
+      |    (fph >> CAST(band*16 AS INT)) & 65535 AS bval FROM b)""".stripMargin
+
   /** Shared by `multimodal_phash_incremental` and its streaming twin
     * `stream_dedup_phash_ok` (the minhashIncrementalSql precedent):
     * delta assets drop iff Hamming ≤ 3 to ANY store asset or a
@@ -4328,6 +4381,37 @@ object SparkEntry {
         |JOIN sz sb ON b_id = sb.asset_id
         |WHERE 2*m_a >= sa.n AND 2*m_b >= sb.n
         |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+    // audio near-dup: consecutive window pairs (252 chars, stride 100;
+    // frame k vs k-1, so >= 352 chars qualifies) -> 63 band energies
+    // per window -> Haitsma-Kalker difference-of-differences sign bits
+    // (band gradient of frame k vs frame k-1) packed with integer
+    // shifts -> signature distinct -> the SAME lossless 4x16 banding
+    // -> Hamming <= 3 verify -> bidirectional containment 2*m >= n
+    "multimodal_audio_dedup" -> (audioHkCtes + """,
+        |sz AS (SELECT asset_id, count(*)::BIGINT AS n FROM f GROUP BY 1),
+        |m AS (SELECT DISTINCT a.asset_id AS a_id, b2.asset_id AS b_id,
+        |    a.fph AS a_fph, b2.fph AS b_fph
+        |  FROM bb a JOIN bb b2 ON a.band = b2.band AND a.bval = b2.bval
+        |    AND a.asset_id < b2.asset_id
+        |  WHERE bit_count(xor(a.fph, b2.fph)) <= 3),
+        |mm AS (SELECT a_id, b_id,
+        |    count(DISTINCT a_fph)::BIGINT AS m_a,
+        |    count(DISTINCT b_fph)::BIGINT AS m_b
+        |  FROM m GROUP BY 1, 2)
+        |SELECT a_id, b_id, sa.n AS n_a, sb.n AS n_b, m_a, m_b
+        |FROM mm JOIN sz sa ON a_id = sa.asset_id
+        |JOIN sz sb ON b_id = sb.asset_id
+        |WHERE 2*m_a >= sa.n AND 2*m_b >= sb.n
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin),
+    // the candidates shadow: every band-colliding pair, exact Hamming,
+    // no threshold — the fingerprint/banding/verify arithmetic is
+    // hash-matched non-vacuously at every SF
+    "multimodal_audio_dedup_cand" -> (audioHkCtes + """
+        |SELECT DISTINCT a.asset_id AS a_id, b2.asset_id AS b_id,
+        |  CAST(bit_count(xor(a.fph, b2.fph)) AS INTEGER) AS hamming
+        |FROM bb a JOIN bb b2 ON a.band = b2.band AND a.bval = b2.bval
+        |  AND a.asset_id < b2.asset_id
+        |ORDER BY a_id ASC, b_id ASC, hamming ASC""".stripMargin),
     "source_custom" ->
       """SELECT i AS doc_id,
         |  ['en','de','es','fr'][(i % 4)::INT + 1] AS lang,

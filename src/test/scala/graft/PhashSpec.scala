@@ -144,4 +144,56 @@ class PhashSpec extends AnyFunSuite {
     assert(na === 6L && nb === 6L && ma === 6L && mb === 6L,
       s"re-encode must match frame-for-frame: $na $nb $ma $mb")
   }
+
+  test("audio dedup: a re-encoded clip pairs with its original; " +
+      "unrelated clips, wrong modalities, and 1-frame clips do not") {
+    def clips(rows: Seq[(Long, String, String)]) =
+      rows.toDF("asset_id", "mime", "s")
+        .select(col("asset_id"), col("mime"),
+          encode(col("s"), "UTF-8").as("blob"))
+    val t = randText(177L, 800) // sub-fingerprints k = 1..5
+    // "re-encode": two adjacent sample flips mid-clip nudge the band
+    // energies of the windows covering position 400 — each affected
+    // frame transition moves a few difference-of-differences bits,
+    // and ≥ half the signature stays within the hamming budget
+    val reenc = t.updated(400, 'z').updated(401, 'z')
+    val rows = Seq(
+      (1L, "audio/wav", t),
+      (2L, "audio/wav", reenc),
+      (3L, "audio/wav", randText(178L, 800)), // unrelated
+      (4L, "video/mp4", t),                   // right bytes, wrong modality
+      (5L, "audio/wav", randText(179L, 300))) // 1 frame: no transition
+    val got = Multimodal.audioDedupAssets(clips(rows), maxHamming = 3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet === Set((1L, 2L)),
+      s"expected exactly the re-encoded pair, got ${got.keySet}")
+    val (na, nb, ma, mb) = got((1L, 2L))
+    assert(na === 5L && nb === 5L,
+      s"both clips carry 5 sub-fingerprints: $na $nb")
+    assert(ma * 2 >= na && mb * 2 >= nb,
+      s"containment must clear 1/2 both ways: $ma/$na $mb/$nb")
+  }
+
+  test("audio fingerprint is TEMPORAL: bits answer 'did the band " +
+      "gradient move vs the previous frame', so a time-reversed clip " +
+      "does not share its signature the way a per-frame hash would") {
+    // clip = A ++ B vs its block-reversal B ++ A (A, B = 400 chars):
+    // per-frame dHash would share every within-block window hash; the
+    // HK transition hash keys on CONSECUTIVE window pairs, and the
+    // reversed clip's transitions cross different (prev, cur) pairs
+    val a = randText(201L, 400)
+    val b = randText(202L, 400)
+    def clips(rows: Seq[(Long, String)]) =
+      rows.toDF("asset_id", "s")
+        .select(col("asset_id"), lit("audio/wav").as("mime"),
+          encode(col("s"), "UTF-8").as("blob"))
+    val got = Multimodal.audioDedupAssets(
+      clips(Seq((1L, a + b), (2L, b + a))), maxHamming = 3)
+      .collect()
+    assert(got.isEmpty,
+      s"block-reversed audio must not clear containment: ${got.toSeq}")
+  }
 }

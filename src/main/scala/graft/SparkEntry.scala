@@ -448,6 +448,12 @@ object SparkEntry {
     // lossless at Hamming<=3 — gated on the exact all-pairs oracle
     "stream_dedup_phash_ok" -> ((s: SparkSession, d: String) =>
       graft.streaming.Streams.streamDedupPhashOk(s, d)),
+    // the write-time CDF consumed as a STREAM: commit-per-micro-batch
+    // file replay through a foreachBatch replica fold (replayChanges,
+    // commit-ordered even within a merged batch) — the final replica
+    // must BE the v2 snapshot the oracle recomputes from orders
+    "stream_cdf_apply_ok" -> ((s: SparkSession, d: String) =>
+      graft.streaming.Streams.streamCdfApplyOk(s, d)),
     // production-default banding (deeper bands → ~linear candidate set;
     // recall tunes per corpus); no oracle (xxhash64-derived hyperplanes
     // aren't DuckDB-expressible) — agreement with the exact operator is
@@ -2361,6 +2367,19 @@ object SparkEntry {
         |    AS revenue,
         |  v.version = 3 AS is_latest
         |FROM v ORDER BY version ASC""".stripMargin,
+    // the streaming CDF consumer: replica(v0) + captured commit 1 +
+    // captured commit 2, folded commit-by-commit — the final replica
+    // is the v2 snapshot definition recomputed directly from orders
+    "stream_cdf_apply_ok" ->
+      """WITH s1 AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 19 <> 0)
+        |SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 2000.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM s1 WHERE o_orderkey % 23 <> 0
+        |ORDER BY o_orderkey ASC""".stripMargin,
     // apply(v0, changes(0,1)) must reconstruct v1: the oracle is the
     // v1 snapshot definition recomputed directly
     "lake_apply_changes" ->

@@ -1609,6 +1609,128 @@ object Streams {
       .orderBy(col("vec_id").asc)
   }
 
+  /** `stream_cdf_apply_ok` — the write-time CDF consumed AS A STREAM
+    * (VERDICT r16 #3: `capturedChanges`/`replayChanges` gave batch
+    * commit-granular replay; the natural production consumer is a
+    * streaming replica-maintenance job — Delta's CDF-source +
+    * foreachBatch-merge shape): the `lake_write_cdf` planted churn
+    * lands as three captured commits, a replica materializes at v0,
+    * and the captured feed file-replays commit-by-commit (commit 1 =
+    * the initial listing's micro-batch, commit 2 delivered after)
+    * through `foreachBatch`, each batch folding into the replica via
+    * [[graft.sources.LakeIO.replayChanges]] (commit-ordered WITHIN a
+    * batch too, so a trigger that picks up two commit files in one
+    * batch still applies them in version order — the update→delete
+    * hazard LakeSpec pins) and swapping the rewrite in by rename. The
+    * final replica must BE the v2 snapshot — the oracle recomputes
+    * the two-churn composition directly from orders; a consumer that
+    * applies batches out of order, skips one, or single-pass-merges a
+    * multi-commit batch hash-mismatches.
+    *
+    * Scale shape: each micro-batch costs one keyed anti-join + union
+    * against the replica (churn-sized right side); the replica
+    * rewrite is the parquet-native price a transactional target
+    * (Delta MERGE) removes — the CONSUMER shape (CDF source →
+    * keyed fold → idempotent swap) is the production one.
+    */
+  def streamCdfApplyOk(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val v0 = base.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+    val v1 = base.filter(pmod(col("o_orderkey"), lit(19)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7)) === 0,
+          col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")))
+    val v2 = v1.filter(pmod(col("o_orderkey"), lit(23)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(11)) === 0,
+          col("o_totalprice") + 2000.0)
+          .otherwise(col("o_totalprice")))
+    streamCdfApplyCore(spark, "stream_cdf_apply_ok", Seq(v0, v1, v2),
+      Seq("o_orderkey"))
+      .orderBy(col("o_orderkey").asc)
+  }
+
+  /** Core of [[streamCdfApplyOk]] over explicit commit snapshots —
+    * the planted-churn harness for StreamingSpec's commit-ordering
+    * tests. Builds the captured table, streams commits (i, i+1] as
+    * micro-batch i into a foreachBatch replica fold, and returns the
+    * final replica bound to the CALLER's session.
+    */
+  private[graft] def streamCdfApplyCore(spark: SparkSession,
+      name: String, snapshots: Seq[DataFrame],
+      keys: Seq[String]): DataFrame = {
+    require(snapshots.size >= 2, "need at least two commits to stream")
+    val dir = java.nio.file.Files
+      .createTempDirectory(scratchBase, s"graft_$name").toString
+    val tbl = s"$dir/table"
+    snapshots.foreach { s =>
+      graft.sources.LakeIO.saveVersionCdf(s.repartition(4), tbl, keys)
+      ()
+    }
+    val replica = s"$dir/replica"
+    graft.sources.LakeIO.loadVersion(spark, tbl, Some(0))
+      .write.parquet(replica)
+    // one feed file per commit (the fileReplay single-file rule: a
+    // running query can trigger between two moves, and a split batch
+    // must still carry whole commits — replayChanges handles a MERGED
+    // batch, but a commit split ACROSS batches would apply half a
+    // commit's churn; one file per commit makes that impossible)
+    val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
+    val nCommits = snapshots.size - 1
+    (0 until nCommits).foreach { i =>
+      graft.sources.LakeIO.capturedChanges(spark, tbl, i, i + 1)
+        .coalesce(1).write.parquet(s"$dir/b$i")
+    }
+    def deliver(i: Int): Unit =
+      new java.io.File(s"$dir/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, j) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(feed, s"b$i-$j.parquet").toPath)
+          ()
+        }
+    deliver(0) // pre-start: the initial listing is one micro-batch
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = spark.read.parquet(feed.toString).schema
+    val q = s2.readStream.schema(schema).parquet(feed.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val s = batch.sparkSession
+          // commit-ordered fold, then an atomic-as-possible rename
+          // swap (the LakeIO.swapInto window) — the replica is never
+          // read and overwritten in the same lazy plan
+          val next = graft.sources.LakeIO.replayChanges(
+            s.read.parquet(replica), batch.toDF(), keys)
+          val tmp = s"$dir/replica_next"
+          next.write.mode("overwrite").parquet(tmp)
+          val rp = new org.apache.hadoop.fs.Path(replica)
+          val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(rp, true)
+          if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), rp))
+            throw new java.io.IOException(s"replica swap failed at $tmp")
+          ()
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      (1 until nCommits).foreach { i =>
+        deliver(i); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the RESULT is the replica dir — reclaim at JVM exit, not here
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRec(new java.io.File(dir))
+      catch { case _: Exception => () }))
+    spark.read.parquet(replica)
+  }
+
   /** Shared file-replay harness for every declared `stream_*_ok` row:
     * the batch frames replay as SEQUENTIAL micro-batches into a
     * RocksDB-backed pipeline (MapState needs the multi-column-family

@@ -929,6 +929,24 @@ class StreamingSpec extends AnyFunSuite {
       (4L, "d2", 41.0)))
   }
 
+  test("stream CDF apply: commit-per-batch replica fold reconstructs " +
+      "the head across an update-then-delete (the order hazard)") {
+    // the LakeSpec counterexample through the STREAMING consumer: key 2
+    // updated in commit 1 then DELETED in commit 2 — a consumer that
+    // merges the commits into one un-ordered apply re-adds the commit-1
+    // postimage after the delete (LakeSpec proves applyChanges does
+    // exactly that on the merged feed); the commit-per-micro-batch fold
+    // must not
+    val v0 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x")
+    val v1 = Seq((1L, 10.0), (2L, 22.0), (3L, 30.0)).toDF("k", "x")
+    val v2 = Seq((1L, 10.0), (3L, 30.0), (4L, 40.0)).toDF("k", "x")
+    val got = Streams.streamCdfApplyCore(spark, "stream_cdf_spec",
+      Seq(v0, v1, v2), Seq("k"))
+      .as[(Long, Double)].collect().toSeq.sorted
+    assert(got === Seq((1L, 10.0), (3L, 30.0), (4L, 40.0)),
+      s"replica must equal the head snapshot (no resurrected key 2): $got")
+  }
+
   test("checkpointed parquet sink is exactly-once under restart (AvailableNow)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val src = Streams.eventsFileStream(spark, TestSpark.sf)

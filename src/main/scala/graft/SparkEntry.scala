@@ -540,6 +540,14 @@ object SparkEntry {
     // under the PINNED quantizer — tv over threshold schedules reindex
     "simsearch_index_health" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchIndexHealth(s, d)),
+    // acting on the verdict: planted exact drift (negated-copy corpus)
+    // crosses the tv threshold; the codebook re-learns on the drifted
+    // corpus, the rebuilt index persists + serves, and BOTH indexes are
+    // judged per-query against exact KNN (the ann_recall machinery) —
+    // closing the lifecycle loop: create → append → delete → compact →
+    // health → REBUILD
+    "simsearch_index_rebuild" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchIndexRebuild(s, d)),
     // residual encoding (FAISS's default): PQ codes quantize
     // x − coarse(cell) via the ResidualNearestCentroidSlice kernel;
     // score = per-(q,cell) coarse dot + m residual lookups
@@ -5952,6 +5960,139 @@ object SparkEntry {
         |    / (2.0 * max(ta)::DOUBLE * max(tb)::DOUBLE), 6) >= 0.05
         |    AS rebuild
         |FROM d""".stripMargin,
+    // the acted-on verdict: the drifted corpus is embeddings ∪ their
+    // component-wise |x| copies at vec_id+1e8 (abs is float-exact, so
+    // every dot/cosine replays bit-for-bit; the folded half piles into
+    // the old codebook's positive-leaning cells — concentrated drift);
+    // health = the index_health CTEs over the old-codebook assignment;
+    // both serves are the simsearch_ivf template under their codebook;
+    // the judge is ann_recall's hit count per query with the mean as
+    // ONE division of the integer sum(hits), plus the exact-integer
+    // balance report (n_cells, hot-cell population) per index
+    "simsearch_index_rebuild" ->
+      """WITH now AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000000 AS vec_id,
+        |    list_transform(embedding, x -> abs(x)) AS embedding
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS q_nrm
+        |  FROM now WHERE vec_id < 10
+        |    OR (vec_id >= 100000000 AND vec_id < 100000010)),
+        |c AS (SELECT vec_id AS c_id, embedding AS c_emb,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS c_nrm
+        |  FROM now),
+        |ex AS (SELECT q_id, c_id FROM (
+        |  SELECT q.q_id, c.c_id, row_number() OVER (PARTITION BY q.q_id
+        |    ORDER BY round(list_sum(list_transform(
+        |        range(1, len(q.q_emb) + 1),
+        |        i -> q.q_emb[i]::DOUBLE * c.c_emb[i]::DOUBLE))
+        |      / (q.q_nrm * c.c_nrm), 4) DESC, c.c_id ASC) AS rn
+        |  FROM c CROSS JOIN q WHERE q.q_id <> c.c_id) WHERE rn <= 5),
+        |cbo AS (SELECT vec_id AS cent_id, embedding AS c_v,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+        |  FROM embeddings WHERE vec_id % 127 = 0),
+        |cbn AS (SELECT vec_id AS cent_id, embedding AS c_v,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+        |  FROM now WHERE vec_id % 127 = 0),
+        |asgo AS (SELECT c_id, cent_id FROM (
+        |  SELECT c.c_id, cbo.cent_id, row_number() OVER (
+        |      PARTITION BY c.c_id ORDER BY
+        |      list_sum(list_transform(range(1, len(c.c_emb) + 1),
+        |        i -> c.c_emb[i]::DOUBLE
+        |           * (cbo.c_v[i]::DOUBLE / cbo.cnrm))) DESC,
+        |      cbo.cent_id ASC) AS rn
+        |  FROM c CROSS JOIN cbo) WHERE rn = 1),
+        |asgn AS (SELECT c_id, cent_id FROM (
+        |  SELECT c.c_id, cbn.cent_id, row_number() OVER (
+        |      PARTITION BY c.c_id ORDER BY
+        |      list_sum(list_transform(range(1, len(c.c_emb) + 1),
+        |        i -> c.c_emb[i]::DOUBLE
+        |           * (cbn.c_v[i]::DOUBLE / cbn.cnrm))) DESC,
+        |      cbn.cent_id ASC) AS rn
+        |  FROM c CROSS JOIN cbn) WHERE rn = 1),
+        |qco AS (SELECT q_id, cent_id FROM (
+        |  SELECT q.q_id, cbo.cent_id, row_number() OVER (
+        |      PARTITION BY q.q_id ORDER BY
+        |      list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |        i -> q.q_emb[i]::DOUBLE * cbo.c_v[i]::DOUBLE))
+        |      / (q.q_nrm * cbo.cnrm) DESC,
+        |      cbo.cent_id ASC) AS rn
+        |  FROM q CROSS JOIN cbo) WHERE rn <= 2),
+        |qcn AS (SELECT q_id, cent_id FROM (
+        |  SELECT q.q_id, cbn.cent_id, row_number() OVER (
+        |      PARTITION BY q.q_id ORDER BY
+        |      list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |        i -> q.q_emb[i]::DOUBLE * cbn.c_v[i]::DOUBLE))
+        |      / (q.q_nrm * cbn.cnrm) DESC,
+        |      cbn.cent_id ASC) AS rn
+        |  FROM q CROSS JOIN cbn) WHERE rn <= 2),
+        |srvo AS (SELECT q_id, c_id FROM (
+        |  SELECT qc.q_id, a.c_id, row_number() OVER (
+        |      PARTITION BY qc.q_id ORDER BY
+        |      round(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |        i -> q.q_emb[i]::DOUBLE * c.c_emb[i]::DOUBLE))
+        |      / (q.q_nrm * c.c_nrm), 4) DESC, a.c_id ASC) AS rn
+        |  FROM qco qc JOIN asgo a USING (cent_id)
+        |  JOIN q ON q.q_id = qc.q_id
+        |  JOIN c ON c.c_id = a.c_id
+        |  WHERE qc.q_id <> a.c_id) WHERE rn <= 5),
+        |srvn AS (SELECT q_id, c_id FROM (
+        |  SELECT qc.q_id, a.c_id, row_number() OVER (
+        |      PARTITION BY qc.q_id ORDER BY
+        |      round(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |        i -> q.q_emb[i]::DOUBLE * c.c_emb[i]::DOUBLE))
+        |      / (q.q_nrm * c.c_nrm), 4) DESC, a.c_id ASC) AS rn
+        |  FROM qcn qc JOIN asgn a USING (cent_id)
+        |  JOIN q ON q.q_id = qc.q_id
+        |  JOIN c ON c.c_id = a.c_id
+        |  WHERE qc.q_id <> a.c_id) WHERE rn <= 5),
+        |tags AS (SELECT 'old' AS idx UNION ALL SELECT 'rebuilt'),
+        |srv AS (SELECT 'old' AS idx, q_id, c_id FROM srvo
+        |        UNION ALL SELECT 'rebuilt', q_id, c_id FROM srvn),
+        |base AS (SELECT t.idx, ex.q_id, ex.c_id FROM tags t CROSS JOIN ex),
+        |hit AS (SELECT b.idx, b.q_id, count(s.c_id)::BIGINT AS hits,
+        |    count(*)::BIGINT AS exact_n
+        |  FROM base b LEFT JOIN srv s
+        |    ON s.idx = b.idx AND s.q_id = b.q_id AND s.c_id = b.c_id
+        |  GROUP BY 1, 2),
+        |counts AS (SELECT cent_id,
+        |    sum(CASE WHEN c_id < 100000000 THEN 1 ELSE 0 END)::BIGINT
+        |      AS ca,
+        |    count(*)::BIGINT AS cb
+        |  FROM asgo GROUP BY 1),
+        |tot AS (SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb
+        |  FROM counts),
+        |health AS (SELECT
+        |    round(sum(abs(ca * tb - cb * ta))::DOUBLE
+        |      / (2.0 * max(ta)::DOUBLE * max(tb)::DOUBLE), 6) AS tv,
+        |    round(sum(abs(ca * tb - cb * ta))::DOUBLE
+        |      / (2.0 * max(ta)::DOUBLE * max(tb)::DOUBLE), 6) >= 0.05
+        |      AS rebuild
+        |  FROM counts CROSS JOIN tot),
+        |meta AS (
+        |  SELECT 'old' AS idx,
+        |    (SELECT count(*) FROM cbo)::BIGINT AS n_cells,
+        |    (SELECT max(cnt) FROM (SELECT count(*)::BIGINT AS cnt
+        |      FROM asgo GROUP BY cent_id))::BIGINT AS max_cell
+        |  UNION ALL
+        |  SELECT 'rebuilt',
+        |    (SELECT count(*) FROM cbn)::BIGINT,
+        |    (SELECT max(cnt) FROM (SELECT count(*)::BIGINT AS cnt
+        |      FROM asgn GROUP BY cent_id))::BIGINT)
+        |SELECT h.idx, h.q_id, h.hits,
+        |  round(h.hits::DOUBLE / h.exact_n, 4) AS recall,
+        |  m.n_cells, m.max_cell,
+        |  round(sum(h.hits) OVER (PARTITION BY h.idx)::DOUBLE / 100.0,
+        |    4) AS mean_recall,
+        |  hl.tv, hl.rebuild
+        |FROM hit h JOIN meta m ON m.idx = h.idx CROSS JOIN health hl
+        |ORDER BY h.idx ASC, h.q_id ASC""".stripMargin,
     // residual IVFPQ: same asg/qc as simsearch_ivfpq; the PQ codebook
     // becomes each pq sample's residual against ITS OWN coarse cell
     // (rcb), corpus codes argmax over (x − coarse(cell))·rv − ‖rv‖²/2,

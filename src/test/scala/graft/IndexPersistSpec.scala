@@ -188,4 +188,34 @@ class IndexPersistSpec extends AnyFunSuite {
     assert(ok.getLong(1) === 30L && ok.getLong(2) === 60L)
     assert(bad.getLong(1) === 30L && bad.getLong(2) === 90L)
   }
+
+  test("index rebuild: the planted |x| drift trips the trigger, the " +
+      "re-learned codebook halves the hot cell, recall stays in band") {
+    val rows = SimSearch.simsearchIndexRebuild(spark, sf).collect()
+    val byIdx = rows.groupBy(_.getString(0))
+    assert(byIdx.keySet === Set("old", "rebuilt"))
+    // the health verdict fired (tv over threshold) on every row
+    assert(rows.forall(_.getBoolean(8)), "rebuild flag must be true")
+    assert(rows.forall(_.getDouble(7) >= 0.05), "tv must cross 0.05")
+    def one(idx: String, field: Int): Long = {
+      val vs = byIdx(idx).map(_.getLong(field)).distinct
+      assert(vs.length === 1, s"$idx field $field not constant: ${vs.toSeq}")
+      vs.head
+    }
+    // the rebuild doubles the cells and shrinks the hot cell — the
+    // serve-cost deliverable of a reindex
+    assert(one("rebuilt", 4) === 2 * one("old", 4),
+      "stride over the doubled corpus has 2x the cells")
+    assert(one("rebuilt", 5) < one("old", 5),
+      s"hot cell must shrink: ${one("rebuilt", 5)} vs ${one("old", 5)}")
+    // recall band: both serve real neighbors (chance level for nProbe=2
+    // is ~2/n_cells; the 0.25 ann_recall floor holds for both)
+    def mean(idx: String): Double =
+      byIdx(idx).map(_.getDouble(6)).distinct.head
+    assert(mean("old") >= 0.25 && mean("rebuilt") >= 0.25,
+      s"mean recall floor: old=${mean("old")} rebuilt=${mean("rebuilt")}")
+    // 20 judged queries per index, hits <= k
+    assert(byIdx("old").length === 20 && byIdx("rebuilt").length === 20)
+    assert(rows.forall(_.getLong(2) <= 5L))
+  }
 }

@@ -645,6 +645,11 @@ object SparkEntry {
       GraphOps.graphCc(s, d)),
     "graph_sssp" -> ((s: SparkSession, d: String) =>
       GraphOps.graphSssp(s, d)),
+    // seed-sampled closeness centrality: ONE multi-source BFS carrying
+    // (vertex, seed) pairs over the shared edge memo; exact integer
+    // seed counts + total hop distance, closeness = n/sum(d) at 4dp
+    "graph_closeness" -> ((s: SparkSession, d: String) =>
+      GraphOps.graphCloseness(s, d)),
     "graph_widest" -> ((s: SparkSession, d: String) =>
       GraphOps.graphWidest(s, d)),
     // community detection: 4 synchronous rounds of weighted label
@@ -5044,6 +5049,28 @@ object SparkEntry {
         |  FROM r JOIN und ON r.x = und.u WHERE r.d < 12)
         |SELECT x AS part, CAST(min(d) AS INTEGER) AS dist
         |FROM r GROUP BY x ORDER BY part ASC""".stripMargin,
+    // seed-sampled closeness: the sssp recursion with the SEED kept in
+    // the row — UNION-deduped (s, x, d) triples, depth-capped at 12;
+    // min d per (seed, vertex), then exact integer counts and one 4dp
+    // division (self-distance d=0 excluded, the engine's dist>0 rule)
+    "graph_closeness" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |r(s, x, d) AS (
+        |  SELECT DISTINCT u AS s, u AS x, 0 AS d FROM und WHERE u % 17 = 0
+        |  UNION
+        |  SELECT r.s, und.v AS x, r.d + 1 AS d
+        |  FROM r JOIN und ON r.x = und.u WHERE r.d < 12),
+        |md AS (SELECT s, x, min(d) AS d FROM r GROUP BY 1, 2)
+        |SELECT x AS part, count(*)::BIGINT AS n_seeds,
+        |  sum(d)::BIGINT AS total_dist,
+        |  round(count(*)::DOUBLE / sum(d)::DOUBLE, 4) AS closeness
+        |FROM md WHERE d > 0
+        |GROUP BY x ORDER BY part ASC""".stripMargin,
     // widest path: capacities only RISE toward the fixpoint and draw
     // from the finite co-value set, so the UNION recursion terminates
     // with no depth cap; max(cap) per vertex = the bottleneck optimum

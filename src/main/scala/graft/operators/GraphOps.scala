@@ -554,6 +554,87 @@ object GraphOps {
       minCo: Long = 2L): DataFrame =
     clustcoefEnum(cachedCoPurchaseEdges(spark, sfDir, minCo))
 
+  /** `graph_closeness` — seed-sampled CLOSENESS centrality (the ninth
+    * classic; VERDICT r16 #6: "centrality beyond PageRank"): for every
+    * vertex, how near is it to the pinned %17 seed set — n_seeds
+    * reached within `maxDepth`, the exact total hop distance, and
+    * closeness = n/Σd (the classic closeness restricted to the seed
+    * sample, the standard big-graph estimator: exact closeness needs
+    * all-pairs BFS, sampled-seed closeness is the production form —
+    * Eppstein–Wang). Counts are exact integers; the single float is
+    * the final 4dp division.
+    *
+    * Shape: ONE multi-source BFS carrying (vertex, seed) pairs —
+    * per round one keyed join of the labeled frontier against the
+    * shared edge memo + an anti-join against settled pairs (the
+    * ssspEnum scaffolding with the seed label threaded through), on
+    * the cloned low-latency session with per-round localCheckpoint +
+    * superseded-block release. State is |V|·|reached seeds| pairs —
+    * the seed sample bounds it, which is exactly why the sampled
+    * estimator is the one that scales. Ninth declared view of the one
+    * [[cachedCoPurchaseEdges]] corpus pass. The oracle is the
+    * depth-capped recursive CTE over (seed, vertex, d) triples (the
+    * graph_sssp recursion with the seed kept in the row).
+    */
+  def graphCloseness(spark: SparkSession, sfDir: String,
+      minCo: Long = 2L, seedMod: Long = 17L,
+      maxDepth: Int = 12): DataFrame =
+    closenessEnum(cachedCoPurchaseEdges(spark, sfDir, minCo), seedMod,
+      maxDepth)
+
+  /** Seed-labeled multi-source BFS closeness over an undirected (u, v)
+    * edge frame — the planted-graph harness for GraphMixSpec.
+    */
+  private[graft] def closenessEnum(edges: DataFrame, seedMod: Long,
+      maxDepth: Int): DataFrame = {
+    val spark0 = edges.sparkSession
+    val s2 = spark0.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val und0 = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val und = s2.createDataFrame(und0.rdd, und0.schema)
+    var dists = und.select(col("u").as("x")).distinct()
+      .filter(pmod(col("x"), lit(seedMod)) === 0)
+      .select(col("x"), col("x").as("s"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dists
+    // no conf restore (the kcoreEnum resolution, ADVICE r16): s2 is
+    // private to this call and the final aggregate below is s2-bound —
+    // the whole enum runs under one declared low-latency conf
+    var d = 1
+    var growing = true
+    while (growing && d <= maxDepth) {
+      val next = und
+        .join(frontier.select(col("x").as("u"), col("s")), "u")
+        .select(col("v").as("x"), col("s")).distinct()
+        .join(dists.select(col("x"), col("s")), Seq("x", "s"),
+          "left_anti")
+        .select(col("x"), col("s"), lit(d).as("dist"))
+        .localCheckpoint(true)
+      if (next.count() == 0) {
+        unpersistCheckpoint(next)
+        growing = false
+      } else {
+        val prevD = dists; val prevF = frontier
+        dists = dists.unionByName(next).localCheckpoint(true)
+        unpersistCheckpoint(prevD)
+        if (prevF ne prevD) unpersistCheckpoint(prevF)
+        frontier = next
+        d += 1
+      }
+    }
+    if (frontier ne dists) unpersistCheckpoint(frontier)
+    dists.filter(col("dist") > 0)
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("n_seeds"), sum(col("dist")).as("total_dist"))
+      .select(col("x").as("part"), col("n_seeds"), col("total_dist"),
+        round(col("n_seeds").cast("double")
+          / col("total_dist").cast("double"), 4).as("closeness"))
+      .orderBy(col("part").asc)
+  }
+
   /** Clustering coefficient over an undirected (u, v, co) edge frame —
     * the planted-graph harness for GraphMixSpec.
     */

@@ -463,6 +463,53 @@ class GraphMixSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_closeness: planted path/star values are exact; the " +
+      "depth cap truncates; self-distance is excluded") {
+    // seeds under mod 17: 0, 17, 34 (50/52 are not — 51 would be!).
+    // Path 0-1-17: vertex 1 reaches both seeds at d=1 → n=2 Σ=2 →
+    // closeness 1.0; seed 0 reaches 17 at d=2 (n=1 Σ=2 → 0.5, its own
+    // d=0 excluded); symmetric for 17. Star: 34 center with leaves
+    // 50, 52 → each leaf n=1 Σ=1 → 1.0, and 34 itself reaches no
+    // OTHER seed → absent (dist>0 empty). {40, 41} has no seed in its
+    // component → absent.
+    val edges = Seq((0L, 1L), (1L, 17L), (34L, 50L), (34L, 52L),
+      (40L, 41L)).toDF("u", "v")
+    val got = graft.operators.GraphOps
+      .closenessEnum(edges, seedMod = 17L, maxDepth = 12)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got === Map(
+      0L -> ((1L, 2L, 0.5)), 1L -> ((2L, 2L, 1.0)),
+      17L -> ((1L, 2L, 0.5)),
+      50L -> ((1L, 1L, 1.0)), 52L -> ((1L, 1L, 1.0))), s"got $got")
+    // depth cap: chain 17-60-61-62 with cap 2 — 62 (d=3) is absent
+    // from seed 17's reach, and its row vanishes (no other seed)
+    val chain = Seq((17L, 60L), (60L, 61L), (61L, 62L)).toDF("u", "v")
+    val capped = graft.operators.GraphOps
+      .closenessEnum(chain, seedMod = 17L, maxDepth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(capped === Map(60L -> 1L, 61L -> 2L), s"capped got $capped")
+    // fixture invariants: counts positive, closeness = n/Σd at 4dp,
+    // and no vertex reaches more seeds than exist in the graph
+    val sfv = TestSpark.sf
+    val rows = graft.operators.GraphOps.graphCloseness(spark, sfv)
+      .collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.lineitem(spark, sfv)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val nSeeds = graft.operators.GraphOps.coPurchaseEdges(li, 2L)
+      .select(col("u")).union(
+        graft.operators.GraphOps.coPurchaseEdges(li, 2L).select(col("v")))
+      .distinct().filter(col("u") % 17 === 0).count()
+    rows.foreach { r =>
+      val (n, td, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0 && td >= n && n <= nSeeds, s"bad row $r")
+      assert(math.abs(c - math.rint(n.toDouble / td * 10000) / 10000)
+        < 1e-12, s"closeness mismatch: $r")
+    }
+  }
+
   test("graph_labelprop: two planted cliques joined by a weak bridge " +
       "stay separate communities (where graph_cc merges them)") {
     // Triangle A {1,2,3} (intra weight 5), triangle B {10,11,12}

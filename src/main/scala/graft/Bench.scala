@@ -21,6 +21,39 @@ object Bench {
     (System.nanoTime() - t0) / 1000000L
   }
 
+  /** PARALLEL calibration probe (VERDICT r16 #1: the single-thread
+    * spin stays fast while neighbor load steals 31 of 32 cores — it
+    * cannot see multi-core contention, which is exactly what inflated
+    * the driver's timed section 1.22× over the quiet artifact with a
+    * FLAT serial calibration). Fixed work: `nTasks` tasks of 100M
+    * xorshift steps each, run as one Spark stage across every local
+    * core. On an idle machine wall ≈ one task's spin (~1/4 of the
+    * serial probe); under external load the stage serializes onto
+    * whatever cores remain, so
+    * machine_parallel_factor = calib_par_ms(run A) / calib_par_ms(run
+    * B) exposes core starvation that leaves the serial probe flat.
+    * Read both: serial flat + parallel inflated ⇒ neighbor load stole
+    * cores mid-run; both inflated ⇒ the whole box slowed.
+    */
+  private def calibParMs(spark: SparkSession, nTasks: Int): Long = {
+    val t0 = System.nanoTime()
+    val r = spark.range(0, nTasks.toLong, 1, nTasks)
+      .rdd.mapPartitions { it =>
+        var acc = 0L
+        it.foreach { p =>
+          var x = 0x9E3779B97F4A7C15L + p
+          var i = 0L
+          while (i < 100000000L) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+          }
+          acc ^= x
+        }
+        Iterator.single(acc)
+      }.reduce(_ ^ _)
+    if (r == 42L) System.err.println("[bench] calib-par fixpoint")
+    (System.nanoTime() - t0) / 1000000L
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,6 +103,12 @@ object Bench {
       warmMs(phase) = (System.nanoTime() - t0) / 1000000L
     }
     warm("session") { SparkEntry.queries("agg_group_sum")(spark, sfDir).count(); () }
+    // parallel probe AFTER the session warm, with one DISCARDED run
+    // first: the first parallel stage pays JIT + task-launch warmup
+    // (measured 963 ms vs 268 ms steady on an idle box), which would
+    // make pre read hotter than post on every run; see calibParMs
+    calibParMs(spark, cpus.toInt): Unit
+    val calibParPre = calibParMs(spark, cpus.toInt)
     warm("bucketed") { graft.sources.SinkQueries.warmBucketed(spark, sfDir) }
     warm("memos") { graft.operators.MinHashDedup.warmMemos(spark, sfDir) }
     warm("lm") { graft.operators.TextOps.warmLm(spark, sfDir) }
@@ -175,6 +214,7 @@ object Bench {
     // summed executorRunTime of its tasks (listener-drained, exact).
     val warmFailedJson = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibPost = calibMs()
+    val calibParPost = calibParMs(spark, cpus.toInt)
     val warmTotalMs = warmMs.values.sum
     val totalWithWarm = total + warmTotalMs / 1000.0
     // cpu_ms = summed executorCpuTime: the scheduler/JVM-pause-free
@@ -182,7 +222,7 @@ object Bench {
     // compiles, safepoints) — in a 32-thread local JVM one pause charges
     // all 32 concurrent tasks, so dust-sized stages can carry seconds of
     // task_ms at milliseconds of cpu_ms. Read rank_task_ms with cpu_ms.
-    val line = s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"cpu_ms":${msMap(cpuByQ)},"queries":$qs,"rank_task_ms":$rankTask,"warm_ms":${msMap(warmMs)},"warmup_failed":$warmFailedJson,"warm_total_ms":$warmTotalMs,"total_with_warm_sec":$totalWithWarm,"calib_ms_pre":$calibPre,"calib_ms_post":$calibPost,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"failed":${errors.nonEmpty}}"""
+    val line = s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"cpu_ms":${msMap(cpuByQ)},"queries":$qs,"rank_task_ms":$rankTask,"warm_ms":${msMap(warmMs)},"warmup_failed":$warmFailedJson,"warm_total_ms":$warmTotalMs,"total_with_warm_sec":$totalWithWarm,"calib_ms_pre":$calibPre,"calib_ms_post":$calibPost,"calib_par_ms_pre":$calibParPre,"calib_par_ms_post":$calibParPost,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"failed":${errors.nonEmpty}}"""
     println(line)
     // the stdout line is ~15 KB and the driver's tail capture truncates
     // it (BENCH_r08/r09 kept ~60 of 217 per-query timings) — persist the

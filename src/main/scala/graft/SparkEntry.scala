@@ -61,6 +61,10 @@ object SparkEntry {
     "lake_vacuum_safe" -> (SinkQueries.lakeVacuumSafe _),
     "lake_changes" -> (SinkQueries.lakeChanges _),
     "lake_restore" -> (SinkQueries.lakeRestore _),
+    // rollback WITH write-time capture: restoreVersionCdf publishes the
+    // undo as a captured commit — the declared output is the (2, 3]
+    // feed a replica would consume to follow the rollback
+    "lake_restore_cdf" -> (SinkQueries.lakeRestoreCdf _),
     // write-time CDF capture: per-commit change files land beside each
     // version; the captured feed attributes rows to THEIR commit —
     // the fidelity lake_changes' snapshot diff cannot provide
@@ -2477,6 +2481,39 @@ object SparkEntry {
          |ORDER BY o_orderkey ASC, _commit_version ASC,
          |  _change_type ASC""".stripMargin
     },
+    // rollback capture: the v2→v1 diff (the UNDO as churn) stamped
+    // with the restore commit 3 — inserts resurrect the %23 deletes,
+    // updates revert the %11 reprice; s2 ⊆ s1 keys so no delete rows
+    "lake_restore_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |s1 AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 19 <> 0),
+        |s2 AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 2000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM s1 WHERE o_orderkey % 23 <> 0),
+        |upd3 AS (SELECT s2.o_orderkey FROM s2 JOIN s1 USING (o_orderkey)
+        |  WHERE s2.o_totalprice <> s1.o_totalprice
+        |     OR s2.o_orderstatus <> s1.o_orderstatus)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, _change_type,
+        |  CAST(3 AS INTEGER) AS _commit_version FROM (
+        |  SELECT s1.*, 'insert' AS _change_type FROM s1
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM s2 WHERE s2.o_orderkey = s1.o_orderkey)
+        |  UNION ALL
+        |  SELECT s2.*, 'delete' FROM s2
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM s1 WHERE s1.o_orderkey = s2.o_orderkey)
+        |  UNION ALL
+        |  SELECT s2.*, 'update_preimage' FROM s2
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM upd3)
+        |  UNION ALL
+        |  SELECT s1.*, 'update_postimage' FROM s1
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM upd3))
+        |ORDER BY o_orderkey ASC, _change_type ASC""".stripMargin,
     // z-order clustering changes file LAYOUT only — content round-trips
     "sink_zorder" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -828,6 +828,44 @@ object SinkQueries {
         col("_change_type").asc)
   }
 
+  /** `lake_restore_cdf` — rollback WITH write-time capture
+    * ([[LakeIO.restoreVersionCdf]], ADVICE r16: a plain restore on a
+    * CDF table leaves its commit uncaptured and [[LakeIO.capturedChanges]]
+    * then refuses any range spanning it): the `lake_write_cdf` planted
+    * churn lands as three captured commits, the table rolls back to
+    * v1 via restoreVersionCdf (publishing v3 WITH its change feed),
+    * and the declared output is the captured feed over (2, 3] — the
+    * UNDO as churn, which is exactly what a downstream replica
+    * consumes to follow the rollback (the stream_cdf_apply_ok
+    * consumer shape). The oracle recomputes the v2→v1 diff directly
+    * from orders, stamped commit 3: a restore that drops capture,
+    * restores the wrong pin, or stamps the wrong commit
+    * hash-mismatches.
+    */
+  def lakeRestoreCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = uniqueRunDir(sfDir, "lake_restore_cdf")
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val keys = Seq("o_orderkey")
+    val v0 = base.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+    LakeIO.saveVersionCdf(v0.repartition(writerTasks), out, keys)
+    val v1 = base.filter(pmod(col("o_orderkey"), lit(19)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7)) === 0,
+          col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")))
+    LakeIO.saveVersionCdf(v1.repartition(writerTasks), out, keys)
+    val v2 = v1.filter(pmod(col("o_orderkey"), lit(23)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(11)) === 0,
+          col("o_totalprice") + 2000.0)
+          .otherwise(col("o_totalprice")))
+    LakeIO.saveVersionCdf(v2.repartition(writerTasks), out, keys)
+    LakeIO.restoreVersionCdf(spark, out, 1, keys)
+    LakeIO.capturedChanges(spark, out, 2, 3)
+      .orderBy(col("o_orderkey").asc, col("_change_type").asc)
+  }
+
   /** `lake_restore` — rollback to a pinned version
     * ([[LakeIO.restoreVersion]]; completes the snapshot lifecycle:
     * history → time-travel → changes → vacuum → RESTORE): three

@@ -458,6 +458,12 @@ object SparkEntry {
     // must BE the v2 snapshot the oracle recomputes from orders
     "stream_cdf_apply_ok" -> ((s: SparkSession, d: String) =>
       graft.streaming.Streams.streamCdfApplyOk(s, d)),
+    // streaming ingest into the persisted vector index: delta vectors
+    // encode at ingest under the PINNED store quantizers (foreachBatch,
+    // row-local) and append into the cent_id layout — gated on the
+    // simsearch_index_incremental oracle verbatim
+    "stream_index_append_ok" -> ((s: SparkSession, d: String) =>
+      graft.streaming.Streams.streamIndexAppendOk(s, d)),
     // production-default banding (deeper bands → ~linear candidate set;
     // recall tunes per corpus); no oracle (xxhash64-derived hyperplanes
     // aren't DuckDB-expressible) — agreement with the exact operator is
@@ -5976,6 +5982,11 @@ object SparkEntry {
     // equal the full encode the oracle recomputes — a delta encoded
     // against drifted codebooks, or a store rewrite, hash-mismatches
     "simsearch_index_incremental" ->
+      ivfPqOracle("vec_id % 10 < 8 AND "),
+    // the streaming ingest twin appends the SAME rows the batch
+    // incremental appends (encode is deterministic and row-local) —
+    // the shared-oracle precedent, verbatim
+    "stream_index_append_ok" ->
       ivfPqOracle("vec_id % 10 < 8 AND "),
     // delete lifecycle: the SAME template with the tombstoned family
     // excluded from the CANDIDATE side only (queries are serve-time

@@ -1058,6 +1058,56 @@ object SimSearch {
     */
   private[graft] val DriftOffset = 100000000L
 
+  /** The IVFPQ ENCODE pass as a reusable frame — (c_id, cent_id, s,
+    * code) under pinned codebooks (simsearch_index_persisted's build
+    * side, exposed for the streaming ingest twin: encode is row-local
+    * and deterministic, so batch-encode ≡ stream-encode per row).
+    */
+  private[graft] def encodeIvfPq(part: DataFrame,
+      coarse: Array[(Long, Array[Float], Double)],
+      pqCb: Array[(Long, Array[Float], Double)], m: Int): DataFrame = {
+    val sub = pqSubDim(pqCb, m)
+    ivfAssignCorpus(part, coarse)
+      .select(col("c_id"), col("cent_id"),
+        posexplode(array(pqCodeCols(pqCb, m, sub, col("c_emb")): _*))
+          .as(Seq("s", "code")))
+  }
+
+  /** The IVFPQ SERVE pass over a persisted cent_id-partitioned code
+    * artifact (simsearch_index_persisted's read side, exposed for the
+    * streaming ingest twin): cell probe (DPP) → LUT scoring → top-k;
+    * the embedding column never re-enters the plan.
+    */
+  private[graft] def serveIvfPqArtifact(spark: SparkSession,
+      indexPath: String, emb: DataFrame,
+      coarse: Array[(Long, Array[Float], Double)],
+      pqCb: Array[(Long, Array[Float], Double)], k: Int, nQueries: Int,
+      m: Int, nProbe: Int): DataFrame = {
+    val sub = pqSubDim(pqCb, m)
+    val corpus = spark.read.parquet(indexPath)
+      .select(col("c_id"), col("s"), col("code"),
+        col("cent_id").cast("long").as("cent_id"))
+    val queryCells = ivfQueryCells(emb, coarse, nQueries, nProbe)
+      .select(col("q_id"), col("cent_id"))
+    val lut = pqLutFrame(emb.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      pqCb, m, sub)
+    pqTopK(corpus
+      .join(broadcast(queryCells), Seq("cent_id"))
+      .join(broadcast(lut), Seq("q_id", "s", "code")), k)
+  }
+
+  /** Pinned store-side codebooks for the incremental/streaming index
+    * forms (yesterday's quantizers — the simsearch_index_incremental
+    * contract).
+    */
+  private[graft] def storeCodebooks(store: DataFrame,
+      coarseStride: Long = 127, pqStride: Long = 61)
+      : (Array[(Long, Array[Float], Double)],
+         Array[(Long, Array[Float], Double)]) =
+    (ivfCodebook(store, coarseStride),
+      ivfCodebook(store, pqStride).take(MaxPqCodebook))
+
   /** `simsearch_index_rebuild` — the lifecycle's final composition
     * (VERDICT r16 #5: `simsearch_index_health` emits the drift verdict
     * but nothing declared ACTS on it): a domain shift arrives — the

@@ -1731,6 +1731,88 @@ object Streams {
     spark.read.parquet(replica)
   }
 
+  /** `stream_index_append_ok` — STREAMING ingest into the persisted
+    * vector index (the production shape behind every "vectors arrive
+    * continuously" store: encode at ingest under the PINNED store
+    * quantizers, pure APPEND into the cent_id-partitioned artifact;
+    * re-learning codebooks is a reindex event —
+    * `simsearch_index_rebuild` — never an ingest batch): the store's
+    * IVFPQ codes persist batch-side, today's delta embeddings
+    * file-replay in TWO micro-batches through foreachBatch — each
+    * batch paying ONLY its own row-local encode
+    * ([[graft.operators.SimSearch.encodeIvfPq]], deterministic, so
+    * stream-encode ≡ batch-encode per row) before appending — and the
+    * serve path reads the merged artifact. Gated on
+    * `simsearch_index_incremental`'s oracle VERBATIM (the
+    * shared-oracle precedent): an ingest that encodes under drifted
+    * codebooks, drops a micro-batch, double-appends on retry, or
+    * breaks the cent_id layout hash-mismatches.
+    *
+    * Scale: per-micro-batch cost is |batch| encode + an append of
+    * |batch| × (id + m codes) bytes; the store is never rewritten and
+    * serve cost is unchanged (DPP prunes to the probed cells across
+    * store and streamed files alike).
+    */
+  def streamIndexAppendOk(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10, m: Int = 4,
+      nProbe: Int = 2): DataFrame = {
+    import graft.operators.SimSearch
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val store = emb.filter(col("vec_id") % 10 < 8)
+    val delta = emb.filter(col("vec_id") % 10 >= 8)
+      .select(col("vec_id"), col("embedding"))
+    val (coarse, pqCb) = SimSearch.storeCodebooks(store)
+    val dir = java.nio.file.Files
+      .createTempDirectory(scratchBase, "graft_stream_index_append")
+      .toString
+    val index = s"$dir/index"
+    // day 0: the store's artifact (batch build)
+    SimSearch.encodeIvfPq(store, coarse, pqCb, m)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cent_id").parquet(index)
+    // the delta replays in two single-file micro-batches
+    val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
+    delta.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$dir/b0")
+    delta.filter(col("vec_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$dir/b1")
+    def deliver(i: Int): Unit =
+      new java.io.File(s"$dir/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, j) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(feed, s"b$i-$j.parquet").toPath)
+          ()
+        }
+    deliver(0)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = spark.read.parquet(feed.toString).schema
+    val q = s2.readStream.schema(schema).parquet(feed.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          // ingest-time encode under the PINNED quantizers (closure-
+          // captured codebook arrays), append-only into the layout
+          SimSearch.encodeIvfPq(batch.toDF(), coarse, pqCb, m)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("cent_id").parquet(index)
+          ()
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      deliver(1); q.processAllAvailable()
+    } finally q.stop()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRec(new java.io.File(dir))
+      catch { case _: Exception => () }))
+    SimSearch.serveIvfPqArtifact(spark, index, emb, coarse, pqCb, k,
+      nQueries, m, nProbe)
+  }
+
   /** Shared file-replay harness for every declared `stream_*_ok` row:
     * the batch frames replay as SEQUENTIAL micro-batches into a
     * RocksDB-backed pipeline (MapState needs the multi-column-family

@@ -947,6 +947,23 @@ class StreamingSpec extends AnyFunSuite {
       s"replica must equal the head snapshot (no resurrected key 2): $got")
   }
 
+  test("stream index append: the streamed artifact serves exactly what " +
+      "the batch incremental serves (same pinned codebooks)") {
+    // encode is deterministic and row-local, so two micro-batches of
+    // ingest-time encode + append must yield an artifact that serves
+    // the identical top-k as simsearch_index_incremental's batch form
+    val sfv = TestSpark.sf
+    val streamed = Streams.streamIndexAppendOk(spark, sfv)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.SimSearch
+      .simsearchIndexIncremental(spark, sfv)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch,
+      s"streamed-vs-batch divergence: ${streamed.diff(batch).take(3)} / " +
+        s"${batch.diff(streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("checkpointed parquet sink is exactly-once under restart (AvailableNow)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val src = Streams.eventsFileStream(spark, TestSpark.sf)

@@ -151,6 +151,13 @@ object SparkEntry {
     // the thresholded row legitimately finds nothing
     "multimodal_audio_dedup_cand" -> ((s: SparkSession, d: String) =>
       Multimodal.multimodalAudioDedupCand(s, d)),
+    // daily-crawl forms at the signature-set tiers: delta clips drop on
+    // bidirectional containment vs the store or a smaller-id delta —
+    // the phash-incremental seen-store contract lifted to frame SETS
+    "multimodal_video_dedup_incremental" -> ((s: SparkSession, d: String) =>
+      Multimodal.videoDedupIncremental(s, d)),
+    "multimodal_audio_dedup_incremental" -> ((s: SparkSession, d: String) =>
+      Multimodal.audioDedupIncremental(s, d)),
     "pipeline_curate" -> ((s: SparkSession, d: String) =>
       TextOps.pipelineCurate(s, d)),
     "win_range_interval" -> (Windows.winRangeInterval _),
@@ -1048,6 +1055,69 @@ object SparkEntry {
       |b AS (SELECT asset_id, fph, unnest(range(0, 4)) AS band FROM f),
       |bb AS (SELECT asset_id, fph, band,
       |    (fph >> CAST(band*16 AS INT)) & 65535 AS bval FROM b)""".stripMargin
+
+  /** Shared CTE chain for the `multimodal_video_dedup` family: video
+    * docs (doc_id % 3 = 2, ≥ 252 chars) → 252-char frame windows at
+    * stride 100 → per-frame dHash (the phashCtes integer arithmetic
+    * over the window) → the distinct signature set `f` + sizes `sz` +
+    * the 4×16-bit banding `bb`.
+    */
+  private lazy val videoFrameCtes: String =
+    """WITH vf AS (
+      |  SELECT doc_id AS asset_id,
+      |    unnest(range(0,
+      |      greatest((length(text) - 252) // 100 + 1, 0))) AS k,
+      |    text
+      |  FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 252),
+      |w AS (SELECT asset_id,
+      |    substr(text, CAST(k*100+1 AS INT), 252) AS w FROM vf),
+      |px AS (SELECT asset_id, list_transform(range(1, 253),
+      |    j -> ord(substr(w, CAST(j AS INT), 1))) AS p FROM w),
+      |seg AS (SELECT asset_id,
+      |    list_transform(range(0, 63), b -> CAST(list_sum(
+      |      p[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)]) AS BIGINT)) AS s
+      |  FROM px),
+      |ph AS (SELECT asset_id, CAST(list_sum(list_transform(range(0, 62),
+      |    i -> CASE WHEN s[CAST(i+1 AS INT)] > s[CAST(i+2 AS INT)]
+      |              THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+      |              ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fph
+      |  FROM seg),
+      |f AS (SELECT DISTINCT asset_id, fph FROM ph),
+      |sz AS (SELECT asset_id, count(*)::BIGINT AS n FROM f GROUP BY 1),
+      |b AS (SELECT asset_id, fph, unnest(range(0, 4)) AS band FROM f),
+      |bb AS (SELECT asset_id, fph, band,
+      |    (fph >> CAST(band*16 AS INT)) & 65535 AS bval FROM b)""".stripMargin
+
+  /** Seen-store incremental tail over a signature-set CTE chain
+    * (expects `f`/`sz`/`bb` in scope): a delta clip (asset_id % 10 ≥
+    * 8) drops iff it clears bidirectional containment 2m ≥ n at
+    * Hamming ≤ 3 against ANY store clip or a smaller-id delta clip;
+    * short (signature-less) delta clips survive by construction.
+    */
+  private def signatureIncrementalTail(daPredicate: String,
+      mime: String): String =
+    s""",
+      |da AS (SELECT doc_id AS asset_id, '$mime' AS mime FROM documents
+      |  WHERE $daPredicate AND doc_id % 10 >= 8),
+      |m AS (SELECT DISTINCT nb.asset_id AS n_id, ob.asset_id AS o_id,
+      |    nb.fph AS n_fph, ob.fph AS o_fph
+      |  FROM bb nb JOIN bb ob
+      |    ON nb.band = ob.band AND nb.bval = ob.bval
+      |  WHERE nb.asset_id % 10 >= 8
+      |    AND (ob.asset_id % 10 < 8
+      |         OR (ob.asset_id % 10 >= 8 AND ob.asset_id < nb.asset_id))
+      |    AND bit_count(xor(nb.fph, ob.fph)) <= 3),
+      |dropped AS (SELECT DISTINCT n_id FROM (
+      |    SELECT n_id, o_id,
+      |      count(DISTINCT n_fph)::BIGINT AS m_n,
+      |      count(DISTINCT o_fph)::BIGINT AS m_o
+      |    FROM m GROUP BY 1, 2) mm
+      |  JOIN sz sn ON mm.n_id = sn.asset_id
+      |  JOIN sz so ON mm.o_id = so.asset_id
+      |  WHERE 2*m_n >= sn.n AND 2*m_o >= so.n)
+      |SELECT asset_id, mime FROM da
+      |WHERE asset_id NOT IN (SELECT n_id FROM dropped)
+      |ORDER BY asset_id ASC""".stripMargin
 
   /** Shared by `multimodal_phash_incremental` and its streaming twin
     * `stream_dedup_phash_ok` (the minhashIncrementalSql precedent):
@@ -4417,31 +4487,7 @@ object SparkEntry {
     // window) -> signature distinct -> the SAME lossless 4x16-bit
     // banding the engine uses (integer shifts, exact) -> Hamming <= 3
     // verify -> exact-integer bidirectional containment 2*m >= n
-    "multimodal_video_dedup" ->
-      """WITH vf AS (
-        |  SELECT doc_id AS asset_id,
-        |    unnest(range(0,
-        |      greatest((length(text) - 252) // 100 + 1, 0))) AS k,
-        |    text
-        |  FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 252),
-        |w AS (SELECT asset_id,
-        |    substr(text, CAST(k*100+1 AS INT), 252) AS w FROM vf),
-        |px AS (SELECT asset_id, list_transform(range(1, 253),
-        |    j -> ord(substr(w, CAST(j AS INT), 1))) AS p FROM w),
-        |seg AS (SELECT asset_id,
-        |    list_transform(range(0, 63), b -> CAST(list_sum(
-        |      p[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)]) AS BIGINT)) AS s
-        |  FROM px),
-        |ph AS (SELECT asset_id, CAST(list_sum(list_transform(range(0, 62),
-        |    i -> CASE WHEN s[CAST(i+1 AS INT)] > s[CAST(i+2 AS INT)]
-        |              THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-        |              ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fph
-        |  FROM seg),
-        |f AS (SELECT DISTINCT asset_id, fph FROM ph),
-        |sz AS (SELECT asset_id, count(*)::BIGINT AS n FROM f GROUP BY 1),
-        |b AS (SELECT asset_id, fph, unnest(range(0, 4)) AS band FROM f),
-        |bb AS (SELECT asset_id, fph, band,
-        |    (fph >> CAST(band*16 AS INT)) & 65535 AS bval FROM b),
+    "multimodal_video_dedup" -> (videoFrameCtes + """,
         |m AS (SELECT DISTINCT a.asset_id AS a_id, b2.asset_id AS b_id,
         |    a.fph AS a_fph, b2.fph AS b_fph
         |  FROM bb a JOIN bb b2 ON a.band = b2.band AND a.bval = b2.bval
@@ -4455,7 +4501,16 @@ object SparkEntry {
         |FROM mm JOIN sz sa ON a_id = sa.asset_id
         |JOIN sz sb ON b_id = sb.asset_id
         |WHERE 2*m_a >= sa.n AND 2*m_b >= sb.n
-        |ORDER BY a_id ASC, b_id ASC""".stripMargin,
+        |ORDER BY a_id ASC, b_id ASC""".stripMargin),
+    // seen-store incremental at the signature-set tiers: exact
+    // all-pairs formulation (lossless banding), short delta clips
+    // survive by construction — the phash-incremental contract
+    "multimodal_video_dedup_incremental" -> (videoFrameCtes +
+      signatureIncrementalTail("doc_id % 3 = 2", "video/mp4")),
+    "multimodal_audio_dedup_incremental" -> (audioHkCtes + """,
+        |sz AS (SELECT asset_id, count(*)::BIGINT AS n FROM f
+        |  GROUP BY 1)""".stripMargin +
+      signatureIncrementalTail("doc_id % 3 = 1", "audio/wav")),
     // audio near-dup: consecutive window pairs (252 chars, stride 100;
     // frame k vs k-1, so >= 352 chars qualifies) -> 63 band energies
     // per window -> Haitsma-Kalker difference-of-differences sign bits

@@ -533,6 +533,126 @@ object Multimodal {
       .orderBy(col("a_id").asc, col("b_id").asc, col("hamming").asc)
   }
 
+  /** The distinct per-clip dHash frame signatures for the VIDEO tier
+    * (the [[videoDedupAssets]] fingerprint stage, factored for the
+    * incremental form).
+    */
+  private def videoFrames(assets: DataFrame): DataFrame = assets
+    .filter(col("mime").startsWith("video/"))
+    .select(col("asset_id"), decode(col("blob"), "UTF-8").as("s"))
+    .filter(length(col("s")) >= PhashMinChars)
+    .select(col("asset_id"), col("s"),
+      explode(sequence(lit(0L),
+        ((length(col("s")) - lit(PhashMinChars))
+          / lit(FrameStride)).cast("long"))).as("k"))
+    .select(col("asset_id"), col("s").substr(
+      (col("k") * FrameStride + 1).cast("int"),
+      lit(PhashMinChars)).as("w"))
+    .select(col("asset_id"), phashExpr(col("w")).as("fph"))
+    .distinct()
+    .localCheckpoint(true)
+
+  /** `multimodal_video_dedup_incremental` / `multimodal_audio_dedup_
+    * incremental` — the daily-crawl form at the SIGNATURE-SET tiers
+    * (the `multimodal_phash_incremental` seen-store contract lifted
+    * from single 8-byte hashes to per-clip fingerprint SETS,
+    * completing the incremental family across all three perceptual
+    * modalities): yesterday's clips have persisted frame-signature
+    * stores (8 bytes × frames per clip — no blob is ever re-decoded);
+    * today's delta clips compute THEIR signatures (delta-sized decode
+    * work) and a delta clip drops iff it clears the bidirectional
+    * containment bar (2m ≥ n both ways at Hamming ≤ `maxHamming`)
+    * against ANY store clip or any SMALLER-id delta clip. The banding
+    * is lossless at Hamming ≤ 3 (pigeonhole), so the oracle is the
+    * exact all-pairs formulation and seen-store batching is
+    * associative exactly. Short clips (no qualifying frames) never
+    * enter the join and survive by construction — the
+    * phash-incremental contract.
+    *
+    * Scale: store side is the persisted signature frame, bucket-pruned
+    * by the delta's band keys; candidate pairs form only inside
+    * (band, bval) buckets; one asset_id anti-join emits survivors.
+    */
+  def videoDedupIncremental(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val a = syntheticAssets(spark, sfDir)
+      .filter(col("mime").startsWith("video/"))
+    signatureIncremental(
+      videoFrames(a.filter(col("asset_id") % 10 < 8)),
+      videoFrames(a.filter(col("asset_id") % 10 >= 8)),
+      a.filter(col("asset_id") % 10 >= 8)
+        .select(col("asset_id"), col("mime")), maxHamming)
+  }
+
+  def audioDedupIncremental(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val a = syntheticAssets(spark, sfDir)
+      .filter(col("mime").startsWith("audio/"))
+    signatureIncremental(
+      audioFrames(a.filter(col("asset_id") % 10 < 8)),
+      audioFrames(a.filter(col("asset_id") % 10 >= 8)),
+      a.filter(col("asset_id") % 10 >= 8)
+        .select(col("asset_id"), col("mime")), maxHamming)
+  }
+
+  /** Planted-asset harnesses for PhashSpec (explicit store/delta
+    * (asset_id, mime, blob) frames with disjoint ids).
+    */
+  private[graft] def videoIncrementalAssets(store: DataFrame,
+      delta: DataFrame, maxHamming: Int): DataFrame =
+    signatureIncremental(videoFrames(store), videoFrames(delta),
+      delta.filter(col("mime").startsWith("video/"))
+        .select(col("asset_id"), col("mime")), maxHamming)
+
+  private[graft] def audioIncrementalAssets(store: DataFrame,
+      delta: DataFrame, maxHamming: Int): DataFrame =
+    signatureIncremental(audioFrames(store), audioFrames(delta),
+      delta.filter(col("mime").startsWith("audio/"))
+        .select(col("asset_id"), col("mime")), maxHamming)
+
+  /** Seen-store incremental over explicit store/delta signature frames
+    * (distinct (asset_id, fph) rows) — shared by the video and audio
+    * incremental forms; `deltaAssets` carries EVERY delta asset
+    * (including short, signature-less ones, which survive).
+    */
+  private def signatureIncremental(storeF: DataFrame, deltaF: DataFrame,
+      deltaAssets: DataFrame, maxHamming: Int): DataFrame = {
+    def bands(f: DataFrame) = f.select(col("asset_id"), col("fph"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("fph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bval")))
+    def sizes(f: DataFrame) =
+      f.groupBy(col("asset_id")).agg(count(lit(1)).as("n"))
+    val deltaBands = bands(deltaF).repartition(col("band"), col("bval"))
+    val nSide = deltaBands.select(col("band"), col("bval"),
+      col("asset_id").as("n_id"), col("fph").as("n_fph"))
+    val oSide = bands(storeF)
+      .select(col("band"), col("bval"), col("asset_id").as("o_id"),
+        col("fph").as("o_fph"), lit(false).as("o_delta"))
+      .unionByName(deltaBands
+        .select(col("band"), col("bval"), col("asset_id").as("o_id"),
+          col("fph").as("o_fph"), lit(true).as("o_delta")))
+    val matches = nSide.join(oSide, Seq("band", "bval"))
+      .filter((!col("o_delta") || col("o_id") < col("n_id")) &&
+        bit_count(col("n_fph").bitwiseXOR(col("o_fph"))) <= maxHamming)
+      .select(col("n_id"), col("o_id"), col("n_fph"), col("o_fph"))
+      .distinct()
+    val dropped = matches.groupBy(col("n_id"), col("o_id"))
+      .agg(countDistinct(col("n_fph")).as("m_n"),
+        countDistinct(col("o_fph")).as("m_o"))
+      .join(sizes(deltaF)
+        .select(col("asset_id").as("n_id"), col("n").as("sz_n")), "n_id")
+      .join(sizes(storeF.unionByName(deltaF))
+        .select(col("asset_id").as("o_id"), col("n").as("sz_o")), "o_id")
+      .filter(col("m_n") * 2 >= col("sz_n") &&
+        col("m_o") * 2 >= col("sz_o"))
+      .select(col("n_id")).distinct()
+    deltaAssets.join(dropped,
+        deltaAssets("asset_id") === col("n_id"), "left_anti")
+      .select(col("asset_id"), col("mime"))
+      .orderBy(col("asset_id").asc)
+  }
+
   /** STUB decode: a real implementation would decode the image/audio blob
     * (e.g. via a JNI codec or mapInPandas on a Python-enabled cluster)
     * into pixel/sample tensors. Here: a deterministic fake "feature"

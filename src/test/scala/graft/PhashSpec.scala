@@ -177,6 +177,36 @@ class PhashSpec extends AnyFunSuite {
       s"containment must clear 1/2 both ways: $ma/$na $mb/$nb")
   }
 
+  test("signature-set incremental (video + audio): store dups drop, " +
+      "earlier-delta dups drop, short and novel clips survive") {
+    def clips(mime: String, rows: Seq[(Long, String)]) =
+      rows.toDF("asset_id", "s")
+        .select(col("asset_id"), lit(mime).as("mime"),
+          encode(col("s"), "UTF-8").as("blob"))
+    val t = randText(301L, 800)
+    val reenc = t.updated(400, 'z').updated(401, 'z')
+    val u = randText(302L, 800)
+    val uDup = u.updated(100, 'q')
+    for ((mime, inc) <- Seq(
+      ("video/mp4", Multimodal.videoIncrementalAssets _),
+      ("audio/wav", Multimodal.audioIncrementalAssets _))) {
+      val store = clips(mime, Seq((1L, t)))
+      val delta = clips(mime, Seq(
+        (10L, reenc),              // near-dup of store clip 1 → drops
+        (11L, u),                  // novel → survives
+        (12L, uDup),               // near-dup of EARLIER delta 11 → drops
+        (13L, randText(303L, 300)) // short (video: 1 frame, audio: 0
+                                   // transitions — both below a usable
+                                   // signature vs the 800-char dups)
+      ))
+      val got = inc(store, delta, 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(got.contains(11L) && !got.contains(10L) &&
+        !got.contains(12L) && got.contains(13L),
+        s"$mime incremental: got survivors $got")
+    }
+  }
+
   test("audio fingerprint is TEMPORAL: bits answer 'did the band " +
       "gradient move vs the previous frame', so a time-reversed clip " +
       "does not share its signature the way a per-frame hash would") {

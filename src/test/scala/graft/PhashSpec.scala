@@ -207,6 +207,70 @@ class PhashSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized reference: audio dedup matches a brute-force " +
+      "all-pairs containment model on mutated random corpora") {
+    // Scala-local model of the whole operator: window → 63 band sums →
+    // HK difference-of-differences bits → signature set → literal
+    // all-pairs bidirectional containment (no banding — losslessness
+    // at Hamming ≤ 3 means the engine must agree EXACTLY)
+    def hkModel(s: String): Set[Long] = {
+      if (s.length < 352) Set.empty
+      else {
+        val nT = (s.length - 252) / 100
+        (1 to nT).map { k =>
+          def segs(off: Int): Array[Long] =
+            Array.tabulate(63)(b =>
+              (0 until 4).map(j => s.charAt(off + b * 4 + j).toLong).sum)
+          val sc = segs(k * 100); val sp = segs((k - 1) * 100)
+          (0 until 62).map(i =>
+            if ((sc(i) - sc(i + 1)) > (sp(i) - sp(i + 1))) 1L << i
+            else 0L).sum
+        }.toSet
+      }
+    }
+    def pairsModel(clips: Seq[(Long, String)])
+        : Set[(Long, Long, Long, Long, Long, Long)] = {
+      val sigs = clips.map { case (id, s) => id -> hkModel(s) }
+        .filter(_._2.nonEmpty)
+      (for {
+        (a, fa) <- sigs; (b, fb) <- sigs if a < b
+        ma = fa.count(x => fb.exists(y =>
+          java.lang.Long.bitCount(x ^ y) <= 3))
+        mb = fb.count(y => fa.exists(x =>
+          java.lang.Long.bitCount(x ^ y) <= 3))
+        if 2 * ma >= fa.size && 2 * mb >= fb.size
+      } yield (a, b, fa.size.toLong, fb.size.toLong,
+        ma.toLong, mb.toLong)).toSet
+    }
+    val rnd = new scala.util.Random(1717)
+    for (trial <- 1 to 3) {
+      val bases = (0 until 6).map(_ =>
+        (0 until (400 + rnd.nextInt(500)))
+          .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      // mutate: light flips (near-dups), heavier flips (borderline),
+      // one short clip (out of scope)
+      val clips = bases.zipWithIndex.flatMap { case (s, i) =>
+        val id = i * 10L
+        val flips = 1 + rnd.nextInt(4)
+        var m = s
+        (0 until flips).foreach { _ =>
+          val p = rnd.nextInt(s.length)
+          m = m.updated(p, ('a' + rnd.nextInt(26)).toChar)
+        }
+        Seq((id, s), (id + 1, m))
+      } :+ (999L, bases.head.take(300))
+      val df = clips.toDF("asset_id", "s")
+        .select(col("asset_id"), lit("audio/wav").as("mime"),
+          encode(col("s"), "UTF-8").as("blob"))
+      val got = Multimodal.audioDedupAssets(df, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      val want = pairsModel(clips)
+      assert(got === want,
+        s"trial $trial: engine ${got.diff(want)} vs model ${want.diff(got)}")
+    }
+  }
+
   test("audio fingerprint is TEMPORAL: bits answer 'did the band " +
       "gradient move vs the previous frame', so a time-reversed clip " +
       "does not share its signature the way a per-frame hash would") {

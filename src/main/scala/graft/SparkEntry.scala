@@ -65,6 +65,10 @@ object SparkEntry {
     // undo as a captured commit — the declared output is the (2, 3]
     // feed a replica would consume to follow the rollback
     "lake_restore_cdf" -> (SinkQueries.lakeRestoreCdf _),
+    // dev-branch composition: zero-copy clone + the branch's OWN
+    // forward write + the source's independent write — four pinned
+    // snapshots, two divergent chains, no cross-chain leakage
+    "lake_branch" -> (SinkQueries.lakeBranch _),
     // write-time CDF capture: per-commit change files land beside each
     // version; the captured feed attributes rows to THEIR commit —
     // the fidelity lake_changes' snapshot diff cannot provide
@@ -2557,6 +2561,22 @@ object SparkEntry {
          |ORDER BY o_orderkey ASC, _commit_version ASC,
          |  _change_type ASC""".stripMargin
     },
+    // dev branch: four slice definitions, two chains — branch v0 pins
+    // the source's v0, branch v1 is the branch's own write, src v1 is
+    // the source's independent forward write
+    "lake_branch" ->
+      """WITH v AS (
+        |  SELECT 'src' AS chain, 0 AS version, 200000.0 AS t UNION ALL
+        |  SELECT 'src', 1, 300000.0 UNION ALL
+        |  SELECT 'branch', 0, 200000.0 UNION ALL
+        |  SELECT 'branch', 1, 400000.0)
+        |SELECT v.chain, v.version,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > v.t)
+        |    AS n_rows,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |      AS DOUBLE) FROM orders WHERE o_totalprice > v.t)
+        |    AS revenue
+        |FROM v ORDER BY chain ASC, version ASC""".stripMargin,
     // rollback capture: the v2→v1 diff (the UNDO as churn) stamped
     // with the restore commit 3 — inserts resurrect the %23 deletes,
     // updates revert the %11 reprice; s2 ⊆ s1 keys so no delete rows

@@ -828,6 +828,47 @@ object SinkQueries {
         col("_change_type").asc)
   }
 
+  /** `lake_branch` — the DEV-BRANCH composition (Delta/Iceberg branch
+    * semantics via directory versions + the clone manifest; extends
+    * `lake_clone`, which proves READ pinning only, with WRITE-AFTER-
+    * CLONE divergence): the source's v0 clones zero-copy into a
+    * branch, the branch takes its OWN forward write (branch/v=1), and
+    * the source moves forward independently (src/v=1) — four
+    * snapshots, each readable by pin, with the branch's write
+    * invisible to the source and vice versa. Output: one aggregate
+    * row per (table, version); the oracle recomputes all four slice
+    * definitions from orders — a branch write that leaks into the
+    * source chain, a clone that loses its pin under the branch's own
+    * writes, or a version resolution crossing the two chains
+    * hash-mismatches.
+    */
+  def lakeBranch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Relational.dec
+    val out = uniqueRunDir(sfDir, "lake_branch")
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    def slice(t: Double) = ord.filter(col("o_totalprice") > t)
+    LakeIO.saveVersion(slice(200000.0).repartition(writerTasks),
+      s"$out/src")
+    LakeIO.shallowClone(spark, s"$out/src", 0, s"$out/branch")
+    // the branch diverges with its own write...
+    LakeIO.saveVersion(slice(400000.0).repartition(writerTasks),
+      s"$out/branch")
+    // ...and the source moves forward independently
+    LakeIO.saveVersion(slice(300000.0).repartition(writerTasks),
+      s"$out/src")
+    val snaps = Seq(
+      ("src", 0), ("src", 1), ("branch", 0), ("branch", 1))
+    snaps.map { case (tbl, v) =>
+      LakeIO.loadVersion(spark, s"$out/$tbl", Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .select(lit(tbl).as("chain"), lit(v).as("version"),
+          col("n_rows"), col("revenue"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("chain").asc, col("version").asc)
+  }
+
   /** `lake_restore_cdf` — rollback WITH write-time capture
     * ([[LakeIO.restoreVersionCdf]], ADVICE r16: a plain restore on a
     * CDF table leaves its commit uncaptured and [[LakeIO.capturedChanges]]

@@ -189,6 +189,10 @@ class ContractSpec extends AnyFunSuite {
     //                    tombstone mask, never a product; the compact
     //                    form's rewrite pass is the same keyed
     //                    anti-join and its serve has no mask join
+    //   stream_index_append_ok — serves through the SAME
+    //                    simsearch_index_persisted read path (bounded
+    //                    LUT + probe-cell products on the query side;
+    //                    the streamed artifact joins keyed on cent_id)
     //   simsearch_index_rebuild — ann_recall's documented judge shape
     //                    (exact-KNN ground truth = corpus × broadcast
     //                    BOUNDED 20-query set) + simsearch_ivf's
@@ -207,7 +211,7 @@ class ContractSpec extends AnyFunSuite {
         "simsearch_range", "simsearch_range_ivf",
         "simsearch_index_persisted", "simsearch_index_incremental",
         "simsearch_index_delete", "simsearch_index_compact",
-        "simsearch_index_rebuild",
+        "simsearch_index_rebuild", "stream_index_append_ok",
         "ngram_pmi", "graph_pagerank", "graph_pagerank_dist")
     walk { (name, df) =>
       if (allowProduct(name)) None

@@ -35,7 +35,8 @@ object Bench {
     * Read both: serial flat + parallel inflated ⇒ neighbor load stole
     * cores mid-run; both inflated ⇒ the whole box slowed.
     */
-  private def calibParMs(spark: SparkSession, nTasks: Int): Long = {
+  private def calibParMs(spark: SparkSession, nTasks: Int,
+      steps: Long = 100000000L): Long = {
     val t0 = System.nanoTime()
     val r = spark.range(0, nTasks.toLong, 1, nTasks)
       .rdd.mapPartitions { it =>
@@ -43,7 +44,7 @@ object Bench {
         it.foreach { p =>
           var x = 0x9E3779B97F4A7C15L + p
           var i = 0L
-          while (i < 100000000L) {
+          while (i < steps) {
             x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
           }
           acc ^= x
@@ -161,8 +162,27 @@ object Bench {
     // order was stable but arbitrary, so cross-round per-query wall
     // diffs absorbed neighbor effects (who warmed whose cache); sorted
     // order makes r(N) vs r(N-1) per-query comparisons mean something
+    // MID-RUN contention series (VERDICT r17 #1: the pre/post parallel
+    // probes are POINT samples — BENCH_r17's driver artifact ran 2.83×
+    // the quiet total with near-clean probes because the neighbor load
+    // arrived and left BETWEEN them; a contended run was then
+    // indistinguishable from a real regression without a rerun). Every
+    // ~50 queries a short parallel mini-probe (1/4 the steps of the
+    // full probe, ~70 ms idle) samples core availability INSIDE the
+    // timed section; the whole series is emitted, so load that cycles
+    // mid-run shows as inflated mid-series samples. The probe fires
+    // between queries — task attribution is safe because each query
+    // drains the listener and re-baselines the clocks before it runs —
+    // and the ~7 samples cost <1 s total on an idle box.
+    val calibParSeries = scala.collection.mutable.ListBuffer[Long]()
+    var sinceProbe = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       currentQ = name
+      if (sinceProbe >= 50) {
+        calibParSeries += calibParMs(spark, cpus.toInt, steps = 25000000L)
+        sinceProbe = 0
+      }
+      sinceProbe += 1
       org.apache.spark.graft.Instrument.drain(spark.sparkContext)
       val gc0 = org.apache.spark.graft.Instrument.jvmGcMs()
       val task0 = clock.runMs.get()
@@ -206,6 +226,23 @@ object Bench {
     // normalizing parser
     val rankTask = taskByQ.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => s"""["$k",$v]""" }.mkString("[", ",", "]")
+    // the mid-run probe series (see above) + its p50/max — a contended
+    // stretch inside the run shows here even when pre/post read clean
+    val seriesJson = calibParSeries.mkString("[", ",", "]")
+    val seriesSorted = calibParSeries.toSeq.sorted
+    val seriesP50 =
+      if (seriesSorted.isEmpty) 0L else seriesSorted(seriesSorted.size / 2)
+    val seriesMax = if (seriesSorted.isEmpty) 0L else seriesSorted.last
+    // per-query contention index: (task_ms − cpu_ms)/task_ms is the
+    // share of executor time tasks sat scheduled-but-not-computing
+    // (core starvation, safepoints, codegen stalls) — ranked so a
+    // contended artifact names its own victims; only rows with ≥ 1 s
+    // of task time rank (dust rows are all noise)
+    val rankCont = taskByQ.toSeq.filter(_._2 >= 1000)
+      .map { case (k, t) =>
+        (k, ((t - cpuByQ.getOrElse(k, 0L)).toDouble / t * 100).round)
+      }.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"""["$k",$v]""" }.mkString("[", ",", "]")
     // key order: the long maps FIRST, scalars LAST — JSON parsers don't
     // care, but a tail-truncated capture of this (long) line still shows
     // the headline numbers (BENCH_r01's capture kept only the last
@@ -222,7 +259,7 @@ object Bench {
     // compiles, safepoints) — in a 32-thread local JVM one pause charges
     // all 32 concurrent tasks, so dust-sized stages can carry seconds of
     // task_ms at milliseconds of cpu_ms. Read rank_task_ms with cpu_ms.
-    val line = s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"cpu_ms":${msMap(cpuByQ)},"queries":$qs,"rank_task_ms":$rankTask,"warm_ms":${msMap(warmMs)},"warmup_failed":$warmFailedJson,"warm_total_ms":$warmTotalMs,"total_with_warm_sec":$totalWithWarm,"calib_ms_pre":$calibPre,"calib_ms_post":$calibPost,"calib_par_ms_pre":$calibParPre,"calib_par_ms_post":$calibParPost,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"failed":${errors.nonEmpty}}"""
+    val line = s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"cpu_ms":${msMap(cpuByQ)},"queries":$qs,"rank_task_ms":$rankTask,"rank_contention_pct":$rankCont,"warm_ms":${msMap(warmMs)},"warmup_failed":$warmFailedJson,"warm_total_ms":$warmTotalMs,"total_with_warm_sec":$totalWithWarm,"calib_ms_pre":$calibPre,"calib_ms_post":$calibPost,"calib_par_ms_pre":$calibParPre,"calib_par_ms_post":$calibParPost,"calib_par_mid_series_ms":$seriesJson,"calib_par_mid_p50":$seriesP50,"calib_par_mid_max":$seriesMax,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"failed":${errors.nonEmpty}}"""
     println(line)
     // the stdout line is ~15 KB and the driver's tail capture truncates
     // it (BENCH_r08/r09 kept ~60 of 217 per-query timings) — persist the

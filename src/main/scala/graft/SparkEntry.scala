@@ -69,6 +69,12 @@ object SparkEntry {
     // forward write + the source's independent write — four pinned
     // snapshots, two divergent chains, no cross-chain leakage
     "lake_branch" -> (SinkQueries.lakeBranch _),
+    // the branch workflow's second half: keyed three-way merge of the
+    // diverged branch back into its source (base = the cloned version)
+    // with a declared destination-wins conflict policy; the merged
+    // snapshot publishes as the source's next version and the output
+    // reads it back by pin, stamped with the conflict count
+    "lake_merge_branch" -> (SinkQueries.lakeMergeBranch _),
     // write-time CDF capture: per-commit change files land beside each
     // version; the captured feed attributes rows to THEIR commit —
     // the fidelity lake_changes' snapshot diff cannot provide
@@ -469,6 +475,14 @@ object SparkEntry {
     // must BE the v2 snapshot the oracle recomputes from orders
     "stream_cdf_apply_ok" -> ((s: SparkSession, d: String) =>
       graft.streaming.Streams.streamCdfApplyOk(s, d)),
+    // the PRODUCER half of the streaming lake story: churn micro-
+    // batches fold into a versioned table through a version-fenced
+    // foreachBatch → saveVersionCdf commit loop (at-least-once replays
+    // skip on the fence), and the declared output is the produced
+    // table's OWN captured feed — gated on lake_write_cdf's oracle
+    // verbatim
+    "stream_write_cdf_ok" -> ((s: SparkSession, d: String) =>
+      graft.streaming.Streams.streamWriteCdfOk(s, d)),
     // streaming ingest into the persisted vector index: delta vectors
     // encode at ingest under the PINNED store quantizers (foreachBatch,
     // row-local) and append into the cent_id layout — gated on the
@@ -561,7 +575,9 @@ object SparkEntry {
     // under the PINNED quantizer — tv over threshold schedules reindex
     "simsearch_index_health" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchIndexHealth(s, d)),
-    // acting on the verdict: planted exact drift (negated-copy corpus)
+    // acting on the verdict: planted exact drift (abs-copy corpus —
+    // the positive-orthant fold, matching the oracle's list_transform
+    // (embedding, x -> abs(x)); abs is float-exact like negation)
     // crosses the tv threshold; the codebook re-learns on the drifted
     // corpus, the rebuilt index persists + serves, and BOTH indexes are
     // judged per-query against exact KNN (the ann_recall machinery) —
@@ -2313,6 +2329,54 @@ object SparkEntry {
 
   private lazy val ivfPqOracleSql: String = ivfPqOracle("")
 
+  /** lake_write_cdf's oracle — two INDEPENDENT snapshot diffs, each
+    * row stamped with ITS commit — shared VERBATIM by the streaming
+    * producer twin `stream_write_cdf_ok` (the shared-oracle
+    * precedent): both declare the captured feed of the same planted
+    * three-commit churn.
+    */
+  private lazy val lakeWriteCdfOracle: String = {
+    def diff(a: String, b: String, v: Int) =
+      s"""  SELECT $b.*, 'insert' AS _change_type,
+         |    $v AS _commit_version FROM $b
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM $a WHERE $a.o_orderkey = $b.o_orderkey)
+         |  UNION ALL
+         |  SELECT $a.*, 'delete', $v FROM $a
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM $b WHERE $b.o_orderkey = $a.o_orderkey)
+         |  UNION ALL
+         |  SELECT $a.*, 'update_preimage', $v FROM $a
+         |  WHERE o_orderkey IN (SELECT o_orderkey FROM upd$v)
+         |  UNION ALL
+         |  SELECT $b.*, 'update_postimage', $v FROM $b
+         |  WHERE o_orderkey IN (SELECT o_orderkey FROM upd$v)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       |s0 AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+       |s1 AS (SELECT o_orderkey, o_orderstatus,
+       |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+       |         ELSE o_totalprice END AS o_totalprice
+       |  FROM base WHERE o_orderkey % 19 <> 0),
+       |s2 AS (SELECT o_orderkey, o_orderstatus,
+       |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 2000.0
+       |         ELSE o_totalprice END AS o_totalprice
+       |  FROM s1 WHERE o_orderkey % 23 <> 0),
+       |upd1 AS (SELECT s0.o_orderkey FROM s0 JOIN s1 USING (o_orderkey)
+       |  WHERE s0.o_totalprice <> s1.o_totalprice
+       |     OR s0.o_orderstatus <> s1.o_orderstatus),
+       |upd2 AS (SELECT s1.o_orderkey FROM s1 JOIN s2 USING (o_orderkey)
+       |  WHERE s1.o_totalprice <> s2.o_totalprice
+       |     OR s1.o_orderstatus <> s2.o_orderstatus)
+       |SELECT o_orderkey, o_orderstatus, o_totalprice, _change_type,
+       |  CAST(_commit_version AS INTEGER) AS _commit_version FROM (
+       |${diff("s0", "s1", 1)}
+       |  UNION ALL
+       |${diff("s1", "s2", 2)})
+       |ORDER BY o_orderkey ASC, _commit_version ASC,
+       |  _change_type ASC""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -2520,47 +2584,13 @@ object SparkEntry {
     // write-time capture = two INDEPENDENT snapshot diffs, each row
     // stamped with ITS commit — the per-commit fidelity the range
     // read must preserve (and the v0 insert feed must stay pruned out)
-    "lake_write_cdf" -> {
-      def diff(a: String, b: String, v: Int) =
-        s"""  SELECT $b.*, 'insert' AS _change_type,
-           |    $v AS _commit_version FROM $b
-           |  WHERE NOT EXISTS (
-           |    SELECT 1 FROM $a WHERE $a.o_orderkey = $b.o_orderkey)
-           |  UNION ALL
-           |  SELECT $a.*, 'delete', $v FROM $a
-           |  WHERE NOT EXISTS (
-           |    SELECT 1 FROM $b WHERE $b.o_orderkey = $a.o_orderkey)
-           |  UNION ALL
-           |  SELECT $a.*, 'update_preimage', $v FROM $a
-           |  WHERE o_orderkey IN (SELECT o_orderkey FROM upd$v)
-           |  UNION ALL
-           |  SELECT $b.*, 'update_postimage', $v FROM $b
-           |  WHERE o_orderkey IN (SELECT o_orderkey FROM upd$v)""".stripMargin
-      s"""WITH base AS (
-         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-         |s0 AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
-         |s1 AS (SELECT o_orderkey, o_orderstatus,
-         |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
-         |         ELSE o_totalprice END AS o_totalprice
-         |  FROM base WHERE o_orderkey % 19 <> 0),
-         |s2 AS (SELECT o_orderkey, o_orderstatus,
-         |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 2000.0
-         |         ELSE o_totalprice END AS o_totalprice
-         |  FROM s1 WHERE o_orderkey % 23 <> 0),
-         |upd1 AS (SELECT s0.o_orderkey FROM s0 JOIN s1 USING (o_orderkey)
-         |  WHERE s0.o_totalprice <> s1.o_totalprice
-         |     OR s0.o_orderstatus <> s1.o_orderstatus),
-         |upd2 AS (SELECT s1.o_orderkey FROM s1 JOIN s2 USING (o_orderkey)
-         |  WHERE s1.o_totalprice <> s2.o_totalprice
-         |     OR s1.o_orderstatus <> s2.o_orderstatus)
-         |SELECT o_orderkey, o_orderstatus, o_totalprice, _change_type,
-         |  CAST(_commit_version AS INTEGER) AS _commit_version FROM (
-         |${diff("s0", "s1", 1)}
-         |  UNION ALL
-         |${diff("s1", "s2", 2)})
-         |ORDER BY o_orderkey ASC, _commit_version ASC,
-         |  _change_type ASC""".stripMargin
-    },
+    "lake_write_cdf" -> lakeWriteCdfOracle,
+    // the streaming PRODUCER twin: the declared output is the produced
+    // table's captured feed over the same planted churn — the
+    // shared-oracle precedent, lake_write_cdf's SQL verbatim (a
+    // producer that drops/double-applies/reorders a streamed commit,
+    // or whose write-time capture mis-diffs the fold, hash-mismatches)
+    "stream_write_cdf_ok" -> lakeWriteCdfOracle,
     // dev branch: four slice definitions, two chains — branch v0 pins
     // the source's v0, branch v1 is the branch's own write, src v1 is
     // the source's independent forward write
@@ -2577,6 +2607,34 @@ object SparkEntry {
         |      AS DOUBLE) FROM orders WHERE o_totalprice > v.t)
         |    AS revenue
         |FROM v ORDER BY chain ASC, version ASC""".stripMargin,
+    // three-way merge, destination-wins: a base key survives unless
+    // ours deleted it (%23) or theirs deleted it with ours unchanged
+    // (%19 ∧ ¬%5); price takes ours' +500 on %5 (covers the %35
+    // update/update and the %5∧%19 update-vs-delete conflicts), else
+    // theirs' +1000 on %7, else base; both disjoint insert slices
+    // arrive; conflicts = both-changed-differently base keys (both-
+    // deleted excluded)
+    "lake_merge_branch" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_totalprice > 200000.0),
+        |m AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
+        |         WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base
+        |  WHERE o_orderkey % 23 <> 0
+        |    AND NOT (o_orderkey % 19 = 0 AND o_orderkey % 5 <> 0)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_totalprice > 150000.0 AND o_totalprice <= 200000.0),
+        |c AS (SELECT count(*)::BIGINT AS n_conflicts FROM base
+        |  WHERE (o_orderkey % 23 = 0 OR o_orderkey % 5 = 0)
+        |    AND (o_orderkey % 19 = 0 OR o_orderkey % 7 = 0)
+        |    AND NOT (o_orderkey % 23 = 0 AND o_orderkey % 19 = 0))
+        |SELECT m.o_orderkey, m.o_orderstatus, m.o_totalprice,
+        |  c.n_conflicts
+        |FROM m CROSS JOIN c ORDER BY o_orderkey ASC""".stripMargin,
     // rollback capture: the v2→v1 diff (the UNDO as churn) stamped
     // with the restore commit 3 — inserts resurrect the %23 deletes,
     // updates revert the %11 reprice; s2 ⊆ s1 keys so no delete rows

@@ -869,6 +869,70 @@ object SinkQueries {
       .orderBy(col("chain").asc, col("version").asc)
   }
 
+  /** `lake_merge_branch` — the dev-branch workflow's missing half
+    * (VERDICT r17 #2: `lake_branch` ships divergence, nothing
+    * reconciles it): the source's v0 clones into a branch, BOTH chains
+    * then take real churn — the branch (theirs) deletes every
+    * key % 19 = 0 base row, reprices % 7 = 0 by +1000 and inserts the
+    * (180000, 200000] slice; the source (ours) independently deletes
+    * % 23 = 0, reprices % 5 = 0 by +500 and inserts
+    * (150000, 180000] — and [[LakeIO.mergeBranch]] three-way-merges
+    * the branch back (base = the cloned v0), publishing the merged
+    * snapshot as src v2 with the declared destination-wins conflict
+    * policy. The output reads the PUBLISHED merge back by pin and
+    * stamps every row with the conflict count, so the policy's whole
+    * truth table is hash-gated: one-side deletes apply, one-side
+    * reprices apply, update/update overlaps (% 35 = 0) resolve to
+    * ours' +500, update-vs-delete keeps ours' edit, delete-vs-update
+    * keeps ours' delete, both-deleted rows leave WITHOUT counting as
+    * conflicts, and the disjoint insert slices both arrive. The
+    * oracle recomputes the merged snapshot and the conflict
+    * cardinality from the churn-rule definitions directly over
+    * orders — a merge that misclassifies any cell of the matrix, or
+    * a conflict counter that over/under-counts, hash-mismatches.
+    * (LakeSpec additionally pins the full conflict matrix, including
+    * insert/insert, on a planted frame.)
+    *
+    * Scale: two keyed full-outer joins (the [[LakeIO.changes]] shape
+    * twice) + one broadcast 1-row conflict summary — nothing pairs
+    * beyond the key match.
+    */
+  def lakeMergeBranch(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = uniqueRunDir(sfDir, "lake_merge_branch")
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val keys = Seq("o_orderkey")
+    val v0 = base.filter(col("o_totalprice") > 200000.0)
+    LakeIO.saveVersion(v0.repartition(writerTasks), s"$out/src")
+    LakeIO.shallowClone(spark, s"$out/src", 0, s"$out/branch")
+    // theirs: the branch's own churn + its insert slice
+    val theirs = v0.filter(pmod(col("o_orderkey"), lit(19)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7)) === 0,
+          col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(base.filter(col("o_totalprice") > 180000.0
+        && col("o_totalprice") <= 200000.0))
+    LakeIO.saveVersion(theirs.repartition(writerTasks), s"$out/branch")
+    // ours: the source moves forward independently
+    val ours = v0.filter(pmod(col("o_orderkey"), lit(23)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(5)) === 0,
+          col("o_totalprice") + 500.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(base.filter(col("o_totalprice") > 150000.0
+        && col("o_totalprice") <= 180000.0))
+    LakeIO.saveVersion(ours.repartition(writerTasks), s"$out/src")
+    val (mergedV, outcome) =
+      LakeIO.mergeBranch(spark, s"$out/src", s"$out/branch", 0, keys)
+    val conflicts = outcome
+      .agg(sum(when(col("_merge_conflict"), 1L).otherwise(0L))
+        .as("n_conflicts"))
+    LakeIO.loadVersion(spark, s"$out/src", Some(mergedV))
+      .crossJoin(broadcast(conflicts))
+      .orderBy(col("o_orderkey").asc)
+  }
+
   /** `lake_restore_cdf` — rollback WITH write-time capture
     * ([[LakeIO.restoreVersionCdf]], ADVICE r16: a plain restore on a
     * CDF table leaves its commit uncaptured and [[LakeIO.capturedChanges]]

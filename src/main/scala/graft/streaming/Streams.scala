@@ -884,6 +884,35 @@ object Streams {
     f.delete(); ()
   }
 
+  /** ONE static JVM shutdown hook draining a concurrent queue of
+    * scratch dirs (ADVICE r17: the per-invocation
+    * `Runtime.addShutdownHook` calls accumulated a Thread per replay
+    * in a long-lived driver that re-runs these queries — bench loops,
+    * repeated hash+timing passes — unbounded until JVM exit). Callers
+    * whose RESULT frame lazily reads the scratch dir enqueue here
+    * instead of registering their own hook; the hook is installed
+    * once, lazily, on first use.
+    */
+  private val scratchReclaimQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private lazy val scratchReclaimHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = scratchReclaimQueue.poll()
+      while (d != null) {
+        try deleteRec(new java.io.File(d))
+        catch { case _: Exception => () }
+        d = scratchReclaimQueue.poll()
+      }
+    }))
+  }
+
+  private[graft] def reclaimAtExit(dir: String): Unit = {
+    scratchReclaimHook
+    scratchReclaimQueue.add(dir)
+    ()
+  }
+
   /** `stream_tumbling` — 1h tumbling count/sum per event_type with a
     * 10-minute watermark.
     */
@@ -1725,10 +1754,154 @@ object Streams {
       }
     } finally q.stop()
     // the RESULT is the replica dir — reclaim at JVM exit, not here
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try deleteRec(new java.io.File(dir))
-      catch { case _: Exception => () }))
+    reclaimAtExit(dir)
     spark.read.parquet(replica)
+  }
+
+  /** `stream_write_cdf_ok` — the write-time CDF PRODUCED by a stream
+    * (VERDICT r17 #5: `stream_cdf_apply_ok` landed the consumer; this
+    * is the symmetric production shape — a stream COMMITTING into a
+    * versioned table with write-time capture, foreachBatch →
+    * [[graft.sources.LakeIO.saveVersionCdf]], commit-per-micro-batch):
+    * the `lake_write_cdf` planted churn arrives as two micro-batches
+    * of change rows (one file per commit — the fileReplay atomicity
+    * rule), each batch folds its commits IN VERSION ORDER into the
+    * table head via applyChanges and publishes through saveVersionCdf,
+    * so every streamed commit lands CAPTURED. Idempotence under
+    * foreachBatch's at-least-once contract is a VERSION FENCE
+    * ([[applyCommitsIdempotent]]): a commit whose stamp is ≤ the
+    * table's head version was already applied by a previous attempt
+    * and is SKIPPED — the monotonic-version fencing every
+    * transactional sink uses (StreamingSpec replays a batch twice and
+    * pins the no-double-apply). The declared output is the produced
+    * table's OWN captured feed over (0, 2], gated on `lake_write_cdf`'s
+    * oracle VERBATIM (the shared-oracle precedent): a producer that
+    * drops a commit, double-applies a replay, commits out of order, or
+    * whose write-time capture mis-diffs the fold hash-mismatches.
+    *
+    * Scale: per micro-batch, one keyed anti-join + union fold
+    * (churn-sized right side) and one keyed full-outer capture diff —
+    * the saveVersionCdf cost, paid per commit exactly as in batch; the
+    * feed is churn-sized, never table-sized.
+    */
+  def streamWriteCdfOk(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val v0 = base.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+    val v1 = base.filter(pmod(col("o_orderkey"), lit(19)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7)) === 0,
+          col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")))
+    val v2 = v1.filter(pmod(col("o_orderkey"), lit(23)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(11)) === 0,
+          col("o_totalprice") + 2000.0)
+          .otherwise(col("o_totalprice")))
+    streamWriteCdfCore(spark, "stream_write_cdf_ok", Seq(v0, v1, v2),
+      Seq("o_orderkey"))
+      .orderBy(col("o_orderkey").asc, col("_commit_version").asc,
+        col("_change_type").asc)
+  }
+
+  /** Core of [[streamWriteCdfOk]] over explicit commit snapshots — the
+    * planted-churn harness for StreamingSpec's idempotence and
+    * produce→consume round-trip tests. Seeds the table at v0 (captured)
+    * and streams each later snapshot's churn as a micro-batch into the
+    * version-fenced commit fold; returns the produced table's captured
+    * (0, last] feed bound to the CALLER's session, and the table path
+    * for round-trip consumers.
+    */
+  private[graft] def streamWriteCdfCore(spark: SparkSession,
+      name: String, snapshots: Seq[DataFrame],
+      keys: Seq[String]): DataFrame =
+    graft.sources.LakeIO.capturedChanges(spark,
+      streamWriteCdfTable(spark, name, snapshots, keys),
+      0, snapshots.size - 1)
+
+  private[graft] def streamWriteCdfTable(spark: SparkSession,
+      name: String, snapshots: Seq[DataFrame],
+      keys: Seq[String]): String = {
+    require(snapshots.size >= 2, "need at least two commits to stream")
+    val dir = java.nio.file.Files
+      .createTempDirectory(scratchBase, s"graft_$name").toString
+    val tbl = s"$dir/table"
+    graft.sources.LakeIO.saveVersionCdf(
+      snapshots.head.repartition(4), tbl, keys)
+    // the feed: one churn file per commit, stamped with the version it
+    // must produce (the single-file rule — a trigger landing between
+    // two moves must still carry whole commits)
+    val nCommits = snapshots.size - 1
+    (0 until nCommits).foreach { i =>
+      graft.sources.LakeIO.snapshotDiff(snapshots(i), snapshots(i + 1),
+          keys, i + 1)
+        .coalesce(1).write.parquet(s"$dir/b$i")
+    }
+    val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
+    def deliver(i: Int): Unit =
+      new java.io.File(s"$dir/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, j) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(feed, s"b$i-$j.parquet").toPath)
+          ()
+        }
+    deliver(0)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = spark.read.parquet(feed.toString).schema
+    val q = s2.readStream.schema(schema).parquet(feed.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          applyCommitsIdempotent(batch.toDF(), tbl, keys)
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      (1 until nCommits).foreach { i =>
+        deliver(i); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the RESULT reads the produced table — reclaim at JVM exit
+    reclaimAtExit(dir)
+    tbl
+  }
+
+  /** The producer's commit fold, VERSION-FENCED for at-least-once
+    * foreachBatch delivery: each distinct `_commit_version` in the
+    * batch applies in ascending order; a stamp at or below the table's
+    * current head was already committed by a previous attempt of this
+    * (or an earlier) batch and is skipped — replaying a batch is a
+    * no-op, the transactional-sink idempotence rule. A stamp MORE than
+    * one ahead of the head means the feed skipped a commit: fail loud
+    * (applying it would silently corrupt every later snapshot).
+    * Driver-side listings are commit-count-bounded; the fold is the
+    * keyed applyChanges + captured saveVersionCdf pair per commit.
+    */
+  private[graft] def applyCommitsIdempotent(batch: DataFrame,
+      tbl: String, keys: Seq[String]): Unit = {
+    val s = batch.sparkSession
+    val commits = batch.select(col("_commit_version")).distinct()
+      .orderBy(col("_commit_version").asc)
+      .collect().map(_.getInt(0)).toSeq // bounded: one row per commit
+    commits.foreach { v =>
+      val head = graft.sources.LakeIO.listVersions(s, tbl).last
+      if (v > head) {
+        require(v == head + 1,
+          s"commit $v arrived at head $head — the feed skipped " +
+            s"commit${if (v - head > 2) "s" else ""} " +
+            s"${(head + 1) until v mkString ", "}")
+        val next = graft.sources.LakeIO.applyChanges(
+          graft.sources.LakeIO.loadVersion(s, tbl),
+          batch.filter(col("_commit_version") === v), keys)
+        graft.sources.LakeIO.saveVersionCdf(next, tbl, keys)
+        ()
+      } // else: already committed (at-least-once replay) — skip
+    }
   }
 
   /** `stream_index_append_ok` — STREAMING ingest into the persisted
@@ -1748,6 +1921,19 @@ object Streams {
     * codebooks, drops a micro-batch, double-appends on retry, or
     * breaks the cent_id layout hash-mismatches.
     *
+    * IDEMPOTENT under at-least-once delivery (ADVICE r17: a blind
+    * SaveMode.Append would double-append a checkpoint-recovery replay
+    * of a partially-completed batch, double-counting scores in the
+    * serve top-k): the artifact is partitioned by (ingest, cent_id)
+    * where `ingest` is the micro-batch id (−1 = the store build), and
+    * each batch writes with DYNAMIC partition overwrite — a replay
+    * REPLACES its own `ingest=<batchId>` partitions instead of
+    * appending beside them (the batchId-keyed-subdir recipe every
+    * parquet-native exactly-once sink uses; StreamingSpec replays a
+    * batch and pins the no-double-count). Serving ignores the ingest
+    * column; cent_id stays a partition key so DPP pruning is
+    * unchanged.
+    *
     * Scale: per-micro-batch cost is |batch| encode + an append of
     * |batch| × (id + m codes) bytes; the store is never rewritten and
     * serve cost is unchanged (DPP prunes to the probed cells across
@@ -1766,10 +1952,11 @@ object Streams {
       .createTempDirectory(scratchBase, "graft_stream_index_append")
       .toString
     val index = s"$dir/index"
-    // day 0: the store's artifact (batch build)
+    // day 0: the store's artifact (batch build), ingest=-1
     SimSearch.encodeIvfPq(store, coarse, pqCb, m)
+      .withColumn("ingest", lit(-1L))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("cent_id").parquet(index)
+      .partitionBy("ingest", "cent_id").parquet(index)
     // the delta replays in two single-file micro-batches
     val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
     delta.filter(col("vec_id") % 2 === 0).coalesce(1)
@@ -1792,13 +1979,8 @@ object Streams {
       .writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            _: Long) =>
-          // ingest-time encode under the PINNED quantizers (closure-
-          // captured codebook arrays), append-only into the layout
-          SimSearch.encodeIvfPq(batch.toDF(), coarse, pqCb, m)
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
-            .partitionBy("cent_id").parquet(index)
-          ()
+            batchId: Long) =>
+          ingestIndexBatch(batch.toDF(), index, coarse, pqCb, m, batchId)
       }
       .option("checkpointLocation", s"$dir/ckpt")
       .start()
@@ -1806,11 +1988,36 @@ object Streams {
       q.processAllAvailable()
       deliver(1); q.processAllAvailable()
     } finally q.stop()
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try deleteRec(new java.io.File(dir))
-      catch { case _: Exception => () }))
+    reclaimAtExit(dir)
     SimSearch.serveIvfPqArtifact(spark, index, emb, coarse, pqCb, k,
       nQueries, m, nProbe)
+  }
+
+  /** One ingest micro-batch into the (ingest, cent_id)-partitioned
+    * index artifact: row-local encode under the pinned quantizers,
+    * then a DYNAMIC partition overwrite scoped to this batch's own
+    * `ingest=<batchId>` partitions — a foreachBatch replay of the same
+    * batch id REPLACES rather than double-appends (the at-least-once
+    * idempotence contract). Sets dynamic partition-overwrite on the
+    * batch's session for the write and restores it after. Exposed for
+    * StreamingSpec's replay test.
+    */
+  private[graft] def ingestIndexBatch(batch: DataFrame, index: String,
+      coarse: Array[(Long, Array[Float], Double)],
+      pqCb: Array[(Long, Array[Float], Double)], m: Int,
+      batchId: Long): Unit = {
+    val conf = batch.sparkSession.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.getOption(key)
+    conf.set(key, "dynamic")
+    try graft.operators.SimSearch.encodeIvfPq(batch, coarse, pqCb, m)
+      .withColumn("ingest", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ingest", "cent_id").parquet(index)
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
   }
 
   /** Shared file-replay harness for every declared `stream_*_ok` row:
@@ -2080,9 +2287,7 @@ object Streams {
         .createTempDirectory(scratchBase, "graft_evfeed").toString
       ev.coalesce(8).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try deleteRec(new java.io.File(dir))
-        catch { case _: Exception => () }))
+      reclaimAtExit(dir)
       (dir, head.getTimestamp(0), head.getLong(1))
     })
   }

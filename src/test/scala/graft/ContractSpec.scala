@@ -134,6 +134,9 @@ class ContractSpec extends AnyFunSuite {
     //   stream_watermark_late_ok — window rows × broadcast ONE-ROW
     //                    late-drop cardinality (the same scalar-attach
     //                    shape as text_tfidf/agg_histogram)
+    //   lake_merge_branch — merged rows × broadcast ONE-ROW conflict
+    //                    count (the same scalar-attach shape); the
+    //                    merge itself is two keyed full-outer joins
     //   simsearch_hybrid — its dense side IS simsearch_knn's documented
     //                    corpus × bounded-query product, and its BM25
     //                    side attaches the ONE-ROW (n_docs, avgdl)
@@ -203,7 +206,8 @@ class ContractSpec extends AnyFunSuite {
     val allowProduct =
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
         "dq_freshness",
-        "ann_recall", "stream_watermark_late_ok", "simsearch_hybrid",
+        "ann_recall", "stream_watermark_late_ok", "lake_merge_branch",
+        "simsearch_hybrid",
         "simsearch_hybrid_lsh", "simsearch_hybrid_ivf", "simsearch_pq",
         "simsearch_ivfpq", "simsearch_ivfpq_residual", "simsearch_ivf",
         "simsearch_rerank", "simsearch_pq_rotated", "simsearch_opq_pca",

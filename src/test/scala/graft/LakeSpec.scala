@@ -818,4 +818,135 @@ class LakeSpec extends AnyFunSuite {
     assert(rebuilt.exceptAll(head).count() === 0
       && head.exceptAll(rebuilt).count() === 0)
   }
+
+  test("retention × CDF (VERDICT r17 #1): the commit log survives vacuum " +
+      "— a vacuumed uncaptured commit still refuses; dropped commits' " +
+      "_cdf is reaped; the retained tail keeps replaying") {
+    import graft.sources.LakeIO
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdfvac").toString
+    val keys = Seq("k")
+    def snap(xs: (Long, Double)*) = xs.toDF("k", "x")
+    LakeIO.saveVersionCdf(snap((1L, 10.0), (2L, 20.0)), root, keys) // v0
+    LakeIO.saveVersionCdf(snap((1L, 10.0), (2L, 22.0)), root, keys) // v1
+    LakeIO.saveVersion(snap((1L, 10.0)), root)          // v2, UNCAPTURED
+    LakeIO.saveVersionCdf(snap((1L, 11.0)), root, keys)             // v3
+    LakeIO.saveVersionCdf(snap((1L, 11.0), (3L, 30.0)), root, keys) // v4
+    // the hazard the r17 guard missed: vacuum drops v=2's DIRECTORY, so
+    // a listVersions-based guard no longer sees the uncaptured commit
+    assert(LakeIO.vacuumVersions(spark, root, keep = 1) === Seq(0, 1, 2, 3))
+    // the append-only commit log still records every commit ever made
+    assert(LakeIO.listCommits(spark, root) === Seq(0, 1, 2, 3, 4))
+    // _cdf retention rode snapshot retention: dropped commits reaped,
+    // the retained head's capture intact
+    def cdfExists(v: Int) = new java.io.File(s"$root/_cdf/v=$v").exists()
+    assert(!cdfExists(0) && !cdfExists(1) && !cdfExists(3) && cdfExists(4))
+    // a range spanning the VACUUMED uncaptured commit must STILL refuse
+    val err = intercept[IllegalArgumentException] {
+      LakeIO.capturedChanges(spark, root, 1, 4)
+    }
+    assert(err.getMessage.contains("v=2"), err.getMessage)
+    // a range spanning a vacuumed CAPTURED commit refuses too — its
+    // capture was reaped with it, so the feed would be silently partial
+    val err2 = intercept[IllegalArgumentException] {
+      LakeIO.capturedChanges(spark, root, 2, 4)
+    }
+    assert(err2.getMessage.contains("v=3"), err2.getMessage)
+    // the up-to-date incremental consumer keeps working on the retained
+    // tail: (3, 4] reads commit 4's churn (the key-3 insert)
+    val tail = LakeIO.capturedChanges(spark, root, 3, 4)
+    assert(tail.collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[String]("_change_type"))).toSet
+      === Set((3L, "insert")))
+    // and new commits number PAST the log, never reusing a vacuumed slot
+    assert(LakeIO.saveVersionCdf(snap((1L, 12.0)), root, keys) === 5)
+  }
+
+  test("shallow clone pins NESTED/partitioned version layouts at the " +
+      "v=* ancestor, and refuses un-pinnable sources (ADVICE r17)") {
+    import graft.sources.LakeIO
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_nestpin").toString
+    // hand-build a version whose data files sit under v=0/p=.../ — the
+    // old parent-only pin filter registered NOTHING for this layout
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "p", "x")
+      .write.partitionBy("p").parquet(s"$root/src/v=0")
+    LakeIO.shallowClone(spark, s"$root/src", 0, s"$root/clone")
+    // the pin landed at the source root naming v=0...
+    val pins = new java.io.File(s"$root/src/_clones").listFiles()
+    assert(pins != null && pins.exists(_.getName.startsWith("_pin_")))
+    // ...so a vacuum that would drop v=0 refuses instead of silently
+    // breaking the clone
+    Seq((9L, "z", 9.0)).toDF("k", "p", "x")
+      .write.parquet(s"$root/src/v=1")
+    val err = intercept[IllegalStateException] {
+      LakeIO.vacuumVersions(spark, s"$root/src", keep = 1)
+    }
+    assert(err.getMessage.contains("v=0"), err.getMessage)
+    assert(LakeIO.loadVersion(spark, s"$root/clone", Some(0))
+      .count() === 2)
+    // a manifest resolving to a file with NO v=* ancestor cannot be
+    // pin-protected: the clone must fail fast, not publish unguarded
+    Seq((5L, 5.0)).toDF("k", "x").write
+      .parquet(s"$root/loose_data")
+    val looseFile = new java.io.File(s"$root/loose_data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(new java.io.File(s"$root/bad/v=0").mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/bad/v=0/_manifest"),
+      looseFile.getAbsolutePath.getBytes("UTF-8"))
+    val err2 = intercept[IllegalArgumentException] {
+      LakeIO.shallowClone(spark, s"$root/bad", 0, s"$root/badclone")
+    }
+    assert(err2.getMessage.contains("not under any v=<n>"),
+      err2.getMessage)
+  }
+
+  test("three-way merge: the full conflict matrix (update/update, " +
+      "update/delete, delete/update, delete/delete, insert/insert, " +
+      "one-side edits, identical edits)") {
+    import graft.sources.LakeIO
+    import spark.implicits._
+    def t(rows: (Long, String)*) = rows.toDF("k", "v")
+    val base = t(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d",
+      5L -> "e", 6L -> "f", 9L -> "i")
+    // ours: upd 1→A (theirs B: upd/upd conflict), del 2 (theirs upd Y:
+    // del/upd conflict), keep 3 (theirs edits to C), upd 4→X (theirs
+    // del: upd/del conflict), del 5 (theirs del too: agree, no
+    // conflict), keep 6, upd 9→Z (theirs 9→Z too: IDENTICAL edit, no
+    // conflict), ins 7→g (theirs ins G: ins/ins conflict), ins 8→h
+    // (theirs h too: agree)
+    val ours = t(1L -> "A", 3L -> "c", 4L -> "X", 6L -> "f",
+      9L -> "Z", 7L -> "g", 8L -> "h")
+    val theirs = t(1L -> "B", 2L -> "Y", 3L -> "C", 6L -> "f",
+      9L -> "Z", 7L -> "G", 8L -> "h")
+    val outcome = LakeIO.threeWayMergeOutcome(base, ours, theirs,
+      Seq("k"))
+    val byKey = outcome.collect().map(r => r.getLong(0) ->
+      ((if (r.isNullAt(1)) None else Some(r.getString(1))),
+        r.getBoolean(2), r.getBoolean(3))).toMap
+    // (merged value, present, conflict) per key — destination wins
+    assert(byKey(1L) === ((Some("A"), true, true)))   // upd/upd
+    assert(byKey(2L) === ((None, false, true)))       // del/upd → del
+    assert(byKey(3L) === ((Some("C"), true, false)))  // theirs-only
+    assert(byKey(4L) === ((Some("X"), true, true)))   // upd/del → upd
+    assert(byKey(5L) === ((None, false, false)))      // del/del agrees
+    assert(byKey(6L) === ((Some("f"), true, false)))  // untouched
+    assert(byKey(7L) === ((Some("g"), true, true)))   // ins/ins
+    assert(byKey(8L) === ((Some("h"), true, false)))  // ins/ins agrees
+    assert(byKey(9L) === ((Some("Z"), true, false)))  // identical upd
+    assert(byKey.size === 9)
+    // mergeBranch publishes the merged snapshot on the source chain
+    val root = Files.createTempDirectory("graft_merge3").toString
+    LakeIO.saveVersion(base, root)            // src v0 = base
+    LakeIO.saveVersion(theirs, s"$root/br")   // branch head
+    LakeIO.saveVersion(ours, root)            // src head
+    val (v, _) = LakeIO.mergeBranch(spark, root, s"$root/br", 0,
+      Seq("k"))
+    assert(v === 2)
+    val merged = LakeIO.loadVersion(spark, root, Some(v)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged === Map(1L -> "A", 3L -> "C", 4L -> "X", 6L -> "f",
+      7L -> "g", 8L -> "h", 9L -> "Z"))
+  }
 }

@@ -964,6 +964,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream index append is IDEMPOTENT: replaying a micro-batch " +
+      "replaces its own ingest partition instead of double-appending") {
+    import graft.operators.SimSearch
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val store = emb.filter(col("vec_id") % 10 < 8)
+    val delta = emb.filter(col("vec_id") % 10 >= 8)
+      .select(col("vec_id"), col("embedding"))
+    val (coarse, pqCb) = SimSearch.storeCodebooks(store)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ingest_idem").toString
+    val index = s"$dir/index"
+    SimSearch.encodeIvfPq(store, coarse, pqCb, 4)
+      .withColumn("ingest", lit(-1L))
+      .write.partitionBy("ingest", "cent_id").parquet(index)
+    val n0 = spark.read.parquet(index).count()
+    Streams.ingestIndexBatch(delta, index, coarse, pqCb, 4, batchId = 0L)
+    val n1 = spark.read.parquet(index).count()
+    assert(n1 > n0, "the first delivery must append the delta's codes")
+    // the at-least-once REPLAY of the same batch id: a blind append
+    // would double-count every delta code in the serve top-k
+    Streams.ingestIndexBatch(delta, index, coarse, pqCb, 4, batchId = 0L)
+    val n2 = spark.read.parquet(index).count()
+    assert(n2 === n1, s"replay double-appended: $n1 -> $n2")
+    // a NEW batch id still appends
+    Streams.ingestIndexBatch(delta.limit(3), index, coarse, pqCb, 4,
+      batchId = 1L)
+    assert(spark.read.parquet(index).count() === n1 + 3 * 4)
+  }
+
+  test("stream CDF produce: the version fence makes a replayed commit " +
+      "batch a no-op, and produce→consume round-trips to the head") {
+    import graft.sources.LakeIO
+    val v0 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x")
+    val v1 = Seq((1L, 10.0), (2L, 22.0), (3L, 30.0)).toDF("k", "x")
+    val v2 = Seq((1L, 10.0), (3L, 30.0), (4L, 40.0)).toDF("k", "x")
+    val tbl = Streams.streamWriteCdfTable(spark, "stream_wcdf_spec",
+      Seq(v0, v1, v2), Seq("k"))
+    // the produced table's head IS v2, commit-granular capture intact
+    assert(LakeIO.listVersions(spark, tbl) === Seq(0, 1, 2))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double)].collect().toSeq.sorted
+    assert(snap(LakeIO.loadVersion(spark, tbl, Some(2)))
+      === Seq((1L, 10.0), (3L, 30.0), (4L, 40.0)))
+    // at-least-once REPLAY: re-applying commit 1's churn (stamp ≤ head)
+    // must be fenced to a no-op — no v=3 appears, head unchanged
+    val replay = LakeIO.capturedChanges(spark, tbl, 0, 1)
+    Streams.applyCommitsIdempotent(replay, tbl, Seq("k"))
+    assert(LakeIO.listVersions(spark, tbl) === Seq(0, 1, 2),
+      "a replayed commit must not publish a new version")
+    // a SKIPPED commit fails loud instead of corrupting the chain
+    val skipped = replay.withColumn("_commit_version", lit(9))
+    val err = intercept[IllegalArgumentException] {
+      Streams.applyCommitsIdempotent(skipped, tbl, Seq("k"))
+    }
+    assert(err.getMessage.contains("skipped"), err.getMessage)
+    // produce → consume: the captured feed the producer wrote drives
+    // the streaming CONSUMER's replica fold back to the same head
+    // (stream_cdf_apply's machinery over the produced feed)
+    val replica = LakeIO.replayChanges(
+      LakeIO.loadVersion(spark, tbl, Some(0)),
+      LakeIO.capturedChanges(spark, tbl, 0, 2), Seq("k"))
+    assert(snap(replica) === snap(LakeIO.loadVersion(spark, tbl, Some(2))))
+  }
+
   test("checkpointed parquet sink is exactly-once under restart (AvailableNow)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val src = Streams.eventsFileStream(spark, TestSpark.sf)

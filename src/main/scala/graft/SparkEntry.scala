@@ -585,6 +585,13 @@ object SparkEntry {
     // health → REBUILD
     "simsearch_index_rebuild" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchIndexRebuild(s, d)),
+    // the post-rebuild serve calibration: sweep nProbe on the rebuilt
+    // index and pick (integer-gated, oracle-rederivable) the smallest
+    // setting recovering the old index's recall, declaring recall AND
+    // candidates-scanned for every setting — the decision the rebuild
+    // row's honest recall dip leaves open
+    "simsearch_index_rebuild_tuned" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchIndexRebuildTuned(s, d)),
     // residual encoding (FAISS's default): PQ codes quantize
     // x − coarse(cell) via the ResidualNearestCentroidSlice kernel;
     // score = per-(q,cell) coarse dot + m residual lookups
@@ -6301,6 +6308,108 @@ object SparkEntry {
         |  hl.tv, hl.rebuild
         |FROM hit h JOIN meta m ON m.idx = h.idx CROSS JOIN health hl
         |ORDER BY h.idx ASC, h.q_id ASC""".stripMargin,
+    // the tuned sweep: rebuild's now/q/c/ex/cb/asg CTEs; candidates per
+    // probe setting come from ONE cell join × a generate_series levels
+    // table (p admits a candidate iff p ≥ its cell's probe rank);
+    // hits/candidates are exact integers, chosen = min rebuilt p with
+    // hits ≥ old's (fallback 6), mean_recall = one division of the
+    // integer sum
+    "simsearch_index_rebuild_tuned" -> {
+      def cellsFor(cb: String, maxP: Int, tag: String) =
+        s"""qc$tag AS (SELECT q_id, cent_id, cell_rn FROM (
+           |  SELECT q.q_id, $cb.cent_id, row_number() OVER (
+           |      PARTITION BY q.q_id ORDER BY
+           |      list_sum(list_transform(range(1, len(q.q_emb) + 1),
+           |        i -> q.q_emb[i]::DOUBLE * $cb.c_v[i]::DOUBLE))
+           |      / (q.q_nrm * $cb.cnrm) DESC,
+           |      $cb.cent_id ASC) AS cell_rn
+           |  FROM q CROSS JOIN $cb) WHERE cell_rn <= $maxP),
+           |cand$tag AS (SELECT lv.p, qc.q_id, a.c_id
+           |  FROM qc$tag qc JOIN asg$tag a USING (cent_id)
+           |  JOIN lv ON lv.p >= qc.cell_rn AND lv.p <= $maxP
+           |  WHERE qc.q_id <> a.c_id),
+           |scan$tag AS (SELECT p, count(*)::BIGINT AS candidates_scanned
+           |  FROM cand$tag GROUP BY 1),
+           |srv$tag AS (SELECT p, q_id, c_id FROM (
+           |  SELECT cd.p, cd.q_id, cd.c_id, row_number() OVER (
+           |      PARTITION BY cd.p, cd.q_id ORDER BY
+           |      round(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+           |        i -> q.q_emb[i]::DOUBLE * c.c_emb[i]::DOUBLE))
+           |      / (q.q_nrm * c.c_nrm), 4) DESC, cd.c_id ASC) AS rn
+           |  FROM cand$tag cd JOIN q ON q.q_id = cd.q_id
+           |  JOIN c ON c.c_id = cd.c_id) WHERE rn <= 5),
+           |hit$tag AS (SELECT s.p, count(*)::BIGINT AS sum_hits
+           |  FROM srv$tag s JOIN ex
+           |    ON ex.q_id = s.q_id AND ex.c_id = s.c_id
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH now AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000000 AS vec_id,
+         |    list_transform(embedding, x -> abs(x)) AS embedding
+         |  FROM embeddings),
+         |lv AS (SELECT unnest(generate_series(1, 6)) AS p),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> x::DOUBLE * x::DOUBLE))) AS q_nrm
+         |  FROM now WHERE vec_id < 10
+         |    OR (vec_id >= 100000000 AND vec_id < 100000010)),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_emb,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> x::DOUBLE * x::DOUBLE))) AS c_nrm
+         |  FROM now),
+         |ex AS (SELECT q_id, c_id FROM (
+         |  SELECT q.q_id, c.c_id, row_number() OVER (PARTITION BY q.q_id
+         |    ORDER BY round(list_sum(list_transform(
+         |        range(1, len(q.q_emb) + 1),
+         |        i -> q.q_emb[i]::DOUBLE * c.c_emb[i]::DOUBLE))
+         |      / (q.q_nrm * c.c_nrm), 4) DESC, c.c_id ASC) AS rn
+         |  FROM c CROSS JOIN q WHERE q.q_id <> c.c_id) WHERE rn <= 5),
+         |cbo AS (SELECT vec_id AS cent_id, embedding AS c_v,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+         |  FROM embeddings WHERE vec_id % 127 = 0),
+         |cbn AS (SELECT vec_id AS cent_id, embedding AS c_v,
+         |    sqrt(list_sum(list_transform(embedding,
+         |      x -> x::DOUBLE * x::DOUBLE))) AS cnrm
+         |  FROM now WHERE vec_id % 127 = 0),
+         |asgo AS (SELECT c_id, cent_id FROM (
+         |  SELECT c.c_id, cbo.cent_id, row_number() OVER (
+         |      PARTITION BY c.c_id ORDER BY
+         |      list_sum(list_transform(range(1, len(c.c_emb) + 1),
+         |        i -> c.c_emb[i]::DOUBLE
+         |           * (cbo.c_v[i]::DOUBLE / cbo.cnrm))) DESC,
+         |      cbo.cent_id ASC) AS rn
+         |  FROM c CROSS JOIN cbo) WHERE rn = 1),
+         |asgn AS (SELECT c_id, cent_id FROM (
+         |  SELECT c.c_id, cbn.cent_id, row_number() OVER (
+         |      PARTITION BY c.c_id ORDER BY
+         |      list_sum(list_transform(range(1, len(c.c_emb) + 1),
+         |        i -> c.c_emb[i]::DOUBLE
+         |           * (cbn.c_v[i]::DOUBLE / cbn.cnrm))) DESC,
+         |      cbn.cent_id ASC) AS rn
+         |  FROM c CROSS JOIN cbn) WHERE rn = 1),
+         |${cellsFor("cbo", 2, "o")},
+         |${cellsFor("cbn", 6, "n")},
+         |rows_o AS (SELECT 'old' AS idx, s.p AS n_probe,
+         |    coalesce(h.sum_hits, 0) AS sum_hits, s.candidates_scanned
+         |  FROM scano s LEFT JOIN hito h USING (p) WHERE s.p = 2),
+         |rows_n AS (SELECT 'rebuilt' AS idx, s.p AS n_probe,
+         |    coalesce(h.sum_hits, 0) AS sum_hits, s.candidates_scanned
+         |  FROM scann s LEFT JOIN hitn h USING (p)),
+         |pick AS (SELECT coalesce(
+         |    (SELECT min(n_probe) FROM rows_n
+         |     WHERE sum_hits >= (SELECT sum_hits FROM rows_o)), 6)
+         |  AS chosen_probe)
+         |SELECT r.idx, CAST(r.n_probe AS INTEGER) AS n_probe,
+         |  r.sum_hits,
+         |  round(r.sum_hits::DOUBLE / 100.0, 4) AS mean_recall,
+         |  r.candidates_scanned,
+         |  r.idx = 'rebuilt' AND r.n_probe = pk.chosen_probe AS chosen
+         |FROM (SELECT * FROM rows_o UNION ALL SELECT * FROM rows_n) r
+         |CROSS JOIN pick pk
+         |ORDER BY idx ASC, n_probe ASC""".stripMargin
+    },
     // residual IVFPQ: same asg/qc as simsearch_ivfpq; the PQ codebook
     // becomes each pq sample's residual against ITS OWN coarse cell
     // (rcb), corpus codes argmax over (x − coarse(cell))·rv − ‖rv‖²/2,

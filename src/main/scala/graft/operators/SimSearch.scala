@@ -1254,6 +1254,137 @@ object SimSearch {
       .orderBy(col("idx").asc, col("q_id").asc)
   }
 
+  /** `simsearch_index_rebuild_tuned` — the serve-setting decision the
+    * rebuild row leaves to the reader (VERDICT r17 #3:
+    * `simsearch_index_rebuild` honestly declares the recall dip at the
+    * PINNED nProbe — 2 probes over 2× the cells cover half the
+    * fraction — but nothing ACTS on it; serving the rebuilt index at
+    * the old probe setting silently ships a recall regression). The
+    * declared row sweeps nProbe on the REBUILT index from 1 to
+    * `maxProbe` and picks the smallest setting whose recall (vs the
+    * same exact-KNN ground truth) recovers the OLD index's recall at
+    * its original nProbe, declaring for every setting the two numbers
+    * a serving owner trades: sum_hits/mean_recall AND
+    * candidates_scanned (the exact count of (query, candidate) pairs
+    * the probed cells admit — the per-query scan cost). The empirical
+    * shape this pins (sf0.01): the rebuilt index needs MORE probes to
+    * match the old recall, but its rebalanced cells are half the size,
+    * so recall recovers at comparable-or-lower scan cost — recall per
+    * candidate scanned is what the rebuild actually bought.
+    *
+    * Everything gating the choice is exact integers (hit counts,
+    * candidate counts; the comparison is integer-vs-integer), so the
+    * chosen setting is deterministic and the DuckDB oracle re-derives
+    * it bit-for-bit. Falls back to `maxProbe` (declared, not hidden)
+    * if no swept setting reaches the old recall.
+    *
+    * Scale shape: ONE corpus assignment pass per codebook (row-local
+    * kernel argmax), one broadcast query-cells join per index — the
+    * sweep does NOT re-join per setting: each candidate row explodes
+    * to the probe levels that would admit it (≤ maxProbe copies of a
+    * cell-probe-bounded frame), and per-(setting, query) top-k is one
+    * keyed window. The exact-KNN judge is the ann_recall
+    * query-set-bounded product, as in the rebuild row.
+    */
+  def simsearchIndexRebuildTuned(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10, coarseStride: Long = 127,
+      oldProbe: Int = 2, maxProbe: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val shifted = emb.select(
+      (col("vec_id") + lit(DriftOffset)).as("vec_id"),
+      transform(col("embedding"), x => abs(x)).as("embedding"))
+    val now = emb.unionByName(shifted)
+    val oldCb = ivfCodebook(emb, coarseStride)
+    val newCb = ivfCodebook(now, coarseStride)
+    val isQuery = col("vec_id") < nQueries.toLong ||
+      (col("vec_id") >= DriftOffset &&
+        col("vec_id") < DriftOffset + nQueries)
+    val queries = now.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"))
+    val wx = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    val exact = now.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), l2norm(col("embedding")).as("c_nrm"))
+      .crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(wx))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"))
+      .localCheckpoint(true) // one judge, two indexes — never recompute
+    // (sum_hits, candidates) per probe setting 1..maxP under a codebook
+    def sweep(cb: Array[(Long, Array[Float], Double)],
+        maxP: Int): DataFrame = {
+      val spark2 = now.sparkSession
+      import spark2.implicits._
+      val cbDf = cb.toSeq.map { case (id, v, nrm) => (id, v, nrm) }
+        .toDF("cent_id", "c_v", "cnrm")
+      val wq = Window.partitionBy(col("q_id"))
+        .orderBy(col("cell_cos").desc, col("cent_id").asc)
+      val queryCells = queries
+        .crossJoin(broadcast(cbDf))
+        .withColumn("cell_cos",
+          dot(col("q_emb"), col("c_v")) / (col("q_nrm") * col("cnrm")))
+        .withColumn("cell_rn", row_number().over(wq))
+        .filter(col("cell_rn") <= maxP)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"),
+          col("cent_id"), col("cell_rn"))
+      // each candidate admits at probe settings cell_rn..maxP: ONE
+      // cell-probe join, exploded to its admitting settings (≤ maxP×)
+      val cand = ivfAssignCorpus(now, cb)
+        .join(broadcast(queryCells), Seq("cent_id"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("p",
+          explode(sequence(col("cell_rn"), lit(maxP))))
+      val scanned = cand.groupBy(col("p"))
+        .agg(count(lit(1)).as("candidates_scanned"))
+      val wk = Window.partitionBy(col("p"), col("q_id"))
+        .orderBy(col("cos_sim").desc, col("c_id").asc)
+      val hits = cand
+        .withColumn("cos_sim", round(
+          dot(col("q_emb"), col("c_emb"))
+            / (col("q_nrm") * col("c_nrm")), 4))
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= k)
+        .join(exact, Seq("q_id", "c_id"), "left_semi")
+        .groupBy(col("p")).agg(count(lit(1)).as("sum_hits"))
+      scanned.join(hits, Seq("p"), "left_outer")
+        .select(col("p").cast("int").as("n_probe"),
+          coalesce(col("sum_hits"), lit(0L)).as("sum_hits"),
+          col("candidates_scanned"))
+    }
+    val denom = (2 * nQueries * k).toDouble
+    val old = sweep(oldCb, oldProbe)
+      .filter(col("n_probe") === oldProbe)
+      .select(lit("old").as("idx"), col("n_probe"), col("sum_hits"),
+        col("candidates_scanned"))
+    val oldHits = old.select(col("sum_hits").as("old_hits"))
+    val rebuilt = sweep(newCb, maxProbe)
+      .select(lit("rebuilt").as("idx"), col("n_probe"), col("sum_hits"),
+        col("candidates_scanned"))
+    // chosen = smallest rebuilt setting whose integer hit count reaches
+    // the old index's; maxProbe if none does (declared fallback)
+    val wIdx = Window.partitionBy(col("idx"))
+    old.unionByName(rebuilt)
+      .crossJoin(broadcast(oldHits))
+      .withColumn("recovering",
+        when(col("idx") === "rebuilt"
+          && col("sum_hits") >= col("old_hits"), col("n_probe")))
+      .withColumn("chosen_probe",
+        coalesce(min(col("recovering")).over(wIdx), lit(maxProbe)))
+      .withColumn("chosen", col("idx") === "rebuilt"
+        && col("n_probe") === col("chosen_probe"))
+      .select(col("idx"), col("n_probe"), col("sum_hits"),
+        round(col("sum_hits").cast("double") / lit(denom), 4)
+          .as("mean_recall"),
+        col("candidates_scanned"), col("chosen"))
+      .orderBy(col("idx").asc, col("n_probe").asc)
+  }
+
   /** `simsearch_pq_rotated` — PQ under a DETERMINISTIC coordinate
     * rotation, the energy-balancing step of the OPQ family (Ge et al.
     * OPQ / Jégou's random-rotation baseline): PQ's independence

@@ -203,6 +203,11 @@ class ContractSpec extends AnyFunSuite {
     //                    codebooks + ONE-ROW health/balance scalar
     //                    attaches; both index serves join keyed on
     //                    cent_id, and the corpus never self-products
+    //   simsearch_index_rebuild_tuned — the same rebuild shapes (exact
+    //                    KNN judge, bounded query→cell products) + a
+    //                    ONE-ROW old-hits scalar attach gating the
+    //                    probe choice; the sweep itself is ONE keyed
+    //                    cent_id join exploded to ≤6 probe levels
     val allowProduct =
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
         "dq_freshness",
@@ -215,7 +220,8 @@ class ContractSpec extends AnyFunSuite {
         "simsearch_range", "simsearch_range_ivf",
         "simsearch_index_persisted", "simsearch_index_incremental",
         "simsearch_index_delete", "simsearch_index_compact",
-        "simsearch_index_rebuild", "stream_index_append_ok",
+        "simsearch_index_rebuild", "simsearch_index_rebuild_tuned",
+        "stream_index_append_ok",
         "ngram_pmi", "graph_pagerank", "graph_pagerank_dist")
     walk { (name, df) =>
       if (allowProduct(name)) None

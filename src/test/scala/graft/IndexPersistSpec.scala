@@ -218,4 +218,43 @@ class IndexPersistSpec extends AnyFunSuite {
     assert(byIdx("old").length === 20 && byIdx("rebuilt").length === 20)
     assert(rows.forall(_.getLong(2) <= 5L))
   }
+
+  test("rebuild tuning: the swept nProbe recovers the old recall at " +
+      "LOWER scan cost (recall per candidate is what the rebuild bought)") {
+    // (idx, n_probe, sum_hits, mean_recall, candidates_scanned, chosen)
+    val rows = SimSearch.simsearchIndexRebuildTuned(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getBoolean(5)))
+    val old = rows.filter(_._1 == "old")
+    assert(old.length === 1 && old.head._2 === 2,
+      "exactly one old row at the original nProbe=2")
+    val (oldHits, oldScan) = (old.head._3, old.head._5)
+    val swept = rows.filter(_._1 == "rebuilt").sortBy(_._2)
+    assert(swept.map(_._2).toSeq === (1 to 6),
+      "the sweep declares every setting 1..6")
+    // hits and scan cost are monotone in nProbe (more cells probed can
+    // only add candidates, and top-k over a superset can't lose hits
+    // it already had... hits CAN drop when a closer-but-wrong candidate
+    // displaces a hit — so pin monotone scan, directional hits)
+    assert(swept.map(_._5).toSeq === swept.map(_._5).sorted,
+      "candidates_scanned must be monotone in nProbe")
+    // exactly one chosen setting, and it's the SMALLEST recovering one
+    val chosen = swept.filter(_._6)
+    assert(chosen.length === 1, s"one chosen setting: $chosen")
+    val c = chosen.head
+    assert(c._3 >= oldHits,
+      s"chosen recall must recover the old index's: ${c._3} vs $oldHits")
+    assert(swept.filter(_._2 < c._2).forall(_._3 < oldHits),
+      "no smaller setting already recovers (minimality)")
+    // THE deliverable: recall recovered at comparable-or-lower scan
+    // cost — the rebalanced cells are smaller, so the extra probes
+    // don't blow the candidate budget. At sf0.01 (the oracle-gated
+    // fixture) the chosen setting scans STRICTLY fewer candidates
+    // (8776 vs 10821 = 0.81×); the tiny spec fixture's two-cell
+    // codebook can land within noise of parity, so the spec pins the
+    // ≤1.05× band rather than strict improvement.
+    assert(c._5 <= (oldScan * 1.05).toLong,
+      s"recovered recall must not blow the scan budget: " +
+        s"${c._5} vs $oldScan")
+  }
 }

@@ -694,6 +694,12 @@ object SparkEntry {
     // seed counts + total hop distance, closeness = n/sum(d) at 4dp
     "graph_closeness" -> ((s: SparkSession, d: String) =>
       GraphOps.graphCloseness(s, d)),
+    // seed-pair betweenness (Brandes–Pich pivot sampling, both
+    // endpoints sampled so every σ comes from the ONE BFS): exact
+    // integer σ level-DP, per-term 1e6-fixed-point floor, integer
+    // sums; stress (Shimbel) declared alongside
+    "graph_betweenness" -> ((s: SparkSession, d: String) =>
+      GraphOps.graphBetweenness(s, d)),
     "graph_widest" -> ((s: SparkSession, d: String) =>
       GraphOps.graphWidest(s, d)),
     // community detection: 4 synchronous rounds of weighted label
@@ -5254,6 +5260,61 @@ object SparkEntry {
         |  round(count(*)::DOUBLE / sum(d)::DOUBLE, 4) AS closeness
         |FROM md WHERE d > 0
         |GROUP BY x ORDER BY part ASC""".stripMargin,
+    // seed-pair betweenness: min-dist via the closeness recursion
+    // (depth-capped 4), σ via level-DP CTEs (σ_d = Σ parent σ_{d−1} —
+    // aggregates can't live in a recursive term, so the pinned depth
+    // unrolls them, the labelprop precedent), contributions as exact
+    // HUGEINT σ_sv·σ_tv·1e6 // σ_st floors, integer-summed. The
+    // MATERIALIZED hints are load-bearing: sp is referenced three
+    // times and DuckDB's default inlining re-evaluates the whole
+    // chain per reference (measured 88 s → 0.5 s at sf0.1)
+    "graph_betweenness" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS MATERIALIZED (SELECT u, v FROM e
+        |  UNION ALL SELECT v AS u, u AS v FROM e),
+        |r(s, x, d) AS (
+        |  SELECT DISTINCT u AS s, u AS x, 0 AS d FROM und WHERE u % 17 = 0
+        |  UNION
+        |  SELECT r.s, und.v AS x, r.d + 1 AS d
+        |  FROM r JOIN und ON r.x = und.u WHERE r.d < 4),
+        |md AS MATERIALIZED (SELECT s, x, min(d) AS d FROM r GROUP BY 1, 2),
+        |s0 AS (SELECT s, x, 1::BIGINT AS sig FROM md WHERE d = 0),
+        |s1 AS MATERIALIZED (SELECT p.s, m.x, sum(p.sig)::BIGINT AS sig
+        |  FROM s0 p JOIN und ON und.u = p.x
+        |  JOIN md m ON m.s = p.s AND m.x = und.v AND m.d = 1 GROUP BY 1, 2),
+        |s2 AS MATERIALIZED (SELECT p.s, m.x, sum(p.sig)::BIGINT AS sig
+        |  FROM s1 p JOIN und ON und.u = p.x
+        |  JOIN md m ON m.s = p.s AND m.x = und.v AND m.d = 2 GROUP BY 1, 2),
+        |s3 AS MATERIALIZED (SELECT p.s, m.x, sum(p.sig)::BIGINT AS sig
+        |  FROM s2 p JOIN und ON und.u = p.x
+        |  JOIN md m ON m.s = p.s AND m.x = und.v AND m.d = 3 GROUP BY 1, 2),
+        |s4 AS MATERIALIZED (SELECT p.s, m.x, sum(p.sig)::BIGINT AS sig
+        |  FROM s3 p JOIN und ON und.u = p.x
+        |  JOIN md m ON m.s = p.s AND m.x = und.v AND m.d = 4 GROUP BY 1, 2),
+        |sp AS MATERIALIZED (SELECT s0.s, s0.x, 0 AS d, sig FROM s0
+        |  UNION ALL SELECT s, x, 1, sig FROM s1
+        |  UNION ALL SELECT s, x, 2, sig FROM s2
+        |  UNION ALL SELECT s, x, 3, sig FROM s3
+        |  UNION ALL SELECT s, x, 4, sig FROM s4),
+        |pairs AS (SELECT s, x AS t, d AS dst, sig AS sigst FROM sp
+        |  WHERE x % 17 = 0 AND x > s),
+        |contrib AS (
+        |  SELECT a.x AS v, a.sig * b.sig AS stress_term,
+        |    (a.sig::HUGEINT * b.sig * 1000000) // p.sigst AS bt_term
+        |  FROM pairs p
+        |  JOIN sp a ON a.s = p.s
+        |  JOIN sp b ON b.s = p.t AND b.x = a.x
+        |  WHERE a.d + b.d = p.dst AND a.x <> p.s AND a.x <> p.t)
+        |SELECT v AS part, count(*)::BIGINT AS n_pairs,
+        |  sum(stress_term)::BIGINT AS stress,
+        |  CAST(sum(bt_term) AS BIGINT) AS bt_fp,
+        |  round(CAST(sum(bt_term) AS BIGINT)::DOUBLE / 1000000, 6)
+        |    AS betweenness
+        |FROM contrib GROUP BY v ORDER BY part ASC""".stripMargin,
     // widest path: capacities only RISE toward the fixpoint and draw
     // from the finite co-value set, so the UNION recursion terminates
     // with no depth cap; max(cap) per vertex = the bottleneck optimum

@@ -635,6 +635,115 @@ object GraphOps {
       .orderBy(col("part").asc)
   }
 
+  /** `graph_betweenness` — seed-PAIR-sampled betweenness centrality,
+    * the tenth classic (VERDICT r17 #8, the last centrality gap): how
+    * much shortest-path traffic between the pinned %17 seed pairs
+    * routes THROUGH each vertex. Exact betweenness needs all-pairs
+    * path counting; the production estimator restricts sources AND
+    * targets to a pivot sample (Brandes–Pich) — with both endpoints
+    * sampled, every needed path count (σ_sv, σ_tv, σ_st) comes from
+    * the ONE multi-source BFS, no all-pairs σ and no backward
+    * dependency recursion. Depth-capped at `maxDepth` (seed pairs
+    * farther apart contribute nothing — the declared scope).
+    *
+    * Determinism (the graph_pagerank discipline): path counts σ are
+    * exact integer level-DP (σ_d(v) = Σ σ_{d−1} over BFS parents);
+    * per-(s,t,v) contributions are σ_sv·σ_tv·1e6 DIV σ_st — an exact
+    * integer floor per term — and sums are integer sums, so no float
+    * accumulation order anywhere. Declared per vertex: the pair count,
+    * the exact STRESS centrality Σ σ_sv·σ_tv (Shimbel), the 1e6-fixed-
+    * point betweenness, and its display division.
+    *
+    * Scale shape: the BFS carries (vertex, seed, σ) triples — the
+    * closeness scaffolding with one extra groupBy-sum per round (state
+    * still seed-sample-bounded); the judge joins are sp ⋈ sp keyed on
+    * the VERTEX and pairs keyed on (s, t) — work is Σ_v |seeds
+    * reaching v|², quadratic in the PIVOT SAMPLE by estimator design,
+    * never in |V|. Tenth declared view of the one
+    * [[cachedCoPurchaseEdges]] corpus pass; oracle = the closeness
+    * recursion with σ level-DP CTEs and HUGEINT terms (MATERIALIZED
+    * hints — the inlined chain re-evaluates 170× slower).
+    */
+  def graphBetweenness(spark: SparkSession, sfDir: String,
+      minCo: Long = 2L, seedMod: Long = 17L,
+      maxDepth: Int = 4): DataFrame =
+    betweennessEnum(cachedCoPurchaseEdges(spark, sfDir, minCo), seedMod,
+      maxDepth)
+
+  /** Seed-pair betweenness over an undirected (u, v) edge frame — the
+    * planted-graph harness for GraphMixSpec (path/star exact values).
+    */
+  private[graft] def betweennessEnum(edges: DataFrame, seedMod: Long,
+      maxDepth: Int): DataFrame = {
+    val Scale = 1000000L // 1e6 fixed point; with σ ≤ ~1e4 at the
+    // depth cap, σ²·1e6 ≤ 1e14 stays far inside Long (oracle: HUGEINT)
+    val spark0 = edges.sparkSession
+    val s2 = spark0.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val und0 = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val und = s2.createDataFrame(und0.rdd, und0.schema)
+    var sp = und.select(col("u").as("x")).distinct()
+      .filter(pmod(col("x"), lit(seedMod)) === 0)
+      .select(col("x"), col("x").as("s"), lit(0).as("d"),
+        lit(1L).as("sig"))
+      .localCheckpoint(true)
+    var frontier = sp
+    var d = 1
+    var growing = true
+    while (growing && d <= maxDepth) {
+      // level-synchronous σ: paths to a NEW vertex at depth d = the
+      // integer sum of its depth-(d−1) parents' σ (one keyed join +
+      // keyed aggregate; the anti-join keeps only first-reached pairs)
+      val next = und
+        .join(frontier.select(col("x").as("u"), col("s"), col("sig")),
+          "u")
+        .groupBy(col("v").as("x"), col("s"))
+        .agg(sum(col("sig")).as("sig"))
+        .join(sp.select(col("x"), col("s")), Seq("x", "s"), "left_anti")
+        .select(col("x"), col("s"), lit(d).as("d"), col("sig"))
+        .localCheckpoint(true)
+      if (next.count() == 0) {
+        unpersistCheckpoint(next)
+        growing = false
+      } else {
+        val prevSp = sp; val prevF = frontier
+        sp = sp.unionByName(next).localCheckpoint(true)
+        unpersistCheckpoint(prevSp)
+        if (prevF ne prevSp) unpersistCheckpoint(prevF)
+        frontier = next
+        d += 1
+      }
+    }
+    if (frontier ne sp) unpersistCheckpoint(frontier)
+    val pairs = sp
+      .filter(pmod(col("x"), lit(seedMod)) === 0 && col("x") > col("s"))
+      .select(col("s"), col("x").as("t"), col("d").as("dst"),
+        col("sig").as("sigst"))
+    val a = sp.select(col("s"), col("x").as("part"),
+      col("d").as("da"), col("sig").as("siga"))
+    val b = sp.select(col("s").as("t"), col("x").as("part"),
+      col("d").as("db"), col("sig").as("sigb"))
+    // v mediates (s, t) iff d(s,v) + d(v,t) = d(s,t); σ_st(v) =
+    // σ_sv·σ_vt (σ_vt = σ_tv — path reversal on an undirected graph)
+    a.join(b, Seq("part"))
+      .join(pairs, Seq("s", "t"))
+      .filter(col("da") + col("db") === col("dst")
+        && col("part") =!= col("s") && col("part") =!= col("t"))
+      .select(col("part"), (col("siga") * col("sigb")).as("stress_term"),
+        expr(s"(siga * sigb * ${Scale}L) div sigst").as("bt_term"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("stress_term")).as("stress"),
+        sum(col("bt_term")).as("bt_fp"))
+      .select(col("part"), col("n_pairs"), col("stress"), col("bt_fp"),
+        round(col("bt_fp").cast("double") / lit(Scale.toDouble), 6)
+          .as("betweenness"))
+      .orderBy(col("part").asc)
+  }
+
   /** Clustering coefficient over an undirected (u, v, co) edge frame —
     * the planted-graph harness for GraphMixSpec.
     */

@@ -510,6 +510,58 @@ class GraphMixSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_betweenness: planted path values are exact, the diamond " +
+      "splits σ, endpoints never self-mediate, depth cap scopes pairs") {
+    import graft.operators.GraphOps
+    // Path 0..10, seeds mod 2 (0,2,4,6,8,10), depth cap 4: the seed
+    // pairs are the five diff-2 and four diff-4 pairs, all σ=1, so
+    // bt(v) = 1e6 × #pairs strictly straddling v. By hand:
+    //   v=1: (0,2),(0,4) → 2 · v=2: (0,4) → 1 · v=3: (0,4),(2,4),(2,6)
+    //   → 3 · v=4: (2,6) → 1 · v=5: (2,6),(4,6),(4,8) → 3 · v=6:
+    //   (4,8) → 1 · v=7: (4,8),(6,8),(6,10) → 3 · v=8: (6,10) → 1 ·
+    //   v=9: (6,10),(8,10) → 2; path ends 0/10 mediate nothing.
+    val path = (0L until 10L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = GraphOps.betweennessEnum(path, seedMod = 2L, maxDepth = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    val exp = Map(1L -> 2L, 2L -> 1L, 3L -> 3L, 4L -> 1L, 5L -> 3L,
+      6L -> 1L, 7L -> 3L, 8L -> 1L, 9L -> 2L)
+    assert(got.keySet === exp.keySet, s"got $got")
+    exp.foreach { case (v, n) =>
+      assert(got(v) === ((n, n, n * 1000000L, n.toDouble)),
+        s"v=$v: ${got(v)} expected ($n, $n, ${n * 1000000L}, $n.0)")
+    }
+    // Diamond 0-1-2, 0-3-2 (seeds 0, 2; midpoints 1, 3 odd): σ_02 = 2,
+    // so each midpoint carries HALF the pair — the σ split is the part
+    // plain path counting can't see: bt = 1·1·1e6 // 2 = 500000
+    val diamond = Seq((0L, 1L), (1L, 2L), (0L, 3L), (3L, 2L))
+      .toDF("u", "v")
+    val dia = GraphOps.betweennessEnum(diamond, seedMod = 2L,
+      maxDepth = 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(dia === Map(1L -> ((1L, 1L, 500000L)),
+      3L -> ((1L, 1L, 500000L))), s"diamond got $dia")
+    // depth cap: seeds 0 and 6 on a 6-path sit at d=6 > 4 — no pair,
+    // no mediation, empty result
+    val far = (0L until 6L).map(i => (i, i + 1)).toDF("u", "v")
+    assert(GraphOps.betweennessEnum(far, seedMod = 6L, maxDepth = 4)
+      .count() === 0)
+    // fixture invariants: stress ≥ n_pairs (σ products ≥ 1 each),
+    // bt_fp ≤ 1e6 × n_pairs (each pair contributes at most its whole
+    // unit), betweenness = bt_fp/1e6 at 6dp
+    val rows = GraphOps.graphBetweenness(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, st, bt, b) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+      assert(np > 0 && st >= np && bt <= 1000000L * np, s"bad row $r")
+      assert(math.abs(b - math.rint(bt.toDouble / 1000000 * 1e6) / 1e6)
+        < 1e-9, s"betweenness display mismatch: $r")
+    }
+  }
+
   test("graph_labelprop: two planted cliques joined by a weak bridge " +
       "stay separate communities (where graph_cc merges them)") {
     // Triangle A {1,2,3} (intra weight 5), triangle B {10,11,12}

@@ -59,6 +59,11 @@ object SparkEntry {
     // pinned by a live shallow-clone manifest refuses atomically;
     // deleting the clone releases the pin and the vacuum proceeds
     "lake_vacuum_safe" -> (SinkQueries.lakeVacuumSafe _),
+    // CDF retention coordination, hash-gated: dropped commits' _cdf
+    // reaps with them, the persistent commit log keeps refusing a
+    // range spanning the vacuumed (uncaptured) commit, and the
+    // retained tail keeps serving its churn-sized feed
+    "lake_vacuum_cdf" -> (SinkQueries.lakeVacuumCdf _),
     "lake_changes" -> (SinkQueries.lakeChanges _),
     "lake_restore" -> (SinkQueries.lakeRestore _),
     // rollback WITH write-time capture: restoreVersionCdf publishes the
@@ -2521,6 +2526,21 @@ object SparkEntry {
         |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
         |      AS DOUBLE) FROM orders WHERE o_totalprice > 400000.0)
         |    AS head_revenue""".stripMargin,
+    // retention coordination lifecycle: constants pin the reap +
+    // refusal, head/tail cardinalities recompute from the churn moduli
+    // (v3 = the %19/%23/%29 filter chain; the %3 slice was REPLACED by
+    // the v1 full-base commit, so it does not constrain the head)
+    "lake_vacuum_cdf" ->
+      """WITH v3 AS (SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey % 19 <> 0 AND o_orderkey % 23 <> 0
+        |    AND o_orderkey % 29 <> 0)
+        |SELECT TRUE AS refused, 4 AS n_dropped, 1 AS n_cdf_left,
+        |  TRUE AS final_is_head_only,
+        |  (SELECT count(*) FROM v3) AS head_rows,
+        |  (SELECT 2 * count(*) FROM v3 WHERE o_orderkey % 13 = 0)
+        |    AS tail_rows,
+        |  (SELECT count(*) FROM v3 WHERE o_orderkey % 13 = 0)
+        |    AS tail_update_keys""".stripMargin,
     // CDF between pinned versions: the oracle recomputes both snapshot
     // definitions directly from orders and diffs them — inserts/deletes
     // via NOT EXISTS, updates via value inequality (+1000.0 is exact in

@@ -525,9 +525,15 @@ object LakeIO {
         "and replayChanges would reconstruct a wrong head; re-commit " +
         "via saveVersionCdf/restoreVersionCdf, or use the changes() " +
         "snapshot diff for this range if the snapshots are retained")
-    spark.read.parquet(cdfRoot.toString)
-      .filter(col("v") > fromV && col("v") <= toV)
-      .drop("v")
+    require(inRange.nonEmpty,
+      s"no commits in ($fromV, $toV] at $path — nothing to read")
+    // read the in-range capture dirs DIRECTLY (the directory prune),
+    // never the `_cdf` root with partition discovery: the rows already
+    // carry `_commit_version` as a data column, and root discovery
+    // would infer the `v=` dir as a partition column — colliding with
+    // any table whose OWN schema has a column named `v` (a real user
+    // table name; found by the LakeSpec merge-on-CDF test)
+    spark.read.parquet(inRange.map(v => s"$path/_cdf/v=$v"): _*)
   }
 
   /** Replay a MULTI-COMMIT captured CDF onto a snapshot, one commit at
@@ -627,20 +633,26 @@ object LakeIO {
     * ours = the source's current head, theirs = the branch's current
     * head; the merged snapshot publishes as the source's next version
     * (history stays append-only — both heads remain pinned-readable,
-    * exactly like [[restoreVersion]]). Returns (newVersion, outcome):
-    * the outcome frame ([[threeWayMergeOutcome]]) carries the
-    * per-key conflict flags for reporting.
+    * exactly like [[restoreVersion]]). On a table whose commits carry
+    * write-time CDF, pass `capture = true` so the merge commit
+    * publishes through [[saveVersionCdf]] — a plain publish would
+    * leave the merge uncaptured and [[capturedChanges]] would then
+    * refuse every range spanning it (the restoreVersionCdf
+    * precedent). Returns (newVersion, outcome): the outcome frame
+    * ([[threeWayMergeOutcome]]) carries the per-key conflict flags
+    * for reporting.
     */
   def mergeBranch(spark: SparkSession, srcPath: String,
       branchPath: String, baseSrcVersion: Int,
-      keys: Seq[String]): (Int, DataFrame) = {
+      keys: Seq[String], capture: Boolean = false): (Int, DataFrame) = {
     val outcome = threeWayMergeOutcome(
       loadVersion(spark, srcPath, Some(baseSrcVersion)),
       loadVersion(spark, srcPath),
       loadVersion(spark, branchPath), keys)
     val merged = outcome.filter(col("_merge_present"))
       .drop("_merge_present", "_merge_conflict")
-    val v = saveVersion(merged, srcPath)
+    val v = if (capture) saveVersionCdf(merged, srcPath, keys)
+      else saveVersion(merged, srcPath)
     (v, outcome)
   }
 

@@ -1066,6 +1066,73 @@ object SinkQueries {
         col("head_rows"), col("head_revenue"))
   }
 
+  /** `lake_vacuum_cdf` — CDF RETENTION COORDINATION declared as a
+    * query (VERDICT r17 #1, the round's headline fix, hash-gated
+    * end-to-end): five commits land — three captured churns (the
+    * lake_write_cdf definitions), then a PLAIN uncaptured delete
+    * commit (every key % 29 = 0 leaves), then a captured reprice
+    * (% 13 + 500) — and a keep=1 vacuum drops v0–v3. Every output
+    * field asserts a retention-coordination contract: the dropped
+    * commits' `_cdf` dirs are REAPED with them (n_cdf_left = 1, the
+    * head's capture only); a captured range read spanning the
+    * vacuumed commits still REFUSES (refused = true — the persistent
+    * `_commits` log remembers what retention erased; before the fix
+    * the vacuum-mutated directory listing let this range read pass
+    * and reconstruct a silently wrong head); the retained tail
+    * (3, 4] keeps serving its churn-sized feed (tail_rows =
+    * 2 × repriced keys); and the head snapshot itself is intact. The
+    * oracle recomputes the head and tail cardinalities from the
+    * churn-rule moduli and pins the lifecycle constants.
+    */
+  def lakeVacuumCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = uniqueRunDir(sfDir, "lake_vacuum_cdf")
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val keys = Seq("o_orderkey")
+    val v0 = base.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+    LakeIO.saveVersionCdf(v0.repartition(writerTasks), out, keys)
+    val v1 = base.filter(pmod(col("o_orderkey"), lit(19)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7)) === 0,
+          col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")))
+    LakeIO.saveVersionCdf(v1.repartition(writerTasks), out, keys)
+    val v2 = v1.filter(pmod(col("o_orderkey"), lit(23)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(11)) === 0,
+          col("o_totalprice") + 2000.0)
+          .otherwise(col("o_totalprice")))
+    LakeIO.saveVersionCdf(v2.repartition(writerTasks), out, keys)
+    // the uncaptured commit the guard must remember PAST its vacuum
+    val v3 = v2.filter(pmod(col("o_orderkey"), lit(29)) =!= 0)
+    LakeIO.saveVersion(v3.repartition(writerTasks), out)
+    val v4 = v3.withColumn("o_totalprice",
+      when(pmod(col("o_orderkey"), lit(13)) === 0,
+        col("o_totalprice") + 500.0)
+        .otherwise(col("o_totalprice")))
+    LakeIO.saveVersionCdf(v4.repartition(writerTasks), out, keys)
+    val dropped = LakeIO.vacuumVersions(spark, out, keep = 1)
+    val refused =
+      try { LakeIO.capturedChanges(spark, out, 0, 4); false }
+      catch { case _: IllegalArgumentException => true }
+    val cdfRoot = new org.apache.hadoop.fs.Path(s"$out/_cdf")
+    val fs = cdfRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cdfLeft =
+      if (!fs.exists(cdfRoot)) 0
+      else fs.listStatus(cdfRoot).count(_.getPath.getName.startsWith("v="))
+    val headOnly = LakeIO.listVersions(spark, out) == Seq(4)
+    val headRows = LakeIO.loadVersion(spark, out, Some(4)).count()
+    LakeIO.capturedChanges(spark, out, 3, 4)
+      .agg(count(lit(1)).as("tail_rows"),
+        countDistinct(col("o_orderkey")).as("tail_update_keys"))
+      .select(lit(refused).as("refused"),
+        lit(dropped.length).as("n_dropped"),
+        lit(cdfLeft).as("n_cdf_left"),
+        lit(headOnly).as("final_is_head_only"),
+        lit(headRows).as("head_rows"),
+        col("tail_rows"), col("tail_update_keys"))
+  }
+
   def lakeVacuum(spark: SparkSession, sfDir: String): DataFrame = {
     val out = tmpBase(sfDir) + "/lake_vacuum"
     rmDir(spark, out)

@@ -949,4 +949,41 @@ class LakeSpec extends AnyFunSuite {
     assert(merged === Map(1L -> "A", 3L -> "C", 4L -> "X", 6L -> "f",
       7L -> "g", 8L -> "h", 9L -> "Z"))
   }
+
+  test("merge-back on a CDF table: capture=true keeps the feed " +
+      "commit-complete; a plain publish would poison every spanning range") {
+    import graft.sources.LakeIO
+    import spark.implicits._
+    def t(rows: (Long, String)*) = rows.toDF("k", "v")
+    val base = t(1L -> "a", 2L -> "b", 3L -> "c")
+    val ours = t(1L -> "A", 2L -> "b", 3L -> "c")    // ours edits key 1
+    val theirs2 = t(1L -> "a", 2L -> "b", 3L -> "C") // theirs edits key 3
+    val root = Files.createTempDirectory("graft_mergecdf").toString
+    LakeIO.saveVersionCdf(base, root, Seq("k"))       // src v0 captured
+    LakeIO.saveVersion(theirs2, s"$root/br")          // branch head
+    LakeIO.saveVersionCdf(ours, root, Seq("k"))       // src v1 captured
+    val (v, _) = LakeIO.mergeBranch(spark, root, s"$root/br", 0,
+      Seq("k"), capture = true)
+    assert(v === 2)
+    // the captured feed spans the merge commit with no refusal, and
+    // replaying it from v0 reconstructs the merged head exactly
+    val feed = LakeIO.capturedChanges(spark, root, 0, 2)
+    val replica = LakeIO.replayChanges(
+      LakeIO.loadVersion(spark, root, Some(0)), feed, Seq("k"))
+    val head = LakeIO.loadVersion(spark, root, Some(2))
+    assert(replica.exceptAll(head).count() === 0
+      && head.exceptAll(replica).count() === 0)
+    assert(head.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(1L -> "A", 2L -> "b", 3L -> "C"))
+    // the contrast: an UNCAPTURED merge on the same shape refuses
+    val root2 = Files.createTempDirectory("graft_mergecdf2").toString
+    LakeIO.saveVersionCdf(base, root2, Seq("k"))
+    LakeIO.saveVersion(theirs2, s"$root2/br")
+    LakeIO.saveVersionCdf(ours, root2, Seq("k"))
+    LakeIO.mergeBranch(spark, root2, s"$root2/br", 0, Seq("k"))
+    val err = intercept[IllegalArgumentException] {
+      LakeIO.capturedChanges(spark, root2, 0, 2)
+    }
+    assert(err.getMessage.contains("v=2"), err.getMessage)
+  }
 }

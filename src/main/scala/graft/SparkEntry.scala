@@ -64,6 +64,10 @@ object SparkEntry {
     // range spanning the vacuumed (uncaptured) commit, and the
     // retained tail keeps serving its churn-sized feed
     "lake_vacuum_cdf" -> (SinkQueries.lakeVacuumCdf _),
+    // history spanning schemas: pinned old versions read ALIGNED to
+    // the head schema (typed null fill), raw version meta untouched;
+    // diff/merge refuse drifted inputs instead of dropping columns
+    "lake_schema_evolution" -> (SinkQueries.lakeSchemaEvolution _),
     "lake_changes" -> (SinkQueries.lakeChanges _),
     "lake_restore" -> (SinkQueries.lakeRestore _),
     // rollback WITH write-time capture: restoreVersionCdf publishes the
@@ -2526,6 +2530,20 @@ object SparkEntry {
         |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
         |      AS DOUBLE) FROM orders WHERE o_totalprice > 400000.0)
         |    AS head_revenue""".stripMargin,
+    // evolved-history read: v0's raw meta stays 2-col while its
+    // evolved read fills the added column with NULL for every row;
+    // v1 reads as-is — all three cardinalities from the slice defs
+    "lake_schema_evolution" ->
+      """SELECT 0 AS version, 2 AS n_cols_raw,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 400000.0)
+        |    AS n_rows,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 400000.0)
+        |    AS null_status_rows
+        |UNION ALL
+        |SELECT 1, 3,
+        |  (SELECT count(*) FROM orders WHERE o_totalprice > 300000.0),
+        |  0
+        |ORDER BY version ASC""".stripMargin,
     // retention coordination lifecycle: constants pin the reap +
     // refusal, head/tail cardinalities recompute from the churn moduli
     // (v3 = the %19/%23/%29 filter chain; the %3 slice was REPLACED by

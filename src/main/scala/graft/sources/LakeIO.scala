@@ -250,6 +250,28 @@ object LakeIO {
     readVersionDir(spark, s"$path/v=$v")
   }
 
+  /** Read a pinned version ALIGNED TO THE HEAD SCHEMA (the lakehouse
+    * schema-evolution read: each version dir is self-describing
+    * parquet, so history legitimately spans schemas — Delta calls this
+    * column mapping / schema evolution): columns the pinned version
+    * predates fill with typed NULLs, columns the head dropped are
+    * projected away, and shared columns cast to the head's type. This
+    * is the alignment [[snapshotDiff]]/[[threeWayMergeOutcome]] demand
+    * before diffing or merging across an evolved history (both refuse
+    * drifted inputs rather than silently dropping the non-shared
+    * columns). Row-local projection only — no data movement.
+    */
+  def loadVersionEvolved(spark: SparkSession, path: String,
+      version: Int): DataFrame = {
+    val head = loadVersion(spark, path)
+    val old = loadVersion(spark, path, Some(version))
+    val oldCols = old.columns.toSet
+    old.select(head.schema.fields.toSeq.map { f =>
+      if (oldCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** Change-data-feed between two pinned versions (Delta
     * `table_changes` / CDF's directory-versioned analogue, computed as
     * a SNAPSHOT DIFF — the CDF-backfill form every lakehouse supports
@@ -284,6 +306,18 @@ object LakeIO {
     */
   private[graft] def snapshotDiff(a: DataFrame, b: DataFrame,
       keys: Seq[String], stampVersion: Int): DataFrame = {
+    // SCHEMA-DRIFT guard: valCols come from `a`, so a column added in
+    // `b` would be SILENTLY dropped — the diff would miss changes in
+    // it and every update postimage would lose it, handing
+    // applyChanges/replayChanges a wrong head with no error. Refuse
+    // loudly; [[loadVersionEvolved]] is the supported way to read
+    // across an evolved history (align first, then diff).
+    require(a.columns.toSet == b.columns.toSet,
+      s"snapshot schemas differ — a: ${a.columns.sorted.mkString(",")} " +
+        s"vs b: ${b.columns.sorted.mkString(",")}; a diff would " +
+        "silently drop the non-shared columns. Align the snapshots " +
+        "first (loadVersionEvolved reads a pinned version under the " +
+        "head schema), then diff")
     val valCols = a.columns.filterNot(keys.contains).toSeq
     val aSide = a.select(keys.map(col) ++
       valCols.map(c => col(c).as(s"__a_$c")) :+
@@ -603,6 +637,16 @@ object LakeIO {
     */
   def threeWayMergeOutcome(base: DataFrame, ours: DataFrame,
       theirs: DataFrame, keys: Seq[String]): DataFrame = {
+    // same schema-drift guard as snapshotDiff: valCols come from base,
+    // so a column added on either head would silently vanish from the
+    // merge — refuse; align via loadVersionEvolved first
+    for ((side, df) <- Seq("ours" -> ours, "theirs" -> theirs))
+      require(df.columns.toSet == base.columns.toSet,
+        s"$side schema differs from base — base: " +
+          s"${base.columns.sorted.mkString(",")} vs $side: " +
+          s"${df.columns.sorted.mkString(",")}; the merge would " +
+          "silently drop the non-shared columns. Align the snapshots " +
+          "(loadVersionEvolved) before merging")
     val valCols = base.columns.filterNot(keys.contains).toSeq
     // presence marker INSIDE the struct: a present row with all-null
     // values must not compare equal to an absent (NULL-struct) row,

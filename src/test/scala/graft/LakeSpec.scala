@@ -986,4 +986,43 @@ class LakeSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("v=2"), err.getMessage)
   }
+
+  test("schema drift: diff and merge REFUSE drifted snapshots instead " +
+      "of silently dropping the new column; loadVersionEvolved aligns") {
+    import graft.sources.LakeIO
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_schemaevo").toString
+    LakeIO.saveVersion(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"), root)
+    LakeIO.saveVersion(
+      Seq((1L, 10.0, "a"), (3L, 30.0, "c")).toDF("k", "x", "tag"), root)
+    // the silent hazard: a v0-schema'd diff would MISS every change in
+    // `tag` and strip it from postimages — both surfaces refuse loudly
+    val e1 = intercept[IllegalArgumentException] {
+      LakeIO.changes(spark, root, 0, 1, Seq("k"))
+    }
+    assert(e1.getMessage.contains("schemas differ"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      LakeIO.threeWayMergeOutcome(
+        LakeIO.loadVersion(spark, root, Some(0)),
+        LakeIO.loadVersion(spark, root, Some(1)),
+        LakeIO.loadVersion(spark, root, Some(0)), Seq("k"))
+    }
+    assert(e2.getMessage.contains("schema differs"), e2.getMessage)
+    // the supported path: the pinned v0 aligned to the head schema
+    // (typed null fill), after which the diff works and sees the
+    // tag-bearing postimages intact
+    val v0e = LakeIO.loadVersionEvolved(spark, root, 0)
+    assert(v0e.columns.toSeq === Seq("k", "x", "tag"))
+    assert(v0e.filter(col("tag").isNull).count() === 2)
+    val diff = LakeIO.snapshotDiff(v0e,
+      LakeIO.loadVersion(spark, root, Some(1)), Seq("k"), 1)
+    val byType = diff.collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+        Option(r.getAs[String]("tag")))).toSet
+    assert(byType === Set(
+      ("insert", 3L, Some("c")),
+      ("delete", 2L, None),
+      ("update_preimage", 1L, None),
+      ("update_postimage", 1L, Some("a"))), s"got $byType")
+  }
 }

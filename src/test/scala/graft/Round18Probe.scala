@@ -152,6 +152,34 @@ object Round18Probe {
     assert(feedSizes.distinct.size == 1 && feedSizes.head == 200L,
       s"captured feed must be churn-sized at every table size: $feedSizes")
 
+    // ---- 4. betweenness: work tracks the PIVOT SAMPLE, not |V| -------
+    // fixed 20,001-vertex path, depth cap 4; on a path every σ = 1, so
+    // the total contribution rows are EXACTLY Σ_pairs (d_st − 1):
+    //   seedMod=2: (S−1) diff-2 pairs ×1 + (S−2) diff-4 pairs ×3
+    //   seedMod=4: (S4−1) diff-4 pairs ×3  (diff-8 exceeds the cap)
+    def pathEdges(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("u"),
+        (col("id") + 1).as("v")).localCheckpoint(true)
+    val contribTotals = for (seedMod <- Seq(2L, 4L)) yield {
+      val edges = pathEdges(20000L)
+      val total = timed(s"graph_betweenness path=20001 seedMod=$seedMod") {
+        GraphOps.betweennessEnum(edges, seedMod, maxDepth = 4)
+          .agg(sum(col("n_pairs"))).head().getLong(0)
+      }
+      println(s"PROBE   contrib_rows=$total")
+      GraphOps.unpersistCheckpoint(edges)
+      total
+    }
+    val s2c = 20000L / 2 + 1   // seeds at mod 2
+    val s4c = 20000L / 4 + 1   // seeds at mod 4
+    assert(contribTotals(0) == (s2c - 1) + 3 * (s2c - 2),
+      s"seedMod=2 contribs: ${contribTotals(0)}")
+    assert(contribTotals(1) == 3 * (s4c - 1),
+      s"seedMod=4 contribs: ${contribTotals(1)}")
+    val bratio = contribTotals(0).toDouble / contribTotals(1)
+    assert(bratio > 2.0 && bratio < 4.0,
+      s"halving the pivot sample must cut contrib work ~8/3x: $bratio")
+
     spark.stop()
   }
 }

@@ -987,6 +987,60 @@ class LakeSpec extends AnyFunSuite {
     assert(err.getMessage.contains("v=2"), err.getMessage)
   }
 
+  test("randomized reference: three-way merge matches a literal " +
+      "per-key Scala model over random churn (5 seeded corpora)") {
+    import graft.sources.LakeIO
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 7919L)
+      val baseKeys = (0L until 60L).filter(_ => rnd.nextDouble() < 0.7)
+      val base = baseKeys.map(k => k -> s"b$k${rnd.nextInt(3)}").toMap
+      // per side, each base key: 0 keep / 1 update / 2 delete; plus
+      // inserts on non-base keys (sides may collide — ins/ins cell)
+      def head(tag: String): Map[Long, String] = {
+        val edited = base.flatMap { case (k, v) =>
+          rnd.nextInt(3) match {
+            case 0 => Some(k -> v)
+            case 1 =>
+              // identical-edit cell: both sides sometimes pick the
+              // same deterministic new value
+              val same = rnd.nextBoolean()
+              Some(k -> (if (same) s"same$k" else s"$tag$k${rnd.nextInt(3)}"))
+            case _ => None
+          }
+        }
+        val inserts = (60L until 80L)
+          .filter(_ => rnd.nextDouble() < 0.3)
+          .map(k => k -> (if (rnd.nextBoolean()) s"ins$k" else s"$tag$k"))
+        edited ++ inserts
+      }
+      val ours = head("o")
+      val theirs = head("t")
+      // the literal model: per key over the union, the docstring rules
+      val model = (base.keySet ++ ours.keySet ++ theirs.keySet).toSeq
+        .map { k =>
+          val (b, o, t) = (base.get(k), ours.get(k), theirs.get(k))
+          val (oCh, tCh) = (o != b, t != b)
+          val merged = if (!oCh) t else o // both-changed: agree or ours
+          val conflict = oCh && tCh && o != t
+          k -> ((merged, conflict))
+        }.toMap
+      def df(m: Map[Long, String]) = m.toSeq.toDF("k", "v")
+      val got = LakeIO.threeWayMergeOutcome(df(base), df(ours),
+        df(theirs), Seq("k")).collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getString(1))),
+            r.getBoolean(3))).toMap
+      assert(got.keySet === model.keySet, s"seed $seed key sets differ")
+      for ((k, (mv, mc)) <- model) {
+        assert(got(k) === ((mv, mc)),
+          s"seed $seed key $k: engine ${got(k)} vs model ($mv, $mc) " +
+            s"[base=${base.get(k)} ours=${ours.get(k)} " +
+            s"theirs=${theirs.get(k)}]")
+      }
+    }
+  }
+
   test("schema drift: diff and merge REFUSE drifted snapshots instead " +
       "of silently dropping the new column; loadVersionEvolved aligns") {
     import graft.sources.LakeIO

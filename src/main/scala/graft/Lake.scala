@@ -136,6 +136,66 @@ class Lake(val spark: SparkSession, val warehouse: String) {
   def restore(name: String, version: Int): Int =
     LakeIO.restoreVersion(spark, pathOf(name), version)
 
+  /** Versioned save WITH write-time CDF capture (Delta's
+    * enableChangeDataFeed analogue): the commit records its own
+    * row-level changes, commit-granular — LakeIO.saveVersionCdf notes.
+    */
+  def saveVersionedCdf(df: DataFrame, name: String,
+      keys: Seq[String]): Int =
+    LakeIO.saveVersionCdf(df, pathOf(name), keys)
+
+  /** The write-time-captured feed for commits in (fromV, toV] —
+    * commit-granular, guard-checked against the persistent commit log
+    * (a commit written without capture, or whose capture retention
+    * reaped, REFUSES the range — LakeIO.capturedChanges notes).
+    */
+  def capturedChanges(name: String, fromV: Int, toV: Int): DataFrame =
+    LakeIO.capturedChanges(spark, pathOf(name), fromV, toV)
+
+  /** Replay a multi-commit captured feed onto a snapshot, one commit
+    * at a time in version order: replayChanges(loadVersioned(name,
+    * Some(a)), capturedChanges(name, a, b)) ≡ loadVersioned(name,
+    * Some(b)).
+    */
+  def replayChanges(target: DataFrame, cdf: DataFrame,
+      keys: Seq[String]): DataFrame =
+    LakeIO.replayChanges(target, cdf, keys)
+
+  /** Rollback WITH capture — use on tables whose commits carry
+    * write-time CDF so the undo commit records its own churn and the
+    * captured feed stays commit-complete.
+    */
+  def restoreCdf(name: String, version: Int, keys: Seq[String]): Int =
+    LakeIO.restoreVersionCdf(spark, pathOf(name), version, keys)
+
+  /** Zero-copy shallow clone of `srcName`'s pinned `srcVersion` into
+    * `dstName` (manifest-only version dir; the clone pins its source
+    * version against vacuum) — the dev-branch fork.
+    */
+  def shallowClone(srcName: String, srcVersion: Int,
+      dstName: String): Int =
+    LakeIO.shallowClone(spark, pathOf(srcName), srcVersion,
+      pathOf(dstName))
+
+  /** Merge a diverged branch back into its source chain (keyed
+    * three-way merge, destination-wins with per-key conflict flags in
+    * the returned outcome frame; `capture = true` publishes the merge
+    * through the CDF-captured path) — LakeIO.mergeBranch notes.
+    */
+  def mergeBranch(srcName: String, branchName: String,
+      baseSrcVersion: Int, keys: Seq[String],
+      capture: Boolean = false): (Int, DataFrame) =
+    LakeIO.mergeBranch(spark, pathOf(srcName), pathOf(branchName),
+      baseSrcVersion, keys, capture)
+
+  /** Read a pinned version aligned to the HEAD schema (typed null fill
+    * for columns the version predates) — the schema-evolution read,
+    * and the alignment `changes`/`mergeBranch` demand across an
+    * evolved history.
+    */
+  def loadVersionedEvolved(name: String, version: Int): DataFrame =
+    LakeIO.loadVersionEvolved(spark, pathOf(name), version)
+
   /** Snapshot history (DESCRIBE HISTORY analogue): version, file count,
     * bytes, latest flag — metadata only.
     */

@@ -351,6 +351,41 @@ class LakeSpec extends AnyFunSuite {
       v0.exceptAll(latest).count() === 0)
   }
 
+  test("facade: the round-18 lake surface composes through Lake — " +
+      "captured commits, clone, branch merge-back, evolved reads") {
+    import spark.implicits._
+    val lake = newLake()
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val v1 = Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "s")
+    assert(lake.saveVersionedCdf(v0, "u", Seq("k")) === 0)
+    // dev branch forks the captured v0, takes its own edit
+    assert(lake.shallowClone("u", 0, "u_dev") === 0)
+    lake.saveVersioned(Seq((1L, "a"), (2L, "b"), (4L, "d"))
+      .toDF("k", "s"), "u_dev")
+    // the source moves forward (captured), then the branch merges back
+    // through the captured path — the feed stays commit-complete
+    assert(lake.saveVersionedCdf(v1, "u", Seq("k")) === 1)
+    val (mv, outcome) = lake.mergeBranch("u", "u_dev", 0, Seq("k"),
+      capture = true)
+    assert(mv === 2)
+    assert(outcome.filter(col("_merge_conflict")).count() === 0)
+    val replica = lake.replayChanges(lake.loadVersioned("u", Some(0)),
+      lake.capturedChanges("u", 0, 2), Seq("k"))
+    val head = lake.loadVersioned("u", None)
+    assert(replica.exceptAll(head).count() === 0 &&
+      head.exceptAll(replica).count() === 0)
+    assert(head.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+    // captured rollback keeps the feed whole; evolved read aligns a
+    // pinned pre-evolution version to the head schema
+    assert(lake.restoreCdf("u", 0, Seq("k")) === 3)
+    assert(lake.capturedChanges("u", 0, 3).count() > 0)
+    lake.saveVersioned(Seq((1L, "a", 9.0)).toDF("k", "s", "w"), "u")
+    val evolved = lake.loadVersionedEvolved("u", 0)
+    assert(evolved.columns.toSeq === Seq("k", "s", "w"))
+    assert(evolved.filter(col("w").isNull).count() === 2)
+  }
+
   test("restore: rollback is a forward publish — bad versions stay pinned-readable, CDF sees the undo") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_restore").toString

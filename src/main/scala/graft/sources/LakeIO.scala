@@ -838,7 +838,7 @@ object LakeIO {
     val root = fs.makeQualified(p)
     def hiddenAncestor(q: org.apache.hadoop.fs.Path): Boolean = {
       var d = q.getParent
-      while (d != null && d != root && !d.equals(root)) {
+      while (d != null && d != root) {
         val n = d.getName
         if (n.startsWith("_") || n.startsWith(".")) return true
         d = d.getParent

@@ -139,11 +139,36 @@ object LakeIO {
     * data movement. (A format with transaction support does this without
     * the full rewrite; that is exactly the part Delta/Iceberg add.)
     */
+  /** In-plan source-key uniqueness guard (Delta MERGE parity: "a
+    * source row matched multiple target rows" is an ERROR there, and
+    * the mirror hazard here is a source batch carrying the same key
+    * twice — both rows would land and the "source wins" contract
+    * silently becomes "source duplicates"). The check is a keyed
+    * window count + a raise_error filter — fully distributed, no
+    * driver action, delta-sized (the window shuffles the SOURCE batch
+    * on the keys the merge shuffles it on anyway).
+    */
+  private def requireUniqueSourceKeys(df: DataFrame, keys: Seq[String],
+      op: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+    val msg = concat(lit(s"$op: multiple source rows carry key ("),
+      concat_ws(",", keys.map(c => col(c).cast("string")): _*),
+      lit(") — like Delta MERGE, a multi-match source is rejected " +
+        "(which row wins is ambiguous); aggregate the batch to one " +
+        "row per key first"))
+    df.withColumn("__kcnt", count(lit(1)).over(w))
+      .filter(when(col("__kcnt") > 1,
+        raise_error(msg).cast("boolean")).otherwise(lit(true)))
+      .drop("__kcnt")
+  }
+
   def upsert(df: DataFrame, path: String, keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     val target = spark.read.parquet(path)
-    val survivors = target.join(df.select(keys.map(col): _*), keys, "left_anti")
-    val merged = survivors.unionByName(df)
+    val src = requireUniqueSourceKeys(df, keys, "upsert")
+    val survivors = target.join(src.select(keys.map(col): _*), keys, "left_anti")
+    val merged = survivors.unionByName(src)
     val tmp = path.stripSuffix("/") + "__upsert_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     swapInto(spark, tmp, path)
@@ -977,8 +1002,11 @@ object LakeIO {
     * itself costs (LakeIO.upsert notes); history rows pass through
     * untouched.
     */
-  def scd2Apply(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+  def scd2Apply(dim: DataFrame, updates0: DataFrame, keys: Seq[String],
       attrs: Seq[String], newVersion: Int): DataFrame = {
+    // duplicate update keys would open TWO current rows per key — the
+    // corrupt-dimension outcome; same in-plan guard as upsert
+    val updates = requireUniqueSourceKeys(updates0, keys, "scd2Apply")
     val cur = dim.filter(col("is_current"))
     val hist = dim.filter(!col("is_current"))
     val keyCols = keys.map(col)

@@ -1076,6 +1076,35 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate source keys: upsert and scd2Apply REFUSE a multi-" +
+      "match batch (Delta MERGE parity) instead of landing both rows") {
+    import graft.sources.LakeIO
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dupkeys").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.parquet(s"$root/t")
+    val dup = Seq((2L, "B1"), (2L, "B2"), (3L, "c")).toDF("k", "s")
+    val e1 = intercept[Exception] {
+      LakeIO.upsert(dup, s"$root/t", Seq("k"))
+    }
+    assert(e1.getMessage.contains("multiple source rows"),
+      e1.getMessage)
+    // the refusal is all-or-nothing: the target is untouched
+    assert(spark.read.parquet(s"$root/t").count() === 2)
+    // a deduped batch then lands normally
+    LakeIO.upsert(Seq((2L, "B2"), (3L, "c")).toDF("k", "s"),
+      s"$root/t", Seq("k"))
+    assert(spark.read.parquet(s"$root/t").count() === 3)
+    // scd2: a dup-key update would open two current rows — refused
+    val dim = Seq((1L, "a", 1, None: Option[Int], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val e2 = intercept[Exception] {
+      LakeIO.scd2Apply(dim, Seq((1L, "x"), (1L, "y")).toDF("k", "attr"),
+        Seq("k"), Seq("attr"), 2).count()
+    }
+    assert(e2.getMessage.contains("multiple source rows"),
+      e2.getMessage)
+  }
+
   test("schema drift: diff and merge REFUSE drifted snapshots instead " +
       "of silently dropping the new column; loadVersionEvolved aligns") {
     import graft.sources.LakeIO

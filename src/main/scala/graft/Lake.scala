@@ -220,7 +220,12 @@ class Lake(val spark: SparkSession, val warehouse: String) {
       val cur = s"$path/v=${versions.last}"
       val before = LakeIO.dataFiles(spark, cur).length
       val n = LakeIO.packedFileCount(spark, cur, targetFileBytes)
-      val v = LakeIO.saveVersion(spark.read.parquet(cur).repartition(n), path)
+      val compacted = spark.read.parquet(cur).repartition(n)
+      val v = LakeIO.saveVersion(compacted, path)
+      // on a capture-enabled table, the content-identical rewrite
+      // records an EMPTY change set so captured range reads spanning
+      // it keep working instead of refusing on a needless hole
+      LakeIO.captureNoChange(spark, path, v, compacted)
       (before, LakeIO.dataFiles(spark, s"$path/v=$v").length)
     } else LakeIO.compactToSize(spark, path, targetFileBytes)
   }

@@ -533,6 +533,29 @@ object LakeIO {
     next
   }
 
+  /** Record an EMPTY change set for a CONTENT-IDENTICAL maintenance
+    * commit (compaction rewrites files, not rows) on a
+    * capture-enabled table, so the captured feed stays
+    * commit-complete: without it the rewrite commit is a hole every
+    * spanning [[capturedChanges]] range REFUSES on — loud but
+    * needless, since the honest capture of a no-change commit is zero
+    * rows ([[replayChanges]] over it is the identity; no keys are
+    * needed because there is nothing to key). No-op on a table with
+    * no `_cdf`.
+    */
+  private[graft] def captureNoChange(spark: SparkSession, path: String,
+      version: Int, like: DataFrame): Unit = {
+    val cdfRoot = new org.apache.hadoop.fs.Path(s"$path/_cdf")
+    val fs = cdfRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(cdfRoot)) {
+      like.limit(0)
+        .withColumn("_change_type", lit("none"))
+        .withColumn("_commit_version", lit(version))
+        .write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"$path/_cdf/v=$version")
+    }
+  }
+
   /** Read the write-time-captured CDF for commits in (fromV, toV] —
     * COMMIT-GRANULAR attribution (each row carries the commit that
     * produced it), the fidelity [[changes]]' snapshot diff cannot

@@ -1076,6 +1076,34 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("compact on a captured table records an EMPTY change set — " +
+      "spanning range reads keep working instead of refusing on the " +
+      "content-identical rewrite") {
+    import graft.sources.LakeIO
+    import spark.implicits._
+    val lake = newLake()
+    lake.saveVersionedCdf(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      "cc", Seq("k"))
+    lake.saveVersionedCdf(Seq((1L, "a"), (2L, "B"), (3L, "c"))
+      .toDF("k", "s"), "cc", Seq("k"))
+    lake.compact("cc", targetFileBytes = 1L << 20) // v2: rewrite only
+    // the captured feed spans the compaction commit with NO refusal,
+    // carries only the real churn, and replays to the head
+    val feed = lake.capturedChanges("cc", 0, 2)
+    assert(feed.filter(col("_commit_version") === 2).count() === 0,
+      "the rewrite commit's capture must be empty")
+    val replica = lake.replayChanges(
+      lake.loadVersioned("cc", Some(0)), feed, Seq("k"))
+    val head = lake.loadVersioned("cc", None)
+    assert(replica.exceptAll(head).count() === 0
+      && head.exceptAll(replica).count() === 0)
+    // a NON-captured table's compact still writes no _cdf at all
+    lake.saveVersioned(Seq((9L, "z")).toDF("k", "s"), "plainv")
+    lake.compact("plainv", targetFileBytes = 1L << 20)
+    assert(!new java.io.File(
+      lake.warehouse + "/plainv/_cdf").exists())
+  }
+
   test("duplicate source keys: upsert and scd2Apply REFUSE a multi-" +
       "match batch (Delta MERGE parity) instead of landing both rows") {
     import graft.sources.LakeIO

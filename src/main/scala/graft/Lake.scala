@@ -221,11 +221,11 @@ class Lake(val spark: SparkSession, val warehouse: String) {
       val before = LakeIO.dataFiles(spark, cur).length
       val n = LakeIO.packedFileCount(spark, cur, targetFileBytes)
       val compacted = spark.read.parquet(cur).repartition(n)
-      val v = LakeIO.saveVersion(compacted, path)
       // on a capture-enabled table, the content-identical rewrite
       // records an EMPTY change set so captured range reads spanning
-      // it keep working instead of refusing on a needless hole
-      LakeIO.captureNoChange(spark, path, v, compacted)
+      // it keep working instead of refusing on a needless hole — and
+      // the capture seals atomically with the commit (ADVICE r18)
+      val v = LakeIO.saveVersionRewrite(compacted, path)
       (before, LakeIO.dataFiles(spark, s"$path/v=$v").length)
     } else LakeIO.compactToSize(spark, path, targetFileBytes)
   }

@@ -196,45 +196,210 @@ object LakeIO {
     * SURVEY.md §7.4): each save lands in `path/v=<n>/` and `latest`
     * resolution is max(n). Readers pin a version for reproducible
     * training runs; writers never mutate a published snapshot.
+    *
+    * Publishes through the RESERVE → WRITE → SEAL protocol
+    * ([[commitVersion]]) — a racing second writer fails loudly at the
+    * reservation, before any data write (VERDICT r18 #1: the
+    * single-writer assumption is now enforced, not assumed).
     */
-  def saveVersion(df: DataFrame, path: String): Int = {
-    val spark = df.sparkSession
-    val next = nextVersion(spark, path)
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
-    logCommit(spark, path, next)
-    next
-  }
+  def saveVersion(df: DataFrame, path: String): Int =
+    commitVersion(df, path, captureKeys = None)
 
-  /** Next version number from BOTH the live directory listing and the
-    * append-only commit log: the log survives vacuum, so a retention
-    * pass can never cause a version number to be reused (a reused
-    * number would silently alias two different commits in any pinned
-    * reader, clone manifest, or CDF artifact that recorded the old
-    * one).
+  /** Next version number from the live directory listing, the
+    * append-only commit log AND in-flight reservations: the log
+    * survives vacuum, so a retention pass can never cause a version
+    * number to be reused (a reused number would silently alias two
+    * different commits in any pinned reader, clone manifest, or CDF
+    * artifact that recorded the old one), and a crashed commit's
+    * reservation keeps its number burned for the same reason.
     */
   private def nextVersion(spark: SparkSession, path: String): Int =
-    (listVersions(spark, path) ++ listCommits(spark, path))
-      .foldLeft(-1)(math.max) + 1
+    (listVersions(spark, path) ++ listCommits(spark, path) ++
+      listInflight(spark, path)).foldLeft(-1)(math.max) + 1
 
-  /** Append an entry to the PERSISTENT commit log at `path/_commits/`
-    * — one empty `v=<n>` marker per commit, written at commit time and
-    * NEVER deleted (vacuum reclaims snapshots, not history). VERDICT
-    * r17 #1: [[capturedChanges]]' missing-commit guard validated
-    * against [[listVersions]], which vacuum MUTATES — an uncaptured
-    * commit that was later vacuumed disappeared from the listing, so a
-    * captured range read spanning it passed the guard and
-    * [[replayChanges]] silently reconstructed a wrong head. The guard
-    * now reads this log, which retention cannot erase. Driver-side,
-    * one tiny file per commit; `_`-prefixed so plain readers never see
-    * it.
+  // ---- commit protocol (VERDICT r18 #1 + ADVICE r18 atomic CDF) ----
+  //
+  // Every version publishes in three steps against the PERSISTENT
+  // commit log at `path/_commits/`:
+  //
+  //   1. RESERVE — exclusive-create `_commits/_inflight_v=<n>`. Two
+  //      writers racing the same head both compute the same n; exactly
+  //      one create succeeds and the loser fails LOUDLY here, before
+  //      any data write (no parquet-dir collision, no version
+  //      aliasing). The reservation also burns the number: nextVersion
+  //      reads in-flight markers, so even a crashed commit's n is
+  //      never reused.
+  //   2. WRITE — the snapshot dir `v=<n>`, then (captured commits) the
+  //      write-time CDF `_cdf/v=<n>`. While the in-flight marker
+  //      exists the version is INVISIBLE: [[listVersions]] subtracts
+  //      in-flight numbers, so no reader resolves a half-written
+  //      snapshot as latest and no capture guard counts it as a
+  //      commit. ADVICE r18 (medium): the capture now lands BEFORE the
+  //      commit becomes visible — a failed capture can no longer leave
+  //      a committed-but-uncaptured version that every spanning
+  //      [[capturedChanges]] range refuses on forever.
+  //   3. SEAL — rename `_inflight_v=<n>` → `v=<n>` in `_commits/`: one
+  //      atomic metadata op that publishes snapshot and capture
+  //      together. Sealed markers are the commit log ([[listCommits]])
+  //      and are NEVER deleted (vacuum reclaims snapshots, not
+  //      history — VERDICT r17 #1).
+  //
+  // RECOVERY RULE for a reserved-but-unsealed marker (writer crashed;
+  // a clean failure aborts and cleans up after itself): the version
+  // was never published — readers never saw it, feeds never counted
+  // it. If `v=<n>` data exists the write finished but the seal didn't:
+  // either seal by hand (rename the marker) after verifying the dir,
+  // or delete dir + `_cdf/v=<n>` + marker. If no `v=<n>` dir exists
+  // just delete the marker. Either way nothing downstream referenced
+  // n. All driver-side, one tiny file per commit.
+
+  private def commitsDir(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_commits")
+
+  private def inflightName(v: Int) = s"_inflight_v=$v"
+
+  /** Step 1: exclusive-create the reservation. Loud failure = a
+    * concurrent writer holds (or a crashed writer left) this number.
     */
-  private def logCommit(spark: SparkSession, path: String,
+  private[graft] def reserveCommit(spark: SparkSession, path: String,
       version: Int): Unit = {
-    val dir = new org.apache.hadoop.fs.Path(path, "_commits")
+    val dir = commitsDir(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    fs.create(new org.apache.hadoop.fs.Path(dir, s"v=$version"), true)
-      .close()
+    val marker = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(dir, inflightName(version)))
+    // The reservation needs a TRULY atomic create-if-absent. Hadoop's
+    // FileSystem.createNewFile default is check-then-create — a TOCTOU
+    // window two racing threads BOTH won in testing on the local FS —
+    // so file:// goes through O_EXCL (java.nio createFile, the POSIX
+    // exclusive-create syscall). HDFS keeps createNewFile: its create
+    // is exclusive server-side. (Object stores without atomic create,
+    // e.g. raw S3, need an external lock service for multi-writer —
+    // the same caveat Delta documents for S3 single-cluster mode.)
+    val created =
+      if (marker.toUri.getScheme == "file")
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(marker.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      else fs.createNewFile(marker)
+    if (!created)
+      throw new IllegalStateException(
+        s"commit v=$version at $path is already reserved — a CONCURRENT " +
+          "WRITER is committing (this lake is single-writer per table, " +
+          "now enforced at reservation), or a crashed writer left the " +
+          s"reservation behind. Recovery: if $path/v=$version exists " +
+          "and is complete, seal it (rename _commits/_inflight_v=" +
+          s"$version to _commits/v=$version); otherwise delete the " +
+          "marker (and any partial v-dir) — the version was never " +
+          "published, so nothing references it")
+  }
+
+  /** Step 3: atomically publish — the in-flight marker becomes the
+    * permanent commit-log entry.
+    */
+  private def sealCommit(spark: SparkSession, path: String,
+      version: Int): Unit = {
+    val dir = commitsDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(dir, inflightName(version)),
+        new org.apache.hadoop.fs.Path(dir, s"v=$version")))
+      throw new java.io.IOException(
+        s"seal of commit v=$version at $path failed — the reservation " +
+          "marker could not be renamed; the version remains unpublished " +
+          "(see the recovery rule in the commit-protocol notes)")
+  }
+
+  /** Clean-failure abort: delete whatever step 2 wrote plus the
+    * reservation, so the number is reclaimed and no partial state
+    * remains. Best-effort — a failure here leaves the crash-recovery
+    * state the rule above documents.
+    */
+  private def abortCommit(spark: SparkSession, path: String,
+      version: Int): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v=$version"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_cdf/v=$version"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(commitsDir(path),
+        inflightName(version)), false)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** In-flight (reserved, unsealed) version numbers. */
+  private[graft] def listInflight(spark: SparkSession,
+      path: String): Seq[Int] = {
+    val dir = commitsDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_inflight_v="))
+      .map(_.stripPrefix("_inflight_v=").toInt)
+      .sorted
+  }
+
+  /** The shared publish path behind [[saveVersion]] /
+    * [[saveVersionCdf]] / the compaction rewrite — reserve, write
+    * data (+ capture), seal; clean failures abort and rethrow.
+    *
+    * @param captureKeys Some(keys) = write-time CDF capture (diff vs
+    *        the previous head, every-row-insert for the first commit)
+    * @param captureEmpty record a ZERO-ROW capture when the table has
+    *        `_cdf` (the content-identical maintenance commit —
+    *        compaction rewrites files, not rows; without it the
+    *        rewrite is a hole every spanning captured range refuses on)
+    */
+  private def commitVersion(df: DataFrame, path: String,
+      captureKeys: Option[Seq[String]],
+      captureEmpty: Boolean = false): Int = {
+    val spark = df.sparkSession
+    val prev = listVersions(spark, path).lastOption
+    // captured commits validate schema compatibility BEFORE any write
+    // (ADVICE r18: the drift guard used to fire inside the capture
+    // diff, AFTER the snapshot published — the failure then left a
+    // committed-but-uncaptured hole with no backfill op)
+    for (_ <- captureKeys; p <- prev)
+      requireAligned(loadVersion(spark, path, Some(p)), "previous head",
+        df, "incoming commit", "saveVersionCdf")
+    val next = nextVersion(spark, path)
+    reserveCommit(spark, path, next)
+    try {
+      df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+      val capture: Option[DataFrame] = captureKeys match {
+        case Some(keys) => Some(prev match {
+          case None =>
+            // first commit: every row is an insert
+            loadVersion(spark, path, Some(next))
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(next))
+          case Some(p) => changes(spark, path, p, next, keys)
+        })
+        case None if captureEmpty && cdfEnabled(spark, path) =>
+          Some(df.limit(0)
+            .withColumn("_change_type", lit("none"))
+            .withColumn("_commit_version", lit(next)))
+        case None => None
+      }
+      capture.foreach(_.write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"$path/_cdf/v=$next"))
+      sealCommit(spark, path, next)
+      next
+    } catch {
+      case e: Throwable =>
+        abortCommit(spark, path, next)
+        throw e
+    }
+  }
+
+  private def cdfEnabled(spark: SparkSession, path: String): Boolean = {
+    val cdfRoot = new org.apache.hadoop.fs.Path(s"$path/_cdf")
+    cdfRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(cdfRoot)
   }
 
   /** All versions EVER committed at `path` per the persistent commit
@@ -256,16 +421,26 @@ object LakeIO {
     (logged ++ listVersions(spark, path)).distinct.sorted
   }
 
+  /** PUBLISHED (sealed) versions with live snapshot dirs. A version
+    * whose commit is still in-flight (reserved, unsealed — see the
+    * commit-protocol notes) is subtracted: its data dir may be
+    * half-written, so no reader may resolve it as latest and no guard
+    * may count it as a commit until the seal publishes it.
+    */
   def listVersions(spark: SparkSession, path: String): Seq[Int] = {
     // Hadoop FS, not java.io.File — the warehouse may be s3a://, hdfs://
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toInt)
-      .sorted
+    else {
+      val inflight = listInflight(spark, path).toSet
+      fs.listStatus(p).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toInt)
+        .filterNot(inflight.contains)
+        .sorted
+    }
   }
 
   def loadVersion(spark: SparkSession, path: String,
@@ -329,20 +504,43 @@ object LakeIO {
     * path) — same plan, same output schema, `stampVersion` lands in
     * `_commit_version`.
     */
+  /** Name+TYPE schema signature (ADVICE r18: the old name-set guards
+    * passed a history whose evolution changed a column's TYPE — the
+    * null-safe struct compare downstream then failed with an opaque
+    * analysis error, or silently coerced). Nullability is excluded:
+    * it varies benignly across writes of identical data.
+    */
+  private def schemaSig(df: DataFrame): Set[(String, String)] =
+    df.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSet
+
+  private def sigStr(df: DataFrame): String =
+    df.schema.fields.sortBy(_.name)
+      .map(f => s"${f.name}:${f.dataType.catalogString}").mkString(",")
+
+  /** Shared drift refusal for diff/merge/captured-commit surfaces —
+    * refuses BOTH added/dropped columns and changed column types,
+    * pointing at [[loadVersionEvolved]] as the alignment path.
+    */
+  private def requireAligned(a: DataFrame, aName: String, b: DataFrame,
+      bName: String, op: String): Unit =
+    require(schemaSig(a) == schemaSig(b),
+      s"$op: snapshot schemas differ ($bName schema differs from " +
+        s"$aName) — $aName: ${sigStr(a)} vs $bName: ${sigStr(b)}; " +
+        "proceeding would silently drop non-shared columns or coerce " +
+        "drifted types. Align the snapshots first (loadVersionEvolved " +
+        "reads a pinned version under the head schema, with typed " +
+        "null fill and head-type casts), then retry")
+
   private[graft] def snapshotDiff(a: DataFrame, b: DataFrame,
       keys: Seq[String], stampVersion: Int): DataFrame = {
     // SCHEMA-DRIFT guard: valCols come from `a`, so a column added in
     // `b` would be SILENTLY dropped — the diff would miss changes in
     // it and every update postimage would lose it, handing
-    // applyChanges/replayChanges a wrong head with no error. Refuse
-    // loudly; [[loadVersionEvolved]] is the supported way to read
-    // across an evolved history (align first, then diff).
-    require(a.columns.toSet == b.columns.toSet,
-      s"snapshot schemas differ — a: ${a.columns.sorted.mkString(",")} " +
-        s"vs b: ${b.columns.sorted.mkString(",")}; a diff would " +
-        "silently drop the non-shared columns. Align the snapshots " +
-        "first (loadVersionEvolved reads a pinned version under the " +
-        "head schema), then diff")
+    // applyChanges/replayChanges a wrong head with no error; a TYPE
+    // change would break the null-safe struct compare. Refuse loudly;
+    // [[loadVersionEvolved]] is the supported way to read across an
+    // evolved history (align first, then diff).
+    requireAligned(a, "a", b, "b", "snapshotDiff")
     val valCols = a.columns.filterNot(keys.contains).toSeq
     val aSide = a.select(keys.map(col) ++
       valCols.map(c => col(c).as(s"__a_$c")) :+
@@ -412,7 +610,17 @@ object LakeIO {
         "carries no schema); deep-copy via saveVersion(loadVersion(src)" +
         ", dst) if an empty pinned fork is really wanted")
     val next = nextVersion(spark, dstPath)
+    // a clone is a commit on the DESTINATION chain: it publishes
+    // through the same reserve → write → seal protocol as saveVersion
+    // (racing writers fail loud pre-write; the number is never reused
+    // after a destination vacuum; the captured-CDF guard sees it and
+    // correctly refuses spanning ranges, since a clone records no
+    // changes). A clean failure below aborts the reservation and
+    // removes the clone dir — its pin registrations then read as
+    // stale (clone dir gone) and vacuum's GC reaps them.
+    reserveCommit(spark, dstPath, next)
     val dstDir = new org.apache.hadoop.fs.Path(s"$dstPath/v=$next")
+    try {
     // Resolve the version dir OWNING each data file by walking UP to
     // the nearest `v=<n>` ancestor (not just the direct parent — a
     // version written with a nested/partitioned layout puts files
@@ -471,12 +679,13 @@ object LakeIO {
       new org.apache.hadoop.fs.Path(dstDir, "_manifest"), false)
     try out.write(files.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    // a clone is a commit on the DESTINATION chain: log it so the
-    // captured-CDF guard sees it (it records no changes, so a captured
-    // range read spanning it correctly refuses) and its number is
-    // never reused after a destination vacuum
-    logCommit(spark, dstPath, next)
+    sealCommit(spark, dstPath, next)
     next
+    } catch {
+      case e: Throwable =>
+        abortCommit(spark, dstPath, next)
+        throw e
+    }
   }
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
@@ -515,46 +724,30 @@ object LakeIO {
     * the new snapshot against the previous one (co-located and
     * shuffle-free under key-bucketed layouts) and the CDF artifact is
     * churn-sized, not table-sized.
+    *
+    * ATOMIC with its capture (ADVICE r18, medium): schema
+    * compatibility is validated BEFORE any write, the capture lands
+    * BEFORE the commit seals, and the seal publishes snapshot +
+    * capture in one rename — no failure mode leaves a
+    * committed-but-uncaptured version (the hole that made every
+    * spanning [[capturedChanges]] range refuse permanently, with no
+    * backfill op).
     */
   def saveVersionCdf(df: DataFrame, path: String,
-      keys: Seq[String]): Int = {
-    val spark = df.sparkSession
-    val prev = listVersions(spark, path).lastOption
-    val next = saveVersion(df, path)
-    val cdf = prev match {
-      case None =>
-        // first commit: every row is an insert
-        loadVersion(spark, path, Some(next))
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(next))
-      case Some(p) => changes(spark, path, p, next, keys)
-    }
-    cdf.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/_cdf/v=$next")
-    next
-  }
+      keys: Seq[String]): Int =
+    commitVersion(df, path, captureKeys = Some(keys))
 
-  /** Record an EMPTY change set for a CONTENT-IDENTICAL maintenance
-    * commit (compaction rewrites files, not rows) on a
-    * capture-enabled table, so the captured feed stays
-    * commit-complete: without it the rewrite commit is a hole every
-    * spanning [[capturedChanges]] range REFUSES on — loud but
-    * needless, since the honest capture of a no-change commit is zero
-    * rows ([[replayChanges]] over it is the identity; no keys are
-    * needed because there is nothing to key). No-op on a table with
-    * no `_cdf`.
+  /** Versioned save of a CONTENT-IDENTICAL maintenance rewrite
+    * (compaction rewrites files, not rows): on a capture-enabled
+    * table the commit records an EMPTY change set — the honest
+    * capture of a no-change commit ([[replayChanges]] over it is the
+    * identity; no keys needed, nothing to key) — so the captured feed
+    * stays commit-complete instead of refusing on a needless hole.
+    * Same reserve/write/seal atomicity as [[saveVersionCdf]].
     */
-  private[graft] def captureNoChange(spark: SparkSession, path: String,
-      version: Int, like: DataFrame): Unit = {
-    val cdfRoot = new org.apache.hadoop.fs.Path(s"$path/_cdf")
-    val fs = cdfRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(cdfRoot)) {
-      like.limit(0)
-        .withColumn("_change_type", lit("none"))
-        .withColumn("_commit_version", lit(version))
-        .write.mode(SaveMode.ErrorIfExists)
-        .parquet(s"$path/_cdf/v=$version")
-    }
-  }
+  private[graft] def saveVersionRewrite(df: DataFrame,
+      path: String): Int =
+    commitVersion(df, path, captureKeys = None, captureEmpty = true)
 
   /** Read the write-time-captured CDF for commits in (fromV, toV] —
     * COMMIT-GRANULAR attribution (each row carries the commit that
@@ -585,7 +778,11 @@ object LakeIO {
     */
   def capturedChanges(spark: SparkSession, path: String,
       fromV: Int, toV: Int): DataFrame = {
-    require(fromV < toV, s"fromV ($fromV) must precede toV ($toV)")
+    // fromV == toV is LEGAL (ADVICE r18): a caught-up incremental
+    // consumer polling (head, head] — the steady state of the feed
+    // loop this API exists for, and legal in Delta's table_changes —
+    // gets an EMPTY feed in the capture schema, not an exception
+    require(fromV <= toV, s"fromV ($fromV) must not exceed toV ($toV)")
     val cdfRoot = new org.apache.hadoop.fs.Path(s"$path/_cdf")
     val fs = cdfRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(cdfRoot),
@@ -607,8 +804,19 @@ object LakeIO {
         "and replayChanges would reconstruct a wrong head; re-commit " +
         "via saveVersionCdf/restoreVersionCdf, or use the changes() " +
         "snapshot diff for this range if the snapshots are retained")
-    require(inRange.nonEmpty,
-      s"no commits in ($fromV, $toV] at $path — nothing to read")
+    if (inRange.isEmpty) {
+      // legitimately empty range: zero-row frame in the capture schema
+      // (from the newest retained capture — its schema IS the feed's;
+      // falls back to head-snapshot + change columns if retention
+      // reaped every capture artifact)
+      val like =
+        if (captured.nonEmpty)
+          spark.read.parquet(s"$path/_cdf/v=${captured.max}")
+        else loadVersion(spark, path)
+          .withColumn("_change_type", lit("none"))
+          .withColumn("_commit_version", lit(0))
+      like.limit(0)
+    } else
     // read the in-range capture dirs DIRECTLY (the directory prune),
     // never the `_cdf` root with partition discovery: the rows already
     // carry `_commit_version` as a data column, and root discovery
@@ -685,16 +893,12 @@ object LakeIO {
     */
   def threeWayMergeOutcome(base: DataFrame, ours: DataFrame,
       theirs: DataFrame, keys: Seq[String]): DataFrame = {
-    // same schema-drift guard as snapshotDiff: valCols come from base,
-    // so a column added on either head would silently vanish from the
-    // merge — refuse; align via loadVersionEvolved first
+    // same schema-drift guard as snapshotDiff (name AND type — ADVICE
+    // r18): valCols come from base, so a column added on either head
+    // would silently vanish from the merge and a drifted type would
+    // break the struct compares — refuse; align via loadVersionEvolved
     for ((side, df) <- Seq("ours" -> ours, "theirs" -> theirs))
-      require(df.columns.toSet == base.columns.toSet,
-        s"$side schema differs from base — base: " +
-          s"${base.columns.sorted.mkString(",")} vs $side: " +
-          s"${df.columns.sorted.mkString(",")}; the merge would " +
-          "silently drop the non-shared columns. Align the snapshots " +
-          "(loadVersionEvolved) before merging")
+      requireAligned(base, "base", df, side, "threeWayMergeOutcome")
     val valCols = base.columns.filterNot(keys.contains).toSeq
     // presence marker INSIDE the struct: a present row with all-null
     // values must not compare equal to an absent (NULL-struct) row,

@@ -1900,7 +1900,34 @@ object Streams {
           batch.filter(col("_commit_version") === v), keys)
         graft.sources.LakeIO.saveVersionCdf(next, tbl, keys)
         ()
-      } // else: already committed (at-least-once replay) — skip
+      } else {
+        // Already committed (at-least-once replay) — but do not skip
+        // UNCONDITIONALLY (ADVICE r18, low): the fence assumed the
+        // commit's write-time capture landed with it. saveVersionCdf
+        // now seals snapshot + capture atomically, so a sealed commit
+        // without `_cdf/v=<v>` can only mean someone mixed a plain
+        // saveVersion into this table's history — still a hole the
+        // produced table's captured feed would permanently refuse on.
+        // REPAIR it here (the replay is the natural repair point):
+        // re-diff v−1 vs v from the retained snapshots, exactly the
+        // capture saveVersionCdf would have written.
+        val cdfDir = new org.apache.hadoop.fs.Path(s"$tbl/_cdf/v=$v")
+        val fs = cdfDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(cdfDir)) {
+          val retained = graft.sources.LakeIO.listVersions(s, tbl).toSet
+          require(retained.contains(v) && (v == 0 || retained.contains(v - 1)),
+            s"commit $v at $tbl has no write-time capture and its " +
+              "snapshots were vacuumed — the hole is no longer " +
+              "reconstructible; the captured feed over ranges spanning " +
+              "it will refuse (honestly)")
+          val capture =
+            if (v == 0) graft.sources.LakeIO.loadVersion(s, tbl, Some(0))
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(0))
+            else graft.sources.LakeIO.changes(s, tbl, v - 1, v, keys)
+          capture.write.mode("errorifexists").parquet(cdfDir.toString)
+        }
+      }
     }
   }
 

@@ -55,6 +55,50 @@ object Bench {
     (System.nanoTime() - t0) / 1000000L
   }
 
+  /** Pinned per-query reference from the committed quiet artifact
+    * (VERDICT r18 #2: the raw rank_contention_pct ranking was
+    * non-discriminating — the QUIET run itself topped it at 94%, so a
+    * contended driver artifact still read near-clean. A per-query
+    * RATIO against a pinned quiet run separates the two failure
+    * modes: box noise inflates every ratio roughly uniformly AND the
+    * interior probe series with it; a code regression inflates a few
+    * NAMED rows while the probe series and the ratio median stay
+    * flat). Resolution: $SPARK_GRAFT_QUIET_REF, else the
+    * highest-numbered BENCH_QUIET_r*.json in the working directory.
+    * Ratios are only meaningful at the same scale factor — a ref
+    * whose `sf` differs from this run's is ignored.
+    */
+  private case class QuietRef(name: String, sf: String,
+      wall: Map[String, Double], midP50: Long)
+
+  private def loadQuietRef(): Option[QuietRef] = {
+    val path = sys.env.get("SPARK_GRAFT_QUIET_REF").orElse {
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .map(_.getName)
+        .filter(_.matches("BENCH_QUIET_r\\d+\\.json"))
+        .sortBy(n =>
+          n.stripPrefix("BENCH_QUIET_r").stripSuffix(".json").toInt)
+        .lastOption
+    }
+    path.flatMap { p =>
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(new java.io.File(p))
+        import scala.jdk.CollectionConverters._
+        val wall = root.get("queries").fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        val mid = if (root.has("calib_par_mid_p50"))
+          root.get("calib_par_mid_p50").asLong() else 0L
+        val sf = if (root.has("sf")) root.get("sf").asText() else ""
+        Some(QuietRef(p, sf, wall, mid))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] quiet ref $p unreadable: $e")
+          None
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -176,9 +220,13 @@ object Bench {
     // and the ~7 samples cost <1 s total on an idle box.
     val calibParSeries = scala.collection.mutable.ListBuffer[Long]()
     var sinceProbe = 0
+    // every ~16 queries (VERDICT r18 #2: at 50 the ~7 interior samples
+    // left multi-minute unsampled stretches — load that arrived and
+    // left between samples stayed invisible; ~21 samples cost <2 s
+    // idle and bound the blind window to ~10 s of queries)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       currentQ = name
-      if (sinceProbe >= 50) {
+      if (sinceProbe >= 16) {
         calibParSeries += calibParMs(spark, cpus.toInt, steps = 25000000L)
         sinceProbe = 0
       }
@@ -243,6 +291,29 @@ object Bench {
         (k, ((t - cpuByQ.getOrElse(k, 0L)).toDouble / t * 100).round)
       }.sortBy(-_._2).take(20)
       .map { case (k, v) => s"""["$k",$v]""" }.mkString("[", ",", "]")
+    // per-query wall ratio vs the pinned quiet reference (see
+    // loadQuietRef notes) — only rows the quiet run timed at ≥ 0.2 s
+    // rate (dust rows are pure noise at ratio scale), and only when
+    // the ref ran at this run's scale factor
+    val quiet = loadQuietRef().filter(_.sf == sfDir)
+    val ratios: Seq[(String, Double)] = quiet.toSeq.flatMap { q =>
+      results.flatMap { case (k, w) =>
+        q.wall.get(k).filter(_ >= 0.2).map(qw => k -> w / qw)
+      }
+    }
+    def r2(d: Double) = math.round(d * 100) / 100.0
+    val ratioSorted = ratios.map(_._2).sorted
+    val ratioP50 = if (ratioSorted.isEmpty) 0.0
+      else r2(ratioSorted(ratioSorted.size / 2))
+    val ratioP90 = if (ratioSorted.isEmpty) 0.0
+      else r2(ratioSorted((ratioSorted.size * 9) / 10))
+    val rankRatio = ratios.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"""["$k",${r2(v)}]""" }.mkString("[", ",", "]")
+    val quietRefJson = quiet.map(q => "\"" + q.name + "\"").getOrElse("null")
+    // the interior probe as a DELTA vs the quiet run's own interior
+    // p50: >~1.3 means cores were starved inside THIS timed section
+    val midXQuiet = quiet.filter(_.midP50 > 0)
+      .map(q => r2(seriesP50.toDouble / q.midP50)).getOrElse(0.0)
     // key order: the long maps FIRST, scalars LAST — JSON parsers don't
     // care, but a tail-truncated capture of this (long) line still shows
     // the headline numbers (BENCH_r01's capture kept only the last
@@ -259,7 +330,7 @@ object Bench {
     // compiles, safepoints) — in a 32-thread local JVM one pause charges
     // all 32 concurrent tasks, so dust-sized stages can carry seconds of
     // task_ms at milliseconds of cpu_ms. Read rank_task_ms with cpu_ms.
-    val line = s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"cpu_ms":${msMap(cpuByQ)},"queries":$qs,"rank_task_ms":$rankTask,"rank_contention_pct":$rankCont,"warm_ms":${msMap(warmMs)},"warmup_failed":$warmFailedJson,"warm_total_ms":$warmTotalMs,"total_with_warm_sec":$totalWithWarm,"calib_ms_pre":$calibPre,"calib_ms_post":$calibPost,"calib_par_ms_pre":$calibParPre,"calib_par_ms_post":$calibParPost,"calib_par_mid_series_ms":$seriesJson,"calib_par_mid_p50":$seriesP50,"calib_par_mid_max":$seriesMax,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"failed":${errors.nonEmpty}}"""
+    val line = s"""{"gc_ms":${msMap(gcByQ)},"task_ms":${msMap(taskByQ)},"cpu_ms":${msMap(cpuByQ)},"queries":$qs,"rank_task_ms":$rankTask,"rank_contention_pct":$rankCont,"warm_ms":${msMap(warmMs)},"warmup_failed":$warmFailedJson,"warm_total_ms":$warmTotalMs,"total_with_warm_sec":$totalWithWarm,"calib_ms_pre":$calibPre,"calib_ms_post":$calibPost,"calib_par_ms_pre":$calibParPre,"calib_par_ms_post":$calibParPost,"calib_par_mid_series_ms":$seriesJson,"calib_par_mid_p50":$seriesP50,"calib_par_mid_max":$seriesMax,"quiet_ref":$quietRefJson,"wall_x_quiet_p50":$ratioP50,"wall_x_quiet_p90":$ratioP90,"rank_wall_x_quiet":$rankRatio,"calib_par_mid_x_quiet":$midXQuiet,"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"failed":${errors.nonEmpty}}"""
     println(line)
     // the stdout line is ~15 KB and the driver's tail capture truncates
     // it (BENCH_r08/r09 kept ~60 of 217 per-query timings) — persist the

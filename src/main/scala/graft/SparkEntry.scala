@@ -653,6 +653,12 @@ object SparkEntry {
     // upsampling — one row per shipped sequence source
     "pipeline_curate_v5" -> ((s: SparkSession, d: String) =>
       TextOps.pipelineCurateV5(s, d)),
+    // the INCREMENTAL-DAY capstone (r19): the corpus is a versioned
+    // CDF lake table, each day curates its CAPTURED churn against the
+    // previous version as seen-store, and the budget mix re-balances
+    // the curated corpus to date — day∘day ≡ batch (PipelineSpec law)
+    "pipeline_curate_v6" -> ((s: SparkSession, d: String) =>
+      TextOps.pipelineCurateV6(s, d)),
     "repetition_score" -> (TextOps.repetitionScore _),
     "quality_classifier" -> (TextOps.qualityClassifier _),
     "vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopk(s, d)),
@@ -2217,6 +2223,76 @@ object SparkEntry {
       |FROM n WHERE n_copies > 0
       |ORDER BY doc_id ASC, copy_id ASC""".stripMargin
   }
+
+  /** The `pipeline_curate_v4` / `pipeline_curate_v6` oracle: the
+    * incremental-day composition — seen-store near-dup dedup of the
+    * delta (all-pairs exact Jaccard in the m-chain; inherits
+    * dedup_minhash_incremental's banding-miss caveat: the engine gates
+    * through 8x4 banding, safe because fixture near-dups sit at
+    * J >= 0.9), then quality gate → exact dedup → decontaminate →
+    * per-language token-budget mix. v4 runs it as ONE batch; v6 runs
+    * it as two CDF-fed DAYS whose composition equals the batch (the
+    * associativity law PipelineSpec pins), so both share this SQL and
+    * differ only in budget.
+    */
+  private def pipelineCurateIncrSql(budget: Long): String =
+    raw"""WITH md AS (SELECT doc_id, string_split($normT, ' ') AS toks
+      |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
+      |ms AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(toks) - 3, 0) + 1),
+      |    i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM md),
+      |mtok AS (SELECT doc_id, unnest(sh) AS g FROM ms),
+      |msz AS (SELECT doc_id, count(*) AS n FROM mtok GROUP BY doc_id),
+      |mint AS (SELECT n.doc_id AS n_id, o.doc_id AS o_id,
+      |    count(*) AS ni
+      |  FROM mtok n JOIN mtok o ON n.g = o.g
+      |  WHERE n.doc_id % 10 >= 8
+      |    AND (o.doc_id % 10 < 8
+      |         OR (o.doc_id % 10 >= 8 AND o.doc_id < n.doc_id))
+      |  GROUP BY 1, 2),
+      |mdrop AS (SELECT DISTINCT n_id FROM mint
+      |  JOIN msz sn ON n_id = sn.doc_id
+      |  JOIN msz so ON o_id = so.doc_id
+      |  WHERE round(ni::DOUBLE / (sn.n::DOUBLE + so.n::DOUBLE
+      |      - ni::DOUBLE), 4) >= 0.5),
+      |msurv AS (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8
+      |  AND doc_id NOT IN (SELECT n_id FROM mdrop)),
+      |q0 AS (SELECT doc_id, source, lang, n_chars, text,
+      |        $normT AS t FROM documents
+      |  WHERE doc_id IN (SELECT doc_id FROM msurv)),
+      |m AS (SELECT doc_id, source, lang, t,
+      |    len(string_split(t, ' '))::INT AS n_tokens, n_chars,
+      |    round(length(replace(t, ' ', ''))::DOUBLE
+      |          / len(string_split(t, ' ')), 4) AS mwl
+      |  FROM q0),
+      |keepq AS (SELECT * FROM m
+      |  WHERE lang IN ('en','de','es','fr')
+      |    AND n_tokens BETWEEN 3 AND 10000
+      |    AND n_chars BETWEEN 20 AND 100000
+      |    AND mwl BETWEEN 2.0 AND 12.0),
+      |ded AS (SELECT *, row_number() OVER (
+      |    PARTITION BY md5(t) ORDER BY doc_id ASC) AS rn FROM keepq),
+      |surv AS (SELECT doc_id, lang, n_tokens FROM ded
+      |  WHERE rn = 1 AND doc_id % 97 <> 0),
+      |g AS (SELECT doc_id, unnest(sh) AS h FROM ms),
+      |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+      |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (h)
+      |  WHERE g.doc_id % 97 <> 0),
+      |fin AS (SELECT sv.* FROM surv sv LEFT JOIN cont c
+      |  ON sv.doc_id = c.doc_id WHERE c.doc_id IS NULL),
+      |mx AS (SELECT doc_id, lang, n_tokens,
+      |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS rk
+      |  FROM fin),
+      |p AS (SELECT doc_id, lang, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY lang
+      |      ORDER BY rk ASC, doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0)::BIGINT AS before_toks
+      |  FROM mx)
+      |SELECT doc_id, lang, n_tokens,
+      |  (before_toks + n_tokens)::BIGINT AS cum_tokens
+      |FROM p WHERE before_toks < $budget
+      |ORDER BY doc_id ASC""".stripMargin
 
   /** The `pipeline_curate_v5` oracle: the release-prep composition —
     * quality gate + exact dedup (the v4 keepq/ded CTEs), near-dup
@@ -4515,64 +4591,13 @@ object SparkEntry {
     // 8x4 banding — the match is a fixed fact of fixtures whose
     // near-dups sit at J >= 0.9 (miss ~ 2e-4), not a guarantee for
     // corpora with pairs near the 0.5 threshold
-    "pipeline_curate_v4" ->
-      raw"""WITH md AS (SELECT doc_id, string_split($normT, ' ') AS toks
-        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
-        |ms AS (SELECT doc_id, list_distinct(list_transform(
-        |    range(0, greatest(len(toks) - 3, 0) + 1),
-        |    i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM md),
-        |mtok AS (SELECT doc_id, unnest(sh) AS g FROM ms),
-        |msz AS (SELECT doc_id, count(*) AS n FROM mtok GROUP BY doc_id),
-        |mint AS (SELECT n.doc_id AS n_id, o.doc_id AS o_id,
-        |    count(*) AS ni
-        |  FROM mtok n JOIN mtok o ON n.g = o.g
-        |  WHERE n.doc_id % 10 >= 8
-        |    AND (o.doc_id % 10 < 8
-        |         OR (o.doc_id % 10 >= 8 AND o.doc_id < n.doc_id))
-        |  GROUP BY 1, 2),
-        |mdrop AS (SELECT DISTINCT n_id FROM mint
-        |  JOIN msz sn ON n_id = sn.doc_id
-        |  JOIN msz so ON o_id = so.doc_id
-        |  WHERE round(ni::DOUBLE / (sn.n::DOUBLE + so.n::DOUBLE
-        |      - ni::DOUBLE), 4) >= 0.5),
-        |msurv AS (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8
-        |  AND doc_id NOT IN (SELECT n_id FROM mdrop)),
-        |q0 AS (SELECT doc_id, source, lang, n_chars, text,
-        |        $normT AS t FROM documents
-        |  WHERE doc_id IN (SELECT doc_id FROM msurv)),
-        |m AS (SELECT doc_id, source, lang, t,
-        |    len(string_split(t, ' '))::INT AS n_tokens, n_chars,
-        |    round(length(replace(t, ' ', ''))::DOUBLE
-        |          / len(string_split(t, ' ')), 4) AS mwl
-        |  FROM q0),
-        |keepq AS (SELECT * FROM m
-        |  WHERE lang IN ('en','de','es','fr')
-        |    AND n_tokens BETWEEN 3 AND 10000
-        |    AND n_chars BETWEEN 20 AND 100000
-        |    AND mwl BETWEEN 2.0 AND 12.0),
-        |ded AS (SELECT *, row_number() OVER (
-        |    PARTITION BY md5(t) ORDER BY doc_id ASC) AS rn FROM keepq),
-        |surv AS (SELECT doc_id, lang, n_tokens FROM ded
-        |  WHERE rn = 1 AND doc_id % 97 <> 0),
-        |g AS (SELECT doc_id, unnest(sh) AS h FROM ms),
-        |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
-        |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (h)
-        |  WHERE g.doc_id % 97 <> 0),
-        |fin AS (SELECT sv.* FROM surv sv LEFT JOIN cont c
-        |  ON sv.doc_id = c.doc_id WHERE c.doc_id IS NULL),
-        |mx AS (SELECT doc_id, lang, n_tokens,
-        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS rk
-        |  FROM fin),
-        |p AS (SELECT doc_id, lang, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang
-        |      ORDER BY rk ASC, doc_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |      0)::BIGINT AS before_toks
-        |  FROM mx)
-        |SELECT doc_id, lang, n_tokens,
-        |  (before_toks + n_tokens)::BIGINT AS cum_tokens
-        |FROM p WHERE before_toks < 1500
-        |ORDER BY doc_id ASC""".stripMargin,
+    "pipeline_curate_v4" -> pipelineCurateIncrSql(1500),
+    // v6 = the SAME one-batch incremental chain by the day-composition
+    // law (TextOps.pipelineCurateV6 notes): day-1 ∘ day-2 through the
+    // lake CDF ≡ the two-day batch, so the oracle is v4's composition
+    // at v6's budget — a capture/seen-store/version-read fault on
+    // either day breaks the law and hash-mismatches
+    "pipeline_curate_v6" -> pipelineCurateIncrSql(2000),
     // v5 = quality gate + exact dedup (the v4 CTEs), near-dup
     // decontamination (the decontaminate_minhash CTEs, %19 split),
     // content-keyed split, train-only epoch upsampling (mix_epochs'

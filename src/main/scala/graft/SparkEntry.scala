@@ -601,6 +601,11 @@ object SparkEntry {
     // row's honest recall dip leaves open
     "simsearch_index_rebuild_tuned" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchIndexRebuildTuned(s, d)),
+    // graph-structured ANN (r19): banded-LSH-built bounded-degree
+    // neighbor graph, greedy beam-search serve, judged vs IVF at
+    // matched scan cost by the exact-KNN harness
+    "simsearch_graph" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchGraph(s, d)),
     // residual encoding (FAISS's default): PQ codes quantize
     // x − coarse(cell) via the ResidualNearestCentroidSlice kernel;
     // score = per-(q,cell) coarse dot + m residual lookups
@@ -2104,6 +2109,123 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY q_id
       |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p2
       |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin
+
+  /** The `simsearch_graph` oracle: the 8-bit LSH signature → two 4-bit
+    * bands → bounded-degree (8) edge set, then the `hops`=3 beam
+    * rounds UNROLLED (beam 4, cosine round-4 with id-asc ties at every
+    * rank), and the two judged serves (graph walk + IVF at nProbe 2)
+    * against the exact-KNN CTE — integer hits, one row per (idx, q).
+    * Multi-consumer CTEs are MATERIALIZED (SURVEY §5.3 discipline).
+    */
+  private lazy val simsearchGraphOracleSql: String = {
+    val degree = graft.operators.SimSearch.GraphDegree
+    val beam = graft.operators.SimSearch.GraphBeam
+    val hops = graft.operators.SimSearch.GraphHops
+    def score(qa: String, ca: String) =
+      s"""round(list_sum(list_transform(range(1, len($qa.q_emb) + 1),
+         |      i -> $qa.q_emb[i]::DOUBLE * $ca.c_emb[i]::DOUBLE))
+         |    / ($qa.q_nrm * $ca.c_nrm), 4)""".stripMargin
+    def hop(h: Int) =
+      s"""b${h - 1} AS (SELECT q_id, c_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM v${h - 1})
+         |  WHERE rn <= $beam),
+         |f$h AS (SELECT DISTINCT b.q_id, e.dst AS c_id
+         |  FROM b${h - 1} b JOIN edges e ON e.src = b.c_id),
+         |n$h AS (SELECT f.q_id, f.c_id, ${score("q", "c")} AS cos_sim
+         |  FROM f$h f JOIN q ON q.q_id = f.q_id
+         |  JOIN c ON c.c_id = f.c_id WHERE f.c_id <> f.q_id),
+         |v$h AS MATERIALIZED (SELECT q_id, c_id, max(cos_sim) AS cos_sim
+         |  FROM (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM n$h)
+         |  GROUP BY 1, 2)""".stripMargin
+    raw"""WITH ${lshWeightCtes(8, 64)},
+      |bits AS (SELECT e.vec_id, wv.p,
+      |  CASE WHEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> e.embedding[i]::DOUBLE * wv.wts[i])) >= 0
+      |    THEN (1::BIGINT << p) ELSE 0::BIGINT END AS bit
+      |  FROM embeddings e CROSS JOIN wv),
+      |bkt AS (SELECT vec_id, sum(bit)::BIGINT AS bucket
+      |        FROM bits GROUP BY vec_id),
+      |eb AS MATERIALIZED (SELECT e.vec_id, e.embedding,
+      |    sqrt(list_sum(list_transform(e.embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS nrm, b.bucket
+      |  FROM embeddings e JOIN bkt b USING (vec_id)),
+      |bands AS MATERIALIZED (
+      |  SELECT vec_id, 'h' || (bucket // 16)::VARCHAR AS band FROM eb
+      |  UNION ALL
+      |  SELECT vec_id, 'l' || (bucket % 16)::VARCHAR AS band FROM eb),
+      |pairs AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      |  FROM bands a JOIN bands b USING (band)
+      |  WHERE a.vec_id <> b.vec_id),
+      |edges AS MATERIALIZED (SELECT src, dst FROM (
+      |  SELECT p.src, p.dst, row_number() OVER (PARTITION BY p.src
+      |      ORDER BY round(list_sum(list_transform(
+      |          range(1, len(s.embedding) + 1),
+      |          i -> s.embedding[i]::DOUBLE * d.embedding[i]::DOUBLE))
+      |        / (s.nrm * d.nrm), 4) DESC, p.dst ASC) AS rn
+      |  FROM pairs p JOIN eb s ON s.vec_id = p.src
+      |  JOIN eb d ON d.vec_id = p.dst) WHERE rn <= $degree),
+      |q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb,
+      |    nrm AS q_nrm FROM eb WHERE vec_id < 10),
+      |c AS MATERIALIZED (SELECT vec_id AS c_id, embedding AS c_emb,
+      |    nrm AS c_nrm FROM eb),
+      |v0 AS MATERIALIZED (SELECT q.q_id, c.c_id,
+      |    ${score("q", "c")} AS cos_sim
+      |  FROM q CROSS JOIN c
+      |  WHERE c.c_id % 127 = 0 AND c.c_id <> q.q_id),
+      |${(1 to hops).map(hop).mkString(",\n")},
+      |ex AS MATERIALIZED (SELECT q_id, c_id FROM (
+      |  SELECT q.q_id, c.c_id, row_number() OVER (PARTITION BY q.q_id
+      |      ORDER BY ${score("q", "c")} DESC, c.c_id ASC) AS rn
+      |  FROM c CROSS JOIN q WHERE q.q_id <> c.c_id) WHERE rn <= 5),
+      |gsv AS (SELECT q_id, c_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM v$hops) WHERE rn <= 5),
+      |ghit AS (SELECT s.q_id, count(*)::BIGINT AS hits FROM gsv s
+      |  JOIN ex ON ex.q_id = s.q_id AND ex.c_id = s.c_id GROUP BY 1),
+      |gscn AS (SELECT q_id, count(*)::BIGINT AS candidates_scanned
+      |  FROM v$hops GROUP BY 1),
+      |cbv AS MATERIALIZED (SELECT vec_id AS cent_id, embedding AS c_v,
+      |    nrm AS cnrm FROM eb WHERE vec_id % 127 = 0),
+      |asg AS MATERIALIZED (SELECT c_id, cent_id FROM (
+      |  SELECT e.vec_id AS c_id, cb2.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> e.embedding[i]::DOUBLE * (cb2.c_v[i]::DOUBLE / cb2.cnrm)))
+      |      DESC, cb2.cent_id ASC) AS rn
+      |  FROM eb e CROSS JOIN cbv cb2) WHERE rn = 1),
+      |qcell AS (SELECT q_id, cent_id FROM (
+      |  SELECT q.q_id, cb2.cent_id,
+      |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |      list_sum(list_transform(range(1, len(q.q_emb) + 1),
+      |        i -> q.q_emb[i]::DOUBLE * cb2.c_v[i]::DOUBLE))
+      |      / (q.q_nrm * cb2.cnrm) DESC, cb2.cent_id ASC) AS rn
+      |  FROM q CROSS JOIN cbv cb2) WHERE rn <= 2),
+      |iv AS MATERIALIZED (SELECT q.q_id, a.c_id,
+      |    ${score("q", "c")} AS cos_sim
+      |  FROM qcell JOIN asg a USING (cent_id)
+      |  JOIN q ON q.q_id = qcell.q_id JOIN c ON c.c_id = a.c_id
+      |  WHERE qcell.q_id <> a.c_id),
+      |isv AS (SELECT q_id, c_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM iv) WHERE rn <= 5),
+      |ihit AS (SELECT s.q_id, count(*)::BIGINT AS hits FROM isv s
+      |  JOIN ex ON ex.q_id = s.q_id AND ex.c_id = s.c_id GROUP BY 1),
+      |iscn AS (SELECT q_id, count(*)::BIGINT AS candidates_scanned
+      |  FROM iv GROUP BY 1)
+      |SELECT idx, q_id, hits, recall, candidates_scanned FROM (
+      |  SELECT 'graph' AS idx, n.q_id,
+      |    coalesce(h.hits, 0)::BIGINT AS hits,
+      |    round(coalesce(h.hits, 0)::DOUBLE / 5.0, 4) AS recall,
+      |    n.candidates_scanned
+      |  FROM gscn n LEFT JOIN ghit h ON h.q_id = n.q_id
+      |  UNION ALL
+      |  SELECT 'ivf', n.q_id, coalesce(h.hits, 0)::BIGINT,
+      |    round(coalesce(h.hits, 0)::DOUBLE / 5.0, 4),
+      |    n.candidates_scanned
+      |  FROM iscn n LEFT JOIN ihit h ON h.q_id = n.q_id)
+      |ORDER BY idx ASC, q_id ASC""".stripMargin
+  }
 
   /** Unrolled integer-Lloyd CTE chain for the `simsearch_ivf_kmeans`
     * oracle: quantize the stride sample to 1e-6 BIGINT units, init from
@@ -6438,6 +6560,7 @@ object SparkEntry {
     // hits/candidates are exact integers, chosen = min rebuilt p with
     // hits ≥ old's (fallback 6), mean_recall = one division of the
     // integer sum
+    "simsearch_graph" -> simsearchGraphOracleSql,
     "simsearch_index_rebuild_tuned" -> {
       def cellsFor(cb: String, maxP: Int, tag: String) =
         s"""qc$tag AS (SELECT q_id, cent_id, cell_rn FROM (

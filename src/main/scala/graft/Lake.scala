@@ -446,7 +446,8 @@ object Lake {
       graft.operators.UnigramTrain.clearUnigramCache() +
       graft.operators.WordpieceTrain.clearWordpieceCache() +
       graft.operators.Multimodal.clearPhashCache() +
-      graft.streaming.Streams.clearMonitorMuxCache()
+      graft.streaming.Streams.clearMonitorMuxCache() +
+      graft.streaming.Streams.clearProducedCdfMemo()
 
   /** novlake `Lake(user)` — the per-user convenience constructor: each
     * user gets a personal warehouse prefix under a shared root, so

@@ -1663,6 +1663,26 @@ object Streams {
     * keyed fold → idempotent swap) is the production one.
     */
   def streamCdfApplyOk(spark: SparkSession, sfDir: String): DataFrame = {
+    // SHARED FIXTURE (VERDICT r18 #7: cap the streaming replay tail by
+    // composition): the consumer replays the table the streaming
+    // PRODUCER twin built — the produce→consume CDF pair rides ONE
+    // process-memoized fixture instead of planting twice, and the pair
+    // becomes the true round trip: stream-committed captures feeding a
+    // stream-maintained replica
+    val dir = java.nio.file.Files
+      .createTempDirectory(scratchBase, "graft_stream_cdf_apply_ok")
+      .toString
+    streamCdfApplyFromTable(spark, dir,
+      producedCdfTable(spark, sfDir), Seq("o_orderkey"))
+      .orderBy(col("o_orderkey").asc)
+  }
+
+  /** The planted churn both streaming-CDF twins share: lake_write_cdf's
+    * three commits over orders (base slice; drop %19 + reprice %7;
+    * drop %23 + reprice %11 on top).
+    */
+  private def cdfChurnSnapshots(spark: SparkSession,
+      sfDir: String): Seq[DataFrame] = {
     val base = graft.sources.Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"))
@@ -1677,9 +1697,33 @@ object Streams {
         when(pmod(col("o_orderkey"), lit(11)) === 0,
           col("o_totalprice") + 2000.0)
           .otherwise(col("o_totalprice")))
-    streamCdfApplyCore(spark, "stream_cdf_apply_ok", Seq(v0, v1, v2),
-      Seq("o_orderkey"))
-      .orderBy(col("o_orderkey").asc)
+    Seq(v0, v1, v2)
+  }
+
+  /** The ONE stream-produced CDF table both twins read, memoized per
+    * fixture dir (VERDICT r18 #7): built once per process by the
+    * producer harness ([[streamWriteCdfTable]] — foreachBatch →
+    * version-fenced saveVersionCdf commits), then `stream_write_cdf_ok`
+    * declares its captured feed and `stream_cdf_apply_ok` replays that
+    * same feed into its streaming replica. Whichever twin runs first
+    * pays the build; the scratch dir reclaims at JVM exit like every
+    * streaming fixture.
+    */
+  private val producedCdfMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def producedCdfTable(spark: SparkSession,
+      sfDir: String): String =
+    producedCdfMemo.computeIfAbsent(sfDir, _ =>
+      streamWriteCdfTable(spark, "stream_cdf_pair",
+        cdfChurnSnapshots(spark, sfDir), Seq("o_orderkey")))
+
+  /** Release the produce→consume shared-fixture memo (Lake.clearCaches
+    * hygiene — the dirs themselves reclaim at JVM exit). Returns the
+    * number of entries dropped.
+    */
+  private[graft] def clearProducedCdfMemo(): Int = {
+    val n = producedCdfMemo.size(); producedCdfMemo.clear(); n
   }
 
   /** Core of [[streamCdfApplyOk]] over explicit commit snapshots —
@@ -1699,6 +1743,19 @@ object Streams {
       graft.sources.LakeIO.saveVersionCdf(s.repartition(4), tbl, keys)
       ()
     }
+    streamCdfApplyFromTable(spark, dir, tbl, keys)
+  }
+
+  /** The consumer harness over an EXISTING captured table: replica at
+    * v0, one feed file per captured commit, foreachBatch replay fold,
+    * rename swap. `dir` hosts replica/feed/checkpoint (fresh per call
+    * — a streaming checkpoint never spans invocations); `tbl` may be
+    * shared (the [[producedCdfTable]] pair fixture — VERDICT r18 #7).
+    */
+  private[graft] def streamCdfApplyFromTable(spark: SparkSession,
+      dir: String, tbl: String, keys: Seq[String]): DataFrame = {
+    val nCommitsT =
+      graft.sources.LakeIO.listVersions(spark, tbl).size - 1
     val replica = s"$dir/replica"
     graft.sources.LakeIO.loadVersion(spark, tbl, Some(0))
       .write.parquet(replica)
@@ -1708,7 +1765,7 @@ object Streams {
     // batch, but a commit split ACROSS batches would apply half a
     // commit's churn; one file per commit makes that impossible)
     val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
-    val nCommits = snapshots.size - 1
+    val nCommits = nCommitsT
     (0 until nCommits).foreach { i =>
       graft.sources.LakeIO.capturedChanges(spark, tbl, i, i + 1)
         .coalesce(1).write.parquet(s"$dir/b$i")
@@ -1784,26 +1841,13 @@ object Streams {
     * the saveVersionCdf cost, paid per commit exactly as in batch; the
     * feed is churn-sized, never table-sized.
     */
-  def streamWriteCdfOk(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = graft.sources.Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice"))
-    val v0 = base.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
-    val v1 = base.filter(pmod(col("o_orderkey"), lit(19)) =!= 0)
-      .withColumn("o_totalprice",
-        when(pmod(col("o_orderkey"), lit(7)) === 0,
-          col("o_totalprice") + 1000.0)
-          .otherwise(col("o_totalprice")))
-    val v2 = v1.filter(pmod(col("o_orderkey"), lit(23)) =!= 0)
-      .withColumn("o_totalprice",
-        when(pmod(col("o_orderkey"), lit(11)) === 0,
-          col("o_totalprice") + 2000.0)
-          .otherwise(col("o_totalprice")))
-    streamWriteCdfCore(spark, "stream_write_cdf_ok", Seq(v0, v1, v2),
-      Seq("o_orderkey"))
+  def streamWriteCdfOk(spark: SparkSession, sfDir: String): DataFrame =
+    // the declared feed reads the SHARED produced table (VERDICT r18
+    // #7): whichever twin runs first pays the streaming build once
+    graft.sources.LakeIO.capturedChanges(spark,
+      producedCdfTable(spark, sfDir), 0, 2)
       .orderBy(col("o_orderkey").asc, col("_commit_version").asc,
         col("_change_type").asc)
-  }
 
   /** Core of [[streamWriteCdfOk]] over explicit commit snapshots — the
     * planted-churn harness for StreamingSpec's idempotence and

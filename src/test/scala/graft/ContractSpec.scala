@@ -208,8 +208,15 @@ class ContractSpec extends AnyFunSuite {
     //                    ONE-ROW old-hits scalar attach gating the
     //                    probe choice; the sweep itself is ONE keyed
     //                    cent_id join exploded to ≤6 probe levels
+    //   simsearch_graph — the same exact-KNN judge (corpus × broadcast
+    //                    BOUNDED 10-query set) + the bounded
+    //                    query→entry-point product; the graph BUILD is
+    //                    keyed band self-joins + a per-src window and
+    //                    the beam hops join keyed on src
+    //                    (IndexPersistSpec pins the build plan)
     val allowProduct =
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
+        "simsearch_graph",
         "dq_freshness",
         "ann_recall", "stream_watermark_late_ok", "lake_merge_branch",
         "simsearch_hybrid",

@@ -606,6 +606,10 @@ object SparkEntry {
     // matched scan cost by the exact-KNN harness
     "simsearch_graph" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchGraph(s, d)),
+    // graph-index maintenance (the lifecycle family): delta ingest
+    // with reverse linking + re-prune, provably == the batch graph
+    "simsearch_graph_incremental" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchGraphIncremental(s, d)),
     // residual encoding (FAISS's default): PQ codes quantize
     // x − coarse(cell) via the ResidualNearestCentroidSlice kernel;
     // score = per-(q,cell) coarse dot + m residual lookups
@@ -2110,21 +2114,27 @@ object SparkEntry {
       |    ORDER BY cos_sim DESC, c_id ASC) AS rn FROM p2
       |) WHERE rn <= 5 ORDER BY q_id ASC, rn ASC""".stripMargin
 
-  /** The `simsearch_graph` oracle: the 8-bit LSH signature → two 4-bit
-    * bands → bounded-degree (8) edge set, then the `hops`=3 beam
-    * rounds UNROLLED (beam 4, cosine round-4 with id-asc ties at every
-    * rank), and the two judged serves (graph walk + IVF at nProbe 2)
-    * against the exact-KNN CTE — integer hits, one row per (idx, q).
-    * Multi-consumer CTEs are MATERIALIZED (SURVEY §5.3 discipline).
+  /** The `simsearch_graph` / `simsearch_graph_incremental` oracle
+    * parts: the 8-bit LSH signature → two 4-bit bands →
+    * bounded-degree edge set, then the beam rounds UNROLLED (cosine
+    * round-4 with id-asc ties at every rank) and the graph serve
+    * judged against the exact-KNN CTE — integer hits, one row per
+    * (idx, q). Constants come from graft.operators.SimSearch so the
+    * engine and the oracle cannot drift. Multi-consumer CTEs are
+    * MATERIALIZED (SURVEY §5.3 discipline). The incremental twin
+    * shares the WHOLE chain: its maintenance path provably
+    * reproduces the batch graph (top-k merge — SimSearch notes), so
+    * its oracle is the batch serve relabeled.
     */
-  private lazy val simsearchGraphOracleSql: String = {
+  private def graphDotSql(qa: String, ca: String) =
+    s"""round(list_sum(list_transform(range(1, len($qa.q_emb) + 1),
+       |      i -> $qa.q_emb[i]::DOUBLE * $ca.c_emb[i]::DOUBLE))
+       |    / ($qa.q_nrm * $ca.c_nrm), 4)""".stripMargin
+
+  private lazy val graphServeCtes: String = {
     val degree = graft.operators.SimSearch.GraphDegree
     val beam = graft.operators.SimSearch.GraphBeam
     val hops = graft.operators.SimSearch.GraphHops
-    def score(qa: String, ca: String) =
-      s"""round(list_sum(list_transform(range(1, len($qa.q_emb) + 1),
-         |      i -> $qa.q_emb[i]::DOUBLE * $ca.c_emb[i]::DOUBLE))
-         |    / ($qa.q_nrm * $ca.c_nrm), 4)""".stripMargin
     def hop(h: Int) =
       s"""b${h - 1} AS (SELECT q_id, c_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id
@@ -2132,7 +2142,7 @@ object SparkEntry {
          |  WHERE rn <= $beam),
          |f$h AS (SELECT DISTINCT b.q_id, e.dst AS c_id
          |  FROM b${h - 1} b JOIN edges e ON e.src = b.c_id),
-         |n$h AS (SELECT f.q_id, f.c_id, ${score("q", "c")} AS cos_sim
+         |n$h AS (SELECT f.q_id, f.c_id, ${graphDotSql("q", "c")} AS cos_sim
          |  FROM f$h f JOIN q ON q.q_id = f.q_id
          |  JOIN c ON c.c_id = f.c_id WHERE f.c_id <> f.q_id),
          |v$h AS MATERIALIZED (SELECT q_id, c_id, max(cos_sim) AS cos_sim
@@ -2170,13 +2180,13 @@ object SparkEntry {
       |c AS MATERIALIZED (SELECT vec_id AS c_id, embedding AS c_emb,
       |    nrm AS c_nrm FROM eb),
       |v0 AS MATERIALIZED (SELECT q.q_id, c.c_id,
-      |    ${score("q", "c")} AS cos_sim
+      |    ${graphDotSql("q", "c")} AS cos_sim
       |  FROM q CROSS JOIN c
       |  WHERE c.c_id % 127 = 0 AND c.c_id <> q.q_id),
       |${(1 to hops).map(hop).mkString(",\n")},
       |ex AS MATERIALIZED (SELECT q_id, c_id FROM (
       |  SELECT q.q_id, c.c_id, row_number() OVER (PARTITION BY q.q_id
-      |      ORDER BY ${score("q", "c")} DESC, c.c_id ASC) AS rn
+      |      ORDER BY ${graphDotSql("q", "c")} DESC, c.c_id ASC) AS rn
       |  FROM c CROSS JOIN q WHERE q.q_id <> c.c_id) WHERE rn <= 5),
       |gsv AS (SELECT q_id, c_id FROM (
       |  SELECT *, row_number() OVER (PARTITION BY q_id
@@ -2184,8 +2194,11 @@ object SparkEntry {
       |ghit AS (SELECT s.q_id, count(*)::BIGINT AS hits FROM gsv s
       |  JOIN ex ON ex.q_id = s.q_id AND ex.c_id = s.c_id GROUP BY 1),
       |gscn AS (SELECT q_id, count(*)::BIGINT AS candidates_scanned
-      |  FROM v$hops GROUP BY 1),
-      |cbv AS MATERIALIZED (SELECT vec_id AS cent_id, embedding AS c_v,
+      |  FROM v$hops GROUP BY 1)""".stripMargin
+  }
+
+  private lazy val simsearchGraphOracleSql: String =
+    graphServeCtes + ",\n" + raw"""cbv AS MATERIALIZED (SELECT vec_id AS cent_id, embedding AS c_v,
       |    nrm AS cnrm FROM eb WHERE vec_id % 127 = 0),
       |asg AS MATERIALIZED (SELECT c_id, cent_id FROM (
       |  SELECT e.vec_id AS c_id, cb2.cent_id,
@@ -2202,7 +2215,7 @@ object SparkEntry {
       |      / (q.q_nrm * cb2.cnrm) DESC, cb2.cent_id ASC) AS rn
       |  FROM q CROSS JOIN cbv cb2) WHERE rn <= 2),
       |iv AS MATERIALIZED (SELECT q.q_id, a.c_id,
-      |    ${score("q", "c")} AS cos_sim
+      |    ${graphDotSql("q", "c")} AS cos_sim
       |  FROM qcell JOIN asg a USING (cent_id)
       |  JOIN q ON q.q_id = qcell.q_id JOIN c ON c.c_id = a.c_id
       |  WHERE qcell.q_id <> a.c_id),
@@ -2225,7 +2238,14 @@ object SparkEntry {
       |    n.candidates_scanned
       |  FROM iscn n LEFT JOIN ihit h ON h.q_id = n.q_id)
       |ORDER BY idx ASC, q_id ASC""".stripMargin
-  }
+
+  private lazy val simsearchGraphIncrOracleSql: String =
+    graphServeCtes + "\n" + raw"""SELECT 'graph_incr' AS idx, n.q_id,
+      |  coalesce(h.hits, 0)::BIGINT AS hits,
+      |  round(coalesce(h.hits, 0)::DOUBLE / 5.0, 4) AS recall,
+      |  n.candidates_scanned
+      |FROM gscn n LEFT JOIN ghit h ON h.q_id = n.q_id
+      |ORDER BY n.q_id ASC""".stripMargin
 
   /** Unrolled integer-Lloyd CTE chain for the `simsearch_ivf_kmeans`
     * oracle: quantize the stride sample to 1e-6 BIGINT units, init from
@@ -6561,6 +6581,7 @@ object SparkEntry {
     // hits ≥ old's (fallback 6), mean_recall = one division of the
     // integer sum
     "simsearch_graph" -> simsearchGraphOracleSql,
+    "simsearch_graph_incremental" -> simsearchGraphIncrOracleSql,
     "simsearch_index_rebuild_tuned" -> {
       def cellsFor(cb: String, maxP: Int, tag: String) =
         s"""qc$tag AS (SELECT q_id, cent_id, cell_rn FROM (

@@ -1300,13 +1300,25 @@ object SimSearch {
     */
   private[graft] def neighborGraphEdges(e: DataFrame,
       degree: Int): DataFrame = {
-    val bands = e.select(col("vec_id"),
-      explode(array(concat(lit("h"), expr("bkt DIV 16")),
-        concat(lit("l"), pmod(col("bkt"), lit(16))))).as("band"))
+    val bands = bandsOf(e)
     val pairs = bands.select(col("band"), col("vec_id").as("src"))
       .join(bands.select(col("band"), col("vec_id").as("dst")), "band")
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
+    topDegreeEdges(pairs, e, degree)
+  }
+
+  /** The two 4-bit band keys of each vector's 8-bit LSH signature. */
+  private def bandsOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      explode(array(concat(lit("h"), expr("bkt DIV 16")),
+        concat(lit("l"), pmod(col("bkt"), lit(16))))).as("band"))
+
+  /** Per-src top-`degree` pruning of a directed candidate-edge set by
+    * cosine (round 4, ties to lowest dst — the integer-gated rule).
+    */
+  private def topDegreeEdges(pairs: DataFrame, e: DataFrame,
+      degree: Int): DataFrame = {
     val wD = Window.partitionBy(col("src"))
       .orderBy(col("e_cos").desc, col("dst").asc)
     pairs
@@ -1327,15 +1339,50 @@ object SimSearch {
       entryStride: Long = 127, nProbe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    val e = emb.withColumn("nrm", l2norm(col("embedding")))
-      .withColumn("bkt", lshBucket(col("embedding"), 8))
+    val e = graphFrame(emb)
     val edges = neighborGraphEdges(e, degree)
       .localCheckpoint(true) // reused every hop — build once
-    val queries = e.filter(col("vec_id") < nQueries.toLong)
+    val visited = graphVisited(e, edges, nQueries, beamWidth, hops,
+      entryStride)
+    val exact = exactTopK(e, k, nQueries)
+      .localCheckpoint(true) // one judge, two indexes
+    val cb = ivfCodebook(emb, entryStride)
+    val ivfScored = ivfAssignCorpus(emb, cb)
+      .join(broadcast(ivfQueryCells(emb, cb, nQueries, nProbe)), "cent_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
+      .select(col("q_id"), col("c_id"), col("cos_sim"))
+    judgeRows("graph", visited, exact, k)
+      .unionByName(judgeRows("ivf", ivfScored, exact, k))
+      .orderBy(col("idx").asc, col("q_id").asc)
+  }
+
+  /** (vec_id, embedding, nrm, bkt) — the frame every graph-tier stage
+    * shares.
+    */
+  private def graphFrame(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", l2norm(col("embedding")))
+      .withColumn("bkt", lshBucket(col("embedding"), 8))
+
+  private def graphQueries(e: DataFrame, nQueries: Int): DataFrame =
+    e.filter(col("vec_id") < nQueries.toLong)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val corpus = e.select(col("vec_id").as("c_id"),
+
+  private def graphCorpus(e: DataFrame): DataFrame =
+    e.select(col("vec_id").as("c_id"),
       col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+
+  /** The greedy beam walk: visited (q_id, c_id, cos_sim) after `hops`
+    * rounds of beam-`beamWidth` expansion from the stride entry
+    * points over `edges`.
+    */
+  private def graphVisited(e: DataFrame, edges: DataFrame,
+      nQueries: Int, beamWidth: Int, hops: Int,
+      entryStride: Long): DataFrame = {
+    val queries = graphQueries(e, nQueries)
+    val corpus = graphCorpus(e)
     def scoreOf(nodes: DataFrame): DataFrame =
       nodes.join(corpus, "c_id").join(broadcast(queries), "q_id")
         .filter(col("q_id") =!= col("c_id"))
@@ -1363,37 +1410,112 @@ object SimSearch {
         .agg(max(col("cos_sim")).as("cos_sim"))
         .localCheckpoint(true) // per-hop lineage cut (fixpoint rule)
     }
-    val exact = corpus.crossJoin(broadcast(queries))
+    visited
+  }
+
+  /** Exact top-k ground truth (the bounded-query-set judge product). */
+  private def exactTopK(e: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    graphCorpus(e).crossJoin(broadcast(graphQueries(e, nQueries)))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos_sim", round(
         dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
       .withColumn("rn", row_number().over(wB))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"))
-      .localCheckpoint(true) // one judge, two indexes
-    def judge(idx: String, scored: DataFrame): DataFrame = {
-      val serve = scored.withColumn("rn", row_number().over(wB))
-        .filter(col("rn") <= k).select(col("q_id"), col("c_id"))
-      val hits = serve.join(exact, Seq("q_id", "c_id"), "left_semi")
-        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
-      scored.groupBy(col("q_id"))
-        .agg(count(lit(1)).as("candidates_scanned"))
-        .join(hits, Seq("q_id"), "left_outer")
-        .select(lit(idx).as("idx"), col("q_id"),
-          coalesce(col("hits"), lit(0L)).as("hits"),
-          round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4)
-            .as("recall"),
-          col("candidates_scanned"))
-    }
-    val cb = ivfCodebook(emb, entryStride)
-    val ivfScored = ivfAssignCorpus(emb, cb)
-      .join(broadcast(ivfQueryCells(emb, cb, nQueries, nProbe)), "cent_id")
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos_sim", round(
-        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
-      .select(col("q_id"), col("c_id"), col("cos_sim"))
-    judge("graph", visited).unionByName(judge("ivf", ivfScored))
-      .orderBy(col("idx").asc, col("q_id").asc)
+  }
+
+  /** One (idx, q_id, hits, recall, candidates_scanned) row per query
+    * from a scored candidate set, judged against `exact`.
+    */
+  private def judgeRows(idx: String, scored: DataFrame, exact: DataFrame,
+      k: Int): DataFrame = {
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    val serve = scored.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= k).select(col("q_id"), col("c_id"))
+    val hits = serve.join(exact, Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    scored.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("candidates_scanned"))
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(lit(idx).as("idx"), col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4)
+          .as("recall"),
+        col("candidates_scanned"))
+  }
+
+  /** `simsearch_graph_incremental` — STREAM-OF-DAYS maintenance for
+    * the neighbor graph (the graph tier's member of the index
+    * lifecycle family, next to `simsearch_index_incremental`):
+    * yesterday's artifact is the pruned bounded-degree graph over the
+    * STORE (vec_id % 10 < 8); today's delta ingests WITHOUT a
+    * rebuild — each new vector's banded-LSH mates (against store ∪
+    * delta) yield candidate edges in BOTH directions (forward links
+    * the new node in, REVERSE linking lets existing nodes adopt a
+    * better neighbor), and every touched src re-prunes to its
+    * top-`degree` by cosine.
+    *
+    * THE CONTRACT (the family's batch-associativity rule, here
+    * EXACT): top-degree of (pruned-store-edges ∪ delta-candidate
+    * edges) equals top-degree of the full-corpus candidate set — any
+    * global top-k survivor among store mates is already in the store
+    * top-k (the top-k merge property), so incremental maintenance
+    * reproduces the BATCH graph edge-for-edge, and the serve walk
+    * over it is bit-identical to `simsearch_graph`'s. Declared as the
+    * walk's judged rows (idx = graph_incr); the oracle recomputes the
+    * batch graph serve — a maintenance path that drops a reverse
+    * link, skips re-pruning, or orders ingestion wrong
+    * hash-mismatches. IndexPersistSpec pins edge-set equality with
+    * the rebuild directly.
+    *
+    * Scale: ingest cost is delta-band-mate-sized (keyed band join of
+    * the DELTA's bands against the corpus bands + a window over
+    * touched srcs only), never a rebuild — the HNSW-style insert
+    * economics, batch form.
+    */
+  /** The maintenance path itself, exposed for IndexPersistSpec's
+    * edge-for-edge equality pin with the batch build: store graph +
+    * delta candidates (both directions) + per-src re-prune.
+    */
+  private[graft] def incrementalGraphEdges(e: DataFrame,
+      degree: Int): DataFrame = {
+    val store = e.filter(col("vec_id") % 10 < 8)
+    // yesterday's artifact: the pruned store graph
+    val storeEdges = neighborGraphEdges(store, degree)
+    // today's ingest: every candidate pair with a DELTA endpoint,
+    // both directions (forward + reverse linking)
+    val bands = bandsOf(e)
+    val deltaBands = bandsOf(e.filter(col("vec_id") % 10 >= 8))
+    val touched = deltaBands.select(col("band"), col("vec_id").as("src"))
+      .join(bands.select(col("band"), col("vec_id").as("dst")), "band")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val deltaPairs = touched
+      .unionByName(touched.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+    // re-prune every src that appears: top-degree of (pruned store
+    // edges ∪ delta candidates) ≡ the batch graph (top-k merge)
+    topDegreeEdges(storeEdges.unionByName(deltaPairs).distinct(), e,
+      degree)
+  }
+
+  def simsearchGraphIncremental(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10, degree: Int = GraphDegree,
+      beamWidth: Int = GraphBeam, hops: Int = GraphHops,
+      entryStride: Long = 127): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val e = graphFrame(emb)
+    val merged = incrementalGraphEdges(e, degree).localCheckpoint(true)
+    val visited = graphVisited(e, merged, nQueries, beamWidth, hops,
+      entryStride)
+    judgeRows("graph_incr", visited,
+      exactTopK(e, k, nQueries).localCheckpoint(true), k)
+      .orderBy(col("q_id").asc)
   }
 
   /** `simsearch_index_rebuild_tuned` — the serve-setting decision the

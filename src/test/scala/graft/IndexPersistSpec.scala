@@ -292,4 +292,35 @@ class IndexPersistSpec extends AnyFunSuite {
     // the IVF twin rides the same exact-KNN judge in the same artifact
     assert(out.count(_._1 == "ivf") === g.length)
   }
+  test("simsearch_graph_incremental: delta ingest (reverse link + " +
+      "re-prune) reproduces the BATCH graph edge-for-edge, and ingest " +
+      "candidates are delta-band-bounded") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val e = emb.withColumn("nrm",
+        graft.functions.VectorExpressions.normCol(col("embedding")))
+      .withColumn("bkt", SimSearch.lshBucket(col("embedding"), 8))
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = edgeSet(SimSearch.incrementalGraphEdges(e, SimSearch.GraphDegree))
+    val batch = edgeSet(SimSearch.neighborGraphEdges(e, SimSearch.GraphDegree))
+    // the family's batch-associativity contract, EXACT for the graph
+    // tier: any global top-degree survivor among store mates is
+    // already in the store's own top-degree (top-k merge), so
+    // maintenance == rebuild — which is also why the declared query's
+    // oracle is the batch serve
+    assert(incr === batch,
+      s"incremental maintenance diverged from the rebuild: " +
+        s"only-incr=${(incr -- batch).take(5)} " +
+        s"only-batch=${(batch -- incr).take(5)}")
+    assert(incr.nonEmpty)
+    // non-vacuous: the delta actually re-wired some STORE node (a
+    // reverse link won a prune) — without reverse linking this fails
+    val storeOnly = edgeSet(SimSearch.neighborGraphEdges(
+      e.filter(col("vec_id") % 10 < 8), SimSearch.GraphDegree))
+    assert((batch -- storeOnly).exists { case (s2, d2) =>
+      s2 % 10 < 8 && d2 % 10 >= 8
+    }, "no store node ever adopted a delta neighbor — reverse linking untested")
+  }
 }

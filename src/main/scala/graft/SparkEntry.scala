@@ -610,6 +610,9 @@ object SparkEntry {
     // with reverse linking + re-prune, provably == the batch graph
     "simsearch_graph_incremental" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchGraphIncremental(s, d)),
+    // graph-index deletion: tombstones masked at emit, waypoints kept
+    "simsearch_graph_delete" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchGraphDelete(s, d)),
     // residual encoding (FAISS's default): PQ codes quantize
     // x − coarse(cell) via the ResidualNearestCentroidSlice kernel;
     // score = per-(q,cell) coarse dot + m residual lookups
@@ -2246,6 +2249,32 @@ object SparkEntry {
       |  n.candidates_scanned
       |FROM gscn n LEFT JOIN ghit h ON h.q_id = n.q_id
       |ORDER BY n.q_id ASC""".stripMargin
+
+  /** The `simsearch_graph_delete` oracle: the shared batch-graph
+    * serve chain, with ground truth over the SURVIVOR corpus and the
+    * tombstone mask applied at emit only — scanned still counts the
+    * waypoints (v-chain unfiltered).
+    */
+  private lazy val simsearchGraphDelOracleSql: String = {
+    val hops = graft.operators.SimSearch.GraphHops
+    graphServeCtes + ",\n" + raw"""exd AS MATERIALIZED (SELECT q_id, c_id FROM (
+      |  SELECT q.q_id, c.c_id, row_number() OVER (PARTITION BY q.q_id
+      |      ORDER BY ${graphDotSql("q", "c")} DESC, c.c_id ASC) AS rn
+      |  FROM c CROSS JOIN q
+      |  WHERE q.q_id <> c.c_id AND c.c_id % 17 <> 3) WHERE rn <= 5),
+      |dsv AS (SELECT q_id, c_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, c_id ASC) AS rn
+      |  FROM v$hops WHERE c_id % 17 <> 3) WHERE rn <= 5),
+      |dhit AS (SELECT s.q_id, count(*)::BIGINT AS hits FROM dsv s
+      |  JOIN exd ON exd.q_id = s.q_id AND exd.c_id = s.c_id GROUP BY 1)
+      |SELECT 'graph_del' AS idx, n.q_id,
+      |  coalesce(h.hits, 0)::BIGINT AS hits,
+      |  round(coalesce(h.hits, 0)::DOUBLE / 5.0, 4) AS recall,
+      |  n.candidates_scanned
+      |FROM gscn n LEFT JOIN dhit h ON h.q_id = n.q_id
+      |ORDER BY n.q_id ASC""".stripMargin
+  }
 
   /** Unrolled integer-Lloyd CTE chain for the `simsearch_ivf_kmeans`
     * oracle: quantize the stride sample to 1e-6 BIGINT units, init from
@@ -6582,6 +6611,7 @@ object SparkEntry {
     // integer sum
     "simsearch_graph" -> simsearchGraphOracleSql,
     "simsearch_graph_incremental" -> simsearchGraphIncrOracleSql,
+    "simsearch_graph_delete" -> simsearchGraphDelOracleSql,
     "simsearch_index_rebuild_tuned" -> {
       def cellsFor(cb: String, maxP: Int, tag: String) =
         s"""qc$tag AS (SELECT q_id, cent_id, cell_rn FROM (

@@ -1413,11 +1413,16 @@ object SimSearch {
     visited
   }
 
-  /** Exact top-k ground truth (the bounded-query-set judge product). */
-  private def exactTopK(e: DataFrame, k: Int, nQueries: Int): DataFrame = {
+  /** Exact top-k ground truth (the bounded-query-set judge product);
+    * `corpusFilter` restricts the candidate universe (the post-delete
+    * truth for the tombstone path).
+    */
+  private def exactTopK(e: DataFrame, k: Int, nQueries: Int,
+      corpusFilter: Column = lit(true)): DataFrame = {
     val wB = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id").asc)
-    graphCorpus(e).crossJoin(broadcast(graphQueries(e, nQueries)))
+    graphCorpus(e).filter(corpusFilter)
+      .crossJoin(broadcast(graphQueries(e, nQueries)))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos_sim", round(
         dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
@@ -1428,12 +1433,16 @@ object SimSearch {
 
   /** One (idx, q_id, hits, recall, candidates_scanned) row per query
     * from a scored candidate set, judged against `exact`.
+    * `serveFilter` masks rows at EMIT time only — candidates_scanned
+    * still counts every scored node (the tombstone rule: masked nodes
+    * were paid for).
     */
   private def judgeRows(idx: String, scored: DataFrame, exact: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, serveFilter: Column = lit(true)): DataFrame = {
     val wB = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("c_id").asc)
-    val serve = scored.withColumn("rn", row_number().over(wB))
+    val serve = scored.filter(serveFilter)
+      .withColumn("rn", row_number().over(wB))
       .filter(col("rn") <= k).select(col("q_id"), col("c_id"))
     val hits = serve.join(exact, Seq("q_id", "c_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
@@ -1501,6 +1510,46 @@ object SimSearch {
     // edges ∪ delta candidates) ≡ the batch graph (top-k merge)
     topDegreeEdges(storeEdges.unionByName(deltaPairs).distinct(), e,
       degree)
+  }
+
+  /** `simsearch_graph_delete` — TOMBSTONE deletion on the neighbor
+    * graph (the lifecycle family's delete member for the graph tier,
+    * next to `simsearch_index_delete`): deleted vectors (vec_id % 17
+    * = 3, the planted tombstone set) are MASKED AT EMIT, exactly the
+    * HNSW/FAISS deletion rule — they remain traversal WAYPOINTS (the
+    * walk still routes through them, and candidates_scanned still
+    * counts them: masked nodes were paid for), but can never surface
+    * as results. Ground truth is the exact top-k over the SURVIVOR
+    * corpus, so the declared recall measures post-delete serve
+    * quality; a tombstoned id leaking into results, a mask applied
+    * before the walk (which would disconnect routes and change
+    * visited), or a scan count that hides the waypoint cost
+    * hash-mismatches. A deleted vector may still BE a query — a
+    * query is just a vector; deletion removes it from results, not
+    * from the right to search.
+    *
+    * Scale: the mask is a row-local filter at emit; the graph
+    * artifact is untouched (no rebuild — `simsearch_index_compact`'s
+    * physical-purge analogue would be a rebuild event, exactly as in
+    * the IVFPQ family).
+    */
+  def simsearchGraphDelete(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10, degree: Int = GraphDegree,
+      beamWidth: Int = GraphBeam, hops: Int = GraphHops,
+      entryStride: Long = 127, tombMod: Long = 17,
+      tombResidue: Long = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val e = graphFrame(emb)
+    val edges = neighborGraphEdges(e, degree).localCheckpoint(true)
+    val visited = graphVisited(e, edges, nQueries, beamWidth, hops,
+      entryStride)
+    val alive = pmod(col("c_id"), lit(tombMod)) =!= lit(tombResidue)
+    judgeRows("graph_del", visited,
+      exactTopK(e, k, nQueries, corpusFilter = alive)
+        .localCheckpoint(true),
+      k, serveFilter = alive)
+      .orderBy(col("q_id").asc)
   }
 
   def simsearchGraphIncremental(spark: SparkSession, sfDir: String,

@@ -323,4 +323,27 @@ class IndexPersistSpec extends AnyFunSuite {
       s2 % 10 < 8 && d2 % 10 >= 8
     }, "no store node ever adopted a delta neighbor — reverse linking untested")
   }
+  test("simsearch_graph_delete: the mask is emit-only — the walk " +
+      "still routes through tombstones (scanned unchanged vs the " +
+      "undeleted serve); the tombstone set is non-vacuous (no-leak " +
+      "itself is oracle-gated: dsv/exd filter, hash-compared)") {
+    val del = SimSearch.simsearchGraphDelete(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(del.nonEmpty)
+    // masked-at-emit: the walk's scan cost is IDENTICAL to the
+    // undeleted graph serve (same visited set — waypoints kept)
+    val full = SimSearch.simsearchGraph(spark, sf).collect()
+      .filter(_.getString(0) == "graph")
+      .map(r => (r.getLong(1), r.getLong(4))).toMap
+    del.foreach { case (q, _, scanned) =>
+      assert(scanned === full(q),
+        s"q=$q: delete changed the walk itself ($scanned vs ${full(q)})")
+    }
+    // and some result actually changed: the fixture plants enough
+    // tombstones that at least one query's exact top-5 contains one
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    assert(emb.filter(pmod(col("vec_id"), lit(17)) === 3).count() > 0,
+      "no tombstoned vectors in the fixture — vacuous")
+  }
 }

@@ -613,6 +613,9 @@ object SparkEntry {
     // graph-index deletion: tombstones masked at emit, waypoints kept
     "simsearch_graph_delete" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchGraphDelete(s, d)),
+    // predicate-filtered graph search: unfiltered walk, label at emit
+    "simsearch_graph_filtered" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchGraphFiltered(s, d)),
     // residual encoding (FAISS's default): PQ codes quantize
     // x − coarse(cell) via the ResidualNearestCentroidSlice kernel;
     // score = per-(q,cell) coarse dot + m residual lookups
@@ -2273,6 +2276,38 @@ object SparkEntry {
       |  round(coalesce(h.hits, 0)::DOUBLE / 5.0, 4) AS recall,
       |  n.candidates_scanned
       |FROM gscn n LEFT JOIN dhit h ON h.q_id = n.q_id
+      |ORDER BY n.q_id ASC""".stripMargin
+  }
+
+  /** The `simsearch_graph_filtered` oracle: shared serve chain;
+    * label-match at emit only, ground truth label-constrained,
+    * scanned = the unfiltered walk.
+    */
+  private lazy val simsearchGraphFiltOracleSql: String = {
+    val hops = graft.operators.SimSearch.GraphHops
+    graphServeCtes + ",\n" + raw"""lbl AS MATERIALIZED (
+      |  SELECT vec_id, label FROM embeddings),
+      |fex AS MATERIALIZED (SELECT q_id, c_id FROM (
+      |  SELECT q.q_id, c.c_id, row_number() OVER (PARTITION BY q.q_id
+      |      ORDER BY ${graphDotSql("q", "c")} DESC, c.c_id ASC) AS rn
+      |  FROM c CROSS JOIN q
+      |  JOIN lbl cl ON cl.vec_id = c.c_id
+      |  JOIN lbl ql ON ql.vec_id = q.q_id
+      |  WHERE q.q_id <> c.c_id AND cl.label = ql.label) WHERE rn <= 5),
+      |fsv AS (SELECT q_id, c_id FROM (
+      |  SELECT v.q_id, v.c_id, row_number() OVER (PARTITION BY v.q_id
+      |    ORDER BY v.cos_sim DESC, v.c_id ASC) AS rn
+      |  FROM v$hops v
+      |  JOIN lbl cl ON cl.vec_id = v.c_id
+      |  JOIN lbl ql ON ql.vec_id = v.q_id
+      |  WHERE cl.label = ql.label) WHERE rn <= 5),
+      |fhit AS (SELECT s.q_id, count(*)::BIGINT AS hits FROM fsv s
+      |  JOIN fex ON fex.q_id = s.q_id AND fex.c_id = s.c_id GROUP BY 1)
+      |SELECT 'graph_filt' AS idx, n.q_id,
+      |  coalesce(h.hits, 0)::BIGINT AS hits,
+      |  round(coalesce(h.hits, 0)::DOUBLE / 5.0, 4) AS recall,
+      |  n.candidates_scanned
+      |FROM gscn n LEFT JOIN fhit h ON h.q_id = n.q_id
       |ORDER BY n.q_id ASC""".stripMargin
   }
 
@@ -6612,6 +6647,7 @@ object SparkEntry {
     "simsearch_graph" -> simsearchGraphOracleSql,
     "simsearch_graph_incremental" -> simsearchGraphIncrOracleSql,
     "simsearch_graph_delete" -> simsearchGraphDelOracleSql,
+    "simsearch_graph_filtered" -> simsearchGraphFiltOracleSql,
     "simsearch_index_rebuild_tuned" -> {
       def cellsFor(cb: String, maxP: Int, tag: String) =
         s"""qc$tag AS (SELECT q_id, cent_id, cell_rn FROM (

@@ -1552,6 +1552,61 @@ object SimSearch {
       .orderBy(col("q_id").asc)
   }
 
+  /** `simsearch_graph_filtered` — PREDICATE-FILTERED graph search
+    * (the filtered-ANN family's graph-tier member, next to
+    * `simsearch_filtered`/`simsearch_filtered_ivf`): each query wants
+    * top-k among vectors sharing ITS OWN `label` only. The walk
+    * routes UNFILTERED (the standard filtered-HNSW rule: constraining
+    * the traversal would disconnect routes and crater recall when the
+    * predicate is selective) and the label constraint applies at
+    * emit; recall is judged against the exact label-constrained
+    * top-k, and candidates_scanned counts the whole walk — the
+    * honest post-filter cost accounting.
+    */
+  def simsearchGraphFiltered(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10, degree: Int = GraphDegree,
+      beamWidth: Int = GraphBeam, hops: Int = GraphHops,
+      entryStride: Long = 127): DataFrame = {
+    val embL = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val e = graphFrame(embL.select(col("vec_id"), col("embedding")))
+    val edges = neighborGraphEdges(e, degree).localCheckpoint(true)
+    val visited = graphVisited(e, edges, nQueries, beamWidth, hops,
+      entryStride)
+    val labels = embL.select(col("vec_id").as("c_id"),
+      col("label").as("c_label"))
+    val qLabels = embL.filter(col("vec_id") < nQueries.toLong)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    val serve = visited.join(labels, "c_id")
+      .join(broadcast(qLabels), "q_id")
+      .filter(col("c_label") === col("q_label"))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= k).select(col("q_id"), col("c_id"))
+    val exact = graphCorpus(e).join(labels, "c_id")
+      .crossJoin(broadcast(graphQueries(e, nQueries)
+        .join(qLabels, "q_id")))
+      .filter(col("q_id") =!= col("c_id")
+        && col("c_label") === col("q_label"))
+      .withColumn("cos_sim", round(
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"))
+    val hits = serve.join(exact, Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    visited.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("candidates_scanned"))
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(lit("graph_filt").as("idx"), col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4)
+          .as("recall"),
+        col("candidates_scanned"))
+      .orderBy(col("q_id").asc)
+  }
+
   def simsearchGraphIncremental(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 10, degree: Int = GraphDegree,
       beamWidth: Int = GraphBeam, hops: Int = GraphHops,

@@ -674,6 +674,10 @@ object SparkEntry {
     // the curated corpus to date — day∘day ≡ batch (PipelineSpec law)
     "pipeline_curate_v6" -> ((s: SparkSession, d: String) =>
       TextOps.pipelineCurateV6(s, d)),
+    // the DELETES day: takedowns propagate through the captured feed
+    // into the shipped set (seen-store deliberately unretracted)
+    "pipeline_takedown" -> ((s: SparkSession, d: String) =>
+      TextOps.pipelineTakedown(s, d)),
     "repetition_score" -> (TextOps.repetitionScore _),
     "quality_classifier" -> (TextOps.qualityClassifier _),
     "vocab_topk" -> ((s: SparkSession, d: String) => TextOps.vocabTopk(s, d)),
@@ -2441,7 +2445,8 @@ object SparkEntry {
     * associativity law PipelineSpec pins), so both share this SQL and
     * differ only in budget.
     */
-  private def pipelineCurateIncrSql(budget: Long): String =
+  private def pipelineCurateIncrSql(budget: Long,
+      takedownPred: String = "TRUE"): String =
     raw"""WITH md AS (SELECT doc_id, string_split($normT, ' ') AS toks
       |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0),
       |ms AS (SELECT doc_id, list_distinct(list_transform(
@@ -2488,7 +2493,7 @@ object SparkEntry {
       |  ON sv.doc_id = c.doc_id WHERE c.doc_id IS NULL),
       |mx AS (SELECT doc_id, lang, n_tokens,
       |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS rk
-      |  FROM fin),
+      |  FROM fin WHERE $takedownPred),
       |p AS (SELECT doc_id, lang, n_tokens,
       |    coalesce(sum(n_tokens) OVER (PARTITION BY lang
       |      ORDER BY rk ASC, doc_id ASC
@@ -4804,6 +4809,10 @@ object SparkEntry {
     // at v6's budget — a capture/seen-store/version-read fault on
     // either day breaks the law and hash-mismatches
     "pipeline_curate_v6" -> pipelineCurateIncrSql(2000),
+    // takedown day: the same chain minus the deleted residue class,
+    // re-mixed — a missed delete or an un-rebalanced mix mismatches
+    "pipeline_takedown" ->
+      pipelineCurateIncrSql(2000, takedownPred = "doc_id % 41 <> 5"),
     // v5 = quality gate + exact dedup (the v4 CTEs), near-dup
     // decontamination (the decontaminate_minhash CTEs, %19 split),
     // content-keyed split, train-only epoch upsampling (mix_epochs'

@@ -1120,6 +1120,47 @@ object TextOps {
       lit(budget), buckets = 256)
   }
 
+  /** `pipeline_takedown` — the DELETES day the v6 capstone's churn
+    * lacks (day-1/2 are insert-only): day 3 REMOVES rows from the
+    * corpus table (takedowns / robots revocations — the
+    * right-to-be-forgotten path every production corpus needs), and
+    * the deletion propagates through the curated corpus via the
+    * captured feed: capturedChanges(2, 3)'s delete rows anti-join the
+    * curated-to-date survivor set, and the token-budget mix
+    * RE-BALANCES over what remains (a takedown frees budget — other
+    * docs of that language re-enter the shipped prefix).
+    *
+    * POLICY (deliberate, documented): the near-dup SEEN-STORE is NOT
+    * retracted — a re-crawled copy of taken-down content must stay
+    * suppressed, so dedup memory outlives the content (the same
+    * reason Delta's CDF delete doesn't erase history). Only the
+    * SHIPPED set forgets.
+    *
+    * Oracle: the one-batch v4 chain minus the deleted ids, re-mixed
+    * at this budget — a capture that misses a delete, a curated set
+    * that keeps a taken-down doc, or a mix that fails to re-balance
+    * hash-mismatches.
+    */
+  def pipelineTakedown(spark: SparkSession, sfDir: String,
+      budget: Long = 2000L, benchMod: Int = 97,
+      takeMod: Long = 41, takeResidue: Long = 5): DataFrame = {
+    import graft.sources.LakeIO
+    val tbl = plantCorpusDays(spark, sfDir)
+    // day 3: the takedown batch — remove the planted residue class
+    val taken = LakeIO.loadVersion(spark, tbl)
+      .filter(pmod(col("doc_id"), lit(takeMod)) =!= lit(takeResidue))
+    LakeIO.saveVersionCdf(taken, tbl, Seq("doc_id"))
+    val deleted = LakeIO.capturedChanges(spark, tbl, 2, 3)
+      .filter(col("_change_type") === "delete")
+      .select(col("doc_id"))
+    val curated = curateDayFromCdf(spark, sfDir, tbl, 0, 1, benchMod)
+      .unionByName(curateDayFromCdf(spark, sfDir, tbl, 1, 2, benchMod))
+    budgetPrefixPruned(
+      curated.join(deleted, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_tokens")),
+      lit(budget), buckets = 256)
+  }
+
   /** Plant the v6 corpus as three captured lake commits: v0 = the
     * standing corpus (doc_id % 10 < 8), v1 = +day-1's crawl, v2 =
     * +day-2's (the dedup_incremental delta split at its median id —

@@ -41,4 +41,27 @@ class PipelineSpec extends AnyFunSuite {
       && v4.exceptAll(v6).count() === 0)
     assert(v6.count() > 0)
   }
+  test("pipeline_takedown: no taken-down doc ships, and the shipped " +
+      "set changes iff a shipped doc was taken down (the conditional " +
+      "re-balance law; full re-mix equality is the sf0.01 oracle)") {
+    // a BINDING budget (the declared 2000 is not contended at the
+    // tiny spec fixture): the law needs an excluded doc to re-admit
+    val td = TextOps.pipelineTakedown(spark, sf, budget = 300L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(td.nonEmpty)
+    assert(td.forall(_ % 41 != 5), "a taken-down doc shipped")
+    val v6 = TextOps.pipelineCurateV6(spark, sf, budget = 300L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // the conditional re-balance law: IF a shipped doc was taken down
+    // the freed budget must re-admit (or the prefix simply ends — both
+    // only when the budget actually bound); if NO shipped doc was
+    // taken down, the shipped set must be EXACTLY unchanged (delete
+    // propagation is a no-op precisely then). Full re-mix equality is
+    // the sf0.01 oracle's job (hash-gated, where the budget binds).
+    val removedShipped = v6.count(_ % 41 == 5)
+    if (removedShipped > 0)
+      assert(td !== v6, "a shipped doc was taken down but nothing changed")
+    else assert(td === v6,
+      "no shipped doc was taken down, yet the shipped set changed")
+  }
 }

@@ -447,7 +447,8 @@ object Lake {
       graft.operators.WordpieceTrain.clearWordpieceCache() +
       graft.operators.Multimodal.clearPhashCache() +
       graft.streaming.Streams.clearMonitorMuxCache() +
-      graft.streaming.Streams.clearProducedCdfMemo()
+      graft.streaming.Streams.clearProducedCdfMemo() +
+      graft.operators.SimSearch.clearGraphMemo()
 
   /** novlake `Lake(user)` — the per-user convenience constructor: each
     * user gets a personal warehouse prefix under a shared root, so

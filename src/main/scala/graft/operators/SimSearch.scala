@@ -1333,6 +1333,59 @@ object SimSearch {
       .select(col("src"), col("dst"))
   }
 
+  /** Memoized (visited walk, exact ground truth) for the DEFAULT
+    * serve settings, per fixture dir — the batch graph serve feeds
+    * THREE declared queries (`simsearch_graph`, `_delete`,
+    * `_filtered` differ only at emit/judge), so per the warm-phase
+    * policy (VERDICT r15 #1) the shared build runs once (warmGraph in
+    * Bench, reported under warm_ms.graph) and each row measures its
+    * own judge-side plan. Frames are localCheckpointed (eager,
+    * session-bound); [[clearGraphMemo]] releases them.
+    */
+  private val graphMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame)]()
+
+  private def graphArtifacts(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) =
+    graphMemo.computeIfAbsent(sfDir, _ => {
+      val e = graphFrame(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")))
+      val edges = neighborGraphEdges(e, GraphDegree)
+        .localCheckpoint(true) // reused every hop — build once
+      (graphVisited(e, edges, 10, GraphBeam, GraphHops, 127),
+        exactTopK(e, 5, 10).localCheckpoint(true))
+    })
+
+  def warmGraph(spark: SparkSession, sfDir: String): Unit = {
+    graphArtifacts(spark, sfDir); ()
+  }
+
+  /** The memoized default-settings serve, or a fresh one for
+    * non-default parameters (spec sweeps).
+    */
+  private def graphServeOf(spark: SparkSession, sfDir: String,
+      e: DataFrame, k: Int, nQueries: Int, degree: Int, beamWidth: Int,
+      hops: Int, entryStride: Long): (DataFrame, DataFrame) =
+    if (k == 5 && nQueries == 10 && degree == GraphDegree &&
+        beamWidth == GraphBeam && hops == GraphHops &&
+        entryStride == 127L)
+      graphArtifacts(spark, sfDir)
+    else {
+      val edges = neighborGraphEdges(e, degree).localCheckpoint(true)
+      (graphVisited(e, edges, nQueries, beamWidth, hops, entryStride),
+        exactTopK(e, k, nQueries).localCheckpoint(true))
+    }
+
+  private[graft] def clearGraphMemo(): Int = {
+    import scala.jdk.CollectionConverters._
+    val n = graphMemo.size()
+    graphMemo.values().asScala.foreach { case (v, x) =>
+      graft.operators.GraphOps.unpersistCheckpoint(v)
+      graft.operators.GraphOps.unpersistCheckpoint(x)
+    }
+    graphMemo.clear(); n
+  }
+
   def simsearchGraph(spark: SparkSession, sfDir: String, k: Int = 5,
       nQueries: Int = 10, degree: Int = GraphDegree,
       beamWidth: Int = GraphBeam, hops: Int = GraphHops,
@@ -1340,12 +1393,8 @@ object SimSearch {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     val e = graphFrame(emb)
-    val edges = neighborGraphEdges(e, degree)
-      .localCheckpoint(true) // reused every hop — build once
-    val visited = graphVisited(e, edges, nQueries, beamWidth, hops,
-      entryStride)
-    val exact = exactTopK(e, k, nQueries)
-      .localCheckpoint(true) // one judge, two indexes
+    val (visited, exact) = graphServeOf(spark, sfDir, e, k, nQueries,
+      degree, beamWidth, hops, entryStride)
     val cb = ivfCodebook(emb, entryStride)
     val ivfScored = ivfAssignCorpus(emb, cb)
       .join(broadcast(ivfQueryCells(emb, cb, nQueries, nProbe)), "cent_id")
@@ -1541,9 +1590,8 @@ object SimSearch {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     val e = graphFrame(emb)
-    val edges = neighborGraphEdges(e, degree).localCheckpoint(true)
-    val visited = graphVisited(e, edges, nQueries, beamWidth, hops,
-      entryStride)
+    val (visited, _) = graphServeOf(spark, sfDir, e, k, nQueries,
+      degree, beamWidth, hops, entryStride)
     val alive = pmod(col("c_id"), lit(tombMod)) =!= lit(tombResidue)
     judgeRows("graph_del", visited,
       exactTopK(e, k, nQueries, corpusFilter = alive)
@@ -1570,9 +1618,8 @@ object SimSearch {
     val embL = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("label"))
     val e = graphFrame(embL.select(col("vec_id"), col("embedding")))
-    val edges = neighborGraphEdges(e, degree).localCheckpoint(true)
-    val visited = graphVisited(e, edges, nQueries, beamWidth, hops,
-      entryStride)
+    val (visited, _) = graphServeOf(spark, sfDir, e, k, nQueries,
+      degree, beamWidth, hops, entryStride)
     val labels = embL.select(col("vec_id").as("c_id"),
       col("label").as("c_label"))
     val qLabels = embL.filter(col("vec_id") < nQueries.toLong)
@@ -1617,8 +1664,13 @@ object SimSearch {
     val merged = incrementalGraphEdges(e, degree).localCheckpoint(true)
     val visited = graphVisited(e, merged, nQueries, beamWidth, hops,
       entryStride)
-    judgeRows("graph_incr", visited,
-      exactTopK(e, k, nQueries).localCheckpoint(true), k)
+    // the MAINTENANCE walk is deliberately its own (that is the
+    // contract under test); only the path-independent ground truth
+    // is shared with the memoized batch serve
+    val exact =
+      if (k == 5 && nQueries == 10) graphArtifacts(spark, sfDir)._2
+      else exactTopK(e, k, nQueries).localCheckpoint(true)
+    judgeRows("graph_incr", visited, exact, k)
       .orderBy(col("q_id").asc)
   }
 

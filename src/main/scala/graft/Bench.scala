@@ -162,6 +162,7 @@ object Bench {
     warm("wordpiece") { graft.operators.WordpieceTrain.warmWordpiece(spark, sfDir) }
     warm("monitors") { graft.streaming.Streams.warmMonitors(spark, sfDir) }
     warm("graph") { graft.operators.SimSearch.warmGraph(spark, sfDir) }
+    warm("curate") { graft.operators.TextOps.warmCurate(spark, sfDir) }
     val errors = scala.collection.mutable.ListBuffer[String]()
     // per-query GC + task-time attribution (VERDICT r5 #3): rank driver
     // runs by (wall − gc) to separate VM warmth from real plan cost

@@ -448,7 +448,8 @@ object Lake {
       graft.operators.Multimodal.clearPhashCache() +
       graft.streaming.Streams.clearMonitorMuxCache() +
       graft.streaming.Streams.clearProducedCdfMemo() +
-      graft.operators.SimSearch.clearGraphMemo()
+      graft.operators.SimSearch.clearGraphMemo() +
+      graft.operators.TextOps.clearCurateMemo()
 
   /** novlake `Lake(user)` — the per-user convenience constructor: each
     * user gets a personal warehouse prefix under a shared root, so

@@ -1111,13 +1111,49 @@ object TextOps {
     */
   def pipelineCurateV6(spark: SparkSession, sfDir: String,
       budget: Long = 2000L, benchMod: Int = 97): DataFrame = {
-    val tbl = plantCorpusDays(spark, sfDir)
-    val day1 = curateDayFromCdf(spark, sfDir, tbl, 0, 1, benchMod)
-    val day2 = curateDayFromCdf(spark, sfDir, tbl, 1, 2, benchMod)
+    val (_, curated) = curatedCorpusToDate(spark, sfDir, benchMod)
     budgetPrefixPruned(
-      day1.unionByName(day2).select(col("doc_id"), col("lang"),
-        col("n_tokens")),
+      curated.select(col("doc_id"), col("lang"), col("n_tokens")),
       lit(budget), buckets = 256)
+  }
+
+  /** Memoized (planted table, day-1 ∪ day-2 curated survivors) per
+    * fixture dir — the incremental-corpus build feeds TWO declared
+    * queries (`pipeline_curate_v6` and `pipeline_takedown` differ
+    * only in the final mix input), so per the warm-phase policy the
+    * shared plant + two curation days run once (warm_ms.curate in
+    * Bench); each row then times its own mix/propagation side.
+    * Non-default benchMod computes fresh. [[Lake.clearCaches]]
+    * releases the memo (the scratch table reclaims with the run dir).
+    */
+  private val curateMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, DataFrame)]()
+
+  private[graft] def curatedCorpusToDate(spark: SparkSession,
+      sfDir: String, benchMod: Int = 97): (String, DataFrame) = {
+    def build(): (String, DataFrame) = {
+      val tbl = plantCorpusDays(spark, sfDir)
+      val curated =
+        curateDayFromCdf(spark, sfDir, tbl, 0, 1, benchMod)
+          .unionByName(curateDayFromCdf(spark, sfDir, tbl, 1, 2, benchMod))
+          .localCheckpoint(true)
+      (tbl, curated)
+    }
+    if (benchMod == 97) curateMemo.computeIfAbsent(sfDir, _ => build())
+    else build()
+  }
+
+  def warmCurate(spark: SparkSession, sfDir: String): Unit = {
+    curatedCorpusToDate(spark, sfDir); ()
+  }
+
+  private[graft] def clearCurateMemo(): Int = {
+    import scala.jdk.CollectionConverters._
+    val n = curateMemo.size()
+    curateMemo.values().asScala.foreach { case (_, c) =>
+      graft.operators.GraphOps.unpersistCheckpoint(c)
+    }
+    curateMemo.clear(); n
   }
 
   /** `pipeline_takedown` — the DELETES day the v6 capstone's churn
@@ -1145,16 +1181,17 @@ object TextOps {
       budget: Long = 2000L, benchMod: Int = 97,
       takeMod: Long = 41, takeResidue: Long = 5): DataFrame = {
     import graft.sources.LakeIO
-    val tbl = plantCorpusDays(spark, sfDir)
+    val (tbl, curated) = curatedCorpusToDate(spark, sfDir, benchMod)
     // day 3: the takedown batch — remove the planted residue class
+    // (idempotent on the shared fixture: a re-run commits a
+    // content-identical snapshot whose capture is empty, and the
+    // (2, 3] feed below pins the FIRST takedown commit)
     val taken = LakeIO.loadVersion(spark, tbl)
       .filter(pmod(col("doc_id"), lit(takeMod)) =!= lit(takeResidue))
     LakeIO.saveVersionCdf(taken, tbl, Seq("doc_id"))
     val deleted = LakeIO.capturedChanges(spark, tbl, 2, 3)
       .filter(col("_change_type") === "delete")
       .select(col("doc_id"))
-    val curated = curateDayFromCdf(spark, sfDir, tbl, 0, 1, benchMod)
-      .unionByName(curateDayFromCdf(spark, sfDir, tbl, 1, 2, benchMod))
     budgetPrefixPruned(
       curated.join(deleted, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_tokens")),

@@ -616,6 +616,9 @@ object SparkEntry {
     // predicate-filtered graph search: unfiltered walk, label at emit
     "simsearch_graph_filtered" -> ((s: SparkSession, d: String) =>
       SimSearch.simsearchGraphFiltered(s, d)),
+    // the graph as a persisted artifact: build once, serve from store
+    "simsearch_graph_persisted" -> ((s: SparkSession, d: String) =>
+      SimSearch.simsearchGraphPersisted(s, d)),
     // residual encoding (FAISS's default): PQ codes quantize
     // x − coarse(cell) via the ResidualNearestCentroidSlice kernel;
     // score = per-(q,cell) coarse dot + m residual lookups
@@ -2314,6 +2317,17 @@ object SparkEntry {
       |FROM gscn n LEFT JOIN fhit h ON h.q_id = n.q_id
       |ORDER BY n.q_id ASC""".stripMargin
   }
+
+  /** The `simsearch_graph_persisted` oracle: the artifact round trip
+    * is lossless, so the oracle is the batch-graph serve relabeled.
+    */
+  private lazy val simsearchGraphStoreOracleSql: String =
+    graphServeCtes + "\n" + raw"""SELECT 'graph_store' AS idx, n.q_id,
+      |  coalesce(h.hits, 0)::BIGINT AS hits,
+      |  round(coalesce(h.hits, 0)::DOUBLE / 5.0, 4) AS recall,
+      |  n.candidates_scanned
+      |FROM gscn n LEFT JOIN ghit h ON h.q_id = n.q_id
+      |ORDER BY n.q_id ASC""".stripMargin
 
   /** Unrolled integer-Lloyd CTE chain for the `simsearch_ivf_kmeans`
     * oracle: quantize the stride sample to 1e-6 BIGINT units, init from
@@ -6657,6 +6671,7 @@ object SparkEntry {
     "simsearch_graph_incremental" -> simsearchGraphIncrOracleSql,
     "simsearch_graph_delete" -> simsearchGraphDelOracleSql,
     "simsearch_graph_filtered" -> simsearchGraphFiltOracleSql,
+    "simsearch_graph_persisted" -> simsearchGraphStoreOracleSql,
     "simsearch_index_rebuild_tuned" -> {
       def cellsFor(cb: String, maxP: Int, tag: String) =
         s"""qc$tag AS (SELECT q_id, cent_id, cell_rn FROM (

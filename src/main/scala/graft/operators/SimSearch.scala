@@ -1561,6 +1561,39 @@ object SimSearch {
       degree)
   }
 
+  /** `simsearch_graph_persisted` — the neighbor graph AS AN ARTIFACT
+    * (the graph tier's `simsearch_index_persisted`): the
+    * bounded-degree edge set persists to parquet once (build-side
+    * cost, paid here honestly) and the serve walk reads the ARTIFACT
+    * alone — corpus band structures never re-enter the serve; only
+    * the artifact's (src, dst) pairs and the row-local query scoring
+    * do. Declared as the judged walk (idx = graph_store), oracled by
+    * the batch-graph serve — an artifact that round-trips lossily,
+    * or a serve that silently recomputes a DIFFERENT edge set,
+    * hash-mismatches. At 100 TB this is the production shape: build
+    * nightly, serve all day from the store.
+    */
+  def simsearchGraphPersisted(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10, degree: Int = GraphDegree,
+      beamWidth: Int = GraphBeam, hops: Int = GraphHops,
+      entryStride: Long = 127): DataFrame = {
+    val dir = graft.sources.SinkQueries.uniqueRunDir(sfDir,
+      "simsearch_graph_persisted")
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val e = graphFrame(emb)
+    neighborGraphEdges(e, degree).repartition(4)
+      .write.parquet(s"$dir/edges")
+    val edges = spark.read.parquet(s"$dir/edges")
+    val visited = graphVisited(e, edges, nQueries, beamWidth, hops,
+      entryStride)
+    val exact =
+      if (k == 5 && nQueries == 10) graphArtifacts(spark, sfDir)._2
+      else exactTopK(e, k, nQueries).localCheckpoint(true)
+    judgeRows("graph_store", visited, exact, k)
+      .orderBy(col("q_id").asc)
+  }
+
   /** `simsearch_graph_delete` — TOMBSTONE deletion on the neighbor
     * graph (the lifecycle family's delete member for the graph tier,
     * next to `simsearch_index_delete`): deleted vectors (vec_id % 17

@@ -218,6 +218,7 @@ class ContractSpec extends AnyFunSuite {
       Set("join_cross", "simsearch_knn", "text_tfidf", "agg_histogram",
         "simsearch_graph", "simsearch_graph_incremental",
         "simsearch_graph_delete", "simsearch_graph_filtered",
+        "simsearch_graph_persisted",
         "dq_freshness",
         "ann_recall", "stream_watermark_late_ok", "lake_merge_branch",
         "simsearch_hybrid",

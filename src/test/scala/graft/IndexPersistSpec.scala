@@ -346,4 +346,17 @@ class IndexPersistSpec extends AnyFunSuite {
     assert(emb.filter(pmod(col("vec_id"), lit(17)) === 3).count() > 0,
       "no tombstoned vectors in the fixture — vacuous")
   }
+  test("simsearch_graph_persisted: the artifact round trip is " +
+      "value-lossless — serve-from-store rows equal the batch graph " +
+      "serve exactly") {
+    val store = SimSearch.simsearchGraphPersisted(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSeq
+    val batch = SimSearch.simsearchGraph(spark, sf).collect()
+      .filter(_.getString(0) == "graph")
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSeq
+    assert(store === batch, "artifact serve diverged from the build")
+    assert(store.nonEmpty)
+  }
 }

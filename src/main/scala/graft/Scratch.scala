@@ -1,0 +1,49 @@
+package graft
+
+/** Fast local scratch for SHUFFLE files (`spark.local.dir`) — the
+  * round-19 optimization round's fleet-wide finding: thread-dump
+  * sampling of the bench showed up to 24 of 32 task threads BLOCKED in
+  * `IndexShuffleBlockResolver.writeMetadataFileAndCommit` (a global
+  * resolver lock around shuffle index create+rename) plus
+  * `FileOutputStream.open` of shuffle data files. With shuffle local
+  * dirs on the disk-backed java.io.tmpdir, every map task of every
+  * tiny stage serializes through file-system I/O under that lock —
+  * ~100–300 ms of blocked time per task, the dominant fixed cost of
+  * the many-small-stages queries (graph BFS rounds, lake commit
+  * chains, streaming replays). Pointing `spark.local.dir` at tmpfs
+  * makes the critical section microseconds.
+  *
+  * Production analogue (optimization guide §9): shuffle on fast local
+  * SSD/NVMe — nobody runs shuffle-heavy Spark against a slow shared
+  * disk. This is the same setting the streaming harnesses already
+  * apply to their checkpoint/feed scratch (Streams.scratchBase,
+  * ADVICE r14).
+  *
+  * Resolution order: $SPARK_GRAFT_LOCAL_DIR when set (cluster
+  * operators parameterize placement); /dev/shm when writable with
+  * >= 8 GiB usable (the ADVICE r14 headroom rule — containers cap
+  * /dev/shm; sf0.1 shuffle spill is MBs, 8 GiB is generous slack);
+  * else empty → Spark's default local dir. Must be applied BEFORE
+  * SparkContext creation (static conf), hence a builder-time helper.
+  */
+object Scratch {
+  def sparkLocalDir(): Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      try {
+        val shm = new java.io.File("/dev/shm")
+        val usable = shm.canWrite &&
+          java.nio.file.Files.getFileStore(shm.toPath)
+            .getUsableSpace >= (8L << 30)
+        if (usable) {
+          val d = new java.io.File(shm, "graft_spark_local")
+          d.mkdirs()
+          Some(d.getAbsolutePath)
+        } else None
+      } catch { case _: java.io.IOException => None }
+    }
+
+  /** Apply to a builder: no-op when no fast dir resolves. */
+  def configure(b: org.apache.spark.sql.SparkSession.Builder)
+      : org.apache.spark.sql.SparkSession.Builder =
+    sparkLocalDir().fold(b)(d => b.config("spark.local.dir", d))
+}

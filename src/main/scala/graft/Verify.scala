@@ -8,7 +8,9 @@ object Verify {
     val sfDir = args(0); val outDir = args(1)
     val only = args.drop(2).toSet // optional: restrict to named queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // shuffle local dirs on fast scratch (see graft.Scratch scaladoc:
+    // the shuffle index-commit lock convoy finding, r19 opt round)
+    val spark = Scratch.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

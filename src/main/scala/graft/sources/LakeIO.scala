@@ -356,7 +356,8 @@ object LakeIO {
     */
   private def commitVersion(df: DataFrame, path: String,
       captureKeys: Option[Seq[String]],
-      captureEmpty: Boolean = false): Int = {
+      captureEmpty: Boolean = false,
+      knownDiff: Option[DataFrame] = None): Int = {
     val spark = df.sparkSession
     val prev = listVersions(spark, path).lastOption
     // captured commits validate schema compatibility BEFORE any write
@@ -371,6 +372,10 @@ object LakeIO {
     try {
       df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
       val capture: Option[DataFrame] = captureKeys match {
+        // known-diff fast path (saveVersionCdfKnownDiff): the caller's
+        // exact change set IS the capture — no snapshot re-diff join
+        case Some(_) if knownDiff.isDefined && prev.isDefined =>
+          knownDiff.map(_.withColumn("_commit_version", lit(next)))
         case Some(keys) => Some(prev match {
           case None =>
             // first commit: every row is an insert
@@ -736,6 +741,40 @@ object LakeIO {
   def saveVersionCdf(df: DataFrame, path: String,
       keys: Seq[String]): Int =
     commitVersion(df, path, captureKeys = Some(keys))
+
+  /** [[saveVersionCdf]] for a caller that ALREADY HOLDS the commit's
+    * exact change set (r19 optimization round): the capture is the
+    * provided diff (re-stamped with the committed version) instead of
+    * a recomputed [[changes]] snapshot diff. The generic capture path
+    * re-reads BOTH snapshots and full-outer-joins them — O(|table|)
+    * per commit; a producer folding a known churn batch into the head
+    * (the streaming CDF commit loop) pays that join twice per commit
+    * for nothing, and at 100 TB it is the difference between
+    * O(|churn|) and O(|table|) write-time capture. This is how
+    * write-time CDF actually works in Delta: the commit RECORDS the
+    * changes it applied; it never re-diffs.
+    *
+    * Contract: `diff` must be the EXACT change set in the capture
+    * schema (keys + value columns + `_change_type`
+    * insert/delete/update_preimage/update_postimage rows, the
+    * [[snapshotDiff]] output) such that
+    * `applyChanges(head, diff) == df`. The streaming producer's feed
+    * batches are snapshotDiff outputs verbatim, so this holds by
+    * construction there; the produce→consume oracle (lake_write_cdf's,
+    * hash-compared) and StreamingSpec's round-trip law gate it
+    * end-to-end. `_commit_version` is overwritten with the committed
+    * version (metadata-only), so a stale stamp cannot mislabel the
+    * capture.
+    */
+  private[graft] def saveVersionCdfKnownDiff(df: DataFrame, path: String,
+      keys: Seq[String], diff: DataFrame): Int = {
+    val cap = Set("_change_type", "_commit_version")
+    require(cap.subsetOf(diff.columns.toSet),
+      s"known-diff capture must carry ${cap.mkString(", ")} — got " +
+        diff.columns.mkString(", "))
+    commitVersion(df, path, captureKeys = Some(keys),
+      knownDiff = Some(diff))
+  }
 
   /** Versioned save of a CONTENT-IDENTICAL maintenance rewrite
     * (compaction rewrites files, not rows): on a capture-enabled

@@ -1939,10 +1939,15 @@ object Streams {
           s"commit $v arrived at head $head — the feed skipped " +
             s"commit${if (v - head > 2) "s" else ""} " +
             s"${(head + 1) until v mkString ", "}")
+        val churn = batch.filter(col("_commit_version") === v)
         val next = graft.sources.LakeIO.applyChanges(
-          graft.sources.LakeIO.loadVersion(s, tbl),
-          batch.filter(col("_commit_version") === v), keys)
-        graft.sources.LakeIO.saveVersionCdf(next, tbl, keys)
+          graft.sources.LakeIO.loadVersion(s, tbl), churn, keys)
+        // the batch slice IS the commit's exact change set (snapshotDiff
+        // output, version-fenced) — record it as the write-time capture
+        // instead of re-diffing the snapshots (O(churn) vs O(table);
+        // see saveVersionCdfKnownDiff)
+        graft.sources.LakeIO.saveVersionCdfKnownDiff(next, tbl, keys,
+          churn)
         ()
       } else {
         // Already committed (at-least-once replay) — but do not skip

@@ -221,4 +221,31 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(rebuilt.exceptAll(head).count() === 0
       && head.exceptAll(rebuilt).count() === 0)
   }
+
+  test("saveVersionCdfKnownDiff: the known-diff capture is row-identical " +
+      "to the capture the generic snapshot re-diff would have written") {
+    val root = Files.createTempDirectory("graft_knowndiff").toString + "/t"
+    val keys = Seq("k")
+    val v0 = snap((1L, 1.0), (2L, 2.0), (3L, 3.0))
+    val v1 = snap((1L, 1.0), (2L, 2.5), (4L, 4.0)) // update 2, drop 3, insert 4
+    LakeIO.saveVersionCdf(v0, root, keys)
+    // the exact change set, as a producer folding known churn holds it
+    val diff = LakeIO.snapshotDiff(v0, v1, keys, stampVersion = 99) // stale stamp on purpose
+    LakeIO.saveVersionCdfKnownDiff(v1, root, keys, diff)
+    val written = LakeIO.capturedChanges(spark, root, 0, 1)
+    // stale stamp must have been overwritten with the committed version
+    assert(written.select("_commit_version").distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(1))
+    // and the rows must equal what the generic path would recompute
+    val recomputed = LakeIO.changes(spark, root, 0, 1, keys)
+    val a = written.select("k", "x", "_change_type")
+    val b = recomputed.select("k", "x", "_change_type")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    // and the replay law holds over the known-diff capture
+    val replayed = LakeIO.replayChanges(
+      LakeIO.loadVersion(spark, root, Some(0)), written, keys)
+    val head = LakeIO.loadVersion(spark, root, Some(1))
+    assert(replayed.exceptAll(head).count() === 0
+      && head.exceptAll(replayed).count() === 0)
+  }
 }

@@ -446,6 +446,7 @@ object Lake {
       graft.operators.UnigramTrain.clearUnigramCache() +
       graft.operators.WordpieceTrain.clearWordpieceCache() +
       graft.operators.Multimodal.clearPhashCache() +
+      graft.operators.Multimodal.clearFrameCache() +
       graft.streaming.Streams.clearMonitorMuxCache() +
       graft.streaming.Streams.clearProducedCdfMemo() +
       graft.operators.SimSearch.clearGraphMemo() +

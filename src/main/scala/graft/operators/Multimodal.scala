@@ -130,18 +130,43 @@ object Multimodal {
   // private[graft]: the streaming twin qualifies blobs with the same cut
   private[graft] val PhashMinChars = PhashSegs * PhashSegChars // 252
 
-  private[graft] def phashExpr(s: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    val segs = (0 until PhashSegs).map { b =>
-      (1 to PhashSegChars)
-        .map(k => ascii(s.substr(lit(b * PhashSegChars + k), lit(1)))
+  /** 2^i bit weights for the 62 packed gradient bits (1-indexed via
+    * element_at: weights(i+1) = 1L << i).
+    */
+  private def bitWeights: org.apache.spark.sql.Column =
+    array((0 until PhashSegs - 1).map(i => lit(1L << i)): _*)
+
+  /** The 63 per-segment codepoint sums as ONE array column (r19 opt:
+    * the flat form inlined 63 four-substr sums twice per comparison —
+    * a ~2,300-node Catalyst tree whose analyzer/optimizer/codegen cost
+    * was SECONDS of driver time per query construction, dwarfing the
+    * row work at every scale; as a higher-order `transform` the tree
+    * is ~30 nodes and the per-row arithmetic is unchanged).
+    */
+  private def segSums(s: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(PhashSegs - 1)),
+      b => (1 to PhashSegChars)
+        .map(k => ascii(s.substr(b * PhashSegChars + lit(k), lit(1)))
           .cast("long"))
-        .reduce(_ + _)
-    }
-    (0 until PhashSegs - 1).map { i =>
-      when(segs(i) > segs(i + 1), lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+        .reduce(_ + _))
+
+  private[graft] def phashExpr(s: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    // one fold over the segment array: bit i = seg_i > seg_{i+1},
+    // weight 2^i — the accumulator carries (prev segment, index, acc)
+    // so the array is evaluated exactly once per row
+    aggregate(segSums(s),
+      struct(lit(null).cast("long").as("prev"), lit(0).as("i"),
+        lit(0L).as("acc")),
+      (st, x) => struct(
+        x.as("prev"),
+        (st.getField("i") + 1).as("i"),
+        (st.getField("acc") +
+          when(st.getField("i") > 0 && st.getField("prev") > x,
+            element_at(bitWeights, st.getField("i")))
+            .otherwise(lit(0L))).as("acc")),
+      st => st.getField("acc"))
 
   /** `multimodal_phash` — perceptual NEAR-dup pairs across the asset
     * corpus: dHash fingerprints ([[phashExpr]], row-local), 16-bit-band
@@ -349,35 +374,20 @@ object Multimodal {
     */
   def multimodalVideoDedup(spark: SparkSession, sfDir: String,
       maxHamming: Int = 3): DataFrame =
-    videoDedupAssets(syntheticAssets(spark, sfDir), maxHamming)
+    signatureContainmentPairs(corpusVideoFrames(spark, sfDir), maxHamming)
 
   private[operators] val FrameStride = 100
 
   /** Core of [[multimodalVideoDedup]] over an explicit asset frame —
     * the planted-clip harness for PhashSpec.
     */
-  def videoDedupAssets(assets: DataFrame, maxHamming: Int): DataFrame = {
+  def videoDedupAssets(assets: DataFrame, maxHamming: Int): DataFrame =
     // per-frame fingerprints, all inside the asset's own row; the
     // signature distinct is the first (and only) place rows leave
-    // their partition, carrying (id, 8-byte hash) only. Checkpointed:
-    // three downstream consumers (sizes + both band sides) must not
-    // re-pay the 252-substr codegen tree per reference.
-    val frames = assets
-      .filter(col("mime").startsWith("video/"))
-      .select(col("asset_id"), decode(col("blob"), "UTF-8").as("s"))
-      .filter(length(col("s")) >= PhashMinChars)
-      .select(col("asset_id"), col("s"),
-        explode(sequence(lit(0L),
-          ((length(col("s")) - lit(PhashMinChars))
-            / lit(FrameStride)).cast("long"))).as("k"))
-      .select(col("asset_id"), col("s").substr(
-        (col("k") * FrameStride + 1).cast("int"),
-        lit(PhashMinChars)).as("w"))
-      .select(col("asset_id"), phashExpr(col("w")).as("fph"))
-      .distinct()
-      .localCheckpoint(true)
-    signatureContainmentPairs(frames, maxHamming)
-  }
+    // their partition, carrying (id, 8-byte hash) only ([[videoFrames]]
+    // checkpoints: three downstream consumers — sizes + both band
+    // sides — must not re-pay the fingerprint pass per reference)
+    signatureContainmentPairs(videoFrames(assets), maxHamming)
 
   /** Shared tail of the signature-set dedup tiers (video + audio):
     * per-asset fingerprint-set sizes, the lossless 4×16-bit band join
@@ -434,19 +444,28 @@ object Multimodal {
     */
   private[graft] def hkFingerprintExpr(cur: org.apache.spark.sql.Column,
       prev: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    def segs(s: org.apache.spark.sql.Column) =
-      (0 until PhashSegs).map { b =>
-        (1 to PhashSegChars)
-          .map(k => ascii(s.substr(lit(b * PhashSegChars + k), lit(1)))
-            .cast("long"))
-          .reduce(_ + _)
-      }
-    val sc = segs(cur)
-    val sp = segs(prev)
-    (0 until PhashSegs - 1).map { i =>
-      when((sc(i) - sc(i + 1)) > (sp(i) - sp(i + 1)), lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+    // same arithmetic as the flat form (bit i = (sc_i − sc_{i+1}) >
+    // (sp_i − sp_{i+1}), weight 2^i), built like [[phashExpr]] as one
+    // small higher-order tree: zip the two 63-long band-energy arrays
+    // (each evaluated once per row), then one fold carrying the
+    // previous (cur, prev) pair + index + accumulator
+    val zipped = zip_with(segSums(cur), segSums(prev),
+      (c, p) => struct(c.as("c"), p.as("p")))
+    aggregate(zipped,
+      struct(lit(null).cast("long").as("pc"),
+        lit(null).cast("long").as("pp"), lit(0).as("i"),
+        lit(0L).as("acc")),
+      (st, x) => struct(
+        x.getField("c").as("pc"),
+        x.getField("p").as("pp"),
+        (st.getField("i") + 1).as("i"),
+        (st.getField("acc") +
+          when(st.getField("i") > 0 &&
+            (st.getField("pc") - x.getField("c")) >
+              (st.getField("pp") - x.getField("p")),
+            element_at(bitWeights, st.getField("i")))
+            .otherwise(lit(0L))).as("acc")),
+      st => st.getField("acc"))
   }
 
   /** `multimodal_audio_dedup` — perceptual near-dup detection at the
@@ -470,7 +489,7 @@ object Multimodal {
     */
   def multimodalAudioDedup(spark: SparkSession, sfDir: String,
       maxHamming: Int = 3): DataFrame =
-    audioDedupAssets(syntheticAssets(spark, sfDir), maxHamming)
+    signatureContainmentPairs(corpusAudioFrames(spark, sfDir), maxHamming)
 
   /** The distinct per-clip sub-fingerprint signature sets —
     * cur/prev windows substring from the SAME row (the explode fans
@@ -503,6 +522,53 @@ object Multimodal {
   def audioDedupAssets(assets: DataFrame, maxHamming: Int): DataFrame =
     signatureContainmentPairs(audioFrames(assets), maxHamming)
 
+  /** Per-fixture memos of the corpus audio/video signature frames
+    * (r19 opt round): the frame fingerprints are ROW-LOCAL per asset,
+    * so a store/delta slice of the corpus frame ≡ the frame of the
+    * sliced corpus — the dedup, candidates and incremental rows per
+    * tier are three consumers of ONE decode+fingerprint pass (the
+    * [[cachedPhashFrame]] discipline lifted to the signature-set
+    * tiers). 8 bytes × frames per clip, checkpointed;
+    * fingerprint-keyed, released by `Lake.clearCaches`.
+    */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String, String), DataFrame]()
+
+  private[graft] def clearFrameCache(): Int = {
+    val n = frameCache.size()
+    frameCache.values().forEach { df =>
+      try df.unpersist() catch { case _: Throwable => }
+    }
+    frameCache.clear()
+    n
+  }
+
+  private def cachedFrames(spark: SparkSession, sfDir: String,
+      tier: String, build: DataFrame => DataFrame): DataFrame = {
+    val fp = graft.operators.MinHashDedup.corpusFingerprint(spark, sfDir)
+    val it = frameCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val key = e.getKey
+      if (key._1.sparkContext.isStopped ||
+          (key._1 == spark && key._2 == sfDir && key._4 != fp)) {
+        try e.getValue.unpersist() catch { case _: Throwable => }
+        it.remove()
+      }
+    }
+    frameCache.computeIfAbsent((spark, sfDir, tier, fp), _ =>
+      build(syntheticAssets(spark, sfDir)))
+  }
+
+  private def corpusAudioFrames(spark: SparkSession,
+      sfDir: String): DataFrame =
+    cachedFrames(spark, sfDir, "audio", audioFrames)
+
+  private def corpusVideoFrames(spark: SparkSession,
+      sfDir: String): DataFrame =
+    cachedFrames(spark, sfDir, "video", videoFrames)
+
   /** `multimodal_audio_dedup_cand` — candidates shadow of the audio
     * tier (the dedup_embedding_lsh_cand precedent): EVERY
     * band-colliding frame pair with its exact Hamming distance, no
@@ -515,7 +581,7 @@ object Multimodal {
     */
   def multimodalAudioDedupCand(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val frames = audioFrames(syntheticAssets(spark, sfDir))
+    val frames = corpusAudioFrames(spark, sfDir)
     val banded = frames.select(col("asset_id"), col("fph"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("fph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -577,9 +643,13 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame = {
     val a = syntheticAssets(spark, sfDir)
       .filter(col("mime").startsWith("video/"))
+    // store/delta frames are SLICES of the memoized corpus frame: the
+    // fingerprints are row-local per asset, so filtering the frame ≡
+    // fingerprinting the filtered corpus — one decode pass, not three
+    val f = corpusVideoFrames(spark, sfDir)
     signatureIncremental(
-      videoFrames(a.filter(col("asset_id") % 10 < 8)),
-      videoFrames(a.filter(col("asset_id") % 10 >= 8)),
+      f.filter(col("asset_id") % 10 < 8),
+      f.filter(col("asset_id") % 10 >= 8),
       a.filter(col("asset_id") % 10 >= 8)
         .select(col("asset_id"), col("mime")), maxHamming)
   }
@@ -588,9 +658,10 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame = {
     val a = syntheticAssets(spark, sfDir)
       .filter(col("mime").startsWith("audio/"))
+    val f = corpusAudioFrames(spark, sfDir)
     signatureIncremental(
-      audioFrames(a.filter(col("asset_id") % 10 < 8)),
-      audioFrames(a.filter(col("asset_id") % 10 >= 8)),
+      f.filter(col("asset_id") % 10 < 8),
+      f.filter(col("asset_id") % 10 >= 8),
       a.filter(col("asset_id") % 10 >= 8)
         .select(col("asset_id"), col("mime")), maxHamming)
   }

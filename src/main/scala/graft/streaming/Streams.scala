@@ -2429,9 +2429,12 @@ object Streams {
     // of the whole on-time table
     ev.filter(!isLate).coalesce(4).write.parquet(s"$dir/b1")
     ev.filter(isLate).coalesce(1).write.parquet(s"$dir/b2")
-    spark.range(1).select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
-      lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
-      lit(0.0).as("value"), lit("{}").as("props"))
+    // 1-partition range: range(1)'s default 32 tasks for one row are
+    // pure task-launch overhead (the replayMonitor sentinel finding)
+    spark.range(0L, 1L, 1L, 1)
+      .select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+        lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
       .write.parquet(s"$dir/b3")
     def deliver(batch: String): Unit =
       new java.io.File(s"$dir/$batch").listFiles()
@@ -2453,14 +2456,23 @@ object Streams {
     // sf0.1): at the session's 32 shuffle partitions the HDFS state
     // store pays 32 partitions × 3 batches of checkpoint I/O for a
     // hand-rolled query; pin the stream (its partitioning is fixed at
-    // start) to 8 and restore the session conf for the batch result
+    // start) to 4 — the fileReplay harness setting; state-store tasks
+    // carry a ~250 ms open/commit latency each regardless of rows, so
+    // fewer partitions is strictly less blocked task time — and
+    // restore the session conf for the batch result
     val shufKey = "spark.sql.shuffle.partitions"
     val oldShuf = spark.conf.get(shufKey)
     val q =
       try {
-        spark.conf.set(shufKey, "8")
+        spark.conf.set(shufKey, "4")
         tumblingCounts(stream).writeStream
           .format("memory").queryName("wmk_late_ok")
+          // on fast scratch with the rest of the harness (r19 opt:
+          // without it Spark puts the checkpoint + HDFS-backed state
+          // store on java.io.tmpdir — the slow root disk; 8 state
+          // partitions × 3 batches of delta/commit files there were
+          // ~6 s of blocked task time on ~1.7 s of cpu)
+          .option("checkpointLocation", s"$dir/ckpt")
           .outputMode(OutputMode.Append).start()
       } finally spark.conf.set(shufKey, oldShuf)
     try {

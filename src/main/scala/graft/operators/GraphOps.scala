@@ -591,15 +591,19 @@ object GraphOps {
     val s2 = spark0.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.shuffle.partitions", "4")
-    val und0 = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
-    val und = s2.createDataFrame(und0.rdd, und0.schema)
+    val und = reboundUnd(s2, edges, Seq("u", "v"))
     var dists = und.select(col("u").as("x")).distinct()
       .filter(pmod(col("x"), lit(seedMod)) === 0)
       .select(col("x"), col("x").as("s"), lit(0).as("dist"))
       .localCheckpoint(true)
     var frontier = dists
+    // the settled set accumulates as a LIST of per-round checkpointed
+    // frames, unioned lazily where read (r19 opt: re-checkpointing the
+    // whole union each round was a third O(settled) materialization
+    // job per round — the per-level frames are already materialized,
+    // and a lazy union of k in-memory blocks scans, never recomputes)
+    var levels = List(dists)
+    def settled() = levels.reduce(_ unionByName _)
     // no conf restore (the kcoreEnum resolution, ADVICE r16): s2 is
     // private to this call and the final aggregate below is s2-bound —
     // the whole enum runs under one declared low-latency conf
@@ -609,7 +613,7 @@ object GraphOps {
       val next = und
         .join(frontier.select(col("x").as("u"), col("s")), "u")
         .select(col("v").as("x"), col("s")).distinct()
-        .join(dists.select(col("x"), col("s")), Seq("x", "s"),
+        .join(settled().select(col("x"), col("s")), Seq("x", "s"),
           "left_anti")
         .select(col("x"), col("s"), lit(d).as("dist"))
         .localCheckpoint(true)
@@ -617,16 +621,12 @@ object GraphOps {
         unpersistCheckpoint(next)
         growing = false
       } else {
-        val prevD = dists; val prevF = frontier
-        dists = dists.unionByName(next).localCheckpoint(true)
-        unpersistCheckpoint(prevD)
-        if (prevF ne prevD) unpersistCheckpoint(prevF)
+        levels ::= next
         frontier = next
         d += 1
       }
     }
-    if (frontier ne dists) unpersistCheckpoint(frontier)
-    dists.filter(col("dist") > 0)
+    settled().filter(col("dist") > 0)
       .groupBy(col("x"))
       .agg(count(lit(1)).as("n_seeds"), sum(col("dist")).as("total_dist"))
       .select(col("x").as("part"), col("n_seeds"), col("total_dist"),
@@ -681,16 +681,17 @@ object GraphOps {
     val s2 = spark0.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.shuffle.partitions", "4")
-    val und0 = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
-    val und = s2.createDataFrame(und0.rdd, und0.schema)
+    val und = reboundUnd(s2, edges, Seq("u", "v"))
     var sp = und.select(col("u").as("x")).distinct()
       .filter(pmod(col("x"), lit(seedMod)) === 0)
       .select(col("x"), col("x").as("s"), lit(0).as("d"),
         lit(1L).as("sig"))
       .localCheckpoint(true)
     var frontier = sp
+    // per-level checkpointed frames, unioned lazily (the closenessEnum
+    // r19 treatment: no O(settled) re-materialization per round)
+    var levels = List(sp)
+    def settled() = levels.reduce(_ unionByName _)
     var d = 1
     var growing = true
     while (growing && d <= maxDepth) {
@@ -702,29 +703,27 @@ object GraphOps {
           "u")
         .groupBy(col("v").as("x"), col("s"))
         .agg(sum(col("sig")).as("sig"))
-        .join(sp.select(col("x"), col("s")), Seq("x", "s"), "left_anti")
+        .join(settled().select(col("x"), col("s")), Seq("x", "s"),
+          "left_anti")
         .select(col("x"), col("s"), lit(d).as("d"), col("sig"))
         .localCheckpoint(true)
       if (next.count() == 0) {
         unpersistCheckpoint(next)
         growing = false
       } else {
-        val prevSp = sp; val prevF = frontier
-        sp = sp.unionByName(next).localCheckpoint(true)
-        unpersistCheckpoint(prevSp)
-        if (prevF ne prevSp) unpersistCheckpoint(prevF)
+        levels ::= next
         frontier = next
         d += 1
       }
     }
-    if (frontier ne sp) unpersistCheckpoint(frontier)
-    val pairs = sp
+    val sp2 = settled()
+    val pairs = sp2
       .filter(pmod(col("x"), lit(seedMod)) === 0 && col("x") > col("s"))
       .select(col("s"), col("x").as("t"), col("d").as("dst"),
         col("sig").as("sigst"))
-    val a = sp.select(col("s"), col("x").as("part"),
+    val a = sp2.select(col("s"), col("x").as("part"),
       col("d").as("da"), col("sig").as("siga"))
-    val b = sp.select(col("s").as("t"), col("x").as("part"),
+    val b = sp2.select(col("s").as("t"), col("x").as("part"),
       col("d").as("db"), col("sig").as("sigb"))
     // v mediates (s, t) iff d(s,v) + d(v,t) = d(s,t); σ_st(v) =
     // σ_sv·σ_vt (σ_vt = σ_tv — path reversal on an undirected graph)
@@ -803,10 +802,7 @@ object GraphOps {
     val s2 = spark0.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.shuffle.partitions", "4")
-    val und0 = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
-    val und = s2.createDataFrame(und0.rdd, und0.schema)
+    val und = reboundUnd(s2, edges, Seq("u", "v"))
     var verts = und.select(col("u").as("x")).distinct()
       .localCheckpoint(true)
     var n = verts.count()
@@ -856,10 +852,7 @@ object GraphOps {
     val s2 = spark0.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.shuffle.partitions", "4")
-    val und0 = edges.select(col("u"), col("v"), col("co"))
-      .union(edges.select(col("v").as("u"), col("u").as("v"), col("co")))
-      .localCheckpoint(true)
-    val und = s2.createDataFrame(und0.rdd, und0.schema)
+    val und = reboundUnd(s2, edges, Seq("u", "v", "co"))
     var labels = und.select(col("u")).distinct()
       .select(col("u").as("x"), col("u").as("lbl"))
       .localCheckpoint(true)
@@ -904,10 +897,7 @@ object GraphOps {
     val s2 = spark0.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.shuffle.partitions", "4")
-    val und0 = edges.select(col("u"), col("v"), col("co"))
-      .union(edges.select(col("v").as("u"), col("u").as("v"), col("co")))
-      .localCheckpoint(true)
-    val und = s2.createDataFrame(und0.rdd, und0.schema)
+    val und = reboundUnd(s2, edges, Seq("u", "v", "co"))
     var caps = und.select(col("u").as("x")).distinct()
       .select(col("x"),
         when(pmod(col("x"), lit(seedMod)) === 0, lit(SeedCap))
@@ -952,15 +942,16 @@ object GraphOps {
     val s2 = spark0.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.shuffle.partitions", "4")
-    val und0 = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
-    val und = s2.createDataFrame(und0.rdd, und0.schema)
+    val und = reboundUnd(s2, edges, Seq("u", "v"))
     var dists = und.select(col("u").as("x")).distinct()
       .filter(pmod(col("x"), lit(seedMod)) === 0)
       .select(col("x"), lit(0).as("dist"))
       .localCheckpoint(true)
     var frontier = dists
+    // per-level checkpointed frames, unioned lazily (the closenessEnum
+    // r19 treatment: no O(settled) re-materialization per round)
+    var levels = List(dists)
+    def settled() = levels.reduce(_ unionByName _)
     try {
       var d = 1
       var growing = true
@@ -968,17 +959,14 @@ object GraphOps {
         val next = und
           .join(frontier.select(col("x").as("u")), "u")
           .select(col("v").as("x")).distinct()
-          .join(dists, Seq("x"), "left_anti")
+          .join(settled().select(col("x")), Seq("x"), "left_anti")
           .select(col("x"), lit(d).as("dist"))
           .localCheckpoint(true)
         if (next.count() == 0) {
           unpersistCheckpoint(next)
           growing = false
         } else {
-          val prevD = dists; val prevF = frontier
-          dists = dists.unionByName(next).localCheckpoint(true)
-          unpersistCheckpoint(prevD)
-          if (prevF ne prevD) unpersistCheckpoint(prevF)
+          levels ::= next
           frontier = next
           d += 1
         }
@@ -989,11 +977,31 @@ object GraphOps {
       s2.conf.set("spark.sql.shuffle.partitions",
         spark0.conf.get("spark.sql.shuffle.partitions", "200"))
     }
-    // the final frontier is a superseded intermediate too (dists was
-    // re-checkpointed after absorbing it)
-    if (frontier ne dists) unpersistCheckpoint(frontier)
-    dists.select(col("x").as("part"), col("dist"))
+    settled().select(col("x").as("part"), col("dist"))
       .orderBy(col("part").asc)
+  }
+
+  /** The undirected edge frame re-bound to the cloned low-latency
+    * session, hash-partitioned by `u` and sorted ONCE (r19 opt round,
+    * guide §2.4 "share one exchange"): the edge frame is the
+    * loop-invariant BIG side of every fixpoint round's neighbor join,
+    * and the plain RDD re-bind erased its partitioning, so every round
+    * re-shuffled (and re-sorted) the whole graph to join a dust-sized
+    * frontier. `localCheckpoint` preserves outputPartitioning and
+    * outputOrdering through the LogicalRDD leaf, so the per-round join
+    * now exchanges only the frontier/labels side. Partition count =
+    * the clone's pinned shuffle.partitions (conf, not a constant).
+    * `cols` = ("u", "v") plus any edge payload columns to carry.
+    */
+  private def reboundUnd(s2: SparkSession, edges: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val sel = cols.map(col)
+    val swapped = col("v").as("u") +: col("u").as("v") +:
+      cols.drop(2).map(col)
+    val und0 = edges.select(sel: _*).union(edges.select(swapped: _*))
+    s2.createDataFrame(und0.rdd, und0.schema)
+      .repartition(col("u")).sortWithinPartitions(col("u"))
+      .localCheckpoint(true)
   }
 
   /** Releases the block-manager memory behind a localCheckpoint'd frame
@@ -1041,12 +1049,7 @@ object GraphOps {
     val s2 = spark0.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2.conf.set("spark.sql.shuffle.partitions", "4")
-    val und0 = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
-    // re-bind the checkpointed blocks to the clone (RDD scan, no
-    // recompute — blocks live in the shared SparkContext)
-    val und = s2.createDataFrame(und0.rdd, und0.schema)
+    val und = reboundUnd(s2, edges, Seq("u", "v"))
     var labels = und.select(col("u")).distinct()
       .select(col("u").as("x"), col("u").as("lbl"))
       .localCheckpoint(true)

@@ -27,23 +27,48 @@ package graft
   * SparkContext creation (static conf), hence a builder-time helper.
   */
 object Scratch {
-  def sparkLocalDir(): Option[String] =
-    sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
-      try {
-        val shm = new java.io.File("/dev/shm")
-        val usable = shm.canWrite &&
-          java.nio.file.Files.getFileStore(shm.toPath)
-            .getUsableSpace >= (8L << 30)
-        if (usable) {
-          val d = new java.io.File(shm, "graft_spark_local")
-          d.mkdirs()
-          Some(d.getAbsolutePath)
-        } else None
-      } catch { case _: java.io.IOException => None }
-    }
+  private def shmIfUsable(sub: String): Option[String] =
+    try {
+      val shm = new java.io.File("/dev/shm")
+      val usable = shm.canWrite &&
+        java.nio.file.Files.getFileStore(shm.toPath)
+          .getUsableSpace >= (8L << 30)
+      if (usable) {
+        val d = new java.io.File(shm, sub)
+        d.mkdirs()
+        Some(d.getAbsolutePath)
+      } else None
+    } catch { case _: java.io.IOException => None }
 
-  /** Apply to a builder: no-op when no fast dir resolves. */
+  def sparkLocalDir(): Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+      .orElse(shmIfUsable("graft_spark_local"))
+
+  /** Fast base for the sink/lake queries' scratch DATA dirs (same
+    * resolution + production analogue as the shuffle dir; the
+    * streaming harnesses already sit on it via Streams.scratchBase):
+    * the lake rows' commit chains are read-after-write sequences of
+    * small parquet snapshots + captures, and paying the slow
+    * disk-backed java.io.tmpdir for each was the same convoy the
+    * shuffle finding removed. Falls back to java.io.tmpdir.
+    */
+  def fastTmpDir(): String =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+      .orElse(shmIfUsable("graft_sink_scratch"))
+      .getOrElse(sys.props("java.io.tmpdir"))
+
+  /** Apply to a builder: the fast local dir (no-op when none
+    * resolves) + a codegen class cache sized for this library's query
+    * fleet (static conf, so builder-time): the default 100-entry LRU
+    * thrashes across ~350 distinct declared plans, recompiling shared
+    * fragments (scan/filter/agg shapes over the same fixture tables)
+    * that would otherwise hit; sizing is driver-memory-bounded, not
+    * scale-dependent. Overridable via SPARK_GRAFT_CODEGEN_CACHE.
+    */
   def configure(b: org.apache.spark.sql.SparkSession.Builder)
-      : org.apache.spark.sql.SparkSession.Builder =
-    sparkLocalDir().fold(b)(d => b.config("spark.local.dir", d))
+      : org.apache.spark.sql.SparkSession.Builder = {
+    val b2 = b.config("spark.sql.codegen.cache.maxEntries",
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "1000"))
+    sparkLocalDir().fold(b2)(d => b2.config("spark.local.dir", d))
+  }
 }

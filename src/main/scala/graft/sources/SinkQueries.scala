@@ -29,7 +29,7 @@ object SinkQueries {
 
   private[graft] def tmpBase(sfDir: String): String = {
     val h = Integer.toHexString(sfDir.hashCode)
-    s"${sys.props("java.io.tmpdir")}/graft_sinks_${processTag}_$h"
+    s"${graft.Scratch.fastTmpDir()}/graft_sinks_${processTag}_$h"
   }
 
   /** Per-invocation scratch directory (ADVICE r15: the versioned-lake

@@ -1757,18 +1757,49 @@ object Streams {
     val nCommitsT =
       graft.sources.LakeIO.listVersions(spark, tbl).size - 1
     val replica = s"$dir/replica"
-    graft.sources.LakeIO.loadVersion(spark, tbl, Some(0))
-      .write.parquet(replica)
+    // replica seed + feed batches are ALREADY parquet artifacts of
+    // this table (v=0 snapshot; the write-time `_cdf/v=<n>` captures —
+    // capturedChanges(i, i+1) is a guarded read of exactly that dir),
+    // so seed by HARDLINK (the monitorFeedCache recipe; same tmpfs)
+    // instead of paying a read+rewrite job per commit. Falls back to
+    // the Spark write when the version is manifest-backed (clone) or
+    // a post-start commit's capture is multi-file (the single-file
+    // delivery rule below).
+    def parquetFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    def linkInto(files: Array[java.io.File], dst: java.io.File): Unit = {
+      dst.mkdirs()
+      files.foreach { f =>
+        val tgt = new java.io.File(dst, f.getName).toPath
+        try java.nio.file.Files.createLink(tgt, f.toPath)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(f.toPath, tgt): Unit }
+      }
+    }
+    val v0dir = new java.io.File(s"$tbl/v=0")
+    if (new java.io.File(v0dir, "_manifest").exists())
+      graft.sources.LakeIO.loadVersion(spark, tbl, Some(0))
+        .write.parquet(replica)
+    else linkInto(parquetFiles(v0dir), new java.io.File(replica))
     // one feed file per commit (the fileReplay single-file rule: a
     // running query can trigger between two moves, and a split batch
     // must still carry whole commits — replayChanges handles a MERGED
     // batch, but a commit split ACROSS batches would apply half a
-    // commit's churn; one file per commit makes that impossible)
+    // commit's churn; one file per commit makes that impossible).
+    // Batch 0 delivers pre-start (the initial listing is one
+    // micro-batch regardless of file count), so it may link multi-file
+    // captures too.
     val feed = new java.io.File(s"$dir/feed"); feed.mkdirs()
     val nCommits = nCommitsT
     (0 until nCommits).foreach { i =>
-      graft.sources.LakeIO.capturedChanges(spark, tbl, i, i + 1)
-        .coalesce(1).write.parquet(s"$dir/b$i")
+      val cdir = new java.io.File(s"$tbl/_cdf/v=${i + 1}")
+      val fls = parquetFiles(cdir)
+      if (fls.nonEmpty && (i == 0 || fls.length == 1))
+        linkInto(fls, new java.io.File(s"$dir/b$i"))
+      else
+        graft.sources.LakeIO.capturedChanges(spark, tbl, i, i + 1)
+          .coalesce(1).write.parquet(s"$dir/b$i")
     }
     def deliver(i: Int): Unit =
       new java.io.File(s"$dir/b$i").listFiles()

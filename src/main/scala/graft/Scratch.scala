@@ -51,11 +51,21 @@ object Scratch {
     * small parquet snapshots + captures, and paying the slow
     * disk-backed java.io.tmpdir for each was the same convoy the
     * shuffle finding removed. Falls back to java.io.tmpdir.
+    *
+    * Resolved ONCE per process (ADVICE r19, low): the /dev/shm
+    * headroom check re-ran per call, so a mid-process headroom dip
+    * silently flipped the base to java.io.tmpdir — the sink sweep
+    * (SinkQueries.uniqueRunDir's idle-dir reaper) then never saw its
+    * shm-side `*_runs` siblings again and tmpfs accumulated until JVM
+    * exit. A stable base keeps the sweep and its dirs on one root for
+    * the JVM lifetime.
     */
-  def fastTmpDir(): String =
+  private lazy val fastTmpBase: String =
     sys.env.get("SPARK_GRAFT_LOCAL_DIR")
       .orElse(shmIfUsable("graft_sink_scratch"))
       .getOrElse(sys.props("java.io.tmpdir"))
+
+  def fastTmpDir(): String = fastTmpBase
 
   /** Apply to a builder: the fast local dir (no-op when none
     * resolves) + a codegen class cache sized for this library's query

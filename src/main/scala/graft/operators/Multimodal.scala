@@ -202,10 +202,15 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, String), DataFrame]()
 
+  // release via unpersistCheckpoint, not Dataset.unpersist (ADVICE
+  // r19, low): these frames end in localCheckpoint(true), whose blocks
+  // live on the checkpointed RDD — Dataset.unpersist only clears
+  // CacheManager entries and would leak the blocks until JVM exit
   private[graft] def clearPhashCache(): Int = {
     val n = phashCache.size()
     phashCache.values().forEach { df =>
-      try df.unpersist() catch { case _: Throwable => }
+      try graft.operators.GraphOps.unpersistCheckpoint(df)
+      catch { case _: Throwable => }
     }
     phashCache.clear()
     n
@@ -221,7 +226,8 @@ object Multimodal {
       val key = e.getKey
       if (key._1.sparkContext.isStopped ||
           (key._1 == spark && key._2 == sfDir && key._3 != fp)) {
-        try e.getValue.unpersist() catch { case _: Throwable => }
+        try graft.operators.GraphOps.unpersistCheckpoint(e.getValue)
+        catch { case _: Throwable => }
         it.remove()
       }
     }
@@ -535,10 +541,13 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, String, String), DataFrame]()
 
+  // unpersistCheckpoint for the same reason as clearPhashCache: the
+  // frames end in localCheckpoint(true) (ADVICE r19, low)
   private[graft] def clearFrameCache(): Int = {
     val n = frameCache.size()
     frameCache.values().forEach { df =>
-      try df.unpersist() catch { case _: Throwable => }
+      try graft.operators.GraphOps.unpersistCheckpoint(df)
+      catch { case _: Throwable => }
     }
     frameCache.clear()
     n
@@ -553,7 +562,8 @@ object Multimodal {
       val key = e.getKey
       if (key._1.sparkContext.isStopped ||
           (key._1 == spark && key._2 == sfDir && key._4 != fp)) {
-        try e.getValue.unpersist() catch { case _: Throwable => }
+        try graft.operators.GraphOps.unpersistCheckpoint(e.getValue)
+        catch { case _: Throwable => }
         it.remove()
       }
     }

@@ -1342,20 +1342,43 @@ object SimSearch {
     * own judge-side plan. Frames are localCheckpointed (eager,
     * session-bound); [[clearGraphMemo]] releases them.
     */
-  private val graphMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, DataFrame, DataFrame)]()
+  // INDEPENDENT memos per artifact (ADVICE r19, low: the bundled
+  // 3-tuple memo made a cold `simsearch_graph_persisted` build the
+  // full beam walk + exact judge just to obtain the edge frame — each
+  // consumer now triggers only the artifacts it reads; warmGraph still
+  // builds all three for the bench)
+  private val graphEdgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val graphVisitedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val graphExactMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def memoGraphFrame(spark: SparkSession,
+      sfDir: String): DataFrame =
+    graphFrame(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")))
+
+  private def graphEdgesArtifact(spark: SparkSession,
+      sfDir: String): DataFrame =
+    graphEdgesMemo.computeIfAbsent(sfDir, _ =>
+      neighborGraphEdges(memoGraphFrame(spark, sfDir), GraphDegree)
+        .localCheckpoint(true)) // reused every hop — build once
+
+  private def graphExactArtifact(spark: SparkSession,
+      sfDir: String): DataFrame =
+    graphExactMemo.computeIfAbsent(sfDir, _ =>
+      exactTopK(memoGraphFrame(spark, sfDir), 5, 10)
+        .localCheckpoint(true))
 
   private def graphArtifacts(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame, DataFrame) =
-    graphMemo.computeIfAbsent(sfDir, _ => {
-      val e = graphFrame(Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding")))
-      val edges = neighborGraphEdges(e, GraphDegree)
-        .localCheckpoint(true) // reused every hop — build once
-      (graphVisited(e, edges, 10, GraphBeam, GraphHops, 127),
-        exactTopK(e, 5, 10).localCheckpoint(true),
-        edges) // the persisted row writes THIS artifact (one build)
-    })
+      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val edges = graphEdgesArtifact(spark, sfDir)
+    val visited = graphVisitedMemo.computeIfAbsent(sfDir, _ =>
+      graphVisited(memoGraphFrame(spark, sfDir), edges, 10, GraphBeam,
+        GraphHops, 127))
+    (visited, graphExactArtifact(spark, sfDir), edges)
+  }
 
   def warmGraph(spark: SparkSession, sfDir: String): Unit = {
     graphArtifacts(spark, sfDir); ()
@@ -1380,13 +1403,15 @@ object SimSearch {
 
   private[graft] def clearGraphMemo(): Int = {
     import scala.jdk.CollectionConverters._
-    val n = graphMemo.size()
-    graphMemo.values().asScala.foreach { case (v, x, ed) =>
-      graft.operators.GraphOps.unpersistCheckpoint(v)
-      graft.operators.GraphOps.unpersistCheckpoint(x)
-      graft.operators.GraphOps.unpersistCheckpoint(ed)
+    val memos =
+      Seq(graphEdgesMemo, graphVisitedMemo, graphExactMemo)
+    val n = memos.map(_.size()).sum
+    memos.foreach { m =>
+      m.values().asScala
+        .foreach(graft.operators.GraphOps.unpersistCheckpoint)
+      m.clear()
     }
-    graphMemo.clear(); n
+    n
   }
 
   def simsearchGraph(spark: SparkSession, sfDir: String, k: Int = 5,
@@ -1594,16 +1619,18 @@ object SimSearch {
     val e = graphFrame(emb)
     // at the default settings the artifact to persist IS the memoized
     // batch edge set (r19 opt: rebuilding the band self-joins for a
-    // bit-identical frame doubled the build cost this row reports)
+    // bit-identical frame doubled the build cost this row reports);
+    // the EDGES memo alone — a cold standalone invocation must not
+    // build the beam walk just to reach the edge frame (ADVICE r19)
     val builtEdges =
-      if (degree == GraphDegree) graphArtifacts(spark, sfDir)._3
+      if (degree == GraphDegree) graphEdgesArtifact(spark, sfDir)
       else neighborGraphEdges(e, degree)
     builtEdges.repartition(4).write.parquet(s"$dir/edges")
     val edges = spark.read.parquet(s"$dir/edges")
     val visited = graphVisited(e, edges, nQueries, beamWidth, hops,
       entryStride)
     val exact =
-      if (k == 5 && nQueries == 10) graphArtifacts(spark, sfDir)._2
+      if (k == 5 && nQueries == 10) graphExactArtifact(spark, sfDir)
       else exactTopK(e, k, nQueries).localCheckpoint(true)
     judgeRows("graph_store", visited, exact, k)
       .orderBy(col("q_id").asc)
@@ -1716,7 +1743,7 @@ object SimSearch {
     // contract under test); only the path-independent ground truth
     // is shared with the memoized batch serve
     val exact =
-      if (k == 5 && nQueries == 10) graphArtifacts(spark, sfDir)._2
+      if (k == 5 && nQueries == 10) graphExactArtifact(spark, sfDir)
       else exactTopK(e, k, nQueries).localCheckpoint(true)
     judgeRows("graph_incr", visited, exact, k)
       .orderBy(col("q_id").asc)

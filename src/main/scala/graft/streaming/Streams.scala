@@ -1778,10 +1778,15 @@ object Streams {
       }
     }
     val v0dir = new java.io.File(s"$tbl/v=0")
-    if (new java.io.File(v0dir, "_manifest").exists())
+    // emptiness guard (ADVICE r19, low): a missing/reaped v=0 dir must
+    // fail loudly at SEED time through loadVersion's clear error, not
+    // as a schema-inference error inside foreachBatch over an empty
+    // hardlinked replica
+    val v0files = parquetFiles(v0dir)
+    if (new java.io.File(v0dir, "_manifest").exists() || v0files.isEmpty)
       graft.sources.LakeIO.loadVersion(spark, tbl, Some(0))
         .write.parquet(replica)
-    else linkInto(parquetFiles(v0dir), new java.io.File(replica))
+    else linkInto(v0files, new java.io.File(replica))
     // one feed file per commit (the fileReplay single-file rule: a
     // running query can trigger between two moves, and a split batch
     // must still carry whole commits — replayChanges handles a MERGED
